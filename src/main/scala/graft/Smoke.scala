@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke: runs the driver's entry-point contract exactly as the driver
+  * does (entry() on sf0.001, rows>0).
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"SMOKE entry rows=$n")
+    df.show(5, false)
+    assert(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}

@@ -1,0 +1,378 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational analytics layer (SURVEY.md §2 Table B): everything the
+  * reference delegates to Warp 10 behind its reverse proxy
+  * (middlewares/reverse.go:18-67), supplied natively with Spark built-ins so
+  * Catalyst owns optimization (SURVEY.md §4.1).
+  *
+  * Scale notes (100 TB / 1000-executor thinking):
+  *  - small dims (region/nation/customer at any SF, banned-token sets) are
+  *    broadcast — no shuffle of the fact table;
+  *  - aggregations use partial (map-side) aggregation for free via
+  *    `groupBy().agg()`;
+  *  - top-k goes through `orderBy().limit(k)` which Spark plans as
+  *    TakeOrderedAndProject — no global sort;
+  *  - the as-of join avoids a cross product by equi-joining on the key
+  *    first (shuffle on user key, co-partitioned both sides), then a
+  *    per-key window; at cluster scale both sides can be bucketed on the
+  *    key to eliminate the shuffle entirely;
+  *  - AQE is on (Tables.tune) for runtime skew-join splitting.
+  */
+object Analytics {
+
+  /** Canonical µs for orders dates in both engines. */
+  private val NowUsLiteral = 1706659200000000L // 2024-01-31T00:00:00Z, fixed "now" for determinism
+
+  /** µs epoch of a (possibly NTZ) timestamp column; session tz is UTC so
+    * NTZ→TZ is the identity and matches DuckDB's epoch_us().
+    */
+  private def epochUs(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopkJoin, q5RegionRevenue, qSemiJoin, qAntiJoin,
+    qWindowLag, qWindowRank, qWindowRolling, qTumbling, qSession,
+    qRollup, qCube, qTopk, qSetOps, qDistinct, qAsofJoin, qRangeJoin,
+    qScalarFuncs, qTsHeuristic)
+
+  /** TPC-H Q1-style pricing summary: partial+final hash aggregation, 6
+    * aggregates over one scan, filter pushed to parquet.
+    */
+  val q1Agg: Q = Q("q1_agg", (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }, Some("""SELECT l_returnflag, l_linestatus,
+    round(sum(l_quantity),4) AS sum_qty,
+    round(sum(l_extendedprice),4) AS sum_base_price,
+    round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+    round(avg(l_quantity),4) AS avg_qty,
+    round(avg(l_discount),4) AS avg_disc,
+    count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q3-style: 3-way join, the filtered customer side broadcast, then
+    * top-10 revenue via TakeOrderedAndProject.
+    */
+  val q3TopkJoin: Q = Q("q3_topk_join", (s, dir) => {
+    val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.t(s, dir, "orders")
+    val l = Tables.t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .select(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_date_us"), col("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }, Some("""SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
+    round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""))
+
+  /** TPC-H Q5-style star join: region→nation broadcast down the chain; only
+    * the orders⇄lineitem join shuffles.
+    */
+  val q5RegionRevenue: Q = Q("q5_region_revenue", (s, dir) => {
+    val r = Tables.t(s, dir, "region")
+    val n = Tables.t(s, dir, "nation")
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    val l = Tables.t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }, Some("""SELECT r_name, n_name,
+    round(sum(l_extendedprice*(1-l_discount)),4) AS revenue, count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** Left-semi join — the relational form of the reference's banned-token
+    * membership check (middlewares/auth.go:41-48, SURVEY.md Table B).
+    */
+  val qSemiJoin: Q = Q("q_semi_join", (s, dir) => {
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_bal"))
+  }, Some("""SELECT count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_bal
+    FROM customer WHERE EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')"""))
+
+  /** Left-anti join — the banned-token exclusion itself
+    * (middlewares/auth.go:41-48): rows NOT in the ban set.
+    */
+  val qAntiJoin: Q = Q("q_anti_join", (s, dir) => {
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_bal"))
+  }, Some("""SELECT count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_bal
+    FROM customer WHERE NOT EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** lag() over per-key event time — per-series delta, the bread-and-butter
+    * time-series window op.
+    */
+  val qWindowLag: Q = Q("q_window_lag", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 20)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.select(col("user_id"), col("event_id"), col("ts_us"),
+        round(col("value") - lag("value", 1).over(w), 4).as("delta"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }, Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4) AS delta
+    FROM events WHERE user_id < 20
+    ORDER BY user_id, ts_us, event_id"""))
+
+  /** Top-3 per group via row_number — rank/filter window pattern. */
+  val qWindowRank: Q = Q("q_window_rank", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    e.select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("event_type", "rn")
+  }, Some("""SELECT event_type, event_id, value, rn FROM (
+    SELECT event_type, event_id, value,
+      CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+    FROM events) WHERE rn <= 3 ORDER BY event_type, rn"""))
+
+  /** Rolling 5-row sum (rowsBetween) per series. */
+  val qWindowRolling: Q = Q("q_window_rolling", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 10)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-4, 0)
+    e.select(col("user_id"), col("event_id"), col("ts_us"),
+        round(sum("value").over(w), 4).as("rolling_sum"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }, Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_sum
+    FROM events WHERE user_id < 10 ORDER BY user_id, ts_us, event_id"""))
+
+  /** Tumbling 1-hour event-time window (Spark `window()`, epoch-aligned). */
+  val qTumbling: Q = Q("q_tumbling_window", (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(window(timestamp_micros(col("ts_us")), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+  }, Some("""SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w_start_us, event_type,
+    count(*) AS n_events, round(sum(value),4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type"""))
+
+  /** Session windows (30-min gap) per user — Spark's native session_window;
+    * the oracle reproduces the same segmentation with the classic
+    * gaps-and-islands window construction (a gap >= 30min starts a new
+    * session, matching session_window's half-open [start, start+gap)).
+    */
+  val qSession: Q = Q("q_session_window", (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.groupBy(session_window(timestamp_micros(col("ts_us")), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+  }, Some("""WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    d AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+    g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+    SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+      round(sum(value),4) AS sum_value
+    FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"""))
+
+  /** ROLLUP region→nation hierarchy. */
+  val qRollup: Q = Q("q_rollup", (s, dir) => {
+    val r = Tables.t(s, dir, "region")
+    val n = Tables.t(s, dir, "nation")
+    val c = Tables.t(s, dir, "customer")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      .createOrReplaceTempView("graft_rollup_src")
+    s.sql("""SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),4) AS sum_bal
+      FROM graft_rollup_src GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+  }, Some("""SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),4) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
+  /** CUBE over returnflag × linestatus. */
+  val qCube: Q = Q("q_cube", (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }, Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+    round(sum(l_quantity),4) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Top-k — Spark plans TakeOrderedAndProject (per-partition heap + merge,
+    * no global sort), exactly what you want at 100 TB.
+    */
+  val qTopk: Q = Q("q_topk", (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(15)
+  }, Some("""SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15"""))
+
+  /** UNION / INTERSECT / EXCEPT over customer key sets. */
+  val qSetOps: Q = Q("q_setops", (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val both = f.intersect(open).agg(count(lit(1)).as("n")).select(lit("both_f_and_o").as("op"), col("n"))
+    val only = f.except(open).agg(count(lit(1)).as("n")).select(lit("f_minus_o").as("op"), col("n"))
+    val all = f.union(open).distinct().agg(count(lit(1)).as("n")).select(lit("f_union_o").as("op"), col("n"))
+    both.union(only).union(all).orderBy("op")
+  }, Some("""SELECT 'both_f_and_o' AS op, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+      INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+    UNION ALL SELECT 'f_minus_o', count(*) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+      EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+    UNION ALL SELECT 'f_union_o', count(*) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+      UNION SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+    ORDER BY op"""))
+
+  /** Exact multi-column DISTINCT aggregation (the approx/HLL variant is the
+    * separate rows-only `q_approx_distinct`).
+    */
+  val qDistinct: Q = Q("q_distinct", (s, dir) => {
+    Tables.t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+  }, Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+    count(DISTINCT l_suppkey) AS n_supps,
+    count(DISTINCT l_orderkey) AS n_orders FROM lineitem"""))
+
+  /** As-of join: for each event, the latest order of that customer at or
+    * before the event time. Spark pattern: equi-join on the key (both sides
+    * co-partitioned by the shuffle; bucketable at cluster scale), range
+    * predicate, then row_number()=1 per left row — avoids any cross
+    * product. Ties broken by orderkey for determinism.
+    */
+  val qAsofJoin: Q = Q("q_asof_join", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 30)
+      .select("event_id", "user_id", "ts_us")
+    val o = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), epochUs(col("o_orderdate")).as("o_date_us"))
+    val w = Window.partitionBy("event_id").orderBy(desc("o_date_us"), desc("o_orderkey"))
+    e.join(o, e("user_id") === o("o_custkey") && o("o_date_us") <= e("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "o_orderkey", "o_date_us")
+      .orderBy("event_id")
+  }, Some("""SELECT event_id, user_id, o_orderkey, o_date_us FROM (
+    SELECT e.event_id, e.user_id, o.o_orderkey, epoch_us(o.o_orderdate) AS o_date_us,
+      row_number() OVER (PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e JOIN orders o
+      ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+    WHERE e.user_id < 30) WHERE rn = 1 ORDER BY event_id"""))
+
+  /** Range (interval) self-join: pairs of events of the same user within 5
+    * minutes. The equi-key keeps it a hash join + residual range filter.
+    */
+  val qRangeJoin: Q = Q("q_range_join", (s, dir) => {
+    val a = Tables.events(s, dir).select(col("user_id"), col("ts_us").as("ts_a"))
+    val b = Tables.events(s, dir).select(col("user_id").as("user_b"), col("ts_us").as("ts_b"))
+    a.join(b, a("user_id") === b("user_b") &&
+        b("ts_b") > a("ts_a") && b("ts_b") - a("ts_a") <= 300000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }, Some("""SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b ON a.user_id = b.user_id
+      AND epoch_us(b.ts) > epoch_us(a.ts)
+      AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    GROUP BY a.user_id ORDER BY a.user_id"""))
+
+  /** Scalar function surface: JSON extraction (A14 analog), sha256 txn ids
+    * (middlewares/logger.go:56-59), epoch truncation, string ops.
+    */
+  val qScalarFuncs: Q = Q("q_scalar_funcs", (s, dir) => {
+    Tables.events(s, dir).filter(col("event_id") < 1000)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        substring(sha2(concat(col("event_id").cast("string"), lit(":"),
+          col("user_id").cast("string")), 256), 1, 16).as("txn"),
+        (col("ts_us") - col("ts_us") % 86400000000L).as("day_us"),
+        upper(col("event_type")).as("type_upper"),
+        length(col("event_type")).cast("long").as("type_len"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+    substr(sha256(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 16) AS txn,
+    epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+    upper(event_type) AS type_upper,
+    CAST(length(event_type) AS BIGINT) AS type_len
+    FROM events WHERE event_id < 1000 ORDER BY event_id"""))
+
+  /** The seconds-vs-millis-vs-zero timestamp heuristic
+    * (catalyser/opentsdb.go:127-144) as a pure column expression, exercised
+    * over synthesized epochs covering all branches incl. both sides of the
+    * 0xFFFFFFFF boundary. Fixed "now" literal keeps it deterministic.
+    */
+  val qTsHeuristic: Q = Q("q_ts_heuristic", (s, dir) => {
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        expr(s"""CASE event_id % 5
+          WHEN 0 THEN 0L
+          WHEN 1 THEN ts_us DIV 1000000
+          WHEN 2 THEN ts_us DIV 1000
+          WHEN 3 THEN 4294967294L
+          ELSE 4294967295L END""").as("raw_ts"))
+      .select(col("event_id"), col("raw_ts"),
+        expr(s"""CASE WHEN raw_ts = 0 THEN ${NowUsLiteral}L
+          WHEN raw_ts < 4294967295L THEN raw_ts * 1000000
+          ELSE raw_ts * 1000 END""").as("norm_us"))
+      .orderBy("event_id")
+  }, Some(s"""SELECT event_id, raw_ts,
+    CASE WHEN raw_ts = 0 THEN $NowUsLiteral
+      WHEN raw_ts < 4294967295 THEN raw_ts * 1000000
+      ELSE raw_ts * 1000 END AS norm_us
+    FROM (SELECT event_id,
+      CASE event_id % 5
+        WHEN 0 THEN 0
+        WHEN 1 THEN epoch_us(ts) // 1000000
+        WHEN 2 THEN epoch_us(ts) // 1000
+        WHEN 3 THEN 4294967294
+        ELSE 4294967295 END AS raw_ts
+      FROM events) ORDER BY event_id"""))
+}
