@@ -1,0 +1,362 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.core.{Gts, WarpError}
+import graft.functions.IngestSql
+import graft.parsers.{InfluxLineParser, PromParser}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ingest layer (SURVEY.md §2 Table A): every protocol parser /
+  * normalizer the reference implements, exercised over wire-format lines
+  * SYNTHESIZED from the driver's `events` table (FIXTURES.md §B usage
+  * plan) so the DuckDB oracle can independently reconstruct the expected
+  * output from the source columns.
+  *
+  * Two styles, deliberately:
+  *  - SQL-expressible operators (graphite cascade, ts heuristic, token
+  *    coalesce, batching, encoding) run as pure column pipelines —
+  *    codegen'd, pushdown-friendly;
+  *  - grammar-heavy parsers (influx line protocol, prometheus exposition)
+  *    run the REAL pure-Scala parsers through typed `Dataset.flatMap`
+  *    (SURVEY.md §4.3: the one place typed transforms beat SQL), with the
+  *    oracle reconstructing expected rows relationally.
+  *
+  * Scale: every query here is a stateless per-row transform — no shuffle
+  * except the final ORDER BY for determinism (which the driver's sorted
+  * compare needs, and which TakeOrdered/sort-on-write handles at scale).
+  */
+object Ingest {
+
+  def all: Seq[Q] = Seq(graphiteParse, influxFanout, opentsdbParse,
+    promExposition, promRemoteWrite, promPathLabels, sensisionEncode,
+    tokenExtract, warpBatch27, methodFilter, errorClassify, graphiteTcpToken)
+
+  private def canonical(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** Graphite line parse as a pure column cascade: split_part tokenizing
+    * (graphite.go:315), float→int→bool→string inference (:332-367),
+    * hierarchy labels (:381-403), `;k=v` tag merge (:376-392), ts
+    * heuristic (:370). Line synthesized as
+    * `<type>.m<uid>;dc=east <value> <ts>`.
+    */
+  val graphiteParse: Q = Q("graphite_parse", (s, dir) => {
+    import IngestSql._
+    val e = Tables.events(s, dir)
+      .withColumn("vstr", expr("""CASE CAST(event_id % 4 AS INT)
+        WHEN 0 THEN CAST(value AS STRING)
+        WHEN 1 THEN CAST(user_id AS STRING)
+        WHEN 2 THEN IF(value > 50, 'true', 'False')
+        ELSE concat('v', event_type) END"""))
+      .withColumn("tsstr", expr("""CAST(IF(event_id % 2 = 0,
+        ts_us DIV 1000000, ts_us DIV 1000) AS STRING)"""))
+      .withColumn("line", expr(
+        "concat(event_type, '.m', CAST(user_id % 10 AS STRING), ';dc=east ', vstr, ' ', tsstr)"))
+    // parse back from `line` only
+    val t0 = split_part(col("line"), lit(" "), lit(1))
+    val vTok = split_part(col("line"), lit(" "), lit(2))
+    val tsTok = split_part(col("line"), lit(" "), lit(3))
+    val name = split_part(t0, lit(";"), lit(1))
+    e.select(
+        col("event_id"),
+        name.as("name"),
+        concat(lit("0="), split_part(name, lit("."), lit(1)),
+          lit(",1="), split_part(name, lit("."), lit(2)),
+          lit(","), split_part(t0, lit(";"), lit(2))).as("labels_str"),
+        graphiteVtype(vTok).as("vtype"),
+        graphiteVLong(vTok).as("v_long"),
+        graphiteVDouble(vTok).as("v_double"),
+        graphiteVBool(vTok).as("v_bool"),
+        graphiteVString(vTok).as("v_str"),
+        normalizeEpochUs(tsTok.cast("bigint"), lit(0L)).as("ts_us"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      event_type || '.m' || CAST(user_id % 10 AS VARCHAR) AS name,
+      '0=' || event_type || ',1=m' || CAST(user_id % 10 AS VARCHAR) || ',dc=east' AS labels_str,
+      CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'double' WHEN 1 THEN 'long'
+        WHEN 2 THEN 'bool' ELSE 'string' END AS vtype,
+      CASE WHEN event_id % 4 = 1 THEN user_id END AS v_long,
+      CASE WHEN event_id % 4 = 0 THEN value END AS v_double,
+      CASE WHEN event_id % 4 = 2 THEN value > 50 END AS v_bool,
+      CASE WHEN event_id % 4 = 3 THEN 'v' || event_type END AS v_str,
+      CASE WHEN event_id % 2 = 0 THEN (epoch_us(ts) // 1000000) * 1000000
+        ELSE (epoch_us(ts) // 1000) * 1000 END AS ts_us
+    FROM events ORDER BY event_id"""))
+
+  /** Influx line protocol through the REAL Scala parser (per-field fan-out,
+    * catalyser/influxdb.go:59-84): 1 line with 2 fields → 2 GTS named
+    * `measurement.field`; tag escaping (`us\ west`) exercised end-to-end.
+    */
+  val influxFanout: Q = Q("influx_fanout", (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      expr("""concat(event_type,
+        ',dc=us\\ west,eid=', CAST(event_id AS STRING),
+        ',host=u', CAST(user_id % 20 AS STRING),
+        ' value=', CAST(value AS STRING),
+        ',k=', get_json_object(props, '$.k'), 'i',
+        ' ', CAST(ts AS STRING))""").as("line"))
+    e.as[String].flatMap { line =>
+      InfluxLineParser.parseLine(line, "n", 0L).fold(
+        _ => Seq.empty[(String, String, String, Option[Long], Option[Double], Option[Long])],
+        gts => gts.map { g =>
+          val r = Gts.toRow(g)
+          (r.name, canonical(r.labels), r.vtype, r.v_long, r.v_double, r.ts_us)
+        })
+    }.toDF("name", "labels_str", "vtype", "v_long", "v_double", "ts_us")
+      .orderBy("ts_us", "name", "labels_str")
+  }, Some("""SELECT * FROM (
+    SELECT event_type || '.value' AS name,
+      'dc=us west,eid=' || CAST(event_id AS VARCHAR) || ',host=u' || CAST(user_id % 20 AS VARCHAR) AS labels_str,
+      'double' AS vtype, CAST(NULL AS BIGINT) AS v_long, value AS v_double,
+      epoch_us(ts) AS ts_us FROM events
+    UNION ALL
+    SELECT event_type || '.k',
+      'dc=us west,eid=' || CAST(event_id AS VARCHAR) || ',host=u' || CAST(user_id % 20 AS VARCHAR),
+      'long', CAST(json_extract_string(props, '$.k') AS BIGINT), CAST(NULL AS DOUBLE),
+      epoch_us(ts) FROM events)
+    ORDER BY ts_us, name, labels_str"""))
+
+  /** OpenTSDB JSON decode via Spark-native from_json (A13/A14: the
+    * schema-driven replacement for the reference's format sniffer +
+    * streaming json.Decoder, opentsdb.go:37-58,109-124), ts heuristic
+    * included; JSON numbers decode to double exactly like Go's
+    * encoding/json → interface{} (opentsdb.go:19-28).
+    */
+  val opentsdbParse: Q = Q("opentsdb_parse", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("body", to_json(struct(
+        concat(lit("sys."), col("event_type")).as("metric"),
+        expr("IF(event_id % 2 = 0, ts_us DIV 1000000, ts_us DIV 1000)").as("timestamp"),
+        col("value").as("value"),
+        map(lit("eid"), col("event_id").cast("string"),
+            lit("host"), concat(lit("u"), (col("user_id") % 20).cast("string"))).as("tags"))))
+    val parsed = e.select(col("event_id"), from_json(col("body"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "metric STRING, timestamp BIGINT, value DOUBLE, tags MAP<STRING,STRING>")).as("dp"))
+    parsed.select(
+        col("event_id"),
+        col("dp.metric").as("metric"),
+        IngestSql.normalizeEpochUs(col("dp.timestamp"), lit(0L)).as("ts_us"),
+        col("dp.value").as("v_double"),
+        IngestSql.labelsCanonical(col("dp.tags")).as("labels_str"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id, 'sys.' || event_type AS metric,
+      CASE WHEN event_id % 2 = 0 THEN (epoch_us(ts) // 1000000) * 1000000
+        ELSE (epoch_us(ts) // 1000) * 1000 END AS ts_us,
+      value AS v_double,
+      'eid=' || CAST(event_id AS VARCHAR) || ',host=u' || CAST(user_id % 20 AS VARCHAR) AS labels_str
+    FROM events ORDER BY event_id"""))
+
+  /** Prometheus exposition text through the REAL Scala parser: comment
+    * skipping, quoted-label grammar, __name__ precedence, URL-path extra
+    * labels override, ±Inf DROPPED (prometheus.go:83-85) — every 97th
+    * event becomes a +Inf sample and must vanish.
+    */
+  val promExposition: Q = Q("prom_exposition", (s, dir) => {
+    import s.implicits._
+    val lines = Tables.events(s, dir).select(expr("""concat(
+      '# TYPE m counter\n',
+      'metric_', event_type,
+      '{user="u', CAST(user_id % 20 AS STRING), '",eid="', CAST(event_id AS STRING), '"} ',
+      IF(event_id % 97 = 0, '+Inf', CAST(value AS STRING)),
+      ' ', CAST(ts_us DIV 1000 AS STRING))""").as("body"))
+    lines.as[String].flatMap { body =>
+      PromParser.parseExposition(body, Map("job" -> "graft"), 0L).fold(
+        _ => Seq.empty[(String, String, Double, Option[Long])],
+        gts => gts.map { g =>
+          val r = Gts.toRow(g)
+          (r.name, canonical(r.labels), r.v_double.get, r.ts_us)
+        })
+    }.toDF("name", "labels_str", "v_double", "ts_us")
+      .orderBy("ts_us", "name", "labels_str")
+  }, Some("""SELECT 'metric_' || event_type AS name,
+      'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,user=u' || CAST(user_id % 20 AS VARCHAR) AS labels_str,
+      value AS v_double,
+      (epoch_us(ts) // 1000) * 1000 AS ts_us
+    FROM events WHERE event_id % 97 <> 0
+    ORDER BY ts_us, name, labels_str"""))
+
+  /** remote_write normalization (prometheus_remote_write.go:52-86): unlike
+    * exposition, non-finite values (±Inf AND NaN) are COERCED TO 0, kept
+    * (:70-73); ts ms→µs (:78).
+    */
+  val promRemoteWrite: Q = Q("prom_remote_write", (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("user_id"),
+      expr("""CASE CAST(event_id % 13 AS INT) WHEN 0 THEN CAST('Infinity' AS DOUBLE)
+        WHEN 1 THEN CAST('-Infinity' AS DOUBLE) WHEN 2 THEN CAST('NaN' AS DOUBLE)
+        ELSE value END""").as("sample"),
+      expr("ts_us DIV 1000").as("ts_ms"))
+    e.as[(Long, String, Long, Double, Long)].map { case (eid, etype, uid, sample, tsMs) =>
+      val g = PromParser.normalizeRemoteWriteSample(
+        Map("__name__" -> s"up_$etype", "eid" -> eid.toString, "instance" -> s"i${uid % 5}"),
+        sample, tsMs)
+      val r = Gts.toRow(g)
+      (eid, r.name, canonical(r.labels), r.v_double.get, r.ts_us.get)
+    }.toDF("event_id", "name", "labels_str", "v_double", "ts_us")
+      .orderBy("event_id")
+  }, Some("""SELECT event_id, 'up_' || event_type AS name,
+      'eid=' || CAST(event_id AS VARCHAR) || ',instance=i' || CAST(user_id % 5 AS VARCHAR) AS labels_str,
+      CASE WHEN event_id % 13 IN (0, 1, 2) THEN 0.0 ELSE value END AS v_double,
+      (epoch_us(ts) // 1000) * 1000 AS ts_us
+    FROM events ORDER BY event_id"""))
+
+  /** URL-path label pairs through the REAL PromParser.pathLabels
+    * (prometheus.go:26-38): odd pair count → error (every 89th event gets
+    * a 3-segment path and must surface the error marker).
+    */
+  val promPathLabels: Q = Q("prom_path_labels", (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(col("event_id"),
+      expr("""IF(event_id % 89 = 0,
+        concat('/job/', event_type, '/odd'),
+        concat('/job/', event_type, '/instance/i', CAST(user_id % 5 AS STRING),
+               '/eid/', CAST(event_id AS STRING)))""").as("path"))
+    e.as[(Long, String)].map { case (eid, path) =>
+      val labels = PromParser.pathLabels(path).fold(_ => "__error__", canonical)
+      (eid, labels)
+    }.toDF("event_id", "labels_str").orderBy("event_id")
+  }, Some("""SELECT event_id,
+      CASE WHEN event_id % 89 = 0 THEN '__error__'
+        ELSE 'eid=' || CAST(event_id AS VARCHAR) || ',instance=i' ||
+          CAST(user_id % 5 AS VARCHAR) || ',job=' || event_type END AS labels_str
+    FROM events ORDER BY event_id"""))
+
+  /** Sensision encoding as a column pipeline (core/warp.go:423-478): the
+    * graphite-parsed rows of `graphite_parse` re-encoded. Go %f fixed
+    * 6-decimal floats via format_string; URL-encoding paths are covered by
+    * the Scala encoder's unit tests (names here are URL-safe by
+    * construction).
+    */
+  val sensisionEncode: Q = Q("sensision_encode", (s, dir) => {
+    val parsed = graphiteParse.fn(s, dir)
+    parsed.select(col("event_id"),
+        IngestSql.sensisionLine(col("ts_us"), col("name"), col("labels_str"),
+          col("vtype"), col("v_long"), col("v_double"), col("v_bool"), col("v_str")).as("sensision"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      CAST(ts_us AS VARCHAR) || '// ' || name || '{' || labels_str || '} ' ||
+      CASE vtype WHEN 'bool' THEN (CASE WHEN v_bool THEN 'T' ELSE 'F' END)
+        WHEN 'long' THEN CAST(v_long AS VARCHAR)
+        WHEN 'double' THEN printf('%f', v_double)
+        ELSE '''' || v_str || '''' END || chr(13) || chr(10) AS sensision
+    FROM (
+      SELECT event_id,
+        event_type || '.m' || CAST(user_id % 10 AS VARCHAR) AS name,
+        '0=' || event_type || ',1=m' || CAST(user_id % 10 AS VARCHAR) || ',dc=east' AS labels_str,
+        CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'double' WHEN 1 THEN 'long'
+          WHEN 2 THEN 'bool' ELSE 'string' END AS vtype,
+        CASE WHEN event_id % 4 = 1 THEN user_id END AS v_long,
+        CASE WHEN event_id % 4 = 0 THEN value END AS v_double,
+        CASE WHEN event_id % 4 = 2 THEN value > 50 END AS v_bool,
+        CASE WHEN event_id % 4 = 3 THEN 'v' || event_type END AS v_str,
+        CASE WHEN event_id % 2 = 0 THEN (epoch_us(ts) // 1000000) * 1000000
+          ELSE (epoch_us(ts) // 1000) * 1000 END AS ts_us
+      FROM events) ORDER BY event_id"""))
+
+  /** Token extraction precedence as a coalesce chain (core/auth.go:13-62):
+    * X-Warp10-Token → X-Metrics-Token → X-CityzenData-Token → Bearer → p.
+    * (The Basic-auth branch needs base64 and is covered by TokenExtract's
+    * unit tests.)
+    */
+  val tokenExtract: Q = Q("token_extract", (s, dir) => {
+    Tables.events(s, dir).select(col("event_id"),
+        coalesce(
+          when(col("event_id") % 5 === 0, concat(lit("w"), col("user_id"))),
+          when(col("event_id") % 3 === 0, concat(lit("m"), col("user_id"))),
+          when(col("event_id") % 7 === 0, concat(lit("c"), col("user_id"))),
+          when(col("event_id") % 2 === 0, concat(lit("b"), col("user_id"))),
+          concat(lit("p"), col("user_id"))).as("token"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id, coalesce(
+      CASE WHEN event_id % 5 = 0 THEN 'w' || CAST(user_id AS VARCHAR) END,
+      CASE WHEN event_id % 3 = 0 THEN 'm' || CAST(user_id AS VARCHAR) END,
+      CASE WHEN event_id % 7 = 0 THEN 'c' || CAST(user_id AS VARCHAR) END,
+      CASE WHEN event_id % 2 = 0 THEN 'b' || CAST(user_id AS VARCHAR) END,
+      'p' || CAST(user_id AS VARCHAR)) AS token
+    FROM events ORDER BY event_id"""))
+
+  /** The Warp passthrough's literal 27-line batching (catalyser/warp.go:28)
+    * as a row_number grouping.
+    */
+  val warpBatch27: Q = Q("warp_batch27", (s, dir) => {
+    val e = Tables.events(s, dir)
+    e.select(col("event_id"),
+        ((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("event_id")) - 1)
+          .cast("bigint") / 27).cast("bigint").as("batch"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_lines"), min("event_id").as("first_id"), max("event_id").as("last_id"))
+      .orderBy("batch")
+  }, Some("""SELECT batch, count(*) AS n_lines, min(event_id) AS first_id, max(event_id) AS last_id
+    FROM (SELECT event_id,
+      (row_number() OVER (ORDER BY event_id) - 1) // 27 AS batch FROM events)
+    GROUP BY batch ORDER BY batch"""))
+
+  /** Per-protocol HTTP method allowlist (core/handler.go:130-133, route
+    * lists cmd/root.go:116-121).
+    */
+  val methodFilter: Q = Q("method_filter", (s, dir) => {
+    Tables.events(s, dir)
+      .select(expr("element_at(array('GET','POST','PUT','DELETE'), CAST(event_id % 4 AS INT) + 1)").as("method"))
+      .filter(col("method").isin("POST", "PUT"))
+      .groupBy("method").agg(count(lit(1)).as("n"))
+      .orderBy("method")
+  }, Some("""SELECT method, count(*) AS n FROM (
+      SELECT (['GET','POST','PUT','DELETE'])[CAST(event_id % 4 AS INT) + 1] AS method FROM events)
+    WHERE method IN ('POST','PUT') GROUP BY method ORDER BY method"""))
+
+  /** Warp 10 response-body classification through the REAL ordered
+    * classifier (core/warp.go:280-421) + HTTP status mapping
+    * (core/handler.go:210-459), as a Dataset map — control-plane logic,
+    * not a hot path.
+    */
+  val errorClassify: Q = Q("error_classify", (s, dir) => {
+    import s.implicits._
+    val bodies = Tables.events(s, dir).select(col("event_id"),
+      expr("""element_at(array(
+        'io.warp10.script.WarpScriptException: Invalid token',
+        'io.warp10.script.WarpScriptException: Token Expired',
+        'io.warp10.script.WarpScriptException: Token revoked',
+        'You exceed your Monthly Active Data Streams limit',
+        'Daily Data Points limit being already exceeded',
+        '<pre> Parse error at &apos;xyz&apos;</pre>',
+        'Application suspended or closed',
+        'write: broken pipe'), CAST(event_id % 8 AS INT) + 1)""").as("body"))
+    bodies.as[(Long, String)].map { case (_, body) =>
+      val e = WarpError.classify(body, "tok")
+      (e.label, e.httpStatus.toLong, if (e.bansToken) 1L else 0L)
+    }.toDF("class", "status", "bans")
+      .groupBy("class", "status", "bans").agg(count(lit(1)).as("n"))
+      .orderBy("class")
+  }, Some("""SELECT class, status, bans, count(*) AS n FROM (
+      SELECT CASE CAST(event_id % 8 AS INT)
+        WHEN 0 THEN 'invalid_token' WHEN 1 THEN 'expired_token'
+        WHEN 2 THEN 'revoked_token' WHEN 3 THEN 'mads_exceeded'
+        WHEN 4 THEN 'ddp_exceeded' WHEN 5 THEN 'input_error'
+        WHEN 6 THEN 'gone' ELSE 'broken_pipe' END AS class,
+      CASE CAST(event_id % 8 AS INT)
+        WHEN 0 THEN 401 WHEN 1 THEN 401 WHEN 2 THEN 401 WHEN 3 THEN 429
+        WHEN 4 THEN 429 WHEN 5 THEN 422 WHEN 6 THEN 410 ELSE 503 END::BIGINT AS status,
+      CASE WHEN event_id % 8 <= 2 THEN 1 ELSE 0 END::BIGINT AS bans
+      FROM events)
+    GROUP BY class, status, bans ORDER BY class"""))
+
+  /** Graphite TCP first-line `TOKEN@.` prefix extraction
+    * (graphite.go:240-267) as regexp columns.
+    */
+  val graphiteTcpToken: Q = Q("graphite_tcp_token", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_id"),
+      expr("""concat('tok', CAST(user_id AS STRING), '@.', event_type, '.m ',
+        CAST(value AS STRING))""").as("line"))
+    e.select(col("event_id"),
+        regexp_extract(col("line"), "^([^@]*)@\\.", 1).as("token"),
+        regexp_replace(col("line"), "^[^@]*@\\.", "").as("rest"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      'tok' || CAST(user_id AS VARCHAR) AS token,
+      event_type || '.m ' || CAST(value AS VARCHAR) AS rest
+    FROM events ORDER BY event_id"""))
+}
