@@ -35,8 +35,18 @@ object Analytics {
 
   def all: Seq[Q] = Seq(q1Agg, q3TopkJoin, q5RegionRevenue, qSemiJoin, qAntiJoin,
     qWindowLag, qWindowRank, qWindowRolling, qTumbling, qSession,
-    qRollup, qCube, qTopk, qSetOps, qDistinct, qAsofJoin, qRangeJoin,
-    qScalarFuncs, qTsHeuristic)
+    qRollup, qCube, qTopk, qSetOps, qDistinct, qApproxDistinct, qAsofJoin,
+    qRangeJoin, qScalarFuncs, qTsHeuristic)
+
+  /** HLL-sketch distinct counting (approx_count_distinct) — the scale path
+    * when exact distinct's shuffle is too expensive. Rows-only check: the
+    * oracle engine's HLL differs by construction.
+    */
+  val qApproxDistinct: Q = Q("q_approx_distinct", (s, dir) => {
+    Tables.t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+  }, None)
 
   /** TPC-H Q1-style pricing summary: partial+final hash aggregation, 6
     * aggregates over one scan, filter pushed to parquet.

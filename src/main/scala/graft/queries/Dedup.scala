@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core primitives of a
+  * 100 TB training-data pipeline:
+  *
+  *  - exact:     hash-groupBy (one shuffle on the content hash);
+  *  - n-gram Jaccard: exact set similarity on word-3-gram shingles via an
+  *    inverted-index self-join (shuffle on shingle). At 100 TB this runs
+  *    on LSH CANDIDATES only — the all-pairs form here is the verifier;
+  *  - MinHash+LSH: 16 permutations → 8 bands × 2 rows → bucket join.
+  *    Candidate generation touches only band-signature collisions, so the
+  *    join is tiny even at full scale; signatures are one groupBy;
+  *  - SimHash: 32-bit signature; the 4-byte chunk join is EXACT for
+  *    hamming ≤ 3 by pigeonhole (3 flipped bits leave ≥1 of 4 chunks
+  *    intact) — a bucketed near-dup join with no recall loss.
+  *
+  * All hashes derive from md5 (cross-engine reproducible:
+  * `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB `('0x'||…)::BIGINT`), so the
+  * DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object Dedup {
+
+  def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash)
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for the minhash universe
+
+  /** 16 deterministic (a,b) permutation constants from a fixed LCG seed —
+    * embedded identically in the Spark plan and the oracle SQL.
+    */
+  private[queries] val perms: Seq[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = {
+      x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      x % (P - 1) + 1
+    }
+    Seq.fill(16)((next(), next()))
+  }
+
+  // ---- shared SQL fragments (DuckDB side) ----
+  private val duckShingles =
+    """ws AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      FROM ws WHERE len(w) >= 3)"""
+
+  /** Spark twin: doc_id + exploded distinct word-3-gram shingles. */
+  private def sparkShingles(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), filter(split(lower(col("text")), " "), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= 3)
+    w.select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(1), size(col("w")) - 2), i =>
+        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2))))).as("sh"))
+  }
+
+  /** Exact dedup: group by content hash, keep the min doc_id per group. */
+  val dedupExact: Q = Q("dedup_exact", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("content_hash")
+  }, Some("""SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  /** Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join. */
+  val ngramJaccard: Q = Q("dedup_ngram_jaccard", (s, dir) => {
+    val sh = sparkShingles(s, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val shared = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard", round(col("shared") / (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }, Some(s"""WITH $duckShingles,
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2, round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+    FROM pairs JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
+    WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+    ORDER BY d1, d2"""))
+
+  /** MinHash + LSH near-dup detection: signature = 16 min-hashes, banded
+    * 8×2; bucket-joined candidates filtered at estimated Jaccard ≥ 0.5.
+    */
+  val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) => {
+    val sh = sparkShingles(s, dir)
+      .withColumn("hm", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
+    val sigCols: Seq[Column] = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * hm + $b) % $P")).as(s"m$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandArr = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bsig"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    val cand = bands.select(col("band"), col("bsig"), col("doc_id").as("d1"))
+      .join(bands.select(col("band").as("band2"), col("bsig").as("bsig2"), col("doc_id").as("d2")),
+        col("band") === col("band2") && col("bsig") === col("bsig2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sigX = sig.select(col("doc_id").as("d1") +: (0 until 16).map(i => col(s"m$i").as(s"x$i")): _*)
+    val sigY = sig.select(col("doc_id").as("d2") +: (0 until 16).map(i => col(s"m$i").as(s"y$i")): _*)
+    val estExpr = (0 until 16).map(i => s"IF(x$i = y$i, 1, 0)").mkString("(", " + ", ") / 16.0")
+    cand.join(sigX, "d1").join(sigY, "d2")
+      .withColumn("est_jaccard", round(expr(estExpr), 4))
+      .filter(expr(estExpr) >= 0.5)
+      .select("d1", "d2", "est_jaccard")
+      .orderBy("d1", "d2")
+  }, Some {
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hm + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR) AS bsig FROM sig"
+    }.mkString(" UNION ALL ")
+    val est = (0 until 16).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ") / 16.0")
+    s"""WITH $duckShingles,
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm FROM sh),
+    sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+    bands AS ($bandSelects),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+    SELECT d1, d2, round($est, 4) AS est_jaccard
+    FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2
+    WHERE $est >= 0.5 ORDER BY d1, d2"""
+  })
+
+  /** 32-bit SimHash near-dup pairs at hamming ≤ 3, candidate-joined on the
+    * four 8-bit chunks (exact by pigeonhole).
+    */
+  val simhash: Q = Q("dedup_simhash", (s, dir) => {
+    val sh = sparkShingles(s, dir)
+      .withColumn("h", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums: Seq[Column] = (0 until 32).map { b =>
+      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"s$b")
+    }
+    val sums = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until 32).map(b => s"IF(s$b > 0, ${1L << b}L, 0L)").mkString(" + ")
+    val sig = sums.select(col("doc_id"), expr(sigExpr).as("sig"))
+    val chunkArr = array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"), expr(s"shiftright(sig, ${8 * c}) & 255").as("cv"))
+    }: _*)
+    val chunks = sig.select(col("doc_id"), col("sig"), explode(chunkArr).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val cand = chunks.select(col("chunk"), col("cv"), col("doc_id").as("d1"), col("sig").as("sig1"))
+      .join(chunks.select(col("chunk").as("chunk2"), col("cv").as("cv2"),
+          col("doc_id").as("d2"), col("sig").as("sig2")),
+        col("chunk") === col("chunk2") && col("cv") === col("cv2") && col("d1") < col("d2"))
+      .select("d1", "d2", "sig1", "sig2").distinct()
+    cand.withColumn("hamming", expr("CAST(bit_count(sig1 ^ sig2) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }, Some {
+    val bitSums = (0 until 32).map { b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val sigExpr = (0 until 32).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val chunkSelects = (0 until 4).map { c =>
+      s"SELECT doc_id, sig, $c AS chunk, (sig >> ${8 * c}) & 255 AS cv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $duckShingles,
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM sh),
+    sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, $sigExpr AS sig FROM sums),
+    chunks AS ($chunkSelects),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig1, b.sig AS sig2
+      FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig1, sig2)) <= 3 ORDER BY d1, d2"""
+  })
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - brute-force cosine top-k: the exact baseline. O(Q×N) — fine for a
+  *    bounded query set; at 100 TB this is what you run per-query against
+  *    a pruned candidate set, never all-pairs;
+  *  - IVF-style pruning: `label` is the coarse quantizer cell (at real
+  *    scale: k-means centroid assignment); searching only the query's cell
+  *    cuts the candidate set ~10× here, ~nlist× in general;
+  *  - random-hyperplane LSH bucketing (rows-only check): sign-bit
+  *    signatures → bucket join; the scale path when no IVF index exists.
+  *
+  * Dot products run in double precision over `zip_with`/`aggregate`
+  * (codegen'd higher-order functions — no UDF), matching the oracle's
+  * `list_dot_product` on DOUBLE[] for bitwise-stable ranking.
+  */
+object Similarity {
+
+  def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annLshRp)
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** embeddings with double-cast vectors + L2 norms. */
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+    e.withColumn("nrm", sqrt(dotD(col("emb"), col("emb"))))
+  }
+
+  /** Exact cosine top-5 neighbors for query vectors vec_id < 10. Ranking
+    * key is round(sim,6) with vec_id tie-break so both engines order
+    * identically at float boundaries.
+    */
+  val cosineTopk: Q = Q("embed_cosine_topk", (s, dir) => {
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
+    val pairs = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }, Some("""WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    r AS (SELECT q_id, c_id, sim,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk
+      FROM p)
+    SELECT q_id, rnk, c_id, round(sim, 4) AS cosine FROM r WHERE rnk <= 5
+    ORDER BY q_id, rnk"""))
+
+  /** IVF-pruned ANN: search only the query's coarse cell (`label`). */
+  val annIvfLabel: Q = Q("ann_ivf_label", (s, dir) => {
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("emb").as("ce"), col("nrm").as("cn"))
+    val pairs = q.join(c, col("q_label") === col("c_label") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("q_label").cast("bigint").as("cell"), col("rnk"),
+        col("c_id"), round(col("sim"), 4).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }, Some("""WITH n AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    p AS (SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS cell, c.vec_id AS c_id,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON q.vec_id < 10 AND q.label = c.label AND c.vec_id <> q.vec_id),
+    r AS (SELECT q_id, cell, c_id, sim,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk
+      FROM p)
+    SELECT q_id, cell, rnk, c_id, round(sim, 4) AS cosine FROM r WHERE rnk <= 3
+    ORDER BY q_id, rnk"""))
+
+  /** Random-hyperplane LSH bucketed ANN (rows-only check — the plane
+    * constants live in the Spark plan; no SQL twin). 12 sign bits →
+    * bucket; neighbors searched within the query's bucket only.
+    */
+  val annLshRp: Q = Q("ann_lsh_rp", (s, dir) => {
+    val rnd = new scala.util.Random(7)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(12)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
+    val n = normed(s, dir)
+    val bucketBits: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
+      when(dotD(col("emb"), typedLit(p)) > 0, lit("1")).otherwise(lit("0")).as(s"b$i")
+    }
+    val bucketed = n.withColumn("bucket", concat(bucketBits: _*))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+    val c = bucketed.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+      col("emb").as("ce"), col("nrm").as("cn"))
+    val pairs = q.join(c, col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("q_bucket"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }, None)
+}

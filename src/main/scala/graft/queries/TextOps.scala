@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: quality scoring, language ID, token counting,
+  * canonical fingerprinting. All pure column pipelines (codegen'd, no
+  * UDFs), embarrassingly parallel per document — the shape that scales to
+  * 100 TB with zero shuffle except the deterministic output ORDER BY.
+  */
+object TextOps {
+
+  def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint, multimodalMeta)
+
+  /** Length / word / punctuation / duplication statistics + a composite
+    * quality score (the classic pre-training quality-filter features).
+    */
+  val textStats: Q = Q("text_stats", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_words"),
+        regexp_count(col("text"), lit("[a-z]")).cast("bigint").as("n_alpha"),
+        size(array_distinct(filter(split(lower(col("text")), " "), w => w =!= "")))
+          .cast("bigint").as("n_distinct"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_alpha"), col("n_distinct"),
+        round(lit(0.4) * least(col("n_words") / 100.0, lit(1.0))
+          + lit(0.3) * (col("n_alpha") / col("n_chars"))
+          + lit(0.3) * (col("n_distinct") / col("n_words")), 4).as("quality"))
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id, n_chars, n_words, n_alpha, n_distinct,
+      round(0.4 * least(n_words / 100.0, 1.0) + 0.3 * (n_alpha * 1.0 / n_chars)
+        + 0.3 * (n_distinct * 1.0 / n_words), 4) AS quality
+    FROM (SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha,
+      CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct
+    FROM documents) ORDER BY doc_id"""))
+
+  /** Stopword-profile language ID (n-gram/stopword heuristic): score each
+    * candidate language by distinct-stopword hits, argmax with a fixed
+    * priority tie-break. A real pipeline swaps in bigger profiles; the
+    * operator shape (per-doc set intersection against broadcast literal
+    * lists) is the point.
+    */
+  val langId: Q = Q("lang_id", (s, dir) => {
+    val en = Seq("the", "a", "and", "of", "to", "in", "is")
+    val de = Seq("der", "die", "das", "und", "ist", "nicht")
+    val fr = Seq("le", "la", "les", "et", "est", "une")
+    val es = Seq("el", "los", "y", "es", "una", "que")
+    def score(words: org.apache.spark.sql.Column, list: Seq[String]) =
+      size(filter(words, w => w.isin(list.map(lit(_)): _*))).cast("bigint")
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        array_distinct(filter(split(lower(col("text")), " "), w => w =!= "")).as("words"))
+      .select(col("doc_id"), col("lang"),
+        score(col("words"), en).as("s_en"), score(col("words"), de).as("s_de"),
+        score(col("words"), fr).as("s_fr"), score(col("words"), es).as("s_es"))
+    d.select(col("doc_id"), col("lang"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+        expr("""CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+          WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+          WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+          WHEN s_es > 0 THEN 'es'
+          ELSE 'und' END""").as("pred_lang"))
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+      CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        WHEN s_es > 0 THEN 'es'
+        ELSE 'und' END AS pred_lang
+    FROM (SELECT doc_id, lang,
+      CAST(len(list_filter(words, w -> w IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS s_en,
+      CAST(len(list_filter(words, w -> w IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de,
+      CAST(len(list_filter(words, w -> w IN ('le','la','les','et','est','une'))) AS BIGINT) AS s_fr,
+      CAST(len(list_filter(words, w -> w IN ('el','los','y','es','una','que'))) AS BIGINT) AS s_es
+      FROM (SELECT doc_id, lang,
+        list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS words
+        FROM documents))
+    ORDER BY doc_id"""))
+
+  /** Whitespace + BPE-ish tokenization counts: maximal alpha runs, digit
+    * runs, and single non-alnum marks — a cheap, deterministic proxy for
+    * subword token counts.
+    */
+  val tokenCount: Q = Q("token_count", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("bigint").as("bpe_tokens"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .withColumn("chars_per_token", round(col("n_chars") / col("bpe_tokens"), 4))
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id,
+      CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      round(length(text) * 1.0 / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 4) AS chars_per_token
+    FROM documents ORDER BY doc_id"""))
+
+  /** Canonical document fingerprint: md5 of the sorted distinct word set —
+    * key-collision clustering for template/boilerplate detection.
+    */
+  val docFingerprint: Q = Q("doc_fingerprint", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(
+          filter(split(lower(col("text")), " "), w => w =!= ""))), " ")).as("fingerprint"))
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id,
+      md5(list_aggregate(list_sort(list_distinct(
+        list_filter(string_split(lower(text), ' '), w -> w <> ''))), 'string_agg', ' ')) AS fingerprint
+    FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal column plumbing: treat content as an opaque binary column
+    * with typed metadata and run a per-partition "decoder" over it — the
+    * Spark-side shape (schema, partition iteration, batch-friendly typed
+    * map) is real; the decode itself is a STUB: a deterministic fake
+    * feature extractor standing in for an image/audio codec that is not
+    * present in this environment.
+    */
+  val multimodalMeta: Q = Q("multimodal_meta", (s, dir) => {
+    import s.implicits._
+    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    src.as[(Long, String)].mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { case (docId, text) =>
+        val content: Array[Byte] = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // ---- STUB decode: deterministic fake features (no codec in env) ----
+        val byteLen = content.length.toLong
+        val sha = digest.digest(content).map(b => f"${b & 0xFF}%02x").mkString
+        digest.reset()
+        val width = 16L + byteLen % 624L
+        val height = 16L + (byteLen * 7L) % 464L
+        val frames = 1L + docId % 30L
+        (docId, byteLen, sha, width, height, frames)
+      }
+    }.toDF("doc_id", "byte_len", "sha", "width", "height", "frames")
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      sha256(text) AS sha,
+      16 + CAST(octet_length(encode(text)) AS BIGINT) % 624 AS width,
+      16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 464 AS height,
+      1 + doc_id % 30 AS frames
+    FROM documents ORDER BY doc_id"""))
+}
