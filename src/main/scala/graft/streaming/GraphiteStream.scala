@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.core.{Gts, GtsRow, Sensision}
+import graft.parsers.GraphiteParser
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest dataflow — the Spark-native form of the
+  * reference's request→parse→encode→send pipeline (SURVEY.md §3.1-3.2):
+  *
+  *   source (file/socket/kafka lines)
+  *     → PERMISSIVE parse (errors dropped, mirroring the graphite TCP
+  *       skip-on-error policy, catalyser/graphite.go:276-283)
+  *     → event-time watermark + tumbling window aggregation
+  *     → foreachBatch Sensision sink (micro-batch replaces the per-line
+  *       io.Pipe streaming of core/warp.go:174,249-263; batch ids give
+  *       idempotent retry, unlike the reference's unbounded replay buffer
+  *       — SURVEY.md §2 gaps note).
+  *
+  * The banned-token gate (middlewares/auth.go:30-53) is a broadcast-able
+  * anti-join against a ban table — small state stays broadcast; if it
+  * grows, promote to flatMapGroupsWithState keyed by token.
+  */
+object GraphiteStream {
+
+  /** Parse a streaming (or batch) Dataset of graphite lines into GtsRow.
+    * PERMISSIVE: bad lines are dropped (FAILFAST mode is the HTTP-path
+    * policy, catalyser/graphite.go:49-56, and would `throw` instead).
+    */
+  def parseLines(spark: SparkSession, lines: Dataset[String], hierarchyLabels: Boolean): Dataset[GtsRow] = {
+    import spark.implicits._
+    lines.flatMap { line =>
+      GraphiteParser.parseLine(line, hierarchyLabels).toOption.map(Gts.toRow)
+    }
+  }
+
+  /** Event-time tumbling counts with a watermark bounding state/late data —
+    * replaces the reference's implicit "accept anything, now() if missing"
+    * policy (catalyser/opentsdb.go:128-130) with an explicit lateness
+    * contract.
+    */
+  def windowedCounts(parsed: Dataset[GtsRow], window_ : String, watermark: String): DataFrame =
+    parsed.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("name"))
+      .agg(count(lit(1)).as("n_points"), sum(col("v_double")).as("sum_double"))
+      .select(col("window.start").as("w_start"), col("name"), col("n_points"), col("sum_double"))
+
+  /** Anti-join the stream against a (small, broadcast) banned-token table —
+    * the reference's pre-handler ban check (middlewares/auth.go:41-48).
+    */
+  def filterBanned(parsed: DataFrame, banned: DataFrame, tokenCol: String): DataFrame =
+    parsed.join(broadcast(banned), parsed(tokenCol) === banned("token"), "left_anti")
+
+  /** Sensision encoding + delivery per micro-batch. `send` abstracts the
+    * Warp HTTP POST (core/warp.go:116-277) and runs PER PARTITION ON THE
+    * EXECUTORS (one connection per partition — the task-level analog of
+    * the reference's per-request sender goroutine, core/warp.go:183);
+    * batchId enables idempotent retry. Nothing is collected to the driver.
+    */
+  def sensisionSink(parsed: Dataset[GtsRow])(send: (Long, Iterator[String]) => Unit): DataStreamWriter[GtsRow] =
+    parsed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: Dataset[GtsRow], batchId: Long) =>
+        import batch.sparkSession.implicits._
+        batch.map(r => Sensision.encode(r.toGts))
+          .foreachPartition { it: Iterator[String] => send(batchId, it) }
+      }
+
+  /** Convenience end-to-end: read text files appearing under `inputDir`,
+    * parse, window, write counts to an in-memory table `queryName`.
+    */
+  /** `outputMode`: "append" (production shape — rows emit once the
+    * watermark passes the window end) or "complete" (all windows every
+    * trigger — handy for tests/dashboards).
+    */
+  def fileIngestToMemory(
+      spark: SparkSession,
+      inputDir: String,
+      queryName: String,
+      window_ : String = "1 minute",
+      watermark: String = "10 minutes",
+      outputMode: String = "append"): StreamingQuery = {
+    import spark.implicits._
+    val lines = spark.readStream.text(inputDir).as[String]
+    val parsed = parseLines(spark, lines, hierarchyLabels = true)
+    windowedCounts(parsed, window_, watermark)
+      .writeStream.outputMode(outputMode).format("memory").queryName(queryName).start()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.GraphiteStream
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+object StreamingSpec {
+  // executor-side sink capture (local mode: same JVM)
+  val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** End-to-end Structured Streaming slice: file source → graphite parse →
+  * watermark + tumbling window → memory sink; and the Sensision
+  * foreachBatch sink capturing encoded lines per partition on executors.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("graft-streaming-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("file source -> parse -> windowed counts in memory sink") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = Files.createTempDirectory("graft_stream_in").toFile
+    val lines = Seq(
+      "sys.cpu.user;host=web01 0.5 1546420308",   // seconds
+      "sys.cpu.user;host=web01 0.7 1546420309",
+      "sys.mem.free 1024 1546420310",
+      "not a parseable line at all x y z",         // dropped (PERMISSIVE)
+      "sys.cpu.user;host=web01 0.9 1546420368")    // next minute
+    Files.write(new java.io.File(dir, "batch1.txt").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val q = GraphiteStream.fileIngestToMemory(spark, dir.getAbsolutePath, "graft_counts",
+      outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT name, n_points, sum_double FROM graft_counts ORDER BY name, n_points").collect()
+      // window 1546420308/09 -> same minute; 1546420368 -> next minute
+      val byName = rows.groupBy(_.getString(0))
+      assert(byName("sys.cpu.user").map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+      assert(byName("sys.mem.free").head.getLong(1) == 1L)
+      assert(math.abs(byName("sys.cpu.user").map(_.getDouble(2)).sum - 2.1) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("sensision foreachBatch sink encodes per partition on executors") {
+    spark.sparkContext.setLogLevel("ERROR")
+    StreamingSpec.sent.clear()
+    val dir = Files.createTempDirectory("graft_stream_sink").toFile
+    Files.write(new java.io.File(dir, "b.txt").toPath,
+      "tcp_metric 14.2 1546420308000\nflag true 1546420308000".getBytes("UTF-8"))
+    import spark.implicits._
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    val q = GraphiteStream.sensisionSink(parsed) { (_, it) =>
+      it.foreach(StreamingSpec.sent.add)
+    }.start()
+    try {
+      q.processAllAvailable()
+      val got = StreamingSpec.sent.toArray(Array.empty[String]).toSet
+      assert(got == Set(
+        "1546420308000000// tcp_metric{} 14.200000\r\n",
+        "1546420308000000// flag{} T\r\n"))
+    } finally q.stop()
+  }
+
+  test("banned-token anti-join gate (broadcast)") {
+    import spark.implicits._
+    val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
+    val banned = Seq("tokA").toDF("token_b").withColumnRenamed("token_b", "token")
+    val kept = GraphiteStream.filterBanned(events, banned, "token")
+    assert(kept.select("v").as[Long].collect().toSet == Set(2L))
+  }
+}
