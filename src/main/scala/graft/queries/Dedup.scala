@@ -31,7 +31,7 @@ object Dedup {
   /** 16 deterministic (a,b) permutation constants from a fixed LCG seed —
     * embedded identically in the Spark plan and the oracle SQL.
     */
-  private[queries] val perms: Seq[(Long, Long)] = {
+  private[graft] val perms: Seq[(Long, Long)] = {
     var x = 42L
     def next(): Long = {
       x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
@@ -70,7 +70,9 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join. */
   val ngramJaccard: Q = Q("dedup_ngram_jaccard", (s, dir) => {
-    val sh = sparkShingles(s, dir)
+    // the exploded shingle set feeds three subtrees (counts + both join
+    // sides) — persist it once instead of re-exploding per consumer
+    val sh = sparkShingles(s, dir).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
@@ -102,7 +104,9 @@ object Dedup {
     val sigCols: Seq[Column] = perms.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * hm + $b) % $P")).as(s"m$i")
     }
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // signatures feed three subtrees (bands + both est sides): persist —
+    // at cluster scale this is the materialized signature table
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
     val bandArr = array((0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bsig"))
@@ -158,6 +162,7 @@ object Dedup {
     }: _*)
     val chunks = sig.select(col("doc_id"), col("sig"), explode(chunkArr).as("ch"))
       .select(col("doc_id"), col("sig"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+      .persist() // both sides of the candidate self-join
     val cand = chunks.select(col("chunk"), col("cv"), col("doc_id").as("d1"), col("sig").as("sig1"))
       .join(chunks.select(col("chunk").as("chunk2"), col("cv").as("cv2"),
           col("doc_id").as("d2"), col("sig").as("sig2")),
