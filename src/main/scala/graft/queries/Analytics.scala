@@ -34,9 +34,48 @@ object Analytics {
   private def epochUs(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
 
   def all: Seq[Q] = Seq(q1Agg, q3TopkJoin, q5RegionRevenue, qSemiJoin, qAntiJoin,
-    qWindowLag, qWindowRank, qWindowRolling, qTumbling, qSession,
-    qRollup, qCube, qTopk, qSetOps, qDistinct, qApproxDistinct, qAsofJoin,
-    qRangeJoin, qScalarFuncs, qTsHeuristic)
+    qWindowLag, qWindowRank, qWindowRolling, qWindowDistribution, qTumbling, qSession,
+    qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
+    qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic)
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-(status,priority),
+    * per-status, and grand total in one pass.
+    */
+  val qGroupingSets: Q = Q("q_grouping_sets", (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("graft_gs_src")
+    s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      round(sum(o_totalprice),4) AS sum_price
+      FROM graft_gs_src
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }, Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      round(sum(o_totalprice),4) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Distribution window functions: lead, ntile, percent_rank, cume_dist
+    * over per-user event sequences.
+    */
+  val qWindowDistribution: Q = Q("q_window_distribution", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 5)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.select(col("user_id"), col("event_id"), col("ts_us"),
+        round(lead("value", 2).over(w), 4).as("lead2"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }, Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      round(lead(value, 2) OVER w, 4) AS lead2,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      round(percent_rank() OVER w, 6) AS pct_rank,
+      round(cume_dist() OVER w, 6) AS cume
+    FROM events WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ORDER BY user_id, ts_us, event_id"""))
 
   /** HLL-sketch distinct counting (approx_count_distinct) — the scale path
     * when exact distinct's shuffle is too expensive. Rows-only check: the

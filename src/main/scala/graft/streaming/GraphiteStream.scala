@@ -4,7 +4,24 @@ import graft.core.{Gts, GtsRow, Sensision}
 import graft.parsers.GraphiteParser
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.util.LongAccumulator
+
+/** Observability counters for the ingest path — the Spark-native analog of
+  * the reference's ~20 Prometheus counters (SURVEY.md §2 A35:
+  * core/handler.go:69-108, catalyser/graphite.go:91-146): accumulators
+  * aggregate across executors and surface on the driver.
+  */
+final class IngestMetrics(spark: SparkSession) extends Serializable {
+  val datapoints: LongAccumulator = spark.sparkContext.longAccumulator("graft.ingest.datapoints")
+  val parseErrors: LongAccumulator = spark.sparkContext.longAccumulator("graft.ingest.parse_errors")
+
+  /** Counters as a one-row DataFrame (the harness-facing `metrics` table). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((datapoints.value, parseErrors.value)).toDF("datapoints", "parse_errors")
+  }
+}
 
 /** Structured-Streaming ingest dataflow — the Spark-native form of the
   * reference's request→parse→encode→send pipeline (SURVEY.md §3.1-3.2):
@@ -33,6 +50,39 @@ object GraphiteStream {
     lines.flatMap { line =>
       GraphiteParser.parseLine(line, hierarchyLabels).toOption.map(Gts.toRow)
     }
+  }
+
+  /** parseLines with A35-style counters: successes and parse errors are
+    * counted on the executors via accumulators.
+    */
+  def parseLinesCounted(
+      spark: SparkSession,
+      lines: Dataset[String],
+      hierarchyLabels: Boolean,
+      metrics: IngestMetrics): Dataset[GtsRow] = {
+    import spark.implicits._
+    lines.flatMap { line =>
+      GraphiteParser.parseLine(line, hierarchyLabels) match {
+        case Right(g) => metrics.datapoints.add(1); Some(Gts.toRow(g))
+        case Left(_)  => metrics.parseErrors.add(1); None
+      }
+    }
+  }
+
+  /** Custom keyed streaming state via mapGroupsWithState: running
+    * datapoint count per metric name — the pattern the banned-token /
+    * per-series state machines grow into when broadcast state is too big
+    * (SURVEY.md Table B "state").
+    */
+  def runningCountsByName(spark: SparkSession, parsed: Dataset[GtsRow]): Dataset[(String, Long)] = {
+    import spark.implicits._
+    parsed.groupByKey(_.name)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (name: String, rows: Iterator[GtsRow], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (name, n)
+      }
   }
 
   /** Event-time tumbling counts with a watermark bounding state/late data —

@@ -74,6 +74,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("gzip-compressed line sources decompress transparently (A4 analog)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gz").toFile
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "lines.txt.gz")))
+    out.write("sys.cpu.user 0.5 1546420308\nsys.cpu.user 0.7 1546420309".getBytes("UTF-8"))
+    out.close()
+    val lines = spark.read.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    assert(parsed.count() == 2)
+    assert(parsed.collect().map(_.v_double.get).sorted.toSeq == Seq(0.5, 0.7))
+  }
+
+  test("ingest metrics accumulators count datapoints and parse errors (A35)") {
+    import spark.implicits._
+    val metrics = new graft.streaming.IngestMetrics(spark)
+    val lines = Seq("a 1 1546420308", "bad", "b 2.5 1546420308", "also_bad").toDS()
+    val parsed = GraphiteStream.parseLinesCounted(spark, lines, hierarchyLabels = false, metrics)
+    assert(parsed.count() == 2)
+    assert(metrics.datapoints.value == 2L)
+    assert(metrics.parseErrors.value == 2L)
+    val m = metrics.toDF(spark).collect().head
+    assert(m.getLong(0) == 2L && m.getLong(1) == 2L)
+  }
+
+  test("mapGroupsWithState running counts accumulate across micro-batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_state").toFile
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      "m1 1 1546420308\nm1 2 1546420309\nm2 3 1546420310".getBytes("UTF-8"))
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    val counts = GraphiteStream.runningCountsByName(spark, parsed)
+    val q = counts.toDF("name", "n").writeStream
+      .outputMode("update").format("memory").queryName("graft_state_counts").start()
+    try {
+      q.processAllAvailable()
+      // second batch: state must carry over
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "m1 4 1546420311".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n FROM graft_state_counts WHERE name = 'm1' ORDER BY n DESC LIMIT 1")
+        .as[Long].collect().head
+      assert(last == 3L) // 2 from batch 1 + 1 from batch 2
+    } finally q.stop()
+  }
+
   test("banned-token anti-join gate (broadcast)") {
     import spark.implicits._
     val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
