@@ -36,7 +36,39 @@ object Analytics {
   def all: Seq[Q] = Seq(q1Agg, q3TopkJoin, q5RegionRevenue, qSemiJoin, qAntiJoin,
     qWindowLag, qWindowRank, qWindowRolling, qWindowDistribution, qTumbling, qSession,
     qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
-    qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic)
+    qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
+    qWindowRange)
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into a join):
+    * customers whose balance beats their nation's average.
+    */
+  val qCorrelatedSubquery: Q = Q("q_correlated_subquery", (s, dir) => {
+    Tables.t(s, dir, "customer").createOrReplaceTempView("graft_cust")
+    s.sql("""SELECT c_nationkey, count(*) AS n_above, round(sum(c_acctbal),4) AS sum_above
+      FROM graft_cust c
+      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM graft_cust c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }, Some("""SELECT c_nationkey, count(*) AS n_above, round(sum(c_acctbal),4) AS sum_above
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** RANGE-framed window: per-user running sum over the trailing 10
+    * minutes of event time (rangeBetween on the µs axis).
+    */
+  val qWindowRange: Q = Q("q_window_range", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 10)
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-600000000L, 0L)
+    e.select(col("user_id"), col("event_id"), col("ts_us"),
+        round(sum("value").over(w), 4).as("sum_10min"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }, Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 4) AS sum_10min
+    FROM events WHERE user_id < 10 ORDER BY user_id, ts_us, event_id"""))
 
   /** Explicit GROUPING SETS (beyond rollup/cube): per-(status,priority),
     * per-status, and grand total in one pass.

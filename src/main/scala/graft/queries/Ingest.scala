@@ -30,7 +30,41 @@ object Ingest {
 
   def all: Seq[Q] = Seq(graphiteParse, influxFanout, opentsdbParse,
     promExposition, promRemoteWrite, promPathLabels, sensisionEncode,
-    tokenExtract, warpBatch27, methodFilter, errorClassify, graphiteTcpToken)
+    sensisionEncodeUnsafe, tokenExtract, warpBatch27, methodFilter,
+    errorClassify, graphiteTcpToken)
+
+  /** Sensision encoding of URL-UNSAFE names/labels/values through the
+    * native codegen'd [[graft.expressions.UrlEncodeWarp]] expression:
+    * spaces → %20 in names/labels (the Warp 2.3.0 quirk), '+' → %2B,
+    * string values keep '+' for spaces (plain QueryEscape,
+    * core/warp.go:467-468). The oracle reproduces the encoding with
+    * replace() over the controlled input charset.
+    */
+  val sensisionEncodeUnsafe: Q = Q("sensision_encode_unsafe", (s, dir) => {
+    graft.expressions.UrlEncodeWarp.register(s)
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        concat(col("event_type"), lit(" zone "), (col("user_id") % 3).cast("string")).as("name"),
+        concat(lit("us east+"), (col("user_id") % 2).cast("string")).as("lv"),
+        concat(lit("v "), col("event_type"), lit(",x")).as("sv"),
+        expr("ts_us").as("ts_us"))
+      .select(col("event_id"),
+        concat(col("ts_us").cast("string"), lit("// "),
+          expr("url_encode_warp(name)"), lit("{region="),
+          expr("url_encode_warp(lv)"), lit("} '"),
+          // string values: plain QueryEscape — space stays '+' (warp.go:467)
+          regexp_replace(expr("url_encode_warp(sv)"), lit("%20"), lit("+")),
+          lit("'\r\n")).as("sensision"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      CAST(epoch_us(ts) AS VARCHAR) || '// ' ||
+      replace(event_type || '%20zone%20' || CAST(user_id % 3 AS VARCHAR), '+', '%2B') ||
+      '{region=' ||
+      replace(replace('us east+' || CAST(user_id % 2 AS VARCHAR), '+', '%2B'), ' ', '%20') ||
+      '} ''' ||
+      replace(replace('v ' || event_type || ',x', ',', '%2C'), ' ', '+') ||
+      '''' || chr(13) || chr(10) AS sensision
+    FROM events ORDER BY event_id"""))
 
   private def canonical(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")

@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.Sensision
+import graft.expressions.{GraftExtensions, UrlEncodeWarp}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen'd url_encode_warp expression: registered both
+  * imperatively and via SparkSessionExtensions, evaluated through
+  * whole-stage codegen, equal to the Scala encoder on random strings.
+  */
+class UrlEncodeWarpSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions) // config-driven injection path
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("extension-injected function matches the Scala encoder (codegen path)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val inputs = Seq("a b", "x+y", "ключ", "a,b/c~d_e", "100%", "") ++
+      (1 to 50).map(_ => rnd.alphanumeric.take(3).mkString + " +,%~" + rnd.nextInt(100))
+    val got = inputs.toDF("s").selectExpr("url_encode_warp(s) AS e").as[String].collect()
+    assert(got.toSeq == inputs.map(Sensision.urlEncodeWarp))
+  }
+
+  test("imperative registration on an extension-less session") {
+    val plain = spark.newSession()
+    UrlEncodeWarp.register(plain)
+    import plain.implicits._
+    val got = Seq("my name+1").toDF("s").selectExpr("url_encode_warp(s) AS e").as[String].collect()
+    assert(got.head == "my%20name%2B1")
+  }
+
+  test("null propagates") {
+    UrlEncodeWarp.register(spark)
+    val got = spark.sql("SELECT url_encode_warp(CAST(NULL AS STRING)) AS e").collect()
+    assert(got.head.isNullAt(0))
+  }
+}
