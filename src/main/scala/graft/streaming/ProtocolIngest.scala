@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.core.{Gts, GtsRow}
+import graft.parsers.{GraphiteParser, InfluxLineParser, OpenTsdbParser, PromParser}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Explicit bad-data policy — the reference diverges per transport
+  * (graphite TCP skips bad lines, catalyser/graphite.go:276-283; graphite
+  * HTTP aborts the request on the first bad line, graphite.go:49-56;
+  * influx payloads are all-or-nothing). We surface the choice as a mode,
+  * like Spark's JSON parser (SURVEY.md §2 gaps note).
+  */
+sealed trait ParseMode extends Serializable
+object ParseMode {
+  case object Permissive extends ParseMode // drop bad records
+  case object FailFast extends ParseMode   // throw on the first bad record
+}
+
+final class GraftParseException(msg: String) extends RuntimeException(msg)
+
+/** One typed flatMap ingest per wire protocol (SURVEY.md §2 Table A rows
+  * A6-A21) — each turns a Dataset of payload strings (batch or streaming:
+  * socket lines, file lines, Kafka values) into Dataset[GtsRow].
+  */
+object ProtocolIngest {
+
+  private def handle[T](mode: ParseMode)(res: Either[String, Seq[Gts]]): Seq[GtsRow] =
+    res match {
+      case Right(gts) => gts.map(Gts.toRow)
+      case Left(err) => mode match {
+        case ParseMode.Permissive => Seq.empty
+        case ParseMode.FailFast   => throw new GraftParseException(err)
+      }
+    }
+
+  def graphite(
+      spark: SparkSession, lines: Dataset[String],
+      hierarchyLabels: Boolean, mode: ParseMode = ParseMode.Permissive): Dataset[GtsRow] = {
+    import spark.implicits._
+    lines.flatMap(l => handle(mode)(GraphiteParser.parseLine(l, hierarchyLabels).map(Seq(_))))
+  }
+
+  def influx(
+      spark: SparkSession, lines: Dataset[String], precision: String,
+      mode: ParseMode = ParseMode.FailFast): Dataset[GtsRow] = {
+    import spark.implicits._
+    lines.flatMap(l => handle(mode)(
+      InfluxLineParser.parseLine(l, precision, System.currentTimeMillis() * 1000000L)))
+  }
+
+  def opentsdb(
+      spark: SparkSession, bodies: Dataset[String],
+      mode: ParseMode = ParseMode.FailFast): Dataset[GtsRow] = {
+    import spark.implicits._
+    bodies.flatMap(b => handle(mode)(
+      OpenTsdbParser.parse(b, System.currentTimeMillis() * 1000L)))
+  }
+
+  def promExposition(
+      spark: SparkSession, bodies: Dataset[String], extraLabels: Map[String, String],
+      mode: ParseMode = ParseMode.FailFast): Dataset[GtsRow] = {
+    import spark.implicits._
+    bodies.flatMap(b => handle(mode)(
+      PromParser.parseExposition(b, extraLabels, System.currentTimeMillis())))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.core.{GtsRow, Sensision, WarpError}
+import org.apache.spark.sql.ForeachWriter
+
+/** Transport abstraction under the Warp sink — the reference's streaming
+  * HTTP POST (core/warp.go:116-277) behind an interface so tests inject an
+  * in-memory or local-HTTP implementation. One transport instance per
+  * partition per epoch (the task-level analog of the per-request sender
+  * goroutine, core/warp.go:183).
+  */
+trait WarpTransport extends Serializable {
+  /** Open a delivery channel; mirrors NewWarp(token, txn, now). */
+  def open(token: String, txn: String): Unit
+  /** Deliver one Sensision line; mirrors Warp.Send. */
+  def send(line: String): Unit
+  /** Finish and return the backend's error body if any; mirrors
+    * Warp.Close reading the response (core/warp.go:266-277).
+    */
+  def close(): Option[String]
+}
+
+/** HTTP transport: streaming POST to `endpoint` with the reference's
+  * headers (X-Warp10-Token, X-Warp10-Now, Txn — core/warp.go:219-230) and
+  * the `#\r\n` keep-alive prelude that forces header flush
+  * (core/warp.go:240-243). Chunked streaming so no payload buffering.
+  */
+final class HttpWarpTransport(endpoint: String, nowHeader: String = "")
+    extends WarpTransport {
+  @transient private var conn: java.net.HttpURLConnection = _
+  @transient private var out: java.io.OutputStream = _
+
+  override def open(token: String, txn: String): Unit = {
+    conn = new java.net.URI(endpoint).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setChunkedStreamingMode(0)
+    conn.setRequestProperty("X-Warp10-Token", token)
+    if (nowHeader.nonEmpty) conn.setRequestProperty("X-Warp10-Now", nowHeader)
+    conn.setRequestProperty("Txn", txn)
+    out = conn.getOutputStream
+    out.write("#\r\n".getBytes("UTF-8")) // header-flush prelude
+    out.flush()
+  }
+
+  override def send(line: String): Unit = out.write(line.getBytes("UTF-8"))
+
+  override def close(): Option[String] = {
+    out.close()
+    val code = conn.getResponseCode
+    val result =
+      if (code >= 200 && code < 300) None
+      else {
+        val es = Option(conn.getErrorStream).getOrElse(conn.getInputStream)
+        val body = new String(es.readAllBytes(), "UTF-8")
+        es.close()
+        Some(body)
+      }
+    conn.disconnect()
+    result
+  }
+}
+
+/** Streaming sink writer: GtsRow → Sensision bytes → transport, with the
+  * backend's error body classified through the ordered taxonomy
+  * (core/warp.go:280-421). Errors surface as WarpSinkException carrying
+  * the mapped HTTP status — Structured Streaming retries the task, and
+  * the reference's one-shot replay buffer (core/warp.go:180,260 — see
+  * SURVEY.md §2 gaps: don't copy) is replaced by idempotent task retry.
+  */
+final class WarpForeachWriter(
+    transport: WarpTransport,
+    token: String) extends ForeachWriter[GtsRow] {
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    transport.open(token, s"$partitionId-$epochId")
+    true
+  }
+
+  override def process(row: GtsRow): Unit =
+    transport.send(Sensision.encode(row.toGts))
+
+  override def close(errorOrNull: Throwable): Unit = {
+    val errBody = transport.close()
+    errBody.foreach { body =>
+      val cls = WarpError.classify(body, token)
+      throw new WarpSinkException(cls)
+    }
+  }
+}
+
+final class WarpSinkException(val error: WarpError)
+    extends RuntimeException(s"warp sink error ${error.label} (HTTP ${error.httpStatus})")
