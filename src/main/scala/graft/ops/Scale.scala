@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-engineering utilities — the levers a 100 TB deployment pulls that
+  * a local[32] run only demonstrates (SURVEY.md Table B scale notes):
+  *
+  *  - salting: two-phase aggregation under heavy key skew. AQE's skew-join
+  *    split covers joins; for aggregations whose partial/final combine is
+  *    associative, pre-splitting hot keys with an explicit salt bounds the
+  *    largest reduce partition;
+  *  - bucketed co-located joins: persisting both fact tables bucketed on
+  *    the join key makes repeated joins shuffle-free (verified in
+  *    BucketingSpec: SortMergeJoin with NO Exchange).
+  */
+object Scale {
+
+  /** Two-phase skew-resistant aggregation: sum/count-style (associative)
+    * aggregates per `key`, pre-aggregated over `salts` random sub-buckets
+    * so no single reducer owns a hot key's entire traffic.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: Column,
+      salts: Int,
+      aggs: (Column, String, String)*): DataFrame = {
+    // deterministic pseudo-salt: spread rows of the same key by a hash of
+    // the whole row (monotonic ids would be nondeterministic under retry)
+    val salted = df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    val phase1 = salted.groupBy(key.as("_key"), col("_salt"))
+      .agg(
+        aggs.head match { case (c, f, n) => expr(s"$f(${c.toString})").as(s"_p_$n") },
+        aggs.tail.map { case (c, f, n) => expr(s"$f(${c.toString})").as(s"_p_$n") }: _*)
+    val finals = aggs.map { case (_, f, n) =>
+      val combine = if (f == "count") "sum" else f // counts combine by sum
+      expr(s"$combine(_p_$n)").as(n)
+    }
+    phase1.groupBy(col("_key")).agg(finals.head, finals.tail: _*)
+  }
+}

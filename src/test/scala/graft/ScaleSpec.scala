@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Proof tests for the scale levers: salted aggregation equals direct
+  * aggregation; bucketed tables join WITHOUT a shuffle.
+  */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val warehouse = Files.createTempDirectory("graft_wh").toString
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose shuffles
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("saltedAgg == direct groupBy agg under a hot key") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val df = (1 to 10000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = Scale.saltedAgg(df, col("k"), salts = 16,
+        (col("v"), "sum", "sum_v"), (col("v"), "count", "n"))
+      .withColumnRenamed("_key", "k").orderBy("k").collect()
+    assert(direct.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
+  }
+
+  test("bucketed co-located join is shuffle-free (SortMergeJoin, no Exchange)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val facts = (1L to 5000L).map(i => (i % 100, s"f$i")).toDF("k", "payload")
+    val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "attr")
+    facts.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_facts_b")
+    dims.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("graft_dims_b")
+    val joined = spark.table("graft_facts_b").join(spark.table("graft_dims_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected NO shuffle, got:\n$plan")
+    assert(joined.count() == 5000)
+  }
+}
