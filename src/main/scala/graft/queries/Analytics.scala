@@ -37,7 +37,7 @@ object Analytics {
     qWindowLag, qWindowRank, qWindowRolling, qWindowDistribution, qTumbling, qSession,
     qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
-    qWindowRange)
+    qWindowRange, qVariant)
 
   /** Correlated scalar subquery (Catalyst decorrelates it into a join):
     * customers whose balance beats their nation's average.
@@ -424,6 +424,21 @@ object Analytics {
     upper(event_type) AS type_upper,
     CAST(length(event_type) AS BIGINT) AS type_len
     FROM events WHERE event_id < 1000 ORDER BY event_id"""))
+
+  /** Spark 4 VARIANT as the dynamic-typed path for the reference's
+    * `interface{}` value slot (SURVEY.md §1.4 noted VARIANT as the
+    * alternative to the tagged union): parse_json → typed variant_get.
+    */
+  val qVariant: Q = Q("q_variant", (s, dir) => {
+    Tables.events(s, dir).filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_val"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'string') IS NULL").as("missing_is_null"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+    FROM events WHERE event_id < 2000 ORDER BY event_id"""))
 
   /** The seconds-vs-millis-vs-zero timestamp heuristic
     * (catalyser/opentsdb.go:127-144) as a pure column expression, exercised

@@ -313,19 +313,26 @@ object Ingest {
       'p' || CAST(user_id AS VARCHAR)) AS token
     FROM events ORDER BY event_id"""))
 
-  /** The Warp passthrough's literal 27-line batching (catalyser/warp.go:28)
-    * as a row_number grouping.
+  /** The Warp passthrough's literal 27-line `\r\n` batching
+    * (catalyser/warp.go:15-49): row_number grouping + bit-exact batch
+    * payload assembly (md5 of the joined lines keeps output compact).
     */
   val warpBatch27: Q = Q("warp_batch27", (s, dir) => {
     val e = Tables.events(s, dir)
-    e.select(col("event_id"),
+      .select(col("event_id"),
+        concat(lit("e"), col("event_id"), lit(" "), col("value").cast("string")).as("line"))
+    e.select(col("event_id"), col("line"),
         ((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("event_id")) - 1)
           .cast("bigint") / 27).cast("bigint").as("batch"))
       .groupBy("batch")
-      .agg(count(lit(1)).as("n_lines"), min("event_id").as("first_id"), max("event_id").as("last_id"))
+      .agg(count(lit(1)).as("n_lines"), min("event_id").as("first_id"), max("event_id").as("last_id"),
+        md5(concat_ws("\r\n",
+          transform(array_sort(collect_list(struct(col("event_id"), col("line")))),
+            x => x.getField("line")))).as("payload_md5"))
       .orderBy("batch")
-  }, Some("""SELECT batch, count(*) AS n_lines, min(event_id) AS first_id, max(event_id) AS last_id
-    FROM (SELECT event_id,
+  }, Some("""SELECT batch, count(*) AS n_lines, min(event_id) AS first_id, max(event_id) AS last_id,
+      md5(string_agg(line, chr(13) || chr(10) ORDER BY event_id)) AS payload_md5
+    FROM (SELECT event_id, 'e' || CAST(event_id AS VARCHAR) || ' ' || CAST(value AS VARCHAR) AS line,
       (row_number() OVER (ORDER BY event_id) - 1) // 27 AS batch FROM events)
     GROUP BY batch ORDER BY batch"""))
 

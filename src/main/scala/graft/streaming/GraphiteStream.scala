@@ -120,6 +120,15 @@ object GraphiteStream {
           .foreachPartition { it: Iterator[String] => send(batchId, it) }
       }
 
+  /** Dry-run view (core/handler.go:161-167, --dryrun cmd/root.go:30): the
+    * decoded + re-encoded stream as Sensision lines, for a console sink or
+    * inspection instead of forwarding.
+    */
+  def dryRun(spark: SparkSession, parsed: Dataset[GtsRow]): Dataset[String] = {
+    import spark.implicits._
+    parsed.map(r => Sensision.encode(r.toGts))
+  }
+
   /** Convenience end-to-end: read text files appearing under `inputDir`,
     * parse, window, write counts to an in-memory table `queryName`.
     */

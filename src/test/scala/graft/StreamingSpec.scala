@@ -74,6 +74,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late").toFile
+    // batch 1: 10:00:10 and 10:30:00 -> watermark advances to 10:20
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      ("m1 1 1546423210\n" +   // 2019-01-02 10:00:10 (seconds)
+       "m1 2 1546425000")      // 10:30:00
+        .getBytes("UTF-8"))
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    val q = GraphiteStream.windowedCounts(parsed, "1 minute", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("graft_late_counts").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE point at 10:05 (before the 10:20 watermark -> dropped)
+      // and an on-time point at 10:50
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        ("m1 99 1546423500\n" + // 10:05:00 LATE
+         "m1 3 1546426200")     // 10:50:00
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT unix_timestamp(w_start) AS ws, n_points FROM graft_late_counts ORDER BY ws")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // emitted closed windows: 10:00 (1 point) and 10:30 (1 point);
+      // the late 10:05 point must NOT appear anywhere
+      assert(rows.contains((1546423200L, 1L))) // 10:00 window, count 1
+      assert(rows.contains((1546425000L, 1L))) // 10:30 window, count 1
+      assert(!rows.exists(_._1 == 1546423500L), s"late window emitted: $rows")
+    } finally q.stop()
+  }
+
+  test("dry-run view re-encodes the stream as Sensision lines (A31)") {
+    import spark.implicits._
+    val lines = Seq("tcp_metric 14.2 1546420308000").toDS()
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    val enc = GraphiteStream.dryRun(spark, parsed).collect()
+    assert(enc.toSeq == Seq("1546420308000000// tcp_metric{} 14.200000\r\n"))
+  }
+
   test("gzip-compressed line sources decompress transparently (A4 analog)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_gz").toFile
