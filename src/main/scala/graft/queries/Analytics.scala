@@ -37,7 +37,41 @@ object Analytics {
     qWindowLag, qWindowRank, qWindowRolling, qWindowDistribution, qTumbling, qSession,
     qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
-    qWindowRange, qVariant)
+    qWindowRange, qVariant, q12ShipPriority, q14PromoShare)
+
+  /** TPC-H Q12-style conditional aggregation over a join: per ship
+    * priority class, counts split by an urgency CASE.
+    */
+  val q12ShipPriority: Q = Q("q12_conditional_agg", (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+    val l = Tables.t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }, Some("""SELECT l_linestatus,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** TPC-H Q14-style ratio-of-sums: promo revenue share (conditional
+    * numerator over a broadcast part join).
+    */
+  val q14PromoShare: Q = Q("q14_promo_share", (s, dir) => {
+    val p = Tables.t(s, dir, "part")
+    val l = Tables.t(s, dir, "lineitem")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue_pct"))
+  }, Some("""SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+      / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey"""))
 
   /** Correlated scalar subquery (Catalyst decorrelates it into a join):
     * customers whose balance beats their nation's average.

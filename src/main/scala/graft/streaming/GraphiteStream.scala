@@ -120,6 +120,16 @@ object GraphiteStream {
           .foreachPartition { it: Iterator[String] => send(batchId, it) }
       }
 
+  /** Snappy body decode (A5: the remote_write payload decompression,
+    * catalyser/prometheus_remote_write.go:29) — snappy-java ships with
+    * Spark; Kafka/parquet handle snappy natively, this is for raw HTTP
+    * bodies carried as binary columns.
+    */
+  def snappyDecode(spark: SparkSession, bodies: Dataset[Array[Byte]]): Dataset[String] = {
+    import spark.implicits._
+    bodies.map(b => new String(org.xerial.snappy.Snappy.uncompress(b), "UTF-8"))
+  }
+
   /** Dry-run view (core/handler.go:161-167, --dryrun cmd/root.go:30): the
     * decoded + re-encoded stream as Sensision lines, for a console sink or
     * inspection instead of forwarding.

@@ -128,6 +128,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.collect().map(_.v_double.get).sorted.toSeq == Seq(0.5, 0.7))
   }
 
+  test("snappy-compressed bodies decode (A5: remote_write payloads)") {
+    import spark.implicits._
+    val payload = "up{job=\"node\"} 1 1000"
+    val compressed = org.xerial.snappy.Snappy.compress(payload.getBytes("UTF-8"))
+    val decoded = GraphiteStream.snappyDecode(spark, Seq(compressed).toDS()).collect()
+    assert(decoded.toSeq == Seq(payload))
+  }
+
   test("ingest metrics accumulators count datapoints and parse errors (A35)") {
     import spark.implicits._
     val metrics = new graft.streaming.IngestMetrics(spark)
