@@ -172,6 +172,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicates suppresses replays across micro-batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup").toFile
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      "m1 1 1546420308\nm1 1 1546420308\nm2 2 1546420309".getBytes("UTF-8"))
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+      .dropDuplicates("name", "ts_us") // exactly-once per (series, timestamp)
+    val q = parsed.toDF().writeStream
+      .outputMode("append").format("memory").queryName("graft_dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // replay of an already-seen point in a later batch is suppressed too
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "m1 1 1546420308\nm3 3 1546420310".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val names = spark.sql("SELECT name FROM graft_dedup_out ORDER BY name")
+        .as[String].collect().toSeq
+      assert(names == Seq("m1", "m2", "m3"))
+    } finally q.stop()
+  }
+
   test("banned-token anti-join gate (broadcast)") {
     import spark.implicits._
     val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
