@@ -25,9 +25,9 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache() // previous query's persisted intermediates: teardown OUTSIDE the timed region
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      spark.catalog.clearCache() // queries persist() intermediates; don't leak across measurements
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,10 +1,12 @@
 package graft
 
+import graft.queries.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only stage profiler for the heavy queries (not part of the driver
-  * contract).
+  * contract). Reuses Dedup's own building blocks so the measured pipeline
+  * is exactly the production one.
   */
 object DevProfile {
   def main(args: Array[String]): Unit = {
@@ -22,39 +24,23 @@ object DevProfile {
     // warmup
     Tables.t(spark, sfDir, "documents").count()
 
-    val docs = Tables.t(spark, sfDir, "documents")
-    val w = docs.select(col("doc_id"), filter(split(lower(col("text")), " "), x => x =!= "").as("w"))
-      .filter(size(col("w")) >= 3)
-    val sh = w.select(col("doc_id"), explode(array_distinct(
-      transform(sequence(lit(1), size(col("w")) - 2), i =>
-        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
-          element_at(col("w"), i + 2))))).as("sh"))
+    val sh = Dedup.sparkShingles(spark, sfDir)
     time("shingles count")(sh.count())
     time("shingles count again")(sh.count())
-    val hm = sh.withColumn("hm",
-      expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
+    val hm = sh.withColumn("hm", expr(Dedup.hashExpr))
     time("md5 hash")(hm.count())
-    val sigCols = DedupAccess.sigCols
-    val sig = hm.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sc = Dedup.sigCols
+    val sig = hm.groupBy("doc_id").agg(sc.head, sc.tail: _*)
     time("signatures (16 mins)")(sig.count())
     time("signatures again")(sig.count())
-    val full = time("full minhash query")(
-      graft.queries.Dedup.minhashLsh.fn(spark, sfDir).count())
-    println(s"pairs=$full")
+    val pairs = time("full minhash query")(Dedup.minhashLsh.fn(spark, sfDir).count())
+    println(s"pairs=$pairs")
 
-    time("full simhash")(graft.queries.Dedup.simhash.fn(spark, sfDir).count())
-    time("full jaccard")(graft.queries.Dedup.ngramJaccard.fn(spark, sfDir).count())
+    time("full simhash")(Dedup.simhash.fn(spark, sfDir).count())
+    time("full jaccard")(Dedup.ngramJaccard.fn(spark, sfDir).count())
     time("full influx_fanout")(graft.queries.Ingest.influxFanout.fn(spark, sfDir).count())
     time("influx synth only")(Tables.events(spark, sfDir).select(
       expr("concat(event_type, ' value=', CAST(value AS STRING))")).count())
     spark.stop()
-  }
-}
-
-object DedupAccess {
-  import org.apache.spark.sql.Column
-  val P = 2147483647L
-  def sigCols: Seq[Column] = graft.queries.Dedup.perms.zipWithIndex.map { case ((a, b), i) =>
-    min(expr(s"($a * hm + $b) % $P")).as(s"m$i")
   }
 }

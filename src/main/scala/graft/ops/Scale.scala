@@ -20,11 +20,21 @@ object Scale {
     * aggregates per `key`, pre-aggregated over `salts` random sub-buckets
     * so no single reducer owns a hot key's entire traffic.
     */
+  /** Aggregate functions whose per-salt partials recombine exactly. avg,
+    * stddev etc. do NOT (unweighted mean-of-means is wrong for uneven
+    * buckets) — decompose them into sum+count at the call site.
+    */
+  private val decomposable = Set("sum", "count", "min", "max")
+
   def saltedAgg(
       df: DataFrame,
       key: Column,
       salts: Int,
       aggs: (Column, String, String)*): DataFrame = {
+    aggs.foreach { case (_, f, _) =>
+      require(decomposable.contains(f),
+        s"saltedAgg supports ${decomposable.mkString("/")} only; '$f' does not recombine exactly")
+    }
     // deterministic pseudo-salt: spread rows of the same key by a hash of
     // the whole row (monotonic ids would be nondeterministic under retry)
     val salted = df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))

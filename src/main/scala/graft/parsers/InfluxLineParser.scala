@@ -152,8 +152,10 @@ object InfluxLineParser {
           }
         }
       fields += ((k, v))
+      // after a field value only ',', ' ' or end-of-line are legal
       if (i < n && line.charAt(i) == ',') i += 1
-      else inFields = false
+      else if (i >= n || line.charAt(i) == ' ') inFields = false
+      else return Left(s"bad character after field value at position $i")
     }
     if (fields.isEmpty) return Left("missing fields")
 
@@ -190,8 +192,11 @@ object InfluxLineParser {
       catch { case _: NumberFormatException => Left(s"bad integer field '$tok'") }
     } else {
       val last = tok.charAt(tok.length - 1)
+      val lower = tok.toLowerCase
       if (last == 'd' || last == 'D' || last == 'f' || last == 'F' ||
-          tok.contains("0x") || tok.contains("0X"))
+          tok.contains("0x") || tok.contains("0X") ||
+          // Java parseDouble accepts NaN/Infinity; the influx grammar doesn't
+          lower.contains("nan") || lower.contains("inf"))
         Left(s"bad field value '$tok'")
       else
         try Right(GtsValue.double(java.lang.Double.parseDouble(tok)))

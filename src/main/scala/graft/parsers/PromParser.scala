@@ -101,7 +101,13 @@ object PromParser {
               case Left(err) => return Left(err)
               case Right(v) if v.isInfinite => // dropped (prometheus.go:83-85)
               case Right(v) =>
-                val tsMs = Option(tsTok).map(_.toLong).getOrElse(nowMs)
+                val tsMs = Option(tsTok) match {
+                  case None => nowMs
+                  case Some(t) =>
+                    try t.toLong
+                    catch { case _: NumberFormatException =>
+                      return Left(s"timestamp out of range '$t'") }
+                }
                 val merged = labels - "__name__" ++ extraLabels
                 val finalName = labels.getOrElse("__name__", name)
                 out += Gts(Some(tsMs * 1000L), finalName, merged, GtsValue.double(v))

@@ -48,8 +48,17 @@ object Dedup {
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
       FROM ws WHERE len(w) >= 3)"""
 
+  /** The md5-derived shingle hash reduced into the minhash universe. */
+  private[graft] val hashExpr =
+    "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+
+  /** The 16 permutation min-aggregates over `hm`. */
+  private[graft] def sigCols: Seq[Column] = perms.zipWithIndex.map { case ((a, b), i) =>
+    min(expr(s"($a * hm + $b) % $P")).as(s"m$i")
+  }
+
   /** Spark twin: doc_id + exploded distinct word-3-gram shingles. */
-  private def sparkShingles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sparkShingles(s: SparkSession, dir: String): DataFrame = {
     val w = Tables.t(s, dir, "documents")
       .select(col("doc_id"), filter(split(lower(col("text")), " "), x => x =!= "").as("w"))
       .filter(size(col("w")) >= 3)
@@ -99,14 +108,11 @@ object Dedup {
     * 8×2; bucket-joined candidates filtered at estimated Jaccard ≥ 0.5.
     */
   val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) => {
-    val sh = sparkShingles(s, dir)
-      .withColumn("hm", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
-    val sigCols: Seq[Column] = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"($a * hm + $b) % $P")).as(s"m$i")
-    }
+    val sh = sparkShingles(s, dir).withColumn("hm", expr(hashExpr))
+    val sc = sigCols
     // signatures feed three subtrees (bands + both est sides): persist —
     // at cluster scale this is the materialized signature table
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+    val sig = sh.groupBy("doc_id").agg(sc.head, sc.tail: _*).persist()
     val bandArr = array((0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bsig"))

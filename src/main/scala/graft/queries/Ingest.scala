@@ -129,10 +129,10 @@ object Ingest {
         ',dc=us\\ west,eid=', CAST(event_id AS STRING),
         ',host=u', CAST(user_id % 20 AS STRING),
         ' value=', CAST(value AS STRING),
-        ',k=', get_json_object(props, '$.k'), 'i',
+        ',k=', coalesce(get_json_object(props, '$.k'), '0'), 'i',
         ' ', CAST(ts AS STRING))""").as("line"))
     e.as[String].flatMap { line =>
-      InfluxLineParser.parseLine(line, "n", 0L).fold(
+      InfluxLineParser.parseLine(Option(line).getOrElse(""), "n", 0L).fold(
         _ => Seq.empty[(String, String, String, Option[Long], Option[Double], Option[Long])],
         gts => gts.map { g =>
           val r = Gts.toRow(g)
@@ -148,7 +148,7 @@ object Ingest {
     UNION ALL
     SELECT event_type || '.k',
       'dc=us west,eid=' || CAST(event_id AS VARCHAR) || ',host=u' || CAST(user_id % 20 AS VARCHAR),
-      'long', CAST(json_extract_string(props, '$.k') AS BIGINT), CAST(NULL AS DOUBLE),
+      'long', CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT), CAST(NULL AS DOUBLE),
       epoch_us(ts) FROM events)
     ORDER BY ts_us, name, labels_str"""))
 

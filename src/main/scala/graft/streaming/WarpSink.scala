@@ -25,7 +25,11 @@ trait WarpTransport extends Serializable {
   * the `#\r\n` keep-alive prelude that forces header flush
   * (core/warp.go:240-243). Chunked streaming so no payload buffering.
   */
-final class HttpWarpTransport(endpoint: String, nowHeader: String = "")
+final class HttpWarpTransport(
+    endpoint: String,
+    nowHeader: String = "",
+    connectTimeoutMs: Int = 10000,  // reference dial timeout, cmd/root.go:51
+    readTimeoutMs: Int = 300000)    // reference request timeout, cmd/root.go:48
     extends WarpTransport {
   @transient private var conn: java.net.HttpURLConnection = _
   @transient private var out: java.io.OutputStream = _
@@ -33,6 +37,8 @@ final class HttpWarpTransport(endpoint: String, nowHeader: String = "")
   override def open(token: String, txn: String): Unit = {
     conn = new java.net.URI(endpoint).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(0)
@@ -47,7 +53,8 @@ final class HttpWarpTransport(endpoint: String, nowHeader: String = "")
   override def send(line: String): Unit = out.write(line.getBytes("UTF-8"))
 
   override def close(): Option[String] = {
-    out.close()
+    if (conn == null) return None // open() never succeeded
+    if (out != null) out.close()
     val code = conn.getResponseCode
     val result =
       if (code >= 200 && code < 300) None
@@ -82,6 +89,12 @@ final class WarpForeachWriter(
     transport.send(Sensision.encode(row.toGts))
 
   override def close(errorOrNull: Throwable): Unit = {
+    if (errorOrNull != null) {
+      // the task already failed upstream: best-effort cleanup, but never
+      // mask the original failure with a sink-side classification
+      try transport.close() catch { case _: Throwable => () }
+      return
+    }
     val errBody = transport.close()
     errBody.foreach { body =>
       val cls = WarpError.classify(body, token)

@@ -98,6 +98,15 @@ class InfluxParserSpec extends AnyFunSuite {
     assert(parse("m v=1", "s").head.ts.contains((nowNs / 1000000000L) * 1000000L))
   }
 
+  test("junk after a quoted string field is an error, not a silent tail-drop") {
+    assert(InfluxLineParser.parseLine("""m s="x"b="y" 100""", "n", nowNs).isLeft)
+  }
+
+  test("NaN/Infinity tokens rejected (Java parseDouble would accept them)") {
+    for (bad <- Seq("NaN", "nan", "Infinity", "+Infinity", "-Infinity", "inf"))
+      assert(InfluxLineParser.parseLine(s"m v=$bad 1", "n", nowNs).isLeft, bad)
+  }
+
   test("errors: missing fields, bad field value, unterminated string") {
     assert(InfluxLineParser.parseLine("justmeasurement", "n", nowNs).isLeft)
     assert(InfluxLineParser.parseLine("m v=notanum 1", "n", nowNs).isLeft)

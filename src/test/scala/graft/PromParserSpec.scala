@@ -73,4 +73,8 @@ class PromParserSpec extends AnyFunSuite {
     assert(PromParser.parseExposition("{no_name} 1", Map.empty, nowMs).isLeft)
     assert(PromParser.parseExposition("m notanumber", Map.empty, nowMs).isLeft)
   }
+
+  test("timestamp beyond Long range -> Left, not an escaped exception") {
+    assert(PromParser.parseExposition("m 1 99999999999999999999", Map.empty, nowMs).isLeft)
+  }
 }
