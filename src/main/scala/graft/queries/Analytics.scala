@@ -37,7 +37,62 @@ object Analytics {
     qWindowLag, qWindowRank, qWindowRolling, qWindowDistribution, qTumbling, qSession,
     qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
-    qWindowRange, qVariant, q12ShipPriority, q14PromoShare)
+    qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
+    qPercentiles, qStatsAgg)
+
+  /** Pivot: event counts per user bucket × event_type as columns. */
+  val qPivot: Q = Q("q_pivot", (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("bucket", (col("user_id") % 10).cast("bigint"))
+      .groupBy("bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("bucket")
+  }, Some("""SELECT user_id % 10 AS bucket,
+      count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * quantile_cont); the approximate path is q_approx_distinct's cousin
+    * percentile_approx, deliberately not oracle'd.
+    */
+  val qPercentiles: Q = Q("q_percentiles", (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      .orderBy("l_returnflag")
+  }, Some("""SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+      round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Statistical aggregates: sample stddev/variance, correlation and
+    * covariance across columns.
+    */
+  val qStatsAgg: Q = Q("q_stats_agg", (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_tax")), 6).as("covar_qty_tax"))
+      .orderBy("l_linestatus")
+  }, Some("""SELECT l_linestatus,
+      round(stddev_samp(l_quantity), 4) AS sd_qty,
+      round(var_samp(l_discount), 6) AS var_disc,
+      round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      round(covar_samp(l_quantity, l_tax), 6) AS covar_qty_tax
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
 
   /** TPC-H Q12-style conditional aggregation over a join: per ship
     * priority class, counts split by an urgency CASE.

@@ -195,6 +195,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream join: two watermarked line streams join within a time bound") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dirA = Files.createTempDirectory("graft_ss_a").toFile
+    val dirB = Files.createTempDirectory("graft_ss_b").toFile
+    // same series name, B's point within 30s of A's
+    Files.write(new java.io.File(dirA, "a.txt").toPath,
+      "sys.cpu 1.0 1546420300\nsys.mem 5.0 1546420300".getBytes("UTF-8"))
+    Files.write(new java.io.File(dirB, "b.txt").toPath,
+      "sys.cpu 2.0 1546420310\nsys.cpu 9.9 1546429999".getBytes("UTF-8"))
+    def side(dir: java.io.File, prefix: String) = {
+      val parsed = GraphiteStream.parseLines(spark,
+        spark.readStream.text(dir.getAbsolutePath).as[String], hierarchyLabels = false)
+      parsed.toDF()
+        .select(col("name").as(s"${prefix}_name"),
+          timestamp_micros(col("ts_us")).as(s"${prefix}_time"),
+          col("v_double").as(s"${prefix}_v"))
+        .withWatermark(s"${prefix}_time", "1 minute")
+    }
+    val joined = side(dirA, "a").join(side(dirB, "b"),
+      expr("""a_name = b_name AND
+        b_time BETWEEN a_time AND a_time + INTERVAL 30 seconds"""))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_ss_join").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT a_name, a_v, b_v FROM graft_ss_join").collect()
+      assert(rows.length == 1) // only the within-30s sys.cpu pair
+      assert(rows.head.getString(0) == "sys.cpu" && rows.head.getDouble(2) == 2.0)
+    } finally q.stop()
+  }
+
   test("banned-token anti-join gate (broadcast)") {
     import spark.implicits._
     val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
