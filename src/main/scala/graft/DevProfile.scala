@@ -41,6 +41,24 @@ object DevProfile {
     time("full influx_fanout")(graft.queries.Ingest.influxFanout.fn(spark, sfDir).count())
     time("influx synth only")(Tables.events(spark, sfDir).select(
       expr("concat(event_type, ' value=', CAST(value AS STRING))")).count())
+
+    // raw single-thread parser throughput (the reference's comparable
+    // number is a single Go goroutine's parse loop)
+    val lines = (0 until 200000).map(i =>
+      s"cpu_load,host=server$i,region=us-west value=${i % 100}.5,k=${i}i ${1434055562000000000L + i}")
+    val t0 = System.nanoTime()
+    var n = 0
+    lines.foreach { l =>
+      n += graft.parsers.InfluxLineParser.parseLine(l, "n", 0L).fold(_ => 0, _.size)
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[profile] raw influx parser: ${lines.size / dt / 1000}%.0fk lines/s ($n GTS) single-thread")
+    val glines = (0 until 200000).map(i => s"sys.cpu.user;host=web$i ${i % 100}.5 1546420308")
+    val t1 = System.nanoTime()
+    var g = 0
+    glines.foreach { l => if (graft.parsers.GraphiteParser.parseLine(l, true, 0L).isRight) g += 1 }
+    val dtg = (System.nanoTime() - t1) / 1e9
+    println(f"[profile] raw graphite parser: ${g / dtg / 1000}%.0fk lines/s single-thread")
     spark.stop()
   }
 }
