@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs against sf0.001 without throwing — the
+  * sbt-test-level guard for the driver's Verify gate (full oracle parity
+  * is tools/check.py's job).
+  */
+class QueriesSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("ann_lsh_rp", "q_approx_distinct"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      spark.sparkContext.setLogLevel("ERROR")
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("config layering: spark conf > env > reference defaults (A36)") {
+    val defaults = graft.core.GraftConfig.load(None)
+    assert(defaults.connectionTimeoutMs == 300000 && defaults.dialTimeoutMs == 10000 &&
+      defaults.keepAliveTimeoutMs == 30000 && defaults.bannishmentMs == 3000L &&
+      defaults.graphiteParse && !defaults.dryRun)
+    spark.conf.set("graft.warp.connection.timeout", "1234")
+    spark.conf.set("graft.dryrun", "true")
+    val layered = graft.core.GraftConfig.load(Some(spark))
+    assert(layered.connectionTimeoutMs == 1234 && layered.dryRun)
+  }
+}
