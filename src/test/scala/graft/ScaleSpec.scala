@@ -37,6 +37,20 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
 
+  test("partitioned writes prune at the source (PartitionFilters)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString
+    (1 to 1000).map(i => (s"type${i % 5}", i.toLong, i * 1.5))
+      .toDF("event_type", "id", "v")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("event_type") === "type3")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter missing:\n$plan")
+    assert(filtered.count() == 200)
+  }
+
   test("bucketed co-located join is shuffle-free (SortMergeJoin, no Exchange)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
