@@ -11,7 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint, multimodalMeta)
+  def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
+    multimodalMeta, posExplodeWords)
+
+  /** Generator surface (posexplode / LATERAL VIEW): the first three words
+    * of each doc with their ordinal positions.
+    */
+  val posExplodeWords: Q = Q("text_posexplode", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(slice(filter(split(lower(col("text")), " "), w => w =!= ""), 1, 3)))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("ord"), col("col").as("word"))
+      .orderBy("doc_id", "ord")
+  }, Some("""SELECT doc_id, CAST(i AS BIGINT) AS ord, w[i] AS word
+    FROM (SELECT doc_id,
+      list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents), range(1, 4) r(i)
+    WHERE i <= len(w)
+    ORDER BY doc_id, ord"""))
 
   /** Length / word / punctuation / duplication statistics + a composite
     * quality score (the classic pre-training quality-filter features).
