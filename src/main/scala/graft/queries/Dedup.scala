@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash)
+  def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
+    dedupClusters, hashSplit)
 
   private val P = 2147483647L // 2^31-1, Mersenne prime for the minhash universe
 
@@ -131,25 +132,32 @@ object Dedup {
       .filter(expr(estExpr) >= 0.5)
       .select("d1", "d2", "est_jaccard")
       .orderBy("d1", "d2")
-  }, Some {
+  }, Some(s"""WITH $minhashCtes
+    SELECT d1, d2, round($minhashEstExpr, 4) AS est_jaccard
+    FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2
+    WHERE $minhashEstExpr >= 0.5 ORDER BY d1, d2"""))
+
+  /** The DuckDB CTE chain producing minhash band candidates — shared by
+    * the minhash oracle and the clustering oracle.
+    */
+  private lazy val minhashCtes: String = {
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * hm + $b) % $P) AS m$i"
     }.mkString(", ")
     val bandSelects = (0 until 8).map { b =>
       s"SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR) AS bsig FROM sig"
     }.mkString(" UNION ALL ")
-    val est = (0 until 16).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
-      .mkString("(", " + ", ") / 16.0")
-    s"""WITH $duckShingles,
+    s"""$duckShingles,
     h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm FROM sh),
     sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
     bands AS ($bandSelects),
     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-    SELECT d1, d2, round($est, 4) AS est_jaccard
-    FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2
-    WHERE $est >= 0.5 ORDER BY d1, d2"""
-  })
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+  }
+
+  private lazy val minhashEstExpr: String =
+    (0 until 16).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ") / 16.0")
 
   /** 32-bit SimHash near-dup pairs at hamming ≤ 3, candidate-joined on the
     * four 8-bit chunks (exact by pigeonhole).
@@ -196,4 +204,65 @@ object Dedup {
     SELECT d1, d2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sig1, sig2)) <= 3 ORDER BY d1, d2"""
   })
+
+  /** Near-dup CLUSTERING: connected components over the MinHash pair
+    * graph via min-label propagation (8 rounds — covers any component
+    * diameter ≤ 8; the planted clusters have diameter ≤ 3). Cluster id =
+    * min doc_id of the component = the canonical "keep" doc. At 100 TB
+    * the same loop runs with the large-star/small-star optimization; the
+    * oracle reproduces it with a recursive reachability CTE.
+    */
+  val dedupClusters: Q = Q("dedup_clusters", (s, dir) => {
+    val pairs = minhashLsh.fn(s, dir).select("d1", "d2").persist()
+    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to 8) {
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      // localCheckpoint: break the doubling lineage each round (the same
+      // move an iterative cluster job makes with reliable checkpointing)
+      labels = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH RECURSIVE $minhashCtes,
+    pairs AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+      JOIN sig y ON y.doc_id = d2 WHERE $minhashEstExpr >= 0.5),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS v, src AS r FROM edges
+      UNION
+      SELECT e.dst AS v, r.r FROM reach r JOIN edges e ON e.src = r.v)
+    SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+    ORDER BY doc_id"""))
+
+  /** Deterministic hash-based sampling + train/val/test split — the
+    * reproducible (no rand()) mixing primitive a training-data pipeline
+    * needs: membership is a pure function of the key, stable across
+    * engines, retries, and scales.
+    */
+  val hashSplit: Q = Q("sample_hash_split", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split", expr(
+        "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END"))
+      .withColumn("sampled10", expr(
+        "CAST(conv(substr(md5(concat('s', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100 < 10"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("sampled10"), 1)).as("n_sampled"))
+      .orderBy("source", "split")
+  }, Some("""SELECT source, split, count(*) AS n_docs,
+      count(CASE WHEN sampled10 THEN 1 END) AS n_sampled
+    FROM (SELECT source,
+      CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+      CAST('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10 AS sampled10
+      FROM (SELECT doc_id, source,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
+        FROM documents))
+    GROUP BY source, split ORDER BY source, split"""))
 }
