@@ -32,6 +32,10 @@ object TextOps {
 
   /** Length / word / punctuation / duplication statistics + a composite
     * quality score (the classic pre-training quality-filter features).
+    * The score is computed in EXACT integer arithmetic (basis points over
+    * the common denominator n_chars*n_words): floating-point rounding of
+    * 0.4*min(w/100,1)+0.3*a/c+0.3*d/w straddles round-boundaries between
+    * engines (observed at sf0.1), integer floor-division cannot.
     */
   val textStats: Q = Q("text_stats", (s, dir) => {
     Tables.t(s, dir, "documents")
@@ -42,13 +46,14 @@ object TextOps {
         size(array_distinct(filter(split(lower(col("text")), " "), w => w =!= "")))
           .cast("bigint").as("n_distinct"))
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_alpha"), col("n_distinct"),
-        round(lit(0.4) * least(col("n_words") / 100.0, lit(1.0))
-          + lit(0.3) * (col("n_alpha") / col("n_chars"))
-          + lit(0.3) * (col("n_distinct") / col("n_words")), 4).as("quality"))
+        expr("""(40 * least(n_words, 100) * n_chars * n_words
+          + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+          DIV (n_chars * n_words)""").as("quality_bp"))
       .orderBy("doc_id")
   }, Some("""SELECT doc_id, n_chars, n_words, n_alpha, n_distinct,
-      round(0.4 * least(n_words / 100.0, 1.0) + 0.3 * (n_alpha * 1.0 / n_chars)
-        + 0.3 * (n_distinct * 1.0 / n_words), 4) AS quality
+      (40 * least(n_words, 100) * n_chars * n_words
+        + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+        // (n_chars * n_words) AS quality_bp
     FROM (SELECT doc_id,
       CAST(length(text) AS BIGINT) AS n_chars,
       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
