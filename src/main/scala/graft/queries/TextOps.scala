@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over
@@ -12,7 +13,62 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
-    multimodalMeta, posExplodeWords)
+    multimodalMeta, posExplodeWords, docChunk, contextPack)
+
+  /** Sliding-window document chunking (50-token windows, stride 40 — the
+    * pre-tokenization step of a training pipeline): one row per chunk with
+    * a content hash. Pure per-doc generation — embarrassingly parallel.
+    */
+  val docChunk: Q = Q("doc_chunk", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+    d.select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(40))).as("start_tok"))
+      .select(col("doc_id"),
+        (expr("start_tok DIV 40") + 1).cast("bigint").as("chunk_idx"),
+        col("start_tok").cast("bigint").as("start_tok"),
+        size(slice(col("w"), col("start_tok"), lit(50))).cast("bigint").as("n_tokens"),
+        md5(array_join(slice(col("w"), col("start_tok"), lit(50)), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }, Some("""SELECT doc_id,
+      CAST(start_tok // 40 + 1 AS BIGINT) AS chunk_idx,
+      CAST(start_tok AS BIGINT) AS start_tok,
+      CAST(len(list_slice(w, start_tok, least(start_tok + 49, len(w)))) AS BIGINT) AS n_tokens,
+      md5(list_aggregate(list_slice(w, start_tok, least(start_tok + 49, len(w))), 'string_agg', ' ')) AS chunk_md5
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, 40)) AS start_tok
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents)
+      WHERE len(w) >= 1)
+    ORDER BY doc_id, chunk_idx"""))
+
+  /** Greedy sequential context packing: documents (in doc_id order) are
+    * packed into 512-token training contexts by cumulative token count —
+    * the batch-assembly step before tokenized examples ship to trainers.
+    * Sequential-prefix logic expressed as one window cumsum (integer
+    * math, bit-exact cross-engine).
+    */
+  val contextPack: Q = Q("context_pack", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", expr("(cum - n_tokens) DIV 512"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }, Some("""SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM (SELECT doc_id, n_tokens,
+        CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+      FROM (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents))
+    GROUP BY bin ORDER BY bin"""))
 
   /** Generator surface (posexplode / LATERAL VIEW): the first three words
     * of each doc with their ordinal positions.
