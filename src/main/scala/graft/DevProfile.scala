@@ -33,6 +33,10 @@ object DevProfile {
     val sig = hm.groupBy("doc_id").agg(sc.head, sc.tail: _*)
     time("signatures (16 mins)")(sig.count())
     time("signatures again")(sig.count())
+    spark.udf.register("minhash_sig", udaf(graft.functions.MinHashAggregator))
+    val sigU = hm.groupBy("doc_id").agg(expr("minhash_sig(hm)").as("sig"))
+    time("signatures (udaf)")(sigU.count())
+    time("signatures (udaf) again")(sigU.count())
     val pairs = time("full minhash query")(Dedup.minhashLsh.fn(spark, sfDir).count())
     println(s"pairs=$pairs")
 

@@ -217,13 +217,20 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    for (_ <- 1 to 8) {
+      .localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < 8) { // 8 = diameter bound; exits at fixpoint
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
       // localCheckpoint: break the doubling lineage each round (the same
       // move an iterative cluster job makes with reliable checkpointing)
-      labels = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
+      val next = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
