@@ -38,7 +38,65 @@ object Analytics {
     qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
-    qPercentiles, qStatsAgg)
+    qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile)
+
+  /** LEFT and FULL OUTER joins with null-side accounting. */
+  val qOuterJoins: Q = Q("q_outer_joins", (s, dir) => {
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    val left = c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_matched"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_null_side"))
+      .select(lit("left_outer").as("join_type"), col("n_rows"), col("n_matched"), col("n_null_side"))
+    val f1 = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k")).distinct()
+    val f2 = Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k2")).distinct()
+    val full = f1.join(f2, col("k") === col("k2"), "full_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_matched"), // only-right
+        sum(when(col("k2").isNull, 1L).otherwise(0L)).as("n_null_side")) // only-left
+      .select(lit("full_outer").as("join_type"), col("n_rows"), col("n_matched"), col("n_null_side"))
+    left.union(full).orderBy("join_type")
+  }, Some("""SELECT 'full_outer' AS join_type, count(*) AS n_rows,
+      CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      CAST(sum(CASE WHEN b.k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_side
+    FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='F') a
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k2 FROM orders WHERE o_orderstatus='O') b
+      ON a.k = b.k2
+    UNION ALL
+    SELECT 'left_outer', count(*),
+      count(o.o_orderkey),
+      CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT OUTER JOIN
+      (SELECT * FROM orders WHERE o_orderstatus='P') o ON c.c_custkey = o.o_custkey
+    ORDER BY join_type"""))
+
+  /** Key-distribution / skew profiler — the diagnostic you run before
+    * choosing salting or AQE skew handling at 100 TB: per-key top-N heavy
+    * hitters plus a skew factor (max/avg rows per key, in basis points
+    * for integer-exact cross-engine parity).
+    */
+  val qSkewProfile: Q = Q("q_skew_profile", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val counts = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      max("n").as("max_n"),
+      sum("n").as("total"),
+      count(lit(1)).as("n_keys"))
+    val skew = stats.select(lit("skew_factor_bp").as("metric"),
+      expr("max_n * 10000 * n_keys DIV total").as("value"))
+    val top = counts.orderBy(desc("n"), asc("user_id")).limit(3)
+      .select(concat(lit("top_key_"), col("user_id")).as("metric"), col("n").as("value"))
+    skew.union(top).orderBy("metric")
+  }, Some("""WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT 'skew_factor_bp' AS metric,
+      CAST(max(n) * 10000 * count(*) // sum(n) AS BIGINT) AS value FROM counts
+    UNION ALL
+    SELECT 'top_key_' || CAST(user_id AS VARCHAR), n FROM
+      (SELECT user_id, n FROM counts ORDER BY n DESC, user_id ASC LIMIT 3)
+    ORDER BY metric"""))
 
   /** Pivot: event counts per user bucket × event_type as columns. */
   val qPivot: Q = Q("q_pivot", (s, dir) => {

@@ -13,7 +13,31 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
-    multimodalMeta, posExplodeWords, docChunk, contextPack)
+    multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch)
+
+  /** Edit-distance fuzzy normalization: truncated (typo'd) event types
+    * matched back to their nearest canonical form by levenshtein — the
+    * fuzzy-dedup / label-normalization primitive.
+    */
+  val fuzzyMatch: Q = Q("text_fuzzy_match", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val typos = e.select(expr("substr(event_type, 1, length(event_type) - 1)").as("typo")).distinct()
+    val canon = e.select(col("event_type").as("canon")).distinct()
+    val pairs = typos.crossJoin(canon)
+      .withColumn("lev", levenshtein(col("typo"), col("canon")).cast("bigint"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("typo").orderBy(asc("lev"), asc("canon"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("typo", "canon", "lev")
+      .orderBy("typo")
+  }, Some("""SELECT typo, canon, lev FROM (
+      SELECT t.typo, c.canon,
+        CAST(levenshtein(t.typo, c.canon) AS BIGINT) AS lev,
+        row_number() OVER (PARTITION BY t.typo
+          ORDER BY levenshtein(t.typo, c.canon) ASC, c.canon ASC) AS rn
+      FROM (SELECT DISTINCT substr(event_type, 1, length(event_type) - 1) AS typo FROM events) t,
+           (SELECT DISTINCT event_type AS canon FROM events) c)
+    WHERE rn = 1 ORDER BY typo"""))
 
   /** Sliding-window document chunking (50-token windows, stride 40 — the
     * pre-tokenization step of a training pipeline): one row per chunk with
