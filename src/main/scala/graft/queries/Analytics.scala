@@ -38,7 +38,27 @@ object Analytics {
     qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
-    qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile)
+    qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery)
+
+  /** HAVING with an uncorrelated scalar subquery: nations whose customer
+    * balance total beats the cross-nation average.
+    */
+  val qHavingSubquery: Q = Q("q_having_subquery", (s, dir) => {
+    Tables.t(s, dir, "customer").createOrReplaceTempView("graft_hs_cust")
+    s.sql("""SELECT c_nationkey, round(sum(c_acctbal), 4) AS nation_bal
+      FROM graft_hs_cust
+      GROUP BY c_nationkey
+      HAVING sum(c_acctbal) > (
+        SELECT avg(nb) FROM (
+          SELECT sum(c_acctbal) AS nb FROM graft_hs_cust GROUP BY c_nationkey))
+      ORDER BY c_nationkey""")
+  }, Some("""SELECT c_nationkey, round(sum(c_acctbal), 4) AS nation_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING sum(c_acctbal) > (
+      SELECT avg(nb) FROM (
+        SELECT sum(c_acctbal) AS nb FROM customer GROUP BY c_nationkey))
+    ORDER BY c_nationkey"""))
 
   /** LEFT and FULL OUTER joins with null-side accounting. */
   val qOuterJoins: Q = Q("q_outer_joins", (s, dir) => {

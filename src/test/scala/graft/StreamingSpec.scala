@@ -261,6 +261,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming session windows merge within the gap and split across it") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sess").toFile
+    // m1: 3 points within 30s gaps -> one session; then a 10-min jump -> new session
+    Files.write(new java.io.File(dir, "b.txt").toPath,
+      ("m1 1 1546420300\nm1 2 1546420320\nm1 3 1546420340\n" +
+       "m1 9 1546421000").getBytes("UTF-8"))
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    val q = parsed.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(session_window(col("event_time"), "1 minute"), col("name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_sessions").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT unix_timestamp(s) AS ss, n FROM graft_sessions ORDER BY ss")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1546420300L, 3L), (1546421000L, 1L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("influx and opentsdb streaming pipelines end-to-end") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dirI = Files.createTempDirectory("graft_influx_s").toFile
+    Files.write(new java.io.File(dirI, "b.txt").toPath,
+      "cpu,host=a usage=0.5,active=3i 1546420308000000000".getBytes("UTF-8"))
+    val qi = graft.streaming.ProtocolIngest.influx(spark,
+        spark.readStream.text(dirI.getAbsolutePath).as[String], "n")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("graft_influx_stream").start()
+    try {
+      qi.processAllAvailable()
+      val names = spark.sql("SELECT name FROM graft_influx_stream ORDER BY name")
+        .as[String].collect().toSeq
+      assert(names == Seq("cpu.active", "cpu.usage"))
+    } finally qi.stop()
+
+    val dirO = Files.createTempDirectory("graft_otsdb_s").toFile
+    Files.write(new java.io.File(dirO, "b.txt").toPath,
+      """{"metric":"sys.mem","timestamp":1546420308,"value":7,"tags":{"h":"x"}}""".getBytes("UTF-8"))
+    val qo = graft.streaming.ProtocolIngest.opentsdb(spark,
+        spark.readStream.text(dirO.getAbsolutePath).as[String])
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("graft_otsdb_stream").start()
+    try {
+      qo.processAllAvailable()
+      val row = spark.sql(
+        "SELECT name, v_double, ts_us FROM graft_otsdb_stream").collect().head
+      assert(row.getString(0) == "sys.mem" && row.getDouble(1) == 7.0 &&
+        row.getLong(2) == 1546420308000000L)
+    } finally qo.stop()
+  }
+
   test("banned-token anti-join gate (broadcast)") {
     import spark.implicits._
     val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
