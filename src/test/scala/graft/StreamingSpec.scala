@@ -321,6 +321,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally qo.stop()
   }
 
+  test("transformWithState (v2 API, RocksDB store): per-series stats accumulate") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tws").toFile
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      "m1 1.5 1546420308\nm1 9.5 1546420309\nm2 2 1546420310".getBytes("UTF-8"))
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    val q = graft.streaming.SeriesStatsProcessor(spark, parsed)
+      .toDF("name", "n", "mx")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_tws_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "m1 0.5 1546420311".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val m1 = spark.sql(
+        "SELECT n, mx FROM graft_tws_out WHERE name='m1' ORDER BY n DESC LIMIT 1")
+        .collect().head
+      assert(m1.getLong(0) == 3L)          // state carried: 2 + 1
+      assert(m1.getDouble(1) == 9.5)        // running max retained
+    } finally q.stop()
+  }
+
   test("banned-token anti-join gate (broadcast)") {
     import spark.implicits._
     val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
