@@ -126,7 +126,9 @@ object Dedup {
       .select("d1", "d2").distinct()
     val sigX = sig.select(col("doc_id").as("d1") +: (0 until 16).map(i => col(s"m$i").as(s"x$i")): _*)
     val sigY = sig.select(col("doc_id").as("d2") +: (0 until 16).map(i => col(s"m$i").as(s"y$i")): _*)
-    val estExpr = (0 until 16).map(i => s"IF(x$i = y$i, 1, 0)").mkString("(", " + ", ") / 16.0")
+    // double(16), not the literal 16.0 — Spark types decimal literals as
+    // DECIMAL and the result column must be DOUBLE to match the oracle
+    val estExpr = (0 until 16).map(i => s"IF(x$i = y$i, 1, 0)").mkString("(", " + ", ") / double(16)")
     cand.join(sigX, "d1").join(sigY, "d2")
       .withColumn("est_jaccard", round(expr(estExpr), 4))
       .filter(expr(estExpr) >= 0.5)
