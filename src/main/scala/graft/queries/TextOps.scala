@@ -13,7 +13,37 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
-    multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch)
+    multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
+    textRedact)
+
+  /** PII-style scrubbing: regex redaction of email-shaped tokens and long
+    * digit runs (the pre-training safety pass). Patterns restricted to
+    * the RE2 ∩ Java-regex common subset so both engines rewrite
+    * identically; docs are synthesized with planted PII from events.
+    */
+  val textRedact: Q = Q("text_redact", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_id"),
+      expr("""concat('contact u', CAST(user_id AS STRING), '@mail', CAST(user_id % 7 AS STRING),
+        '.com id ', CAST(ts_us AS STRING), ' type ', event_type)""").as("text"))
+    e.select(col("event_id"),
+        regexp_replace(
+          regexp_replace(col("text"), lit("[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+"), lit("<EMAIL>")),
+          lit("[0-9]{6,}"), lit("<NUM>")).as("redacted"),
+        regexp_count(col("text"), lit("[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+"))
+          .cast("bigint").as("n_emails"),
+        regexp_count(col("text"), lit("[0-9]{6,}")).cast("bigint").as("n_long_nums"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+        '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums
+    FROM (SELECT event_id,
+      'contact u' || CAST(user_id AS VARCHAR) || '@mail' || CAST(user_id % 7 AS VARCHAR) ||
+      '.com id ' || CAST(epoch_us(ts) AS VARCHAR) || ' type ' || event_type AS text
+      FROM events)
+    ORDER BY event_id"""))
 
   /** Edit-distance fuzzy normalization: truncated (typo'd) event types
     * matched back to their nearest canonical form by levenshtein — the
