@@ -63,4 +63,14 @@ object ProtocolIngest {
     bodies.flatMap(b => handle(mode)(
       PromParser.parseExposition(b, extraLabels, System.currentTimeMillis())))
   }
+
+  /** Remote-write: snappy-compressed protobuf WriteRequest bodies
+    * (binary column, e.g. Kafka value) → GTS rows.
+    */
+  def promRemoteWrite(
+      spark: SparkSession, bodies: Dataset[Array[Byte]],
+      mode: ParseMode = ParseMode.Permissive): Dataset[GtsRow] = {
+    import spark.implicits._
+    bodies.flatMap(b => handle(mode)(graft.parsers.PrompbParser.parseSnappyBody(b)))
+  }
 }

@@ -71,6 +71,19 @@ class PrompbParserSpec extends AnyFunSuite {
     assert(PrompbParser.parseSnappyBody("not snappy at all".getBytes("UTF-8")).isLeft)
   }
 
+  test("ProtocolIngest.promRemoteWrite over binary bodies (Spark path)") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val compressed = org.xerial.snappy.Snappy.compress(writeRequest())
+    val garbage = "junk".getBytes("UTF-8")
+    val rows = graft.streaming.ProtocolIngest.promRemoteWrite(
+      spark, Seq(compressed, garbage).toDS()).collect() // permissive: garbage dropped
+    assert(rows.length == 3 && rows.forall(_.name == "up"))
+  }
+
   test("fuzz: random bytes never throw") {
     val rnd = new scala.util.Random(77)
     (1 to 2000).foreach { _ =>
