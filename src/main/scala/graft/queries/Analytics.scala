@@ -38,7 +38,96 @@ object Analytics {
     qRollup, qCube, qGroupingSets, qTopk, qSetOps, qDistinct, qApproxDistinct,
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
-    qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery)
+    qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
+    qDatetimeFuncs, qArrayFuncs, qMapFuncs)
+
+  /** Date/time function surface: truncation, month arithmetic (with
+    * month-end clamping), day diffs, last_day, day-of-week — all emitted
+    * as integers/epochs for cross-engine parity.
+    */
+  val qDatetimeFuncs: Q = Q("q_datetime_funcs", (s, dir) => {
+    Tables.t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        epochUs(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+        epochUs(add_months(col("o_orderdate"), 3).cast("timestamp")).as("plus3m_us"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("bigint").as("days_since_95"),
+        datediff(last_day(col("o_orderdate").cast("date")), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("month_end_epoch_day"),
+        (dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow_sun0"))
+      .orderBy("o_orderkey")
+  }, Some("""SELECT o_orderkey,
+      year(o_orderdate) AS yr,
+      month(o_orderdate) AS mo,
+      epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+      epoch_us(o_orderdate + INTERVAL 3 MONTH) AS plus3m_us,
+      date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+      date_diff('day', DATE '1970-01-01', last_day(CAST(o_orderdate AS DATE))) AS month_end_epoch_day,
+      CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
+    FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"""))
+
+  /** Array function surface over document word lists: distinct
+    * union/intersect/except cardinalities, sorted joins, positional
+    * lookup. The oracle reconstructs set ops with explicit
+    * filter+distinct so both engines' dedup semantics are pinned.
+    */
+  val qArrayFuncs: Q = Q("q_array_funcs", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 16)
+      .select(col("doc_id"),
+        slice(col("w"), 1, 8).as("a"),
+        slice(col("w"), -8, 8).as("b"))
+    d.select(col("doc_id"),
+        size(array_distinct(col("a"))).cast("bigint").as("n_a_distinct"),
+        size(array_intersect(col("a"), col("b"))).cast("bigint").as("n_inter"),
+        size(array_distinct(concat(col("a"), col("b")))).cast("bigint").as("n_union"),
+        size(array_except(col("a"), col("b"))).cast("bigint").as("n_except"),
+        array_join(array_sort(array_distinct(col("a"))), ",").as("a_sorted"),
+        array_position(col("a"), "the").cast("bigint").as("pos_the"))
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id,
+      CAST(len(list_distinct(a)) AS BIGINT) AS n_a_distinct,
+      CAST(len(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS BIGINT) AS n_inter,
+      CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+      CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS BIGINT) AS n_except,
+      list_aggregate(list_sort(list_distinct(a)), 'string_agg', ',') AS a_sorted,
+      CAST(coalesce(list_position(a, 'the'), 0) AS BIGINT) AS pos_the
+    FROM (SELECT doc_id, w[1:8] AS a, w[-8:] AS b
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents)
+      WHERE len(w) >= 16)
+    ORDER BY doc_id"""))
+
+  /** Map function surface (the label-manipulation toolkit of §1.4):
+    * construction, transform_keys, map_filter, map_concat, element_at,
+    * canonicalized for comparison. Oracle reconstructs the expected
+    * canonical string directly (DuckDB's map surface differs).
+    */
+  val qMapFuncs: Q = Q("q_map_funcs", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("event_id") < 3000)
+      .select(col("event_id"),
+        map(lit("t"), col("event_type"),
+            lit("u"), col("user_id").cast("string"),
+            lit("drop"), lit("x")).as("m"))
+    e.select(col("event_id"),
+        graft.functions.IngestSql.labelsCanonical(
+          map_concat(
+            transform_keys(
+              map_filter(col("m"), (k, _) => k =!= "drop"),
+              (k, _) => upper(k)),
+            map(lit("job"), lit("graft")))).as("labels_str"),
+        element_at(col("m"), "t").as("t_val"),
+        size(map_keys(col("m"))).cast("bigint").as("n_keys"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      'T=' || event_type || ',U=' || CAST(user_id AS VARCHAR) || ',job=graft' AS labels_str,
+      event_type AS t_val,
+      CAST(3 AS BIGINT) AS n_keys
+    FROM events WHERE event_id < 3000 ORDER BY event_id"""))
 
   /** HAVING with an uncorrelated scalar subquery: nations whose customer
     * balance total beats the cross-nation average.
