@@ -63,6 +63,27 @@ object DevProfile {
     glines.foreach { l => if (graft.parsers.GraphiteParser.parseLine(l, true, 0L).isRight) g += 1 }
     val dtg = (System.nanoTime() - t1) / 1e9
     println(f"[profile] raw graphite parser: ${g / dtg / 1000}%.0fk lines/s single-thread")
+
+    // end-to-end engine throughput: synthesize lines -> typed graphite
+    // parse -> Sensision encode, through Spark (32 tasks)
+    import spark.implicits._
+    val lineDs = Tables.events(spark, sfDir).select(
+      expr("concat(event_type, '.m', CAST(user_id AS STRING), ';dc=east ', " +
+        "CAST(value AS STRING), ' ', CAST(ts_us DIV 1000 AS STRING))")).as[String]
+    val nLines = lineDs.count()
+    val t2 = System.nanoTime()
+    val parsed = graft.streaming.ProtocolIngest.graphite(spark, lineDs, hierarchyLabels = true)
+    val encoded = parsed.map(r => graft.core.Sensision.encode(r.toGts))
+    val outBytes = encoded.map(_.length.toLong).reduce(_ + _)
+    val dte = (System.nanoTime() - t2) / 1e9
+    println(f"[profile] e2e parse+encode: ${nLines / dte / 1000}%.0fk lines/s over 32 threads ($outBytes bytes)")
+
+    // codegen on/off comparison for the signature-heavy pipeline
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val t3 = System.nanoTime()
+    graft.queries.Dedup.minhashLsh.fn(spark, sfDir).count()
+    println(f"[profile] minhash, codegen OFF: ${(System.nanoTime() - t3) / 1e9}%.2f s")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
     spark.stop()
   }
 }

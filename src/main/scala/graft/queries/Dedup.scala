@@ -110,10 +110,14 @@ object Dedup {
     */
   val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) => {
     val sh = sparkShingles(s, dir).withColumn("hm", expr(hashExpr))
-    val sc = sigCols
-    // signatures feed three subtrees (bands + both est sides): persist —
-    // at cluster scale this is the materialized signature table
-    val sig = sh.groupBy("doc_id").agg(sc.head, sc.tail: _*).persist()
+    // signature via the typed MinHashAggregator (values identical to the
+    // 16 min-expression formulation — MinHashAggregatorSpec — but one
+    // aggregate instead of 16 generated ones: ~4x less codegen compile);
+    // persisted because it feeds three subtrees (bands + both est sides)
+    s.udf.register("minhash_sig", udaf(graft.functions.MinHashAggregator))
+    val sigArr = sh.groupBy("doc_id").agg(expr("minhash_sig(hm)").as("sig")).persist()
+    val sig = sigArr.select(col("doc_id") +:
+      (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     val bandArr = array((0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bsig"))
@@ -167,12 +171,10 @@ object Dedup {
   val simhash: Q = Q("dedup_simhash", (s, dir) => {
     val sh = sparkShingles(s, dir)
       .withColumn("h", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
-    val bitSums: Seq[Column] = (0 until 32).map { b =>
-      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"s$b")
-    }
-    val sums = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sigExpr = (0 until 32).map(b => s"IF(s$b > 0, ${1L << b}L, 0L)").mkString(" + ")
-    val sig = sums.select(col("doc_id"), expr(sigExpr).as("sig"))
+    // signature via the typed SimHashAggregator — integer-identical to the
+    // 32 generated sum-expressions, a fraction of the codegen
+    s.udf.register("simhash_sig", udaf(graft.functions.SimHashAggregator))
+    val sig = sh.groupBy("doc_id").agg(expr("simhash_sig(h)").as("sig"))
     val chunkArr = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"), expr(s"shiftright(sig, ${8 * c}) & 255").as("cv"))
     }: _*)

@@ -37,6 +37,23 @@ class MinHashAggregatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaUdaf.toSeq == viaExprs.toSeq)
   }
 
+  test("simhash udaf signatures == 32-sum expression signatures") {
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.udf.register("simhash_sig_t", udaf(graft.functions.SimHashAggregator))
+    val sh = Dedup.sparkShingles(spark, "/root/testdata/sf0.001")
+      .withColumn("h", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+    val viaUdaf = sh.groupBy("doc_id").agg(expr("simhash_sig_t(h)").as("sig"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bitSums = (0 until 32).map { b =>
+      sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"s$b")
+    }
+    val sigExpr = (0 until 32).map(b => s"IF(s$b > 0, ${1L << b}L, 0L)").mkString(" + ")
+    val viaExprs = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(sigExpr).as("sig"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaUdaf.length > 0 && viaUdaf.toSeq == viaExprs.toSeq)
+  }
+
   test("merge is order-insensitive (partial aggregation safe)") {
     val b1 = MinHashAggregator.reduce(MinHashAggregator.zero, 12345L)
     val b2 = MinHashAggregator.reduce(MinHashAggregator.zero, 999999L)
