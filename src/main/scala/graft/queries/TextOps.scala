@@ -14,7 +14,31 @@ object TextOps {
 
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
-    textRedact)
+    textRedact, wordEntropy)
+
+  /** Per-document word-distribution entropy (nats, rounded) — a
+    * repetitiveness/quality signal: low entropy = templated or repeated
+    * text. Shannon entropy over word frequencies, identical ln() double
+    * math in both engines.
+    */
+  val wordEntropy: Q = Q("text_word_entropy", (s, dir) => {
+    val words = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
+    val freq = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val tot = freq.groupBy("doc_id").agg(sum("c").as("n"))
+    freq.join(tot, "doc_id")
+      .groupBy("doc_id")
+      .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6).as("entropy"),
+        count(lit(1)).as("n_unique"))
+      .orderBy("doc_id")
+  }, Some("""WITH w AS (SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    f AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+    t AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM f)
+    SELECT doc_id, round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy,
+      count(*) AS n_unique
+    FROM t GROUP BY doc_id ORDER BY doc_id"""))
 
   /** PII-style scrubbing: regex redaction of email-shaped tokens and long
     * digit runs (the pre-training safety pass). Patterns restricted to
