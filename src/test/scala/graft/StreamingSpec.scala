@@ -346,6 +346,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("socket source: live TCP lines parse like the reference's graphite listener (A2)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        out.println("sys.cpu.user;host=web01 0.5 1546420308")
+        out.println("not parseable at all x y")
+        out.println("sys.mem.free 1024 1546420309")
+        Thread.sleep(3000)
+        out.close(); sock.close()
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val lines = spark.readStream
+      .format("socket").option("host", "127.0.0.1").option("port", port)
+      .load().as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+    val q = parsed.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("graft_socket_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        n = spark.sql("SELECT count(*) FROM graft_socket_out").collect().head.getLong(0)
+      }
+      assert(n == 2L, s"expected 2 parsed points from socket, got $n")
+      val names = spark.sql("SELECT name FROM graft_socket_out ORDER BY name")
+        .as[String].collect().toSeq
+      assert(names == Seq("sys.cpu.user", "sys.mem.free"))
+    } finally { q.stop(); server.close() }
+  }
+
   test("banned-token anti-join gate (broadcast)") {
     import spark.implicits._
     val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
