@@ -23,7 +23,8 @@ object Verify {
         // a stale output dir from an earlier run must not masquerade as
         // this round's result — remove it so the gate sees a missing query
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles is null on I/O error / concurrent removal
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(): Unit
         }
         val dir = new java.io.File(s"$outDir/$name")

@@ -48,17 +48,25 @@ object PrompbParser {
       v
     }
 
+    /** Read a length prefix as Long and validate against the remaining
+      * window BEFORE narrowing — a 64-bit varint must not truncate via
+      * toInt into a plausible small length.
+      */
+    private def lengthPrefix(): Int = {
+      val len = varint()
+      if (len < 0 || len > end - pos) throw new IllegalArgumentException("bad field length")
+      len.toInt
+    }
+
     def lengthDelimited(): Reader = {
-      val len = varint().toInt
-      if (len < 0 || pos + len > end) throw new IllegalArgumentException("truncated field")
+      val len = lengthPrefix()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
 
     def bytes(): String = {
-      val len = varint().toInt
-      if (len < 0 || pos + len > end) throw new IllegalArgumentException("truncated bytes")
+      val len = lengthPrefix()
       val s = new String(buf, pos, len, "UTF-8")
       pos += len
       s
@@ -137,10 +145,21 @@ object PrompbParser {
     * (non-finite → 0, __name__ → name, ms → µs — the A20/A21 semantics via
     * PromParser.normalizeRemoteWriteSample).
     */
+  /** Largest uncompressed body we will allocate for — a crafted snappy
+    * varint header can claim up to 2^32-1 bytes, and snappy-java throws
+    * NegativeArraySizeException/OutOfMemoryError (not IOException) on the
+    * allocation, so the size must be validated BEFORE uncompressing.
+    */
+  val MaxUncompressedBytes: Int = 64 << 20
+
   def parseSnappyBody(compressed: Array[Byte]): Either[String, Seq[Gts]] = {
     val raw =
-      try org.xerial.snappy.Snappy.uncompress(compressed)
-      catch { case e: java.io.IOException => return Left(s"bad snappy body: ${e.getMessage}") }
+      try {
+        val len = org.xerial.snappy.Snappy.uncompressedLength(compressed)
+        if (len < 0 || len > MaxUncompressedBytes)
+          return Left(s"bad snappy body: claimed uncompressed length $len")
+        org.xerial.snappy.Snappy.uncompress(compressed)
+      } catch { case e: java.io.IOException => return Left(s"bad snappy body: ${e.getMessage}") }
     parseWriteRequest(raw).map { series =>
       series.flatMap { ts =>
         ts.samples.map(sm =>

@@ -69,7 +69,7 @@ object ProtocolIngest {
     */
   def promRemoteWrite(
       spark: SparkSession, bodies: Dataset[Array[Byte]],
-      mode: ParseMode = ParseMode.Permissive): Dataset[GtsRow] = {
+      mode: ParseMode = ParseMode.FailFast): Dataset[GtsRow] = {
     import spark.implicits._
     bodies.flatMap(b => handle(mode)(graft.parsers.PrompbParser.parseSnappyBody(b)))
   }

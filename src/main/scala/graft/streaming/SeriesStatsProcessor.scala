@@ -22,13 +22,16 @@ class SeriesStatsProcessor extends StatefulProcessor[String, GtsRow, (String, Lo
       key: String,
       rows: Iterator[GtsRow],
       timerValues: TimerValues): Iterator[(String, Long, Double)] = {
-    val prev = if (stats.exists()) stats.get() else (0L, Double.MinValue)
+    // NaN = "no numeric value seen yet" — a bool/string-only series must
+    // not surface a Double.MinValue sentinel as its max
+    val prev = if (stats.exists()) stats.get() else (0L, Double.NaN)
     var n = prev._1
     var mx = prev._2
+    def bump(v: Double): Unit = if (mx.isNaN || v > mx) mx = v
     rows.foreach { r =>
       n += 1
-      r.v_double.foreach(v => if (v > mx) mx = v)
-      r.v_long.foreach(v => if (v.toDouble > mx) mx = v.toDouble)
+      r.v_double.foreach(bump)
+      r.v_long.foreach(v => bump(v.toDouble))
     }
     stats.update((n, mx))
     Iterator.single((key, n, mx))

@@ -71,6 +71,22 @@ class PrompbParserSpec extends AnyFunSuite {
     assert(PrompbParser.parseSnappyBody("not snappy at all".getBytes("UTF-8")).isLeft)
   }
 
+  test("crafted snappy headers claiming huge lengths -> Left, no allocation blow-up") {
+    // varint header claiming 2^32-1 uncompressed bytes
+    val huge32 = Array(0xFF, 0xFF, 0xFF, 0xFF, 0x0F, 0x00).map(_.toByte)
+    assert(PrompbParser.parseSnappyBody(huge32).isLeft)
+    // claiming 2^31-1 (would OOM on allocation)
+    val huge31 = Array(0xFF, 0xFF, 0xFF, 0xFF, 0x07, 0x00).map(_.toByte)
+    assert(PrompbParser.parseSnappyBody(huge31).isLeft)
+  }
+
+  test("64-bit varint length prefix rejected, not truncated to a plausible int") {
+    // field 1, wiretype 2, length = 0x100000002 (would truncate to 2 via toInt)
+    val out = new ByteArrayOutputStream
+    tag(out, 1, 2); varint(out, 0x100000002L); out.write('a'); out.write('b')
+    assert(PrompbParser.parseWriteRequest(out.toByteArray).isLeft)
+  }
+
   test("ProtocolIngest.promRemoteWrite over binary bodies (Spark path)") {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -80,7 +96,8 @@ class PrompbParserSpec extends AnyFunSuite {
     val compressed = org.xerial.snappy.Snappy.compress(writeRequest())
     val garbage = "junk".getBytes("UTF-8")
     val rows = graft.streaming.ProtocolIngest.promRemoteWrite(
-      spark, Seq(compressed, garbage).toDS()).collect() // permissive: garbage dropped
+      spark, Seq(compressed, garbage).toDS(),
+      graft.streaming.ParseMode.Permissive).collect() // permissive: garbage dropped
     assert(rows.length == 3 && rows.forall(_.name == "up"))
   }
 
