@@ -39,7 +39,30 @@ object Analytics {
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
-    qDatetimeFuncs, qArrayFuncs, qMapFuncs)
+    qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward)
+
+  /** Forward as-of join (the backward variant is q_asof_join): for each
+    * order of a low-key customer, the EARLIEST event of that user at or
+    * after the order date. Same equi-join + per-row rank pattern,
+    * opposite direction.
+    */
+  val qAsofForward: Q = Q("q_asof_forward", (s, dir) => {
+    val o = Tables.t(s, dir, "orders").filter(col("o_custkey") < 30)
+      .select(col("o_orderkey"), col("o_custkey"), epochUs(col("o_orderdate")).as("o_date_us"))
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val w = Window.partitionBy("o_orderkey").orderBy(asc("ts_us"), asc("event_id"))
+    o.join(e, col("user_id") === col("o_custkey") && col("ts_us") >= col("o_date_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_orderkey", "o_custkey", "event_id", "ts_us")
+      .orderBy("o_orderkey")
+  }, Some("""SELECT o_orderkey, o_custkey, event_id, ts_us FROM (
+    SELECT o.o_orderkey, o.o_custkey, e.event_id, epoch_us(e.ts) AS ts_us,
+      row_number() OVER (PARTITION BY o.o_orderkey
+        ORDER BY epoch_us(e.ts) ASC, e.event_id ASC) AS rn
+    FROM orders o JOIN events e
+      ON e.user_id = o.o_custkey AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+    WHERE o.o_custkey < 30) WHERE rn = 1 ORDER BY o_orderkey"""))
 
   /** Date/time function surface: truncation, month arithmetic (with
     * month-end clamping), day diffs, last_day, day-of-week — all emitted
