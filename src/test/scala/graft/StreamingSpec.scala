@@ -384,6 +384,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); server.close() }
   }
 
+  test("dropDuplicatesWithinWatermark: bounded-state streaming dedup") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_dedup_wm").toFile
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      "m1 1 1546420308\nm1 1 1546420308\nm2 2 1546420309".getBytes("UTF-8"))
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+      .toDF()
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "10 minutes")
+      // state for a (name, ts) key is EVICTED once the watermark passes —
+      // bounded memory, unlike plain dropDuplicates' forever-state
+      .dropDuplicatesWithinWatermark("name", "ts_us")
+    val q = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ddwm").start()
+    try {
+      q.processAllAvailable()
+      val names = spark.sql("SELECT name FROM graft_ddwm ORDER BY name")
+        .as[String].collect().toSeq
+      assert(names == Seq("m1", "m2"))
+    } finally q.stop()
+  }
+
+  test("observed metrics: Dataset.observe surfaces counters in streaming progress") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_obs").toFile
+    Files.write(new java.io.File(dir, "b.txt").toPath,
+      "m1 1.5 1546420308\nm2 2.5 1546420309".getBytes("UTF-8"))
+    val lines = spark.readStream.text(dir.getAbsolutePath).as[String]
+    val parsed = GraphiteStream.parseLines(spark, lines, hierarchyLabels = false)
+      .toDF()
+      .observe("graft_ingest", count(lit(1)).as("rows"), sum("v_double").as("sum_v"))
+    val q = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("graft_obs_out").start()
+    try {
+      q.processAllAvailable()
+      val obs = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_ingest"))).lastOption
+      assert(obs.isDefined, "no observed metrics in progress")
+      assert(obs.get.getAs[Long]("rows") == 2L)
+      assert(math.abs(obs.get.getAs[Double]("sum_v") - 4.0) < 1e-9)
+    } finally q.stop()
+  }
+
   test("banned-token anti-join gate (broadcast)") {
     import spark.implicits._
     val events = Seq(("tokA", 1L), ("tokB", 2L), ("tokA", 3L)).toDF("token", "v")
