@@ -39,7 +39,48 @@ object Analytics {
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
-    qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward)
+    qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral)
+
+  /** Unpivot (melt) — the inverse of q_pivot: wide metric columns to
+    * (key, metric, value) rows.
+    */
+  val qUnpivot: Q = Q("q_unpivot", (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }, Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 100)
+    ORDER BY l_orderkey, l_linenumber, metric"""))
+
+  /** LATERAL correlated subquery: per customer, the most expensive order
+    * (Catalyst plans the decorrelated join).
+    */
+  val qLateral: Q = Q("q_lateral_join", (s, dir) => {
+    Tables.t(s, dir, "customer").createOrReplaceTempView("graft_lat_cust")
+    Tables.t(s, dir, "orders").createOrReplaceTempView("graft_lat_orders")
+    s.sql("""SELECT c_custkey, t.best_price FROM graft_lat_cust,
+      LATERAL (SELECT max(o_totalprice) AS best_price
+               FROM graft_lat_orders WHERE o_custkey = c_custkey) t
+      WHERE c_custkey < 300 AND t.best_price IS NOT NULL
+      ORDER BY c_custkey""")
+  }, Some("""SELECT c_custkey, t.best_price FROM customer,
+      LATERAL (SELECT max(o_totalprice) AS best_price
+               FROM orders WHERE o_custkey = c_custkey) t
+      WHERE c_custkey < 300 AND t.best_price IS NOT NULL
+      ORDER BY c_custkey"""))
 
   /** Forward as-of join (the backward variant is q_asof_join): for each
     * order of a low-key customer, the EARLIEST event of that user at or
