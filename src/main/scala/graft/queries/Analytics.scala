@@ -39,7 +39,58 @@ object Analytics {
     qAsofJoin, qRangeJoin, qScalarFuncs, qTsHeuristic, qCorrelatedSubquery,
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
-    qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral)
+    qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
+    qTsResample, qUnionByName)
+
+  /** Time-series resampling with gap filling — the Warp-10-class operator
+    * the reference delegates: per-user hourly grid over each user's span
+    * (sequence + explode), zero-filled counts, and forward-filled values
+    * (last_value IGNORE NULLS).
+    */
+  val qTsResample: Q = Q("q_ts_resample", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 5)
+      .withColumn("h", expr("ts_us DIV 3600000000"))
+    val c = e.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("raw_v"))
+    val grid = c.groupBy("user_id").agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("user_id").as("g_user"), explode(sequence(col("mn"), col("mx"))).as("g_h"))
+    val j = grid.join(c, col("user_id") === col("g_user") && col("h") === col("g_h"), "left_outer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g_user").orderBy("g_h").rowsBetween(Window.unboundedPreceding, 0)
+    j.select(col("g_user").as("user_id"), col("g_h").as("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("raw_v"), lit(0.0)), 4).as("sum_v"),
+        round(coalesce(last(col("raw_v"), ignoreNulls = true).over(w), lit(0.0)), 4).as("filled"))
+      .orderBy("user_id", "h")
+  }, Some("""WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        count(*) AS n, round(sum(value), 4) AS raw_v
+      FROM events WHERE user_id < 5 GROUP BY 1, 2),
+    s AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM s),
+    j AS (SELECT g.user_id, g.h, c.n, c.raw_v
+      FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.h)
+    SELECT user_id, h, CAST(coalesce(n, 0) AS BIGINT) AS n,
+      round(coalesce(raw_v, 0.0), 4) AS sum_v,
+      round(coalesce(last_value(raw_v IGNORE NULLS) OVER (PARTITION BY user_id
+        ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4) AS filled
+    FROM j ORDER BY user_id, h"""))
+
+  /** Schema-evolution union: unionByName(allowMissingColumns) across
+    * sources with divergent schemas — the multi-corpus concatenation
+    * primitive. Oracle via DuckDB's UNION ALL BY NAME.
+    */
+  val qUnionByName: Q = Q("q_union_by_name", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val a = d.filter(col("doc_id") < 50).select(col("doc_id"), col("lang"))
+    val b = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("source"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("doc_id")
+  }, Some("""SELECT * FROM (
+      SELECT doc_id, lang FROM documents WHERE doc_id < 50
+      UNION ALL BY NAME
+      SELECT doc_id + 10000 AS doc_id, source FROM documents WHERE doc_id < 50)
+    ORDER BY doc_id"""))
 
   /** Unpivot (melt) — the inverse of q_pivot: wide metric columns to
     * (key, metric, value) rows.

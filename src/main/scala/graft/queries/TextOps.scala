@@ -14,7 +14,60 @@ object TextOps {
 
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
-    textRedact, wordEntropy)
+    textRedact, wordEntropy, corpusReport)
+
+  /** Per-source corpus report — the dataset-card dashboard that composes
+    * the per-doc operators: volume, token mass, integer-exact mean
+    * quality, language spread, and fingerprint-duplicate incidence.
+    */
+  val corpusReport: Q = Q("corpus_report", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_words"),
+        regexp_count(col("text"), lit("[a-z]")).cast("bigint").as("n_alpha"),
+        size(array_distinct(filter(split(lower(col("text")), " "), w => w =!= "")))
+          .cast("bigint").as("n_distinct"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("bigint").as("bpe_tokens"),
+        md5(array_join(array_sort(array_distinct(
+          filter(split(lower(col("text")), " "), w => w =!= ""))), " ")).as("fp"))
+      .withColumn("quality_bp", expr("""(40 * least(n_words, 100) * n_chars * n_words
+        + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+        DIV (n_chars * n_words)"""))
+    val dupFps = d.groupBy("fp").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("fp").as("dup_fp"))
+    d.join(broadcast(dupFps), col("fp") === col("dup_fp"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe_tokens").as("total_tokens"),
+        sum("quality_bp").as("sum_q"),
+        countDistinct(col("lang")).as("n_langs"),
+        count(col("dup_fp")).as("n_fp_dupes"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr("sum_q DIV n_docs").as("avg_quality_bp_floor"),
+        col("n_langs"), col("n_fp_dupes"))
+      .orderBy("source")
+  }, Some("""WITH d AS (SELECT doc_id, source, lang,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha,
+      CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      md5(list_aggregate(list_sort(list_distinct(
+        list_filter(string_split(lower(text), ' '), w -> w <> ''))), 'string_agg', ' ')) AS fp
+      FROM documents),
+    q AS (SELECT *, (40 * least(n_words, 100) * n_chars * n_words
+        + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+        // (n_chars * n_words) AS quality_bp FROM d),
+    dup AS (SELECT fp AS dup_fp FROM d GROUP BY fp HAVING count(*) > 1)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
+      CAST(sum(quality_bp) // count(*) AS BIGINT) AS avg_quality_bp_floor,
+      count(DISTINCT lang) AS n_langs,
+      count(dup_fp) AS n_fp_dupes
+    FROM q LEFT JOIN dup ON q.fp = dup.dup_fp
+    GROUP BY source ORDER BY source"""))
 
   /** Per-document word-distribution entropy (nats, rounded) — a
     * repetitiveness/quality signal: low entropy = templated or repeated
