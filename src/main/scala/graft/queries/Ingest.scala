@@ -316,25 +316,32 @@ object Ingest {
   /** The Warp passthrough's literal 27-line `\r\n` batching
     * (catalyser/warp.go:15-49): row_number grouping + bit-exact batch
     * payload assembly (md5 of the joined lines keeps output compact).
+    *
+    * Batches are keyed PER CONNECTION — the reference batches inside one
+    * TCP conn handler, so the window partitions by conn (parallel across
+    * connections, ordered by arrival within one). No global window.
     */
   val warpBatch27: Q = Q("warp_batch27", (s, dir) => {
     val e = Tables.events(s, dir)
       .select(col("event_id"),
+        concat(lit("tok"), col("user_id") % 16).as("conn"),
         concat(lit("e"), col("event_id"), lit(" "), col("value").cast("string")).as("line"))
-    e.select(col("event_id"), col("line"),
-        ((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("event_id")) - 1)
-          .cast("bigint") / 27).cast("bigint").as("batch"))
-      .groupBy("batch")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("conn").orderBy("event_id")
+    e.select(col("event_id"), col("conn"), col("line"),
+        ((row_number().over(w) - 1).cast("bigint") / 27).cast("bigint").as("batch"))
+      .groupBy("conn", "batch")
       .agg(count(lit(1)).as("n_lines"), min("event_id").as("first_id"), max("event_id").as("last_id"),
         md5(concat_ws("\r\n",
           transform(array_sort(collect_list(struct(col("event_id"), col("line")))),
             x => x.getField("line")))).as("payload_md5"))
-      .orderBy("batch")
-  }, Some("""SELECT batch, count(*) AS n_lines, min(event_id) AS first_id, max(event_id) AS last_id,
+      .orderBy("conn", "batch")
+  }, Some("""SELECT conn, batch, count(*) AS n_lines, min(event_id) AS first_id, max(event_id) AS last_id,
       md5(string_agg(line, chr(13) || chr(10) ORDER BY event_id)) AS payload_md5
-    FROM (SELECT event_id, 'e' || CAST(event_id AS VARCHAR) || ' ' || CAST(value AS VARCHAR) AS line,
-      (row_number() OVER (ORDER BY event_id) - 1) // 27 AS batch FROM events)
-    GROUP BY batch ORDER BY batch"""))
+    FROM (SELECT event_id, conn, line,
+      (row_number() OVER (PARTITION BY conn ORDER BY event_id) - 1) // 27 AS batch
+      FROM (SELECT event_id, 'tok' || CAST(user_id % 16 AS VARCHAR) AS conn,
+        'e' || CAST(event_id AS VARCHAR) || ' ' || CAST(value AS VARCHAR) AS line FROM events))
+    GROUP BY conn, batch ORDER BY conn, batch"""))
 
   /** Per-protocol HTTP method allowlist (core/handler.go:130-133, route
     * lists cmd/root.go:116-121).

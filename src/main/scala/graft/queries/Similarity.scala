@@ -158,14 +158,47 @@ object Similarity {
     SELECT q_id, cell, rnk, c_id, round(sim, 4) AS cosine FROM r WHERE rnk <= 3
     ORDER BY q_id, rnk"""))
 
-  /** Random-hyperplane LSH bucketed ANN (rows-only check — the plane
-    * constants live in the Spark plan; no SQL twin). 12 sign bits →
-    * bucket; neighbors searched within the query's bucket only.
+  /** The 8 random hyperplanes (seed 7, deterministic) shared by the
+    * Spark plan and the generated oracle SQL. 8 bits = 256 buckets —
+    * dense enough at test SFs that every query finds same-bucket
+    * neighbors (a 12-bit code left the check nearly empty); at real
+    * scale the bit count grows with corpus size.
+    */
+  private val lshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(8)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
+  }
+
+  /** Oracle twin for ann_lsh_rp: the plane constants are materialized
+    * into the SQL text (full Double.toString round-trip precision), so
+    * the LSH path gets a hash-exact check instead of rows-only. Both
+    * engines fold the dot product left-to-right over doubles.
+    */
+  private val lshOracleSql: String = {
+    val bits = lshPlanes.map { p =>
+      s"(CASE WHEN list_dot_product(emb, [${p.mkString(", ")}]) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    b AS (SELECT vec_id, emb, nrm, $bits AS bucket FROM n),
+    p AS (SELECT q.vec_id AS q_id, q.bucket AS q_bucket, c.vec_id AS c_id,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+    r AS (SELECT q_id, q_bucket, c_id, sim,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk
+      FROM p)
+    SELECT q_id, q_bucket, rnk, c_id, round(sim, 4) AS cosine FROM r WHERE rnk <= 3
+    ORDER BY q_id, rnk"""
+  }
+
+  /** Random-hyperplane LSH bucketed ANN. 8 sign bits → bucket;
+    * neighbors searched within the query's bucket only. Hash-checked
+    * against a generated oracle carrying the same plane constants.
     */
   val annLshRp: Q = Q("ann_lsh_rp", (s, dir) => {
-    val rnd = new scala.util.Random(7)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(12)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
+    val planes = lshPlanes
     val n = normed(s, dir)
     val bucketBits: Seq[Column] = planes.zipWithIndex.map { case (p, i) =>
       when(dotD(col("emb"), typedLit(p)) > 0, lit("1")).otherwise(lit("0")).as(s"b$i")
@@ -184,5 +217,5 @@ object Similarity {
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("q_bucket"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cosine"))
       .orderBy("q_id", "rnk")
-  }, None)
+  }, Some(lshOracleSql))
 }

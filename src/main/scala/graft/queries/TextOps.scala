@@ -37,7 +37,9 @@ object TextOps {
         DIV (n_chars * n_words)"""))
     val dupFps = d.groupBy("fp").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
       .select(col("fp").as("dup_fp"))
-    d.join(broadcast(dupFps), col("fp") === col("dup_fp"), "left_outer")
+    // No broadcast hint: dup_fps grows with corpus size (unbounded at
+    // 100 TB); AQE broadcasts it at runtime only when it actually fits.
+    d.join(dupFps, col("fp") === col("dup_fp"), "left_outer")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("bpe_tokens").as("total_tokens"),
@@ -176,16 +178,29 @@ object TextOps {
   /** Greedy sequential context packing: documents (in doc_id order) are
     * packed into 512-token training contexts by cumulative token count —
     * the batch-assembly step before tokenized examples ship to trainers.
-    * Sequential-prefix logic expressed as one window cumsum (integer
-    * math, bit-exact cross-engine).
+    *
+    * Distributed prefix-sum, NOT a global window: docs shard into
+    * contiguous doc_id ranges (doc_id DIV 4096), the cumsum window is
+    * partitioned per shard (parallel), and each shard's offset is the
+    * prefix-sum of per-shard TOTALS — a second window over the tiny
+    * aggregated relation (N/4096 rows), the only place a global ordering
+    * survives. Results are bit-identical to the sequential cumsum.
     */
   val contextPack: Q = Q("context_pack", (s, dir) => {
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    d.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard", expr("doc_id DIV 4096"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val wSh = org.apache.spark.sql.expressions.Window
+      .orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("shard").agg(sum("n_tokens").as("shard_tot"))
+      .withColumn("off", coalesce(sum("shard_tot").over(wSh), lit(0L)))
+      .select(col("shard").as("o_shard"), col("off"))
+    d.withColumn("local_cum", sum("n_tokens").over(wIn))
+      .join(offsets, col("shard") === col("o_shard"))
+      .withColumn("cum", col("local_cum") + col("off"))
       .withColumn("bin", expr("(cum - n_tokens) DIV 512"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
