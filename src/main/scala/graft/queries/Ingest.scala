@@ -29,9 +29,9 @@ import org.apache.spark.sql.functions._
 object Ingest {
 
   def all: Seq[Q] = Seq(graphiteParse, influxFanout, opentsdbParse,
-    promExposition, promRemoteWrite, promPathLabels, sensisionEncode,
-    sensisionEncodeUnsafe, tokenExtract, warpBatch27, methodFilter,
-    errorClassify, graphiteTcpToken)
+    promExposition, promExpositionProto, promRemoteWrite, promPathLabels,
+    sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
+    methodFilter, errorClassify, graphiteTcpToken)
 
   /** Sensision encoding of URL-UNSAFE names/labels/values through the
     * native codegen'd [[graft.expressions.UrlEncodeWarp]] expression:
@@ -211,6 +211,93 @@ object Ingest {
       (epoch_us(ts) // 1000) * 1000 AS ts_us
     FROM events WHERE event_id % 97 <> 0
     ORDER BY ts_us, name, labels_str"""))
+
+  /** Protobuf Prometheus exposition (A17 closing the gap: the reference's
+    * `expfmt.ResponseFormat` negotiation at prometheus.go:40-49 decodes
+    * varint-delimited `MetricFamily` protobuf). Each event synthesizes one
+    * family — counter, summary, or histogram by event_id%3 — ENCODED to
+    * real wire bytes, then decoded through the negotiated proto path and
+    * flattened expfmt-style: summaries fan out to quantile samples +
+    * `_sum`/`_count`, histograms to `le` buckets + `_sum`/`_count` (the
+    * `le=+Inf` bucket synthesized from sample_count when the family omits
+    * it — exercised on odd user_ids), +Inf counters dropped (every 97th).
+    */
+  val promExpositionProto: Q = Q("prom_exposition_proto", (s, dir) => {
+    import s.implicits._
+    import graft.parsers.PromProtoParser
+    import PromProtoParser.{Bucket, Metric, MetricFamily, Quantile}
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("user_id"), col("value"),
+      expr("ts_us DIV 1000").as("ts_ms"))
+    e.as[(Long, String, Long, Double, Long)].flatMap { case (eid, etype, uid, v, tsMs) =>
+      val labels = Map("eid" -> eid.toString)
+      val fam = (eid % 3) match {
+        case 0 =>
+          val cv = if (eid % 97 == 0) Double.PositiveInfinity else v
+          MetricFamily(s"cnt_$etype", PromProtoParser.COUNTER,
+            Seq(Metric(labels, Some(cv), None, None, Some(tsMs))))
+        case 1 =>
+          MetricFamily(s"lat_$etype", PromProtoParser.SUMMARY,
+            Seq(Metric(labels, None,
+              Some((uid % 100, v * 3, Seq(Quantile(0.5, v), Quantile(0.99, v * 2)))),
+              None, Some(tsMs))))
+        case _ =>
+          val explicit = Seq(Bucket(uid % 5, 0.1)) ++
+            (if (uid % 2 == 0) Seq(Bucket(uid % 5 + 3, Double.PositiveInfinity)) else Nil)
+          MetricFamily(s"dur_$etype", PromProtoParser.HISTOGRAM,
+            Seq(Metric(labels, None, None,
+              Some((uid % 5 + 3, v, explicit)), Some(tsMs))))
+      }
+      val wire = PromProtoParser.encodeDelimited(Seq(fam))
+      PromProtoParser.parseExposition(wire, Some(PromProtoParser.ProtoContentType),
+          Map("job" -> "graft"), 0L)
+        .fold(_ => Seq.empty[(Long, String, String, Double, Long)],
+          gts => gts.map { g =>
+            val r = Gts.toRow(g)
+            (eid, r.name, canonical(r.labels), r.v_double.get, r.ts_us.get)
+          })
+    }.toDF("event_id", "name", "labels_str", "v_double", "ts_us")
+      .orderBy("event_id", "name", "labels_str")
+  }, Some("""WITH base AS (SELECT event_id, event_type, user_id, value,
+      (epoch_us(ts) // 1000) * 1000 AS ts_us FROM events)
+    SELECT * FROM (
+      SELECT event_id, 'cnt_' || event_type AS name,
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft' AS labels_str,
+        value AS v_double, ts_us
+      FROM base WHERE event_id % 3 = 0 AND event_id % 97 <> 0
+      UNION ALL
+      SELECT event_id, 'lat_' || event_type,
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,quantile=0.5',
+        value, ts_us FROM base WHERE event_id % 3 = 1
+      UNION ALL
+      SELECT event_id, 'lat_' || event_type,
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,quantile=0.99',
+        value * 2, ts_us FROM base WHERE event_id % 3 = 1
+      UNION ALL
+      SELECT event_id, 'lat_' || event_type || '_sum',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft',
+        value * 3, ts_us FROM base WHERE event_id % 3 = 1
+      UNION ALL
+      SELECT event_id, 'lat_' || event_type || '_count',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft',
+        CAST(user_id % 100 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 1
+      UNION ALL
+      SELECT event_id, 'dur_' || event_type || '_bucket',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=0.1',
+        CAST(user_id % 5 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2
+      UNION ALL
+      SELECT event_id, 'dur_' || event_type || '_bucket',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=+Inf',
+        CAST(user_id % 5 + 3 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2
+      UNION ALL
+      SELECT event_id, 'dur_' || event_type || '_sum',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft',
+        value, ts_us FROM base WHERE event_id % 3 = 2
+      UNION ALL
+      SELECT event_id, 'dur_' || event_type || '_count',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft',
+        CAST(user_id % 5 + 3 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2)
+    ORDER BY event_id, name, labels_str"""))
 
   /** remote_write normalization (prometheus_remote_write.go:52-86): unlike
     * exposition, non-finite values (±Inf AND NaN) are COERCED TO 0, kept
