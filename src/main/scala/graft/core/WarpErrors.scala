@@ -87,30 +87,44 @@ object WarpError {
   }
 }
 
-/** Token extraction precedence (reference: core/auth.go:13-62):
-  * X-Warp10-Token → X-Metrics-Token → X-CityzenData-Token → Basic auth
-  * password half → Bearer → `p` query/form param.
+/** Token extraction, faithful to core/auth.go:13-62 INCLUDING its error
+  * paths: the three X-*-Token headers win outright; then the
+  * Authorization header is split scheme+rest (absent/unsplittable →
+  * error, never a fallback); `basic` with bad base64 or a colonless
+  * credential is a HARD error; `bearer` takes the rest verbatim (even
+  * empty — Go does); only an UNRECOGNIZED scheme reaches the `p`
+  * query/form params, and their absence is an error.
   */
 object TokenExtract {
-  def fromParts(
+  def fromRequest(
       warp10Header: Option[String],
       metricsHeader: Option[String],
       cityzenHeader: Option[String],
-      basicAuth: Option[String],
-      bearer: Option[String],
-      pParam: Option[String]): Option[String] = {
-    val basicPassword = basicAuth.flatMap { b64 =>
-      try {
-        val decoded = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
-        val idx = decoded.indexOf(':')
-        if (idx >= 0) Some(decoded.substring(idx + 1)) else None
-      } catch { case _: IllegalArgumentException => None }
+      authorization: Option[String],
+      pQueryParam: Option[String],
+      pFormParam: Option[String]): Either[String, String] = {
+    def nonEmpty(o: Option[String]) = o.filter(_.nonEmpty)
+    nonEmpty(warp10Header)
+      .orElse(nonEmpty(metricsHeader))
+      .orElse(nonEmpty(cityzenHeader)) match {
+      case Some(t) => Right(t)
+      case None =>
+        val s = authorization.getOrElse("").split(" ", 2)
+        if (s.length != 2) Left("missing basic auth bearer")
+        else s(0).toLowerCase match {
+          case "basic" =>
+            val decoded =
+              try Right(new String(java.util.Base64.getDecoder.decode(s(1)), "UTF-8"))
+              catch { case _: IllegalArgumentException => Left("bad basic auth bearer") }
+            decoded.flatMap { d =>
+              val idx = d.indexOf(':')
+              if (idx < 0) Left("unauthorized") else Right(d.substring(idx + 1))
+            }
+          case "bearer" => Right(s(1))
+          case _ =>
+            nonEmpty(pQueryParam).orElse(nonEmpty(pFormParam))
+              .toRight("invalid Authorization header")
+        }
     }
-    warp10Header.filter(_.nonEmpty)
-      .orElse(metricsHeader.filter(_.nonEmpty))
-      .orElse(cityzenHeader.filter(_.nonEmpty))
-      .orElse(basicPassword.filter(_.nonEmpty))
-      .orElse(bearer.filter(_.nonEmpty))
-      .orElse(pParam.filter(_.nonEmpty))
   }
 }

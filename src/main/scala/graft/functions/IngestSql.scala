@@ -12,13 +12,24 @@ object IngestSql {
 
   /** Graphite value-type inference cascade (catalyser/graphite.go:332-367):
     * float needs a '.', then int, then case-insensitive true/false bool,
-    * else string.
+    * else string. The float branch mirrors Go strconv.ParseFloat's
+    * REJECTIONS that Java's cast would accept — trailing d/D/f/F
+    * suffixes, embedded whitespace (try_cast trims), and 0x hex floats —
+    * so this column twin and GraphiteParser.parseGoFloat classify
+    * identically (agreement property-tested in ParserFuzzSpec).
     */
-  def graphiteVtype(v: Column): Column =
-    when(v.contains(".") && try_to_number_double(v).isNotNull, "double")
-      .when(tryCastLong(v).isNotNull, "long")
+  def graphiteVtype(v: Column): Column = {
+    val goFloatOk = v.contains(".") &&
+      !v.rlike("[dDfF]$") && !v.rlike("\\s") &&
+      !v.contains("0x") && !v.contains("0X") &&
+      try_to_number_double(v).isNotNull
+    // long branch also needs the whitespace guard: try_cast trims, Go's
+    // strconv.ParseInt does not
+    when(goFloatOk, "double")
+      .when(!v.rlike("\\s") && tryCastLong(v).isNotNull, "long")
       .when(lower(v).isin("true", "false"), "bool")
       .otherwise("string")
+  }
 
   def tryCastDouble(v: Column): Column = v.try_cast("double")
   def tryCastLong(v: Column): Column = v.try_cast("bigint")

@@ -210,11 +210,13 @@ object Dedup {
   })
 
   /** Near-dup CLUSTERING: connected components over the MinHash pair
-    * graph via min-label propagation (8 rounds — covers any component
-    * diameter ≤ 8; the planted clusters have diameter ≤ 3). Cluster id =
-    * min doc_id of the component = the canonical "keep" doc. At 100 TB
-    * the same loop runs with the large-star/small-star optimization; the
-    * oracle reproduces it with a recursive reachability CTE.
+    * graph via min-label propagation, iterated TO THE FIXPOINT (the
+    * round cap is a runaway-guard far above any real diameter, and
+    * hitting it THROWS rather than returning unconverged labels — the
+    * oracle computes exact components, so a silent early exit would be a
+    * wrong answer). Cluster id = min doc_id of the component = the
+    * canonical "keep" doc. At 100 TB the same loop runs with the
+    * large-star/small-star optimization.
     */
   val dedupClusters: Q = Q("dedup_clusters", (s, dir) => {
     val pairs = minhashLsh.fn(s, dir).select("d1", "d2").persist()
@@ -224,7 +226,8 @@ object Dedup {
       .localCheckpoint(true)
     var changed = true
     var iter = 0
-    while (changed && iter < 8) { // 8 = diameter bound; exits at fixpoint
+    val maxIters = 64 // label propagation converges in <= diameter rounds
+    while (changed && iter < maxIters) {
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
       // localCheckpoint: break the doubling lineage each round (the same
@@ -236,6 +239,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"dedup_clusters did not converge in $maxIters rounds — graph diameter exceeds guard")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }, Some(s"""WITH RECURSIVE $minhashCtes,

@@ -31,7 +31,7 @@ object Ingest {
   def all: Seq[Q] = Seq(graphiteParse, influxFanout, opentsdbParse,
     promExposition, promExpositionProto, promRemoteWrite, promPathLabels,
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
-    methodFilter, errorClassify, graphiteTcpToken)
+    methodFilter, errorClassify, graphiteTcpToken, banExpiry)
 
   /** Sensision encoding of URL-UNSAFE names/labels/values through the
     * native codegen'd [[graft.expressions.UrlEncodeWarp]] expression:
@@ -478,6 +478,36 @@ object Ingest {
       CASE WHEN event_id % 8 <= 2 THEN 1 ELSE 0 END::BIGINT AS bans
       FROM events)
     GROUP BY class, status, bans ORDER BY class"""))
+
+  /** The ban-expiry admission filter as a batch query (A28's gate,
+    * middlewares/auth.go:41-48 + the TTL state of
+    * [[graft.streaming.BanStore]]): every 701st event bans its token at
+    * its own timestamp; a request is dropped iff an unexpired ban
+    * (within 24 h) covers it. Broadcast anti-join — ban tables are
+    * bounded by the token universe, never data-sized.
+    */
+  val banExpiry: Q = Q("ban_expiry", (s, dir) => {
+    val reqs = Tables.events(s, dir).select(col("event_id"),
+      concat(lit("tok"), col("user_id") % 50).as("token"),
+      expr("ts_us DIV 1000").as("req_ms"))
+    val bans = Tables.events(s, dir).filter(col("event_id") % 701 === 0)
+      .select(concat(lit("tok"), col("user_id") % 50).as("b_token"),
+        expr("ts_us DIV 1000").as("banned_at"))
+    reqs.join(broadcast(bans),
+        reqs("token") === bans("b_token") &&
+          col("req_ms") >= col("banned_at") &&
+          col("req_ms") < col("banned_at") + 86400000L,
+        "left_anti")
+      .orderBy("event_id")
+  }, Some("""SELECT event_id, 'tok' || CAST(user_id % 50 AS VARCHAR) AS token,
+      epoch_us(ts) // 1000 AS req_ms
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM events b
+      WHERE b.event_id % 701 = 0
+        AND b.user_id % 50 = e.user_id % 50
+        AND epoch_us(e.ts) // 1000 >= epoch_us(b.ts) // 1000
+        AND epoch_us(e.ts) // 1000 < epoch_us(b.ts) // 1000 + 86400000)
+    ORDER BY event_id"""))
 
   /** Graphite TCP first-line `TOKEN@.` prefix extraction
     * (graphite.go:240-267) as regexp columns.

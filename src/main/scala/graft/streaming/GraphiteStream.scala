@@ -123,11 +123,21 @@ object GraphiteStream {
   /** Snappy body decode (A5: the remote_write payload decompression,
     * catalyser/prometheus_remote_write.go:29) — snappy-java ships with
     * Spark; Kafka/parquet handle snappy natively, this is for raw HTTP
-    * bodies carried as binary columns.
+    * bodies carried as binary columns. The claimed uncompressed length is
+    * validated BEFORE allocating (a crafted header can claim ~4 GB and
+    * snappy-java throws NegativeArraySizeException/OutOfMemoryError, not
+    * IOException); oversized or corrupt bodies are dropped, matching the
+    * PERMISSIVE bad-line policy of this path.
     */
   def snappyDecode(spark: SparkSession, bodies: Dataset[Array[Byte]]): Dataset[String] = {
     import spark.implicits._
-    bodies.map(b => new String(org.xerial.snappy.Snappy.uncompress(b), "UTF-8"))
+    bodies.flatMap { b =>
+      try {
+        val len = org.xerial.snappy.Snappy.uncompressedLength(b)
+        if (len < 0 || len > graft.parsers.PrompbParser.MaxUncompressedBytes) None
+        else Some(new String(org.xerial.snappy.Snappy.uncompress(b), "UTF-8"))
+      } catch { case _: java.io.IOException => None }
+    }
   }
 
   /** Dry-run view (core/handler.go:161-167, --dryrun cmd/root.go:30): the

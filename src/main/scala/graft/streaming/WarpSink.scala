@@ -59,9 +59,16 @@ final class HttpWarpTransport(
     val result =
       if (code >= 200 && code < 300) None
       else {
-        val es = Option(conn.getErrorStream).getOrElse(conn.getInputStream)
-        val body = new String(es.readAllBytes(), "UTF-8")
-        es.close()
+        // getErrorStream can be null AND getInputStream throws IOException
+        // for error statuses — an unreadable body must still surface as a
+        // classifiable failure (Unclassified), not a raw IOException.
+        val body =
+          try {
+            val es = Option(conn.getErrorStream).getOrElse(conn.getInputStream)
+            val b = new String(es.readAllBytes(), "UTF-8")
+            es.close()
+            b
+          } catch { case _: java.io.IOException => "" }
         Some(body)
       }
     conn.disconnect()

@@ -64,4 +64,38 @@ class ParserFuzzSpec extends AnyFunSuite {
       catch { case e: Throwable => fail(s"influx threw on <$mutated>: $e") }
     }
   }
+
+  test("graphiteVtype column twin agrees with GraphiteParser.inferValue on adversarial tokens") {
+    import graft.core.GtsValue
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").appName("graft-vtype-agreement").getOrCreate()
+    try {
+      import spark.implicits._
+      // the drift cases the advisor flagged + Go-vs-Java float grammar edges
+      val targeted = Seq(
+        "1.5d", "1.5D", "1.5f", "1.5F", "1.5", " 1.5", "1.5 ", "1.5\t",
+        "0x1.8p1", "0X1.8P1", "1.5e3", "1.5E3", "+1.5", "-1.5", "1.", ".5",
+        ".", "..", "1..2", "5", "+5", "-5", " 5", "5 ", "5.0f", "1.d5",
+        "Infinity", "-Infinity", "NaN", "Inf", "inf", "true", "True", "FALSE",
+        " true", "99999999999999999999", "1,5", "", "15e3", "1_000", "１.5")
+      val rnd = new scala.util.Random(106)
+      val tokens = targeted ++ (1 to 3000).map(_ => garbage(rnd, 20))
+      val expected = tokens.map { t =>
+        GraphiteParser.inferValue(t) match {
+          case _: GtsValue.GtsDouble => "double"
+          case _: GtsValue.GtsLong   => "long"
+          case _: GtsValue.GtsBool   => "bool"
+          case _: GtsValue.GtsString => "string"
+        }
+      }
+      val got = tokens.toDF("tok")
+        .select(graft.functions.IngestSql.graphiteVtype(org.apache.spark.sql.functions.col("tok")))
+        .as[String].collect().toSeq
+      val diffs = tokens.indices.collect {
+        case i if expected(i) != got(i) => (tokens(i), expected(i), got(i))
+      }
+      assert(diffs.isEmpty, s"column/Scala drift on: ${diffs.take(10).map(d => s"<${d._1}> scala=${d._2} col=${d._3}")}")
+    } finally spark.stop()
+  }
 }

@@ -27,7 +27,7 @@ class QueriesSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_lsh_rp", "q_approx_distinct"),
+    assert(rowsOnly == Set("q_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -37,6 +37,21 @@ class QueriesSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = fn(spark, sfDir).count()
       assert(n >= 0)
       spark.catalog.clearCache()
+    }
+  }
+
+  test("q_approx_distinct HLL estimates are within 5% of exact q_distinct") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // no cross-engine oracle is possible for HLL sketches; verify the
+    // estimate against the exact counts instead of merely running it
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir).collect().head
+    val exact = SparkEntry.queries("q_distinct")(spark, sfDir).collect().head
+    def relErr(a: Long, e: Long): Double = math.abs(a - e).toDouble / e
+    val pairs = Seq(
+      (approx.getAs[Long]("approx_parts"), exact.getAs[Long]("n_parts")),
+      (approx.getAs[Long]("approx_supps"), exact.getAs[Long]("n_supps")))
+    pairs.foreach { case (a, e) =>
+      assert(relErr(a, e) < 0.05, s"HLL estimate $a vs exact $e exceeds 5% relative error")
     }
   }
 

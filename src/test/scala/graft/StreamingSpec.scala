@@ -439,4 +439,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = GraphiteStream.filterBanned(events, banned, "token")
     assert(kept.select("v").as[Long].collect().toSet == Set(2L))
   }
+
+  test("ban lifecycle end-to-end: sink error bans, next batch filtered, TTL un-bans (A28)") {
+    import graft.streaming.{BanStore, TokenBans}
+    import org.apache.spark.sql.Dataset
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val store = new BanStore(banDurationMs = 10000L)
+    val clock = new java.util.concurrent.atomic.AtomicLong(1000L)
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val dir = Files.createTempDirectory("graft_ban").toFile
+
+    val q = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        val now = clock.get()
+        val rows = batch.map(_.split(" ")(0)).toDF("token")
+        // step 3: the gate filters actively-banned tokens out of the batch
+        val toks = TokenBans.gate(rows, store, "token", now)
+          .as[String].collect().sorted
+        toks.foreach(admitted.add)
+        // steps 1-2: the Warp sink rejects tokBAD -> classify -> ban upsert
+        if (toks.contains("tokBAD")) {
+          val err = TokenBans.recordSinkFailure(store,
+            "io.warp10.script.WarpScriptException: Invalid token", "tokBAD", now)
+          assert(err.bansToken && err.httpStatus == 401)
+        }
+        ()
+      }.start()
+    try {
+      // batch 1: both tokens flow; sink error bans tokBAD at t=1000
+      Files.write(new java.io.File(dir, "b1.txt").toPath,
+        "tokBAD line1\ntokOK line2".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(store.isBanned("tokBAD", clock.get()))
+      assert(!store.isBanned("tokOK", clock.get()))
+
+      // batch 2 (inside the TTL): tokBAD is filtered, tokOK flows
+      clock.set(2000L)
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "tokBAD line3\ntokOK line4".getBytes("UTF-8"))
+      q.processAllAvailable()
+
+      // batch 3 (TTL elapsed): tokBAD un-banned, re-admitted — and then
+      // re-banned, because the sink still rejects it (the full cycle)
+      clock.set(1000L + 10000L)
+      assert(!store.isBanned("tokBAD", clock.get())) // TTL expiry un-bans
+      Files.write(new java.io.File(dir, "b3.txt").toPath,
+        "tokBAD line5\ntokOK line6".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(store.isBanned("tokBAD", clock.get())) // sink error re-banned it
+
+      val byTok = admitted.toArray(Array.empty[String]).groupBy(identity).view.mapValues(_.length).toMap
+      assert(byTok("tokOK") == 3, s"tokOK should pass all 3 batches: $byTok")
+      assert(byTok("tokBAD") == 2, s"tokBAD passes batches 1 and 3 only: $byTok")
+    } finally q.stop()
+  }
 }

@@ -51,21 +51,36 @@ class WarpErrorsSpec extends AnyFunSuite {
     assert(classify(both, "t") == InvalidToken("t"))
   }
 
-  test("token extraction precedence (core/auth.go:13-62)") {
+  test("token extraction precedence and error paths (core/auth.go:13-62)") {
     def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def basic(cred: String) = Some("Basic " + b64(cred))
     // warp10 header wins over everything
-    assert(TokenExtract.fromParts(Some("w"), Some("m"), Some("c"), Some(b64("u:p")), Some("b"), Some("q"))
-      == Some("w"))
-    assert(TokenExtract.fromParts(None, Some("m"), Some("c"), None, None, None) == Some("m"))
-    assert(TokenExtract.fromParts(None, None, Some("c"), None, None, None) == Some("c"))
-    // Basic auth: password half
-    assert(TokenExtract.fromParts(None, None, None, Some(b64("user:secret")), Some("b"), None)
-      == Some("secret"))
-    assert(TokenExtract.fromParts(None, None, None, None, Some("bear"), Some("q")) == Some("bear"))
-    assert(TokenExtract.fromParts(None, None, None, None, None, Some("q")) == Some("q"))
-    assert(TokenExtract.fromParts(None, None, None, None, None, None) == None)
-    // invalid base64 / missing colon fall through
-    assert(TokenExtract.fromParts(None, None, None, Some("!!!"), None, Some("q")) == Some("q"))
-    assert(TokenExtract.fromParts(None, None, None, Some(b64("nocolon")), None, Some("q")) == Some("q"))
+    assert(TokenExtract.fromRequest(Some("w"), Some("m"), Some("c"), basic("u:p"), Some("q"), None)
+      == Right("w"))
+    assert(TokenExtract.fromRequest(None, Some("m"), Some("c"), None, None, None) == Right("m"))
+    assert(TokenExtract.fromRequest(None, None, Some("c"), None, None, None) == Right("c"))
+    // Basic auth: password half (scheme is case-insensitive in Go's strings.ToLower)
+    assert(TokenExtract.fromRequest(None, None, None, basic("user:secret"), None, None)
+      == Right("secret"))
+    assert(TokenExtract.fromRequest(None, None, None, Some("basic " + b64("u:p")), None, None)
+      == Right("p"))
+    // Bearer takes the rest verbatim
+    assert(TokenExtract.fromRequest(None, None, None, Some("Bearer bear"), Some("q"), None)
+      == Right("bear"))
+    // p params are reachable ONLY via an unrecognized Authorization scheme
+    assert(TokenExtract.fromRequest(None, None, None, Some("Token xyz"), Some("q"), None)
+      == Right("q"))
+    assert(TokenExtract.fromRequest(None, None, None, Some("Token xyz"), None, Some("pf"))
+      == Right("pf"))
+    assert(TokenExtract.fromRequest(None, None, None, Some("Token xyz"), None, None)
+      == Left("invalid Authorization header"))
+    // no Authorization header at all = hard error, not a p fallback
+    assert(TokenExtract.fromRequest(None, None, None, None, Some("q"), None)
+      == Left("missing basic auth bearer"))
+    // malformed Basic credentials are HARD errors (the reference rejects)
+    assert(TokenExtract.fromRequest(None, None, None, Some("Basic !!!"), Some("q"), None)
+      == Left("bad basic auth bearer"))
+    assert(TokenExtract.fromRequest(None, None, None, basic("nocolon"), Some("q"), None)
+      == Left("unauthorized"))
   }
 }
