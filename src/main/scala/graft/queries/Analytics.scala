@@ -40,7 +40,7 @@ object Analytics {
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
-    qTsResample, qUnionByName)
+    qTsResample, qUnionByName, qSaltedAgg)
 
   /** Time-series resampling with gap filling — the Warp-10-class operator
     * the reference delegates: per-user hourly grid over each user's span
@@ -321,6 +321,27 @@ object Analytics {
     SELECT 'top_key_' || CAST(user_id AS VARCHAR), n FROM
       (SELECT user_id, n FROM counts ORDER BY n DESC, user_id ASC LIMIT 3)
     ORDER BY metric"""))
+
+  /** Skew-resistant two-phase aggregation over the REAL salting path
+    * ([[graft.ops.Scale.saltedAgg]]): the skewed user_id traffic
+    * q_skew_profile diagnoses, aggregated via 8 pre-split salt buckets so
+    * no reducer owns a hot key — and recombined EXACTLY (sum/count/min/
+    * max are associative; the oracle is the plain one-phase GROUP BY).
+    * round(,4) on the double sum: salting reorders float addition.
+    */
+  val qSaltedAgg: Q = Q("q_salted_agg", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("value"))
+    graft.ops.Scale.saltedAgg(e, col("user_id"), 8,
+        (col("value"), "sum", "sum_value"),
+        (col("value"), "count", "n"),
+        (col("value"), "min", "min_value"),
+        (col("value"), "max", "max_value"))
+      .select(col("_key").as("user_id"), round(col("sum_value"), 4).as("sum_value"),
+        col("n"), col("min_value"), col("max_value"))
+      .orderBy("user_id")
+  }, Some("""SELECT user_id, round(sum(value), 4) AS sum_value,
+      count(*) AS n, min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** Pivot: event counts per user bucket × event_type as columns. */
   val qPivot: Q = Q("q_pivot", (s, dir) => {

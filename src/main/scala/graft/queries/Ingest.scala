@@ -31,7 +31,8 @@ object Ingest {
   def all: Seq[Q] = Seq(graphiteParse, influxFanout, opentsdbParse,
     promExposition, promExpositionProto, promRemoteWrite, promPathLabels,
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
-    methodFilter, errorClassify, graphiteTcpToken, banExpiry)
+    methodFilter, errorClassify, graphiteTcpToken, banExpiry,
+    influxPrecision, graphiteFailfast)
 
   /** Sensision encoding of URL-UNSAFE names/labels/values through the
     * native codegen'd [[graft.expressions.UrlEncodeWarp]] expression:
@@ -151,6 +152,75 @@ object Ingest {
       'long', CAST(coalesce(json_extract_string(props, '$.k'), '0') AS BIGINT), CAST(NULL AS DOUBLE),
       epoch_us(ts) FROM events)
     ORDER BY ts_us, name, labels_str"""))
+
+  /** The influx `precision` URL param through the REAL parser at every
+    * unit (catalyser/influxdb.go:25-28): the same event emitted as
+    * s/ms/u/n-precision line protocol (by event_id%4) must land on the
+    * same µs timeline after the per-precision ns multiplier — the oracle
+    * reconstructs the truncation arithmetic relationally.
+    */
+  val influxPrecision: Q = Q("influx_precision", (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("event_type"), col("value"),
+      expr("""element_at(array('s','ms','u','n'), CAST(event_id % 4 AS INT) + 1)""").as("prec"),
+      expr("""CASE CAST(event_id % 4 AS INT)
+        WHEN 0 THEN ts_us DIV 1000000
+        WHEN 1 THEN ts_us DIV 1000
+        WHEN 2 THEN ts_us
+        ELSE ts_us * 1000 END""").as("raw_ts"))
+    e.as[(Long, String, Double, String, Long)].flatMap { case (eid, etype, v, prec, rawTs) =>
+      val line = s"m_$etype value=$v $rawTs"
+      InfluxLineParser.parseLine(line, prec, 0L).fold(
+        _ => Seq.empty[(Long, String, String, Double, Long)],
+        gts => gts.map { g =>
+          val r = Gts.toRow(g)
+          (eid, prec, r.name, r.v_double.get, r.ts_us.get)
+        })
+    }.toDF("event_id", "precision", "name", "v_double", "ts_us")
+      .orderBy("event_id")
+  }, Some("""SELECT event_id,
+      (['s','ms','u','n'])[CAST(event_id % 4 AS INT) + 1] AS precision,
+      'm_' || event_type || '.value' AS name,
+      value AS v_double,
+      CASE CAST(event_id % 4 AS INT)
+        WHEN 0 THEN (epoch_us(ts) // 1000000) * 1000000
+        WHEN 1 THEN (epoch_us(ts) // 1000) * 1000
+        ELSE epoch_us(ts) END AS ts_us
+    FROM events ORDER BY event_id"""))
+
+  /** The per-transport error-policy divergence as a query pair
+    * (catalyser/graphite.go:49-56 HTTP FAILFAST — one bad line fails the
+    * whole request — vs :276-283 TCP PERMISSIVE — bad lines dropped,
+    * stream continues): events form 100-line requests, every 13th line
+    * corrupted, per-line verdicts from the REAL GraphiteParser; both
+    * policies derived per request.
+    */
+  val graphiteFailfast: Q = Q("graphite_failfast", (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      col("event_id"),
+      expr("event_id DIV 100").as("req"),
+      expr("""IF(event_id % 13 = 0, 'corrupt',
+        concat(event_type, '.m ', CAST(value AS STRING), ' ',
+               CAST(ts_us DIV 1000000 AS STRING)))""").as("line"))
+    val verdicts = e.as[(Long, Long, String)].map { case (eid, req, line) =>
+      val ok = graft.parsers.GraphiteParser.parseLine(line, parse = false, 0L).isRight
+      (eid, req, if (ok) 1L else 0L)
+    }.toDF("event_id", "req", "ok")
+    verdicts.groupBy("req")
+      .agg(count(lit(1)).as("n_lines"), sum("ok").as("n_ok_permissive"))
+      .withColumn("failfast_parsed",
+        when(col("n_ok_permissive") === col("n_lines"), col("n_lines")).otherwise(0L))
+      .withColumn("failfast_error", (col("n_ok_permissive") =!= col("n_lines")).cast("bigint"))
+      .orderBy("req")
+  }, Some("""SELECT event_id // 100 AS req, count(*) AS n_lines,
+      CAST(sum(CASE WHEN event_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok_permissive,
+      CASE WHEN sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) = 0
+        THEN count(*) ELSE 0 END AS failfast_parsed,
+      CAST(CASE WHEN sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) > 0
+        THEN 1 ELSE 0 END AS BIGINT) AS failfast_error
+    FROM events GROUP BY event_id // 100 ORDER BY req"""))
 
   /** OpenTSDB JSON decode via Spark-native from_json (A13/A14: the
     * schema-driven replacement for the reference's format sniffer +
