@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
-    dedupClusters, hashSplit)
+    dedupClusters, hashSplit, decontaminate)
 
   private val P = 2147483647L // 2^31-1, Mersenne prime for the minhash universe
 
@@ -227,6 +227,14 @@ object Dedup {
     var changed = true
     var iter = 0
     val maxIters = 64 // label propagation converges in <= diameter rounds
+    // Min-label propagation is MONOTONE: labels only ever decrease, so
+    // the exact decimal sum of labels strictly decreases until fixpoint.
+    // Convergence = sum unchanged — one aggregate on the new labels,
+    // instead of a join back against the previous round (halves the
+    // per-round work vs the join-and-compare formulation).
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     while (changed && iter < maxIters) {
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
@@ -234,8 +242,9 @@ object Dedup {
       // move an iterative cluster job makes with reliable checkpointing)
       val next = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-        .filter(col("lbl") =!= col("old")).limit(1).count() > 0
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
@@ -255,6 +264,32 @@ object Dedup {
       SELECT e.dst AS v, r.r FROM reach r JOIN edges e ON e.src = r.v)
     SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
     ORDER BY doc_id"""))
+
+  /** Eval DECONTAMINATION — the train/test n-gram overlap check every
+    * training pipeline runs before shipping a split: train-side documents
+    * sharing any word-3-gram shingle with any test-side document, with
+    * the shared-shingle count. Splits come from the same reproducible
+    * md5 hash as `sample_hash_split` (h<80 train, h>=90 test). The join
+    * is an inverted shingle index — at 100 TB the test-side shingle set
+    * is small (eval suites are) and broadcasts; the train side streams
+    * through it with no all-pairs work.
+    */
+  val decontaminate: Q = Q("dedup_decontaminate", (s, dir) => {
+    val sh = sparkShingles(s, dir).withColumn("h", expr(
+      "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+    val trainSh = sh.filter(col("h") < 80).select(col("doc_id"), col("sh"))
+    val testSh = sh.filter(col("h") >= 90).select(col("sh").as("t_sh")).distinct()
+    trainSh.join(testSh, col("sh") === col("t_sh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH $duckShingles,
+    hs AS (SELECT doc_id, sh,
+      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h FROM sh),
+    t AS (SELECT DISTINCT sh FROM hs WHERE h >= 90)
+    SELECT hs.doc_id, count(DISTINCT hs.sh) AS n_shared_shingles
+    FROM hs JOIN t ON hs.sh = t.sh WHERE hs.h < 80
+    GROUP BY hs.doc_id ORDER BY doc_id"""))
 
   /** Deterministic hash-based sampling + train/val/test split — the
     * reproducible (no rand()) mixing primitive a training-data pipeline

@@ -32,7 +32,7 @@ object Ingest {
     promExposition, promExpositionProto, promRemoteWrite, promPathLabels,
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
-    influxPrecision, graphiteFailfast)
+    influxPrecision, graphiteFailfast, quotaEnforce)
 
   /** Sensision encoding of URL-UNSAFE names/labels/values through the
     * native codegen'd [[graft.expressions.UrlEncodeWarp]] expression:
@@ -578,6 +578,41 @@ object Ingest {
         AND epoch_us(e.ts) // 1000 >= epoch_us(b.ts) // 1000
         AND epoch_us(e.ts) // 1000 < epoch_us(b.ts) // 1000 + 86400000)
     ORDER BY event_id"""))
+
+  /** Daily-quota ENFORCEMENT — the actionable form of the DDP limit the
+    * reference only reports as a Warp error (core/warp.go DDP taxonomy,
+    * `error_classify`): per (token, day), the first 80 points by arrival
+    * order are admitted, the rest dropped. The admission decision is a
+    * real per-point row_number over a (token, day)-PARTITIONED window
+    * (parallel across keys), not a derivable count — the oracle must run
+    * the same window.
+    */
+  val quotaEnforce: Q = Q("quota_enforce", (s, dir) => {
+    val e = Tables.events(s, dir).select(
+      col("event_id"),
+      concat(lit("tok"), col("user_id") % 20).as("token"),
+      expr("ts_us DIV 86400000000").as("day"),
+      col("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token", "day").orderBy(col("ts_us"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .groupBy("token", "day")
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("rn") <= 80, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("rn") > 80, 1L).otherwise(0L)).as("n_dropped"),
+        max(when(col("rn") === 80, col("event_id"))).as("last_admitted_id"))
+      .withColumn("over_limit", (col("n_dropped") > 0).cast("bigint"))
+      .orderBy("token", "day")
+  }, Some("""SELECT token, day, count(*) AS n_points,
+      CAST(sum(CASE WHEN rn <= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+      CAST(sum(CASE WHEN rn > 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      max(CASE WHEN rn = 80 THEN event_id END) AS last_admitted_id,
+      CAST(CASE WHEN sum(CASE WHEN rn > 80 THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS over_limit
+    FROM (SELECT event_id, token, day, row_number() OVER
+        (PARTITION BY token, day ORDER BY ts_us, event_id) AS rn
+      FROM (SELECT event_id, 'tok' || CAST(user_id % 20 AS VARCHAR) AS token,
+        epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS ts_us FROM events))
+    GROUP BY token, day ORDER BY token, day"""))
 
   /** Graphite TCP first-line `TOKEN@.` prefix extraction
     * (graphite.go:240-267) as regexp columns.

@@ -21,7 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids, annLshRp)
+  def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids, annLshRp,
+    embedQuantize)
+
+  /** Symmetric int8 per-vector quantization — the storage/serving
+    * compression step of an embedding pipeline: scale = max|x|/127,
+    * q = round(x/scale). Per-vector report: scale, exact integer
+    * checksum of the codes, and max absolute reconstruction error.
+    * Max (not sum) keeps every float op order-independent; the
+    * division/round/multiply chain is identical IEEE double math in
+    * both engines. Embarrassingly parallel per row — zero shuffle
+    * except the output sort.
+    */
+  val embedQuantize: Q = Q("embed_quantize", (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    e.withColumn("mx", aggregate(col("emb"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("scale", col("mx") / 127.0)
+      .withColumn("q", transform(col("emb"), x => round(x / col("scale")).cast("int")))
+      .select(col("vec_id"),
+        round(col("scale"), 9).as("scale9"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        round(aggregate(zip_with(col("q"), col("emb"),
+            (qi, xi) => abs(qi * col("scale") - xi)), lit(0.0),
+          (a, x) => greatest(a, x)), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }, Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS (SELECT vec_id, emb,
+      list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM e WHERE list_aggregate(list_transform(emb, x -> abs(x)), 'max') > 0),
+    q AS (SELECT vec_id, emb, scale,
+      list_transform(emb, x -> CAST(round(x / scale) AS INT)) AS qv FROM s)
+    SELECT vec_id, round(scale, 9) AS scale9,
+      CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      round(list_aggregate(list_transform(range(1, len(emb) + 1),
+        i -> abs(qv[i] * scale - emb[i])), 'max'), 6) AS max_abs_err
+    FROM q ORDER BY vec_id"""))
 
   /** Full IVF: the coarse quantizer is COMPUTED (per-cell mean vector,
     * rounded to 6 decimals for cross-engine bit-stability), each query is

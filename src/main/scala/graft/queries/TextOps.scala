@@ -14,7 +14,28 @@ object TextOps {
 
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
-    textRedact, wordEntropy, corpusReport)
+    textRedact, wordEntropy, corpusReport, topNgrams)
+
+  /** Corpus-wide top-20 bigrams — the vocabulary/collocation statistic a
+    * tokenizer-training or data-audit pass computes: explode bigrams,
+    * count, take the top-k. Partial (map-side) aggregation absorbs the
+    * explosion before the single shuffle; the ordered limit plans as
+    * TakeOrderedAndProject, so only 20 rows ever reach the driver side
+    * regardless of corpus size. Ties broken lexicographically.
+    */
+  val topNgrams: Q = Q("text_top_ngrams", (s, dir) => {
+    val w = Tables.t(s, dir, "documents")
+      .select(filter(split(lower(col("text")), " "), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+    w.select(explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram")).limit(20)
+  }, Some("""SELECT bigram, count(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents) WHERE len(w) >= 2)
+    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""))
 
   /** Per-source corpus report — the dataset-card dashboard that composes
     * the per-doc operators: volume, token mass, integer-exact mean
