@@ -51,7 +51,36 @@ final class BanStore(val banDurationMs: Long) extends Serializable {
   def size: Int = bans.size()
 }
 
+/** One metered point for the streaming quota gate. */
+final case class QuotaEvent(token: String, day: Long, id: Long)
+
 object TokenBans {
+
+  /** Streaming per-(token, day) quota admission — the streaming twin of
+    * the batch `quota_enforce` query: running admitted-count state via
+    * flatMapGroupsWithState; each micro-batch admits points (in id
+    * order) until the key's limit is exhausted, drops the rest, and the
+    * count persists across batches. State is one Long per active
+    * (token, day) — bounded, checkpointable, RocksDB-backed at scale;
+    * day-keyed state ages out naturally with a timeout in production
+    * wiring.
+    */
+  def quotaLimit(
+      events: org.apache.spark.sql.Dataset[QuotaEvent],
+      limit: Long): org.apache.spark.sql.Dataset[QuotaEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(e => (e.token, e.day))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (String, Long), it: Iterator[QuotaEvent], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val evs = it.toArray.sortBy(_.id)
+          val room = math.max(0L, limit - used).toInt
+          val admitted = evs.take(room)
+          state.update(used + admitted.length)
+          admitted.iterator
+      }
+  }
 
   /** Sink failure → classification → ban-on-token-error, the
     * core/handler.go:222-248 reaction: invalid/expired/revoked token

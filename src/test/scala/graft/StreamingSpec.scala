@@ -495,4 +495,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byTok("tokBAD") == 2, s"tokBAD passes batches 1 and 3 only: $byTok")
     } finally q.stop()
   }
+
+  test("streaming quota: admission state persists across micro-batches") {
+    import graft.streaming.{QuotaEvent, TokenBans}
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_quota").toFile
+    val events = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); QuotaEvent(p(0), p(1).toLong, p(2).toLong) }
+    val q = TokenBans.quotaLimit(events, limit = 3L)
+      .writeStream.outputMode("append").format("memory").queryName("graft_quota_out").start()
+    try {
+      // batch 1: 2 points for tokA/day0 -> both admitted (2/3 used)
+      Files.write(new java.io.File(dir, "b1.txt").toPath,
+        "tokA 0 1\ntokA 0 2\ntokB 0 10".getBytes("UTF-8"))
+      q.processAllAvailable()
+      // batch 2: 2 more for tokA/day0 -> only ONE admitted (state = 2);
+      // tokA/day1 is a fresh key -> admitted
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "tokA 0 3\ntokA 0 4\ntokA 1 20".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM graft_quota_out").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 3L, 10L, 20L), s"admitted ids: $ids")
+    } finally q.stop()
+  }
 }
