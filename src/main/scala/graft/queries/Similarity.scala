@@ -21,8 +21,56 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids, annLshRp,
-    embedQuantize)
+  def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
+    annIvfNprobe, annLshRp, embedQuantize)
+
+  /** Multi-probe IVF (nprobe=2): each query searches its TWO nearest
+    * coarse cells — the recall lever every production IVF index turns
+    * when a query lands near a cell boundary. Cells partition the
+    * corpus, so the candidate union is duplicate-free; cost scales
+    * linearly with nprobe, never with corpus size. Output includes the
+    * probed cell of each hit, so the oracle verifies WHICH probe found
+    * it, not just the ranking.
+    */
+  val annIvfNprobe: Q = Q("ann_ivf_nprobe", (s, dir) => {
+    val n = normed(s, dir)
+    val assigned = assignCells(n, centroids(n), nprobe = 2)
+    val c = n.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("emb").as("ce"), col("nrm").as("cn"))
+    val pairs = assigned.join(c, col("cell") === col("c_label") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("cell").cast("bigint").as("cell"), col("rnk"),
+        col("c_id"), round(col("sim"), 4).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }, Some("""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    dims AS (SELECT label, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) GROUP BY label, i),
+    cent AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS cvec FROM dims GROUP BY label),
+    centn AS (SELECT label, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cent),
+    assigned AS (SELECT q_id, cell FROM (
+      SELECT q.vec_id AS q_id, c.label AS cell,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY round(list_dot_product(q.emb, c.cvec) / (q.nrm * c.cnrm), 6) DESC,
+                   c.label ASC) AS crn
+      FROM e q, centn c WHERE q.vec_id < 10) WHERE crn <= 2),
+    pairs AS (SELECT a.q_id, a.cell, c.vec_id AS c_id,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM assigned a
+      JOIN e q ON q.vec_id = a.q_id
+      JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id),
+    r AS (SELECT q_id, cell, c_id, sim,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk
+      FROM pairs)
+    SELECT q_id, CAST(cell AS BIGINT) AS cell, rnk, c_id, round(sim, 4) AS cosine
+    FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
   /** Symmetric int8 per-vector quantization — the storage/serving
     * compression step of an embedding pipeline: scale = max|x|/127,
@@ -66,25 +114,37 @@ object Similarity {
     * centroids come from k-means and nprobe>1 cells are searched; the
     * dataflow — build quantizer, assign, prune, rank — is this).
     */
-  val annIvfCentroids: Q = Q("ann_ivf_centroids", (s, dir) => {
-    val n = normed(s, dir)
-    // 1. centroids: per-label per-dim mean, rebuilt as a rounded vector
-    val cent = n.select(col("label"), posexplode(col("emb")))
+  /** Per-label mean-vector coarse quantizer (rounded to 6 decimals for
+    * cross-engine bit-stability) — shared by the nprobe=1 and nprobe=2
+    * IVF paths.
+    */
+  private def centroids(n: DataFrame): DataFrame =
+    n.select(col("label"), posexplode(col("emb")))
       .groupBy("label", "pos").agg(avg("col").as("cv"))
       .groupBy("label").agg(
         transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => round(x.getField("cv"), 6)).as("cvec"))
       .withColumn("cnrm", sqrt(dotD(col("cvec"), col("cvec"))))
-    // 2. assign each query to its nearest centroid
+
+  /** Queries (vec_id < 10) assigned to their `nprobe` nearest centroids
+    * by cosine; crossJoin against the tiny centroid set plans as a
+    * broadcast NLJ.
+    */
+  private def assignCells(n: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val q = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val assignW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(round(col("csim"), 6).desc, col("label").asc)
-    val assigned = q.crossJoin(cent)
+    q.crossJoin(cent)
       .withColumn("csim", dotD(col("qe"), col("cvec")) / (col("qn") * col("cnrm")))
       .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
+      .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("qe"), col("qn"), col("label").as("cell"))
+  }
+
+  val annIvfCentroids: Q = Q("ann_ivf_centroids", (s, dir) => {
+    val n = normed(s, dir)
+    val assigned = assignCells(n, centroids(n), nprobe = 1)
     // 3. search only the assigned cell
     val c = n.select(col("vec_id").as("c_id"), col("label").as("c_label"),
       col("emb").as("ce"), col("nrm").as("cn"))

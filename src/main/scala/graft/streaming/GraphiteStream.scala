@@ -52,6 +52,22 @@ object GraphiteStream {
     }
   }
 
+  /** FAILFAST twin of parseLines — the HTTP-path policy
+    * (catalyser/graphite.go:49-56): the first bad line fails the
+    * task/request instead of being dropped (the TCP path keeps the
+    * PERMISSIVE drop; the `graphite_failfast` query derives both
+    * policies relationally).
+    */
+  def parseLinesFailfast(spark: SparkSession, lines: Dataset[String], hierarchyLabels: Boolean): Dataset[GtsRow] = {
+    import spark.implicits._
+    lines.map { line =>
+      GraphiteParser.parseLine(line, hierarchyLabels) match {
+        case Right(g)  => Gts.toRow(g)
+        case Left(err) => throw new IllegalArgumentException(s"graphite parse error: $err in <$line>")
+      }
+    }
+  }
+
   /** parseLines with A35-style counters: successes and parse errors are
     * counted on the executors via accumulators.
     */

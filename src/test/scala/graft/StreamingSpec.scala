@@ -496,6 +496,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("FAILFAST parse throws on the first bad line; PERMISSIVE drops it (graphite.go:49-56 vs :276-283)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val lines = Seq("a.b 1 1546420308", "not!parseable", "c.d 2 1546420309").toDS()
+    assert(GraphiteStream.parseLines(spark, lines, hierarchyLabels = false).count() == 2)
+    val ex = intercept[Exception] {
+      GraphiteStream.parseLinesFailfast(spark, lines, hierarchyLabels = false).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("graphite parse error")), s"unexpected: $ex")
+  }
+
   test("streaming quota: admission state persists across micro-batches") {
     import graft.streaming.{QuotaEvent, TokenBans}
     spark.sparkContext.setLogLevel("ERROR")
