@@ -22,7 +22,65 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
-    annIvfNprobe, annLshRp, embedQuantize)
+    annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize)
+
+  /** Multi-probe LSH: each query searches its own bucket PLUS the 8
+    * hamming-distance-1 buckets (one sign bit flipped) — the standard
+    * recall fix for LSH's boundary problem, trading 9 bounded bucket
+    * probes for a wider candidate set instead of more tables. Candidates
+    * are duplicate-free (each lives in exactly one bucket). probe_dist
+    * records whether the base bucket (0) or a neighbor (1) found each
+    * hit, so the oracle verifies the probe structure itself.
+    */
+  val annLshMultiprobe: Q = Q("ann_lsh_multiprobe", (s, dir) => {
+    val n = normed(s, dir)
+    val bucketBits: Seq[Column] = lshPlanes.zipWithIndex.map { case (p, i) =>
+      when(dotD(col("emb"), typedLit(p)) > 0, lit("1")).otherwise(lit("0")).as(s"b$i")
+    }
+    val bucketed = n.withColumn("bucket", concat(bucketBits: _*))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"),
+        col("bucket").as("q_bucket"))
+    val probeCols: Seq[Column] = col("q_bucket") +: (1 to lshPlanes.size).map { i =>
+      concat(substring(col("q_bucket"), 1, i - 1),
+        when(substring(col("q_bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("q_bucket"), i + 1, lshPlanes.size - i))
+    }
+    val probes = q.select(col("q_id"), col("qe"), col("qn"), col("q_bucket"),
+      explode(array(probeCols: _*)).as("probe"))
+    val c = bucketed.select(col("vec_id").as("c_id"), col("bucket").as("c_bucket"),
+      col("emb").as("ce"), col("nrm").as("cn"))
+    val pairs = probes.join(c, col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("probe_dist", (col("probe") =!= col("q_bucket")).cast("bigint"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("probe_dist"),
+        round(col("sim"), 4).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }, Some(s"""WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    b AS (SELECT vec_id, emb, nrm, $lshBitsSql AS bucket FROM n),
+    qp AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn, bucket AS q_bucket,
+        CASE WHEN j = 0 THEN bucket
+          ELSE substr(bucket, 1, j - 1) ||
+            (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END) ||
+            substr(bucket, j + 1) END AS probe
+      FROM b, range(0, ${lshPlanes.size + 1}) r(j) WHERE vec_id < 10),
+    p AS (SELECT q_id, q_bucket, probe, c.vec_id AS c_id,
+        list_dot_product(qe, c.emb) / (qn * c.nrm) AS sim,
+        CAST(CASE WHEN probe <> q_bucket THEN 1 ELSE 0 END AS BIGINT) AS probe_dist
+      FROM qp JOIN b c ON c.bucket = qp.probe AND c.vec_id <> qp.q_id),
+    r AS (SELECT q_id, c_id, probe_dist, sim,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk
+      FROM p)
+    SELECT q_id, rnk, c_id, probe_dist, round(sim, 4) AS cosine
+    FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
   /** Multi-probe IVF (nprobe=2): each query searches its TWO nearest
     * coarse cells — the recall lever every production IVF index turns
@@ -260,7 +318,7 @@ object Similarity {
     * neighbors (a 12-bit code left the check nearly empty); at real
     * scale the bit count grows with corpus size.
     */
-  private val lshPlanes: Seq[Seq[Double]] = {
+  private lazy val lshPlanes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(8)(Seq.fill(64)(rnd.nextDouble() * 2.0 - 1.0))
   }
@@ -270,10 +328,15 @@ object Similarity {
     * the LSH path gets a hash-exact check instead of rows-only. Both
     * engines fold the dot product left-to-right over doubles.
     */
-  private val lshOracleSql: String = {
-    val bits = lshPlanes.map { p =>
-      s"(CASE WHEN list_dot_product(emb, [${p.mkString(", ")}]) > 0 THEN '1' ELSE '0' END)"
-    }.mkString(" || ")
+  /** The bucket-bit concatenation, as DuckDB SQL (shared by the LSH
+    * oracles).
+    */
+  private lazy val lshBitsSql: String = lshPlanes.map { p =>
+    s"(CASE WHEN list_dot_product(emb, [${p.mkString(", ")}]) > 0 THEN '1' ELSE '0' END)"
+  }.mkString(" || ")
+
+  private lazy val lshOracleSql: String = {
+    val bits = lshBitsSql
     s"""WITH n AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -64,4 +64,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"expected NO shuffle, got:\n$plan")
     assert(joined.count() == 5000)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // one hot key owns ~200k rows; thresholds lowered so local-scale data
+    // trips the same detector a 100 TB job relies on
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 100
+      val left = (1 to 100000).map(i => (if (i % 20 == 0) i.toLong % 1000 else 999999L, pad))
+        .toDF("k", "payload")
+      val right = ((0L until 1000L) :+ 999999L).map(i => (i, s"attr_$i")).toDF("k", "attr")
+      val joined = left.join(right, "k")
+      // execute THIS plan (count() would build a separate QueryExecution
+      // whose adaptive stages we couldn't inspect afterwards)
+      assert(joined.collect().length == 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew split missing from final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
