@@ -65,6 +65,63 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("influx round-trip: random escaped points -> line -> parse -> identical (2000 cases)") {
+    import graft.core.GtsValue
+    import graft.parsers.InfluxLineParser
+    val rnd = new scala.util.Random(107)
+    // identifier charset deliberately includes every char the escaping
+    // grammar protects (comma, equals, space, backslash-adjacent)
+    val identChars = "abcXYZ09_-., ="
+    def rawIdent(): String = {
+      val n = 1 + rnd.nextInt(8)
+      val s = (0 until n).map(_ => identChars.charAt(rnd.nextInt(identChars.length))).mkString
+      // an identifier of only escapable chars is fine; empty is not
+      if (s.trim.isEmpty) s + "x" else s
+    }
+    def escIdent(s: String): String =
+      s.flatMap { case c @ (',' | '=' | ' ') => s"\\$c"; case c => c.toString }
+    def escMeas(s: String): String =
+      s.flatMap { case c @ (',' | ' ') => s"\\$c"; case c => c.toString }
+    def escStr(s: String): String =
+      s.flatMap { case '\\' => "\\\\"; case '"' => "\\\""; case c => c.toString }
+    (1 to 2000).foreach { round =>
+      val meas = rawIdent().replace("=", "e") // '=' unescapable in measurement
+      val tags = (0 until rnd.nextInt(3)).map(_ => (rawIdent(), rawIdent())).toMap
+      val nFields = 1 + rnd.nextInt(3)
+      val fields = (0 until nFields).map { fi =>
+        val key = s"f$fi${rawIdent()}"
+        val v: GtsValue = rnd.nextInt(4) match {
+          case 0 => GtsValue.long(rnd.nextLong() % 100000)
+          case 1 => GtsValue.double(math.round(rnd.nextDouble() * 1e6).toDouble / 1000.0)
+          case 2 => GtsValue.bool(rnd.nextBoolean())
+          case _ => GtsValue.string(rawIdent() + "\"\\" + rawIdent())
+        }
+        (key, v)
+      }
+      val tsNs = math.abs(rnd.nextLong() % 1700000000000000000L)
+      def fv(v: GtsValue): String = v match {
+        case GtsValue.GtsLong(l)   => s"${l}i"
+        case GtsValue.GtsDouble(d) => d.toString
+        case GtsValue.GtsBool(b)   => if (b) "true" else "false"
+        case GtsValue.GtsString(s) => "\"" + escStr(s) + "\""
+      }
+      val tagStr = tags.map { case (k, v) => s",${escIdent(k)}=${escIdent(v)}" }.mkString
+      val fieldStr = fields.map { case (k, v) => s"${escIdent(k)}=${fv(v)}" }.mkString(",")
+      val line = s"${escMeas(meas)}$tagStr $fieldStr $tsNs"
+      InfluxLineParser.parseLine(line, "n", 0L) match {
+        case Left(err) => fail(s"round $round: parse failed on <$line>: $err")
+        case Right(gts) =>
+          assert(gts.size == fields.size, s"round $round: fan-out mismatch on <$line>")
+          fields.zip(gts).foreach { case ((k, v), g) =>
+            assert(g.name == s"$meas.$k", s"round $round: name <${g.name}> on <$line>")
+            assert(g.labels == tags, s"round $round: tags ${g.labels} vs $tags on <$line>")
+            assert(g.value == v, s"round $round: value ${g.value} vs $v on <$line>")
+            assert(g.ts.contains(tsNs / 1000L), s"round $round: ts on <$line>")
+          }
+      }
+    }
+  }
+
   test("graphiteVtype column twin agrees with GraphiteParser.inferValue on adversarial tokens") {
     import graft.core.GtsValue
     val spark = org.apache.spark.sql.SparkSession.builder()
