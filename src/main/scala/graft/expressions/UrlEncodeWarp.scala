@@ -50,10 +50,14 @@ object UrlEncodeWarp {
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` — the
-  * config-driven injection path for sessions we own.
+  * config-driven injection path for sessions we own: the native encoder
+  * function plus the opt-in global-window scale guard
+  * ([[graft.plans.GlobalWindowGuard]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(UrlEncodeWarp.fnName),
       UrlEncodeWarp.info, UrlEncodeWarp.builder))
+    ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
+  }
 }

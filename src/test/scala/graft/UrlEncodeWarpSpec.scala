@@ -44,4 +44,38 @@ class UrlEncodeWarpSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = spark.sql("SELECT url_encode_warp(CAST(NULL AS STRING)) AS e").collect()
     assert(got.head.isNullAt(0))
   }
+
+  test("global-window guard: data-sized unpartitioned window rejected, partitioned and post-agg allowed") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // file-backed so the leaf is a scan (LocalRelation literals count as
+    // provably small and are exempt)
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "grp")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    spark.conf.set("spark.graft.guard.globalWindow", "error")
+    try {
+      val ex = intercept[Exception] {
+        df.withColumn("rn", row_number().over(Window.orderBy("id"))).collect()
+      }
+      def chain(t: Throwable) =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(chain(ex).exists(_.contains("global-window guard")), s"unexpected: $ex")
+      // partitioned window passes
+      val ok = df.withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("id")))
+      assert(ok.count() == 100)
+      // global window over an Aggregate (the shard-totals prefix-sum
+      // second pass) is the sanctioned pattern and passes
+      val totals = df.groupBy("grp").agg(sum("id").as("tot"))
+        .withColumn("off", sum("tot").over(Window.orderBy("grp")))
+      assert(totals.count() == 5)
+      // off = guard disarmed
+      spark.conf.unset("spark.graft.guard.globalWindow")
+      assert(df.withColumn("rn", row_number().over(Window.orderBy("id"))).count() == 100)
+    } finally spark.conf.unset("spark.graft.guard.globalWindow")
+  }
 }
