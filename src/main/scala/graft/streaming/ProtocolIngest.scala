@@ -64,6 +64,23 @@ object ProtocolIngest {
       PromParser.parseExposition(b, extraLabels, System.currentTimeMillis())))
   }
 
+  /** Prometheus exposition with content negotiation (the full A17
+    * surface): binary bodies + per-record content type; the delimited-
+    * protobuf type routes to the MetricFamily wire decoder (histogram/
+    * summary flattening included), anything else falls back to the text
+    * grammar — exactly expfmt.ResponseFormat (prometheus.go:40-49).
+    */
+  def promExpositionNegotiated(
+      spark: SparkSession, bodies: Dataset[(Array[Byte], String)],
+      extraLabels: Map[String, String],
+      mode: ParseMode = ParseMode.FailFast): Dataset[GtsRow] = {
+    import spark.implicits._
+    bodies.flatMap { case (body, contentType) =>
+      handle(mode)(graft.parsers.PromProtoParser.parseExposition(
+        body, Option(contentType), extraLabels, System.currentTimeMillis()))
+    }
+  }
+
   /** Remote-write: snappy-compressed protobuf WriteRequest bodies
     * (binary column, e.g. Kafka value) → GTS rows.
     */

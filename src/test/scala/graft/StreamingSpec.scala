@@ -509,6 +509,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chain(ex).exists(_.contains("graphite parse error")), s"unexpected: $ex")
   }
 
+  test("negotiated prometheus exposition: proto and text bodies through one ingest (A17)") {
+    import graft.parsers.PromProtoParser
+    import graft.parsers.PromProtoParser.{Metric, MetricFamily}
+    import graft.streaming.ProtocolIngest
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val protoBody = PromProtoParser.encodeDelimited(Seq(
+      MetricFamily("m_proto", PromProtoParser.COUNTER,
+        Seq(Metric(Map("k" -> "v"), Some(1.5), None, None, Some(10L))))))
+    val textBody = "m_text{k=\"w\"} 2.5 20\n".getBytes("UTF-8")
+    val ds = Seq(
+      (protoBody, PromProtoParser.ProtoContentType),
+      (textBody, "text/plain; version=0.0.4")).toDS()
+    val rows = ProtocolIngest.promExpositionNegotiated(spark, ds, Map("job" -> "j"))
+      .collect().sortBy(_.name)
+    assert(rows.map(_.name).toSeq == Seq("m_proto", "m_text"))
+    assert(rows(0).labels == Map("k" -> "v", "job" -> "j"))
+    assert(rows(0).ts_us.contains(10000L) && rows(1).ts_us.contains(20000L))
+  }
+
   test("streaming quota: admission state persists across micro-batches") {
     import graft.streaming.{QuotaEvent, TokenBans}
     spark.sparkContext.setLogLevel("ERROR")
