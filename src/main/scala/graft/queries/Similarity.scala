@@ -22,7 +22,72 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
-    annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize)
+    annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8)
+
+  /** IVF + SQ8 compressed search — the production index composition
+    * (FAISS `IVFx,SQ8`-style): candidates are pruned to the query's
+    * coarse cell AND scored against their 8-bit-quantized form via
+    * asymmetric distance (full-precision query × reconstructed
+    * candidate). Quantization grid = per-dimension global min/max over
+    * 255 steps (min/max are order-independent, so the grid is bit-stable
+    * cross-engine); reconstruction is grid midpointless round-trip
+    * mn + round((x-mn)/step)*step. At 100 TB the codes are what sits in
+    * memory — 16× smaller than float32 — and this query is the recall/
+    * rank shape you serve from them.
+    */
+  val annIvfSq8: Q = Q("ann_ivf_sq8", (s, dir) => {
+    val n = normed(s, dir)
+    // per-dimension quantization grid (1-row broadcast)
+    val grid = n.select(posexplode(col("emb")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .groupBy().agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          x => x.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"),
+            ((col("mx") - col("mn")) / 255.0).as("sc")))),
+          x => when(x.getField("sc") === 0.0, 1.0).otherwise(x.getField("sc"))).as("scs"))
+    val withRec = n.crossJoin(broadcast(grid))
+      .withColumn("rec", transform(col("emb"), (x, i) =>
+        element_at(col("mns"), i + 1) +
+          round((x - element_at(col("mns"), i + 1)) / element_at(col("scs"), i + 1)) *
+          element_at(col("scs"), i + 1)))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+    val c = withRec.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("rec").as("ce"))
+      .withColumn("cn", sqrt(dotD(col("ce"), col("ce"))))
+    val pairs = q.join(c, col("q_label") === col("c_label") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cosine_adc"))
+      .orderBy("q_id", "rnk")
+  }, Some("""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    dims AS (SELECT i AS pos, min(emb[i]) AS mn, max(emb[i]) AS mx
+      FROM e, range(1, 65) r(i) GROUP BY i),
+    grid AS (SELECT list(mn ORDER BY pos) AS mns,
+      list(CASE WHEN (mx - mn) / 255.0 = 0 THEN 1.0 ELSE (mx - mn) / 255.0 END ORDER BY pos) AS scs
+      FROM dims),
+    rec AS (SELECT vec_id, label,
+        list_transform(range(1, 65), i ->
+          g.mns[i] + round((emb[i] - g.mns[i]) / g.scs[i]) * g.scs[i]) AS ce
+      FROM e, grid g),
+    recn AS (SELECT vec_id, label, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM rec),
+    p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(q.emb, c.ce) / (q.nrm * c.cn) AS sim
+      FROM e q JOIN recn c ON q.vec_id < 10 AND q.label = c.label AND c.vec_id <> q.vec_id),
+    r AS (SELECT q_id, c_id, sim,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk
+      FROM p)
+    SELECT q_id, rnk, c_id, round(sim, 4) AS cosine_adc
+    FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
   /** Multi-probe LSH: each query searches its own bucket PLUS the 8
     * hamming-distance-1 buckets (one sign bit flipped) — the standard
