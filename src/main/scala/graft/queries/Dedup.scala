@@ -25,7 +25,48 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
-    dedupClusters, hashSplit, decontaminate)
+    dedupClusters, hashSplit, decontaminate, dedupIncremental)
+
+  /** INCREMENTAL dedup — the daily-batch shape: a new source arrives and
+    * must be deduped against the already-ingested corpus. A Bloom filter
+    * built over the corpus fingerprints (distributed aggregation; final
+    * sketch is a few MB regardless of corpus row count — sized by bits,
+    * not rows) is broadcast and prefilters the batch BEFORE any shuffle:
+    *  - bloom-miss  → definitely new (no false negatives), never shuffled;
+    *  - bloom-hit   → possibly seen; only these (a tiny fraction at a
+    *    1% fpp) enter the exact anti-join that removes false positives.
+    * The result is EXACTLY the plain anti-join — the oracle is the plain
+    * anti-join — but at 100 TB the shuffle carries ~1% of the batch
+    * instead of all of it. The mightContain UDF runs on a broadcast
+    * sketch: bounded memory, no per-row state, deliberately outside
+    * codegen (a hash probe, not an expression tree).
+    */
+  val dedupIncremental: Q = Q("dedup_incremental", (s, dir) => {
+    def fp(c: Column): Column = md5(array_join(array_sort(array_distinct(
+      filter(split(lower(c), " "), w => w =!= ""))), " "))
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), fp(col("text")).as("fp"))
+    val seen = d.filter(col("source") =!= "src19").select("fp")
+    val batch = d.filter(col("source") === "src19").select("doc_id", "fp")
+    val bloom = seen.stat.bloomFilter("fp", 1000000L, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bloomBc.value.mightContainString(fp))
+    val misses = batch.filter(!mightContain(col("fp")))
+    val hits = batch.filter(mightContain(col("fp")))
+      .join(seen, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    misses.select("doc_id", "fp").union(hits)
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id,
+      md5(list_aggregate(list_sort(list_distinct(
+        list_filter(string_split(lower(text), ' '), w -> w <> ''))), 'string_agg', ' ')) AS fp
+    FROM documents b WHERE source = 'src19'
+      AND NOT EXISTS (SELECT 1 FROM documents s WHERE s.source <> 'src19'
+        AND md5(list_aggregate(list_sort(list_distinct(
+          list_filter(string_split(lower(s.text), ' '), w -> w <> ''))), 'string_agg', ' '))
+          = md5(list_aggregate(list_sort(list_distinct(
+          list_filter(string_split(lower(b.text), ' '), w -> w <> ''))), 'string_agg', ' ')))
+    ORDER BY doc_id"""))
 
   private val P = 2147483647L // 2^31-1, Mersenne prime for the minhash universe
 

@@ -22,7 +22,79 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
-    annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8)
+    annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
+    kmeansRefine)
+
+  /** Coarse-quantizer TRAINING: two Lloyd iterations refining the
+    * per-label mean centroids — the k-means step that builds a real IVF
+    * index (ann_ivf_centroids consumes what this produces). Each round:
+    * assign every vector to its nearest centroid by cosine (crossJoin vs
+    * the k-row centroid relation = broadcast NLJ, cost k·N per round,
+    * never N²), then recompute per-cluster means (one shuffle keyed by
+    * cluster). Centroid components round to 6 decimals each round — the
+    * established cross-engine float-stability trick — and the oracle
+    * unrolls the same two iterations as a CTE chain. Output: final
+    * cluster sizes + an order-deterministic centroid checksum.
+    */
+  val kmeansRefine: Q = Q("kmeans_refine", (s, dir) => {
+    val n = normed(s, dir)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(round(col("csim"), 6).desc, col("cluster").asc)
+      n.crossJoin(cent)
+        .withColumn("csim", dotD(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("emb"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("emb")))
+        .groupBy("cluster", "pos").agg(avg("col").as("cv"))
+        .groupBy("cluster").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => round(x.getField("cv"), 6)).as("cvec"))
+        .withColumn("cnrm", sqrt(dotD(col("cvec"), col("cvec"))))
+    var cent = centroids(n).select(col("label").as("cluster"), col("cvec"), col("cnrm"))
+    for (_ <- 1 to 2) cent = recompute(assign(cent))
+    assign(cent).groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .join(cent.select(col("cluster"),
+        round(aggregate(col("cvec"), lit(0.0), (a, x) => a + x), 4).as("centroid_sum")),
+        "cluster")
+      .select(col("cluster").cast("bigint").as("cluster"), col("n_vecs"), col("centroid_sum"))
+      .orderBy("cluster")
+  }, Some {
+    def assignSql(cn: String, a: String) =
+      s"""$a AS (SELECT vec_id, cluster, emb FROM (
+        SELECT e.vec_id, c.cluster, e.emb,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_dot_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+                     c.cluster ASC) AS rn
+        FROM e, $cn c) WHERE rn = 1)"""
+    def recomputeSql(a: String, i: Int) =
+      s"""dims$i AS (SELECT cluster, i AS pos, avg(emb[i]) AS cv
+        FROM $a, range(1, 65) r(i) GROUP BY cluster, i),
+      cent$i AS (SELECT cluster, list(round(cv, 6) ORDER BY pos) AS cvec
+        FROM dims$i GROUP BY cluster),
+      cn$i AS (SELECT cluster, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cent$i)"""
+    s"""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    dims0 AS (SELECT label AS cluster, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) GROUP BY label, i),
+    cent0 AS (SELECT cluster, list(round(cv, 6) ORDER BY pos) AS cvec FROM dims0 GROUP BY cluster),
+    cn0 AS (SELECT cluster, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cent0),
+    ${assignSql("cn0", "a1")},
+    ${recomputeSql("a1", 1)},
+    ${assignSql("cn1", "a2")},
+    ${recomputeSql("a2", 2)},
+    ${assignSql("cn2", "a3")}
+    SELECT CAST(a.cluster AS BIGINT) AS cluster, count(*) AS n_vecs,
+      any_value(cs.centroid_sum) AS centroid_sum
+    FROM a3 a JOIN (SELECT cluster, round(list_aggregate(cvec, 'sum'), 4) AS centroid_sum
+      FROM cent2) cs ON cs.cluster = a.cluster
+    GROUP BY a.cluster ORDER BY cluster"""
+  })
 
   /** IVF + SQ8 compressed search — the production index composition
     * (FAISS `IVFx,SQ8`-style): candidates are pruned to the query's

@@ -14,7 +14,104 @@ object TextOps {
 
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
-    textRedact, wordEntropy, corpusReport, topNgrams)
+    textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
+    qualityRepetition)
+
+  /** Per-document top-3 TF-IDF terms — the classic distinctive-term
+    * extractor (keyword tagging, near-boilerplate triage). Plan shape at
+    * scale: one shuffle for per-(doc,word) TF, one vocabulary-keyed
+    * shuffle for DF, the 1-row corpus count broadcast, and a per-doc
+    * window for the top-k — nothing global, nothing driver-side. The
+    * vocabulary join is left to AQE: DF fits in a broadcast for most
+    * corpora but grows with vocabulary, so no forced hint.
+    * Ranking key is round(,6) with a word tie-break (both engines order
+    * identically at float boundaries); ln() over doubles is identical
+    * IEEE math both sides (same pattern as text_word_entropy).
+    */
+  val tfidfTopTerms: Q = Q("text_tfidf", (s, dir) => {
+    val words = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), w => w =!= "")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val dl = tf.groupBy("doc_id").agg(sum("c").as("dl"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val ndocs = tf.agg(countDistinct(col("doc_id")).as("ndocs"))
+    val scored = tf.join(dl, "doc_id").join(dfreq, "word")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("s", (col("c") / col("dl")) * log(col("ndocs") / col("df")))
+    val w = Window.partitionBy("doc_id").orderBy(round(col("s"), 6).desc, asc("word"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("word"), round(col("s"), 4).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }, Some("""WITH w AS (SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, sum(c) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS ndocs FROM tf),
+    sc AS (SELECT tf.doc_id, tf.word,
+        (tf.c * 1.0 / dl.dl) * ln(n.ndocs * 1.0 / df.df) AS s
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN n),
+    r AS (SELECT doc_id, word, s,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY round(s, 6) DESC, word ASC) AS BIGINT) AS rnk
+      FROM sc)
+    SELECT doc_id, rnk, word, round(s, 4) AS tfidf
+    FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  /** Repetition-based quality filters (the Gopher/MassiveText family):
+    * per-document fraction of bigram mass in duplicated bigrams, mass of
+    * the most frequent bigram, and mass of the most frequent word — the
+    * signals that catch boilerplate and degenerate repetition that
+    * entropy alone smooths over. All ratios are integer basis points
+    * (10000·x DIV n): exact integer arithmetic, immune to cross-engine
+    * float rounding (same trick as text_stats.quality_bp). Per-doc
+    * aggregation only — embarrassingly parallel at 100 TB.
+    */
+  val qualityRepetition: Q = Q("quality_repetition", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), filter(split(lower(col("text")), " "), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+    val big = d.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("bigram"))
+    val bstats = big.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_big"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_big"),
+        max("c").as("top_big"))
+    val wstats = d.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_words"), max("c").as("top_word"))
+    bstats.join(wstats, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_big"),
+        expr("10000 * dup_big DIV n_big").as("dup_bigram_bp"),
+        expr("10000 * top_big DIV n_big").as("top_bigram_bp"),
+        expr("10000 * top_word DIV n_words").as("top_word_bp"))
+      .orderBy("doc_id")
+  }, Some("""WITH d AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    d2 AS (SELECT doc_id, w FROM d WHERE len(w) >= 2),
+    big AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM d2),
+    bc AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram),
+    bstats AS (SELECT doc_id, sum(c) AS n_big,
+        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_big, max(c) AS top_big
+      FROM bc GROUP BY doc_id),
+    wc AS (SELECT doc_id, unnest(w) AS word FROM d2),
+    wcc AS (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY doc_id, word),
+    wstats AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word
+      FROM wcc GROUP BY doc_id)
+    SELECT b.doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_big AS BIGINT) AS n_big,
+      CAST(10000 * dup_big // n_big AS BIGINT) AS dup_bigram_bp,
+      CAST(10000 * top_big // n_big AS BIGINT) AS top_bigram_bp,
+      CAST(10000 * top_word // n_words AS BIGINT) AS top_word_bp
+    FROM bstats b JOIN wstats USING (doc_id)
+    ORDER BY doc_id"""))
 
   /** Corpus-wide top-20 bigrams — the vocabulary/collocation statistic a
     * tokenizer-training or data-audit pass computes: explode bigrams,
