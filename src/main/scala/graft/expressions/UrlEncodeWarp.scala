@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(UrlEncodeWarp.fnName),
       UrlEncodeWarp.info, UrlEncodeWarp.builder))
+    ext.injectFunction((FunctionIdentifier(DotProductDouble.fnName),
+      DotProductDouble.info, DotProductDouble.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

@@ -378,11 +378,18 @@ object Similarity {
     SELECT q_id, CAST(cell AS BIGINT) AS cell, rnk, c_id, round(sim, 4) AS cosine
     FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
+  /** Fused native dot product ([[graft.expressions.DotProductDouble]]) —
+    * bit-identical to the previous aggregate(zip_with) fold (same
+    * left-to-right accumulation), but one codegen'd loop with no
+    * intermediate product-array allocation per row. Registered on the
+    * session in [[normed]], which every Similarity query calls first.
+    */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function(graft.expressions.DotProductDouble.fnName, a, b)
 
   /** embeddings with double-cast vectors + L2 norms. */
   private def normed(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.DotProductDouble.register(s)
     val e = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
