@@ -40,7 +40,45 @@ object Analytics {
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
-    qTsResample, qUnionByName, qSaltedAgg)
+    qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly)
+
+  /** Rolling z-score anomaly detection — the monitoring-alert shape the
+    * reference's metrics ultimately feed: each event scored against the
+    * trailing 20 events of its own series (frame EXCLUDES the current
+    * row — you score against history, not against yourself), flagged at
+    * |z| > 3 with ≥5 history rows and non-degenerate variance. Per-key
+    * partitioned window (parallel per series at any scale); boundary
+    * comparisons on round(,6) so both engines cut identically at float
+    * edges.
+    */
+  val qZscoreAnomaly: Q = Q("q_zscore_anomaly", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+      .rowsBetween(-20, -1)
+    e.select(col("event_type"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("nw", count("value").over(w))
+      .filter(col("nw") >= 5 && round(col("sd"), 6) > 0)
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(round(col("z"), 6)) > 3)
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        round(col("value"), 4).as("value"), round(col("mu"), 4).as("mu"),
+        round(col("sd"), 4).as("sd"), round(col("z"), 4).as("z"))
+      .orderBy("event_type", "ts_us", "event_id")
+  }, Some("""WITH h AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+        avg(value) OVER w AS mu,
+        stddev_samp(value) OVER w AS sd,
+        count(value) OVER w AS nw
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT *, (value - mu) / sd AS z FROM h
+      WHERE nw >= 5 AND round(sd, 6) > 0)
+    SELECT event_type, event_id, ts_us, round(value, 4) AS value,
+      round(mu, 4) AS mu, round(sd, 4) AS sd, round(z, 4) AS z
+    FROM z WHERE abs(round(z, 6)) > 3
+    ORDER BY event_type, ts_us, event_id"""))
 
   /** Time-series resampling with gap filling — the Warp-10-class operator
     * the reference delegates: per-user hourly grid over each user's span

@@ -15,7 +15,50 @@ object TextOps {
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
-    qualityRepetition)
+    qualityRepetition, mixSample)
+
+  /** Data-mixing downsampler — equalize source contributions for a
+    * training mix: every source is hash-downsampled to the token mass of
+    * the SMALLEST source. Keep-rate per source is exact integer basis
+    * points (10000·min_tokens DIV src_tokens); membership is the
+    * reproducible md5 hash of the doc id (no rand() — stable across
+    * engines, retries, and scales; same primitive as sample_hash_split).
+    * Plan: one aggregation for source masses, a 1-row global min
+    * broadcast, rate join back, per-doc hash test — no global ordering
+    * anywhere.
+    */
+  val mixSample: Q = Q("mix_sample", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("bigint").as("tok"))
+    val st = d.groupBy("source")
+      .agg(sum("tok").as("src_tokens"), count(lit(1)).as("n_docs"))
+    val minTok = st.agg(min("src_tokens").as("min_tokens"))
+    val rates = st.crossJoin(broadcast(minTok))
+      .withColumn("rate_bp", expr("10000 * min_tokens DIV src_tokens"))
+    d.join(rates, "source")
+      .withColumn("keep", expr(
+        "CAST(conv(substr(md5(concat('mix', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10000") < col("rate_bp"))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"), max("rate_bp").as("rate_bp"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("tok"))), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }, Some("""WITH d AS (SELECT doc_id, source,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+      FROM documents),
+    st AS (SELECT source, sum(tok) AS src_tokens, count(*) AS n_docs FROM d GROUP BY source),
+    m AS (SELECT min(src_tokens) AS min_tokens FROM st),
+    r AS (SELECT source, n_docs, CAST(10000 * m.min_tokens // src_tokens AS BIGINT) AS rate_bp
+      FROM st, m)
+    SELECT d.source, CAST(max(r.n_docs) AS BIGINT) AS n_docs, max(r.rate_bp) AS rate_bp,
+      count(CASE WHEN CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 10000 < r.rate_bp THEN 1 END) AS n_kept,
+      CAST(coalesce(sum(CASE WHEN CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 10000 < r.rate_bp THEN tok END), 0) AS BIGINT) AS kept_tokens
+    FROM d JOIN r USING (source)
+    GROUP BY d.source ORDER BY source"""))
 
   /** Per-document top-3 TF-IDF terms — the classic distinctive-term
     * extractor (keyword tagging, near-boilerplate triage). Plan shape at
