@@ -40,7 +40,41 @@ object Analytics {
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
-    qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly)
+    qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin)
+
+  /** Interval-containment join with NO equi key — the case Spark's planner
+    * can only express as a nested-loop join (every point × every
+    * interval: dead at scale). The scale-correct rewrite: quantize time
+    * into buckets the size of the interval span, explode each interval
+    * into the (≤2) buckets it overlaps, equi-join points to buckets, then
+    * apply the exact range predicate as a residual filter. Same result,
+    * but the plan is a shuffled HASH join keyed by bucket — O(N+M)
+    * shuffle instead of O(N·M) compare. A point lives in exactly one
+    * bucket, so no dedup step is needed. (ScaleSpec asserts the plan
+    * contains no BroadcastNestedLoopJoin.)
+    */
+  val qIntervalBucketJoin: Q = Q("q_interval_join_bucketed", (s, dir) => {
+    val W = 21600000000L // 6 h in µs = bucket width = interval span
+    val e = Tables.events(s, dir)
+    val iv = e.filter(col("event_id") % 997 === 0)
+      .select(col("event_id").as("iv_id"), col("ts_us").as("iv_start"),
+        (col("ts_us") + lit(W)).as("iv_end"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"iv_start DIV $W"), expr(s"iv_end DIV $W"))))
+    val pts = e.select(col("event_id").as("p_id"), col("ts_us").as("p_ts"), col("value"))
+      .withColumn("bucket", expr(s"p_ts DIV $W"))
+    iv.join(pts, "bucket")
+      .filter(col("p_ts") >= col("iv_start") && col("p_ts") <= col("iv_end"))
+      .groupBy("iv_id")
+      .agg(count(lit(1)).as("n_points"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("iv_id")
+  }, Some("""SELECT a.event_id AS iv_id, count(*) AS n_points,
+      round(sum(p.value), 4) AS sum_value
+    FROM events a JOIN events p
+      ON epoch_us(p.ts) >= epoch_us(a.ts)
+      AND epoch_us(p.ts) <= epoch_us(a.ts) + 21600000000
+    WHERE a.event_id % 997 = 0
+    GROUP BY a.event_id ORDER BY iv_id"""))
 
   /** Rolling z-score anomaly detection — the monitoring-alert shape the
     * reference's metrics ultimately feed: each event scored against the

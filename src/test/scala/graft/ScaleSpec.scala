@@ -65,6 +65,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 5000)
   }
 
+  test("bucketized interval join plans as a hash/merge join, not a nested loop") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val plan = graft.queries.Analytics.qIntervalBucketJoin
+      .fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the bucket key:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
