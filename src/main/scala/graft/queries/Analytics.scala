@@ -40,7 +40,42 @@ object Analytics {
     qWindowRange, qVariant, q12ShipPriority, q14PromoShare, qPivot,
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
-    qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin)
+    qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
+    qRecursiveCte)
+
+  /** Recursive CTE (Spark 4.1's WITH RECURSIVE): hierarchical rollup over
+    * an implicit binary tree on doc_id (parent = id DIV 2) — each doc
+    * walks its ancestor chain to the root and aggregates the chain's
+    * character mass. The recursion is acyclic and log-depth (Spark's
+    * recursive CTE supports UNION ALL only, so cyclic transitive closure
+    * stays with the iterative driver loop in dedup_clusters; this is the
+    * declarative surface for DAG-shaped recursion). DuckDB runs the
+    * identical recursion as the oracle.
+    */
+  val qRecursiveCte: Q = Q("q_recursive_cte", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+      .createOrReplaceTempView("docs_rc")
+    s.sql("""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+        SELECT doc_id, doc_id, 0 FROM docs_rc
+        UNION ALL
+        SELECT doc_id, anc_id DIV 2, depth + 1 FROM anc WHERE anc_id > 1)
+      SELECT a.doc_id, CAST(max(a.depth) AS BIGINT) AS depth,
+        CAST(count(*) AS BIGINT) AS n_ancestors,
+        CAST(sum(d.n_chars) AS BIGINT) AS chain_chars
+      FROM anc a JOIN docs_rc d ON d.doc_id = a.anc_id
+      GROUP BY a.doc_id ORDER BY a.doc_id""")
+  }, Some("""WITH RECURSIVE d AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+    anc(doc_id, anc_id, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM d
+      UNION ALL
+      SELECT doc_id, anc_id // 2, depth + 1 FROM anc WHERE anc_id > 1)
+    SELECT a.doc_id, CAST(max(a.depth) AS BIGINT) AS depth,
+      CAST(count(*) AS BIGINT) AS n_ancestors,
+      CAST(sum(dd.n_chars) AS BIGINT) AS chain_chars
+    FROM anc a JOIN d dd ON dd.doc_id = a.anc_id
+    GROUP BY a.doc_id ORDER BY a.doc_id"""))
 
   /** Interval-containment join with NO equi key — the case Spark's planner
     * can only express as a nested-loop join (every point × every
