@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured recall@3 of every ANN path against the exact brute-force
+  * baseline (embed_cosine_topk's top-3) — "measure, don't guess": the
+  * bucketed/pruned indexes trade recall for candidate-set size, and this
+  * pins the trade on the fixed test corpus so an index regression (wrong
+  * banding, broken probe expansion) shows up as a recall drop, not a
+  * silent quality loss.
+  *
+  * IMPORTANT calibration fact (verified): the synthetic embeddings are
+  * isotropic noise — mean intra-label cosine equals inter-label (≈0), so
+  * true neighbors are spread uniformly across cells/buckets and recall
+  * against the FULL-corpus baseline ≈ the fraction of the corpus the
+  * index probes (cell-size/N per probe). The floors below are therefore
+  * probe-coverage regression guards, not semantic-quality claims — on a
+  * clustered corpus the same indexes sit far higher. What must hold
+  * structurally regardless of data: nprobe=2 ≥ nprobe=1 (a superset of
+  * cells) and multi-probe LSH ≥ single-bucket LSH (a superset of
+  * buckets); measured on this fixed corpus: ivf1=0.13 ivf2=0.30
+  * lsh=0.00 lshMulti=0.07 sq8=0.07.
+  */
+class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** (q_id, c_id) pairs of the top-3 rows of an ANN query result. */
+  private def top3(df: DataFrame): Set[(Long, Long)] =
+    df.filter(df("rnk") <= 3).select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact: Set[(Long, Long)] =
+    top3(graft.queries.Similarity.cosineTopk.fn(spark, dir))
+
+  private def recall(approx: Set[(Long, Long)]): Double = {
+    assert(exact.nonEmpty)
+    approx.intersect(exact).size.toDouble / exact.size
+  }
+
+  test("recall@3 floors hold for every ANN path; probe expansion monotone") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val ivf1 = recall(top3(graft.queries.Similarity.annIvfCentroids.fn(spark, dir)))
+    val ivf2 = recall(top3(graft.queries.Similarity.annIvfNprobe.fn(spark, dir)))
+    val lsh1 = recall(top3(graft.queries.Similarity.annLshRp.fn(spark, dir)))
+    val lshM = recall(top3(graft.queries.Similarity.annLshMultiprobe.fn(spark, dir)))
+    val sq8 = recall(top3(graft.queries.Similarity.annIvfSq8.fn(spark, dir)))
+    info(f"recall@3  ivf1=$ivf1%.2f ivf2=$ivf2%.2f lsh=$lsh1%.2f lshMulti=$lshM%.2f sq8=$sq8%.2f")
+    assert(ivf2 >= ivf1, "nprobe=2 must not lose recall vs nprobe=1")
+    assert(lshM >= lsh1, "multi-probe must not lose recall vs single-bucket LSH")
+    // deterministic corpus → deterministic recall; floors just under the
+    // measured values (see scaladoc) so any probe/banding regression trips
+    assert(ivf1 >= 0.10, s"IVF nprobe=1 probe coverage collapsed: $ivf1")
+    assert(ivf2 >= 0.25, s"IVF nprobe=2 probe coverage collapsed: $ivf2")
+    assert(ivf2 >= 1.5 * ivf1, "nprobe=2 should probe ~2x the corpus of nprobe=1")
+    assert(sq8 >= 0.05, s"SQ8 reconstruction broke ranking entirely: $sq8")
+  }
+}

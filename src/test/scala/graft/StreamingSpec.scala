@@ -552,4 +552,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ids == Set(1L, 2L, 3L, 10L, 20L), s"admitted ids: $ids")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup: bloom prefilter + exact confirm across micro-batches") {
+    // the streaming twin of the dedup_incremental batch operator: each
+    // micro-batch is prefiltered by a Bloom filter over everything seen
+    // so far (bounded sketch, no false negatives), bloom-hits are
+    // confirmed by an exact anti-join against the seen-fingerprint store,
+    // and only genuinely-new docs pass through + extend the store.
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_incdedup_in").toFile
+    val seenDir = Files.createTempDirectory("graft_incdedup_seen").toString + "/fps"
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.01)
+    val passed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stream = spark.readStream.text(in.getAbsolutePath)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val d = batch.select(
+          split(col("value"), "\\|").getItem(0).cast("long").as("doc_id"),
+          md5(split(col("value"), "\\|").getItem(1)).as("fp"))
+        val bc = s.sparkContext.broadcast(bloom)
+        val might = udf((fp: String) => bc.value.mightContainString(fp))
+        val seen =
+          if (new java.io.File(seenDir).exists) s.read.parquet(seenDir)
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType))))
+        val fresh = d.filter(!might(col("fp")))
+          .union(d.filter(might(col("fp"))).join(seen, Seq("fp"), "left_anti")
+            .select("fp", "doc_id").select(col("doc_id"), col("fp")))
+          .dropDuplicates("fp") // within-batch dups collapse too
+          .collect()
+        fresh.foreach { r =>
+          passed.add(r.getLong(0))
+          bloom.putString(r.getString(1))
+        }
+        val sq = s
+        import sq.implicits._
+        fresh.map(_.getString(1)).toSeq.toDF("fp")
+          .write.mode("append").parquet(seenDir)
+    }.start()
+    try {
+      Files.write(new java.io.File(in, "b1.txt").toPath,
+        "1|alpha text\n2|beta text\n3|gamma text\n4|alpha text".getBytes("UTF-8"))
+      q.processAllAvailable()
+      // 4 is a within-batch dup of 1 -> only 1,2,3 pass
+      assert(passed.toArray.toSet == Set(1L, 2L, 3L), s"batch1 passed: $passed")
+      Files.write(new java.io.File(in, "b2.txt").toPath,
+        "5|beta text\n6|delta text\n7|gamma text".getBytes("UTF-8"))
+      q.processAllAvailable()
+      // 5 and 7 replay seen content across batches -> only 6 is new
+      assert(passed.toArray.toSet == Set(1L, 2L, 3L, 6L), s"after batch2: $passed")
+    } finally q.stop()
+  }
 }
