@@ -260,11 +260,18 @@ object Dedup {
     * large-star/small-star optimization.
     */
   val dedupClusters: Q = Q("dedup_clusters", (s, dir) => {
+    // Lineage-break strategy: localCheckpoint (executor-local blocks) by
+    // default; if spark.graft.checkpointDir is set, RELIABLE checkpoints
+    // to that path instead — the cluster-grade mode (survives executor
+    // loss; the right setting for a multi-hour 100 TB clustering job).
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val pairs = minhashLsh.fn(s, dir).select("d1", "d2").persist()
     val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint(true)
+    var labels = break(edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")))
     var changed = true
     var iter = 0
     val maxIters = 64 // label propagation converges in <= diameter rounds
@@ -279,10 +286,8 @@ object Dedup {
     while (changed && iter < maxIters) {
       val prop = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
-      // localCheckpoint: break the doubling lineage each round (the same
-      // move an iterative cluster job makes with reliable checkpointing)
-      val next = labels.union(prop).groupBy("v").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      // break the doubling lineage each round (reliable or local per conf)
+      val next = break(labels.union(prop).groupBy("v").agg(min("lbl").as("lbl")))
       val nextSum = labelSum(next)
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum

@@ -55,7 +55,8 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lsh1 = recall(top3(graft.queries.Similarity.annLshRp.fn(spark, dir)))
     val lshM = recall(top3(graft.queries.Similarity.annLshMultiprobe.fn(spark, dir)))
     val sq8 = recall(top3(graft.queries.Similarity.annIvfSq8.fn(spark, dir)))
-    info(f"recall@3  ivf1=$ivf1%.2f ivf2=$ivf2%.2f lsh=$lsh1%.2f lshMulti=$lshM%.2f sq8=$sq8%.2f")
+    val pq = recall(top3(graft.queries.Similarity.annPqAdc.fn(spark, dir)))
+    info(f"recall@3  ivf1=$ivf1%.2f ivf2=$ivf2%.2f lsh=$lsh1%.2f lshMulti=$lshM%.2f sq8=$sq8%.2f pq=$pq%.2f")
     assert(ivf2 >= ivf1, "nprobe=2 must not lose recall vs nprobe=1")
     assert(lshM >= lsh1, "multi-probe must not lose recall vs single-bucket LSH")
     // deterministic corpus → deterministic recall; floors just under the

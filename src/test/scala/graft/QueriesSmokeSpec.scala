@@ -55,6 +55,21 @@ class QueriesSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_clusters under RELIABLE checkpointing matches localCheckpoint results") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = SparkEntry.queries("dedup_clusters")(spark, sfDir).collect().toSeq
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.conf.set("spark.graft.checkpointDir", ckDir)
+    try {
+      val reliable = SparkEntry.queries("dedup_clusters")(spark, sfDir).collect().toSeq
+      assert(reliable == base, "reliable-checkpoint mode changed clustering output")
+      // the reliable path actually wrote checkpoint data
+      val wrote = new java.io.File(ckDir).listFiles != null &&
+        new java.io.File(ckDir).listFiles.nonEmpty
+      assert(wrote, s"no checkpoint data written under $ckDir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("config layering: spark conf > env > reference defaults (A36)") {
     val defaults = graft.core.GraftConfig.load(None)
     assert(defaults.connectionTimeoutMs == 300000 && defaults.dialTimeoutMs == 10000 &&
