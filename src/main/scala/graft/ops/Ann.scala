@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.expressions.DotProductDouble
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search primitives generic over any (id, ARRAY<DOUBLE>)
+  * relation — the library surface for a user's own embedding tables.
+  */
+object Ann {
+
+  /** Fused native dot product (codegen'd, no intermediate array). */
+  def dot(a: Column, b: Column): Column =
+    call_function(DotProductDouble.fnName, a, b)
+
+  /** Exact cosine top-k: for each query row, the `k` nearest corpus rows
+    * by cosine similarity, self-matches excluded. Output: (q_id, c_id,
+    * rnk, sim). Ranking is deterministic cross-engine: round(,6) on the
+    * similarity with an id tie-break.
+    *
+    * O(|queries|·|corpus|) by design — the exact baseline/verifier to
+    * run against a pruned candidate set (IVF cell, LSH bucket), never
+    * all-pairs at corpus scale.
+    */
+  def cosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "id",
+      vecCol: String = "vec"): DataFrame = {
+    DotProductDouble.register(corpus.sparkSession)
+    def normed(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}e"))
+        .withColumn(s"${prefix}n", sqrt(dot(col(s"${prefix}e"), col(s"${prefix}e"))))
+    val q = normed(queries, "q")
+    val c = normed(corpus, "c")
+    val w = Window.partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
+  }
+}

@@ -260,44 +260,11 @@ object Dedup {
     * large-star/small-star optimization.
     */
   val dedupClusters: Q = Q("dedup_clusters", (s, dir) => {
-    // Lineage-break strategy: localCheckpoint (executor-local blocks) by
-    // default; if spark.graft.checkpointDir is set, RELIABLE checkpoints
-    // to that path instead — the cluster-grade mode (survives executor
-    // loss; the right setting for a multi-hour 100 TB clustering job).
-    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
-    ckDir.foreach(s.sparkContext.setCheckpointDir)
-    def break(df: DataFrame): DataFrame =
-      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // generic min-label-propagation core lives in ops/Graph (reliable
+    // checkpoints when spark.graft.checkpointDir is set, local otherwise)
     val pairs = minhashLsh.fn(s, dir).select("d1", "d2").persist()
-    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("src", "dst").persist()
-    var labels = break(edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")))
-    var changed = true
-    var iter = 0
-    val maxIters = 64 // label propagation converges in <= diameter rounds
-    // Min-label propagation is MONOTONE: labels only ever decrease, so
-    // the exact decimal sum of labels strictly decreases until fixpoint.
-    // Convergence = sum unchanged — one aggregate on the new labels,
-    // instead of a join back against the previous round (halves the
-    // per-round work vs the join-and-compare formulation).
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    while (changed && iter < maxIters) {
-      val prop = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      // break the doubling lineage each round (reliable or local per conf)
-      val next = break(labels.union(prop).groupBy("v").agg(min("lbl").as("lbl")))
-      val nextSum = labelSum(next)
-      changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
-      labels = next
-      iter += 1
-    }
-    if (changed)
-      throw new IllegalStateException(
-        s"dedup_clusters did not converge in $maxIters rounds — graph diameter exceeds guard")
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    graft.ops.Graph.connectedComponents(pairs, "d1", "d2")
+      .select(col("v").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
   }, Some(s"""WITH RECURSIVE $minhashCtes,
     pairs AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1

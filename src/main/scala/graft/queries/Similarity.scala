@@ -484,16 +484,10 @@ object Similarity {
     * identically at float boundaries.
     */
   val cosineTopk: Q = Q("embed_cosine_topk", (s, dir) => {
-    val n = normed(s, dir)
-    val q = n.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
-    val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
-    val pairs = q.join(c, col("q_id") =!= col("c_id"))
-      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
-    pairs.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= 5)
+    // generic exact-top-k core in ops/Ann (same round(,6)+id ranking)
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    graft.ops.Ann.cosineTopK(e, e.filter(col("id") < 10), k = 5)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cosine"))
       .orderBy("q_id", "rnk")
   }, Some("""WITH n AS (

@@ -351,18 +351,8 @@ object TextOps {
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_tokens"))
-      .withColumn("shard", expr("doc_id DIV 4096"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    val wSh = org.apache.spark.sql.expressions.Window
-      .orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy("shard").agg(sum("n_tokens").as("shard_tot"))
-      .withColumn("off", coalesce(sum("shard_tot").over(wSh), lit(0L)))
-      .select(col("shard").as("o_shard"), col("off"))
-    d.withColumn("local_cum", sum("n_tokens").over(wIn))
-      .join(offsets, col("shard") === col("o_shard"))
-      .withColumn("cum", col("local_cum") + col("off"))
-      .withColumn("bin", expr("(cum - n_tokens) DIV 512"))
+    // generic distributed prefix-sum packer in ops/Pack
+    graft.ops.Pack.assignBins(d, "doc_id", "n_tokens", binTokens = 512L)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generic `graft.ops` library surface on synthetic inputs (not the
+  * testdata tables) — proving the operators are reusable over any
+  * relation with the right columns, as a library user would call them.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Graph.connectedComponents labels chains, rings, and isolates-with-self-loops") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // component {1,2,3,4} as a chain, ring {10,11,12}, self-loop {20}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 20L)).toDF("src", "dst")
+    val got = graft.ops.Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("Pack.assignBins is bit-identical to a single global cumulative sum") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // ids straddle several shards at shardSize=16
+    val rows = (0L until 200L).map(i => (i * 3, 1L + rnd.nextInt(97).toLong))
+    val df = rows.toDF("id", "toks").repartition(4)
+    val got = graft.ops.Pack.assignBins(df, "id", "toks", binTokens = 100L, shardSize = 16L)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: sequential scan on the driver
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (id, t) =>
+      val bin = cum / 100L; cum += t; id -> bin
+    }.toMap
+    assert(got == want)
+  }
+
+  test("Ann.cosineTopK ranks an obvious nearest neighbor first") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0)),   // nearest to 1
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(-1.0, 0.0, 0.0))).toDF("id", "vec")
+    val got = graft.ops.Ann.cosineTopK(corpus, corpus.filter(col("id") === 1), k = 2)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(got.head.getDouble(3) > 0.99)
+  }
+}
