@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection, generic over any
+  * (id, text) relation — the library surface of the dedup pipeline.
+  * Constants are deterministic and shared with the oracle SQL builders in
+  * `graft.queries.Dedup`, so every hash is reproducible cross-engine
+  * (md5-derived: `conv(substr(md5(x),1,15),16,10)`).
+  *
+  * Scale shape: signatures are ONE typed-UDAF aggregation per document;
+  * candidate generation touches only band-signature collisions (never
+  * all pairs); the estimated-Jaccard filter runs on candidates only.
+  */
+object Lsh {
+
+  /** 2^31-1, Mersenne prime bounding the minhash universe. */
+  val P = 2147483647L
+
+  /** 16 deterministic (a,b) permutation constants from a fixed LCG seed —
+    * embedded identically in Spark plans and generated oracle SQL.
+    */
+  val perms: Seq[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = {
+      x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      x % (P - 1) + 1
+    }
+    Seq.fill(16)((next(), next()))
+  }
+
+  /** The md5-derived shingle hash reduced into the minhash universe
+    * (applies to a column named `sh`).
+    */
+  val hashExpr = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+
+  /** Distinct word n-gram shingles of a text column: (`idCol`, `sh`).
+    * Words are lowercased space-split; docs shorter than `n` words drop.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = df.select(col(idCol),
+        filter(split(lower(col(textCol)), " "), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= n)
+    w.select(col(idCol), explode(array_distinct(
+      transform(sequence(lit(1), size(col("w")) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k)): _*)))).as("sh"))
+  }
+
+  /** MinHash signatures: one row per id with a 16-element signature array
+    * (typed-UDAF aggregation — one aggregate instead of 16 generated
+    * mins). Input must carry the shingle column `sh`.
+    */
+  def signatures(sh: DataFrame, idCol: String): DataFrame = {
+    sh.sparkSession.udf.register("minhash_sig",
+      udaf(graft.functions.MinHashAggregator))
+    sh.withColumn("hm", expr(hashExpr))
+      .groupBy(idCol).agg(expr("minhash_sig(hm)").as("sig"))
+  }
+
+  /** Banded LSH candidate pairs (d1 < d2, distinct) from a signature
+    * relation: `bands` bands of `rowsPerBand` signature slots each;
+    * a pair is a candidate iff some band's slots all collide.
+    */
+  def candidatePairs(
+      sig: DataFrame, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bandArr = array((0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), concat_ws("_", slots: _*).as("bsig"))
+    }: _*)
+    val bandsDf = sig.select(col(idCol), explode(bandArr).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+    bandsDf.select(col("band"), col("bsig"), col(idCol).as("d1"))
+      .join(bandsDf.select(col("band").as("band2"), col("bsig").as("bsig2"),
+          col(idCol).as("d2")),
+        col("band") === col("band2") && col("bsig") === col("bsig2") &&
+          col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Estimated Jaccard between two exploded signature sides whose columns
+    * are x0..x15 / y0..y15 (matching-slot fraction).
+    */
+  def estJaccardExpr(nPerms: Int = 16): String =
+    (0 until nPerms).map(i => s"IF(x$i = y$i, 1, 0)")
+      .mkString("(", " + ", s") / double($nPerms)")
+}

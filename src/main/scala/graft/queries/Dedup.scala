@@ -68,19 +68,10 @@ object Dedup {
           list_filter(string_split(lower(b.text), ' '), w -> w <> ''))), 'string_agg', ' ')))
     ORDER BY doc_id"""))
 
-  private val P = 2147483647L // 2^31-1, Mersenne prime for the minhash universe
-
-  /** 16 deterministic (a,b) permutation constants from a fixed LCG seed —
-    * embedded identically in the Spark plan and the oracle SQL.
-    */
-  private[graft] val perms: Seq[(Long, Long)] = {
-    var x = 42L
-    def next(): Long = {
-      x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
-      x % (P - 1) + 1
-    }
-    Seq.fill(16)((next(), next()))
-  }
+  // constants live in the generic ops/Lsh module (shared by the library
+  // surface and these oracle builders)
+  private val P = graft.ops.Lsh.P
+  private[graft] val perms: Seq[(Long, Long)] = graft.ops.Lsh.perms
 
   // ---- shared SQL fragments (DuckDB side) ----
   private val duckShingles =
@@ -91,24 +82,18 @@ object Dedup {
       FROM ws WHERE len(w) >= 3)"""
 
   /** The md5-derived shingle hash reduced into the minhash universe. */
-  private[graft] val hashExpr =
-    "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+  private[graft] val hashExpr = graft.ops.Lsh.hashExpr
 
   /** The 16 permutation min-aggregates over `hm`. */
   private[graft] def sigCols: Seq[Column] = perms.zipWithIndex.map { case ((a, b), i) =>
     min(expr(s"($a * hm + $b) % $P")).as(s"m$i")
   }
 
-  /** Spark twin: doc_id + exploded distinct word-3-gram shingles. */
-  private[graft] def sparkShingles(s: SparkSession, dir: String): DataFrame = {
-    val w = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), filter(split(lower(col("text")), " "), x => x =!= "").as("w"))
-      .filter(size(col("w")) >= 3)
-    w.select(col("doc_id"), explode(array_distinct(
-      transform(sequence(lit(1), size(col("w")) - 2), i =>
-        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
-          element_at(col("w"), i + 2))))).as("sh"))
-  }
+  /** Spark twin: doc_id + exploded distinct word-3-gram shingles (the
+    * generic shingler from ops/Lsh applied to the documents table).
+    */
+  private[graft] def sparkShingles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Lsh.shingles(Tables.t(s, dir, "documents"), "doc_id", "text", n = 3)
 
   /** Exact dedup: group by content hash, keep the min doc_id per group. */
   val dedupExact: Q = Q("dedup_exact", (s, dir) => {
@@ -150,30 +135,18 @@ object Dedup {
     * 8×2; bucket-joined candidates filtered at estimated Jaccard ≥ 0.5.
     */
   val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) => {
-    val sh = sparkShingles(s, dir).withColumn("hm", expr(hashExpr))
-    // signature via the typed MinHashAggregator (values identical to the
-    // 16 min-expression formulation — MinHashAggregatorSpec — but one
-    // aggregate instead of 16 generated ones: ~4x less codegen compile);
-    // persisted because it feeds three subtrees (bands + both est sides)
-    s.udf.register("minhash_sig", udaf(graft.functions.MinHashAggregator))
-    val sigArr = sh.groupBy("doc_id").agg(expr("minhash_sig(hm)").as("sig")).persist()
+    // generic pipeline from ops/Lsh: shingle → typed-UDAF signatures
+    // (persisted: feeds the bands and both estimated-Jaccard sides) →
+    // banded candidate pairs
+    val sigArr = graft.ops.Lsh.signatures(sparkShingles(s, dir), "doc_id").persist()
     val sig = sigArr.select(col("doc_id") +:
       (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-    val bandArr = array((0 until 8).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bsig"))
-    }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandArr).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    val cand = bands.select(col("band"), col("bsig"), col("doc_id").as("d1"))
-      .join(bands.select(col("band").as("band2"), col("bsig").as("bsig2"), col("doc_id").as("d2")),
-        col("band") === col("band2") && col("bsig") === col("bsig2") && col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    val cand = graft.ops.Lsh.candidatePairs(sigArr, "doc_id")
     val sigX = sig.select(col("doc_id").as("d1") +: (0 until 16).map(i => col(s"m$i").as(s"x$i")): _*)
     val sigY = sig.select(col("doc_id").as("d2") +: (0 until 16).map(i => col(s"m$i").as(s"y$i")): _*)
-    // double(16), not the literal 16.0 — Spark types decimal literals as
-    // DECIMAL and the result column must be DOUBLE to match the oracle
-    val estExpr = (0 until 16).map(i => s"IF(x$i = y$i, 1, 0)").mkString("(", " + ", ") / double(16)")
+    // double(16) denominator (not the literal 16.0): Spark types decimal
+    // literals as DECIMAL and the column must be DOUBLE to match the oracle
+    val estExpr = graft.ops.Lsh.estJaccardExpr()
     cand.join(sigX, "d1").join(sigY, "d2")
       .withColumn("est_jaccard", round(expr(estExpr), 4))
       .filter(expr(estExpr) >= 0.5)

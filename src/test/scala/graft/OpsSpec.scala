@@ -48,6 +48,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("Lsh pipeline pairs near-duplicates and skips unrelated docs on synthetic text") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),                                   // near-dup of 1
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("id", "text")
+    val sigs = graft.ops.Lsh.signatures(
+      graft.ops.Lsh.shingles(docs, "id", "text"), "id")
+    assert(sigs.count() == 3)
+    val pairs = graft.ops.Lsh.candidatePairs(sigs, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
   test("Ann.cosineTopK ranks an obvious nearest neighbor first") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
