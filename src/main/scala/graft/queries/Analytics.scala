@@ -41,7 +41,26 @@ object Analytics {
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
-    qRecursiveCte)
+    qRecursiveCte, qValueHistogram)
+
+  /** Fixed-width value histogram per series — the monitoring-dashboard
+    * primitive over the reference's metric domain: 25-unit bins with
+    * per-bin count and observed min/max. One partial-aggregated shuffle;
+    * bin ids via floor division (identical IEEE double math in both
+    * engines — width_bucket's 1-based/overflow conventions differ across
+    * engines, floor(x/w) doesn't).
+    */
+  val qValueHistogram: Q = Q("q_value_histogram", (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("bin", floor(col("value") / 25.0).cast("bigint"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 4).as("bin_min"), round(max("value"), 4).as("bin_max"))
+      .orderBy("event_type", "bin")
+  }, Some("""SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+      count(*) AS n, round(min(value), 4) AS bin_min, round(max(value), 4) AS bin_max
+    FROM events GROUP BY event_type, bin
+    ORDER BY event_type, bin"""))
 
   /** Recursive CTE (Spark 4.1's WITH RECURSIVE): hierarchical rollup over
     * an implicit binary tree on doc_id (parent = id DIV 2) — each doc

@@ -55,6 +55,20 @@ class QueriesSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx_percentile sketch is within 2% of the exact percentile") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // no cross-engine oracle for the sketch; verify against exact instead
+    import org.apache.spark.sql.functions._
+    val r = graft.Tables.t(spark, sfDir, "lineitem").agg(
+      expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx")).head
+    val exact = r.getSeq[Double](0)
+    val approx = r.getSeq[Double](1)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e exceeds 2%")
+    }
+  }
+
   test("dedup_clusters under RELIABLE checkpointing matches localCheckpoint results") {
     spark.sparkContext.setLogLevel("ERROR")
     val base = SparkEntry.queries("dedup_clusters")(spark, sfDir).collect().toSeq
