@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
-    dedupClusters, hashSplit, decontaminate, dedupIncremental)
+    dedupClusters, hashSplit, decontaminate, dedupIncremental,
+    pipelineTrainingSet)
+
 
   /** INCREMENTAL dedup — the daily-batch shape: a new source arrives and
     * must be deduped against the already-ingested corpus. A Bloom filter
@@ -303,4 +305,79 @@ object Dedup {
         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
         FROM documents))
     GROUP BY source, split ORDER BY source, split"""))
+  /** END-TO-END training-set assembly — the flagship composition: every
+    * stage a real pipeline runs between raw corpus and trainer-ready
+    * contexts, in one verified dataflow:
+    *   1. exact dedup        (keep min doc_id per content hash);
+    *   2. near-dup removal   (MinHash/LSH clusters; only each cluster's
+    *                          canonical representative survives);
+    *   3. quality filter     (integer-exact composite score ≥ 5700 bp);
+    *   4. reproducible split (md5 hash < 80 → train);
+    *   5. context packing    (distributed prefix-sum 512-token bins).
+    * Output: the packed-bin manifest of the train split. The oracle
+    * composes the SAME five stages over the recursive-CTE component
+    * computation — one hash-exact check over the whole pipeline, so a
+    * regression ANYWHERE in the chain (a hash, a threshold, a window)
+    * surfaces here even if each stage's own query still passes.
+    */
+  val pipelineTrainingSet: Q = Q("pipeline_training_set", (s, dir) => {
+    val feat = Tables.t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_words"),
+        regexp_count(col("text"), lit("[a-z]")).cast("bigint").as("n_alpha"),
+        size(array_distinct(filter(split(lower(col("text")), " "), w => w =!= "")))
+          .cast("bigint").as("n_distinct"),
+        md5(col("text")).as("ch"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+          .as("hsplit"))
+      .withColumn("quality_bp", expr("""(40 * least(n_words, 100) * n_chars * n_words
+        + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+        DIV (n_chars * n_words)"""))
+    val exk = feat.withColumn("keep_id",
+      min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("ch")))
+    val comp = dedupClusters.fn(s, dir)
+      .select(col("doc_id").as("c_doc"), col("cluster_id").as("comp"))
+    val kept = exk.join(comp, col("doc_id") === col("c_doc"), "left_outer")
+      .filter(col("doc_id") === col("keep_id") &&
+        (col("comp").isNull || col("comp") === col("doc_id")) &&
+        col("quality_bp") >= 5700 && col("hsplit") < 80)
+      .select(col("doc_id"), col("n_words").as("n_tokens"))
+    graft.ops.Pack.assignBins(kept, "doc_id", "n_tokens", binTokens = 512L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }, Some(s"""WITH RECURSIVE $minhashCtes,
+    prs AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+      JOIN sig y ON y.doc_id = d2 WHERE $minhashEstExpr >= 0.5),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM prs
+      UNION ALL SELECT d2, d1 FROM prs),
+    reach AS (
+      SELECT DISTINCT src AS v, src AS r FROM edges
+      UNION
+      SELECT e.dst AS v, r.r FROM reach r JOIN edges e ON e.src = r.v),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    feat AS (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha,
+        CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct,
+        md5(text) AS ch,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hsplit
+      FROM documents),
+    qual AS (SELECT *, (40 * least(n_words, 100) * n_chars * n_words
+        + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+        // (n_chars * n_words) AS quality_bp FROM feat),
+    exk AS (SELECT *, min(doc_id) OVER (PARTITION BY ch) AS keep_id FROM qual),
+    kept AS (SELECT e.doc_id, e.n_words AS n_tokens
+      FROM exk e LEFT JOIN comp c ON c.doc_id = e.doc_id
+      WHERE e.doc_id = e.keep_id AND (c.cluster_id IS NULL OR c.cluster_id = e.doc_id)
+        AND e.quality_bp >= 5700 AND e.hsplit < 80),
+    bins AS (SELECT doc_id, n_tokens,
+        CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+      FROM kept)
+    SELECT bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM bins GROUP BY bin ORDER BY bin"""))
+
 }
