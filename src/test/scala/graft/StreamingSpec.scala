@@ -553,6 +553,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming z-score anomaly: stable series quiet, outlier flags, state spans batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_anom").toFile
+    val points = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toDouble) }
+    val q = graft.streaming.AnomalyProcessor(spark, points)
+      .toDF("series", "value", "z", "is_anomaly")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_anomaly_out").start()
+    try {
+      // batch 1: 8 stable points around 10 — builds history, nothing flags
+      val stable = (1 to 8).map(i => s"cpu 10.${i % 4}").mkString("\n")
+      Files.write(new java.io.File(dir, "b1.txt").toPath, stable.getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft_anomaly_out WHERE is_anomaly").head.getLong(0) == 0)
+      // batch 2: state persisted across batches — the spike flags, the
+      // normal point around the mean does not
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "cpu 10.2\ncpu 500.0".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val flagged = spark.sql(
+        "SELECT value FROM graft_anomaly_out WHERE is_anomaly").as[Double].collect().toSet
+      assert(flagged == Set(500.0), s"flagged: $flagged")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: bloom prefilter + exact confirm across micro-batches") {
     // the streaming twin of the dedup_incremental batch operator: each
     // micro-batch is prefiltered by a Bloom filter over everything seen
