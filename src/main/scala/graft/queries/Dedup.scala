@@ -44,10 +44,9 @@ object Dedup {
     * codegen (a hash probe, not an expression tree).
     */
   val dedupIncremental: Q = Q("dedup_incremental", (s, dir) => {
-    def fp(c: Column): Column = md5(array_join(array_sort(array_distinct(
-      filter(split(lower(c), " "), w => w =!= ""))), " "))
     val d = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), fp(col("text")).as("fp"))
+      .select(col("doc_id"), col("source"),
+        graft.ops.Text.fingerprint(col("text")).as("fp"))
     val seen = d.filter(col("source") =!= "src19").select("fp")
     val batch = d.filter(col("source") === "src19").select("doc_id", "fp")
     val bloom = seen.stat.bloomFilter("fp", 1000000L, 0.01)

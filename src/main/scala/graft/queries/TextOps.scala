@@ -481,8 +481,7 @@ object TextOps {
   val docFingerprint: Q = Q("doc_fingerprint", (s, dir) => {
     Tables.t(s, dir, "documents")
       .select(col("doc_id"),
-        md5(array_join(array_sort(array_distinct(
-          filter(split(lower(col("text")), " "), w => w =!= ""))), " ")).as("fingerprint"))
+        graft.ops.Text.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }, Some("""SELECT doc_id,
       md5(list_aggregate(list_sort(list_distinct(

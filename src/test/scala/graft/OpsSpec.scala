@@ -66,6 +66,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unrelated doc paired: $pairs")
   }
 
+  test("Text primitives: tokens, fingerprint, quality, hash bucket on synthetic docs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the  quick brown dog"),
+      (3L, "quick brown THE dog")).toDF("id", "text")
+    val feat = graft.ops.Text.qualityBp(docs, "text")
+      .withColumn("ws", graft.ops.Text.wsTokens(col("text")))
+      .withColumn("bpe", graft.ops.Text.bpeTokens(col("text")))
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+      .withColumn("h", graft.ops.Text.hashBucket(col("id"), "s"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(feat(1L).getAs[Long]("ws") == 9 && feat(1L).getAs[Long]("bpe") == 9)
+    // fingerprint is word-set canonical: docs 2 and 3 collide, 1 differs
+    assert(feat(2L).getAs[String]("fp") == feat(3L).getAs[String]("fp"))
+    assert(feat(1L).getAs[String]("fp") != feat(2L).getAs[String]("fp"))
+    // hash bucket in range and deterministic
+    val h = feat(1L).getAs[Long]("h")
+    assert(h >= 0 && h < 100)
+    assert(feat.values.forall(r => r.getAs[Long]("quality_bp") > 0))
+  }
+
   test("Ann.cosineTopK ranks an obvious nearest neighbor first") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
