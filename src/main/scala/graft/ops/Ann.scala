@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Fused native dot product (codegen'd, no intermediate array). */
-  def dot(a: Column, b: Column): Column =
+  /** Fused native dot product (codegen'd, no intermediate array).
+    * Registers `graft_dot` on the active session so standalone use (per
+    * EXAMPLES.md, outside cosineTopK) resolves at analysis.
+    */
+  def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(DotProductDouble.register)
     call_function(DotProductDouble.fnName, a, b)
+  }
 
   /** Exact cosine top-k: for each query row, the `k` nearest corpus rows
     * by cosine similarity, self-matches excluded. Output: (q_id, c_id,

@@ -40,8 +40,12 @@ object Graph {
     val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
     var labels = break(edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")))
+    // coalesce: an EMPTY edge list (no duplicates found) sums to null,
+    // which would NPE the convergence compare — normalize to 0 so the
+    // loop exits immediately and the empty labels relation returns
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0

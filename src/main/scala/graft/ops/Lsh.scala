@@ -65,6 +65,11 @@ object Lsh {
   def candidatePairs(
       sig: DataFrame, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // out-of-range slots would read as null and concat_ws drops nulls —
+    // every doc would silently collide into one degenerate band signature
+    require(bands * rowsPerBand <= perms.size,
+      s"bands*rowsPerBand = ${bands * rowsPerBand} exceeds the " +
+        s"${perms.size}-slot signature")
     val bandArr = array((0 until bands).map { b =>
       val slots = (0 until rowsPerBand)
         .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))

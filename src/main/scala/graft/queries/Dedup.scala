@@ -320,18 +320,14 @@ object Dedup {
     * surfaces here even if each stage's own query still passes.
     */
   val pipelineTrainingSet: Q = Q("pipeline_training_set", (s, dir) => {
-    val feat = Tables.t(s, dir, "documents").select(col("doc_id"),
-        length(col("text")).cast("bigint").as("n_chars"),
-        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_words"),
-        regexp_count(col("text"), lit("[a-z]")).cast("bigint").as("n_alpha"),
-        size(array_distinct(filter(split(lower(col("text")), " "), w => w =!= "")))
-          .cast("bigint").as("n_distinct"),
-        md5(col("text")).as("ch"),
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
-          .as("hsplit"))
-      .withColumn("quality_bp", expr("""(40 * least(n_words, 100) * n_chars * n_words
-        + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
-        DIV (n_chars * n_words)"""))
+    // stages compose the SHARED ops/Text primitives — a tweak to the
+    // quality formula or hash bucketing changes this flagship check too
+    val feat = graft.ops.Text.qualityBp(
+        Tables.t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .withColumn("n_words", graft.ops.Text.wsTokens(col("text")))
+      .withColumn("ch", md5(col("text")))
+      .withColumn("hsplit", graft.ops.Text.hashBucket(col("doc_id")))
+      .drop("text")
     val exk = feat.withColumn("keep_id",
       min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("ch")))
     val comp = dedupClusters.fn(s, dir)

@@ -30,8 +30,7 @@ object TextOps {
   val mixSample: Q = Q("mix_sample", (s, dir) => {
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
-          .cast("bigint").as("tok"))
+        graft.ops.Text.bpeTokens(col("text")).as("tok"))
     val st = d.groupBy("source")
       .agg(sum("tok").as("src_tokens"), count(lit(1)).as("n_docs"))
     val minTok = st.agg(min("src_tokens").as("min_tokens"))

@@ -65,5 +65,6 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf2 >= 0.25, s"IVF nprobe=2 probe coverage collapsed: $ivf2")
     assert(ivf2 >= 1.5 * ivf1, "nprobe=2 should probe ~2x the corpus of nprobe=1")
     assert(sq8 >= 0.05, s"SQ8 reconstruction broke ranking entirely: $sq8")
+    assert(pq >= 0.05, s"PQ codebook/ADC broke ranking entirely: $pq")
   }
 }
