@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Fused native dot product (codegen'd, no intermediate array).
-    * Registers `graft_dot` on the active session so standalone use (per
-    * EXAMPLES.md, outside cosineTopK) resolves at analysis.
+    * Registers `graft_dot` on the active and default sessions so
+    * standalone use (per EXAMPLES.md) resolves at analysis. If you
+    * analyze on a session that is neither (e.g. a bare `newSession()`),
+    * call [[graft.expressions.DotProductDouble.register]] on it first —
+    * or build the session with `GraftExtensions`.
     */
   def dot(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
+    (org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq)
       .foreach(DotProductDouble.register)
     call_function(DotProductDouble.fnName, a, b)
   }

@@ -31,6 +31,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("Graph.connectedComponents returns an empty relation on an empty edge list") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.Graph.connectedComponents(empty).count() == 0)
+  }
+
+  test("Lsh.candidatePairs rejects band configs exceeding the signature width") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sigs = Seq((1L, (1 to 16).map(_.toLong))).toDF("id", "sig")
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Lsh.candidatePairs(sigs, "id", bands = 8, rowsPerBand = 4)
+    }
+    assert(err.getMessage.contains("exceeds"))
+  }
+
+  test("Ann.dot self-registers on an extension-less session with no prior registration") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // drop any registration left by other tests so this exercises the
+    // standalone path a library user hits first
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        graft.expressions.DotProductDouble.fnName))
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val got = df.select(graft.ops.Ann.dot(col("a"), col("b")).as("d"))
+      .collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("Pack.assignBins is bit-identical to a single global cumulative sum") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
