@@ -91,4 +91,42 @@ object Lsh {
   def estJaccardExpr(nPerms: Int = 16): String =
     (0 until nPerms).map(i => s"IF(x$i = y$i, 1, 0)")
       .mkString("(", " + ", s") / double($nPerms)")
+
+  /** 32-bit SimHash signatures (typed-UDAF aggregation over md5-derived
+    * shingle hashes): one row per id with a long `sig`. The cosine-ish
+    * complement to MinHash — hamming distance between signatures tracks
+    * angular similarity of the shingle frequency vectors.
+    */
+  def simhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+    sh.sparkSession.udf.register("simhash_sig",
+      udaf(graft.functions.SimHashAggregator))
+    sh.withColumn("h", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(idCol).agg(expr("simhash_sig(h)").as("sig"))
+  }
+
+  /** SimHash near-dup candidate pairs at hamming ≤ `maxHamming` via
+    * pigeonhole chunk banding: the 32-bit signature splits into
+    * `maxHamming + 1` chunks, and any pair within the hamming budget
+    * must agree on at least one whole chunk — so the chunk equi-join is
+    * EXACT (no recall loss), never all-pairs. Output: (d1, d2, hamming),
+    * d1 < d2. maxHamming must keep chunks byte-aligned here: 3 (4×8-bit
+    * chunks) is the supported production setting.
+    */
+  def simhashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming == 3, "chunked banding implemented for maxHamming=3 (4 x 8-bit chunks)")
+    val chunkArr = array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"), expr(s"shiftright(sig, ${8 * c}) & 255").as("cv"))
+    }: _*)
+    val chunks = sig.select(col(idCol), col("sig"), explode(chunkArr).as("ch"))
+      .select(col(idCol), col("sig"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+      .persist() // both sides of the candidate self-join
+    chunks.select(col("chunk"), col("cv"), col(idCol).as("d1"), col("sig").as("sig1"))
+      .join(chunks.select(col("chunk").as("chunk2"), col("cv").as("cv2"),
+          col(idCol).as("d2"), col("sig").as("sig2")),
+        col("chunk") === col("chunk2") && col("cv") === col("cv2") && col("d1") < col("d2"))
+      .select("d1", "d2", "sig1", "sig2").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sig1 ^ sig2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
 }

@@ -184,26 +184,10 @@ object Dedup {
     * four 8-bit chunks (exact by pigeonhole).
     */
   val simhash: Q = Q("dedup_simhash", (s, dir) => {
-    val sh = sparkShingles(s, dir)
-      .withColumn("h", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
-    // signature via the typed SimHashAggregator — integer-identical to the
-    // 32 generated sum-expressions, a fraction of the codegen
-    s.udf.register("simhash_sig", udaf(graft.functions.SimHashAggregator))
-    val sig = sh.groupBy("doc_id").agg(expr("simhash_sig(h)").as("sig"))
-    val chunkArr = array((0 until 4).map { c =>
-      struct(lit(c).as("chunk"), expr(s"shiftright(sig, ${8 * c}) & 255").as("cv"))
-    }: _*)
-    val chunks = sig.select(col("doc_id"), col("sig"), explode(chunkArr).as("ch"))
-      .select(col("doc_id"), col("sig"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-      .persist() // both sides of the candidate self-join
-    val cand = chunks.select(col("chunk"), col("cv"), col("doc_id").as("d1"), col("sig").as("sig1"))
-      .join(chunks.select(col("chunk").as("chunk2"), col("cv").as("cv2"),
-          col("doc_id").as("d2"), col("sig").as("sig2")),
-        col("chunk") === col("chunk2") && col("cv") === col("cv2") && col("d1") < col("d2"))
-      .select("d1", "d2", "sig1", "sig2").distinct()
-    cand.withColumn("hamming", expr("CAST(bit_count(sig1 ^ sig2) AS BIGINT)"))
-      .filter(col("hamming") <= 3)
-      .select("d1", "d2", "hamming")
+    // generic pipeline from ops/Lsh: typed-UDAF signatures + pigeonhole
+    // chunk banding (exact for hamming <= 3)
+    graft.ops.Lsh.simhashPairs(
+        graft.ops.Lsh.simhashSignatures(sparkShingles(s, dir), "doc_id"), "doc_id")
       .orderBy("d1", "d2")
   }, Some {
     val bitSums = (0 until 32).map { b =>

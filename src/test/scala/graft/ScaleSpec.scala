@@ -65,6 +65,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 5000)
   }
 
+  test("sorted parquet layout skips row groups/files on a range predicate (zone maps)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // same 20k rows, two physical layouts split into 20 files each:
+    // sorted by `v` (tight per-file min/max) vs round-robin (every file
+    // spans the whole domain). Parquet's pushed range filter prunes by
+    // footer stats, so the scan's output-row metric — rows SURVIVING
+    // row-group/file pruning — collapses only for the sorted layout.
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 20000).map(_ => rnd.nextInt(1000000)).toDF("v")
+    val dir = Files.createTempDirectory("graft_zonemap").toString
+    df.orderBy("v").coalesce(1)
+      .write.option("maxRecordsPerFile", 1000).parquet(s"$dir/sorted")
+    df.repartition(20).write.parquet(s"$dir/shuffled")
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("v") < 50000)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val sorted = scannedRows(s"$dir/sorted")
+    val shuffled = scannedRows(s"$dir/shuffled")
+    val kept = df.filter(col("v") < 50000).count()
+    assert(sorted < shuffled / 4,
+      s"sorted layout scanned $sorted rows vs $shuffled — no zone-map pruning happened")
+    assert(sorted >= kept, "scan cannot output fewer rows than the true matches")
+  }
+
   test("bucketized interval join plans as a hash/merge join, not a nested loop") {
     spark.sparkContext.setLogLevel("ERROR")
     val plan = graft.queries.Analytics.qIntervalBucketJoin
