@@ -62,6 +62,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == 11.0)
   }
 
+  test("Graph.connectedComponents matches brute-force union-find on random graphs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      // reference: union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      // min-root canonicalization: find() compresses to the min id
+      // because unions always point the larger root at the smaller
+      val got = graft.ops.Graph.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("Pack.assignBins matches the sequential reference across shard/bin configs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for ((shardSize, binTokens) <- Seq((7L, 64L), (100L, 512L), (1L, 10L))) {
+      val rows = (0L until 150L).map(i => (i * 2 + 1, 1L + rnd.nextInt(40).toLong))
+      val got = graft.ops.Pack.assignBins(rows.toDF("id", "toks").repartition(4),
+          "id", "toks", binTokens, shardSize)
+        .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var cum = 0L
+      val want = rows.sortBy(_._1).map { case (id, t) =>
+        val bin = cum / binTokens; cum += t; id -> bin }.toMap
+      assert(got == want, s"config ($shardSize, $binTokens)")
+    }
+  }
+
   test("Pack.assignBins is bit-identical to a single global cumulative sum") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
