@@ -23,7 +23,102 @@ object Similarity {
 
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
-    kmeansRefine, annPqAdc)
+    kmeansRefine, annPqAdc, annPqTrained)
+
+  /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
+    * only the k-means init; this runs ONE Lloyd step per subspace
+    * (assign every subvector to its nearest entry by L2, recompute entry
+    * means) before encoding and ADC search — the training loop a real PQ
+    * index runs to convergence, unrolled once for a bit-exact oracle.
+    * Empty entries simply vanish (both engines). Same ADC ranking shape
+    * as ann_pq_adc downstream.
+    */
+  val annPqTrained: Q = Q("ann_pq_trained", (s, dir) => {
+    val n = normed(s, dir)
+    val subs = n.select(col("vec_id"), col("label"), col("emb"),
+        explode(sequence(lit(0), lit(3))).as("s"))
+      .withColumn("sv", expr("slice(emb, 16*s+1, 16)"))
+    def meanCvec = transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+      x => round(x.getField("cv"), 6)).as("cvec")
+    val cb0 = subs.select(col("label"), col("s"), posexplode(col("sv")))
+      .groupBy("label", "s", "pos").agg(avg("col").as("cv"))
+      .groupBy("label", "s").agg(meanCvec)
+    def encode(cb: DataFrame): DataFrame = {
+      val wEnc = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "s").orderBy(round(col("d2"), 6).asc, col("cb_label").asc)
+      subs.select(col("vec_id"), col("s"), col("sv"))
+        .join(cb.withColumnRenamed("label", "cb_label"), "s")
+        .withColumn("d2", aggregate(zip_with(col("sv"), col("cvec"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cb_label").as("code"), col("sv"))
+    }
+    // one Lloyd step: assign to cb0, recompute entry means per subspace
+    val cb1 = encode(cb0)
+      .select(col("code").as("label"), col("s"), posexplode(col("sv")))
+      .groupBy("label", "s", "pos").agg(avg("col").as("cv"))
+      .groupBy("label", "s").agg(meanCvec)
+    val codes = encode(cb1).select(col("vec_id").as("c_id"), col("s"), col("code"))
+    val csub = codes.join(cb1, codes("s") === cb1("s") && codes("code") === cb1("label"))
+      .select(col("c_id"), codes("s").as("cs"), col("cvec"))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val part = q.crossJoin(csub).filter(col("q_id") =!= col("c_id"))
+      .withColumn("pdot", dotD(expr("slice(qe, 16*cs+1, 16)"), col("cvec")))
+      .withColumn("psq", dotD(col("cvec"), col("cvec")))
+    def orderedSum(sk: String, vk: String) =
+      aggregate(transform(array_sort(collect_list(struct(col(sk), col(vk)))),
+        x => x.getField(vk)), lit(0.0), (a, x) => a + x)
+    val agg = part.groupBy("q_id", "c_id")
+      .agg(max("qn").as("qn"), orderedSum("cs", "pdot").as("adot"),
+        orderedSum("cs", "psq").as("asq"))
+      .withColumn("sim", col("adot") / (col("qn") * sqrt(col("asq"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    agg.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cosine_adc"))
+      .orderBy("q_id", "rnk")
+  }, Some {
+    def encSql(cbName: String, out: String) =
+      s"""$out AS (SELECT vec_id, s, label AS code, sv FROM (
+        SELECT sub.vec_id, sub.s, cb.label, sub.sv,
+          row_number() OVER (PARTITION BY sub.vec_id, sub.s
+            ORDER BY round(list_aggregate(list_transform(range(1, 17),
+              i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i])), 'sum'), 6) ASC, cb.label ASC) AS rn
+        FROM sub JOIN $cbName cb ON cb.s = sub.s) WHERE rn = 1)"""
+    s"""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    sub AS (SELECT vec_id, s, emb[16*s+1:16*s+16] AS sv FROM e, range(0, 4) r(s)),
+    cbd0 AS (SELECT label, s, i AS pos, avg(emb[16*s+i]) AS cv
+      FROM e, range(0, 4) r(s), range(1, 17) r2(i) GROUP BY label, s, i),
+    cb0 AS (SELECT label, s, list(round(cv, 6) ORDER BY pos) AS cvec FROM cbd0 GROUP BY label, s),
+    ${encSql("cb0", "enc0")},
+    cbd1 AS (SELECT code AS label, s, i AS pos, avg(sv[i]) AS cv
+      FROM enc0, range(1, 17) r2(i) GROUP BY code, s, i),
+    cb1 AS (SELECT label, s, list(round(cv, 6) ORDER BY pos) AS cvec FROM cbd1 GROUP BY label, s),
+    ${encSql("cb1", "enc1")},
+    csub AS (SELECT enc1.vec_id AS c_id, enc1.s, cb.cvec
+      FROM enc1 JOIN cb1 cb ON cb.s = enc1.s AND cb.label = enc1.code),
+    q AS (SELECT vec_id AS q_id, emb, nrm FROM e WHERE vec_id < 10),
+    part AS (SELECT q_id, c_id, s,
+        list_dot_product(emb[16*s+1:16*s+16], cvec) AS pdot,
+        list_dot_product(cvec, cvec) AS psq
+      FROM q, csub WHERE c_id <> q_id),
+    agg AS (SELECT q_id, c_id,
+        list_aggregate(list(pdot ORDER BY s), 'sum') AS adot,
+        list_aggregate(list(psq ORDER BY s), 'sum') AS asq
+      FROM part GROUP BY q_id, c_id),
+    sc AS (SELECT a.q_id, a.c_id, a.adot / (qq.nrm * sqrt(a.asq)) AS sim
+      FROM agg a JOIN q qq ON qq.q_id = a.q_id),
+    r AS (SELECT q_id, c_id, sim,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk FROM sc)
+    SELECT q_id, rnk, c_id, round(sim, 4) AS cosine_adc
+    FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+  })
 
   /** PRODUCT quantization + asymmetric-distance search (FAISS `PQ4`
     * shape): 64 dims split into 4 subspaces of 16; each subspace gets a
