@@ -40,7 +40,7 @@ object Text {
       .withColumn("_d", size(array_distinct(words(col(textCol)))).cast("bigint"))
       .withColumn("quality_bp", expr(
         """(40 * least(_w, 100) * _c * _w + 3000 * _a * _w + 3000 * _d * _c)
-           DIV (_c * _w)"""))
+           DIV nullif(_c * _w, 0)"""))
       .drop("_c", "_w", "_a", "_d")
 
   /** Reproducible percentile-bucket of an id (md5-derived, 0..99) — the

@@ -59,16 +59,47 @@ object PromProtoParser {
     "application/vnd.google.protobuf; proto=io.prometheus.client.MetricFamily; encoding=delimited"
 
   /** Go `fmt.Sprint(float64)` for the label constants expfmt writes
-    * (`quantile`, `le`): shortest repr, integral floats without `.0`,
-    * infinities as `+Inf`/`-Inf`.
+    * (`quantile`, `le`): `strconv.FormatFloat(v, 'g', -1, 64)` —
+    * shortest round-tripping digits, then scientific form (`d.ddde±XX`,
+    * lowercase `e`, signed two-digit-minimum exponent) iff the decimal
+    * exponent is < -4 or >= 6, plain decimal otherwise. So
+    * `100000 → "100000"` but `1e6 → "1e+06"`, `1048576 →
+    * "1.048576e+06"`, `0.0001 → "0.0001"` but `5e-05 → "5e-05"`.
+    * Infinities print `+Inf`/`-Inf` (fmt, not strconv).
     */
   def goFloatLabel(v: Double): String =
     if (v.isPosInfinity) "+Inf"
     else if (v.isNegInfinity) "-Inf"
-    else if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
+    else if (v.isNaN) "NaN"
+    else if (v == 0.0) { if (1.0 / v < 0) "-0" else "0" }
     else {
-      val s = java.lang.Double.toString(v)
-      if (s.endsWith(".0")) s.dropRight(2) else s
+      val a = math.abs(v)
+      // shortest significant-digit count that round-trips (Go shortest)
+      var prec = 0
+      var sci = String.format(java.util.Locale.ROOT, "%." + prec + "e", Double.box(a))
+      while (java.lang.Double.parseDouble(sci) != a && prec < 17) {
+        prec += 1
+        sci = String.format(java.util.Locale.ROOT, "%." + prec + "e", Double.box(a))
+      }
+      // sci = "d[.ddd]e±XX" — split mantissa digits / decimal exponent
+      val ePos = sci.indexOf('e')
+      val digits = sci.substring(0, ePos).replace(".", "")
+      val exp = Integer.parseInt(sci.substring(ePos + 1)) // position of the point
+      val sign = if (v < 0) "-" else ""
+      if (exp < -4 || exp >= 6) {
+        val mant = if (digits.length == 1) digits
+          else digits.substring(0, 1) + "." + digits.substring(1)
+        val es = if (exp < 0) "-" else "+"
+        val ea = math.abs(exp)
+        val ed = if (ea < 10) "0" + ea else ea.toString
+        s"$sign${mant}e$es$ed"
+      } else if (exp >= digits.length - 1) {
+        sign + digits + "0" * (exp - (digits.length - 1))
+      } else if (exp >= 0) {
+        sign + digits.substring(0, exp + 1) + "." + digits.substring(exp + 1)
+      } else {
+        sign + "0." + "0" * (-exp - 1) + digits
+      }
     }
 
   // ---- decoding (PrompbParser wire primitives, local copy of Reader) ----

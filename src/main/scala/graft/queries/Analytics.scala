@@ -41,7 +41,31 @@ object Analytics {
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
-    qRecursiveCte, qValueHistogram)
+    qRecursiveCte, qValueHistogram, qGraphChain)
+
+  /** Connected components over a genuinely HIGH-DIAMETER graph — per-user
+    * time-adjacent event chains (each event linked to the user's next
+    * event), the linked-list topology that kills label propagation at
+    * scale: diameter == chain length, so propagation needs one shuffle
+    * round per hop. This query runs [[graft.ops.Graph.connectedComponentsStar]]
+    * (large-star/small-star contraction, O(log²) rounds on any topology)
+    * instead; the oracle exploits that a user's chain connects exactly
+    * that user's events, so component == min(event_id) per user.
+    */
+  val qGraphChain: Q = Q("graph_components_chain", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 3)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val edges = e.withColumn("nxt", lead("event_id", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_id").as("src"), col("nxt").as("dst"))
+    graft.ops.Graph.connectedComponentsStar(edges)
+      .select(col("v").as("event_id"), col("component"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id, min(event_id) OVER (PARTITION BY user_id) AS component
+    FROM events WHERE user_id < 3
+    QUALIFY count(*) OVER (PARTITION BY user_id) >= 2
+    ORDER BY event_id"""))
 
   /** Fixed-width value histogram per series — the monitoring-dashboard
     * primitive over the reference's metric domain: 25-unit bins with

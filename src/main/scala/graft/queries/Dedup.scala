@@ -346,7 +346,7 @@ object Dedup {
       FROM documents),
     qual AS (SELECT *, (40 * least(n_words, 100) * n_chars * n_words
         + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
-        // (n_chars * n_words) AS quality_bp FROM feat),
+        // nullif(n_chars * n_words, 0) AS quality_bp FROM feat),
     exk AS (SELECT *, min(doc_id) OVER (PARTITION BY ch) AS keep_id FROM qual),
     kept AS (SELECT e.doc_id, e.n_words AS n_tokens
       FROM exk e LEFT JOIN comp c ON c.doc_id = e.doc_id

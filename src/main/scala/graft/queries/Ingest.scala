@@ -312,11 +312,16 @@ object Ingest {
               Some((uid % 100, v * 3, Seq(Quantile(0.5, v), Quantile(0.99, v * 2)))),
               None, Some(tsMs))))
         case _ =>
-          val explicit = Seq(Bucket(uid % 5, 0.1)) ++
-            (if (uid % 2 == 0) Seq(Bucket(uid % 5 + 3, Double.PositiveInfinity)) else Nil)
+          // bucket bounds straddle the Go %g scientific switch: 1e-05
+          // (exp<-4 → "1e-05"), 5e-4 (exp=-4 → "0.0005"), 0.1, 1048576
+          // (exp>=6 → "1.048576e+06") — label parity with expfmt's
+          // fmt.Sprint is part of what the oracle checks
+          val explicit = Seq(Bucket(uid % 5, 1e-05), Bucket(uid % 5 + 1, 5e-4),
+            Bucket(uid % 5 + 2, 0.1), Bucket(uid % 5 + 3, 1048576.0)) ++
+            (if (uid % 2 == 0) Seq(Bucket(uid % 5 + 4, Double.PositiveInfinity)) else Nil)
           MetricFamily(s"dur_$etype", PromProtoParser.HISTOGRAM,
             Seq(Metric(labels, None, None,
-              Some((uid % 5 + 3, v, explicit)), Some(tsMs))))
+              Some((uid % 5 + 4, v, explicit)), Some(tsMs))))
       }
       val wire = PromProtoParser.encodeDelimited(Seq(fam))
       PromProtoParser.parseExposition(wire, Some(PromProtoParser.ProtoContentType),
@@ -353,12 +358,24 @@ object Ingest {
         CAST(user_id % 100 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 1
       UNION ALL
       SELECT event_id, 'dur_' || event_type || '_bucket',
-        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=0.1',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=1e-05',
         CAST(user_id % 5 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2
       UNION ALL
       SELECT event_id, 'dur_' || event_type || '_bucket',
-        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=+Inf',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=0.0005',
+        CAST(user_id % 5 + 1 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2
+      UNION ALL
+      SELECT event_id, 'dur_' || event_type || '_bucket',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=0.1',
+        CAST(user_id % 5 + 2 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2
+      UNION ALL
+      SELECT event_id, 'dur_' || event_type || '_bucket',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=1.048576e+06',
         CAST(user_id % 5 + 3 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2
+      UNION ALL
+      SELECT event_id, 'dur_' || event_type || '_bucket',
+        'eid=' || CAST(event_id AS VARCHAR) || ',job=graft,le=+Inf',
+        CAST(user_id % 5 + 4 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2
       UNION ALL
       SELECT event_id, 'dur_' || event_type || '_sum',
         'eid=' || CAST(event_id AS VARCHAR) || ',job=graft',
@@ -366,7 +383,7 @@ object Ingest {
       UNION ALL
       SELECT event_id, 'dur_' || event_type || '_count',
         'eid=' || CAST(event_id AS VARCHAR) || ',job=graft',
-        CAST(user_id % 5 + 3 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2)
+        CAST(user_id % 5 + 4 AS DOUBLE), ts_us FROM base WHERE event_id % 3 = 2)
     ORDER BY event_id, name, labels_str"""))
 
   /** remote_write normalization (prometheus_remote_write.go:52-86): unlike

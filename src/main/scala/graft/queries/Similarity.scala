@@ -23,7 +23,7 @@ object Similarity {
 
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
-    kmeansRefine, annPqAdc, annPqTrained)
+    kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -693,4 +693,43 @@ object Similarity {
       .select(col("q_id"), col("q_bucket"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cosine"))
       .orderBy("q_id", "rnk")
   }, Some(lshOracleSql))
+
+  /** Embedding-cosine near-duplicate detection — the dedup mode that
+    * catches paraphrases exact/MinHash/SimHash text hashing cannot: any
+    * corpus pair whose embeddings' cosine clears the threshold is a
+    * near-dup candidate pair (d1 < d2 canonical order).
+    *
+    * Scale shape: candidates come from the SAME 8-bit random-hyperplane
+    * buckets as ann_lsh_rp — one shuffle on bucket, pairs only within a
+    * bucket, never the O(N²) cross join (at 100 TB the bit count grows
+    * so buckets stay bounded; multiprobe recovers recall). Threshold
+    * compares on round(,6) so both engines cut identically at float
+    * edges. Oracle: generated SQL carrying the identical plane
+    * constants, hash-exact.
+    */
+  val dedupEmbedCosine: Q = Q("dedup_embed_cosine", (s, dir) => {
+    val n = normed(s, dir)
+    val bucketBits: Seq[Column] = lshPlanes.map { p =>
+      when(dotD(col("emb"), typedLit(p)) > 0, lit("1")).otherwise(lit("0"))
+    }
+    val b = n.withColumn("bucket", concat(bucketBits: _*))
+    val l = b.select(col("vec_id").as("d1"), col("bucket"),
+      col("emb").as("e1"), col("nrm").as("n1"))
+    val r = b.select(col("vec_id").as("d2"), col("bucket").as("b2"),
+      col("emb").as("e2"), col("nrm").as("n2"))
+    l.join(r, col("bucket") === col("b2") && col("d1") < col("d2"))
+      .withColumn("sim", dotD(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(round(col("sim"), 6) >= 0.25)
+      .select(col("d1"), col("d2"), round(col("sim"), 4).as("cosine"))
+      .orderBy("d1", "d2")
+  }, Some(s"""WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    b AS (SELECT vec_id, emb, nrm, $lshBitsSql AS bucket FROM n),
+    p AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
+        list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT d1, d2, round(sim, 4) AS cosine FROM p WHERE round(sim, 6) >= 0.25
+    ORDER BY d1, d2"""))
 }

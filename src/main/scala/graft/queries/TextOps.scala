@@ -15,7 +15,60 @@ object TextOps {
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
-    qualityRepetition, mixSample)
+    qualityRepetition, mixSample, textBm25)
+
+  /** Okapi BM25 top-20 for a fixed 3-term query — the retrieval-grade
+    * relevance ranking tf-idf approximates (k1=1.2, b=0.75, the
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf that never goes negative).
+    *
+    * Scale shape: per-doc term frequencies are array ops on the already-
+    * split word array (zero shuffle); corpus stats (N, avgdl, one df per
+    * query term) are ONE tiny partial-aggregated pass broadcast back; the
+    * top-20 plans as TakeOrderedAndProject (per-partition top-k + merge,
+    * no global sort). The score formula is the same SQL text on both
+    * engines so the float expression trees match; selection and order
+    * compare on round(,6) with a doc_id tie-break.
+    */
+  val textBm25: Q = Q("text_bm25", (s, dir) => {
+    val terms = Seq("spark", "join", "window")
+    val t = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), filter(split(lower(col("text")), " "), w => w =!= "").as("w"))
+      .withColumn("dl", size(col("w")).cast("bigint"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(q =>
+        expr(s"CAST(size(filter(w, x -> x = '$q')) AS BIGINT)").as(s"tf_$q")): _*)
+    val statsCols = Seq(count(lit(1)).as("n"),
+      expr("CAST(sum(dl) AS DOUBLE) / count(*)").as("avgdl")) ++ terms.map(q =>
+      sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = t.agg(statsCols.head, statsCols.tail: _*)
+    val scoreSql = terms.map(q =>
+      s"ln(1 + (n - df_$q + 0.5) / (df_$q + 0.5)) * (tf_$q * 2.2) / (tf_$q + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+      .mkString(" + ")
+    t.crossJoin(broadcast(stats))
+      .withColumn("score", expr(scoreSql))
+      .select(col("doc_id"), col("dl"), col("tf_spark"), col("tf_join"), col("tf_window"),
+        round(col("score"), 4).as("bm25"))
+      .orderBy(expr("round(score, 6)").desc, col("doc_id").asc)
+      .limit(20)
+  }, Some("""WITH w AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_join,
+        CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
+      FROM w),
+    s AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      FROM t),
+    sc AS (SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+        ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5)) * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df_join + 0.5) / (df_join + 0.5)) * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df_window + 0.5) / (df_window + 0.5)) * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+      FROM t, s)
+    SELECT doc_id, dl, tf_spark, tf_join, tf_window, round(score, 4) AS bm25
+    FROM sc ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20"""))
 
   /** Data-mixing downsampler — equalize source contributions for a
     * training mix: every source is hash-downsampled to the token mass of
@@ -112,26 +165,42 @@ object TextOps {
     * float rounding (same trick as text_stats.quality_bp). Per-doc
     * aggregation only — embarrassingly parallel at 100 TB.
     */
+  /** Run-length stats over a SORTED string array, per row: (max run,
+    * total length of runs longer than 1) == (top term count, duplicate
+    * term occurrences) without exploding the array. Pure integer math on
+    * exact string equality — bit-identical to the explode→count twin it
+    * replaces, with ZERO shuffles instead of four: per-doc stats must
+    * not pay a corpus-wide exchange at 100 TB.
+    */
+  private def runStats(sortedArr: String): String =
+    s"""aggregate(
+      $sortedArr,
+      named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+                   'maxr', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+      (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+        named_struct('prev', x, 'run', acc.run + 1, 'maxr', acc.maxr, 'dup', acc.dup),
+        named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                     'maxr', greatest(acc.maxr, acc.run),
+                     'dup', acc.dup + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT)))),
+      acc -> named_struct(
+        'maxr', greatest(acc.maxr, acc.run),
+        'dup', acc.dup + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT))))"""
+
   val qualityRepetition: Q = Q("quality_repetition", (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
+    Tables.t(s, dir, "documents")
       .select(col("doc_id"), filter(split(lower(col("text")), " "), w => w =!= "").as("w"))
       .filter(size(col("w")) >= 2)
-    val big = d.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
-        concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1)))).as("bigram"))
-    val bstats = big.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as("n_big"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_big"),
-        max("c").as("top_big"))
-    val wstats = d.select(col("doc_id"), explode(col("w")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_words"), max("c").as("top_word"))
-    bstats.join(wstats, "doc_id")
+      .withColumn("bg", expr(
+        """array_sort(transform(sequence(1, size(w) - 1),
+           i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))"""))
+      .withColumn("bs", expr(runStats("bg")))
+      .withColumn("ws", expr(runStats("array_sort(w)")))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .withColumn("n_big", (size(col("w")) - 1).cast("bigint"))
       .select(col("doc_id"), col("n_words"), col("n_big"),
-        expr("10000 * dup_big DIV n_big").as("dup_bigram_bp"),
-        expr("10000 * top_big DIV n_big").as("top_bigram_bp"),
-        expr("10000 * top_word DIV n_words").as("top_word_bp"))
+        expr("10000 * bs.dup DIV n_big").as("dup_bigram_bp"),
+        expr("10000 * bs.maxr DIV n_big").as("top_bigram_bp"),
+        expr("10000 * ws.maxr DIV n_words").as("top_word_bp"))
       .orderBy("doc_id")
   }, Some("""WITH d AS (SELECT doc_id,
         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
@@ -194,7 +263,7 @@ object TextOps {
           filter(split(lower(col("text")), " "), w => w =!= ""))), " ")).as("fp"))
       .withColumn("quality_bp", expr("""(40 * least(n_words, 100) * n_chars * n_words
         + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
-        DIV (n_chars * n_words)"""))
+        DIV nullif(n_chars * n_words, 0)"""))
     val dupFps = d.groupBy("fp").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
       .select(col("fp").as("dup_fp"))
     // No broadcast hint: dup_fps grows with corpus size (unbounded at
@@ -221,7 +290,7 @@ object TextOps {
       FROM documents),
     q AS (SELECT *, (40 * least(n_words, 100) * n_chars * n_words
         + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
-        // (n_chars * n_words) AS quality_bp FROM d),
+        // nullif(n_chars * n_words, 0) AS quality_bp FROM d),
     dup AS (SELECT fp AS dup_fp FROM d GROUP BY fp HAVING count(*) > 1)
     SELECT source, count(*) AS n_docs,
       CAST(sum(bpe_tokens) AS BIGINT) AS total_tokens,
@@ -400,12 +469,12 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_alpha"), col("n_distinct"),
         expr("""(40 * least(n_words, 100) * n_chars * n_words
           + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
-          DIV (n_chars * n_words)""").as("quality_bp"))
+          DIV nullif(n_chars * n_words, 0)""").as("quality_bp"))
       .orderBy("doc_id")
   }, Some("""SELECT doc_id, n_chars, n_words, n_alpha, n_distinct,
       (40 * least(n_words, 100) * n_chars * n_words
         + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
-        // (n_chars * n_words) AS quality_bp
+        // nullif(n_chars * n_words, 0) AS quality_bp
     FROM (SELECT doc_id,
       CAST(length(text) AS BIGINT) AS n_chars,
       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,

@@ -75,7 +75,9 @@ object TokenBans {
         (_: (String, Long), it: Iterator[QuotaEvent], state: GroupState[Long]) =>
           val used = state.getOption.getOrElse(0L)
           val evs = it.toArray.sortBy(_.id)
-          val room = math.max(0L, limit - used).toInt
+          // clamp to batch size BEFORE narrowing — (limit-used) can exceed
+          // Int.MaxValue and a bare .toInt would wrap negative
+          val room = math.min(limit - used, evs.length.toLong).max(0L).toInt
           val admitted = evs.take(room)
           state.update(used + admitted.length)
           admitted.iterator

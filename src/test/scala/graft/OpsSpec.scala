@@ -31,6 +31,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("Graph.connectedComponentsStar agrees with propagation on chains, rings, and self-loops") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 20L)).toDF("src", "dst")
+    val got = graft.ops.Graph.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("Graph.connectedComponentsStar converges in O(log) rounds on a high-diameter chain") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // a 512-long chain has diameter 511: min-label propagation would need
+    // ~511 shuffle rounds (its maxIters guard would throw), star
+    // contraction must land well inside 12 alternating rounds
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.ops.Graph.connectedComponentsStar(chain, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 512 && got.values.forall(_ == 0L), s"bad labels: ${got.take(5)}")
+  }
+
+  test("Graph.connectedComponentsStar matches brute-force union-find on random graphs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      val got = graft.ops.Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("Graph.connectedComponents returns an empty relation on an empty edge list") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -110,7 +110,46 @@ class PromProtoParserSpec extends AnyFunSuite {
     assert(PromProtoParser.goFloatLabel(0.5) == "0.5")
     assert(PromProtoParser.goFloatLabel(0.99) == "0.99")
     assert(PromProtoParser.goFloatLabel(Double.PositiveInfinity) == "+Inf")
+    assert(PromProtoParser.goFloatLabel(Double.NegativeInfinity) == "-Inf")
     assert(PromProtoParser.goFloatLabel(10.0) == "10")
     assert(PromProtoParser.goFloatLabel(0.025) == "0.025")
+  }
+
+  test("goFloatLabel follows Go shortest-%g scientific-notation switch") {
+    // goldens from Go: for v in {...} { fmt.Println(fmt.Sprint(v)) }
+    // decimal while exponent in [-4, 6)
+    assert(PromProtoParser.goFloatLabel(100000.0) == "100000")
+    assert(PromProtoParser.goFloatLabel(999999.0) == "999999")
+    assert(PromProtoParser.goFloatLabel(0.0001) == "0.0001")
+    assert(PromProtoParser.goFloatLabel(0.0005) == "0.0005")
+    assert(PromProtoParser.goFloatLabel(123456.789) == "123456.789")
+    // scientific at exponent >= 6 (bytes/ns histogram bucket bounds)
+    assert(PromProtoParser.goFloatLabel(1e6) == "1e+06")
+    assert(PromProtoParser.goFloatLabel(1048576.0) == "1.048576e+06")
+    assert(PromProtoParser.goFloatLabel(2.5e7) == "2.5e+07")
+    assert(PromProtoParser.goFloatLabel(1e15) == "1e+15")
+    assert(PromProtoParser.goFloatLabel(1e100) == "1e+100")
+    // scientific at exponent < -4 (sub-0.1ms latency bounds)
+    assert(PromProtoParser.goFloatLabel(5e-05) == "5e-05")
+    assert(PromProtoParser.goFloatLabel(1e-05) == "1e-05")
+    assert(PromProtoParser.goFloatLabel(2.5e-07) == "2.5e-07")
+    // sign / zero / shortest-round-trip edges
+    assert(PromProtoParser.goFloatLabel(-1048576.0) == "-1.048576e+06")
+    assert(PromProtoParser.goFloatLabel(-0.0005) == "-0.0005")
+    assert(PromProtoParser.goFloatLabel(0.0) == "0")
+    assert(PromProtoParser.goFloatLabel(0.1) == "0.1")
+    assert(PromProtoParser.goFloatLabel(0.30000000000000004) == "0.30000000000000004")
+    assert(PromProtoParser.goFloatLabel(9.536743164e-07) == "9.536743164e-07")
+  }
+
+  test("goFloatLabel round-trips every emitted label back to the same double") {
+    val vs = Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
+      1e6, 1048576.0, 5e-4, 1e-5, 0.30000000000000004, 1.7976931348623157e308,
+      4.9e-324, 2.2250738585072014e-308)
+    for (v <- vs) {
+      val s = PromProtoParser.goFloatLabel(v)
+      assert(java.lang.Double.parseDouble(s.replace("+Inf", "Infinity")) == v,
+        s"$v printed as $s")
+    }
   }
 }

@@ -553,6 +553,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quota: limit beyond Int.MaxValue admits everything (no toInt wrap)") {
+    // regression: room = (limit - used).toInt wrapped negative for
+    // limits > Int.MaxValue, silently dropping every event for keys far
+    // under quota
+    import graft.streaming.{QuotaEvent, TokenBans}
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_quota_big").toFile
+    val events = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); QuotaEvent(p(0), p(1).toLong, p(2).toLong) }
+    val q = TokenBans.quotaLimit(events, limit = Long.MaxValue)
+      .writeStream.outputMode("append").format("memory").queryName("graft_quota_big_out").start()
+    try {
+      Files.write(new java.io.File(dir, "b1.txt").toPath,
+        "tokA 0 1\ntokA 0 2\ntokA 0 3".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM graft_quota_big_out").head.getLong(0)
+      assert(n == 3L, s"admitted $n of 3 under an effectively-unlimited quota")
+    } finally q.stop()
+  }
+
   test("streaming z-score anomaly: stable series quiet, outlier flags, state spans batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -578,6 +599,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT value FROM graft_anomaly_out WHERE is_anomaly").as[Double].collect().toSet
       assert(flagged == Set(500.0), s"flagged: $flagged")
     } finally q.stop()
+  }
+
+  test("streaming z-score ring buffer has exact frame parity with the batch trailing-20 window") {
+    // the AnomalyProcessor docstring claims the SAME frame as
+    // q_zscore_anomaly (ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) — prove
+    // it: run the processor's scoring core over a 40-point series whose
+    // level shifts mid-way (so ring eviction matters: points after the
+    // shift must be scored against the post-shift window, not all history,
+    // which is exactly where the old Welford-over-everything state diverged)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val vals = (0 until 40).map { i =>
+      val base = if (i < 22) 10.0 else 40.0
+      val spike = if (i == 15 || i == 34) 300.0 else 0.0
+      base + (i % 5) * 0.7 + spike
+    }.toVector
+    val (_, scored) =
+      graft.streaming.AnomalyProcessor.score(Vector.empty, vals,
+        threshold = 3.0, minHistory = 5, window = 20)
+    val w = Window.orderBy("i").rowsBetween(-20, -1)
+    val batch = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "value")
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("nw", count("value").over(w))
+      .withColumn("live", col("nw") >= 5 && round(col("sd"), 6) > 0)
+      .withColumn("z", when(col("live"), (col("value") - col("mu")) / col("sd")).otherwise(0.0))
+      .withColumn("flag", col("live") && abs(round(col("z"), 6)) > 3)
+      .orderBy("i")
+      .select("value", "z", "flag").as[(Double, Double, Boolean)].collect().toVector
+    assert(scored.length == batch.length)
+    scored.zip(batch).zipWithIndex.foreach { case (((sv, sz, sf), (bv, bz, bf)), i) =>
+      assert(sv == bv, s"value mismatch at $i")
+      assert(sf == bf, s"flag mismatch at $i: stream z=$sz batch z=$bz")
+      assert(math.abs(sz - bz) < 1e-9, s"z mismatch at $i: $sz vs $bz")
+    }
+    // eviction sanity: both engines flag the two spikes and the shift edge
+    assert(scored.count(_._3) == batch.count(_._3))
+    assert(scored(15)._3 && scored(34)._3, "spikes must flag in the stream twin")
   }
 
   test("streaming incremental dedup: bloom prefilter + exact confirm across micro-batches") {
