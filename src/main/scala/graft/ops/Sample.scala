@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling primitives for training-data curation — all
+  * selection is a pure function of the row id (md5-derived), never
+  * `rand()`: stable across engines, retries, partitionings, and scales.
+  * Complements [[Text.hashBucket]] (percentile membership) with ORDERED
+  * selection — "the first n per stratum", "until the budget is spent".
+  */
+object Sample {
+
+  /** Total order within a stratum: the full 60-bit md5 prefix of the id
+    * (salted), id as tie-break. Same expression is emitted into DuckDB
+    * oracles, so order is identical cross-engine.
+    */
+  def hashOrder(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
+      .cast("bigint")
+
+  /** Exactly min(n, |stratum|) rows per stratum, chosen by hash order —
+    * the exact-count companion to rate-based downsampling (equal-size
+    * eval slices, per-source audit samples). One shuffle on the stratum
+    * key; the window is per-stratum, so parallelism = #strata and no
+    * global ordering exists anywhere.
+    *
+    * Adds `h` (the hash key) and `rn` (1-based rank within the stratum).
+    */
+  def stratifiedTopN(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int,
+      salt: String = "strat"): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy("h", idCol)
+    df.withColumn("h", hashOrder(col(idCol), salt))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= n)
+  }
+
+  /** Greedy per-stratum budget cap: rows are admitted in hash order
+    * until the stratum's cumulative `weightCol` reaches `budget` — the
+    * token-budget mixing step of a training-data pipeline ("up to 1M
+    * tokens from each source, reproducibly"). A row is admitted iff the
+    * cumulative weight BEFORE it is under budget, so the cap is overshot
+    * by at most one row (the standard greedy knapsack cut). Per-stratum
+    * window, no global ordering.
+    *
+    * Adds `h`, `cum_before` (exclusive prefix sum), keeps only admitted
+    * rows.
+    */
+  def budgetCap(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      salt: String = "budget"): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy("h", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("h", hashOrder(col(idCol), salt))
+      .withColumn("cum_before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
+}

@@ -15,7 +15,54 @@ object TextOps {
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
-    qualityRepetition, mixSample, textBm25)
+    qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget)
+
+  /** Exact-count stratified sampling — 25 docs per source by reproducible
+    * hash order (ops/Sample.stratifiedTopN): the equal-size eval-slice /
+    * audit-sample primitive rate sampling can't give you. Per-source
+    * window, parallelism = #sources, no global sort.
+    */
+  val stratifiedSample: Q = Q("stratified_sample", (s, dir) => {
+    graft.ops.Sample.stratifiedTopN(
+        Tables.t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", n = 25)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy("source", "rn")
+  }, Some("""SELECT source, rn, doc_id FROM (
+      SELECT source, doc_id,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY CAST('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+          doc_id) AS BIGINT) AS rn
+      FROM documents)
+    WHERE rn <= 25 ORDER BY source, rn"""))
+
+  /** Per-source token-budget cap (ops/Sample.budgetCap): admit docs in
+    * reproducible hash order until each source has contributed 20k
+    * tokens — the "up to N tokens per source" mixing step of a training
+    * run. Greedy cut admits a row iff the EXCLUSIVE prefix sum is under
+    * budget (overshoot ≤ 1 doc). Output is the per-source manifest the
+    * mixing job would ship.
+    */
+  val packTokenBudget: Q = Q("pack_token_budget", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), graft.ops.Text.bpeTokens(col("text")).as("tok"))
+    graft.ops.Sample.budgetCap(d, "source", "doc_id", "tok", budget = 20000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("kept_tokens"),
+        max(col("cum_before") + col("tok")).as("final_cum"))
+      .orderBy("source")
+  }, Some("""WITH d AS (SELECT doc_id, source,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+      FROM documents),
+    o AS (SELECT *,
+        coalesce(sum(tok) OVER (PARTITION BY source
+          ORDER BY CAST('0x' || substr(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM d)
+    SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS kept_tokens,
+      CAST(max(cum_before + tok) AS BIGINT) AS final_cum
+    FROM o WHERE cum_before < 20000
+    GROUP BY source ORDER BY source"""))
 
   /** Okapi BM25 top-20 for a fixed 3-term query — the retrieval-grade
     * relevance ranking tf-idf approximates (k1=1.2, b=0.75, the

@@ -75,6 +75,82 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Sample.stratifiedTopN takes exactly min(n, stratum size) rows, stable across partitionings") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val a = graft.ops.Sample.stratifiedTopN(df, "src", "id", 10)
+      .select("src", "rn", "id").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.ops.Sample.stratifiedTopN(df.repartition(7), "src", "id", 10)
+      .select("src", "rn", "id").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "selection must be a pure function of ids, not partitioning")
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+    // a stratum smaller than n yields the whole stratum
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "src")
+    val got = graft.ops.Sample.stratifiedTopN(tiny, "src", "id", 5)
+    assert(got.count() == 3)
+  }
+
+  test("Sample.budgetCap admits in hash order and overshoots by at most one row per stratum") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = (0L until 60L).map(i => (i, s"s${i % 2}", 10L + (i % 7))).toDF("id", "src", "w")
+    val budget = 100L
+    val kept = graft.ops.Sample.budgetCap(df, "src", "id", "w", budget)
+      .select("src", "id", "w", "cum_before").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val maxW = rows.map(_._3).max
+      assert(total < budget + maxW, s"$src overshot by more than one row: $total")
+      // every admitted row's exclusive prefix is under budget
+      assert(rows.forall(_._4 < budget))
+      // the cut is tight: the stratum had more mass than the budget
+      assert(total >= math.min(budget, rows.map(_._3).sum), s"$src")
+    }
+    // determinism across partitionings
+    val again = graft.ops.Sample.budgetCap(df.repartition(5), "src", "id", "w", budget)
+      .select("src", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == kept.map(r => (r._1, r._2)).toSet)
+  }
+
+  test("Ingest facade: one relation shape across graphite/influx/opentsdb/prom-proto") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // graphite: good line + bad line → PERMISSIVE keeps the error row
+    val g = graft.ops.Ingest.graphite(
+      Seq("cpu.load;dc=east 0.5 1700000000", "garbage").toDS(), parseHierarchy = false, nowMs = 7L)
+    assert(g.columns.toSeq ==
+      Seq("ts_us", "name", "labels", "vtype", "v_long", "v_double", "v_bool", "v_str", "error"))
+    assert(g.count() == 2 && g.filter("error IS NOT NULL").count() == 1)
+    assert(g.filter("name = 'cpu.load'").count() == 1)
+    // DROPMALFORMED: the bad line vanishes
+    assert(graft.ops.Ingest.graphite(Seq("good 1", "garbage").toDS(),
+      mode = "DROPMALFORMED").count() == 1)
+    // FAILFAST: the bad line throws
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.ops.Ingest.graphite(Seq("garbage").toDS(), mode = "FAILFAST").count()
+    }
+    assert(e.getMessage.contains("malformed") || e.getCause != null)
+    // influx: two fields fan out to two rows
+    val i = graft.ops.Ingest.influx(
+      Seq("m,host=a used=1i,free=2.5 1700000000000000000").toDS())
+    assert(i.count() == 2 && i.filter("vtype = 'long'").count() == 1)
+    // opentsdb: array body
+    val o = graft.ops.Ingest.opentsdb(
+      Seq("""[{"metric":"m1","timestamp":1700000000,"value":4,"tags":{"h":"a"}}]""").toDS())
+    assert(o.count() == 1 && o.head.getAs[String]("name") == "m1")
+    // prom proto: encoded counter family through content negotiation
+    import graft.parsers.PromProtoParser
+    val fam = PromProtoParser.MetricFamily("reqs", PromProtoParser.COUNTER,
+      Seq(PromProtoParser.Metric(Map("c" -> "1"), Some(2.0), None, None, Some(1700000000000L))))
+    val wire = PromProtoParser.encodeDelimited(Seq(fam))
+    val p = graft.ops.Ingest.promExposition(
+      Seq((wire, Option(PromProtoParser.ProtoContentType))).toDS())
+    assert(p.count() == 1 && p.head.getAs[String]("name") == "reqs")
+  }
+
   test("Graph.connectedComponents returns an empty relation on an empty edge list") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -142,6 +142,50 @@ class PromProtoParserSpec extends AnyFunSuite {
     assert(PromProtoParser.goFloatLabel(9.536743164e-07) == "9.536743164e-07")
   }
 
+  test("wire round-trip: 500 random family batches encode -> parseDelimited -> identical") {
+    // property pass over the full wire schema: every field kind
+    // (labels, counter/gauge/untyped value, summary quantiles, histogram
+    // buckets, optional timestamp), multi-family batches, empty metrics
+    val rnd = new scala.util.Random(41)
+    def randDouble(): Double = rnd.nextInt(5) match {
+      case 0 => rnd.nextLong().toDouble / 1e6
+      case 1 => rnd.nextInt(1000).toDouble
+      case 2 => math.exp(rnd.nextGaussian() * 20) // huge/tiny magnitudes
+      case 3 => -rnd.nextDouble()
+      case _ => rnd.nextDouble() * 1e9
+    }
+    def randLabels(): Map[String, String] =
+      (0 until rnd.nextInt(3)).map(i => s"l${('a' + i).toChar}" -> s"v${rnd.nextInt(100)}").toMap
+    def randMetric(kind: Int): PromProtoParser.Metric = {
+      val ts = if (rnd.nextBoolean()) Some(rnd.nextLong().abs % (1L << 50)) else None
+      kind match {
+        case PromProtoParser.SUMMARY =>
+          val qs = (0 until rnd.nextInt(4)).map(_ => PromProtoParser.Quantile(rnd.nextDouble(), randDouble()))
+          PromProtoParser.Metric(randLabels(), None,
+            Some((rnd.nextLong().abs % 100000, randDouble(), qs)), None, ts)
+        case PromProtoParser.HISTOGRAM =>
+          val bs = (0 until rnd.nextInt(5)).map(_ => PromProtoParser.Bucket(rnd.nextLong().abs % 100000, randDouble()))
+          PromProtoParser.Metric(randLabels(), None, None,
+            Some((rnd.nextLong().abs % 100000, randDouble(), bs)), ts)
+        case _ =>
+          PromProtoParser.Metric(randLabels(), Some(randDouble()), None, None, ts)
+      }
+    }
+    for (_ <- 1 to 500) {
+      val fams = (0 until 1 + rnd.nextInt(3)).map { i =>
+        val kind = Seq(PromProtoParser.COUNTER, PromProtoParser.GAUGE,
+          PromProtoParser.UNTYPED, PromProtoParser.SUMMARY, PromProtoParser.HISTOGRAM)(rnd.nextInt(5))
+        PromProtoParser.MetricFamily(s"fam_$i", kind,
+          (0 until rnd.nextInt(3)).map(_ => randMetric(kind)))
+      }
+      val wire = PromProtoParser.encodeDelimited(fams)
+      PromProtoParser.parseDelimited(wire) match {
+        case Right(got) => assert(got == fams, s"round-trip mismatch:\n$got\nvs\n$fams")
+        case Left(err)  => fail(s"parse failed on own encoding: $err")
+      }
+    }
+  }
+
   test("goFloatLabel round-trips every emitted label back to the same double") {
     val vs = Seq(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
       1e6, 1048576.0, 5e-4, 1e-5, 0.30000000000000004, 1.7976931348623157e308,

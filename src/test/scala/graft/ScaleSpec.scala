@@ -37,6 +37,38 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
 
+  test("quality_repetition plans shuffle-free per-doc stats (no hash exchange)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // the run-length-fold rewrite must keep per-doc repetition stats a
+    // pure map-side computation: the ONLY exchange allowed is the final
+    // presentation ORDER BY (range partitioning) — a hash exchange means
+    // an aggregation shuffle crept back in
+    val plan = graft.queries.TextOps.qualityRepetition
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc stats must not shuffle on a hash key:\n$plan")
+  }
+
+  test("text_bm25 top-20 plans as TakeOrderedAndProject, not a global sort") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val plan = graft.queries.TextOps.textBm25
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + merge:\n$plan")
+  }
+
+  test("stratified sample / budget cap plan per-stratum windows (no empty-frame global window)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val p1 = graft.queries.TextOps.stratifiedSample
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val p2 = graft.queries.TextOps.packTokenBudget
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    for ((p, n) <- Seq((p1, "stratified_sample"), (p2, "pack_token_budget")))
+      assert(!p.contains("Window Partition Specification: Empty") &&
+        !p.toLowerCase.contains("no partition defined for window"),
+        s"$n has a single-task global window:\n$p")
+  }
+
   test("partitioned writes prune at the source (PartitionFilters)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
