@@ -159,4 +159,65 @@ object Graph {
       .select(col("v"), col("v").as("component"))
     assigned.union(roots)
   }
+
+  /** Weighted PageRank in FIXED-POINT integer arithmetic — ranks are
+    * `scale`-scaled bigints, every step is integer multiply/floor-divide,
+    * so the result is bit-identical on any engine and any execution
+    * order (float PageRank is order-dependent in the per-vertex sum; the
+    * usual cross-engine poison). Mass lost to flooring and to dangling
+    * vertices is NOT redistributed — deterministic, and identical on the
+    * oracle side by construction.
+    *
+    * Per iteration: one join of ranks onto edges (shuffle on `src`), one
+    * aggregation of contributions (shuffle on `dst`) — the classic
+    * scale shape, linear in |E| per round, `iters` rounds. Lineage is
+    * broken per round (same checkpoint policy as the components ops).
+    *
+    * Input: directed weighted edges (src, dst, w ≥ 1, integral). Output:
+    * (`v`, `rank` in scale units). `dampingBp` is the damping factor in
+    * basis points (8500 = 0.85).
+    */
+  def pagerank(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w",
+      iters: Int = 10,
+      dampingBp: Long = 8500L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0 && dampingBp >= 0 && dampingBp <= 10000)
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    // vertex keys keep their own type (string names, long ids — anything
+    // joinable); only the weight must be integral
+    val e = edgeList.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"), col(weightCol).cast("long").as("w"))
+    val verts = break(
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct())
+    // 1-row metadata (N) stays distributed: broadcast cross join, no collect
+    val n = verts.agg(count(lit(1)).as("nv"))
+    val out = e.groupBy("src").agg(sum("w").as("wout")).persist()
+    val ew = e.join(out, "src").persist()
+    val base = verts.crossJoin(broadcast(n))
+      .select(col("v"), expr(s"$scale DIV nv").as("base"))
+    var ranks = break(base.select(col("v"), col("base").as("rank")))
+    var it = 0
+    while (it < iters) {
+      val contrib = ew.join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("rank * w DIV wout").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = break(base
+        .join(contrib, col("v") === col("dst"), "left_outer")
+        .select(col("v"), expr(
+          s"((10000 - $dampingBp) * base + $dampingBp * coalesce(m, 0)) DIV 10000")
+          .as("rank")))
+      it += 1
+    }
+    out.unpersist(); ew.unpersist()
+    ranks.select(col("v"), col("rank"))
+  }
 }

@@ -51,4 +51,41 @@ object Text {
   def hashBucket(id: Column, salt: String = ""): Column =
     conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
       .cast("bigint") % 100
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03, public):
+    * the SPAN-level dup signal whole-doc hashing can't give. Every
+    * `k`-gram gets an md5-derived 60-bit hash; each sliding window of
+    * `win` consecutive gram hashes contributes its minimum; the distinct
+    * selected set is the document's fingerprint sketch. Guarantee: two
+    * documents sharing any run of ≥ `win + k - 1` words share at least
+    * one fingerprint.
+    *
+    * Pure per-row array expression over an already-split words column —
+    * zero shuffle, O(len·win) per doc. The identical formula is easy to
+    * emit as DuckDB SQL (md5-bigint is the cross-engine hash), so
+    * downstream queries stay hash-exact.
+    *
+    * `wordsCol` must name an ARRAY<STRING> column; returns
+    * ARRAY<BIGINT> (empty when the doc has fewer than `k + win - 1`
+    * words).
+    */
+  def winnowFingerprints(wordsCol: String, k: Int = 3, win: Int = 4): Column = expr(
+    // the short-doc guard matters: Spark's sequence(1, 0) DESCENDS
+    // ([1,0]) rather than returning empty, so the window positions must
+    // only be generated when at least one full window exists
+    s"""CASE WHEN size($wordsCol) >= ${k + win - 1} THEN array_distinct(transform(
+        sequence(1, size($wordsCol) - ${k + win - 2}),
+        i -> array_min(transform(sequence(i, i + ${win - 1}),
+          j -> CAST(conv(substring(md5(concat_ws(' ', slice($wordsCol, j, $k))), 1, 15), 16, 10) AS BIGINT)))))
+      ELSE CAST(array() AS ARRAY<BIGINT>) END""")
+
+  /** The DuckDB twin of [[winnowFingerprints]] over a list column
+    * expression — emitted into generated oracle SQL.
+    */
+  def winnowFingerprintsSql(wordsExpr: String, k: Int = 3, win: Int = 4): String =
+    s"""list_distinct(list_transform(
+        range(1, greatest(len($wordsExpr) - ${k + win - 2}, 0) + 1),
+        i -> list_min(list_transform(range(i, i + $win),
+          j -> CAST('0x' || substr(md5(list_aggregate(($wordsExpr)[j:j+${k - 1}], 'string_agg', ' ')), 1, 15) AS BIGINT)))))"""
 }

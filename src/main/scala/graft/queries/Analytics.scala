@@ -41,7 +41,54 @@ object Analytics {
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
-    qRecursiveCte, qValueHistogram, qGraphChain)
+    qRecursiveCte, qValueHistogram, qGraphChain, qPagerank)
+
+  /** 10-iteration oracle twin of [[graft.ops.Graph.pagerank]], unrolled
+    * into plain CTEs (DuckDB's recursive CTEs disallow aggregation in
+    * the recursive term; the iteration count is a constant anyway). All
+    * integer fixed-point math — identical floors on both engines.
+    */
+  private lazy val pagerankOracleSql: String = {
+    val head = s"""WITH t AS (SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    e AS (SELECT event_type AS src, nxt AS dst, count(*) AS w
+      FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    v AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e),
+    n AS (SELECT count(*) AS nv FROM v),
+    o AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+    ew AS (SELECT e.src, e.dst, e.w, o.wout FROM e JOIN o USING (src)),
+    b AS (SELECT v.v, 1000000000 // n.nv AS base FROM v, n),
+    r0 AS (SELECT v, base AS rank FROM b)"""
+    val its = (1 to 10).map { k =>
+      s""",
+    s$k AS (SELECT ew.dst AS v, sum(r.rank * ew.w // ew.wout) AS m
+      FROM ew JOIN r${k - 1} r ON r.v = ew.src GROUP BY ew.dst),
+    r$k AS (SELECT b.v, (1500 * b.base + 8500 * coalesce(s$k.m, 0)) // 10000 AS rank
+      FROM b LEFT JOIN s$k ON s$k.v = b.v)"""
+    }.mkString
+    head + its + """
+    SELECT v, CAST(rank AS BIGINT) AS rank FROM r10 ORDER BY rank DESC, v"""
+  }
+
+  /** PageRank over the event-type transition graph (edges = consecutive
+    * event types per user, weighted by transition count) — "which event
+    * kinds sit at the center of user flows". Runs the generic
+    * [[graft.ops.Graph.pagerank]]: FIXED-POINT integer ranks, so the
+    * 10-round iterative join/agg pipeline is bit-identical to the
+    * unrolled oracle — no float summation order anywhere.
+    */
+  val qPagerank: Q = Q("graph_pagerank", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = e.withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.ops.Graph.pagerank(trans, iters = 10)
+      .select(col("v"), col("rank"))
+      .orderBy(col("rank").desc, col("v").asc)
+  }, Some(pagerankOracleSql))
 
   /** Connected components over a genuinely HIGH-DIAMETER graph — per-user
     * time-adjacent event chains (each event linked to the user's next

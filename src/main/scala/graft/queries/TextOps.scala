@@ -15,7 +15,40 @@ object TextOps {
   def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
-    qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget)
+    qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
+    textWinnow)
+
+  /** Span-level dup detection via winnowing fingerprints
+    * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
+    * per doc, the count of selected fingerprints and how many of them
+    * appear in OTHER docs too. The sharing count goes through an
+    * inverted fingerprint index (explode → document frequency → join
+    * back) — bounded by fingerprint df, never a doc×doc pair join. The
+    * whole-doc fingerprint (doc_fingerprint) catches identical content;
+    * this catches shared RUNS of ≥ 6 words inside otherwise-different
+    * docs — the copy-paste/boilerplate signal.
+    */
+  val textWinnow: Q = Q("text_winnow", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+      .withColumn("fps", graft.ops.Text.winnowFingerprints("w"))
+    val ex = d.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfreq = ex.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
+    ex.join(dfreq, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_fps"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH d AS (SELECT doc_id,
+      ${graft.ops.Text.winnowFingerprintsSql(
+        "list_filter(string_split(lower(text), ' '), x -> x <> '')")} AS fps
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM d),
+    df AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ex GROUP BY fp)
+    SELECT doc_id, count(*) AS n_fps,
+      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps
+    FROM ex JOIN df USING (fp)
+    GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Exact-count stratified sampling — 25 docs per source by reproducible
     * hash order (ops/Sample.stratifiedTopN): the equal-size eval-slice /

@@ -151,6 +151,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.count() == 1 && p.head.getAs[String]("name") == "reqs")
   }
 
+  test("Graph.pagerank matches a sequential fixed-point reference, any partitioning") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val edges = Seq( // small weighted digraph incl. a dangling sink (d) and a self-loop
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("c", "d", 1L), ("b", "b", 1L))
+    val scale = 1000000000L
+    // sequential reference with identical integer math
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val base = scale / verts.size
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = verts.map(_ -> base).toMap
+    for (_ <- 1 to 10) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => r(s) * w / wout(s) }.sum
+      }
+      r = verts.map(v => v -> (1500L * base + 8500L * in.getOrElse(v, 0L)) / 10000L).toMap
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = graft.ops.Graph.pagerank(edges.toDF("src", "dst", "w").repartition(parts))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(got == r, s"parts=$parts: $got vs $r")
+    }
+    // rank mass sanity: never exceeds the initial mass; the teleport
+    // floor (15% of base per vertex per round) survives even though the
+    // dangling sink evaporates most link mass
+    assert(r.values.sum <= scale && r.values.sum > 1500L * (scale / verts.size) / 10000L * verts.size)
+  }
+
+  test("Text.winnowFingerprints: shared-run guarantee, short-doc empty, partition-stable") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta" // 6 words = win+k-1 guarantee length
+    val docs = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "totally different words with no overlap at all here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+      .withColumn("fps", graft.ops.Text.winnowFingerprints("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    // two docs sharing a >= win+k-1 word run MUST share a fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 6-word run produced no common fingerprint")
+    // unrelated doc shares nothing with either
+    assert((fps(3L) & (fps(1L) | fps(2L))).isEmpty)
+    // a doc shorter than k+win-1 words has no full window -> empty sketch
+    assert(fps(4L).isEmpty)
+    // pure function of the text: partitioning cannot change the sketch
+    val again = docs.repartition(3)
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+      .withColumn("fps", graft.ops.Text.winnowFingerprints("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert(again == fps)
+  }
+
   test("Graph.connectedComponents returns an empty relation on an empty edge list") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
