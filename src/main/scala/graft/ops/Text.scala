@@ -70,22 +70,44 @@ object Text {
     * ARRAY<BIGINT> (empty when the doc has fewer than `k + win - 1`
     * words).
     */
-  def winnowFingerprints(wordsCol: String, k: Int = 3, win: Int = 4): Column = expr(
-    // the short-doc guard matters: Spark's sequence(1, 0) DESCENDS
-    // ([1,0]) rather than returning empty, so the window positions must
-    // only be generated when at least one full window exists
-    s"""CASE WHEN size($wordsCol) >= ${k + win - 1} THEN array_distinct(transform(
-        sequence(1, size($wordsCol) - ${k + win - 2}),
-        i -> array_min(transform(sequence(i, i + ${win - 1}),
-          j -> CAST(conv(substring(md5(concat_ws(' ', slice($wordsCol, j, $k))), 1, 15), 16, 10) AS BIGINT)))))
-      ELSE CAST(array() AS ARRAY<BIGINT>) END""")
+  def winnowFingerprints(
+      df: DataFrame,
+      wordsCol: String,
+      outCol: String = "fps",
+      k: Int = 3,
+      win: Int = 4): DataFrame =
+    // two hoisted steps, NOT one nested expression: gram hashes land in a
+    // real intermediate column so each md5 is computed exactly once —
+    // a lambda-nested formulation re-hashes every gram `win` times
+    // (HOFs don't do subexpression elimination), which measured 8×
+    // slower. Guards matter: Spark's sequence(1, 0) DESCENDS ([1,0])
+    // rather than returning empty, so each step only generates positions
+    // when at least one gram/window exists.
+    df.withColumn("_graft_gh", expr(
+        s"""CASE WHEN size($wordsCol) >= $k THEN transform(
+            sequence(1, size($wordsCol) - ${k - 1}),
+            j -> CAST(conv(substring(md5(concat_ws(' ', slice($wordsCol, j, $k))), 1, 15), 16, 10) AS BIGINT))
+          ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN size(_graft_gh) >= $win THEN array_distinct(transform(
+            sequence(1, size(_graft_gh) - ${win - 1}),
+            i -> array_min(slice(_graft_gh, i, $win))))
+          ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .drop("_graft_gh")
 
-  /** The DuckDB twin of [[winnowFingerprints]] over a list column
-    * expression — emitted into generated oracle SQL.
+  /** The DuckDB twin of [[winnowFingerprints]]'s gram-hash step —
+    * emitted into generated oracle SQL (hoist it in a CTE, then apply
+    * [[winnowSelectSql]]).
     */
-  def winnowFingerprintsSql(wordsExpr: String, k: Int = 3, win: Int = 4): String =
+  def winnowGramHashesSql(wordsExpr: String, k: Int = 3): String =
+    s"""list_transform(range(1, greatest(len($wordsExpr) - ${k - 1}, 0) + 1),
+        j -> CAST('0x' || substr(md5(list_aggregate(($wordsExpr)[j:j+${k - 1}], 'string_agg', ' ')), 1, 15) AS BIGINT))"""
+
+  /** The DuckDB twin of the window-min selection over a hoisted
+    * gram-hash list expression.
+    */
+  def winnowSelectSql(ghExpr: String, win: Int = 4): String =
     s"""list_distinct(list_transform(
-        range(1, greatest(len($wordsExpr) - ${k + win - 2}, 0) + 1),
-        i -> list_min(list_transform(range(i, i + $win),
-          j -> CAST('0x' || substr(md5(list_aggregate(($wordsExpr)[j:j+${k - 1}], 'string_agg', ' ')), 1, 15) AS BIGINT)))))"""
+        range(1, greatest(len($ghExpr) - ${win - 1}, 0) + 1),
+        i -> list_min(($ghExpr)[i:i+${win - 1}])))"""
 }

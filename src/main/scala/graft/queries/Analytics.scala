@@ -41,7 +41,70 @@ object Analytics {
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
-    qRecursiveCte, qValueHistogram, qGraphChain, qPagerank)
+    qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
+    qRetentionCohorts)
+
+  /** Ordered funnel — users progressing signup → click → purchase with
+    * each stage STRICTLY after the previous one (the product-analytics
+    * staple): per-user first-signup time, first click after it, first
+    * purchase after that, then one global count row with integer-bp
+    * conversion rates. Three per-user aggregates chained by time
+    * predicates — each stage is one shuffle on user_id, co-partitioned
+    * with the previous (at cluster scale: bucket events by user_id and
+    * all three stages are shuffle-free).
+    */
+  val qFunnel: Q = Q("q_funnel", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    t1.join(t2, Seq("user_id"), "left_outer").join(t3, Seq("user_id"), "left_outer")
+      .agg(count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click_after"),
+        count(col("t3")).as("n_purchase_after"))
+      .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+        expr("10000 * n_click_after DIV n_signup").as("click_bp"),
+        expr("10000 * n_purchase_after DIV n_signup").as("purchase_bp"))
+  }, Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN t1 USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN t2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id),
+    j AS (SELECT t1.user_id, t1.t1, t2.t2, t3.t3 FROM t1
+      LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+    SELECT count(t1) AS n_signup, count(t2) AS n_click_after,
+      count(t3) AS n_purchase_after,
+      10000 * count(t2) // count(t1) AS click_bp,
+      10000 * count(t3) // count(t1) AS purchase_bp
+    FROM j"""))
+
+  /** Weekly retention cohorts — users grouped by their FIRST-seen week,
+    * counted per week-offset of later activity (the growth-dashboard
+    * matrix). Weeks are integer µs floor-division (identical both
+    * engines); one distinct-pass per (user, week), one tiny first-week
+    * aggregate joined back.
+    */
+  val qRetentionCohorts: Q = Q("q_retention_cohorts", (s, dir) => {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_us DIV 604800000000").as("wk")).distinct()
+    val first = uw.groupBy("user_id").agg(min("wk").as("w0"))
+    uw.join(first, "user_id")
+      .groupBy(col("w0").as("cohort_week"), (col("wk") - col("w0")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }, Some("""WITH uw AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // 604800000000 AS wk FROM events),
+    f AS (SELECT user_id, min(wk) AS w0 FROM uw GROUP BY user_id)
+    SELECT w0 AS cohort_week, wk - w0 AS week_offset,
+      count(DISTINCT user_id) AS n_users
+    FROM uw JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** 10-iteration oracle twin of [[graft.ops.Graph.pagerank]], unrolled
     * into plain CTEs (DuckDB's recursive CTEs disallow aggregation in

@@ -29,20 +29,27 @@ object TextOps {
     * docs — the copy-paste/boilerplate signal.
     */
   val textWinnow: Q = Q("text_winnow", (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
-      .withColumn("fps", graft.ops.Text.winnowFingerprints("w"))
-    val ex = d.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val d = graft.ops.Text.winnowFingerprints(
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w")), "w")
+    // explode_OUTER on purpose: inner explode triggers
+    // InferFiltersFromGenerate, which pushes `size(fps)>0 AND isnotnull`
+    // down as a filter with the WHOLE winnow expression inlined — the
+    // gram hashing then runs twice more per raw row (measured 8-40s at
+    // sf0.1 vs ~1s without). The null rows an outer explode adds are
+    // dropped by the inner fp join below, so results are identical.
+    val ex = d.select(col("doc_id"), explode_outer(col("fps")).as("fp"))
     val dfreq = ex.groupBy("fp").agg(countDistinct(col("doc_id")).as("nd"))
     ex.join(dfreq, "fp")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fps"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_fps"))
       .orderBy("doc_id")
-  }, Some(s"""WITH d AS (SELECT doc_id,
-      ${graft.ops.Text.winnowFingerprintsSql(
-        "list_filter(string_split(lower(text), ' '), x -> x <> '')")} AS fps
+  }, Some(s"""WITH g AS (SELECT doc_id,
+      ${graft.ops.Text.winnowGramHashesSql(
+        "list_filter(string_split(lower(text), ' '), x -> x <> '')")} AS gh
       FROM documents),
+    d AS (SELECT doc_id, ${graft.ops.Text.winnowSelectSql("gh")} AS fps FROM g),
     ex AS (SELECT doc_id, unnest(fps) AS fp FROM d),
     df AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ex GROUP BY fp)
     SELECT doc_id, count(*) AS n_fps,

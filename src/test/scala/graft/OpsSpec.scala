@@ -189,9 +189,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, s"seven eight $run nine ten eleven twelve"),
       (3L, "totally different words with no overlap at all here"),
       (4L, "too short")).toDF("doc_id", "text")
-    val fps = docs
-      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
-      .withColumn("fps", graft.ops.Text.winnowFingerprints("w"))
+    val fps = graft.ops.Text.winnowFingerprints(
+        docs.select(col("doc_id"), graft.ops.Text.words(col("text")).as("w")), "w")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
     // two docs sharing a >= win+k-1 word run MUST share a fingerprint
     assert((fps(1L) & fps(2L)).nonEmpty, "shared 6-word run produced no common fingerprint")
@@ -200,9 +199,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a doc shorter than k+win-1 words has no full window -> empty sketch
     assert(fps(4L).isEmpty)
     // pure function of the text: partitioning cannot change the sketch
-    val again = docs.repartition(3)
-      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
-      .withColumn("fps", graft.ops.Text.winnowFingerprints("w"))
+    val again = graft.ops.Text.winnowFingerprints(
+        docs.repartition(3).select(col("doc_id"), graft.ops.Text.words(col("text")).as("w")), "w")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
     assert(again == fps)
   }

@@ -69,6 +69,40 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$n has a single-task global window:\n$p")
   }
 
+  test("runtime bloom filter from a filtered dim prunes the fact scan side") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // at 100 TB the win: a selective dim filter becomes a bloom filter
+    // APPLIED ON THE FACT SIDE before the shuffle — rows that can't join
+    // never leave the scan stage
+    val dir = Files.createTempDirectory("graft_bloom").toString
+    (1L to 200000L).map(i => (i % 5000, s"payload$i")).toDF("k", "p")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 5000L).map(i => (i, i % 97)).toDF("k", "cat")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("cat") === 13)
+      val j = fact.join(dim, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(j.count() == 52L * 40L, "52 dim keys x 40 fact rows per key")
+    }
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned writes prune at the source (PartitionFilters)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
