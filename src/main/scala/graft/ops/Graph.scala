@@ -140,7 +140,11 @@ object Graph {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = break(star(star(edges, largePhase = true), largePhase = false))
+      // materialize after EACH star: a star references its input twice
+      // (the undirected union), so any unmaterialized chaining doubles
+      // the plan per round — two chained rounds measured 5.7 s at sf0.1,
+      // four chained measured 27 s (exponential subtree duplication)
+      val next = break(star(break(star(edges, largePhase = true)), largePhase = false))
       val sum = edgeSum(next)
       converged = sum.compareTo(prev) == 0 &&
         next.count() == edges.count() && next.except(edges).isEmpty
@@ -210,12 +214,13 @@ object Graph {
       val contrib = ew.join(ranks, col("src") === col("v"))
         .select(col("dst"), expr("rank * w DIV wout").as("c"))
         .groupBy("dst").agg(sum("c").as("m"))
-      ranks = break(base
+      val next = base
         .join(contrib, col("v") === col("dst"), "left_outer")
         .select(col("v"), expr(
           s"((10000 - $dampingBp) * base + $dampingBp * coalesce(m, 0)) DIV 10000")
-          .as("rank")))
+          .as("rank"))
       it += 1
+      ranks = break(next)
     }
     out.unpersist(); ew.unpersist()
     ranks.select(col("v"), col("rank"))
