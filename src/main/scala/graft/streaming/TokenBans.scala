@@ -84,6 +84,38 @@ object TokenBans {
       }
   }
 
+  /** Streaming WEIGHTED budget admission — the streaming twin of the
+    * batch `pack_token_budget` operator (ops/Sample.budgetCap): per
+    * stratum, admit rows in id order while the cumulative weight BEFORE
+    * the row is under `budget` (same exclusive-prefix greedy cut, so
+    * overshoot ≤ 1 row), with the spent amount persisting across
+    * micro-batches. State is one Long per stratum. Rows of a stratum
+    * arriving in later batches resume exactly where the budget left
+    * off — the "up to N tokens per source, continuously" mixing gate.
+    */
+  def budgetLimit[K: org.apache.spark.sql.Encoder](
+      rows: org.apache.spark.sql.Dataset[(K, Long, Long)], // (stratum, id, weight)
+      budget: Long): org.apache.spark.sql.Dataset[(K, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(K, Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(implicitly[org.apache.spark.sql.Encoder[K]],
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, it: Iterator[(K, Long, Long)], state: GroupState[Long]) =>
+          var spent = state.getOption.getOrElse(0L)
+          val admitted = it.toArray.sortBy(_._2).iterator.filter { r =>
+            val ok = spent < budget
+            if (ok) spent += r._3
+            ok
+          }.toVector
+          state.update(spent)
+          admitted.iterator
+      }
+  }
+
   /** Sink failure → classification → ban-on-token-error, the
     * core/handler.go:222-248 reaction: invalid/expired/revoked token
     * bodies ban the request's token; everything else only classifies.

@@ -26,6 +26,73 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("graphite round-trip: 2000 random synthesized lines -> parse -> expected GTS") {
+    // encode-side golden: build `name[;k=v...] value ts` from random
+    // components and require the parser to reconstruct exactly — the
+    // per-protocol replay property the wire corpus gives the text path
+    import graft.core.GtsValue
+    val rnd = new scala.util.Random(107)
+    val nameAlpha = "abcxyz.0_"
+    def piece(n: Int) = (0 until 1 + rnd.nextInt(n)).map(_ => nameAlpha.charAt(rnd.nextInt(nameAlpha.length - 2))).mkString
+    (1 to 2000).foreach { _ =>
+      val name = s"${piece(5)}.${piece(5)}"
+      val tags = (0 until rnd.nextInt(3)).map(i => s"k$i" -> s"v${rnd.nextInt(9)}").toMap
+      val (valueTok, expected) = rnd.nextInt(3) match {
+        case 0 => val v = rnd.nextLong() % 100000; (v.toString, GtsValue.long(v))
+        case 1 => val v = (rnd.nextInt(2000000) - 1000000) / 1000.0
+          (v.toString, GtsValue.double(v))
+        case _ => val b = rnd.nextBoolean(); (b.toString, GtsValue.bool(b))
+      }
+      val tsSec = 1500000000L + rnd.nextInt(200000000)
+      val tagsPart = tags.map { case (k, v) => s";$k=$v" }.mkString
+      val line = s"$name$tagsPart $valueTok $tsSec"
+      GraphiteParser.parseLine(line, parse = false, 1L) match {
+        case Right(g) =>
+          assert(g.name == name, s"name mismatch on <$line>")
+          assert(g.labels == tags, s"labels mismatch on <$line>: ${g.labels}")
+          assert(g.value == expected, s"value mismatch on <$line>: ${g.value}")
+          assert(g.ts.contains(tsSec * 1000000L), s"ts mismatch on <$line>: ${g.ts}")
+        case Left(err) => fail(s"parse failed on synthesized <$line>: $err")
+      }
+    }
+  }
+
+  test("opentsdb round-trip: 1000 random synthesized JSON bodies -> parse -> expected GTS") {
+    val rnd = new scala.util.Random(109)
+    (1 to 1000).foreach { _ =>
+      val n = 1 + rnd.nextInt(3)
+      val pts = (0 until n).map { i =>
+        val metric = s"sys.m$i.${rnd.nextInt(99)}"
+        val tsSec = 1500000000L + rnd.nextInt(200000000)
+        val isInt = rnd.nextBoolean()
+        val value = if (isInt) rnd.nextInt(100000).toString
+          else ((rnd.nextInt(2000000) - 1000000) / 1000.0).toString
+        val tags = (0 until 1 + rnd.nextInt(2)).map(j => s"t$j" -> s"x${rnd.nextInt(9)}").toMap
+        (metric, tsSec, value, isInt, tags)
+      }
+      val body = pts.map { case (m, ts, v, _, tags) =>
+        val tagJson = tags.map { case (k, w) => s""""$k":"$w"""" }.mkString(",")
+        s"""{"metric":"$m","timestamp":$ts,"value":$v,"tags":{$tagJson}}"""
+      }.mkString("[", ",", "]")
+      OpenTsdbParser.parse(body, 1L) match {
+        case Right(gs) =>
+          assert(gs.length == n, s"row count on <$body>")
+          gs.zip(pts).foreach { case (g, (m, ts, v, _, tags)) =>
+            assert(g.name == m && g.labels == tags, s"mismatch on <$body>")
+            assert(g.ts.contains(ts * 1000000L), s"ts on <$body>: ${g.ts}")
+            // ALL JSON numbers decode as double — Go json→float64 parity
+            // (opentsdb.go:19-28), integers included
+            g.value match {
+              case graft.core.GtsValue.GtsDouble(x) =>
+                assert(BigDecimal(x) == BigDecimal(v), s"value on <$body>: $x vs $v")
+              case other => fail(s"non-double value $other on <$body>")
+            }
+          }
+        case Left(err) => fail(s"parse failed on synthesized <$body>: $err")
+      }
+    }
+  }
+
   test("influx parser never throws") {
     val rnd = new scala.util.Random(102)
     (1 to 2000).foreach { _ =>

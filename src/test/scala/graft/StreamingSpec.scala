@@ -574,6 +574,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming weighted budget: spend persists across batches, exclusive-prefix cut") {
+    // streaming twin of pack_token_budget: per-source token budget with
+    // the SAME greedy rule as ops/Sample.budgetCap — admit iff spent-so-
+    // far < budget (overshoot ≤ 1 row), resuming across micro-batches
+    import graft.streaming.TokenBans
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_budget").toFile
+    val rows = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = TokenBans.budgetLimit(rows, budget = 100L)
+      .toDF("src", "id", "w")
+      .writeStream.outputMode("append").format("memory").queryName("graft_budget_out").start()
+    try {
+      // batch 1: srcA spends 40+50=90 (both admitted, 90<100); the next
+      // row starts at 90<100 so it IS admitted (overshoot row), then cut
+      Files.write(new java.io.File(dir, "b1.txt").toPath,
+        "srcA 1 40\nsrcA 2 50\nsrcB 1 10".getBytes("UTF-8"))
+      q.processAllAvailable()
+      // batch 2: srcA is at 90 — id 3 admitted (90<100, overshoot to 150),
+      // id 4 dropped (150>=100); srcB resumes at 10 and admits
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "srcA 3 60\nsrcA 4 5\nsrcB 2 20".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT src, id FROM graft_budget_out")
+        .as[(String, Long)].collect().toSet
+      assert(got == Set(("srcA", 1L), ("srcA", 2L), ("srcA", 3L),
+        ("srcB", 1L), ("srcB", 2L)), s"admitted: $got")
+    } finally q.stop()
+  }
+
   test("streaming z-score anomaly: stable series quiet, outlier flags, state spans batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
