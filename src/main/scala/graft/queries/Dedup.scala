@@ -26,7 +26,69 @@ object Dedup {
 
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
     dedupClusters, hashSplit, decontaminate, dedupIncremental,
-    pipelineTrainingSet)
+    pipelineTrainingSet, pipelineEvalSet)
+
+  /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
+    * way an eval-curation job runs them: (1) reproducible test split
+    * (hash bucket ≥ 90, same primitive as sample_hash_split), (2)
+    * DECONTAMINATE the test side against train (drop any test doc whose
+    * word-3-gram shingles overlap the train shingle set by ≥ 7500 basis
+    * points — the reverse direction of dedup_decontaminate, because an
+    * eval set leaking training text is the error that actually costs
+    * you; the ratio form matters on this 30-word-vocab corpus where
+    * EVERY doc shares some shingle), (3) exactly 5 docs per source from
+    * the clean remainder in salted-hash order
+    * (ops/Sample.stratifiedTopN), with token counts for the manifest.
+    * One hash-exact oracle across all three stages — a regression in
+    * the split hash, the shingle grammar, or the stratified ordering
+    * surfaces here even if each stage's own query still passes.
+    */
+  // lazy: sits above duckShingles in the object body, and a strict val
+  // would interpolate it as null at class init (the documented gotcha)
+  lazy val pipelineEvalSet: Q = Q("pipeline_eval_set", (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+      .withColumn("h", graft.ops.Text.hashBucket(col("doc_id")))
+    val sh = sparkShingles(s, dir).withColumn("h", expr(
+      "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+    val trainSh = sh.filter(col("h") < 80).select(col("sh").as("t_sh")).distinct()
+    val testSh = sh.filter(col("h") >= 90)
+    // shingles are already distinct per doc (Lsh.shingles array_distincts
+    // before exploding), so plain counts are per-doc distinct counts
+    val tot = testSh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val shared = testSh.join(trainSh, col("sh") === col("t_sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    val dirty = shared.join(tot, "doc_id")
+      .filter(expr("10000 * shared DIV nsh >= 7500"))
+      .select(col("doc_id").as("bad_id"))
+    val clean = docs.filter(col("h") >= 90)
+      .join(dirty, col("doc_id") === col("bad_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        graft.ops.Text.bpeTokens(col("text")).as("n_tokens"))
+    graft.ops.Sample.stratifiedTopN(clean, "source", "doc_id", n = 5)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_tokens"))
+      .orderBy("source", "rn")
+  }, Some(s"""WITH $duckShingles,
+    hs AS (SELECT doc_id, sh,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
+      FROM sh),
+    train_sh AS (SELECT DISTINCT sh FROM hs WHERE h < 80),
+    tot AS (SELECT doc_id, count(*) AS nsh FROM hs WHERE h >= 90 GROUP BY doc_id),
+    shared AS (SELECT t.doc_id, count(*) AS shared FROM hs t
+      JOIN train_sh x ON t.sh = x.sh WHERE t.h >= 90 GROUP BY t.doc_id),
+    dirty AS (SELECT s.doc_id FROM shared s JOIN tot USING (doc_id)
+      WHERE 10000 * s.shared // tot.nsh >= 7500),
+    clean AS (SELECT d.doc_id, d.source,
+        CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents d
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 >= 90
+        AND d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+    ranked AS (SELECT source, doc_id, n_tokens,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY CAST('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+          doc_id) AS BIGINT) AS rn
+      FROM clean)
+    SELECT source, rn, doc_id, n_tokens FROM ranked WHERE rn <= 5
+    ORDER BY source, rn"""))
 
 
   /** INCREMENTAL dedup — the daily-batch shape: a new source arrives and

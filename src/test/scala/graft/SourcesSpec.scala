@@ -21,6 +21,34 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("ORC source round-trips with predicate pushdown to the scan") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString
+    (1L to 1000L).map(i => (i, s"t${i % 5}", i * 1.5)).toDF("id", "tag", "v")
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("id") > 900L && col("tag") === "t3")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,900"),
+      s"ORC scan did not receive the pushed predicate:\n$plan")
+    assert(back.count() == 20, "ids 901..1000 with id%5==3")
+    // schema fidelity through the format
+    assert(spark.read.orc(dir).schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "string", "double"))
+  }
+
+  test("parquet zstd compression round-trips (the 100 TB storage codec)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zstd").toString
+    (1L to 500L).map(i => (i, s"payload_$i")).toDF("id", "p")
+      .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.contains("zstd")),
+      s"expected zstd parquet parts, got: ${files.map(_.getName).toSeq}")
+    assert(spark.read.parquet(dir).count() == 500)
+  }
+
   test("JSON source PERMISSIVE: corrupt records captured, good rows parsed") {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = Files.createTempDirectory("graft_json").toFile
