@@ -321,6 +321,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally qo.stop()
   }
 
+  test("transformWithState timers: session closes when the WATERMARK passes last+gap") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val dir = Files.createTempDirectory("graft_timer").toFile
+    // lines: "key epochSeconds"
+    val pts = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong * 1000L) }
+      .withColumn("eventTime", timestamp_millis(col("_2")))
+      .withWatermark("eventTime", "0 seconds")
+      .select(col("_1"), col("_2")).as[(String, Long)]
+    val q = graft.streaming.SessionTimerProcessor(spark, pts, gapMs = 5000L)
+      .toDF("key", "start_ms", "end_ms", "n")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_timer_out").start()
+    try {
+      // batch 1: two events for A inside one session (gap 5s); watermark
+      // after the batch = 1000s — A's timer (1002s + 5s) not yet due
+      Files.write(new java.io.File(dir, "b1.txt").toPath,
+        "A 1000\nA 1002".getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft_timer_out").head.getLong(0) == 0,
+        "session must stay OPEN until the watermark passes last+gap")
+      // batch 2: far-future event for B pushes the watermark past A's
+      // expiry -> A's timer fires, the closed session is emitted exactly
+      // once with the full extent; B stays open
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "B 2000".getBytes("UTF-8"))
+      q.processAllAvailable()
+      q.processAllAvailable() // one more cycle so the advanced watermark drives timers
+      val rows = spark.sql("SELECT key, start_ms, end_ms, n FROM graft_timer_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set(("A", 1000000L, 1002000L, 2L)), s"closed sessions: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState (v2 API, RocksDB store): per-series stats accumulate") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
