@@ -49,6 +49,31 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(dir).count() == 500)
   }
 
+  test("binaryFile source: whole files as binary rows (the multimodal ingestion path)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // image/audio ingestion at scale starts here: one row per object with
+    // the raw bytes + metadata, then decode via mapPartitions (the
+    // multimodal_meta query's stubbed decoder consumes exactly this shape)
+    val dir = Files.createTempDirectory("graft_bin").toFile
+    val payloadA = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3) // PNG-magic-ish
+    val payloadB = Array[Byte](0x49, 0x44, 0x33, 9, 8)                 // ID3-magic-ish
+    Files.write(new java.io.File(dir, "a.png").toPath, payloadA)
+    Files.write(new java.io.File(dir, "b.mp3").toPath, payloadB)
+    val df = spark.read.format("binaryFile").load(dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.select("path", "length", "content").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a.png", "b.mp3"))
+    assert(rows(0)._2 == 7L && rows(0)._3.toSeq == payloadA.toSeq)
+    assert(rows(1)._2 == 5L && rows(1)._3.toSeq == payloadB.toSeq)
+    // glob + pathGlobFilter: scan only one modality of a mixed bucket
+    val pngOnly = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir.getAbsolutePath)
+    assert(pngOnly.count() == 1)
+  }
+
   test("JSON source PERMISSIVE: corrupt records captured, good rows parsed") {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = Files.createTempDirectory("graft_json").toFile
