@@ -52,4 +52,36 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
   }
+
+  /** Hard-negative mining for contrastive training: for each query row,
+    * the `k` most cosine-similar corpus rows whose `groupCol` DIFFERS
+    * from the query's — the near-misses a retrieval model must learn to
+    * reject. Same deterministic ranking contract as [[cosineTopK]]
+    * (round(,6) + id tie-break); output adds both group labels.
+    *
+    * Exact O(|queries|·|corpus|) scoring by design — at corpus scale,
+    * feed it a pruned candidate relation (an IVF probe set or LSH
+    * bucket union) as `corpus`, exactly like the exact-top-k verifier.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "id",
+      vecCol: String = "vec",
+      groupCol: String = "grp"): DataFrame = {
+    DotProductDouble.register(corpus.sparkSession)
+    def normed(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"), col(groupCol).as(s"${prefix}_grp"),
+          col(vecCol).as(s"${prefix}e"))
+        .withColumn(s"${prefix}n", sqrt(dot(col(s"${prefix}e"), col(s"${prefix}e"))))
+    val q = normed(queries, "q")
+    val c = normed(corpus, "c")
+    val w = Window.partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    q.join(c, col("q_grp") =!= col("c_grp"))
+      .withColumn("sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_grp"), col("c_id"), col("c_grp"), col("rnk"), col("sim"))
+  }
 }

@@ -64,4 +64,37 @@ object Sample {
       .withColumn("cum_before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
       .filter(col("cum_before") < budget)
   }
+
+  /** Deterministic weighted sampling without replacement (priority
+    * sampling — Duffield/Lund/Thorup, JACM'07): each row draws a
+    * uniform integer h ∈ [0, M) from its id hash and gets priority
+    * w·S DIV (h+1); the k largest priorities are the sample, so heavier
+    * rows win proportionally more draws. Selection is a pure function
+    * of (id, salt) — stable across engines, retries and partitionings —
+    * and the priority is EXACT scaled-reciprocal integer arithmetic
+    * (never a float), so an oracle twin cannot diverge on a rounding
+    * boundary.
+    *
+    * Plan shape: embarrassingly parallel scoring + global top-k, which
+    * Spark executes as per-partition heaps merged on the driver
+    * (TakeOrderedAndProject) — no global sort, no shuffle of the data.
+    *
+    * Adds `h` and `priority`.
+    */
+  def priorityWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "prio"): DataFrame = {
+    df.withColumn("h", hashOrder(col(idCol), salt) % PriorityModulus)
+      .withColumn("priority",
+        expr(s"CAST($weightCol AS BIGINT) * ${PriorityScale}L DIV (h + 1)"))
+      .orderBy(desc("priority"), asc(idCol)).limit(k)
+  }
+
+  /** Prime modulus of the uniform draw and the reciprocal scale —
+    * shared with the emitted oracle twins. */
+  val PriorityModulus: Long = 1000003L
+  val PriorityScale: Long = 1000000000000L
 }

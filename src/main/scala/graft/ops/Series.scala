@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-series time-series primitives generic over any keyed, ordered
+  * relation — the smoothing/robust-outlier layer a metrics pipeline runs
+  * after ingest (the analytics the reference delegates to its TSDB:
+  * catalyser/warp.go routes series points; smoothing/outliers are the
+  * first queries run on them).
+  *
+  * Cross-engine determinism notes (the DuckDB-oracle rules this module
+  * is built around):
+  *  - EWMA is a SEQUENTIAL fold — order-dependent float arithmetic — so
+  *    it is computed as a sorted fold (collect_list → array_sort →
+  *    aggregate), which both Spark and DuckDB (`list(... ORDER BY)` →
+  *    `list_reduce`) evaluate in the identical order: bit-exact.
+  *  - robust stats use exact interpolated percentiles (`percentile` ≡
+  *    `quantile_cont`), never approx sketches.
+  */
+object Series {
+
+  /** Exponentially-weighted moving average of each key's value sequence,
+    * one output row per key: s_1 = x_1, s_i = (1-α)·s_{i-1} + α·x_i,
+    * returning s_n (the EWMA "level" at the series head).
+    *
+    * One shuffle (the groupBy); the fold is linear in the series length
+    * and runs inside the aggregate — no window, no O(n²) prefix
+    * recompute. Per-key history must fit in one aggregation buffer: at
+    * 100 TB that means keying by a bounded-cardinality series id
+    * (sensor, metric, user), optionally pre-bucketed by time range —
+    * same contract as any collect_list-based sorted fold.
+    *
+    * `orderCol`/`tieCol` must form a unique total order within a key (ts
+    * + event id); ties would make the sort — and thus the fold —
+    * nondeterministic.
+    */
+  def ewmaLast(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      valCol: String,
+      alphas: Seq[Double]): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a <= 1))
+    val sorted = array_sort(collect_list(struct(
+      col(orderCol), col(tieCol), col(valCol).cast("double").as("_v"))))
+    val base = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"), sorted.as("_a"))
+      .withColumn("_vs", expr("transform(_a, x -> x._v)"))
+    val withEwmas = alphas.foldLeft(base) { (acc, a) =>
+      acc.withColumn(ewmaColName(a), expr(
+        s"""aggregate(slice(_vs, 2, size(_vs) - 1), element_at(_vs, 1),
+            (acc, x) -> acc * ${1.0 - a} + x * $a)"""))
+    }
+    withEwmas.drop("_a", "_vs")
+  }
+
+  /** Column name for an alpha: ewma_25 for α=0.25 (basis-point-free,
+    * two-digit percent label). */
+  def ewmaColName(alpha: Double): String =
+    f"ewma_${math.round(alpha * 100)}%02d"
+
+  /** DuckDB twin of one [[ewmaLast]] fold — same seed (first element),
+    * same left fold, same constants. */
+  def ewmaSql(valCol: String, orderBy: String, alpha: Double): String =
+    s"""list_reduce(list($valCol::DOUBLE ORDER BY $orderBy),
+        (acc, x) -> acc * ${1.0 - alpha} + x * $alpha)"""
+
+  /** Robust per-group outlier flagging by median absolute deviation:
+    * score = |x - median| / (1.4826·MAD), keep rows with score > `k`.
+    * The 1.4826 factor scales MAD to σ under normality — the standard
+    * robust z-score. Degenerate groups (MAD = 0: over half the values
+    * identical) produce no outliers rather than dividing by zero.
+    *
+    * Shape: two aggregations over the group key (median, then MAD) +
+    * two broadcast-sized joins of per-group stats back onto the rows —
+    * the scale-safe form of a robust detector (group stats are tiny;
+    * the data is never windowed or collected).
+    *
+    * Score comparisons happen on round(score, 6) so an oracle engine
+    * computing the identical expression can never flip a boundary row.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valCol).cast("double")
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val dev = df.join(med, keyCol)
+      .withColumn("dev", abs(v - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, keyCol)
+      .filter(col("mad") > 0)
+      .withColumn("mad_score", col("dev") / (col("mad") * 1.4826))
+      .filter(round(col("mad_score"), 6) > k)
+  }
+}

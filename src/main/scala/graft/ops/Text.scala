@@ -110,4 +110,86 @@ object Text {
     s"""list_distinct(list_transform(
         range(1, greatest(len($ghExpr) - ${win - 1}, 0) + 1),
         i -> list_min(($ghExpr)[i:i+${win - 1}])))"""
+
+  // ---- BPE merge training (byte-pair encoding over word-ish symbols) ----
+  //
+  // A BPE round = count adjacent symbol pairs, pick the most frequent
+  // pair (deterministic tie-break), rewrite every sequence with the pair
+  // merged. The sequence is carried as a SINGLE STRING with a strict
+  // framing invariant — one space at each end, two spaces between
+  // symbols, i.e. every symbol is surrounded by its "own" space:
+  //
+  //   [a, b, c]  ⇒  " a  b  c "
+  //
+  // Applying merge (w1, w2) is then one literal `replace`:
+  //   " w1  w2 "  →  " w1w2 "
+  // Non-overlapping left-to-right replace gives exactly the greedy
+  // leftmost BPE merge, AND the framing invariant is preserved (the
+  // pattern consumes one space from each outer separator, the
+  // replacement restores it) — so rounds chain with no re-normalization,
+  // and `replace` has identical semantics in Spark and DuckDB: the whole
+  // trainer is bit-exact cross-engine with zero custom state.
+  //
+  // Scale shape per round: one map-side-combining groupBy over exploded
+  // pairs (the only shuffle) + a broadcast of the 1-row merge rule.
+  // A production tokenizer runs this loop a few thousand times — each
+  // round is linear in corpus size, and nothing ever leaves the cluster.
+
+  /** BPE symbol inventory of a document (lowercased alpha runs, digit
+    * runs, single marks — same grammar as [[bpeTokens]]), framed into
+    * the merge-invariant sequence string.
+    */
+  def bpeInitSeq(text: Column): Column =
+    concat(lit(" "), array_join(
+      regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)),
+      "  "), lit(" "))
+
+  /** Adjacent-pair counts over framed sequence strings: (w1, w2, cnt). */
+  def bpePairCounts(seqs: DataFrame, seqCol: String): DataFrame = {
+    val toks = seqs.select(split(trim(col(seqCol)), "  ").as("_t"))
+      .filter(size(col("_t")) >= 2)
+    toks.select(explode(zip_with(
+        expr("slice(_t, 1, size(_t) - 1)"), expr("slice(_t, 2, size(_t) - 1)"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The winning merge rule of a round: most frequent pair, ties broken
+    * lexicographically — a 1-row DataFrame (w1, w2, cnt).
+    */
+  def bpeTopMerge(pairCounts: DataFrame): DataFrame =
+    pairCounts.orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(1)
+
+  /** Rewrite every sequence with the (broadcast) 1-row merge applied. */
+  def bpeApplyMerge(seqs: DataFrame, seqCol: String, rule: DataFrame): DataFrame =
+    seqs.crossJoin(broadcast(rule.select(col("w1").as("_mw1"), col("w2").as("_mw2"))))
+      .withColumn(seqCol, expr(
+        s"""replace($seqCol, ' ' || _mw1 || '  ' || _mw2 || ' ',
+            ' ' || _mw1 || _mw2 || ' ')"""))
+      .drop("_mw1", "_mw2")
+
+  /** DuckDB twin of [[bpeInitSeq]]. */
+  def bpeInitSeqSql(textExpr: String): String =
+    s"""' ' || list_aggregate(regexp_extract_all(lower($textExpr),
+        '[a-z]+|[0-9]+|[^a-z0-9\\s]'), 'string_agg', '  ') || ' '"""
+
+  /** DuckDB twin of [[bpePairCounts]] as a full SELECT over `srcCte`
+    * exposing a framed-sequence column `seqExpr`.
+    */
+  def bpePairCountsSql(srcCte: String, seqExpr: String): String =
+    s"""SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2,
+          count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS pr
+          FROM (SELECT string_split(trim($seqExpr), '  ') AS t FROM $srcCte)
+          WHERE len(t) >= 2)
+        GROUP BY 1, 2"""
+
+  /** DuckDB twin of [[bpeApplyMerge]]: `ruleCte` is a 1-row (w1, w2)
+    * relation, applied via scalar subqueries.
+    */
+  def bpeApplyMergeSql(seqExpr: String, ruleCte: String): String =
+    s"""replace($seqExpr,
+        ' ' || (SELECT w1 FROM $ruleCte) || '  ' || (SELECT w2 FROM $ruleCte) || ' ',
+        ' ' || (SELECT w1 FROM $ruleCte) || (SELECT w2 FROM $ruleCte) || ' ')"""
 }

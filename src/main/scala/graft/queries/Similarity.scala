@@ -23,7 +23,7 @@ object Similarity {
 
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
-    kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine)
+    kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -732,4 +732,34 @@ object Similarity {
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
     SELECT d1, d2, round(sim, 4) AS cosine FROM p WHERE round(sim, 6) >= 0.25
     ORDER BY d1, d2"""))
+
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the top-3 most similar vectors with a DIFFERENT
+    * label — the near-miss negatives a retrieval model trains against.
+    * Thin binding of ops/Ann.hardNegatives; exact scoring over the
+    * corpus here, a pruned candidate set at real scale (same contract
+    * as the exact top-k verifier).
+    */
+  val annHardNegatives: Q = Q("ann_hard_negatives", (s, dir) => {
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("label").as("grp"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    graft.ops.Ann.hardNegatives(e, e.filter(col("id") < 10), k = 3)
+      .select(col("q_id"), col("q_grp").cast("int").as("q_label"), col("rnk"),
+        col("c_id"), col("c_grp").cast("int").as("c_label"),
+        round(col("sim"), 4).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }, Some("""WITH n AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    p AS (SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS c_id,
+        c.label AS c_label,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.label <> q.label),
+    r AS (SELECT q_id, q_label, c_id, c_label, sim,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rnk
+      FROM p)
+    SELECT q_id, q_label, rnk, c_id, c_label, round(sim, 4) AS cosine
+    FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 }

@@ -16,7 +16,7 @@ object TextOps {
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
-    textWinnow)
+    textWinnow, bpePairStats, samplePriority)
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -675,4 +675,69 @@ object TextOps {
       16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 464 AS height,
       1 + doc_id % 30 AS frames
     FROM documents ORDER BY doc_id"""))
+
+  /** Two unrolled rounds of BPE merge training over the corpus symbol
+    * stream — the vocabulary-construction step of a training-data
+    * pipeline (count adjacent symbol pairs, adopt the most frequent pair
+    * as a merge, rewrite, repeat). Uses ops/Text's framed-string merge
+    * representation: every round is one map-side-combining groupBy plus
+    * a broadcast 1-row rule join, fully declarative (no driver collect),
+    * and bit-exact vs DuckDB because greedy leftmost merging is carried
+    * by literal `replace` with identical semantics in both engines. A
+    * production tokenizer runs the identical loop ~30k rounds; per-round
+    * cost is linear in corpus bytes.
+    *
+    * Output: the adopted merge rules (stage merge_1/merge_2) + the
+    * post-merge top-20 pair table (stage final).
+    */
+  val bpePairStats: Q = Q("bpe_pair_stats", (s, dir) => {
+    import graft.ops.Text
+    val seq0 = Tables.t(s, dir, "documents").select(Text.bpeInitSeq(col("text")).as("seq"))
+    val m1 = Text.bpeTopMerge(Text.bpePairCounts(seq0, "seq"))
+    val seq1 = Text.bpeApplyMerge(seq0, "seq", m1)
+    val m2 = Text.bpeTopMerge(Text.bpePairCounts(seq1, "seq"))
+    val seq2 = Text.bpeApplyMerge(seq1, "seq", m2)
+    val fin = Text.bpePairCounts(seq2, "seq")
+      .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(20)
+    m1.select(lit("merge_1").as("stage"), col("w1"), col("w2"), col("cnt"))
+      .union(m2.select(lit("merge_2").as("stage"), col("w1"), col("w2"), col("cnt")))
+      .union(fin.select(lit("final").as("stage"), col("w1"), col("w2"), col("cnt")))
+      .orderBy(asc("stage"), desc("cnt"), asc("w1"), asc("w2"))
+  }, Some {
+    import graft.ops.Text
+    s"""WITH s0 AS (SELECT ${Text.bpeInitSeqSql("text")} AS seq FROM documents),
+      p1 AS (${Text.bpePairCountsSql("s0", "seq")}),
+      m1 AS (SELECT w1, w2, cnt FROM p1 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+      s1 AS (SELECT ${Text.bpeApplyMergeSql("seq", "m1")} AS seq FROM s0),
+      p2 AS (${Text.bpePairCountsSql("s1", "seq")}),
+      m2 AS (SELECT w1, w2, cnt FROM p2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+      s2 AS (SELECT ${Text.bpeApplyMergeSql("seq", "m2")} AS seq FROM s1),
+      p3 AS (${Text.bpePairCountsSql("s2", "seq")}),
+      fin AS (SELECT w1, w2, cnt FROM p3 ORDER BY cnt DESC, w1, w2 LIMIT 20)
+      SELECT 'merge_1' AS stage, w1, w2, cnt FROM m1
+      UNION ALL SELECT 'merge_2' AS stage, w1, w2, cnt FROM m2
+      UNION ALL SELECT 'final' AS stage, w1, w2, cnt FROM fin
+      ORDER BY stage, cnt DESC, w1, w2"""
+  })
+
+  /** Deterministic weighted sampling without replacement
+    * (ops/Sample.priorityWeighted — priority sampling): 100 docs drawn
+    * with probability proportional to length, as a pure integer function
+    * of doc_id. The "sample long documents more" curation draw, with a
+    * global top-k that runs as per-partition heaps (no sort, no
+    * shuffle). Exact integer priorities make the oracle twin trivially
+    * bit-exact.
+    */
+  val samplePriority: Q = Q("sample_priority", (s, dir) => {
+    graft.ops.Sample.priorityWeighted(
+        Tables.t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)
+      .select(col("doc_id"), col("n_chars"), col("h"), col("priority"))
+      .orderBy(desc("priority"), asc("doc_id"))
+  }, Some(s"""SELECT doc_id, n_chars, h, n_chars * ${graft.ops.Sample.PriorityScale} // (h + 1) AS priority
+    FROM (SELECT doc_id, n_chars,
+        CAST('0x' || substr(md5('prio' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % ${graft.ops.Sample.PriorityModulus} AS h
+      FROM documents)
+    ORDER BY priority DESC, doc_id LIMIT 100"""))
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the round-3 generic ops: Series (EWMA fold, MAD
+  * outliers), Text BPE merge training, Sample priority sampling, Ann
+  * hard negatives — on tiny literal inputs where expected values are
+  * hand-computable.
+  */
+class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Series.ewmaLast folds s_1 = x_1, s_i = (1-a)s + a x in order") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // series A: 1, 2, 3, 4.5 at alpha .25 → 1, 1.25, 1.6875, 2.390625
+    // series B: single point → its own value at every alpha
+    val df = Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 3.0),
+      ("a", 4L, 4L, 4.5), ("b", 1L, 9L, 7.0))
+      .toDF("k", "t", "id", "v")
+    val got = graft.ops.Series
+      .ewmaLast(df, "k", "t", "id", "v", alphas = Seq(0.25, 0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got("a")._1 == 4L && got("a")._2 == 2.390625)
+    assert(got("b") == ((1L, 7.0, 7.0)))
+    // order sensitivity: same points shuffled in input order, same fold
+    val shuffled = df.orderBy(rand(7))
+    val again = graft.ops.Series
+      .ewmaLast(shuffled, "k", "t", "id", "v", alphas = Seq(0.25))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again("a") == 2.390625)
+  }
+
+  test("Series.madOutliers flags only robust-score breaches and skips MAD=0 groups") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // group g: median 10.5, MAD 1.5 → 30 scores ≈ 8.8 (flagged), the
+    // rest ≤ ~1.1 (kept out). group z: over half the values identical →
+    // MAD 0 → nothing flagged even though 100 is extreme vs the 5s.
+    val df = (Seq(8.0, 9.0, 10.0, 11.0, 12.0, 30.0).map(("g", _)) ++
+      Seq(5.0, 5.0, 5.0, 100.0).map(("z", _))).toDF("k", "v")
+    val got = graft.ops.Series.madOutliers(df, "k", "v", k = 3.0)
+      .select("k", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("g", 30.0)))
+  }
+
+  test("Text BPE merge: greedy leftmost replace preserves framing and merges chains") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val seqs = Seq("aa bb aa bb cc", "aa aa aa aa", "xx").toDF("text")
+      .select(graft.ops.Text.bpeInitSeq(col("text")).as("seq"))
+    val counts = graft.ops.Text.bpePairCounts(seqs, "seq")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("aa", "bb")) == 2 && counts(("aa", "aa")) == 3)
+    val rule = graft.ops.Text.bpeTopMerge(graft.ops.Text.bpePairCounts(seqs, "seq"))
+    assert(rule.collect().head.getString(0) == "aa") // (aa,aa) cnt 3 wins
+    val merged = graft.ops.Text.bpeApplyMerge(seqs, "seq", rule)
+      .collect().map(_.getString(0)).sorted
+    // greedy leftmost: [aa aa aa aa] → [aaaa aaaa]; framing invariant
+    // (one space ends, two between) must survive for the next round
+    assert(merged.contains(" aaaa  aaaa "))
+    assert(merged.contains(" aa  bb  aa  bb  cc ")) // untouched by (aa,aa)
+    val counts2 = graft.ops.Text.bpePairCounts(
+      merged.toSeq.toDF("seq"), "seq")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts2(("aaaa", "aaaa")) == 1 && !counts2.contains(("aa", "aa")))
+  }
+
+  test("Sample.priorityWeighted favors heavy rows, is deterministic, exact-integer") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 50 light rows (w=1) vs 50 heavy rows (w=1000): a k=20 sample
+    // should be dominated by heavy ids
+    val df = ((1L to 50L).map((_, 1L)) ++ (51L to 100L).map((_, 1000L)))
+      .toDF("id", "w")
+    val s1 = graft.ops.Sample.priorityWeighted(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    val s2 = graft.ops.Sample.priorityWeighted(df.repartition(7), "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "selection must not depend on partitioning")
+    assert(s1.count(_ > 50L) >= 18, s"heavy rows should dominate, got $s1")
+  }
+
+  test("Ann.hardNegatives returns nearest DIFFERENT-label rows only") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // label 0 cluster near (1,0), label 1 near (0.9, 0.1) (the hard
+    // negatives), label 2 orthogonal (0,1) (easy, must rank below)
+    val rows = Seq(
+      (1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(0.99, 0.01)),
+      (10L, 1, Seq(0.9, 0.1)), (11L, 1, Seq(0.85, 0.15)),
+      (20L, 2, Seq(0.0, 1.0))).toDF("id", "grp", "vec")
+    val got = graft.ops.Ann.hardNegatives(rows, rows.filter(col("id") === 1L), k = 2)
+      .collect().map(r => (r.getLong(4), r.getLong(2))) // (rnk, c_id)
+      .toMap
+    assert(got == Map(1L -> 10L, 2L -> 11L))
+  }
+}
