@@ -225,4 +225,60 @@ object Graph {
     out.unpersist(); ew.unpersist()
     ranks.select(col("v"), col("rank"))
   }
+
+  /** Per-vertex triangle counts by DEGREE-ORIENTED wedge closure
+    * (Schank/Wagner '05; the standard MapReduce formulation is Suri &
+    * Vassilvitskii, WWW'11 — both public): orient every undirected edge
+    * from its lower-(degree, id) endpoint to the higher one, generate
+    * wedges only from each vertex's ORIENTED out-neighborhood, and close
+    * them with a semi-join against the oriented edge set.
+    *
+    * Why orientation is the whole trick at scale: out-degree under this
+    * order is O(√m), so wedge count is Σ out-deg² = O(m^1.5) instead of
+    * Σ deg² — which a single hub vertex would otherwise blow up
+    * quadratically. Every triangle {a,b,c} is generated EXACTLY once
+    * (from its orientation-minimal vertex), so no dedup and no /3.
+    *
+    * Shape: two joins + one semi-join + one explode/groupBy, all
+    * equi-keyed shuffles, no iteration. Output: (v, n_tri) for vertices
+    * in ≥1 triangle.
+    */
+  def triangles(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edgeList
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val deg = und.select(col("lo").as("v")).union(und.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("v").as("hi"), col("d").as("dhi")), "hi")
+    // (degree, id) is a total order, so each undirected edge gets exactly
+    // one direction; carry the HEAD's degree for the wedge ordering below
+    val oriented = withDeg.select(
+      when(col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi")),
+        struct(col("lo").as("u"), col("hi").as("w"), col("dhi").as("dw")))
+        .otherwise(struct(col("hi").as("u"), col("lo").as("w"), col("dlo").as("dw")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+      .persist()
+    // wedges (u; b, c) with b before c in orientation order — the closing
+    // edge, if present, is then oriented exactly b -> c
+    val x = oriented.select(col("u"), col("w").as("b"), col("dw").as("db"))
+    val y = oriented.select(col("u"), col("w").as("c"), col("dw").as("dc"))
+    val wedges = x.join(y, "u")
+      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("u").as("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("b"), col("w").as("c")), Seq("b", "c"), "left_semi")
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    counts
+  }
 }

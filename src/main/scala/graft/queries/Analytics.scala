@@ -42,7 +42,7 @@ object Analytics {
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
-    qRetentionCohorts)
+    qRetentionCohorts, qTriangles)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1123,4 +1123,31 @@ object Analytics {
         WHEN 3 THEN 4294967294
         ELSE 4294967295 END AS raw_ts
       FROM events) ORDER BY event_id"""))
+
+  /** Per-part triangle counts over the order co-purchase graph (parts
+    * are linked when they appear in the same order) — the clustering/
+    * community density primitive (recommendation neighborhoods, fraud
+    * rings). Runs [[graft.ops.Graph.triangles]]: degree-oriented wedge
+    * closure, O(m^1.5) wedges instead of a hub-quadratic blowup, every
+    * triangle emitted exactly once, no iteration. The oracle counts the
+    * same triangles by the canonical a<b<c three-way self-join.
+    */
+  val qTriangles: Q = Q("graph_triangles", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"), "o")
+      .filter(col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    graft.ops.Graph.triangles(edges)
+      .orderBy(desc("n_tri"), asc("v")).limit(100)
+  }, Some("""WITH raw AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem GROUP BY 1, 2),
+    e AS (SELECT DISTINCT least(a.p, b.p) AS lo, greatest(a.p, b.p) AS hi
+      FROM raw a JOIN raw b ON a.o = b.o AND a.p < b.p),
+    t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+        JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+    x AS (SELECT unnest([a, b, c]) AS v FROM t)
+    SELECT v, count(*)::BIGINT AS n_tri FROM x
+    GROUP BY v ORDER BY n_tri DESC, v LIMIT 100"""))
 }

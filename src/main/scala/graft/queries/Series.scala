@@ -11,7 +11,45 @@ import org.apache.spark.sql.functions._
   */
 object Series {
 
-  def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly)
+  def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile)
+
+  /** Hour-of-day seasonality profile per event type: per-(type, hour)
+    * volume and mean value, plus the hour's deviation from the type's
+    * overall mean — the seasonal baseline a monitoring/anomaly stack
+    * subtracts before thresholding. Means are computed from EXACT
+    * integer cent sums (value has 2-decimal granularity), so no
+    * cross-engine float-summation-order divergence is possible; the
+    * only float ops are two final divisions of exact integers —
+    * identical IEEE expressions both sides. Two partial-aggregated
+    * shuffles (hour grid, then type totals), output is the tiny
+    * profile grid.
+    */
+  val tsSeasonalProfile: Q = Q("ts_seasonal_profile", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("hr", expr("(ts_us DIV 3600000000) % 24"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val byHour = e.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+    val byType = byHour.groupBy("event_type")
+      .agg(sum("sc").as("tc"), sum("n").as("tn"))
+    byHour.join(byType, "event_type")
+      .select(col("event_type"), col("hr"), col("n"),
+        round(col("sc") / 100.0 / col("n"), 4).as("hour_mean"),
+        round(col("sc") / 100.0 / col("n") - col("tc") / 100.0 / col("tn"), 4)
+          .as("dev_from_type_mean"))
+      .orderBy("event_type", "hr")
+  }, Some("""WITH e AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    h AS (SELECT event_type, hr, count(*)::BIGINT AS n, sum(cents) AS sc
+      FROM e GROUP BY event_type, hr),
+    t AS (SELECT event_type, sum(sc) AS tc, sum(n) AS tn FROM h GROUP BY event_type)
+    SELECT event_type, hr, n,
+      round(sc / 100.0 / n, 4) AS hour_mean,
+      round(sc / 100.0 / n - tc / 100.0 / tn, 4) AS dev_from_type_mean
+    FROM h JOIN t USING (event_type)
+    ORDER BY event_type, hr"""))
 
   /** Per-user EWMA level of `value` at two smoothing factors (α = 0.25,
     * 0.5), computed as a sorted sequential fold — bit-exact vs the

@@ -92,6 +92,19 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.count(_ > 50L) >= 18, s"heavy rows should dominate, got $s1")
   }
 
+  test("Graph.triangles counts each triangle once per member vertex") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // K4 on {1..4}: 4 triangles, each vertex in 3 of them; square
+    // {10..13}: none; duplicate + reversed edges must not double-count
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("src", "dst")
+    val got = graft.ops.Graph.triangles(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("Ann.hardNegatives returns nearest DIFFERENT-label rows only") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -761,4 +761,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(passed.toArray.toSet == Set(1L, 2L, 3L, 6L), s"after batch2: $passed")
     } finally q.stop()
   }
+
+  test("EwmaProcessor matches the batch ts_ewma fold EXACTLY across micro-batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_ewma").toFile
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._2, r._3))
+    assert(ev.length > 10)
+    // a chronological split keeps every key ordered ACROSS batches — the
+    // exact-parity precondition the processor documents
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    def fmt(rs: Array[(Long, Long, Long, Double)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toDouble) }
+    val q = graft.streaming.EwmaProcessor(spark, src, Seq(0.25, 0.5))
+      .toDF("k", "n", "levels")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_ewma_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // update mode emits one row per touched key per batch: keep the
+      // final (max-n) row per key
+      val got = spark.sql("SELECT k, n, levels FROM graft_ewma_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      val want = graft.ops.Series.ewmaLast(
+          Tables.events(spark, "/root/testdata/sf0.001").filter(col("user_id") < 5),
+          "user_id", "ts_us", "event_id", "value", Seq(0.25, 0.5))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    assert(got.keySet == want.keySet)
+      got.foreach { case (k, (_, n, levels)) =>
+        val (wn, w25, w50) = want(k)
+        assert(n == wn, s"count for key $k")
+        // EXACT double equality: identical fold order, identical IEEE ops
+        assert(levels(0) == w25 && levels(1) == w50,
+          s"key $k: streaming $levels vs batch ($w25, $w50)")
+      }
+    } finally q.stop()
+  }
 }
