@@ -60,6 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       UrlEncodeWarp.info, UrlEncodeWarp.builder))
     ext.injectFunction((FunctionIdentifier(DotProductDouble.fnName),
       DotProductDouble.info, DotProductDouble.builder))
+    ext.injectFunction((FunctionIdentifier(NfcNormalize.fnName),
+      NfcNormalize.info, NfcNormalize.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

@@ -110,14 +110,18 @@ object Graph {
       .distinct()
 
     // order-insensitive fingerprint of the edge set (sum of a per-edge
-    // 64-bit hash in unbounded decimal) — a cheap one-row aggregate that
-    // screens each round; equal sums are then CONFIRMED with an exact
-    // set compare, so a sum collision can never cause a premature exit,
-    // it only costs one extra except() that round
-    def edgeSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(
+    // 64-bit hash in unbounded decimal) + the edge count, in ONE one-row
+    // aggregate over the just-materialized edges — the per-round
+    // convergence screen costs a single cheap job instead of separate
+    // sum and count() jobs. Equal (sum, count) pairs are then CONFIRMED
+    // with an exact set compare, so a sum collision can never cause a
+    // premature exit, it only costs one extra except() that round.
+    def edgeStats(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(coalesce(
         sum((xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)")), count(lit(1))).head
+      (r.getDecimal(0), r.getLong(1))
+    }
 
     // one star round: group neighborhoods of u, link selected neighbors
     // to the neighborhood min. `largePhase` toggles the selection rule.
@@ -136,7 +140,7 @@ object Graph {
     }
 
     var edges = break(raw)
-    var prev = edgeSum(edges)
+    var (prevSum, prevCnt) = edgeStats(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -145,10 +149,10 @@ object Graph {
       // the plan per round — two chained rounds measured 5.7 s at sf0.1,
       // four chained measured 27 s (exponential subtree duplication)
       val next = break(star(break(star(edges, largePhase = true)), largePhase = false))
-      val sum = edgeSum(next)
-      converged = sum.compareTo(prev) == 0 &&
-        next.count() == edges.count() && next.except(edges).isEmpty
-      prev = sum
+      val (sum, cnt) = edgeStats(next)
+      converged = sum.compareTo(prevSum) == 0 && cnt == prevCnt &&
+        next.except(edges).isEmpty
+      prevSum = sum; prevCnt = cnt
       edges = next
       iter += 1
     }

@@ -13,6 +13,19 @@ object Text {
   def words(text: Column): Column =
     filter(split(lower(text), " "), w => w =!= "")
 
+  /** Unicode NFC normalization via the native codegen'd
+    * [[graft.expressions.NfcNormalize]] expression (registered on the
+    * active/default sessions on first use, same pattern as [[Ann.dot]]).
+    * Run this BEFORE fingerprinting/dedup: composed and decomposed
+    * spellings of the same text must collide.
+    */
+  def nfc(text: Column): Column = {
+    (org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq)
+      .foreach(graft.expressions.NfcNormalize.register)
+    call_function(graft.expressions.NfcNormalize.fnName, text)
+  }
+
   /** Whitespace token count. */
   def wsTokens(text: Column): Column =
     size(filter(split(text, " "), w => w =!= "")).cast("bigint")

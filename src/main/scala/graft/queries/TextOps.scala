@@ -16,7 +16,7 @@ object TextOps {
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
-    textWinnow, bpePairStats, samplePriority)
+    textWinnow, bpePairStats, samplePriority, textNormalize)
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -692,9 +692,13 @@ object TextOps {
     */
   val bpePairStats: Q = Q("bpe_pair_stats", (s, dir) => {
     import graft.ops.Text
+    // persist each round's sequences: every pair-count pass re-reads its
+    // input twice-removed otherwise (the regexp tokenization is the
+    // expensive part, and it would run once per downstream round)
     val seq0 = Tables.t(s, dir, "documents").select(Text.bpeInitSeq(col("text")).as("seq"))
+      .persist()
     val m1 = Text.bpeTopMerge(Text.bpePairCounts(seq0, "seq"))
-    val seq1 = Text.bpeApplyMerge(seq0, "seq", m1)
+    val seq1 = Text.bpeApplyMerge(seq0, "seq", m1).persist()
     val m2 = Text.bpeTopMerge(Text.bpePairCounts(seq1, "seq"))
     val seq2 = Text.bpeApplyMerge(seq1, "seq", m2)
     val fin = Text.bpePairCounts(seq2, "seq")
@@ -740,4 +744,30 @@ object TextOps {
           % ${graft.ops.Sample.PriorityModulus} AS h
       FROM documents)
     ORDER BY priority DESC, doc_id LIMIT 100"""))
+
+  /** Canonical Unicode normalization pass (native codegen'd NFC
+    * expression — ops/Text.nfc): per doc, raw vs normalized length,
+    * whether the doc was already NFC, and the md5 of the normalized
+    * text (the fingerprint dedup should key on). DuckDB's
+    * `nfc_normalize` is the identical Unicode algorithm, so the md5s
+    * are bit-exact cross-engine; the non-ASCII behavior itself is
+    * covered on literals in UrlEncodeWarpSpec. Pure per-row codegen'd
+    * column work — zero shuffle beyond the output ORDER BY.
+    */
+  val textNormalize: Q = Q("text_normalize", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("bigint").as("n_raw"),
+        graft.ops.Text.nfc(col("text")).as("norm"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("norm")).cast("bigint").as("n_norm"),
+        (col("norm") === col("text")).as("was_nfc"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+  }, Some("""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_raw,
+      CAST(length(nfc_normalize(text)) AS BIGINT) AS n_norm,
+      nfc_normalize(text) = text AS was_nfc,
+      md5(nfc_normalize(text)) AS norm_md5
+    FROM documents ORDER BY doc_id"""))
 }

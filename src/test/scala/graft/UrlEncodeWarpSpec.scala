@@ -78,4 +78,26 @@ class UrlEncodeWarpSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df.withColumn("rn", row_number().over(Window.orderBy("id"))).count() == 100)
     } finally spark.conf.unset("spark.graft.guard.globalWindow")
   }
+
+  test("NfcNormalize composes decomposed sequences exactly like DuckDB nfc_normalize") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // "e" + COMBINING ACUTE -> "\u00e9"; "A" + COMBINING DIAERESIS -> "\u00c4";
+    // already-NFC text must round-trip untouched (fast path)
+    // repartition blocks constant-folding into a LocalTableScan, so the
+    // projection actually runs (and runs codegen'd)
+    val df = Seq("e\u0301 plain A\u0308", "already nfc", "").toDF("t")
+      .repartition(1)
+      .select(graft.ops.Text.nfc(col("t")).as("n"))
+      .withColumn("len", length(col("n")))
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(-_._2)
+    assert(got(0) == ("already nfc", 11))
+    assert(got(1) == ("\u00e9 plain \u00c4", 9))
+    assert(got(2) == ("", 0))
+    // codegen path: the projection must sit in a WholeStageCodegen span
+    // (AQE prints those as a "*(n)" prefix on the operator)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
