@@ -23,7 +23,8 @@ object Similarity {
 
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
-    kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives)
+    kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
+    annIvfPqResidual)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -762,4 +763,135 @@ object Similarity {
       FROM p)
     SELECT q_id, q_label, rnk, c_id, c_label, round(sim, 4) AS cosine
     FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
+  /** IVF-PQ with RESIDUAL encoding — the production ANN index layout
+    * (FAISS IVFx,PQy; Jégou et al., TPAMI'11): coarse-quantize each
+    * vector to its cell centroid, PQ-encode the RESIDUAL (v − C) with a
+    * codebook SHARED across cells (trained with one unrolled Lloyd step
+    * from a deterministic seed set), probe the query's 2 nearest cells,
+    * and rank candidates by asymmetric L2 on the per-cell query
+    * residual: ||qr||² − 2·qr·pq(r) + ||pq(r)||², summed across
+    * subspaces in subspace order. Residuals are far smaller than raw
+    * vectors, so the same 4-byte code carries much more precision than
+    * flat PQ (ann_pq_adc) — that gap is why every serving-scale IVF
+    * index encodes residuals.
+    *
+    * Scale shape: centroid set is tiny (broadcast); encode is one
+    * codebook join + per-(vector,subspace) top-1; search touches only
+    * probed cells. All ranking on round(,6)-screened keys.
+    */
+  val annIvfPqResidual: Q = Q("ann_ivfpq_residual", (s, dir) => {
+    val n = normed(s, dir)
+    val cent = centroids(n)
+    val res = n.join(cent.select(col("label"), col("cvec")), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("emb"), col("cvec"), (a, b) => a - b).as("rv"))
+    val rsub = res.select(col("vec_id"), col("label"), col("rv"),
+        explode(sequence(lit(0), lit(3))).as("s"))
+      .withColumn("rsv", expr("slice(rv, 16*s+1, 16)"))
+      .select("vec_id", "label", "s", "rsv")
+    // shared codebook init: the 8 smallest vec_ids' residual subvectors
+    val cb0 = rsub.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cb_label"), col("s"),
+        transform(col("rsv"), x => round(x, 6)).as("cvec"))
+    def encode(cb: DataFrame): DataFrame = {
+      val wEnc = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "s").orderBy(round(col("d2"), 6).asc, col("cb_label").asc)
+      rsub.join(cb, "s")
+        .withColumn("d2", aggregate(zip_with(col("rsv"), col("cvec"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("s"), col("cb_label").as("code"), col("rsv"))
+    }
+    def meanCvec = transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+      x => round(x.getField("cv"), 6)).as("cvec")
+    val cb1 = encode(cb0)
+      .select(col("code").as("cb_label"), col("s"), posexplode(col("rsv")))
+      .groupBy("cb_label", "s", "pos").agg(avg("col").as("cv"))
+      .groupBy("cb_label", "s").agg(meanCvec)
+    val enc1 = encode(cb1)
+    val csub = enc1.join(cb1, enc1("s") === cb1("s") && col("code") === col("cb_label"))
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        enc1("s").as("cs"), col("cvec"))
+    val qres = assignCells(n, cent, nprobe = 2)
+      .join(cent.select(col("label").as("cell"), col("cvec").as("ccv")), "cell")
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qe"), col("ccv"), (a, b) => a - b).as("qr"))
+      .withColumn("qrsq", dotD(col("qr"), col("qr")))
+    val part = qres.join(csub, col("cell") === col("c_label") && col("q_id") =!= col("c_id"))
+      .withColumn("pdot", dotD(expr("slice(qr, 16*cs+1, 16)"), col("cvec")))
+      .withColumn("psq", dotD(col("cvec"), col("cvec")))
+    def orderedSum(sk: String, vk: String) =
+      aggregate(transform(array_sort(collect_list(struct(col(sk), col(vk)))),
+        x => x.getField(vk)), lit(0.0), (a, x) => a + x)
+    val agg = part.groupBy("q_id", "cell", "c_id")
+      .agg(max("qrsq").as("qrsq"), orderedSum("cs", "pdot").as("adot"),
+        orderedSum("cs", "psq").as("asq"))
+      .withColumn("dist", expr("qrsq - 2 * adot + asq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("dist"), 6).asc, col("c_id").asc)
+    agg.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("cell").cast("bigint").as("cell"),
+        round(col("dist"), 4).as("adc_dist"))
+      .orderBy("q_id", "rnk")
+  }, Some {
+    def encSql(cbName: String, out: String) =
+      s"""$out AS (SELECT vec_id, label, s, cb_label AS code, rsv FROM (
+        SELECT r.vec_id, r.label, r.s, cb.cb_label, r.rsv,
+          row_number() OVER (PARTITION BY r.vec_id, r.s
+            ORDER BY round(list_aggregate(list_transform(range(1, 17),
+              i -> (rsv[i] - cvec[i]) * (rsv[i] - cvec[i])), 'sum'), 6) ASC,
+              cb.cb_label ASC) AS rn
+        FROM rsub r JOIN $cbName cb ON cb.s = r.s) WHERE rn = 1)"""
+    s"""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    dims AS (SELECT label, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) GROUP BY label, i),
+    cent AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS cvec FROM dims GROUP BY label),
+    centn AS (SELECT label, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cent),
+    res AS (SELECT e.vec_id, e.label,
+        list_transform(range(1, 65), i -> emb[i] - cvec[i]) AS rv
+      FROM e JOIN cent USING (label)),
+    rsub AS (SELECT vec_id, label, s, rv[16*s+1:16*s+16] AS rsv
+      FROM res, range(0, 4) r(s)),
+    cb0 AS (SELECT CAST(vec_id AS INT) AS cb_label, s,
+        list_transform(rsv, x -> round(x, 6)) AS cvec
+      FROM rsub WHERE vec_id < 8),
+    ${encSql("cb0", "enc0")},
+    cbd1 AS (SELECT code AS cb_label, s, i AS pos, avg(rsv[i]) AS cv
+      FROM enc0, range(1, 17) r2(i) GROUP BY code, s, i),
+    cb1 AS (SELECT cb_label, s, list(round(cv, 6) ORDER BY pos) AS cvec
+      FROM cbd1 GROUP BY cb_label, s),
+    ${encSql("cb1", "enc1")},
+    csub AS (SELECT enc1.vec_id AS c_id, enc1.label AS c_label, enc1.s AS cs, cb.cvec
+      FROM enc1 JOIN cb1 cb ON cb.s = enc1.s AND cb.cb_label = enc1.code),
+    probe AS (SELECT q_id, cell FROM (
+      SELECT q.vec_id AS q_id, c.label AS cell,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY round(list_dot_product(q.emb, c.cvec) / (q.nrm * c.cnrm), 6) DESC,
+                   c.label ASC) AS crn
+      FROM e q, centn c WHERE q.vec_id < 10) WHERE crn <= 2),
+    qres AS (SELECT p.q_id, p.cell,
+        list_transform(range(1, 65), i -> q.emb[i] - cent.cvec[i]) AS qr
+      FROM probe p JOIN e q ON q.vec_id = p.q_id JOIN cent ON cent.label = p.cell),
+    qr2 AS (SELECT q_id, cell, qr, list_dot_product(qr, qr) AS qrsq FROM qres),
+    part AS (SELECT q.q_id, q.cell, cs.c_id, cs.cs, q.qrsq,
+        list_dot_product(q.qr[16*cs.cs+1:16*cs.cs+16], cs.cvec) AS pdot,
+        list_dot_product(cs.cvec, cs.cvec) AS psq
+      FROM qr2 q JOIN csub cs ON cs.c_label = q.cell AND cs.c_id <> q.q_id),
+    agg AS (SELECT q_id, cell, c_id, max(qrsq) AS qrsq,
+        list_aggregate(list(pdot ORDER BY cs), 'sum') AS adot,
+        list_aggregate(list(psq ORDER BY cs), 'sum') AS asq
+      FROM part GROUP BY q_id, cell, c_id),
+    sc AS (SELECT q_id, cell, c_id, qrsq - 2 * adot + asq AS dist FROM agg),
+    r AS (SELECT q_id, cell, c_id, dist,
+        CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY round(dist, 6) ASC, c_id ASC) AS BIGINT) AS rnk
+      FROM sc)
+    SELECT q_id, rnk, c_id, CAST(cell AS BIGINT) AS cell, round(dist, 4) AS adc_dist
+    FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+  })
 }

@@ -57,7 +57,8 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sq8 = recall(top3(graft.queries.Similarity.annIvfSq8.fn(spark, dir)))
     val pq = recall(top3(graft.queries.Similarity.annPqAdc.fn(spark, dir)))
     val pqT = recall(top3(graft.queries.Similarity.annPqTrained.fn(spark, dir)))
-    info(f"recall@3  ivf1=$ivf1%.2f ivf2=$ivf2%.2f lsh=$lsh1%.2f lshMulti=$lshM%.2f sq8=$sq8%.2f pq=$pq%.2f pqTrained=$pqT%.2f")
+    val ivfpq = recall(top3(graft.queries.Similarity.annIvfPqResidual.fn(spark, dir)))
+    info(f"recall@3  ivf1=$ivf1%.2f ivf2=$ivf2%.2f lsh=$lsh1%.2f lshMulti=$lshM%.2f sq8=$sq8%.2f pq=$pq%.2f pqTrained=$pqT%.2f ivfpqRes=$ivfpq%.2f")
     assert(ivf2 >= ivf1, "nprobe=2 must not lose recall vs nprobe=1")
     assert(lshM >= lsh1, "multi-probe must not lose recall vs single-bucket LSH")
     // deterministic corpus → deterministic recall; floors just under the
@@ -68,5 +69,8 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sq8 >= 0.05, s"SQ8 reconstruction broke ranking entirely: $sq8")
     assert(pq >= 0.05, s"PQ codebook/ADC broke ranking entirely: $pq")
     assert(pqT >= 0.05, s"trained-PQ codebook/ADC broke ranking entirely: $pqT")
+    // residual IVF-PQ probes 2 cells: coverage comparable to ivf2, minus
+    // quantization loss — floor at the ivf1 tier
+    assert(ivfpq >= 0.05, s"residual IVF-PQ probe/encode collapsed: $ivfpq")
   }
 }
