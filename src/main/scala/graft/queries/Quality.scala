@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators (deequ/dbt-test-shaped): the profiling and
+  * constraint layer every production table pipeline runs before
+  * publishing a snapshot. All metrics are exact counts or integer-safe
+  * roundings — nothing sketched — so the oracle twins are bit-exact.
+  */
+object Quality {
+
+  def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff)
+
+  /** Per-column profile of lineitem (rows, nulls, distincts, min/max) in
+    * ONE pass: a single multi-aggregate over the table (Spark plans the
+    * multiple DISTINCT aggregates via expand — still one scan), exploded
+    * into a row per column. Numeric and timestamp columns surface
+    * min/max as doubles (timestamps as epoch µs); string columns as
+    * strings. The profiler a 100 TB snapshot publish runs: one scan,
+    * tiny output.
+    */
+  val dataProfile: Q = Q("data_profile", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+      // l_shipdate is TIMESTAMP_NTZ; the session is pinned UTC, so the
+      // NTZ→LTZ cast is the identity wall-time mapping DuckDB's
+      // epoch_us uses
+      .withColumn("ship_us", expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS DOUBLE)"))
+    val a = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_orderkey")).as("nn_ok"), countDistinct(col("l_orderkey")).as("nd_ok"),
+      min(col("l_orderkey")).cast("double").as("mn_ok"), max(col("l_orderkey")).cast("double").as("mx_ok"),
+      count(col("l_quantity")).as("nn_q"), countDistinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
+      count(col("l_discount")).as("nn_d"), countDistinct(col("l_discount")).as("nd_d"),
+      min(col("l_discount")).as("mn_d"), max(col("l_discount")).as("mx_d"),
+      count(col("l_returnflag")).as("nn_rf"), countDistinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("mn_rf"), max(col("l_returnflag")).as("mx_rf"),
+      count(col("ship_us")).as("nn_sd"), countDistinct(col("ship_us")).as("nd_sd"),
+      min(col("ship_us")).as("mn_sd"), max(col("ship_us")).as("mx_sd"))
+    def numRow(name: String, suf: String) = struct(
+      lit(name).as("col_name"), col("n"),
+      (col("n") - col(s"nn_$suf")).as("n_null"), col(s"nd_$suf").as("n_distinct"),
+      round(col(s"mn_$suf"), 4).as("min_num"), round(col(s"mx_$suf"), 4).as("max_num"),
+      lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    def strRow(name: String, suf: String) = struct(
+      lit(name).as("col_name"), col("n"),
+      (col("n") - col(s"nn_$suf")).as("n_null"), col(s"nd_$suf").as("n_distinct"),
+      lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+      col(s"mn_$suf").as("min_str"), col(s"mx_$suf").as("max_str"))
+    a.select(explode(array(
+        numRow("l_orderkey", "ok"), numRow("l_quantity", "q"),
+        numRow("l_discount", "d"), strRow("l_returnflag", "rf"),
+        numRow("l_shipdate_us", "sd"))).as("p"))
+      .select("p.*").orderBy("col_name")
+  }, Some {
+    def numSql(name: String, c: String) =
+      s"""SELECT '$name' AS col_name, count(*)::BIGINT AS n,
+        (count(*) - count($c))::BIGINT AS n_null,
+        count(DISTINCT $c)::BIGINT AS n_distinct,
+        round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+        round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+        CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM lineitem"""
+    s"""SELECT * FROM (
+      ${numSql("l_orderkey", "l_orderkey")}
+      UNION ALL ${numSql("l_quantity", "l_quantity")}
+      UNION ALL ${numSql("l_discount", "l_discount")}
+      UNION ALL SELECT 'l_returnflag', count(*)::BIGINT,
+        (count(*) - count(l_returnflag))::BIGINT,
+        count(DISTINCT l_returnflag)::BIGINT,
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        min(l_returnflag), max(l_returnflag) FROM lineitem
+      UNION ALL ${numSql("l_shipdate_us", "epoch_us(l_shipdate)")})
+    ORDER BY col_name"""
+  })
+
+  /** Constraint suite over the order tables — range, null, referential-
+    * integrity, and uniqueness rules with exact violation counts (the
+    * uniqueness rule genuinely fires on this data: (l_orderkey,
+    * l_linenumber) is NOT a key). Each rule is a cheap aggregate; the
+    * referential check is a broadcast-able anti-join — the only
+    * join-shaped rule, and the shape that scales (never a driver-side
+    * existence loop).
+    */
+  val dataQualityChecks: Q = Q("data_quality_checks", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val ranges = li.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("quantity_range_1_50"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.06, 1L).otherwise(0L)).as("discount_range_0_006"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("shipdate_not_null"))
+    val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("lineitem_order_fk").as("rule"), col("n").as("n_violations"))
+    val price = o.agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n"))
+      .select(lit("totalprice_positive").as("rule"), col("n").as("n_violations"))
+    val dupKeys = li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n"))
+      .select(lit("unique_order_line").as("rule"), col("n").as("n_violations"))
+    ranges.select(explode(array(
+        struct(lit("quantity_range_1_50").as("rule"), col("quantity_range_1_50").as("n_violations")),
+        struct(lit("discount_range_0_006").as("rule"), col("discount_range_0_006").as("n_violations")),
+        struct(lit("shipdate_not_null").as("rule"), col("shipdate_not_null").as("n_violations")))).as("p"))
+      .select("p.*")
+      .union(orphans).union(price).union(dupKeys)
+      .orderBy("rule")
+  }, Some("""SELECT 'quantity_range_1_50' AS rule,
+      CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL SELECT 'discount_range_0_006',
+      CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL SELECT 'shipdate_not_null',
+      CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL SELECT 'lineitem_order_fk', count(*)::BIGINT
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL SELECT 'totalprice_positive',
+      CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL SELECT 'unique_order_line', CAST(sum(c - 1) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    ORDER BY rule"""))
+
+  /** Snapshot diff (CDC-style): given two versions of the documents
+    * table — A drops doc_id%7==0, B drops doc_id%5==0 and rewrites
+    * doc_id%11==0 — classify every id as added/removed/changed/
+    * unchanged by content fingerprint and report per-status counts and
+    * id extents. The publish-gate diff a dataset registry computes
+    * between consecutive snapshot versions; one full-outer join on the
+    * id (equi-shuffle, AQE-safe), fingerprints are per-row md5 — no
+    * content ever compared byte-wise across the join.
+    */
+  val datasetDiff: Q = Q("dataset_diff", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val snapA = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp_a"))
+    val snapB = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))).as("fp_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("status")
+  }, Some("""WITH a AS (
+      SELECT doc_id, md5(text) AS fp_a FROM documents WHERE doc_id % 7 <> 0),
+    b AS (
+      SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+        ELSE text END) AS fp_b
+      FROM documents WHERE doc_id % 5 <> 0),
+    j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT CASE WHEN fp_a IS NULL THEN 'added'
+        WHEN fp_b IS NULL THEN 'removed'
+        WHEN fp_a <> fp_b THEN 'changed' ELSE 'unchanged' END AS status,
+      count(*)::BIGINT AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM j GROUP BY 1 ORDER BY status"""))
+}
