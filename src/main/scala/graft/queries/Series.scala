@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object Series {
 
-  def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile)
+  def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
+    scd2Snapshot, tsSessionizeGap, tsInterpolate)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -102,4 +103,145 @@ object Series {
     FROM dev JOIN mad USING (event_type)
     WHERE mad > 0 AND round(dev / (mad * 1.4826), 6) > 3.0
     ORDER BY event_id"""))
+
+  /** SCD2 change capture from the event log: per user, keep only events
+    * where `event_type` CHANGES vs the previous event, then close each
+    * change row's validity interval with the next change's timestamp —
+    * the slowly-changing-dimension type-2 build every warehouse runs
+    * (valid_from/valid_to in µs, open interval on the current row).
+    * Two per-user windows (change detect, then interval close) — one
+    * shuffle on user_id, parallelism = #users, all integer µs math.
+    */
+  val scd2Snapshot: Q = Q("scd2_snapshot", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changes = Tables.events(s, dir).filter(col("user_id") < 20)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w2))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE user_id < 20),
+    c AS (SELECT *,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM e QUALIFY prev_type IS NULL OR prev_type <> event_type),
+    iv AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      FROM c)
+    SELECT user_id, state, valid_from_us, valid_to_us,
+      valid_to_us IS NULL AS is_current
+    FROM iv ORDER BY user_id, valid_from_us"""))
+
+  /** Gap-rule sessionization via windows: a session breaks after 30 min
+    * of inactivity; session ids are the running count of breaks (the
+    * classic lag + cumulative-sum pattern — the window-function twin of
+    * q_session_window's session_window operator). Output: per-session
+    * manifest. One shuffle on user_id; all integer µs arithmetic.
+    */
+  val tsSessionizeGap: Q = Q("ts_sessionize_gap", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val Gap = 1800000000L // 30 min in µs
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir).filter(col("user_id") < 20)
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > Gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE user_id < 20),
+    g AS (SELECT *,
+        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+      FROM e),
+    b AS (SELECT *,
+        CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM g),
+    sid AS (SELECT *,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM b)
+    SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+      min(ts_us) AS start_us, max(ts_us) AS end_us,
+      (max(ts_us) - min(ts_us)) AS duration_us
+    FROM sid GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""))
+
+  /** Linear-interpolation gap fill on the hourly per-user grid — the
+    * interpolation twin of q_ts_resample's forward fill: gaps between
+    * two known points take the time-weighted line between them; leading/
+    * trailing gaps take the nearest known value. Four IGNORE-NULLS
+    * window scans (prev/next value and hour) on one per-user shuffle;
+    * the interpolation formula is the same expression text both engines
+    * (identical IEEE ops), rounded at 4.
+    */
+  val tsInterpolate: Q = Q("ts_interpolate", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).filter(col("user_id") < 5)
+      .withColumn("h", expr("ts_us DIV 3600000000"))
+    val c = e.groupBy("user_id", "h")
+      .agg(round(sum("value"), 4).as("raw_v"))
+    val grid = c.groupBy("user_id").agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("user_id").as("g_user"), explode(sequence(col("mn"), col("mx"))).as("g_h"))
+    val j = grid.join(c, col("user_id") === col("g_user") && col("h") === col("g_h"), "left_outer")
+      .select(col("g_user").as("user_id"), col("g_h").as("h"), col("raw_v"))
+    val wb = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(0, Window.unboundedFollowing)
+    j.withColumn("pv", last(col("raw_v"), ignoreNulls = true).over(wb))
+      .withColumn("ph", last(when(col("raw_v").isNotNull, col("h")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("raw_v"), ignoreNulls = true).over(wf))
+      .withColumn("nh", first(when(col("raw_v").isNotNull, col("h")), ignoreNulls = true).over(wf))
+      // FIXED-POINT interpolation: pv/nv are 4-decimal values, so their
+      // ten-thousandths are exact integers; the line evaluation is then
+      // pure bigint multiply/floor-divide — a float formula lands on
+      // exact .00005 boundaries here and Spark's round (shortest-repr
+      // HALF_UP) disagrees with DuckDB's (binary-value) on them
+      .withColumn("pvi", expr("CAST(round(pv * 10000) AS BIGINT)"))
+      .withColumn("nvi", expr("CAST(round(nv * 10000) AS BIGINT)"))
+      .select(col("user_id"), col("h"), col("raw_v").isNotNull.as("known"),
+        (expr("""CASE WHEN raw_v IS NOT NULL THEN CAST(round(raw_v * 10000) AS BIGINT)
+            WHEN pvi IS NOT NULL AND nvi IS NOT NULL
+              THEN (pvi * (nh - ph) + (nvi - pvi) * (h - ph)) DIV (nh - ph)
+            ELSE coalesce(pvi, nvi, 0) END""") / 10000.0).as("interp_v"))
+      .orderBy("user_id", "h")
+  }, Some("""WITH c AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        round(sum(value), 4) AS raw_v
+      FROM events WHERE user_id < 5 GROUP BY 1, 2),
+    s AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM s),
+    j AS (SELECT g.user_id, g.h, c.raw_v
+      FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.h = g.h),
+    w AS (SELECT user_id, h, raw_v,
+        last_value(raw_v IGNORE NULLS) OVER pre AS pv,
+        last_value(CASE WHEN raw_v IS NOT NULL THEN h END IGNORE NULLS) OVER pre AS ph,
+        first_value(raw_v IGNORE NULLS) OVER post AS nv,
+        first_value(CASE WHEN raw_v IS NOT NULL THEN h END IGNORE NULLS) OVER post AS nh
+      FROM j
+      WINDOW pre AS (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        post AS (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    i AS (SELECT user_id, h, raw_v,
+        CAST(round(pv * 10000) AS BIGINT) AS pvi,
+        CAST(round(nv * 10000) AS BIGINT) AS nvi, ph, nh
+      FROM w)
+    SELECT user_id, h, raw_v IS NOT NULL AS known,
+      (CASE WHEN raw_v IS NOT NULL THEN CAST(round(raw_v * 10000) AS BIGINT)
+        WHEN pvi IS NOT NULL AND nvi IS NOT NULL
+          THEN (pvi * (nh - ph) + (nvi - pvi) * (h - ph)) // (nh - ph)
+        ELSE coalesce(pvi, nvi, 0) END) / 10000.0 AS interp_v
+    FROM i ORDER BY user_id, h"""))
 }

@@ -205,4 +205,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("round-3 operators plan scale-shaped: top-k heaps, equi-joins only, one profiler scan") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    // sample_priority: global top-k must be per-partition heaps + merge,
+    // never a full sort
+    val pr = graft.queries.TextOps.samplePriority
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(pr.contains("TakeOrderedAndProject"), s"priority sample sorts globally:\n$pr")
+    // graph_triangles: wedge closure is equi-keyed joins end to end — a
+    // cartesian/broadcast-NLJ means the orientation trick fell out
+    val tri = graft.queries.Analytics.qTriangles
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!tri.contains("CartesianProduct") && !tri.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay equi-keyed:\n$tri")
+    // data_profile: ONE scan of lineitem (multi-distinct goes through
+    // expand, not repeated scans)
+    // (string-count the scans: AQE hides unmaterialized stages from a
+    // typed collect)
+    val prof = graft.queries.Quality.dataProfile.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(prof).size
+    assert(scans == 1, s"profiler must read the table once, saw $scans scans:\n$prof")
+    // ts_ewma: the fold is one hash aggregation — no window, no join
+    val ew = graft.queries.Series.tsEwma.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!ew.contains("Window") && !ew.contains("Join"),
+      s"ewma fold must be a pure aggregate:\n$ew")
+  }
 }
