@@ -251,11 +251,13 @@ object Graph {
       edgeList: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // persisted: consumed twice below (degree aggregation AND the orient
+    // join) — without the cache the upstream edge construction runs twice
     val und = edgeList
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
-      .distinct()
+      .distinct().persist()
     val deg = und.select(col("lo").as("v")).union(und.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -275,11 +277,15 @@ object Graph {
     // edge, if present, is then oriented exactly b -> c
     val x = oriented.select(col("u"), col("w").as("b"), col("dw").as("db"))
     val y = oriented.select(col("u"), col("w").as("c"), col("dw").as("dc"))
-    val wedges = x.join(y, "u")
+    val wedges = x.join(y.hint("shuffle_hash"), "u")
       .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
       .select(col("u").as("a"), col("b"), col("c"))
+    // shuffle-HASH, not sort-merge: the streamed side is the wedge set
+    // (out-deg² rows — orders of magnitude bigger than the edge set) and
+    // SMJ would sort it; hashing builds on the small edge side instead
     val tri = wedges.join(
-      oriented.select(col("u").as("b"), col("w").as("c")), Seq("b", "c"), "left_semi")
+      oriented.select(col("u").as("b"), col("w").as("c")).hint("shuffle_hash"),
+      Seq("b", "c"), "left_semi")
     val counts = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))

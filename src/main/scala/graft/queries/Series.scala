@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object Series {
 
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
-    scd2Snapshot, tsSessionizeGap, tsInterpolate)
+    scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -244,4 +244,37 @@ object Series {
           THEN (pvi * (nh - ph) + (nvi - pvi) * (h - ph)) // (nh - ph)
         ELSE coalesce(pvi, nvi, 0) END) / 10000.0 AS interp_v
     FROM i ORDER BY user_id, h"""))
+
+  /** Equi-DEPTH histogram per event type (quartile edges from exact
+    * interpolated percentiles, then per-bin volume and extent) — the
+    * adaptive-binning twin of q_value_histogram's fixed-width bins, and
+    * what query optimizers/monitors actually keep as column statistics.
+    * Edges are computed from the identical doubles on both engines, so
+    * bin membership (<= edge) needs no rounding screen; one stats
+    * aggregate + one broadcast join + one partial-agg shuffle.
+    */
+  val tsEquidepthHistogram: Q = Q("ts_equidepth_histogram", (s, dir) => {
+    val e = Tables.t(s, dir, "events")
+    val edges = e.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.5)").as("q2"),
+      expr("percentile(value, 0.75)").as("q3"))
+    e.join(broadcast(edges), "event_type")
+      .withColumn("bin", expr(
+        "CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1 WHEN value <= q3 THEN 2 ELSE 3 END"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 4).as("bin_min"), round(max("value"), 4).as("bin_max"))
+      .orderBy("event_type", "bin")
+  }, Some("""WITH edges AS (
+      SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        quantile_cont(value, 0.5) AS q2, quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+      CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+        WHEN value <= q3 THEN 2 ELSE 3 END AS bin,
+      count(*)::BIGINT AS n,
+      round(min(value), 4) AS bin_min, round(max(value), 4) AS bin_max
+    FROM events e JOIN edges USING (event_type)
+    GROUP BY 1, 2 ORDER BY event_type, bin"""))
 }
