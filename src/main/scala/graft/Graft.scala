@@ -34,4 +34,6 @@ object Graft {
   val ingest: ops.Ingest.type = ops.Ingest
   /** Per-series smoothing and robust outlier scoring. */
   val series: ops.Series.type = ops.Series
+  /** One-pass column profiling (nulls/distincts/min/max). */
+  val profile: ops.Profile.type = ops.Profile
 }

@@ -12,47 +12,15 @@ object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff)
 
-  /** Per-column profile of lineitem (rows, nulls, distincts, min/max) in
-    * ONE pass: a single multi-aggregate over the table (Spark plans the
-    * multiple DISTINCT aggregates via expand — still one scan), exploded
-    * into a row per column. Numeric and timestamp columns surface
-    * min/max as doubles (timestamps as epoch µs); string columns as
-    * strings. The profiler a 100 TB snapshot publish runs: one scan,
-    * tiny output.
+  /** Per-column profile of lineitem via the generic one-pass
+    * [[graft.ops.Profile.profile]] (rows, nulls, distincts, min/max —
+    * numeric/timestamp min/max as doubles with timestamps in epoch µs,
+    * strings as strings). Single scan (plan-asserted in ScaleSpec): the
+    * profiler a 100 TB snapshot publish runs.
     */
   val dataProfile: Q = Q("data_profile", (s, dir) => {
-    val li = Tables.t(s, dir, "lineitem")
-      // l_shipdate is TIMESTAMP_NTZ; the session is pinned UTC, so the
-      // NTZ→LTZ cast is the identity wall-time mapping DuckDB's
-      // epoch_us uses
-      .withColumn("ship_us", expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS DOUBLE)"))
-    val a = li.agg(
-      count(lit(1)).as("n"),
-      count(col("l_orderkey")).as("nn_ok"), countDistinct(col("l_orderkey")).as("nd_ok"),
-      min(col("l_orderkey")).cast("double").as("mn_ok"), max(col("l_orderkey")).cast("double").as("mx_ok"),
-      count(col("l_quantity")).as("nn_q"), countDistinct(col("l_quantity")).as("nd_q"),
-      min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
-      count(col("l_discount")).as("nn_d"), countDistinct(col("l_discount")).as("nd_d"),
-      min(col("l_discount")).as("mn_d"), max(col("l_discount")).as("mx_d"),
-      count(col("l_returnflag")).as("nn_rf"), countDistinct(col("l_returnflag")).as("nd_rf"),
-      min(col("l_returnflag")).as("mn_rf"), max(col("l_returnflag")).as("mx_rf"),
-      count(col("ship_us")).as("nn_sd"), countDistinct(col("ship_us")).as("nd_sd"),
-      min(col("ship_us")).as("mn_sd"), max(col("ship_us")).as("mx_sd"))
-    def numRow(name: String, suf: String) = struct(
-      lit(name).as("col_name"), col("n"),
-      (col("n") - col(s"nn_$suf")).as("n_null"), col(s"nd_$suf").as("n_distinct"),
-      round(col(s"mn_$suf"), 4).as("min_num"), round(col(s"mx_$suf"), 4).as("max_num"),
-      lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
-    def strRow(name: String, suf: String) = struct(
-      lit(name).as("col_name"), col("n"),
-      (col("n") - col(s"nn_$suf")).as("n_null"), col(s"nd_$suf").as("n_distinct"),
-      lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
-      col(s"mn_$suf").as("min_str"), col(s"mx_$suf").as("max_str"))
-    a.select(explode(array(
-        numRow("l_orderkey", "ok"), numRow("l_quantity", "q"),
-        numRow("l_discount", "d"), strRow("l_returnflag", "rf"),
-        numRow("l_shipdate_us", "sd"))).as("p"))
-      .select("p.*").orderBy("col_name")
+    graft.ops.Profile.profile(Tables.t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"))
   }, Some {
     def numSql(name: String, c: String) =
       s"""SELECT '$name' AS col_name, count(*)::BIGINT AS n,
@@ -71,7 +39,7 @@ object Quality {
         count(DISTINCT l_returnflag)::BIGINT,
         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         min(l_returnflag), max(l_returnflag) FROM lineitem
-      UNION ALL ${numSql("l_shipdate_us", "epoch_us(l_shipdate)")})
+      UNION ALL ${numSql("l_shipdate", "epoch_us(l_shipdate)")})
     ORDER BY col_name"""
   })
 

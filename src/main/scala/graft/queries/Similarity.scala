@@ -24,7 +24,7 @@ object Similarity {
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
-    annIvfPqResidual)
+    annIvfPqResidual, embedCentroidDrift)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -894,4 +894,49 @@ object Similarity {
     SELECT q_id, rnk, c_id, CAST(cell AS BIGINT) AS cell, round(dist, 4) AS adc_dist
     FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
   })
+
+  /** Embedding drift monitor: split the corpus into two deterministic
+    * halves (vec_id parity — stand-ins for "last week" vs "this week"),
+    * compute per-label centroids of each half (rounded at 6, the
+    * established cross-engine mean stabilizer), and report the L2
+    * distance between the halves' centroids per label plus the corpus-
+    * level mean drift. The monitoring op an embedding pipeline runs to
+    * catch encoder or upstream-distribution changes before retraining.
+    * Two tiny aggregations + a label-keyed join of k rows; distances
+    * fold over zip_with left-to-right (deterministic association).
+    */
+  val embedCentroidDrift: Q = Q("embed_centroid_drift", (s, dir) => {
+    val n = normed(s, dir)
+    def half(m: Int, prefix: String) = n.filter(col("vec_id") % 2 === m)
+      .select(col("label"), posexplode(col("emb")))
+      .groupBy("label", "pos").agg(avg("col").as("cv"))
+      .groupBy("label").agg(count(lit(1)).as(s"${prefix}_dims"),
+        transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => round(x.getField("cv"), 6)).as(s"${prefix}_cvec"))
+    val a = half(0, "a")
+    val b = half(1, "b")
+    val na = n.filter(col("vec_id") % 2 === 0).groupBy("label").agg(count(lit(1)).as("n_a"))
+    val nb = n.filter(col("vec_id") % 2 === 1).groupBy("label").agg(count(lit(1)).as("n_b"))
+    a.join(b, "label").join(na, "label").join(nb, "label")
+      .withColumn("drift_l2", sqrt(aggregate(
+        zip_with(col("a_cvec"), col("b_cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)))
+      .select(col("label").cast("bigint").as("label"), col("n_a"), col("n_b"),
+        round(col("drift_l2"), 4).as("drift_l2"))
+      .orderBy("label")
+  }, Some("""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    ca AS (SELECT label, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) WHERE vec_id % 2 = 0 GROUP BY label, i),
+    cb AS (SELECT label, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) WHERE vec_id % 2 = 1 GROUP BY label, i),
+    va AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS a_cvec FROM ca GROUP BY label),
+    vb AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS b_cvec FROM cb GROUP BY label),
+    na AS (SELECT label, count(*)::BIGINT AS n_a FROM e WHERE vec_id % 2 = 0 GROUP BY label),
+    nb AS (SELECT label, count(*)::BIGINT AS n_b FROM e WHERE vec_id % 2 = 1 GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label, n_a, n_b,
+      round(sqrt(list_aggregate(list_transform(range(1, 65),
+        i -> (a_cvec[i] - b_cvec[i]) * (a_cvec[i] - b_cvec[i])), 'sum')), 4) AS drift_l2
+    FROM va JOIN vb USING (label) JOIN na USING (label) JOIN nb USING (label)
+    ORDER BY label"""))
 }

@@ -16,7 +16,7 @@ object TextOps {
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
-    textWinnow, bpePairStats, samplePriority, textNormalize)
+    textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth)
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -770,4 +770,34 @@ object TextOps {
       nfc_normalize(text) = text AS was_nfc,
       md5(nfc_normalize(text)) AS norm_md5
     FROM documents ORDER BY doc_id"""))
+
+  /** Per-source vocabulary statistics (Heaps/Zipf dataset-card numbers):
+    * token mass, distinct types, type/token ratio and hapax-legomena
+    * share in exact integer basis points. One explode → (source, word)
+    * count (map-side combined) → per-source rollup; no floats anywhere.
+    */
+  val textVocabGrowth: Q = Q("text_vocab_growth", (s, dir) => {
+    val w = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(graft.ops.Text.words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    w.groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("10000 * n_types DIV n_tokens").as("type_token_bp"),
+        expr("10000 * n_hapax DIV n_types").as("hapax_bp"))
+      .orderBy("source")
+  }, Some("""WITH w AS (
+      SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    c AS (SELECT source, word, count(*) AS c FROM w GROUP BY source, word),
+    a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*)::BIGINT AS n_types,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM c GROUP BY source)
+    SELECT source, n_tokens, n_types, n_hapax,
+      10000 * n_types // n_tokens AS type_token_bp,
+      10000 * n_hapax // n_types AS hapax_bp
+    FROM a ORDER BY source"""))
 }

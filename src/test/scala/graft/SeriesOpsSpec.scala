@@ -119,4 +119,22 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(got == Map(1L -> 10L, 2L -> 11L))
   }
+
+  test("Profile.profile: one row per column, typed min/max surfaces, null counting") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = Seq((1L, Some(2.5), "x"), (2L, None, "y"), (3L, Some(7.5), "y"))
+      .toDF("id", "v", "s")
+    val got = graft.ops.Profile.profile(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+      .toMap
+    assert(got("id") == ((3L, 0L, 3L, Some(1.0), Some(3.0), None, None)))
+    assert(got("v") == ((3L, 1L, 2L, Some(2.5), Some(7.5), None, None)))
+    assert(got("s") == ((3L, 0L, 2L, None, None, Some("x"), Some("y"))))
+    intercept[IllegalArgumentException] {
+      graft.ops.Profile.profile(df, Seq("nope"))
+    }
+  }
 }
