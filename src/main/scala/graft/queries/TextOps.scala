@@ -16,7 +16,8 @@ object TextOps {
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
-    textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth)
+    textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
+    textKeywords)
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -800,4 +801,66 @@ object TextOps {
       10000 * n_types // n_tokens AS type_token_bp,
       10000 * n_hapax // n_types AS hapax_bp
     FROM a ORDER BY source"""))
+
+  /** RAKE keyword extraction (Rose et al. 2010 — public): candidate
+    * phrases are maximal runs of content words (boundaries at stopwords
+    * and any non-alphabetic token), each word scores degree/frequency
+    * over the candidate-phrase graph, and a phrase scores the sum of
+    * its word scores. All scoring is INTEGER basis points
+    * (10000·deg DIV freq summed over words) — order-independent, no
+    * float divergence anywhere. Shape: per-doc phrase split (no
+    * shuffle), one word-stats aggregation, one broadcast-size join of
+    * word scores back onto the distinct-phrase relation, top-25 via
+    * ordered limit.
+    */
+  val textKeywords: Q = Q("text_keywords", (s, dir) => {
+    val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is", "for",
+      "on", "with", "as", "by", "at", "it", "that", "this", "are", "be",
+      "or", "from")
+    val stopSql = stops.map(w => s"'$w'").mkString(", ")
+    val ph = Tables.t(s, dir, "documents")
+      .select(filter(split(lower(col("text")), " "), w => w =!= "").as("w"))
+      .withColumn("marked", expr(
+        s"""transform(w, x -> CASE WHEN x IN ($stopSql)
+            OR NOT x RLIKE '^[a-z]+$$' THEN '|' ELSE x END)"""))
+      .select(explode(split(array_join(col("marked"), " "), "\\|")).as("raw"))
+      .select(trim(col("raw")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("plen", size(split(col("phrase"), " ")).cast("bigint"))
+      .filter(col("plen") <= 3)
+    val pw = ph.select(col("phrase"), col("plen"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val wstats = pw.groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore_bp", expr("10000 * deg DIV freq"))
+    val uniq = ph.groupBy("phrase").agg(count(lit(1)).as("n"))
+    val scored = uniq
+      .select(col("phrase"), col("n"), explode(split(col("phrase"), " ")).as("word"))
+      .join(wstats.select(col("word"), col("wscore_bp")), "word")
+      .groupBy("phrase").agg(max("n").as("n"), sum("wscore_bp").as("score_bp"))
+    scored.select(col("phrase"), col("n"), col("score_bp"))
+      .orderBy(desc("score_bp"), desc("n"), asc("phrase")).limit(25)
+  }, Some("""WITH w AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    m AS (SELECT list_transform(w, x -> CASE WHEN x IN ('the', 'a', 'an', 'and',
+        'of', 'to', 'in', 'is', 'for', 'on', 'with', 'as', 'by', 'at', 'it',
+        'that', 'this', 'are', 'be', 'or', 'from')
+        OR NOT regexp_full_match(x, '[a-z]+') THEN '|' ELSE x END) AS marked
+      FROM w),
+    ph AS (SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+      FROM (SELECT trim(unnest(string_split(list_aggregate(marked, 'string_agg', ' '), '|'))) AS phrase
+        FROM m)
+      WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 3),
+    pw AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS word FROM ph),
+    ws AS (SELECT word, count(*)::BIGINT AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+        10000 * CAST(sum(plen) AS BIGINT) // count(*) AS wscore_bp
+      FROM pw GROUP BY word),
+    uniq AS (SELECT phrase, count(*)::BIGINT AS n FROM ph GROUP BY phrase),
+    sc AS (SELECT u.phrase, max(u.n) AS n,
+        CAST(sum(ws.wscore_bp) AS BIGINT) AS score_bp
+      FROM (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS word FROM uniq) u
+      JOIN ws USING (word) GROUP BY u.phrase)
+    SELECT phrase, CAST(n AS BIGINT) AS n, score_bp FROM sc
+    ORDER BY score_bp DESC, n DESC, phrase ASC LIMIT 25"""))
 }
