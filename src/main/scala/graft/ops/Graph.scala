@@ -282,10 +282,19 @@ object Graph {
       .select(col("u").as("a"), col("b"), col("c"))
     // shuffle-HASH, not sort-merge: the streamed side is the wedge set
     // (out-deg² rows — orders of magnitude bigger than the edge set) and
-    // SMJ would sort it; hashing builds on the small edge side instead
-    val tri = wedges.join(
-      oriented.select(col("u").as("b"), col("w").as("c")).hint("shuffle_hash"),
-      Seq("b", "c"), "left_semi")
+    // SMJ would sort it; hashing builds on the small edge side instead.
+    // The (b,c) pair is packed into ONE long key — halves the shuffle
+    // key width and hashing work of the biggest exchange. Vertex ids
+    // must fit unsigned 32 bits — guarded below.
+    // assert_true yields NULL on success (throws otherwise); folding it
+    // into the value keeps the guard from being pruned as unused
+    val packedEdges = oriented.select(expr(
+      """u * 4294967296L + w + ifnull(assert_true(
+          u >= 0 AND u < 4294967296L AND w >= 0 AND w < 4294967296L,
+          'Graph.triangles: vertex ids must fit in unsigned 32 bits'), 0L)""").as("bc"))
+    val tri = wedges
+      .withColumn("bc", expr("b * 4294967296L + c"))
+      .join(packedEdges.hint("shuffle_hash"), Seq("bc"), "left_semi")
     val counts = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
