@@ -18,12 +18,12 @@ object Series {
     * volume and mean value, plus the hour's deviation from the type's
     * overall mean — the seasonal baseline a monitoring/anomaly stack
     * subtracts before thresholding. Means are computed from EXACT
-    * integer cent sums (value has 2-decimal granularity), so no
-    * cross-engine float-summation-order divergence is possible; the
-    * only float ops are two final divisions of exact integers —
-    * identical IEEE expressions both sides. Two partial-aggregated
-    * shuffles (hour grid, then type totals), output is the tiny
-    * profile grid.
+    * integer cent sums (value has 2-decimal granularity) floor-divided
+    * to fixed-point ten-thousandths, so neither float-summation order
+    * nor round()-at-half-boundary semantics can diverge cross-engine;
+    * the only float op is the final exact /10000.0 presentation scale.
+    * Two partial-aggregated shuffles (hour grid, then type totals),
+    * output is the tiny profile grid.
     */
   val tsSeasonalProfile: Q = Q("ts_seasonal_profile", (s, dir) => {
     val e = Tables.events(s, dir)
@@ -33,10 +33,13 @@ object Series {
       .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
     val byType = byHour.groupBy("event_type")
       .agg(sum("sc").as("tc"), sum("n").as("tn"))
+    // means in FIXED-POINT ten-thousandths (cents·100 DIV n): sc/(100·n)
+    // can land exactly on a .00005 boundary (e.g. 55143/800) where Spark
+    // and DuckDB round() disagree — floor-divide integers instead
     byHour.join(byType, "event_type")
       .select(col("event_type"), col("hr"), col("n"),
-        round(col("sc") / 100.0 / col("n"), 4).as("hour_mean"),
-        round(col("sc") / 100.0 / col("n") - col("tc") / 100.0 / col("tn"), 4)
+        (expr("sc * 100 DIV n") / 10000.0).as("hour_mean"),
+        (expr("sc * 100 DIV n - tc * 100 DIV tn") / 10000.0)
           .as("dev_from_type_mean"))
       .orderBy("event_type", "hr")
   }, Some("""WITH e AS (
@@ -47,8 +50,8 @@ object Series {
       FROM e GROUP BY event_type, hr),
     t AS (SELECT event_type, sum(sc) AS tc, sum(n) AS tn FROM h GROUP BY event_type)
     SELECT event_type, hr, n,
-      round(sc / 100.0 / n, 4) AS hour_mean,
-      round(sc / 100.0 / n - tc / 100.0 / tn, 4) AS dev_from_type_mean
+      (sc * 100 // n) / 10000.0 AS hour_mean,
+      (sc * 100 // n - tc * 100 // tn) / 10000.0 AS dev_from_type_mean
     FROM h JOIN t USING (event_type)
     ORDER BY event_type, hr"""))
 
