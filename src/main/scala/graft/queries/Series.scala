@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object Series {
 
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
-    scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram)
+    scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
+    tsRollingMedian)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -280,4 +281,53 @@ object Series {
       round(min(value), 4) AS bin_min, round(max(value), 4) AS bin_max
     FROM events e JOIN edges USING (event_type)
     GROUP BY 1, 2 ORDER BY event_type, bin"""))
+
+  /** Rolling robust stats in PURE INTEGER arithmetic: per-user trailing
+    * 21-point (current + 20 prior) median and MAD of `value`, carried in
+    * fixed-point ten-thousandths — cent values make the two-middle
+    * average exact ((a+b)·50), and the MAD's even-median uses integer
+    * floor halving, so there is NO float anywhere in the output: the
+    * streaming twin ([[graft.streaming.MedianProcessor]]) reproduces it
+    * bit-for-bit from a 21-slot ring. One shuffle on user_id; the
+    * per-row sorted window is O(w log w) on a bounded frame.
+    */
+  val tsRollingMedian: Q = Q("ts_rolling_median", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-20, Window.currentRow)
+    Tables.events(s, dir).filter(col("user_id") < 50)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("n_window", size(col("arr")).cast("bigint"))
+      .withColumn("med_e4", expr(
+        """IF(n_window % 2 = 1, element_at(arr, CAST((n_window + 1) / 2 AS INT)) * 100,
+            (element_at(arr, CAST(n_window / 2 AS INT)) +
+             element_at(arr, CAST(n_window / 2 AS INT) + 1)) * 50)"""))
+      .withColumn("devs", array_sort(expr("transform(arr, x -> abs(x * 100 - med_e4))")))
+      .withColumn("mad_e4", expr(
+        """IF(n_window % 2 = 1, element_at(devs, CAST((n_window + 1) / 2 AS INT)),
+            (element_at(devs, CAST(n_window / 2 AS INT)) +
+             element_at(devs, CAST(n_window / 2 AS INT) + 1)) DIV 2)"""))
+      .select(col("user_id"), col("event_id"), col("n_window"),
+        col("med_e4"), col("mad_e4"))
+      .orderBy("user_id", "event_id")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 50),
+    a AS (SELECT user_id, event_id,
+        list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS arr
+      FROM e),
+    m AS (SELECT user_id, event_id, arr, CAST(len(arr) AS BIGINT) AS n_window,
+        CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2] * 100
+          ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) * 50 END AS med_e4
+      FROM a),
+    d AS (SELECT user_id, event_id, n_window, med_e4,
+        list_sort(list_transform(arr, x -> abs(x * 100 - med_e4))) AS devs
+      FROM m)
+    SELECT user_id, event_id, n_window, med_e4,
+      CASE WHEN n_window % 2 = 1 THEN devs[(n_window + 1) // 2]
+        ELSE (devs[n_window // 2] + devs[n_window // 2 + 1]) // 2 END AS mad_e4
+    FROM d ORDER BY user_id, event_id"""))
 }

@@ -809,4 +809,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("MedianProcessor matches the batch ts_rolling_median EXACTLY (pure integers)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_med").toFile
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 5)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    def fmt(rs: Array[(Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.MedianProcessor(spark, src)
+      .toDF("user_id", "event_id", "n_window", "med_e4", "mad_e4")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_med_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, event_id, n_window, med_e4, mad_e4 FROM graft_med_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = graft.queries.Series.tsRollingMedian
+        .fn(spark, "/root/testdata/sf0.001")
+        .filter(col("user_id") < 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got.keySet == want.keySet)
+      // EXACT integer equality for every event's trailing median/MAD
+      got.foreach { case (k, v) => assert(v == want(k), s"row $k: $v vs ${want(k)}") }
+    } finally q.stop()
+  }
 }
