@@ -182,6 +182,33 @@ object Text {
             ' ' || _mw1 || _mw2 || ' ')"""))
       .drop("_mw1", "_mw2")
 
+  /** Full BPE training loop: `rounds` merge rounds over framed
+    * sequences. Returns (merges, finalSeqs): `merges` is the ordered
+    * rule table (round, w1, w2, cnt — the tokenizer's merges.txt), and
+    * `finalSeqs` the rewritten corpus for inspection or further rounds.
+    * Each round is one pair-count aggregation plus a broadcast 1-row
+    * rule join; sequences are persisted per round (each round's counts
+    * would otherwise recompute the whole rewrite chain). A production
+    * tokenizer runs exactly this loop ~30k times.
+    */
+  def bpeTrain(
+      seqs: DataFrame,
+      seqCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.functions.lit
+    var cur = seqs.persist()
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val rule = bpeTopMerge(bpePairCounts(cur, seqCol))
+      val labeled = rule.select(lit(r.toLong).as("round"),
+        col("w1"), col("w2"), col("cnt"))
+      merges = if (merges == null) labeled else merges.union(labeled)
+      cur = bpeApplyMerge(cur, seqCol, rule).persist()
+    }
+    (merges, cur)
+  }
+
   /** DuckDB twin of [[bpeInitSeq]]. */
   def bpeInitSeqSql(textExpr: String): String =
     s"""' ' || list_aggregate(regexp_extract_all(lower($textExpr),

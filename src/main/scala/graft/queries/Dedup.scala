@@ -26,7 +26,7 @@ object Dedup {
 
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
     dedupClusters, hashSplit, decontaminate, dedupIncremental,
-    pipelineTrainingSet, pipelineEvalSet)
+    pipelineTrainingSet, pipelineEvalSet, dedupCrossSource)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -421,4 +421,40 @@ object Dedup {
       min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM bins GROUP BY bin ORDER BY bin"""))
 
+  /** Cross-source near-duplicate report (mirror/syndication detection):
+    * the MinHash-LSH candidate pairs restricted to documents from
+    * DIFFERENT sources, rolled up per source pair — the curation signal
+    * that two feeds are republishing each other, which per-source dedup
+    * never sees. Same banded-bucket shape as dedup_minhash_lsh (never
+    * all-pairs) plus two broadcast-size joins of the source dimension.
+    */
+  val dedupCrossSource: Q = Q("dedup_cross_source", (s, dir) => {
+    val sigArr = graft.ops.Lsh.signatures(sparkShingles(s, dir), "doc_id").persist()
+    val sig = sigArr.select(col("doc_id") +:
+      (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    val cand = graft.ops.Lsh.candidatePairs(sigArr, "doc_id")
+    val sigX = sig.select(col("doc_id").as("d1") +: (0 until 16).map(i => col(s"m$i").as(s"x$i")): _*)
+    val sigY = sig.select(col("doc_id").as("d2") +: (0 until 16).map(i => col(s"m$i").as(s"y$i")): _*)
+    val estExpr = graft.ops.Lsh.estJaccardExpr()
+    val srcs = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = cand.join(sigX, "d1").join(sigY, "d2")
+      .filter(expr(estExpr) >= 0.5)
+      .join(srcs.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(srcs.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .filter(col("src1") =!= col("src2"))
+      .select(least(col("src1"), col("src2")).as("src_a"),
+        greatest(col("src1"), col("src2")).as("src_b"))
+    pairs.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }, Some(s"""WITH $minhashCtes,
+    xp AS (SELECT d1, d2 FROM cand
+      JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2
+      WHERE $minhashEstExpr >= 0.5),
+    sp AS (SELECT least(sa.source, sb.source) AS src_a,
+        greatest(sa.source, sb.source) AS src_b
+      FROM xp JOIN documents sa ON sa.doc_id = xp.d1
+        JOIN documents sb ON sb.doc_id = xp.d2
+      WHERE sa.source <> sb.source)
+    SELECT src_a, src_b, count(*)::BIGINT AS n_pairs FROM sp
+    GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
 }

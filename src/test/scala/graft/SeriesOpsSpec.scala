@@ -137,4 +137,23 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Profile.profile(df, Seq("nope"))
     }
   }
+
+  test("Text.bpeTrain: N rounds produce the classic merge cascade") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // "abab"-style corpus: round 1 merges the most frequent adjacent
+    // pair, later rounds merge the merged symbols further
+    val seqs = Seq.fill(4)("x y x y z").toDF("text")
+      .select(graft.ops.Text.bpeInitSeq(col("text")).as("seq"))
+    val (merges, finalSeqs) = graft.ops.Text.bpeTrain(seqs, "seq", rounds = 3)
+    val rules = merges.orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (x, y) appears 8 times (2 per doc x 4 docs); round 2
+    // merges (xy, xy) -> xyxy (4); round 3 merges (xyxy, z) -> xyxyz (4)
+    assert(rules(0) == ((1L, "x", "y", 8L)), rules.mkString(","))
+    assert(rules(1) == ((2L, "xy", "xy", 4L)), rules.mkString(","))
+    assert(rules(2) == ((3L, "xyxy", "z", 4L)), rules.mkString(","))
+    val out = finalSeqs.collect().map(_.getString(0)).distinct
+    assert(out.sameElements(Array(" xyxyz ")), out.mkString("|"))
+  }
 }
