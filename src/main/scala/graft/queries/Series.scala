@@ -13,7 +13,7 @@ object Series {
 
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
-    tsRollingMedian)
+    tsRollingMedian, tsChangePoints)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -330,4 +330,50 @@ object Series {
       CASE WHEN n_window % 2 = 1 THEN devs[(n_window + 1) // 2]
         ELSE (devs[n_window // 2] + devs[n_window // 2 + 1]) // 2 END AS mad_e4
     FROM d ORDER BY user_id, event_id"""))
+
+  /** CUSUM change-point detection per user, in PURE INTEGER fixed point:
+    * cumulative sum of (value − series mean) in ten-thousandths along
+    * event order; the change point is the event where |CUSUM| peaks
+    * (Page 1954 — the standard offline CUSUM estimate). Integer mean
+    * via floor division, integer prefix sums, deterministic tie-break —
+    * nothing can diverge cross-engine. Shape: one per-user aggregate
+    * (mean) joined back + two per-user windows (prefix sum, argmax);
+    * one shuffle on user_id.
+    */
+  val tsChangePoints: Q = Q("ts_change_points", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val m = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), expr("sum(cents) * 100 DIV count(1)").as("mean_e4"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cs = e.join(m, "user_id")
+      .withColumn("dev_e4", expr("cents * 100 - mean_e4"))
+      .withColumn("cusum_e4", sum("dev_e4").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rankW = Window.partitionBy("user_id")
+      .orderBy(abs(col("cusum_e4")).desc, col("event_id").asc)
+    cs.withColumn("rn", row_number().over(rankW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n"), col("event_id").as("cp_event_id"),
+        col("cusum_e4").as("peak_cusum_e4"))
+      .orderBy("user_id")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT user_id, count(*)::BIGINT AS n,
+        sum(cents) * 100 // count(*) AS mean_e4
+      FROM e GROUP BY user_id),
+    cs AS (SELECT e.user_id, e.event_id, m.n,
+        sum(e.cents * 100 - m.mean_e4) OVER (PARTITION BY e.user_id
+          ORDER BY e.ts_us, e.event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_e4
+      FROM e JOIN m USING (user_id)),
+    r AS (SELECT user_id, n, event_id, cusum_e4,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY abs(cusum_e4) DESC, event_id ASC) AS rn
+      FROM cs)
+    SELECT user_id, n, event_id AS cp_event_id,
+      CAST(cusum_e4 AS BIGINT) AS peak_cusum_e4
+    FROM r WHERE rn = 1 ORDER BY user_id"""))
 }
