@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic streaming-sketch family — Count-Min, Bloom, HLL, KMV —
+  * the cardinality/frequency/membership summaries a 100 TB pipeline ships
+  * between stages instead of the data itself (pre-join pruning filters,
+  * distinct-count monitoring, heavy-hitter alerts).
+  *
+  * Everything here is INTEGER-EXACT and seed-free: the only hash is the
+  * md5-derived 60-bit bigint (`conv(substr(md5(x),1,15),16,10)`), shared
+  * with the DuckDB oracle builders in [[graft.queries.Sketches]], so
+  * every register, bit position, and fixed-point estimate is reproducible
+  * cross-engine — unlike library sketches (Spark's HLL++, DataSketches)
+  * whose internals differ per engine, these are bit-auditable.
+  *
+  * Scale shape: every sketch is one shuffle over (salt, bucket)-sized
+  * keys — counters/registers/bit-sets are bounded by the sketch
+  * parameters, never by data volume, which is the whole point.
+  */
+object Sketch {
+
+  /** 60-bit md5 hash of `saltExpr || ':' || keyExpr` as a SQL string.
+    * DuckDB twin: `CAST('0x' || substr(md5(...),1,15) AS BIGINT)`.
+    */
+  def h60(saltExpr: String, keyExpr: String): String =
+    s"CAST(conv(substr(md5(concat(CAST($saltExpr AS STRING), ':', $keyExpr)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Count-Min counters for (key, n) rows pre-aggregated to exact
+    * per-key counts: `depth` independent hash rows, `width` buckets.
+    * Returns (j, bucket, c). Counter table size = depth×width, constant.
+    */
+  def cmsCounters(exact: DataFrame, keyCol: String, nCol: String,
+      depth: Int, width: Int): DataFrame =
+    exact.select(col(keyCol).as("key"), col(nCol).as("n"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .withColumn("bucket", expr(s"${h60("j", "key")} % $width"))
+      .groupBy("j", "bucket").agg(sum("n").as("c"))
+
+  /** Point estimates: min over the depth counters each key hashes into.
+    * Joins the (key,j,bucket) probe grid against the tiny counter table —
+    * broadcast-able at any scale since counters are parameter-bounded.
+    */
+  def cmsEstimate(exact: DataFrame, keyCol: String, nCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probes = exact.select(col(keyCol).as("key"), col(nCol).as("n_exact"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .withColumn("bucket", expr(s"${h60("j", "key")} % $width"))
+    probes.join(cmsCounters(exact, keyCol, nCol, depth, width), Seq("j", "bucket"))
+      .groupBy("key").agg(max("n_exact").as("n_exact"), min("c").as("n_est"))
+  }
+
+  /** Bloom bit-set of a key relation: `kh` hash positions per key in an
+    * `m`-bit filter, relationally represented as the distinct set-bit
+    * positions (bounded by m rows — at real scale this materializes to
+    * an actual bitmap broadcast to the probe side).
+    */
+  def bloomBits(set: DataFrame, keyCol: String, m: Int, kh: Int): DataFrame =
+    set.select(col(keyCol).as("key"),
+        explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
+      .select(expr(s"${h60("j", "key")} % $m").as("pos"))
+      .distinct()
+
+  /** Probe a bloom bit-set: a key is `maybe`-present iff all `kh`
+    * positions are set. No false negatives by construction. Left join
+    * (not semi) so keys whose positions all miss still surface with
+    * maybe=false — every probe key yields exactly one output row.
+    */
+  def bloomProbe(probes: DataFrame, keyCol: String, bits: DataFrame,
+      m: Int, kh: Int): DataFrame =
+    probes.select(col(keyCol).as("key"),
+        explode(expr(s"sequence(0, ${kh - 1})")).as("j"))
+      .withColumn("pos", expr(s"${h60("j", "key")} % $m"))
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy("key").agg(count(col("hit")).as("hits"))
+      .select(col("key"), (col("hits") === kh).as("maybe"))
+
+  /** HLL registers over the DISTINCT keys of `df(keyCol)`: bucket =
+    * h % m, rho = trailing-zeros(h DIV m) + 1 capped at `rhoCap` (the
+    * cap bounds the fixed-point exponent so the estimate stays in
+    * bigint range; rho &gt; 40 needs ~2^40 distinct per bucket to
+    * matter). Returns the full 0..m-1 grid (empty buckets → reg 0).
+    * Trailing zeros are computed on the binary STRING (bin + rtrim) —
+    * bit-exact on both engines, no float log anywhere.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, m: Int, rhoCap: Int = 40): DataFrame = {
+    val s = df.sparkSession
+    val regs = df.select(expr(s"${h60("'h'", keyCol)}").as("h")).distinct()
+      .withColumn("bucket", expr(s"h % $m"))
+      .withColumn("w", expr(s"h DIV $m"))
+      .withColumn("rho", expr(
+        s"least(length(bin(w)) - length(rtrim('0', bin(w))) + 1, $rhoCap)"))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+    s.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .na.fill(0L, Seq("reg"))
+  }
+
+  /** Raw HLL estimate in pure fixed-point integer math:
+    * est = alpha_m · m² / Σ 2^-reg, with the harmonic sum scaled by 2^40
+    * (exact: reg ≤ 40) and alpha as a /2048 rational. All products are
+    * proven &lt; 2^63 for m ≤ 64. Returns one row:
+    * (m, est_distinct, sum_scaled, nonzero_buckets).
+    */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    require(m <= 64, "fixed-point overflow bound proven for m <= 64")
+    val alphaNum = math.round(0.7213 / (1.0 + 1.079 / m) * 2048) // /2048
+    registers.agg(
+        sum(expr("CAST(pow(2, 40 - reg) AS BIGINT)")).as("sum_scaled"),
+        sum(when(col("reg") > 0, 1L).otherwise(0L)).as("nonzero_buckets"))
+      .select(lit(m).as("m"),
+        expr(s"($alphaNum * ${m.toLong * m} * 1099511627776) DIV (sum_scaled * 2048)")
+          .as("est_distinct"),
+        col("sum_scaled"), col("nonzero_buckets"))
+  }
+
+  /** KMV (k-minimum-values) distinct estimate per group: the k-th
+    * smallest 60-bit hash h_k over the group's distinct keys gives
+    * est = (k-1)·2^56 / (h_k DIV 16) — hashes are uniform on [0,2^60),
+    * shifted down 4 bits so (k-1)·2^56 fits bigint. Groups with fewer
+    * than k distinct keys are exact by construction (the sketch holds
+    * everything). One shuffle on the group key; sketch size k per group.
+    */
+  def kmvEstimate(df: DataFrame, grpCol: String, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 256, "k in [2,256]")
+    val hashed = df.select(col(grpCol).as("grp"),
+        expr(s"${h60("'k'", keyCol)} DIV 16").as("h")).distinct()
+    val maxH = 72057594037927936L // 2^56
+    hashed.groupBy("grp").agg(
+        count(lit(1)).as("n_exact"),
+        expr(s"sort_array(collect_list(h))").as("hs"))
+      .select(col("grp"), col("n_exact"),
+        when(col("n_exact") < k, col("n_exact"))
+          .otherwise(expr(s"(${(k - 1).toLong} * $maxH) DIV element_at(hs, $k)"))
+          .cast("long").as("n_est"))
+  }
+}

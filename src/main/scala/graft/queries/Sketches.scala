@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.Sketch
+import org.apache.spark.sql.functions._
+
+/** Deterministic sketch queries — thin bindings of [[graft.ops.Sketch]]
+  * onto the testdata tables, each carrying an exact twin so the output
+  * surfaces estimate-vs-exact side by side (the production monitoring
+  * shape: a sketch you can't audit is a sketch you can't trust).
+  *
+  * All four oracles are bit-exact: the md5-derived 60-bit hash is the
+  * shared cross-engine randomness and every estimate is fixed-point
+  * bigint DIV — no float in any comparison path.
+  */
+object Sketches {
+
+  def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv)
+
+  /** DuckDB twin of [[Sketch.h60]]. */
+  private def oh60(saltExpr: String, keyExpr: String): String =
+    s"CAST('0x' || substr(md5($saltExpr || ':' || $keyExpr), 1, 15) AS BIGINT)"
+
+  private val cmsD = 4
+  private val cmsW = 128
+
+  /** Count-Min heavy hitters over (user_id, event_type) traffic pairs:
+    * top-20 exact counts beside their CMS point estimates (d=4, w=128 —
+    * 750 keys into 128 buckets forces real collisions; min-over-depth
+    * keeps the overestimate tight). The counter table is 512 cells no
+    * matter the data volume — THE sketch property that matters at 100 TB.
+    */
+  val countMin: Q = Q("sketch_countmin", (s, dir) => {
+    val exact = Tables.t(s, dir, "events")
+      .select(concat_ws("|", col("user_id"), col("event_type")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    Sketch.cmsEstimate(exact, "key", "n", cmsD, cmsW)
+      .orderBy(col("n_exact").desc, col("key")).limit(20)
+  }, Some(s"""
+    WITH ex AS (
+      SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1),
+    hx AS (
+      SELECT key, n, j,
+             ${oh60("CAST(j AS VARCHAR)", "key")} % $cmsW AS bucket
+      FROM ex CROSS JOIN range($cmsD) t(j)),
+    ct AS (SELECT j, bucket, sum(n)::BIGINT AS c FROM hx GROUP BY 1, 2)
+    SELECT key, max(n)::BIGINT AS n_exact, min(c)::BIGINT AS n_est
+    FROM hx JOIN ct USING (j, bucket)
+    GROUP BY key
+    ORDER BY n_exact DESC, key LIMIT 20"""))
+
+  private val bloomM = 1 << 20
+  private val bloomK = 3
+
+  /** Bloom-filter join pruning: the bit-set of finished orders
+    * (o_orderstatus='F') probed by every lineitem orderkey — the
+    * runtime-filter shape that prunes fact-side rows before an
+    * expensive shuffle join at warehouse scale. One summary row:
+    * probes / exact members / maybes / false positives (never a false
+    * negative: maybes ⊇ members by construction, and the fp_bp column
+    * puts the measured false-positive rate next to its m,k budget).
+    */
+  val bloomJoin: Q = Q("sketch_bloom", (s, dir) => {
+    val set = Tables.t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").cast("string").as("k")).distinct()
+    val probes = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("k")).distinct()
+    val bits = Sketch.bloomBits(set, "k", bloomM, bloomK)
+    val probed = Sketch.bloomProbe(probes, "k", bits, bloomM, bloomK)
+    val exact = probes.join(set, Seq("k"), "left_semi")
+      .select(col("k"), lit(true).as("present"))
+    probed.join(exact, probed("key") === exact("k"), "left")
+      .select(col("maybe"), coalesce(col("present"), lit(false)).as("present"))
+      .agg(count(lit(1)).as("n_probed"),
+        sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("maybe") && !col("present"), 1L).otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_bp", expr("(n_false_pos * 10000) DIV nullif(n_probed - n_present, 0)"))
+  }, Some(s"""
+    WITH st AS (
+      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+      WHERE o_orderstatus = 'F'),
+    pr AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+    bits AS (
+      SELECT DISTINCT ${oh60("CAST(j AS VARCHAR)", "k")} % $bloomM AS pos
+      FROM st CROSS JOIN range($bloomK) t(j)),
+    ph AS (
+      SELECT k, ${oh60("CAST(j AS VARCHAR)", "k")} % $bloomM AS pos
+      FROM pr CROSS JOIN range($bloomK) t(j)),
+    mb AS (
+      SELECT k, (count(*) FILTER (WHERE pos IN (SELECT pos FROM bits))) = $bloomK AS maybe
+      FROM ph GROUP BY k),
+    j AS (
+      SELECT mb.maybe, (st.k IS NOT NULL) AS present
+      FROM mb LEFT JOIN st ON mb.k = st.k)
+    SELECT count(*)::BIGINT AS n_probed,
+      sum(CASE WHEN present THEN 1 ELSE 0 END)::BIGINT AS n_present,
+      sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+      sum(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+      (sum(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)::BIGINT * 10000)
+        // nullif(count(*)::BIGINT - sum(CASE WHEN present THEN 1 ELSE 0 END)::BIGINT, 0) AS fp_bp
+    FROM j"""))
+
+  private val hllM = 64
+
+  /** Hand-rolled HLL distinct-count over lineitem orderkeys: m=64
+    * registers (σ≈13%), rho from the hash's binary STRING (no float
+    * log), harmonic sum scaled exact by 2^40, alpha as a /2048
+    * rational — the estimate is a single bigint DIV, bit-auditable on
+    * both engines. This is the deterministic counterpart to
+    * q_approx_distinct's engine-native HLL++ (which can never have a
+    * cross-engine oracle).
+    */
+  val hll: Q = Q("sketch_hll", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+    val regs = Sketch.hllRegisters(li, "l_orderkey", hllM)
+    val est = Sketch.hllEstimate(regs, hllM)
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    est.crossJoin(exact)
+      .withColumn("err_bp", expr("(abs(est_distinct - n_exact) * 10000) DIV n_exact"))
+      .select("m", "n_exact", "est_distinct", "err_bp", "sum_scaled", "nonzero_buckets")
+  }, Some {
+    val alphaNum = math.round(0.7213 / (1.0 + 1.079 / hllM) * 2048)
+    s"""
+    WITH h AS (
+      SELECT DISTINCT ${oh60("'h'", "CAST(l_orderkey AS VARCHAR)")} AS h
+      FROM lineitem),
+    r AS (
+      SELECT h % $hllM AS bucket,
+             least(length(bin(h // $hllM)) - length(rtrim(bin(h // $hllM), '0')) + 1, 40) AS rho
+      FROM h),
+    regs AS (
+      SELECT g.bucket, coalesce(max(r.rho), 0) AS reg
+      FROM range($hllM) g(bucket) LEFT JOIN r ON g.bucket = r.bucket
+      GROUP BY g.bucket),
+    agg AS (
+      SELECT sum(CAST(pow(2, 40 - reg) AS BIGINT))::BIGINT AS sum_scaled,
+             sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::BIGINT AS nonzero_buckets
+      FROM regs),
+    ex AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact FROM lineitem)
+    SELECT $hllM AS m, ex.n_exact,
+      ($alphaNum * ${hllM.toLong * hllM} * 1099511627776) // (agg.sum_scaled * 2048) AS est_distinct,
+      (abs(($alphaNum * ${hllM.toLong * hllM} * 1099511627776) // (agg.sum_scaled * 2048) - ex.n_exact) * 10000)
+        // ex.n_exact AS err_bp,
+      agg.sum_scaled, agg.nonzero_buckets
+    FROM agg, ex"""
+  })
+
+  private val kmvK = 16
+
+  /** KMV distinct users per event type: k=16 minimum hash values,
+    * est = (k-1)·2^56 / h_k in one integer DIV; groups under k distinct
+    * keys are exact by construction (sf0.001's 15 users exercises that
+    * branch, larger SFs the estimator). KMV sketches merge by
+    * keep-k-smallest — the property that makes them the distributed
+    * distinct-count of choice.
+    */
+  val kmv: Q = Q("sketch_kmv", (s, dir) => {
+    Sketch.kmvEstimate(Tables.t(s, dir, "events"), "event_type", "user_id", kmvK)
+      .withColumnRenamed("grp", "event_type")
+      .withColumn("err_bp", expr("(abs(n_est - n_exact) * 10000) DIV n_exact"))
+      .orderBy("event_type")
+  }, Some(s"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ${oh60("'k'", "CAST(user_id AS VARCHAR)")} // 16 AS h
+      FROM events),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM h)
+    SELECT event_type, max(n)::BIGINT AS n_exact,
+      CASE WHEN max(n) < $kmvK THEN max(n)::BIGINT
+           ELSE (${(kmvK - 1).toLong} * 72057594037927936)
+                  // max(CASE WHEN r = $kmvK THEN h END) END AS n_est,
+      (abs(CASE WHEN max(n) < $kmvK THEN max(n)::BIGINT
+           ELSE (${(kmvK - 1).toLong} * 72057594037927936)
+                  // max(CASE WHEN r = $kmvK THEN h END) END - max(n)) * 10000)
+        // max(n) AS err_bp
+    FROM rk GROUP BY event_type
+    ORDER BY event_type"""))
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Sketch
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant proofs for the deterministic sketch family: Count-Min never
+  * underestimates, Bloom never false-negatives, HLL/KMV land inside their
+  * published error envelopes, and every estimator degrades gracefully to
+  * EXACT when the data is smaller than the sketch.
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sf(dir: String) = s"/root/testdata/$dir"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("count-min never underestimates and is exact when width >> keys") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val exact = (1 to 500).map(i => (s"key$i", (i % 37 + 1).toLong)).toDF("key", "n")
+    // tight sketch: collisions certain at w=32
+    val est = Sketch.cmsEstimate(exact, "key", "n", depth = 4, width = 32).collect()
+    assert(est.length == 500)
+    assert(est.forall(r => r.getLong(2) >= r.getLong(1)), "CMS must overestimate")
+    // generous sketch: 500 keys into 4x8192 buckets -> min over 4 rows is
+    // almost surely collision-free; allow <=1% inflated keys
+    val wide = Sketch.cmsEstimate(exact, "key", "n", depth = 4, width = 8192).collect()
+    assert(wide.count(r => r.getLong(2) != r.getLong(1)) <= 5)
+  }
+
+  test("bloom filter has zero false negatives; fp rate within 4x of theory") {
+    import spark.implicits._
+    val set = (1 to 2000).map(i => s"m$i").toDF("k")
+    val probes = (1 to 2000).map(i => s"m$i") ++ (1 to 8000).map(i => s"x$i")
+    val bits = Sketch.bloomBits(set, "k", m = 1 << 16, kh = 3)
+    val probed = Sketch.bloomProbe(probes.toDF("k"), "k", bits, m = 1 << 16, kh = 3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probed.size == 10000)
+    assert((1 to 2000).forall(i => probed(s"m$i")), "no false negatives, ever")
+    val fp = (1 to 8000).count(i => probed(s"x$i"))
+    // theory: (1 - e^(-3*2000/65536))^3 ~ 6.7e-4 -> ~5.4 expected over 8000
+    assert(fp <= 22, s"false positives $fp beyond 4x theoretical expectation")
+  }
+
+  test("hll estimate within 3 sigma at every sf; register grid complete") {
+    val li = Tables.t(spark, sf("sf0.01"), "lineitem")
+    val regs = Sketch.hllRegisters(li, "l_orderkey", 64)
+    assert(regs.count() == 64, "full 0..m-1 register grid")
+    val row = Sketch.hllEstimate(regs, 64).collect().head
+    val est = row.getLong(1)
+    val exact = 14743L
+    // sigma = 1.04/sqrt(64) ~ 13%; 3 sigma = 39%
+    assert(math.abs(est - exact).toDouble / exact < 0.39,
+      s"hll est $est vs exact $exact outside 3 sigma")
+  }
+
+  test("kmv is exact below k and inside 3 sigma above it") {
+    import spark.implicits._
+    val small = (1 to 100).map(i => ("g", i % 9)).toDF("grp", "key")
+    val sm = Sketch.kmvEstimate(small, "grp", "key", k = 16).collect().head
+    assert(sm.getLong(1) == 9 && sm.getLong(2) == 9, "n<k must be exact")
+
+    val big = (1 to 5000).map(i => ("g", i)).toDF("grp", "key")
+    val bg = Sketch.kmvEstimate(big, "grp", "key", k = 64).collect().head
+    assert(bg.getLong(1) == 5000)
+    // sigma ~ 1/sqrt(k-2) ~ 12.7%; 3 sigma = 38%
+    assert(math.abs(bg.getLong(2) - 5000).toDouble / 5000 < 0.38,
+      s"kmv est ${bg.getLong(2)} outside 3 sigma of 5000")
+  }
+}
