@@ -300,4 +300,52 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
     counts
   }
+
+  /** The k-core subgraph: iteratively peel vertices of degree &lt; k
+    * until the remaining subgraph is stable (every survivor has ≥ k
+    * neighbors INSIDE the core). Input: undirected distinct edge list
+    * (`lo`, `hi` long columns, lo &lt; hi); output: the surviving edges
+    * with the same schema — the density-skeleton primitive (community
+    * nuclei, spam-farm detection, graph sparsification).
+    *
+    * Scale mechanics: each round is one degree aggregation plus two
+    * semi-joins — all hash-partitioned on vertex id, no all-pairs
+    * anything; the edge count is MONOTONE DECREASING, so one cheap
+    * count() per round is the exact fixpoint detector; lineage is
+    * broken per round (reliable checkpoint when
+    * `spark.graft.checkpointDir` is set, executor-local otherwise);
+    * `maxIters` is a runaway guard — hitting it THROWS rather than
+    * returning a non-core subgraph.
+    */
+  def kcore(edgeList: DataFrame, k: Int, maxIters: Int = 64): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    var e = break(edgeList.select(col("lo"), col("hi")))
+    var prev = e.count()
+    var changed = prev > 0
+    var iter = 0
+    while (changed && iter < maxIters) {
+      val keep = e.select(col("lo").as("v")).union(e.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("v")
+      val next = break(e
+        .join(keep.select(col("v").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("v").as("hi")), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi")))
+      val n = next.count()
+      changed = n != prev
+      prev = n
+      e = next
+      iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"kcore did not converge in $maxIters rounds — raise maxIters")
+    e
+  }
 }

@@ -42,7 +42,7 @@ object Analytics {
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
-    qRetentionCohorts, qTriangles)
+    qRetentionCohorts, qTriangles, qKcore)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1150,4 +1150,62 @@ object Analytics {
     x AS (SELECT unnest([a, b, c]) AS v FROM t)
     SELECT v, count(*)::BIGINT AS n_tri FROM x
     GROUP BY v ORDER BY n_tri DESC, v LIMIT 100"""))
+  /** 18-round unrolled peeling chains for k=2,3,4 (max observed fixpoint
+    * is 10 rounds at sf0.01/k=3; extra rounds are no-ops on a converged
+    * subgraph, so the fixed unroll equals the Spark loop's early-exit
+    * fixpoint). DuckDB's recursive CTEs disallow aggregation in the
+    * recursive term — same generated-chain technique as the pagerank
+    * oracle.
+    */
+  private lazy val kcoreOracleSql: String = {
+    val rounds = 18
+    val chains = Seq(2, 3, 4).map { k =>
+      (1 to rounds).map { r =>
+        s""",
+    k${k}_$r AS MATERIALIZED (SELECT v FROM (SELECT lo AS v FROM e${k}_${r - 1} UNION ALL SELECT hi FROM e${k}_${r - 1})
+      GROUP BY v HAVING count(*) >= $k),
+    e${k}_$r AS MATERIALIZED (SELECT e.lo, e.hi FROM e${k}_${r - 1} e
+      JOIN k${k}_$r a ON e.lo = a.v JOIN k${k}_$r b ON e.hi = b.v)"""
+      }.mkString
+    }
+    def summary(k: Int) =
+      s"""SELECT $k AS k,
+      (SELECT count(*) FROM (SELECT lo AS v FROM e${k}_$rounds UNION SELECT hi FROM e${k}_$rounds))::BIGINT AS core_vertices,
+      (SELECT count(*) FROM e${k}_$rounds)::BIGINT AS core_edges"""
+    s"""WITH raw AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem GROUP BY 1, 2),
+    eb AS MATERIALIZED (SELECT least(a.p, b.p) AS lo, greatest(a.p, b.p) AS hi
+      FROM raw a JOIN raw b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    e2_0 AS (FROM eb), e3_0 AS (FROM eb), e4_0 AS (FROM eb)${chains.mkString}
+    ${summary(2)} UNION ALL ${summary(3)} UNION ALL ${summary(4)} ORDER BY k"""
+  }
+
+  /** K-core skeleton of the REPEAT co-purchase graph (parts paired in
+    * >= 2 distinct orders — the one-off noise pairs pruned away): for
+    * k=2,3,4, the size of the subgraph where every part keeps >= k
+    * repeat-partners inside the core. Runs [[graft.ops.Graph.kcore]]
+    * (iterative peel, early-exit on the monotone edge count) three
+    * times over ONE persisted base edge build — the expensive
+    * co-purchase self-join happens once.
+    */
+  val qKcore: Q = Q("graph_kcore", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val base = li.as("x").join(li.as("y"), "o")
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("lo"), col("y.p").as("hi"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("lo", "hi").persist()
+    base.count() // materialize once before the three peels share it
+    val rows = Seq(2, 3, 4).map { k =>
+      val core = graft.ops.Graph.kcore(base, k)
+      val nv = core.select(col("lo").as("v")).union(core.select(col("hi").as("v")))
+        .distinct().count()
+      val ne = core.count()
+      (k, nv, ne)
+    }
+    base.unpersist()
+    import s.implicits._
+    rows.toDF("k", "core_vertices", "core_edges").repartition(1).orderBy("k")
+  }, Some(kcoreOracleSql))
 }

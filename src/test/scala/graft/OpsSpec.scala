@@ -31,6 +31,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("Graph.kcore peels pendants transitively and empties past the degeneracy") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is exactly
+    // the triangle (4 dies first, which then kills 5 — transitive peel),
+    // and there is no 3-core
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toDF("lo", "hi")
+    val core2 = graft.ops.Graph.kcore(edges, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(graft.ops.Graph.kcore(edges, 3).count() == 0)
+    // k=1 on a clean edge list keeps everything
+    assert(graft.ops.Graph.kcore(edges, 1).count() == 5)
+  }
+
   test("Graph.connectedComponentsStar agrees with propagation on chains, rings, and self-loops") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
