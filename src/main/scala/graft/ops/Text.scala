@@ -232,4 +232,35 @@ object Text {
     s"""replace($seqExpr,
         ' ' || (SELECT w1 FROM $ruleCte) || '  ' || (SELECT w2 FROM $ruleCte) || ' ',
         ' ' || (SELECT w1 FROM $ruleCte) || (SELECT w2 FROM $ruleCte) || ' ')"""
+
+  /** Document-level word co-occurrence with exact support counts —
+    * the collocation/PMI primitive. Returns one row per unordered word
+    * pair: (word_a, word_b, n_ab, n_a, n_b, n_docs), everything an
+    * exact integer so ranking scores stay fixed-point downstream.
+    *
+    * Scale shape: the pair space is bounded BEFORE the self-join by a
+    * document-frequency vocabulary cap (`vocabTop` — deterministic
+    * (df DESC, word) order), so the per-doc join fans out at most
+    * vocabTop² pairs regardless of corpus size; the join key is doc_id
+    * (no hot word key anywhere), and `minPair` prunes the long tail at
+    * the first aggregation. The word explode is NOT cached — a cheap
+    * split re-evaluates faster than a cache round-trip (same
+    * measurement as the winnow/shingle paths).
+    */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+      vocabTop: Int, minPair: Long): DataFrame = {
+    val w = df.select(col(idCol).as("_d"),
+      explode(array_distinct(words(col(textCol)))).as("word"))
+    val byDf = w.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val vocab = byDf.orderBy(col("n_w").desc, col("word")).limit(vocabTop)
+    val wv = w.join(broadcast(vocab), Seq("word"))
+    val pairs = wv.select(col("_d"), col("word").as("word_a"), col("n_w").as("n_a"))
+      .join(wv.select(col("_d"), col("word").as("word_b"), col("n_w").as("n_b")), Seq("_d"))
+      .filter(col("word_a") < col("word_b"))
+      .groupBy("word_a", "word_b")
+      .agg(count(lit(1)).as("n_ab"), max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .filter(col("n_ab") >= minPair)
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    pairs.crossJoin(nd)
+  }
 }

@@ -17,7 +17,7 @@ object TextOps {
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
-    textKeywords)
+    textKeywords, textPmi)
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -863,4 +863,37 @@ object TextOps {
       JOIN ws USING (word) GROUP BY u.phrase)
     SELECT phrase, CAST(n AS BIGINT) AS n, score_bp FROM sc
     ORDER BY score_bp DESC, n DESC, phrase ASC LIMIT 25"""))
+
+  /** Top collocations by PMI lift over the documents corpus: word pairs
+    * co-occurring in more docs than independence predicts. Runs
+    * [[graft.ops.Text.cooccurrence]] (doc-frequency-capped vocabulary,
+    * pair space bounded before the self-join), then ranks by the
+    * fixed-point lift ratio lift_bp = n_ab·n_docs·10000 DIV (n_a·n_b) —
+    * a MONOTONE transform of PMI (PMI = log of lift), so the ranking is
+    * identical to PMI's with zero float math anywhere.
+    */
+  val textPmi: Q = Q("text_pmi", (s, dir) => {
+    graft.ops.Text.cooccurrence(Tables.t(s, dir, "documents"), "doc_id", "text",
+        vocabTop = 200, minPair = 5L)
+      .withColumn("lift_bp", expr("(n_ab * n_docs * 10000) DIV (n_a * n_b)"))
+      .select("word_a", "word_b", "n_ab", "n_a", "n_b", "lift_bp")
+      .orderBy(col("lift_bp").desc, col("word_a"), col("word_b")).limit(30)
+  }, Some("""
+    WITH w AS (
+      SELECT doc_id AS d, unnest(list_distinct(
+        list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS word
+      FROM documents),
+    bydf AS (SELECT word, count(*)::BIGINT AS n_w FROM w GROUP BY word),
+    vocab AS (SELECT word, n_w FROM bydf ORDER BY n_w DESC, word LIMIT 200),
+    wv AS (SELECT w.d, w.word, vocab.n_w FROM w JOIN vocab USING (word)),
+    pairs AS (
+      SELECT a.word AS word_a, b.word AS word_b,
+        count(*)::BIGINT AS n_ab, max(a.n_w)::BIGINT AS n_a, max(b.n_w)::BIGINT AS n_b
+      FROM wv a JOIN wv b ON a.d = b.d AND a.word < b.word
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+    SELECT word_a, word_b, n_ab, n_a, n_b,
+      (n_ab * n_docs * 10000) // (n_a * n_b) AS lift_bp
+    FROM pairs, nd
+    ORDER BY lift_bp DESC, word_a, word_b LIMIT 30"""))
 }
