@@ -24,7 +24,16 @@ object Bench {
       Tables.events(spark, sfDir).agg(org.apache.spark.sql.functions.max("ts_us")).collect()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing args: bench only the named queries (repeated
+    // `--reps N` times each) — the perf-iteration loop for one operator
+    val (reps, names) = args.toSeq match {
+      case Seq("--reps", n, rest @ _*) => (n.toInt, rest)
+      case other => (1, other)
+    }
+    val selected =
+      if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val results = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
       spark.catalog.clearCache() // previous query's persisted intermediates: teardown OUTSIDE the timed region
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

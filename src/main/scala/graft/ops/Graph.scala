@@ -292,9 +292,18 @@ object Graph {
       """u * 4294967296L + w + ifnull(assert_true(
           u >= 0 AND u < 4294967296L AND w >= 0 AND w < 4294967296L,
           'Graph.triangles: vertex ids must fit in unsigned 32 bits'), 0L)""").as("bc"))
+    // closure: BROADCAST the packed edge set when it plausibly fits
+    // (longs are 8B + hash-set overhead; 20M edges ≈ low hundreds of MB
+    // on the build side) — the wedge set (out-deg² rows, here 34× the
+    // edge count) then never crosses an exchange at all. Past the
+    // threshold fall back to shuffle-hash (NOT sort-merge: SMJ would
+    // sort the huge wedge side; hashing builds on the small edge side).
+    val m = und.count() // und is persisted above — this is a cached count
+    val closure =
+      if (m <= 20000000L) broadcast(packedEdges) else packedEdges.hint("shuffle_hash")
     val tri = wedges
       .withColumn("bc", expr("b * 4294967296L + c"))
-      .join(packedEdges.hint("shuffle_hash"), Seq("bc"), "left_semi")
+      .join(closure, Seq("bc"), "left_semi")
     val counts = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
