@@ -247,6 +247,35 @@ object Text {
     * split re-evaluates faster than a cache round-trip (same
     * measurement as the winnow/shingle paths).
     */
+  /** Skip-gram (center, context) pair counts within a ±`window`
+    * positional window — the word2vec/GloVe training-pair extraction.
+    * Pairs are generated per row as pure array expressions (one array
+    * per offset and direction, no positional self-join anywhere), so
+    * the only shuffle is the final map-side-combining count. Returns
+    * (center, context, n).
+    */
+  def skipgrams(df: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1 && window <= 8, "window in [1,8]")
+    val w = df.select(words(col(textCol)).as("w"))
+    // for each offset: forward pairs (w[i], w[i+off]) and their mirror —
+    // guard with CASE: Spark's sequence(1, 0) DESCENDS rather than
+    // returning empty
+    val pairArrays = (1 to window).flatMap { off =>
+      Seq(
+        s"""CASE WHEN size(w) >= ${off + 1} THEN transform(
+             sequence(1, size(w) - $off),
+             i -> struct(element_at(w, i) AS center, element_at(w, i + $off) AS context))
+           ELSE array() END""",
+        s"""CASE WHEN size(w) >= ${off + 1} THEN transform(
+             sequence(1, size(w) - $off),
+             i -> struct(element_at(w, i + $off) AS center, element_at(w, i) AS context))
+           ELSE array() END""")
+    }
+    w.select(explode(expr(pairArrays.mkString("concat(", ", ", ")"))).as("p"))
+      .select(col("p.center"), col("p.context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+
   def cooccurrence(df: DataFrame, idCol: String, textCol: String,
       vocabTop: Int, minPair: Long): DataFrame = {
     val w = df.select(col(idCol).as("_d"),

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff)
+  def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
+    qualitySurprisal, qualityDriftChi2)
 
   /** Per-column profile of lineitem via the generic one-pass
     * [[graft.ops.Profile.profile]] (rows, nulls, distincts, min/max —
@@ -129,4 +130,95 @@ object Quality {
         WHEN fp_a <> fp_b THEN 'changed' ELSE 'unchanged' END AS status,
       count(*)::BIGINT AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM j GROUP BY 1 ORDER BY status"""))
+
+  /** Unigram-LM surprisal scoring — the cheap perplexity-shaped quality
+    * filter: docs whose words are corpus-rare score high. The log2 is
+    * INTEGER (floor-log2 = binary-string length − 1 of the scaled ratio
+    * N·1024/c_w — same bin() trick as the HLL rho), so per-doc means in
+    * basis points are exact bigint division: zero float anywhere,
+    * bit-exact cross-engine. One tiny vocabulary aggregate broadcast
+    * back over the word stream, one per-doc aggregate — two shuffles of
+    * vocab/doc-count size.
+    */
+  val qualitySurprisal: Q = Q("quality_surprisal", (s, dir) => {
+    val w = Tables.t(s, dir, "documents").select(col("doc_id"),
+      explode(graft.ops.Text.words(col("text"))).as("word"))
+    val c = w.groupBy("word").agg(count(lit(1)).as("c"))
+    val n = c.agg(sum("c").as("n_corpus"))
+    val scored = w.join(broadcast(c.crossJoin(n)), "word")
+      .withColumn("surprise", expr("length(bin((n_corpus * 1024) DIV c)) - 1"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("surprise").as("surprise_sum"))
+      .withColumn("surprise_bp", expr("(surprise_sum * 10000) DIV n_words"))
+      .orderBy(col("surprise_bp").desc, col("doc_id")).limit(25)
+  }, Some("""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    c AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word),
+    n AS (SELECT sum(c)::BIGINT AS n_corpus FROM c),
+    sc AS (
+      SELECT doc_id, length(bin((n_corpus * 1024) // c)) - 1 AS surprise
+      FROM w JOIN c USING (word), n)
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+      sum(surprise)::BIGINT AS surprise_sum,
+      (sum(surprise)::BIGINT * 10000) // count(*)::BIGINT AS surprise_bp
+    FROM sc GROUP BY doc_id
+    ORDER BY surprise_bp DESC, doc_id LIMIT 25"""))
+
+  /** Distribution-drift score per event type between the first and
+    * second half of the time range — the PSI-style monitor a pipeline
+    * runs between snapshot publishes, in pure integer math: 10
+    * equi-width cent buckets over the global value range, per-side
+    * proportions in basis points, and the symmetric chi-square-style
+    * score Σ (p−q)²/(p+q) — no float log, bit-exact cross-engine. Two
+    * passes: one 1-row range/midpoint aggregate, one bucket-grid
+    * aggregate (map-side combined).
+    */
+  val qualityDriftChi2: Q = Q("quality_drift_chi2", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val rng = e.agg(min("ts_us").as("t0"), max("ts_us").as("t1"),
+      min("cents").as("c0"), max("cents").as("c1"))
+    val b = e.crossJoin(broadcast(rng))
+      .withColumn("late", expr("ts_us > (t0 + t1) DIV 2"))
+      .withColumn("bucket", expr("least(((cents - c0) * 10) DIV (c1 - c0 + 1), 9)"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n2"))
+    val tot = b.groupBy("event_type")
+      .agg(sum("n1").as("t1n"), sum("n2").as("t2n"))
+    b.join(tot, "event_type")
+      .withColumn("p_bp", expr("(n1 * 10000) DIV t1n"))
+      .withColumn("q_bp", expr("(n2 * 10000) DIV t2n"))
+      .groupBy("event_type")
+      .agg(max("t1n").as("n_early"), max("t2n").as("n_late"),
+        sum(expr("""CASE WHEN p_bp + q_bp > 0
+          THEN ((p_bp - q_bp) * (p_bp - q_bp)) DIV (p_bp + q_bp)
+          ELSE 0 END""")).as("drift_score"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    rng AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+        min(cents) AS c0, max(cents) AS c1 FROM e),
+    b AS (
+      SELECT event_type,
+        least(((cents - c0) * 10) // (c1 - c0 + 1), 9) AS bucket,
+        sum(CASE WHEN ts_us > (t0 + t1) // 2 THEN 0 ELSE 1 END)::BIGINT AS n1,
+        sum(CASE WHEN ts_us > (t0 + t1) // 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+      FROM e, rng GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n1)::BIGINT AS t1n, sum(n2)::BIGINT AS t2n
+      FROM b GROUP BY 1),
+    pq AS (
+      SELECT b.event_type, t1n, t2n,
+        (n1 * 10000) // t1n AS p_bp, (n2 * 10000) // t2n AS q_bp
+      FROM b JOIN tot USING (event_type))
+    SELECT event_type, max(t1n)::BIGINT AS n_early, max(t2n)::BIGINT AS n_late,
+      sum(CASE WHEN p_bp + q_bp > 0
+        THEN ((p_bp - q_bp) * (p_bp - q_bp)) // (p_bp + q_bp)
+        ELSE 0 END)::BIGINT AS drift_score
+    FROM pq GROUP BY event_type ORDER BY event_type"""))
 }

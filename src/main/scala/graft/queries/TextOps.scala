@@ -17,7 +17,7 @@ object TextOps {
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
-    textKeywords, textPmi)
+    textKeywords, textPmi, textSkipgrams)
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -896,4 +896,31 @@ object TextOps {
       (n_ab * n_docs * 10000) // (n_a * n_b) AS lift_bp
     FROM pairs, nd
     ORDER BY lift_bp DESC, word_a, word_b LIMIT 30"""))
+
+  /** Top skip-gram pairs within a ±2 positional window — the word2vec
+    * training-pair extraction, via [[graft.ops.Text.skipgrams]] (pure
+    * per-row array generation, the final count is the only shuffle).
+    */
+  val textSkipgrams: Q = Q("text_skipgrams", (s, dir) => {
+    graft.ops.Text.skipgrams(Tables.t(s, dir, "documents"), "text", window = 2)
+      .orderBy(col("n").desc, col("center"), col("context")).limit(40)
+  }, Some("""
+    WITH w AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    pr AS (
+      SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+        i -> [w[i], w[i + 1]])) AS p FROM w
+      UNION ALL
+      SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+        i -> [w[i + 1], w[i]])) FROM w
+      UNION ALL
+      SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> [w[i], w[i + 2]])) FROM w
+      UNION ALL
+      SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> [w[i + 2], w[i]])) FROM w)
+    SELECT p[1] AS center, p[2] AS context, count(*)::BIGINT AS n
+    FROM pr GROUP BY 1, 2
+    ORDER BY n DESC, center, context LIMIT 40"""))
 }
