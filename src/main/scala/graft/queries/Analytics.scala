@@ -1196,12 +1196,16 @@ object Analytics {
       .groupBy(col("x.p").as("lo"), col("y.p").as("hi"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
       .select("lo", "hi").persist()
-    base.count() // materialize once before the three peels share it
+    base.count() // materialize once before the peels
+    // cores are NESTED (the (k+1)-core is a subgraph of the k-core), so
+    // each peel starts from the previous core instead of the full base —
+    // the k=3 and k=4 rounds run on the already-shrunken survivor set
+    var cur = base
     val rows = Seq(2, 3, 4).map { k =>
-      val core = graft.ops.Graph.kcore(base, k)
-      val nv = core.select(col("lo").as("v")).union(core.select(col("hi").as("v")))
+      cur = graft.ops.Graph.kcore(cur, k)
+      val nv = cur.select(col("lo").as("v")).union(cur.select(col("hi").as("v")))
         .distinct().count()
-      val ne = core.count()
+      val ne = cur.count()
       (k, nv, ne)
     }
     base.unpersist()
