@@ -810,6 +810,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("KmvProcessor matches the batch sketch_kmv estimate EXACTLY across micro-batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_kmv").toFile
+    // same hash the batch op uses, computed OUTSIDE the stream so both
+    // sides consume identical (event_type, h) pairs
+    val ev = Tables.t(spark, "/root/testdata/sf0.01", "events")
+      .selectExpr("event_type",
+        s"${graft.ops.Sketch.h60("'k'", "user_id")} DIV 16 AS h")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    def fmt(rs: Array[(String, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.KmvProcessor(spark, src)
+      .toDF("event_type", "n_rows_seen", "n_held", "n_est")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_kmv_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final emission per key = the row with the max monotone n_rows_seen
+      val got = spark.sql("""SELECT event_type, n_est FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY n_rows_seen DESC) rn FROM graft_kmv_out) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.ops.Sketch.kmvEstimate(
+          Tables.t(spark, "/root/testdata/sf0.01", "events"),
+          "event_type", "user_id", 16)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got.keySet == want.keySet)
+      // EXACT equality: k-min sets are order- and batching-insensitive
+      got.foreach { case (k, v) => assert(v == want(k), s"key $k: $v vs ${want(k)}") }
+    } finally q.stop()
+  }
+
   test("MedianProcessor matches the batch ts_rolling_median EXACTLY (pure integers)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
