@@ -17,7 +17,7 @@ object TextOps {
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
-    textKeywords, textPmi, textSkipgrams)
+    textKeywords, textPmi, textSkipgrams, bpeEncode)
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -923,4 +923,56 @@ object TextOps {
     SELECT p[1] AS center, p[2] AS context, count(*)::BIGINT AS n
     FROM pr GROUP BY 1, 2
     ORDER BY n DESC, center, context LIMIT 40"""))
+
+  /** Framed-sequence symbol count; the empty-doc guard is identical on
+    * both engines (split('') yields one empty element on both).
+    */
+  private def symCountExpr(seqCol: String) =
+    s"CASE WHEN length(trim($seqCol)) = 0 THEN 0L ELSE CAST(size(split(trim($seqCol), '  ')) AS BIGINT) END"
+
+  private val bpeEncodeRounds = 4
+
+  /** Tokenizer APPLY: train `bpeEncodeRounds` BPE merges on the corpus
+    * (ops/Text.bpeTrain — the framed-string replace trainer), encode
+    * every document with them, and report per-source compression:
+    * symbols before/after and the saved fraction in basis points. This
+    * is the round trip a tokenizer pipeline ships — train on the
+    * corpus, re-tokenize the corpus — with each merge round one
+    * map-side-combining pair count plus a broadcast 1-row rule.
+    */
+  val bpeEncode: Q = Q("bpe_encode", (s, dir) => {
+    import graft.ops.Text
+    val d = Tables.t(s, dir, "documents")
+      .select(col("source"), Text.bpeInitSeq(col("text")).as("seq"))
+      .withColumn("tok0", expr(symCountExpr("seq")))
+    val (_, enc) = Text.bpeTrain(d, "seq", bpeEncodeRounds)
+    enc.withColumn("tok", expr(symCountExpr("seq")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok0").as("tokens_raw"), sum("tok").as("tokens_bpe"))
+      .withColumn("saved_bp",
+        expr("((tokens_raw - tokens_bpe) * 10000) DIV nullif(tokens_raw, 0)"))
+      .orderBy("source")
+  }, Some {
+    import graft.ops.Text
+    def symSql(e: String) =
+      s"CASE WHEN length(trim($e)) = 0 THEN 0 ELSE len(string_split(trim($e), '  ')) END::BIGINT"
+    val chain = (1 to bpeEncodeRounds).map { r =>
+      s""",
+      p$r AS (${Text.bpePairCountsSql(s"s${r - 1}", "seq")}),
+      m$r AS (SELECT w1, w2, cnt FROM p$r ORDER BY cnt DESC, w1, w2 LIMIT 1),
+      s$r AS MATERIALIZED (SELECT source, ${Text.bpeApplyMergeSql("seq", s"m$r")} AS seq, tok0
+        FROM s${r - 1})"""
+    }.mkString
+    s"""WITH s0 AS MATERIALIZED (
+      SELECT source, ${Text.bpeInitSeqSql("text")} AS seq,
+        ${symSql(Text.bpeInitSeqSql("text"))} AS tok0
+      FROM documents)$chain
+    SELECT source, count(*)::BIGINT AS n_docs,
+      sum(tok0)::BIGINT AS tokens_raw,
+      sum(${symSql("seq")})::BIGINT AS tokens_bpe,
+      ((sum(tok0)::BIGINT - sum(${symSql("seq")})::BIGINT) * 10000)
+        // nullif(sum(tok0)::BIGINT, 0) AS saved_bp
+    FROM s$bpeEncodeRounds GROUP BY source ORDER BY source"""
+  })
 }
