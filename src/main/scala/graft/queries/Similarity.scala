@@ -939,4 +939,91 @@ object Similarity {
         i -> (a_cvec[i] - b_cvec[i]) * (a_cvec[i] - b_cvec[i])), 'sum')), 4) AS drift_l2
     FROM va JOIN vb USING (label) JOIN na USING (label) JOIN nb USING (label)
     ORDER BY label"""))
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    * ranking (same formula/terms as text_bm25) and the embedding-cosine
+    * ranking against query vector 7 (vec_id == doc_id, 1:1 by
+    * construction), each truncated to its top 50, fused by
+    * rrf = Σ 10^8 DIV (60 + rank) — the standard k=60 RRF in pure
+    * integers over the ranks. Both input rankings break float ties with
+    * round(,6)+id (house rule), so rank vectors — and therefore the
+    * fused scores — are bit-exact cross-engine. Fusion itself is a full
+    * outer join of two 50-row relations: free at any corpus size.
+    */
+  val hybridRrf: Q = Q("hybrid_rrf", (s, dir) => {
+    val terms = Seq("spark", "join", "window")
+    val t = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), filter(split(lower(col("text")), " "), w => w =!= "").as("w"))
+      .withColumn("dl", size(col("w")).cast("bigint"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(q =>
+        expr(s"CAST(size(filter(w, x -> x = '$q')) AS BIGINT)").as(s"tf_$q")): _*)
+    val statsCols = Seq(count(lit(1)).as("n"),
+      expr("CAST(sum(dl) AS DOUBLE) / count(*)").as("avgdl")) ++ terms.map(q =>
+      sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = t.agg(statsCols.head, statsCols.tail: _*)
+    val scoreSql = terms.map(q =>
+      s"ln(1 + (n - df_$q + 0.5) / (df_$q + 0.5)) * (tf_$q * 2.2) / (tf_$q + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+      .mkString(" + ")
+    val wTxt = org.apache.spark.sql.expressions.Window
+      .orderBy(expr("round(score, 6)").desc, col("doc_id").asc)
+    val txt = t.crossJoin(broadcast(stats)).withColumn("score", expr(scoreSql))
+      .withColumn("rank_text", row_number().over(wTxt).cast("bigint"))
+      .filter(col("rank_text") <= 50).select(col("doc_id"), col("rank_text"))
+
+    val n = normed(s, dir)
+    val q7 = n.filter(col("vec_id") === 7)
+      .select(col("emb").as("qe"), col("nrm").as("qn"))
+    val wVec = org.apache.spark.sql.expressions.Window
+      .orderBy(expr("round(sim, 6)").desc, col("vec_id").asc)
+    val vec = n.filter(col("vec_id") =!= 7).crossJoin(broadcast(q7))
+      .withColumn("sim", dotD(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rank_vec", row_number().over(wVec).cast("bigint"))
+      .filter(col("rank_vec") <= 50)
+      .select(col("vec_id").as("doc_id"), col("rank_vec"))
+
+    txt.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        """coalesce(100000000 DIV (60 + rank_text), 0)
+         + coalesce(100000000 DIV (60 + rank_vec), 0)"""))
+      .select(col("doc_id"), coalesce(col("rank_text"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"), col("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+  }, Some("""
+    WITH w AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_join,
+        CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
+      FROM w),
+    s AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      FROM t),
+    sc AS (SELECT doc_id,
+        ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5)) * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df_join + 0.5) / (df_join + 0.5)) * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln(1 + (n - df_window + 0.5) / (df_window + 0.5)) * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+      FROM t, s),
+    txt AS (SELECT doc_id, rank_text FROM (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS BIGINT) AS rank_text
+        FROM sc) WHERE rank_text <= 50),
+    nv AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    q7 AS (SELECT emb AS qe, nrm AS qn FROM nv WHERE vec_id = 7),
+    vec AS (SELECT doc_id, rank_vec FROM (
+        SELECT c.vec_id AS doc_id,
+          CAST(row_number() OVER (
+            ORDER BY round(list_dot_product(c.emb, q7.qe) / (c.nrm * q7.qn), 6) DESC,
+            c.vec_id ASC) AS BIGINT) AS rank_vec
+        FROM nv c, q7 WHERE c.vec_id <> 7) WHERE rank_vec <= 50)
+    SELECT coalesce(txt.doc_id, vec.doc_id) AS doc_id,
+      coalesce(rank_text, 0) AS rank_text, coalesce(rank_vec, 0) AS rank_vec,
+      coalesce(100000000 // (60 + rank_text), 0)
+        + coalesce(100000000 // (60 + rank_vec), 0) AS rrf_score
+    FROM txt FULL OUTER JOIN vec ON txt.doc_id = vec.doc_id
+    ORDER BY rrf_score DESC, coalesce(txt.doc_id, vec.doc_id) LIMIT 20"""))
 }
