@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, Dedup, Ingest, Quality, Series, Similarity, Sketches, TextOps}
+import graft.queries.{Analytics, Dedup, Graphs, Ingest, Quality, Series, Similarity, Sketches, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +11,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     Analytics.all ++ Ingest.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Series.all ++ Quality.all ++ Sketches.all
+      Series.all ++ Quality.all ++ Sketches.all ++ Graphs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative star-join + windowed aggregation over the ingested

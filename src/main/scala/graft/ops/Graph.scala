@@ -310,6 +310,161 @@ object Graph {
     counts
   }
 
+  /** Bounded-depth multi-source BFS: minimum hop distance from any seed
+    * vertex, over the UNDIRECTED view of the edge list, for vertices
+    * within `maxDepth` hops (the k-hop-neighborhood primitive behind
+    * "blast radius" / contagion / related-item queries). Returns
+    * (`v`, `hop`), hop ∈ [0, maxDepth]; unreachable vertices are absent.
+    *
+    * Scale mechanics: each round joins the CURRENT FRONTIER only (the
+    * hop = d−1 slice) against the edge list — settled vertices never
+    * re-propagate, so total work is O(|E reachable|·1), not
+    * O(|E|·depth); one join + one min-combine per round, lineage broken
+    * per round (reliable checkpoint when `spark.graft.checkpointDir`
+    * is set, executor-local otherwise). Depth is a CONSTANT of the
+    * query (k-hop semantics), so no convergence aggregate is needed.
+    */
+  def bfsHops(
+      edgeList: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "v",
+      maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 0)
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
+    var labels = break(seeds.select(col(seedCol).as("v")).distinct()
+      .withColumn("hop", lit(0L)))
+    var d = 1
+    while (d <= maxDepth) {
+      val prop = edges.join(labels.filter(col("hop") === (d - 1)), col("src") === col("v"))
+        .select(col("dst").as("v"), lit(d.toLong).as("hop"))
+      labels = break(labels.union(prop).groupBy("v").agg(min("hop").as("hop")))
+      d += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al., "Near linear time
+    * algorithm to detect community structures in large-scale networks",
+    * Phys. Rev. E 76, 2007 — public): every vertex starts with its own
+    * label; each round, every vertex simultaneously adopts the most
+    * frequent label among its neighbors (ties → smallest label). The
+    * vertex universe is the edge endpoints — self-loops are dropped, so
+    * a vertex appears iff it has a real neighbor. A FIXED iteration
+    * count with
+    * synchronous updates makes the result a pure function of the edge
+    * set — no sweep order, no randomness — which is what a cross-engine
+    * oracle needs (classic async LPA is notoriously order-dependent).
+    *
+    * Per round: one edge⋈labels join (shuffle on vertex id), one
+    * (vertex, label) count partial-agg, one per-vertex top-1 window —
+    * linear in |E| per round, lineage broken per round.
+    */
+  def labelPropagation(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 4): DataFrame = {
+    require(iters >= 0)
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    import org.apache.spark.sql.expressions.Window
+
+    val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src"))).distinct().persist()
+    val verts = break(edges.select(col("src").as("v")).distinct())
+    var labels = verts.withColumn("lbl", col("v"))
+    var it = 0
+    while (it < iters) {
+      val votes = edges.join(labels, col("src") === col("v"))
+        .groupBy(col("dst").as("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val top = votes.withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(col("c").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("u").as("v"), col("lbl"))
+      labels = break(top)
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("v"), col("lbl").as("community"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999 — public) in FIXED-POINT
+    * integer arithmetic: scores are `scale`-scaled bigints normalized
+    * each half-round by the MAXIMUM score (integer multiply /
+    * truncating divide — deterministic on any engine and execution
+    * order, where the float L2-normalized original is not). Per
+    * iteration: two edge⋈score joins + two partial-agg shuffles + two
+    * 1-row max aggregates broadcast back — linear in |E| per round.
+    *
+    * Input: DIRECTED distinct edges. Output: (`v`, `auth`, `hub`) in
+    * scale units, every vertex present. Dangling vertices (no in- or
+    * out-edges on a side) score 0 on that side; max-normalization keeps
+    * every intermediate ≤ |V|·scale, so bigint overflow needs
+    * |V|·scale·max-degree > 2⁶³ — unreachable at scale = 10⁶.
+    */
+  def hits(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 8,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale >= 1)
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val e = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val verts = break(
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct())
+    var hub = verts.withColumn("h", lit(scale))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      // authority = normalized in-sum of hubs
+      val aRaw = e.join(hub, col("src") === col("v"))
+        .groupBy(col("dst")).agg(sum("h").as("ar"))
+      val aTop = aRaw.agg(coalesce(max("ar"), lit(0L)).as("am"))
+      auth = break(verts.join(aRaw, col("v") === col("dst"), "left_outer")
+        .crossJoin(broadcast(aTop))
+        .select(col("v"),
+          expr("coalesce(coalesce(ar, 0) * CAST(" + scale + " AS BIGINT) DIV nullif(am, 0), 0)")
+            .as("a")))
+      // hub = normalized out-sum of authorities
+      val hRaw = e.join(auth, col("dst") === col("v"))
+        .groupBy(col("src")).agg(sum("a").as("hr"))
+      val hTop = hRaw.agg(coalesce(max("hr"), lit(0L)).as("hm"))
+      hub = break(verts.join(hRaw, col("v") === col("src"), "left_outer")
+        .crossJoin(broadcast(hTop))
+        .select(col("v"),
+          expr("coalesce(coalesce(hr, 0) * CAST(" + scale + " AS BIGINT) DIV nullif(hm, 0), 0)")
+            .as("h")))
+      it += 1
+    }
+    val out = auth.join(hub, "v")
+      .select(col("v"), col("a").as("auth"), col("h").as("hub"))
+    e.unpersist()
+    out
+  }
+
   /** The k-core subgraph: iteratively peel vertices of degree &lt; k
     * until the remaining subgraph is stable (every survivor has ≥ k
     * neighbors INSIDE the core). Input: undirected distinct edge list

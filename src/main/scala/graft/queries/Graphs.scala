@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics operators beyond components/pagerank/triangles/k-core
+  * (which live in [[Analytics]]): bounded-depth BFS, neighborhood
+  * Jaccard link prediction, synchronous label-propagation communities,
+  * and fixed-point HITS. Thin bindings of the generic [[graft.ops.Graph]]
+  * primitives onto the testdata graphs; every iterative op is pure
+  * integer math so the unrolled DuckDB oracle chains are bit-exact.
+  */
+object Graphs {
+
+  def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits)
+
+  /** Items for the user-similarity graph: the distinct
+    * (event type, hour-of-day) cells a user was active in — the
+    * behavioral feature set neighborhood similarity is computed over.
+    */
+  private def userItems(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("user_id") < 60)
+      .select(col("user_id"), concat_ws(":", col("event_type"),
+        expr("(ts_us DIV 3600000000) % 24")).as("item"))
+      .distinct()
+
+  private val itemsSql: String =
+    """it AS (SELECT DISTINCT user_id,
+        event_type || ':' || CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS item
+      FROM events WHERE user_id < 60),
+    sz AS (SELECT user_id, count(*)::BIGINT AS s FROM it GROUP BY user_id),
+    pr AS (SELECT a.user_id AS ua, b.user_id AS ub, count(*)::BIGINT AS inter
+      FROM it a JOIN it b USING (item) WHERE a.user_id < b.user_id
+      GROUP BY 1, 2),
+    jac AS (SELECT ua, ub, sa.s AS na, sb.s AS nb,
+        10000 * inter // (sa.s + sb.s - inter) AS jacc_bp
+      FROM pr JOIN sz sa ON sa.user_id = pr.ua
+        JOIN sz sb ON sb.user_id = pr.ub)"""
+
+  /** Neighborhood Jaccard between user pairs (intersection over union of
+    * their (event type, hour) item sets, in EXACT integer basis points)
+    * — the link-prediction / "similar audiences" primitive. Candidate
+    * pairs come from a WEDGE join on shared items (only users sharing
+    * ≥ 1 item ever meet — never a user×user cross join); per-user set
+    * sizes join back as a broadcast-sized side. At 100 TB the wedge
+    * join's hot-item hazard is handled exactly like dedup's shingle
+    * index: drop stop-items (df above a cap) or pre-bucket via MinHash
+    * — here the item universe is 120 cells, bounded by construction.
+    */
+  val jaccardNbrs: Q = Q("graph_jaccard_nbrs", (s, dir) => {
+    val items = userItems(s, dir)
+    val sizes = items.groupBy("user_id").agg(count(lit(1)).as("sz"))
+    val l = items.select(col("user_id").as("ua"), col("item"))
+    val r = items.select(col("user_id").as("ub"), col("item"))
+    val inter = l.join(r, "item").filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("user_id").as("ua"), col("sz").as("na")), "ua")
+      .join(sizes.select(col("user_id").as("ub"), col("sz").as("nb")), "ub")
+      .withColumn("jacc_bp", expr("10000 * inter DIV (na + nb - inter)"))
+      .filter(col("jacc_bp") >= 3000)
+      .select(col("ua"), col("ub"), col("na"), col("nb"), col("jacc_bp"))
+      .orderBy(col("jacc_bp").desc, col("ua"), col("ub"))
+  }, Some(s"""WITH $itemsSql
+    SELECT ua, ub, na, nb, jacc_bp
+    FROM jac WHERE jacc_bp >= 3000
+    ORDER BY jacc_bp DESC, ua, ub"""))
+
+  /** Community detection on the user-similarity graph (edges = pairs
+    * with neighborhood Jaccard ≥ 0.30 from [[jaccardNbrs]]) via 4
+    * synchronous label-propagation rounds ([[graft.ops.Graph.labelPropagation]])
+    * — deterministic by construction (fixed rounds, synchronous update,
+    * min-label ties), so the 4-round unrolled DuckDB chain matches
+    * bit-for-bit.
+    */
+  val labelProp: Q = Q("graph_label_prop", (s, dir) => {
+    val items = userItems(s, dir)
+    val sizes = items.groupBy("user_id").agg(count(lit(1)).as("sz"))
+    val l = items.select(col("user_id").as("ua"), col("item"))
+    val r = items.select(col("user_id").as("ub"), col("item"))
+    val edges = l.join(r, "item").filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("user_id").as("ua"), col("sz").as("na")), "ua")
+      .join(sizes.select(col("user_id").as("ub"), col("sz").as("nb")), "ub")
+      .filter(expr("10000 * inter DIV (na + nb - inter) >= 3000"))
+      .select(col("ua").as("src"), col("ub").as("dst"))
+    graft.ops.Graph.labelPropagation(edges, iters = 4)
+      .select(col("v").as("user_id"), col("community"))
+      .orderBy("user_id")
+  }, Some {
+    val rounds = (1 to 4).map { k =>
+      s""",
+    vt$k AS (SELECT ed.dst AS u, l.lbl, count(*)::BIGINT AS c
+      FROM ed JOIN l${k - 1} l ON l.v = ed.src GROUP BY 1, 2),
+    l$k AS (SELECT u AS v, lbl FROM vt$k
+      QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) = 1)"""
+    }.mkString
+    s"""WITH $itemsSql,
+    je AS (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    vv AS (SELECT DISTINCT src AS v FROM ed),
+    l0 AS (SELECT v, v AS lbl FROM vv)$rounds
+    SELECT v AS user_id, lbl AS community FROM l4 ORDER BY user_id"""
+  })
+
+  /** Bounded-depth BFS over the per-user event-chain graph (each event
+    * linked to the user's next event — graph_components_chain's
+    * topology), seeded at each user's FIRST event: minimum hop distance
+    * for everything within 8 hops, via the frontier-only
+    * [[graft.ops.Graph.bfsHops]] loop. The oracle exploits the chain
+    * shape: hop along a path from its head IS the row position − 1 —
+    * an independent closed form the iterative join pipeline must
+    * reproduce exactly.
+    */
+  val bfsHops: Q = Q("graph_bfs_hops", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 3)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val withRn = e.withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead("event_id", 1).over(w))
+    val edges = withRn.filter(col("nxt").isNotNull)
+      .select(col("event_id").as("src"), col("nxt").as("dst"))
+    val seeds = withRn.filter(col("rn") === 1).select(col("event_id").as("v"))
+    graft.ops.Graph.bfsHops(edges, seeds, maxDepth = 8)
+      .select(col("v").as("event_id"), col("hop"))
+      .orderBy("event_id")
+  }, Some("""SELECT event_id, CAST(rn - 1 AS BIGINT) AS hop FROM (
+      SELECT event_id, row_number() OVER (PARTITION BY user_id
+        ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events WHERE user_id < 3)
+    WHERE rn <= 9 ORDER BY event_id"""))
+
+  private val hitsIters = 8
+  private val hitsScale = 1000000L
+
+  /** 8-round unrolled oracle twin of [[graft.ops.Graph.hits]] — same
+    * max-normalized integer recurrence, CTE chain a1..h8 (DuckDB's
+    * recursive CTEs disallow aggregation in the recursive term, same
+    * policy as the pagerank oracle). Chain CTEs are MATERIALIZED and
+    * single-referenced (the normalizing max is a window function, not a
+    * second CTE reference): a CTE referenced twice per round would be
+    * INLINED twice, doubling the expanded plan every round — 2¹⁶ scan
+    * copies by round 8, which exhausts file handles before it exhausts
+    * patience.
+    */
+  private lazy val hitsOracleSql: String = {
+    val rounds = (1 to hitsIters).map { k =>
+      s""",
+    a${k}r AS MATERIALIZED (SELECT e.dst AS v, sum(h.h) AS ar
+      FROM e JOIN h${k - 1} h ON h.v = e.src GROUP BY e.dst),
+    a$k AS MATERIALIZED (SELECT vv.v,
+        CAST(coalesce(coalesce(r.ar, 0) * $hitsScale // nullif(max(r.ar) OVER (), 0), 0) AS BIGINT) AS a
+      FROM vv LEFT JOIN a${k}r r ON r.v = vv.v),
+    h${k}r AS MATERIALIZED (SELECT e.src AS v, sum(a.a) AS hr
+      FROM e JOIN a$k a ON a.v = e.dst GROUP BY e.src),
+    h$k AS MATERIALIZED (SELECT vv.v,
+        CAST(coalesce(coalesce(r.hr, 0) * $hitsScale // nullif(max(r.hr) OVER (), 0), 0) AS BIGINT) AS h
+      FROM vv LEFT JOIN h${k}r r ON r.v = vv.v)"""
+    }.mkString
+    s"""WITH t AS (SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    e AS MATERIALIZED (SELECT DISTINCT event_type AS src, nxt AS dst
+      FROM t WHERE nxt IS NOT NULL),
+    vv AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT v, CAST($hitsScale AS BIGINT) AS h FROM vv)$rounds
+    SELECT vv.v, a$hitsIters.a AS auth, h$hitsIters.h AS hub
+    FROM vv JOIN a$hitsIters USING (v) JOIN h$hitsIters USING (v)
+    ORDER BY v"""
+  }
+
+  /** HITS hubs/authorities over the event-type transition graph (the
+    * unweighted distinct edges of graph_pagerank's input) — "which event
+    * kinds point at the hubs of user flows vs ARE the destinations".
+    * Runs the generic fixed-point [[graft.ops.Graph.hits]]: integer
+    * max-normalization each half-round, bit-identical to the unrolled
+    * oracle chain.
+    */
+  val hits: Q = Q("graph_hits", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = e.withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("src"), col("nxt").as("dst"))
+    graft.ops.Graph.hits(trans, iters = hitsIters, scale = hitsScale)
+      .orderBy("v")
+  }, Some(hitsOracleSql))
+}

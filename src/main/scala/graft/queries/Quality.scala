@@ -11,7 +11,61 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
-    qualitySurprisal, qualityDriftChi2)
+    qualitySurprisal, qualityDriftChi2, qualityGopherRules)
+
+  /** Gopher-style document quality rules (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 §A1.1 — public paper): word-count bounds, mean
+    * word length bounds, minimum stopword evidence, and a
+    * repeated-single-word cap, each as an exact integer predicate
+    * (mean word length in exact hundredths by integer division; the
+    * top-word share in basis points), plus the conjunction `passes` —
+    * the pre-training filter pass every corpus gets before dedup.
+    * Shape: one per-(doc, word) partial-agg shuffle for the mode/
+    * stopword evidence, everything else per-row column math.
+    */
+  val qualityGopherRules: Q = Q("quality_gopher_rules", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val w = d.select(col("doc_id"),
+      explode(graft.ops.Text.words(col("text"))).as("word"))
+    val wc = w.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val perDoc = wc.groupBy("doc_id").agg(
+      sum("c").as("n_words"), max("c").as("top_word_c"),
+      sum(when(col("word").isin("the", "a", "and", "of", "to"), 1L)
+        .otherwise(0L)).as("stop_distinct"))
+    d.select(col("doc_id"),
+        length(regexp_replace(col("text"), " ", "")).cast("bigint").as("chars_ns"))
+      .join(perDoc, "doc_id")
+      .withColumn("mwl_e2", expr("chars_ns * 100 DIV nullif(n_words, 0)"))
+      .withColumn("top_word_bp", expr("top_word_c * 10000 DIV nullif(n_words, 0)"))
+      .select(col("doc_id"), col("n_words"), col("mwl_e2"),
+        col("stop_distinct"), col("top_word_bp"),
+        expr("""coalesce(n_words BETWEEN 10 AND 80
+             AND mwl_e2 BETWEEN 300 AND 1000
+             AND stop_distinct >= 1
+             AND top_word_bp <= 2000, false)""").as("passes"))
+      .orderBy("doc_id")
+  }, Some("""WITH w AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY doc_id, word),
+    pd AS (SELECT doc_id, sum(c)::BIGINT AS n_words, max(c)::BIGINT AS top_word_c,
+        sum(CASE WHEN word IN ('the', 'a', 'and', 'of', 'to') THEN 1 ELSE 0 END)::BIGINT
+          AS stop_distinct
+      FROM wc GROUP BY doc_id),
+    ch AS (SELECT doc_id, CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns
+      FROM documents),
+    m AS (SELECT ch.doc_id, pd.n_words,
+        chars_ns * 100 // nullif(pd.n_words, 0) AS mwl_e2,
+        pd.stop_distinct, top_word_c * 10000 // nullif(pd.n_words, 0) AS top_word_bp
+      FROM ch JOIN pd USING (doc_id))
+    SELECT doc_id, n_words, mwl_e2, stop_distinct, top_word_bp,
+      coalesce(n_words BETWEEN 10 AND 80
+        AND mwl_e2 BETWEEN 300 AND 1000
+        AND stop_distinct >= 1
+        AND top_word_bp <= 2000, false) AS passes
+    FROM m ORDER BY doc_id"""))
 
   /** Per-column profile of lineitem via the generic one-pass
     * [[graft.ops.Profile.profile]] (rows, nulls, distincts, min/max —

@@ -13,7 +13,7 @@ object Series {
 
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
-    tsRollingMedian, tsChangePoints)
+    tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -376,4 +376,96 @@ object Series {
     SELECT user_id, n, event_id AS cp_event_id,
       CAST(cusum_e4 AS BIGINT) AS peak_cusum_e4
     FROM r WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Autocorrelation of each event type's hourly mean series at lags
+    * 1–3, in PURE INTEGER basis points: hourly mean cents by floor
+    * division, integer deviations from the (floored) series mean, and
+    * r_k = 10000·Σ(d_i·d_{i+k}) ⁄ Σd_i² by integer truncating division —
+    * both engines truncate toward zero, so negative correlations are
+    * exact too. The seasonality screen run before committing to a
+    * seasonal model ([[tsSeasonalProfile]]); lag pairs come from three
+    * lead() scans on ONE per-type window, then a per-type partial-agg —
+    * two shuffles total, output is one row per series.
+    */
+  val tsAutocorr: Q = Q("ts_autocorr", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val hourly = e.groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val m = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), expr("sum(c) DIV count(1)").as("mean_c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val d = hourly.join(m, "event_type")
+      .withColumn("dev", col("c") - col("mean_c"))
+      .withColumn("d1", lead("dev", 1).over(w))
+      .withColumn("d2", lead("dev", 2).over(w))
+      .withColumn("d3", lead("dev", 3).over(w))
+    d.groupBy("event_type")
+      .agg(max("n_hours").as("n_hours"),
+        expr("10000 * sum(dev * d1) DIV nullif(sum(dev * dev), 0)").as("acf1_bp"),
+        expr("10000 * sum(dev * d2) DIV nullif(sum(dev * dev), 0)").as("acf2_bp"),
+        expr("10000 * sum(dev * d3) DIV nullif(sum(dev * dev), 0)").as("acf3_bp"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, sum(cents) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    m AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        sum(c) // count(*) AS mean_c
+      FROM hd GROUP BY event_type),
+    d AS (SELECT hd.event_type, m.n_hours, hd.c - m.mean_c AS dev,
+        lead(hd.c - m.mean_c, 1) OVER w AS d1,
+        lead(hd.c - m.mean_c, 2) OVER w AS d2,
+        lead(hd.c - m.mean_c, 3) OVER w AS d3
+      FROM hd JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY hd.event_type ORDER BY hd.h))
+    SELECT event_type, max(n_hours) AS n_hours,
+      10000 * sum(dev * d1) // nullif(sum(dev * dev), 0) AS acf1_bp,
+      10000 * sum(dev * d2) // nullif(sum(dev * dev), 0) AS acf2_bp,
+      10000 * sum(dev * d3) // nullif(sum(dev * dev), 0) AS acf3_bp
+    FROM d GROUP BY event_type ORDER BY event_type"""))
+
+  /** Rolling least-squares TREND per user: the OLS slope of cent values
+    * against event index over a trailing 12-point frame, in PURE INTEGER
+    * fixed point — slope_e4 = 10⁴·(w·Σxy − Σx·Σy) ⁄ (w·Σx² − (Σx)²)
+    * with x = the per-user row number, every term an exact bigint window
+    * sum, one truncating division at the end (both engines truncate).
+    * The local-trend detector behind "is this series ramping" alerts —
+    * [[tsEwma]] smooths level, this measures direction. One shuffle on
+    * user_id; five window sums share a single sort.
+    */
+  val tsRollingSlope: Q = Q("ts_rolling_slope", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val frame = ord.rowsBetween(-11, Window.currentRow)
+    Tables.events(s, dir).filter(col("user_id") < 50)
+      .withColumn("y", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("x", row_number().over(ord).cast("bigint"))
+      .withColumn("w", count(lit(1)).over(frame))
+      .withColumn("sx", sum("x").over(frame))
+      .withColumn("sy", sum("y").over(frame))
+      .withColumn("sxy", sum(expr("x * y")).over(frame))
+      .withColumn("sxx", sum(expr("x * x")).over(frame))
+      .select(col("user_id"), col("event_id"), col("w").as("n_window"),
+        expr("10000 * (w * sxy - sx * sy) DIV nullif(w * sxx - sx * sx, 0)")
+          .as("slope_e4"))
+      .orderBy("user_id", "event_id")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE user_id < 50),
+    x AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        ORDER BY ts_us, event_id) AS BIGINT) AS x FROM e),
+    f AS (SELECT user_id, event_id,
+        count(*) OVER fr AS w, sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+        sum(x * y) OVER fr AS sxy, sum(x * x) OVER fr AS sxx
+      FROM x
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, w::BIGINT AS n_window,
+      10000 * (w * sxy - sx * sy) // nullif(w * sxx - sx * sx, 0) AS slope_e4
+    FROM f ORDER BY user_id, event_id"""))
 }

@@ -24,7 +24,7 @@ object Similarity {
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
-    annIvfPqResidual, embedCentroidDrift)
+    annIvfPqResidual, embedCentroidDrift, embedPcaPower)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1026,4 +1026,90 @@ object Similarity {
         + coalesce(100000000 // (60 + rank_vec), 0) AS rrf_score
     FROM txt FULL OUTER JOIN vec ON txt.doc_id = vec.doc_id
     ORDER BY rrf_score DESC, coalesce(txt.doc_id, vec.doc_id) LIMIT 20"""))
+
+  private val pcaIters = 6
+  private val pcaVScale = 1000000L
+
+  /** 6-round unrolled oracle twin of [[embedPcaPower]]'s power
+    * iteration — integer matrix-vector product + max-abs normalization
+    * per round, CTE chain w1..v6.
+    */
+  private lazy val pcaOracleSql: String = {
+    // chain CTEs MATERIALIZED + single-referenced (window max, not a
+    // second CTE ref): double references would inline the whole prior
+    // chain twice per round — exponential plan expansion (see
+    // Graphs.hitsOracleSql)
+    val rounds = (1 to pcaIters).map { k =>
+      s""",
+    w$k AS MATERIALIZED (SELECT cov.i, sum(cov.c * v.v) AS w
+      FROM cov JOIN v${k - 1} v ON v.i = cov.j GROUP BY cov.i),
+    v$k AS MATERIALIZED (SELECT i,
+        CAST(coalesce(w * $pcaVScale // nullif(max(abs(w)) OVER (), 0), 0) AS BIGINT) AS v
+      FROM w$k)"""
+    }.mkString
+    s"""WITH q AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings),
+    dim AS MATERIALIZED (SELECT vec_id, u.i AS i, u.x AS x FROM (
+      SELECT vec_id, unnest(list_transform(range(1, 65),
+        i -> {'i': i - 1, 'x': q[i]})) AS u FROM q) t),
+    mn AS MATERIALIZED (SELECT i, CAST(sum(x) // count(*) AS BIGINT) AS mi
+      FROM dim GROUP BY i),
+    c0 AS MATERIALIZED (SELECT vec_id, dim.i, x - mi AS dv FROM dim JOIN mn USING (i)),
+    cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        CAST(sum(a.dv * b.dv) // count(*) AS BIGINT) AS c
+      FROM c0 a JOIN c0 b USING (vec_id) GROUP BY a.i, b.i),
+    v0 AS (SELECT i, CAST($pcaVScale AS BIGINT) AS v FROM range(0, 64) r(i))$rounds
+    SELECT v$pcaIters.i AS dim, mn.mi AS mean_q, v$pcaIters.v AS pc1
+    FROM v$pcaIters JOIN mn ON mn.i = v$pcaIters.i
+    ORDER BY dim"""
+  }
+
+  /** Dominant principal component of the embedding corpus by POWER
+    * ITERATION in pure integer fixed point — the direction training-data
+    * pipelines use for anisotropy diagnosis and all-but-the-top
+    * post-processing (Mu & Viswanath, "All-but-the-Top: Simple and
+    * Effective Postprocessing for Word Representations", ICLR'18 —
+    * public). Embeddings quantize to exact ten-thousandth bigints; the
+    * 64×64 covariance is an integer mean over the centered pair
+    * products (one vec_id-keyed self-join — 64²·N rows, partial-agged
+    * to 4,096); each of the 6 power rounds is one 4,096-row
+    * matrix-vector join + a 1-row max-abs normalization — float
+    * eigensolvers are iteration-order-dependent, this is bit-exact on
+    * any engine. At 100 TB the covariance accumulation is the only
+    * data-sized pass (one shuffle); the iteration runs on a
+    * 4,096-row table.
+    */
+  val embedPcaPower: Q = Q("embed_pca_power", (s, dir) => {
+    val q = Tables.t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+    val dim = q.select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("i"), col("col").as("x"))
+    val mn = dim.groupBy("i").agg(expr("sum(x) DIV count(1)").as("mi"))
+    val c0 = dim.join(broadcast(mn), "i")
+      .select(col("vec_id"), col("i"), (col("x") - col("mi")).as("dv"))
+      .persist()
+    val cov = c0.select(col("vec_id"), col("i"), col("dv"))
+      .join(c0.select(col("vec_id"), col("i").as("j"), col("dv").as("dw")), "vec_id")
+      .groupBy("i", "j").agg(expr("sum(dv * dw) DIV count(1)").as("c"))
+      .persist()
+    var v: DataFrame = cov.select(col("i")).distinct()
+      .select(col("i"), lit(pcaVScale).as("v"))
+    var it = 0
+    while (it < pcaIters) {
+      val w = cov.join(v.select(col("i").as("j"), col("v")), "j")
+        .groupBy("i").agg(sum(expr("c * v")).as("w"))
+      val mw = w.agg(max(abs(col("w"))).as("mw"))
+      v = w.crossJoin(broadcast(mw))
+        .select(col("i"),
+          expr(s"coalesce(w * $pcaVScale DIV nullif(mw, 0), 0)").as("v"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    val out = v.join(broadcast(mn), "i")
+      .select(col("i").as("dim"), col("mi").as("mean_q"), col("v").as("pc1"))
+      .orderBy("dim")
+    c0.unpersist(); cov.unpersist()
+    out
+  }, Some(pcaOracleSql))
 }

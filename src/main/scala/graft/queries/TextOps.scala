@@ -17,7 +17,89 @@ object TextOps {
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
-    textKeywords, textPmi, textSkipgrams, bpeEncode)
+    textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
+    multimodalFrames)
+
+  /** Bigram language-model perplexity scoring with add-one smoothing —
+    * the CCNet-style "does this read like the corpus" filter (Wenzek et
+    * al., arXiv:1911.00359 trains a 5-gram LM for exactly this; bigrams
+    * are the relational core of it). Per bigram, surprisal =
+    * ⌊log₂((c(w₁)+V)·1024 ⁄ (c(w₁w₂)+1))⌋ in EXACT integer math (the
+    * `length(bin(x))−1` floor-log₂ — same trick as quality_surprisal);
+    * per doc, the mean bigram surprisal in basis points ranks the 25
+    * most out-of-model documents. Shape: one windowed bigram pass, two
+    * partial-agg count shuffles, then a broadcast of the (small) bigram
+    * model back onto the bigram stream — the model table is vocabulary-
+    * sized, never corpus-sized.
+    */
+  val textLmBigram: Q = Q("text_lm_bigram", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("ws"))
+    val pos = d.select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "pos", "w")
+    val ww = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = pos.withColumn("w2", lead("w", 1).over(ww))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = pos.agg(countDistinct("w").as("vocab"))
+    val model = c2.join(c1, "w1").crossJoin(broadcast(v))
+      .withColumn("surprise",
+        expr("length(bin(((c1 + vocab) * 1024) DIV (c2 + 1))) - 1"))
+      .select(col("w1"), col("w2"), col("surprise"))
+    pairs.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("surprise").as("surprise_sum"))
+      .withColumn("ppl_bp", expr("surprise_sum * 10000 DIV n_bigrams"))
+      .orderBy(col("ppl_bp").desc, col("doc_id")).limit(25)
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    pr AS (SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+          i -> [ws[i], ws[i + 1]])) AS p
+      FROM d),
+    pairs AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pr),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY w1),
+    v AS (SELECT count(DISTINCT w)::BIGINT AS vocab FROM (
+      SELECT unnest(ws) AS w FROM d) u),
+    model AS (SELECT c2.w1, c2.w2,
+        length(bin(((c1.c1 + v.vocab) * 1024) // (c2.c2 + 1))) - 1 AS surprise
+      FROM c2 JOIN c1 USING (w1), v)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      sum(m.surprise)::BIGINT AS surprise_sum,
+      (sum(m.surprise)::BIGINT * 10000) // count(*)::BIGINT AS ppl_bp
+    FROM pairs JOIN model m USING (w1, w2)
+    GROUP BY doc_id
+    ORDER BY ppl_bp DESC, doc_id LIMIT 25"""))
+
+  /** Frame-sampling schedule for the multimodal column: given each
+    * asset's stub-decoded frame count ([[multimodalMeta]]'s deterministic
+    * fake — no codec in this environment), emit the k = min(4, frames)
+    * uniformly-spaced frame indices ⌊j·frames ⁄ k⌋ a video pipeline
+    * would decode — the WORK PLAN side of frame extraction (the real
+    * decode stays behind the mapInPandas/mapPartitions stub; planning
+    * which frames to pull is pure relational math and is what must scale).
+    * Per-asset generation, zero shuffle; the position generator is
+    * guarded `sequence(0, k−1)` with k ≥ 1 by construction.
+    */
+  val multimodalFrames: Q = Q("multimodal_frames", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr("1 + doc_id % 30").as("frames"))
+      .withColumn("k", least(lit(4L), col("frames")))
+      .select(col("doc_id"), col("frames"), col("k"),
+        explode(expr("transform(sequence(0, CAST(k - 1 AS INT)), j -> j * frames DIV k)"))
+          .as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }, Some("""WITH a AS (
+      SELECT doc_id, 1 + doc_id % 30 AS frames,
+        least(4, 1 + doc_id % 30) AS k
+      FROM documents)
+    SELECT doc_id, frames, k,
+      unnest(list_transform(range(0, k), j -> j * frames // k)) AS frame_idx
+    FROM a ORDER BY doc_id, frame_idx"""))
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):

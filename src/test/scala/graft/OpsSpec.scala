@@ -362,4 +362,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L))
     assert(got.head.getDouble(3) > 0.99)
   }
+
+  test("Graph.bfsHops: min hops on a lollipop graph, frontier stops at maxDepth") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // triangle {0,1,2} with a tail 2-3-4-5; seed at 0; 9 disconnected
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (9L, 9L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("v")
+    val got = graft.ops.Graph.bfsHops(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hop(5) = 4 > maxDepth → absent; 9 unreachable → absent
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // a seed that is also reachable at distance > 0 stays hop 0
+    val two = graft.ops.Graph.bfsHops(edges, Seq(0L, 4L).toDF("v"), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(0L -> 0L, 4L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("Graph.labelPropagation: two cliques with a bridge settle to two communities") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // cliques {1..4} and {10..13} joined by one weak bridge 4-10
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L))).toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Seq(1L, 2L, 3L, 4L).map(got)
+    val right = Seq(10L, 11L, 12L, 13L).map(got)
+    assert(left.distinct.size == 1, s"left clique split: $got")
+    assert(right.distinct.size == 1, s"right clique split: $got")
+    assert(left.head != right.head, s"bridge merged the cliques: $got")
+  }
+
+  test("Graph.hits: star hub out-scores its leaves; authorities mirror on reversal") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // hub 0 points at leaves 1..4; one leaf also points back at 0
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 0L))
+      .toDF("src", "dst")
+    val got = graft.ops.Graph.hits(edges, iters = 6)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val scale = 1000000L
+    // 0 is the max hub (normalized to scale); leaves 2..4 have hub 0
+    assert(got(0L)._2 == scale, s"hub: $got")
+    assert(Seq(2L, 3L, 4L).forall(got(_)._2 == 0L), s"leaf hubs: $got")
+    // authorities: the leaves are pointed at by the max hub; 0's authority
+    // comes only from leaf 1's hub score, which quarters every round
+    // (norm by h(0) = 4·scale): 10⁶ → 250000 → … → 976 entering round 6
+    assert(got(1L)._1 == scale, s"auth: $got")
+    assert(got(0L)._1 == 976L, s"back-edge auth: $got")
+    assert(got(1L)._2 == 244L, s"leaf-1 hub: $got")
+  }
 }
