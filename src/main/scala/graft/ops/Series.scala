@@ -67,6 +67,33 @@ object Series {
     s"""list_reduce(list($valCol::DOUBLE ORDER BY $orderBy),
         (acc, x) -> acc * ${1.0 - alpha} + x * $alpha)"""
 
+  /** One Holt double-exponential-smoothing step over a PACKED integer
+    * accumulator, emitted as SQL for either engine (`div` = `DIV` on
+    * Spark, `//` on DuckDB — both truncate toward zero). The (level,
+    * trend) pair is offset-packed into one bigint — enc = (l + 131072)
+    * · 2²² + (b + 2²¹) — because a STRUCT accumulator is miscompiled by
+    * DuckDB 1.0's list_reduce when the fold runs ≥ 3 elements (verified
+    * minimal repro: field 2 sees a stale accumulator), while scalar
+    * folds are proven bit-exact by the EWMA twin. A raw (un-packed)
+    * first element seeds l=y₁, b=0 — raw values sit below 2²¹, packed
+    * ones above 2.3·10¹¹, so the CASE discriminates exactly. Bounds:
+    * |y| &lt; 2²¹ cents, l &gt; −131072 — far outside any 2-decimal
+    * metric domain scaled to cents.
+    */
+  def holtStepSql(div: String, acc: String, x: String,
+      alphaBp: Long = 3000L, betaBp: Long = 1000L): String = {
+    val l0 = s"(CASE WHEN $acc < 2097152 THEN $acc ELSE ($acc $div 4194304) - 131072 END)"
+    val b0 = s"(CASE WHEN $acc < 2097152 THEN 0 ELSE ($acc % 4194304) - 2097152 END)"
+    val ln = s"(($alphaBp * $x + ${10000 - alphaBp} * ($l0 + $b0)) $div 10000)"
+    val bn = s"(($betaBp * ($ln - $l0) + ${10000 - betaBp} * $b0) $div 10000)"
+    s"(($ln + 131072) * 4194304 + $bn + 2097152)"
+  }
+
+  /** Decode [[holtStepSql]]'s packed accumulator: (level, trend). */
+  def holtDecodeSql(div: String, acc: String): (String, String) = (
+    s"(CASE WHEN $acc < 2097152 THEN $acc ELSE ($acc $div 4194304) - 131072 END)",
+    s"(CASE WHEN $acc < 2097152 THEN 0 ELSE ($acc % 4194304) - 2097152 END)")
+
   /** Robust per-group outlier flagging by median absolute deviation:
     * score = |x - median| / (1.4826·MAD), keep rows with score > `k`.
     * The 1.4826 factor scales MAD to σ under normality — the standard

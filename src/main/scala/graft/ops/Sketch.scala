@@ -135,4 +135,47 @@ object Sketch {
           .otherwise(expr(s"(${(k - 1).toLong} * $maxH) DIV element_at(hs, $k)"))
           .cast("long").as("n_est"))
   }
+
+  /** KMV multiset operations (Beyer et al., "On synopses for
+    * distinct-value estimation under multiset operations", SIGMOD'07 —
+    * public): from the two sides' k-minimum-value sketches alone,
+    * estimate |A|, |B|, |A∪B| and |A∩B|. The union sketch is the k
+    * smallest of the merged hash sets (exactly how KMV merges across
+    * partitions/stages); ρ = |union-sketch ∩ A-sketch ∩ B-sketch| / k
+    * estimates Jaccard, and |A∩B| ≈ ρ·|A∪B|. Everything integer (one
+    * truncating division per estimate) — bit-reproducible cross-engine.
+    *
+    * Input: two key relations. Output: ONE row — the sketch-sized
+    * summary two 100 TB scans ship to a coordinator instead of their
+    * key sets. Each side is one distinct + top-k; sketch joins are
+    * k-row joins.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 256, "k in [2,256]")
+    val maxH = 72057594037927936L // 2^56
+    def sketch(df: DataFrame): DataFrame =
+      df.select(expr(s"${h60("'k'", keyCol)} DIV 16").as("h")).distinct()
+        .orderBy("h").limit(k)
+    val sa = sketch(a).persist()
+    val sb = sketch(b).persist()
+    val merged = sa.union(sb).distinct().orderBy("h").limit(k)
+    def est(s: DataFrame): DataFrame = s.agg(
+      count(lit(1)).as("n"), sort_array(collect_list(col("h"))).as("hs"))
+      .select(when(col("n") < k, col("n"))
+        .otherwise(expr(s"(${(k - 1).toLong} * $maxH) DIV element_at(hs, $k)"))
+        .cast("long").as("est"))
+    val inBoth = merged
+      .join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("matches"))
+    val kUsed = merged.agg(count(lit(1)).as("k_used"))
+    val out = est(sa).withColumnRenamed("est", "est_a")
+      .crossJoin(est(sb).withColumnRenamed("est", "est_b"))
+      .crossJoin(est(merged).withColumnRenamed("est", "est_union"))
+      .crossJoin(inBoth).crossJoin(kUsed)
+      .select(lit(k.toLong).as("k"), col("k_used"), col("est_a"), col("est_b"),
+        col("est_union"), col("matches"),
+        expr("matches * est_union DIV k_used").as("est_inter"),
+        expr("matches * 10000 DIV k_used").as("jacc_bp"))
+    out
+  }
 }

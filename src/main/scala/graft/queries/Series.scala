@@ -13,7 +13,8 @@ object Series {
 
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
-    tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope)
+    tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
+    tsHoltForecast)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -468,4 +469,48 @@ object Series {
     SELECT user_id, event_id, w::BIGINT AS n_window,
       10000 * (w * sxy - sx * sy) // nullif(w * sxx - sx * sx, 0) AS slope_e4
     FROM f ORDER BY user_id, event_id"""))
+
+  /** Holt double-exponential smoothing (level + trend) per user, in PURE
+    * INTEGER basis-point arithmetic over cent values: l_t = (α·y_t +
+    * (1−α)·(l+b)) ÷ 10⁴, b_t = (β·(l_t−l) + (1−β)·b) ÷ 10⁴ with α=0.3,
+    * β=0.1, seeded l₁=y₁, b₁=0 — plus the 3-step-ahead forecast l+3b
+    * (the capacity-planning output). The recurrence is ORDER-DEPENDENT,
+    * so it runs as a sorted sequential fold — both engines fold the
+    * IDENTICAL packed-bigint step ([[graft.ops.Series.holtStepSql]]:
+    * (l, b) offset-packed into one bigint, because DuckDB 1.0
+    * miscompiles struct accumulators in list_reduce) in the identical
+    * order. One shuffle; linear fold per series inside the aggregate.
+    */
+  val tsHoltForecast: Q = Q("ts_holt_forecast", (s, dir) => {
+    val step = graft.ops.Series.holtStepSql("DIV", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("DIV", "fin")
+    Tables.events(s, dir)
+      .withColumn("y", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"),
+        expr("""transform(array_sort(collect_list(struct(ts_us, event_id, y))),
+            s -> s.y)""").as("ys"))
+      .withColumn("fin", expr(
+        s"aggregate(slice(ys, 2, size(ys) - 1), element_at(ys, 1), (acc, x) -> $step)"))
+      .select(col("user_id"), col("n_points"),
+        expr(dl).as("level_c"), expr(db).as("trend_c"),
+        expr(s"$dl + 3 * $db").as("fc3_c"))
+      .orderBy("user_id")
+  }, Some {
+    val step = graft.ops.Series.holtStepSql("//", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("//", "fin")
+    s"""WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    g AS (SELECT user_id, count(*)::BIGINT AS n_points,
+        list(y ORDER BY ts_us, event_id) AS ys
+      FROM e GROUP BY user_id),
+    f AS (SELECT user_id, n_points,
+        list_reduce(ys, (acc, x) -> $step) AS fin
+      FROM g)
+    SELECT user_id, n_points, $dl AS level_c, $db AS trend_c,
+      $dl + 3 * $db AS fc3_c
+    FROM f ORDER BY user_id"""
+  })
 }

@@ -233,8 +233,13 @@ object Similarity {
           transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
             x => round(x.getField("cv"), 6)).as("cvec"))
         .withColumn("cnrm", sqrt(dotD(col("cvec"), col("cvec"))))
+    // per-round lineage break (same policy as the ops.Graph loops): the
+    // centroid relation is referenced by the NEXT round's crossJoin AND
+    // twice by the final select — unmaterialized, the whole
+    // assign→recompute subtree re-executes per reference, doubling the
+    // plan each round (measured 16.6 s at sf0.001; 2.6 s with the break)
     var cent = centroids(n).select(col("label").as("cluster"), col("cvec"), col("cnrm"))
-    for (_ <- 1 to 2) cent = recompute(assign(cent))
+    for (_ <- 1 to 2) cent = recompute(assign(cent)).localCheckpoint(true)
     assign(cent).groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
       .join(cent.select(col("cluster"),
         round(aggregate(col("cvec"), lit(0.0), (a, x) => a + x), 4).as("centroid_sum")),

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv)
+  def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps)
 
   /** DuckDB twin of [[Sketch.h60]]. */
   private def oh60(saltExpr: String, keyExpr: String): String =
@@ -183,4 +183,54 @@ object Sketches {
         // max(n) AS err_bp
     FROM rk GROUP BY event_type
     ORDER BY event_type"""))
+
+  private val kmvSetK = 64
+
+  /** KMV set operations between the activity-cell sets (user ×
+    * hour-of-day) of the time range's first and second half: union /
+    * intersection / Jaccard estimated from two 64-value sketches alone
+    * ([[Sketch.kmvSetOps]] — Beyer et al. SIGMOD'07). THE
+    * sketch-mergeability showcase: at 100 TB each half ships 64 hashes,
+    * not its key set, and the coordinator's answer here is
+    * bit-reproducible because every estimate is one integer division.
+    */
+  val kmvSetOps: Q = Q("sketch_kmv_setops", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val rng = e.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+    val cells = e.crossJoin(broadcast(rng))
+      .select(concat_ws(":", col("user_id"),
+          expr("(ts_us DIV 3600000000) % 24")).as("key"),
+        (col("ts_us") * 2 <= col("mn") + col("mx")).as("fh"))
+    Sketch.kmvSetOps(cells.filter(col("fh")).select("key"),
+      cells.filter(!col("fh")).select("key"), "key", kmvSetK)
+  }, Some {
+    val k = kmvSetK
+    val maxH = 72057594037927936L
+    def sk(name: String, cond: String) =
+      s"""$name AS MATERIALIZED (
+        SELECT DISTINCT ${oh60("'k'", "key")} // 16 AS h
+        FROM cells WHERE $cond ORDER BY h LIMIT $k)"""
+    def est(src: String) =
+      s"""(SELECT CASE WHEN count(*) < $k THEN count(*)::BIGINT
+        ELSE ${(k - 1).toLong} * $maxH // max(h) END FROM $src)"""
+    s"""WITH rng AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        FROM events),
+    cells AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) || ':' ||
+        CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS key,
+        epoch_us(ts) * 2 <= mn + mx AS fh
+      FROM events, rng),
+    ${sk("sa", "fh")},
+    ${sk("sb", "NOT fh")},
+    mg AS MATERIALIZED (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      ORDER BY h LIMIT $k),
+    st AS (SELECT
+        (SELECT count(*)::BIGINT FROM mg) AS k_used,
+        (SELECT count(*)::BIGINT FROM mg
+          WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS matches,
+        ${est("sa")} AS est_a, ${est("sb")} AS est_b, ${est("mg")} AS est_union)
+    SELECT CAST($k AS BIGINT) AS k, k_used, est_a, est_b, est_union, matches,
+      matches * est_union // k_used AS est_inter,
+      matches * 10000 // k_used AS jacc_bp
+    FROM st"""
+  })
 }

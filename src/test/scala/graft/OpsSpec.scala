@@ -363,6 +363,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.getDouble(3) > 0.99)
   }
 
+  test("Sketch.kmvSetOps: under-k sketches make every set estimate exact") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // |A| = 30, |B| = 25, |A∩B| = 15 (keys 15..29), |A∪B| = 40 — all < k
+    val a = (0 until 30).map(i => s"key$i").toDF("k0")
+    val b = (15 until 40).map(i => s"key$i").toDF("k0")
+    val r = graft.ops.Sketch.kmvSetOps(a, b, "k0", k = 64).collect().head
+    assert(r.getAs[Long]("est_a") == 30L && r.getAs[Long]("est_b") == 25L)
+    assert(r.getAs[Long]("est_union") == 40L, s"union: $r")
+    assert(r.getAs[Long]("k_used") == 40L && r.getAs[Long]("matches") == 15L)
+    assert(r.getAs[Long]("est_inter") == 15L, s"inter: $r")
+    assert(r.getAs[Long]("jacc_bp") == 15L * 10000 / 40, s"jacc: $r")
+  }
+
   test("Graph.bfsHops: min hops on a lollipop graph, frontier stops at maxDepth") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
