@@ -42,7 +42,7 @@ object Analytics {
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
-    qRetentionCohorts, qTriangles, qKcore)
+    qRetentionCohorts, qTriangles, qKcore, qAsofNearest)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1037,6 +1037,56 @@ object Analytics {
     FROM events e JOIN orders o
       ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
     WHERE e.user_id < 30) WHERE rn = 1 ORDER BY event_id"""))
+
+  /** NEAREST as-of join — the bidirectional completion of q_asof_join
+    * (backward) and q_asof_forward (forward): for each click event, the
+    * same user's purchase event with minimum |Δts| (ties → the earlier,
+    * backward side). Implemented as ONE per-user window scan over the
+    * merged stream (running last-purchase / next-purchase with IGNORE
+    * NULLS, then an integer distance compare) — no join at all, so no
+    * per-key pair explosion: the scale-correct nearest-neighbor-in-time
+    * shape, one shuffle on user_id.
+    */
+  val qAsofNearest: Q = Q("q_asof_nearest", (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+    val wb = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val p = when(col("event_type") === "purchase",
+      struct(col("ts_us").as("pts"), col("event_id").as("pid")))
+    e.withColumn("pb", last(p, ignoreNulls = true).over(wb))
+      .withColumn("pf", first(p, ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "click")
+      .filter(col("pb").isNotNull || col("pf").isNotNull)
+      .withColumn("use_b", col("pf").isNull ||
+        (col("pb").isNotNull && col("ts_us") - col("pb.pts") <= col("pf.pts") - col("ts_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("use_b"), col("pb.pid")).otherwise(col("pf.pid")).as("p_event_id"),
+        (when(col("use_b"), col("pb.pts")).otherwise(col("pf.pts")) - col("ts_us"))
+          .as("delta_us"))
+      .orderBy("event_id")
+  }, Some("""WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE user_id < 20),
+    w AS (SELECT *,
+        last_value(CASE WHEN event_type = 'purchase'
+            THEN {'pts': ts_us, 'pid': event_id} END IGNORE NULLS) OVER pre AS pb,
+        first_value(CASE WHEN event_type = 'purchase'
+            THEN {'pts': ts_us, 'pid': event_id} END IGNORE NULLS) OVER post AS pf
+      FROM e
+      WINDOW pre AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        post AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    c AS (SELECT *,
+        (pf IS NULL OR (pb IS NOT NULL AND ts_us - pb.pts <= pf.pts - ts_us)) AS use_b
+      FROM w WHERE event_type = 'click' AND (pb IS NOT NULL OR pf IS NOT NULL))
+    SELECT event_id, user_id, ts_us,
+      CASE WHEN use_b THEN pb.pid ELSE pf.pid END AS p_event_id,
+      (CASE WHEN use_b THEN pb.pts ELSE pf.pts END) - ts_us AS delta_us
+    FROM c ORDER BY event_id"""))
 
   /** Range (interval) self-join: pairs of events of the same user within 5
     * minutes. The equi-key keeps it a hash join + residual range filter.

@@ -11,7 +11,37 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
-    qualitySurprisal, qualityDriftChi2, qualityGopherRules)
+    qualitySurprisal, qualityDriftChi2, qualityGopherRules, langidEval)
+
+  /** Classifier evaluation of the lang_id operator against the labeled
+    * `lang` column: the full confusion matrix with per-cell recall and
+    * precision in exact integer basis points (diagonal cells read as the
+    * class metrics) — the model-eval loop a training-data pipeline runs
+    * on every heuristic filter it ships. Composes the REGISTERED lang_id
+    * query as its input on both sides (same Spark plan, same oracle
+    * subquery), so the eval can never drift from the operator it grades.
+    * Two partial-agg shuffles over a ≤25-cell grid.
+    */
+  val langidEval: Q = Q("quality_langid_eval", (s, dir) => {
+    val p = TextOps.langId.fn(s, dir).select("lang", "pred_lang")
+    val cell = p.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val rowT = cell.groupBy("lang").agg(sum("n").as("n_true"))
+    val colT = cell.groupBy("pred_lang").agg(sum("n").as("n_pred"))
+    cell.join(rowT, "lang").join(colT, "pred_lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_true"), col("n_pred"),
+        expr("n * 10000 DIV n_true").as("recall_bp"),
+        expr("n * 10000 DIV n_pred").as("precision_bp"))
+      .orderBy("lang", "pred_lang")
+  }, Some(s"""WITH pr AS (${TextOps.langId.oracle.get}),
+    cell AS (SELECT lang, pred_lang, count(*)::BIGINT AS n
+      FROM pr GROUP BY lang, pred_lang),
+    rt AS (SELECT lang, sum(n)::BIGINT AS n_true FROM cell GROUP BY lang),
+    ct AS (SELECT pred_lang, sum(n)::BIGINT AS n_pred FROM cell GROUP BY pred_lang)
+    SELECT cell.lang, cell.pred_lang, n, n_true, n_pred,
+      n * 10000 // n_true AS recall_bp,
+      n * 10000 // n_pred AS precision_bp
+    FROM cell JOIN rt USING (lang) JOIN ct USING (pred_lang)
+    ORDER BY lang, pred_lang"""))
 
   /** Gopher-style document quality rules (Rae et al., "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",

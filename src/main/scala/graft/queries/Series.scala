@@ -14,7 +14,7 @@ object Series {
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
-    tsHoltForecast)
+    tsHoltForecast, tsStlDecompose)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -513,4 +513,53 @@ object Series {
       $dl + 3 * $db AS fc3_c
     FROM f ORDER BY user_id"""
   })
+
+  /** STL-style decomposition of each event type's hourly series into
+    * trend + seasonal + residual, all in EXACT integer cents: trend is a
+    * centered ±12-row rolling mean (integer floor), the seasonal
+    * component is the hour-of-day mean of the DETRENDED series, and the
+    * residual closes the identity y = trend + seasonal + resid + ε with
+    * ε absorbed into resid — the decomposition a monitoring stack plots
+    * and alerts on (Cleveland et al.'s STL, JOS 1990, loess swapped for
+    * integer rolling means to stay bit-exact cross-engine). Shape: one
+    * hour-grid partial agg, one per-type window, one 24-row-per-type
+    * seasonal agg joined back broadcast-style.
+    */
+  val tsStlDecompose: Q = Q("ts_stl_decompose", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("y"))
+    val wt = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    val withTrend = hourly
+      .withColumn("tsum", sum("y").over(wt))
+      .withColumn("tcnt", count(lit(1)).over(wt))
+      .withColumn("trend", expr("tsum DIV tcnt"))
+      .withColumn("det", col("y") - col("trend"))
+      .withColumn("hod", expr("h % 24"))
+    val seasonal = withTrend.groupBy("event_type", "hod")
+      .agg(expr("sum(det) DIV count(1)").as("seasonal"))
+    withTrend.join(seasonal, Seq("event_type", "hod"))
+      .select(col("event_type"), col("h"), col("y"), col("trend"),
+        col("seasonal"), (col("det") - col("seasonal")).as("resid"))
+      .orderBy("event_type", "h")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, sum(cents) // count(*) AS y
+      FROM e GROUP BY event_type, h),
+    t AS (SELECT event_type, h, y,
+        sum(y) OVER w // count(*) OVER w AS trend
+      FROM hd
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    d AS (SELECT *, y - trend AS det, h % 24 AS hod FROM t),
+    se AS (SELECT event_type, hod, sum(det) // count(*) AS seasonal
+      FROM d GROUP BY event_type, hod)
+    SELECT d.event_type, d.h, d.y, d.trend, se.seasonal,
+      d.det - se.seasonal AS resid
+    FROM d JOIN se USING (event_type, hod)
+    ORDER BY event_type, h"""))
 }
