@@ -810,6 +810,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("HoltProcessor matches the batch ts_holt_forecast fold EXACTLY across micro-batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_holt").toFile
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    assert(ev.length > 10)
+    // chronological split: every key stays ordered across batches — the
+    // processor's exact-parity precondition
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    def fmt(rs: Array[(Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.HoltProcessor(spark, src)
+      .toDF("k", "n", "level_c", "trend_c", "fc3_c")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_holt_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, n, level_c, trend_c, fc3_c FROM graft_holt_out")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2._1)._2 }
+      val want = graft.queries.Series.tsHoltForecast.fn(spark, "/root/testdata/sf0.001")
+        .filter(col("user_id") < 5)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got.keySet == want.keySet)
+      // BIT-EXACT: the integer recurrence admits no tolerance
+      got.foreach { case (k, g) => assert(g == want(k), s"key $k: $g vs ${want(k)}") }
+    } finally q.stop()
+  }
+
   test("KmvProcessor matches the batch sketch_kmv estimate EXACTLY across micro-batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
