@@ -42,7 +42,7 @@ object Analytics {
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
-    qRetentionCohorts, qTriangles, qKcore, qAsofNearest)
+    qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1037,6 +1037,34 @@ object Analytics {
     FROM events e JOIN orders o
       ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
     WHERE e.user_id < 30) WHERE rn = 1 ORDER BY event_id"""))
+
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    * each other instead of vanishing — the semantics CDC merge keys and
+    * "unknown bucket" dimensions need, and a join variant plain `=`
+    * queries can't express. Keys are orders/customers with a sliver of
+    * keys nulled out, so the null×null block genuinely joins; the
+    * output aggregates pair counts (total / null-block / distinct keys)
+    * rather than materializing the block. Spark plans `<=>` as a
+    * hash-joinable key (coalesced-struct trick), so this stays a real
+    * equi-join at scale, not a nested loop.
+    */
+  val qNullsafeJoin: Q = Q("q_nullsafe_join", (s, dir) => {
+    val o = Tables.t(s, dir, "orders").select(
+      expr("CASE WHEN o_orderkey % 500 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(o_custkey AS BIGINT) END").as("ok"))
+    val c = Tables.t(s, dir, "customer").select(
+      expr("CASE WHEN c_custkey % 200 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(c_custkey AS BIGINT) END").as("ck"))
+    o.join(c, col("ok") <=> col("ck"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ok").isNull, 1L).otherwise(0L)).as("n_null_pairs"),
+        countDistinct(col("ok")).as("n_keys"))
+  }, Some("""WITH o AS (SELECT CASE WHEN o_orderkey % 500 = 0 THEN NULL
+        ELSE CAST(o_custkey AS BIGINT) END AS ok FROM orders),
+    c AS (SELECT CASE WHEN c_custkey % 200 = 0 THEN NULL
+        ELSE CAST(c_custkey AS BIGINT) END AS ck FROM customer)
+    SELECT count(*)::BIGINT AS n_pairs,
+      sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_pairs,
+      count(DISTINCT ok)::BIGINT AS n_keys
+    FROM o JOIN c ON o.ok IS NOT DISTINCT FROM c.ck"""))
 
   /** NEAREST as-of join — the bidirectional completion of q_asof_join
     * (backward) and q_asof_forward (forward): for each click event, the

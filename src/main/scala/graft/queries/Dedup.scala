@@ -26,7 +26,8 @@ object Dedup {
 
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
     dedupClusters, hashSplit, decontaminate, dedupIncremental,
-    pipelineTrainingSet, pipelineEvalSet, dedupCrossSource)
+    pipelineTrainingSet, pipelineEvalSet, dedupCrossSource,
+    minhashContainment)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -241,6 +242,47 @@ object Dedup {
   private lazy val minhashEstExpr: String =
     (0 until 16).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
       .mkString("(", " + ", ") / 16.0")
+
+  /** Asymmetric CONTAINMENT on the LSH candidate pairs: |S₁∩S₂|/|S₁| and
+    * /|S₂| on the exact shingle sets, in integer basis points — the
+    * doc-inside-doc signal (quote farms, page-plus-boilerplate mirrors)
+    * that symmetric Jaccard misses: a short doc fully embedded in a long
+    * one has low Jaccard but containment ≈ 1 on the short side
+    * (Broder's containment, SEQUENCES'97 — public). Candidates come
+    * from the SAME banded MinHash index as dedup_minhash_lsh (never
+    * all-pairs); the exact intersection join touches only candidate
+    * pairs' shingles.
+    */
+  val minhashContainment: Q = Q("text_minhash_containment", (s, dir) => {
+    val sh = sparkShingles(s, dir).persist()
+    val cand = graft.ops.Lsh.candidatePairs(
+      graft.ops.Lsh.signatures(sh, "doc_id"), "doc_id")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2b"), col("sh").as("sh2"))
+    val shared = cand.join(a, "d1")
+      .join(b, col("d2") === col("d2b") && col("sh") === col("sh2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("cont12_bp", expr("shared * 10000 DIV n1"))
+      .withColumn("cont21_bp", expr("shared * 10000 DIV n2"))
+      .filter(expr("greatest(cont12_bp, cont21_bp) >= 6000"))
+      .select("d1", "d2", "shared", "n1", "n2", "cont12_bp", "cont21_bp")
+      .orderBy("d1", "d2")
+  }, Some(s"""WITH $minhashCtes,
+    cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+    shr AS (SELECT c.d1, c.d2, count(*)::BIGINT AS shared
+      FROM cand c JOIN sh a ON a.doc_id = c.d1
+        JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+      GROUP BY c.d1, c.d2),
+    sc AS (SELECT d1, d2, shared, x.n AS n1, y.n AS n2,
+        shared * 10000 // x.n AS cont12_bp, shared * 10000 // y.n AS cont21_bp
+      FROM shr JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2)
+    SELECT d1, d2, shared, n1, n2, cont12_bp, cont21_bp
+    FROM sc WHERE greatest(cont12_bp, cont21_bp) >= 6000
+    ORDER BY d1, d2"""))
 
   /** 32-bit SimHash near-dup pairs at hamming ≤ 3, candidate-joined on the
     * four 8-bit chunks (exact by pigeonhole).

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits)
+  def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -76,36 +76,94 @@ object Graphs {
     * min-label ties), so the 4-round unrolled DuckDB chain matches
     * bit-for-bit.
     */
-  val labelProp: Q = Q("graph_label_prop", (s, dir) => {
+  /** The similarity-graph edge list (Jaccard ≥ 0.30 user pairs) shared
+    * by [[labelProp]] and [[modularity]].
+    */
+  private def simEdges(s: SparkSession, dir: String): DataFrame = {
     val items = userItems(s, dir)
     val sizes = items.groupBy("user_id").agg(count(lit(1)).as("sz"))
     val l = items.select(col("user_id").as("ua"), col("item"))
     val r = items.select(col("user_id").as("ub"), col("item"))
-    val edges = l.join(r, "item").filter(col("ua") < col("ub"))
+    l.join(r, "item").filter(col("ua") < col("ub"))
       .groupBy("ua", "ub").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("user_id").as("ua"), col("sz").as("na")), "ua")
       .join(sizes.select(col("user_id").as("ub"), col("sz").as("nb")), "ub")
       .filter(expr("10000 * inter DIV (na + nb - inter) >= 3000"))
       .select(col("ua").as("src"), col("ub").as("dst"))
-    graft.ops.Graph.labelPropagation(edges, iters = 4)
-      .select(col("v").as("user_id"), col("community"))
-      .orderBy("user_id")
-  }, Some {
-    val rounds = (1 to 4).map { k =>
+  }
+
+  /** The DuckDB CTE chain for [[simEdges]] + `rounds` synchronous LPA
+    * iterations — shared by the labelProp and modularity oracles.
+    * Produces CTEs: je (ua&lt;ub edges), ed (both directions), vv, l0..lN.
+    */
+  private def lpaChainSql(rounds: Int): String = {
+    val its = (1 to rounds).map { k =>
       s""",
     vt$k AS (SELECT ed.dst AS u, l.lbl, count(*)::BIGINT AS c
       FROM ed JOIN l${k - 1} l ON l.v = ed.src GROUP BY 1, 2),
     l$k AS (SELECT u AS v, lbl FROM vt$k
       QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) = 1)"""
     }.mkString
-    s"""WITH $itemsSql,
-    je AS (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
-    ed AS (SELECT ua AS src, ub AS dst FROM je
+    s"""$itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
       UNION ALL SELECT ub, ua FROM je),
     vv AS (SELECT DISTINCT src AS v FROM ed),
-    l0 AS (SELECT v, v AS lbl FROM vv)$rounds
-    SELECT v AS user_id, lbl AS community FROM l4 ORDER BY user_id"""
-  })
+    l0 AS (SELECT v, v AS lbl FROM vv)$its"""
+  }
+
+  val labelProp: Q = Q("graph_label_prop", (s, dir) => {
+    graft.ops.Graph.labelPropagation(simEdges(s, dir), iters = 4)
+      .select(col("v").as("user_id"), col("community"))
+      .orderBy("user_id")
+  }, Some(s"""WITH ${lpaChainSql(4)}
+    SELECT v AS user_id, lbl AS community FROM l4 ORDER BY user_id"""))
+
+  /** Newman modularity of the LPA communities on the same similarity
+    * graph — the partition-quality EVAL for [[labelProp]] (Newman &
+    * Girvan, Phys. Rev. E 69, 2004 — public): Q = Σ_c [e_c/m −
+    * (d_c/2m)²], reported per community as the EXACT integer numerator
+    * contrib_c = 4·m·e_c − d_c² over the common denominator 4m² (sum
+    * the contribs, divide by 4m², and you have Q — no float division
+    * anywhere, so the oracle is bit-exact). Shape: the LPA rounds plus
+    * one label-equi pair join and two tiny aggregates.
+    */
+  val modularity: Q = Q("graph_modularity", (s, dir) => {
+    val je = simEdges(s, dir).persist()
+    val labels = graft.ops.Graph.labelPropagation(je, iters = 4).persist()
+    val m = je.agg(count(lit(1)).as("m"))
+    val deg = je.select(col("src").as("v")).union(je.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val ein = je
+      .join(labels.select(col("v").as("src"), col("community").as("ca")), "src")
+      .join(labels.select(col("v").as("dst"), col("community").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val per = labels.join(deg, "v")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_sum"))
+    per.join(ein, Seq("community"), "left_outer")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
+        col("m").as("n_edges"),
+        expr("4 * m * e_in - d_sum * d_sum").as("contrib"))
+      .orderBy("community")
+  }, Some(s"""WITH ${lpaChainSql(4)},
+    mm AS (SELECT count(*)::BIGINT AS m FROM je),
+    deg AS (SELECT src AS v, count(*)::BIGINT AS d FROM ed GROUP BY src),
+    ein AS (SELECT ca.lbl AS community, count(*)::BIGINT AS e_in
+      FROM je JOIN l4 ca ON ca.v = je.ua
+        JOIN l4 cb ON cb.v = je.ub AND cb.lbl = ca.lbl
+      GROUP BY ca.lbl),
+    per AS (SELECT l4.lbl AS community, count(*)::BIGINT AS n_nodes,
+        sum(deg.d)::BIGINT AS d_sum
+      FROM l4 JOIN deg USING (v) GROUP BY l4.lbl)
+    SELECT per.community, per.n_nodes, coalesce(ein.e_in, 0) AS e_in,
+      per.d_sum, mm.m AS n_edges,
+      4 * mm.m * coalesce(ein.e_in, 0) - per.d_sum * per.d_sum AS contrib
+    FROM per LEFT JOIN ein USING (community), mm
+    ORDER BY community"""))
 
   /** Bounded-depth BFS over the per-user event-chain graph (each event
     * linked to the user's next event — graph_components_chain's
