@@ -42,7 +42,8 @@ object Analytics {
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
-    qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin)
+    qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
+    qMergeUpsert)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1037,6 +1038,52 @@ object Analytics {
     FROM events e JOIN orders o
       ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
     WHERE e.user_id < 30) WHERE rn = 1 ORDER BY event_id"""))
+
+  /** MERGE/upsert (SCD1 apply) expressed as a FULL OUTER join +
+    * row-level coalesce — matched keys take the change row, unmatched
+    * changes INSERT, unmatched base rows survive: exactly MERGE INTO
+    * WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, in the engine-
+    * neutral relational form that runs on any Spark sink (Delta/Iceberg
+    * MERGE compiles to this same join at 100 TB — one shuffle on the
+    * merge key, changes side broadcast-able when small). The change
+    * feed is synthesized deterministically from the testdata (10% of
+    * orders re-statused +100.00, one insert per 30th customer); the
+    * output folds the merged table to per-status counts + EXACT cent
+    * sums so the check is volume-proof.
+    */
+  val qMergeUpsert: Q = Q("q_merge_upsert", (s, dir) => {
+    val base = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey").cast("bigint").as("k"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val updates = base.filter(col("k") % 10 === 0)
+      .select(col("k"), lit("X").as("status"), (col("cents") + 10000L).as("cents"))
+    val inserts = Tables.t(s, dir, "customer").filter(col("c_custkey") % 30 === 0)
+      .select((col("c_custkey").cast("bigint") + 2000000L).as("k"),
+        lit("N").as("status"), lit(100L).as("cents"))
+    val changes = updates.union(inserts)
+      .select(col("k").as("ck"), col("status").as("cstatus"), col("cents").as("ccents"))
+    base.join(changes, col("k") === col("ck"), "full_outer")
+      .select(coalesce(col("cstatus"), col("status")).as("status"),
+        coalesce(col("ccents"), col("cents")).as("cents"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .orderBy("status")
+  }, Some("""WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        o_orderstatus AS status,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    changes AS (
+      SELECT k AS ck, 'X' AS cstatus, cents + 10000 AS ccents
+      FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT) + 2000000, 'N', 100
+      FROM customer WHERE c_custkey % 30 = 0),
+    merged AS (SELECT coalesce(cstatus, status) AS status,
+        coalesce(ccents, cents) AS cents
+      FROM base FULL OUTER JOIN changes ON base.k = changes.ck)
+    SELECT status, count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS sum_cents
+    FROM merged GROUP BY status ORDER BY status"""))
 
   /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
     * each other instead of vanishing — the semantics CDC merge keys and

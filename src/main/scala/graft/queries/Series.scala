@@ -14,7 +14,7 @@ object Series {
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
-    tsHoltForecast, tsStlDecompose)
+    tsHoltForecast, tsStlDecompose, tsOhlc)
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
@@ -561,5 +561,48 @@ object Series {
     SELECT d.event_type, d.h, d.y, d.trend, se.seasonal,
       d.det - se.seasonal AS resid
     FROM d JOIN se USING (event_type, hod)
+    ORDER BY event_type, h"""))
+
+  /** OHLC (candlestick) downsampling: per (event type, hour) the opening
+    * value (first by event time), closing value (last), high, low, and
+    * volume — the lossless-enough series reduction every dashboard and
+    * every market-data pipeline ships instead of raw points. First/last
+    * are picked by deterministic row_number over (ts, event_id) (min_by/
+    * arg_min tie rules differ across engines; a total-order window does
+    * not); one shuffle on the (type, hour) grid, conditional aggregates
+    * on top, all integer cents.
+    */
+  val tsOhlc: Q = Q("ts_ohlc", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("h", expr("ts_us DIV 3600000000"))
+    val w = Window.partitionBy("event_type", "h").orderBy("ts_us", "event_id")
+    val wd = Window.partitionBy("event_type", "h")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(w))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("cents"))).as("open_c"),
+        max(when(col("rn_d") === 1, col("cents"))).as("close_c"),
+        max("cents").as("high_c"), min("cents").as("low_c"))
+      .orderBy("event_type", "h")
+  }, Some("""WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (SELECT *,
+        row_number() OVER (PARTITION BY event_type, h
+          ORDER BY ts_us, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, h
+          ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT event_type, h, count(*)::BIGINT AS n,
+      max(CASE WHEN rn_a = 1 THEN cents END) AS open_c,
+      max(CASE WHEN rn_d = 1 THEN cents END) AS close_c,
+      max(cents) AS high_c, min(cents) AS low_c
+    FROM r GROUP BY event_type, h
     ORDER BY event_type, h"""))
 }
