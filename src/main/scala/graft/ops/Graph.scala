@@ -439,7 +439,11 @@ object Graph {
     var auth: DataFrame = null
     var it = 0
     while (it < iters) {
-      // authority = normalized in-sum of hubs
+      // authority = normalized in-sum of hubs; each half-round is broken
+      // eagerly (A/B-measured against a lazier one-break-per-round
+      // variant: the deeper per-job DAG re-evaluates the raw-sum subtree
+      // for the broadcast build AND the join, and costs more than the
+      // extra checkpoint job it saves)
       val aRaw = e.join(hub, col("src") === col("v"))
         .groupBy(col("dst")).agg(sum("h").as("ar"))
       val aTop = aRaw.agg(coalesce(max("ar"), lit(0L)).as("am"))
