@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotProductDouble.info, DotProductDouble.builder))
     ext.injectFunction((FunctionIdentifier(NfcNormalize.fnName),
       NfcNormalize.info, NfcNormalize.builder))
+    ext.injectFunction((FunctionIdentifier(Md5Hash60.fnName),
+      Md5Hash60.info, Md5Hash60.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

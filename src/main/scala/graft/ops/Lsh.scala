@@ -31,9 +31,11 @@ object Lsh {
   }
 
   /** The md5-derived shingle hash reduced into the minhash universe
-    * (applies to a column named `sh`).
+    * (applies to a column named `sh`) — the native graft_h60 expression,
+    * bit-identical to the conv/substr/md5 chain (callers register it via
+    * [[graft.expressions.Md5Hash60.registerActive]]).
     */
-  val hashExpr = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+  val hashExpr = "graft_h60(sh) % 2147483647"
 
   /** Distinct word n-gram shingles of a text column: (`idCol`, `sh`).
     * Words are lowercased space-split; docs shorter than `n` words drop.
@@ -52,6 +54,7 @@ object Lsh {
     * mins). Input must carry the shingle column `sh`.
     */
   def signatures(sh: DataFrame, idCol: String): DataFrame = {
+    graft.expressions.Md5Hash60.register(sh.sparkSession)
     sh.sparkSession.udf.register("minhash_sig",
       udaf(graft.functions.MinHashAggregator))
     sh.withColumn("hm", expr(hashExpr))
@@ -98,9 +101,10 @@ object Lsh {
     * angular similarity of the shingle frequency vectors.
     */
   def simhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+    graft.expressions.Md5Hash60.register(sh.sparkSession)
     sh.sparkSession.udf.register("simhash_sig",
       udaf(graft.functions.SimHashAggregator))
-    sh.withColumn("h", expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"))
+    sh.withColumn("h", expr("graft_h60(sh)"))
       .groupBy(idCol).agg(expr("simhash_sig(h)").as("sig"))
   }
 

@@ -16,9 +16,11 @@ object Sample {
     * (salted), id as tie-break. Same expression is emitted into DuckDB
     * oracles, so order is identical cross-engine.
     */
-  def hashOrder(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
-      .cast("bigint")
+  def hashOrder(id: Column, salt: String): Column = {
+    graft.expressions.Md5Hash60.registerActive()
+    call_function(graft.expressions.Md5Hash60.fnName,
+      concat(lit(salt), id.cast("string")))
+  }
 
   /** Exactly min(n, |stratum|) rows per stratum, chosen by hash order —
     * the exact-count companion to rate-based downsampling (equal-size

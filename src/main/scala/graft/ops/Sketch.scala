@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** 60-bit md5 hash of `saltExpr || ':' || keyExpr` as a SQL string.
-    * DuckDB twin: `CAST('0x' || substr(md5(...),1,15) AS BIGINT)`.
+  /** 60-bit md5 hash of `saltExpr || ':' || keyExpr` as a SQL string —
+    * the native [[graft.expressions.Md5Hash60]] expression (one digest,
+    * no hex-string round-trip), bit-identical to the
+    * `conv(substr(md5(x),1,15),16,10)` chain it replaces. DuckDB twin:
+    * `CAST('0x' || substr(md5(...),1,15) AS BIGINT)`. Registers the
+    * function on the active/default sessions (the emitted fragment is
+    * resolved at analysis time — same pattern as ops/Text.nfc).
     */
-  def h60(saltExpr: String, keyExpr: String): String =
-    s"CAST(conv(substr(md5(concat(CAST($saltExpr AS STRING), ':', $keyExpr)), 1, 15), 16, 10) AS BIGINT)"
+  def h60(saltExpr: String, keyExpr: String): String = {
+    graft.expressions.Md5Hash60.registerActive()
+    s"graft_h60(concat(CAST($saltExpr AS STRING), ':', $keyExpr))"
+  }
 
   /** Count-Min counters for (key, n) rows pre-aggregated to exact
     * per-key counts: `depth` independent hash rows, `width` buckets.

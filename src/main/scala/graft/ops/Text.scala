@@ -61,9 +61,11 @@ object Text {
     * sampling: a pure function of the key, stable across engines,
     * retries, and scales.
     */
-  def hashBucket(id: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 15), 16, 10)
-      .cast("bigint") % 100
+  def hashBucket(id: Column, salt: String = ""): Column = {
+    graft.expressions.Md5Hash60.registerActive()
+    call_function(graft.expressions.Md5Hash60.fnName,
+      concat(lit(salt), id.cast("string"))) % 100
+  }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD'03, public):
@@ -96,10 +98,12 @@ object Text {
     // slower. Guards matter: Spark's sequence(1, 0) DESCENDS ([1,0])
     // rather than returning empty, so each step only generates positions
     // when at least one gram/window exists.
+    {
+    graft.expressions.Md5Hash60.register(df.sparkSession)
     df.withColumn("_graft_gh", expr(
         s"""CASE WHEN size($wordsCol) >= $k THEN transform(
             sequence(1, size($wordsCol) - ${k - 1}),
-            j -> CAST(conv(substring(md5(concat_ws(' ', slice($wordsCol, j, $k))), 1, 15), 16, 10) AS BIGINT))
+            j -> graft_h60(concat_ws(' ', slice($wordsCol, j, $k))))
           ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
       .withColumn(outCol, expr(
         s"""CASE WHEN size(_graft_gh) >= $win THEN array_distinct(transform(
@@ -107,6 +111,7 @@ object Text {
             i -> array_min(slice(_graft_gh, i, $win))))
           ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
       .drop("_graft_gh")
+    }
 
   /** The DuckDB twin of [[winnowFingerprints]]'s gram-hash step —
     * emitted into generated oracle SQL (hoist it in a CTE, then apply
