@@ -24,7 +24,7 @@ object Similarity {
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
-    annIvfPqResidual, embedCentroidDrift, embedPcaPower)
+    annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1039,11 +1039,14 @@ object Similarity {
     * iteration — integer matrix-vector product + max-abs normalization
     * per round, CTE chain w1..v6.
     */
-  private lazy val pcaOracleSql: String = {
-    // chain CTEs MATERIALIZED + single-referenced (window max, not a
-    // second CTE ref): double references would inline the whole prior
-    // chain twice per round — exponential plan expansion (see
-    // Graphs.hitsOracleSql)
+  /** The WITH-body producing dim (vec_id, i, x), mn (i, mi) and the
+    * final power-iteration vector v&lt;pcaIters&gt; (i, v) — shared by the
+    * pca and all-but-the-top oracles. Chain CTEs MATERIALIZED +
+    * single-referenced (window max, not a second CTE ref): double
+    * references would inline the whole prior chain twice per round —
+    * exponential plan expansion (see Graphs.hitsOracleSql).
+    */
+  private lazy val pcaChainSql: String = {
     val rounds = (1 to pcaIters).map { k =>
       s""",
     w$k AS MATERIALIZED (SELECT cov.i, sum(cov.c * v.v) AS w
@@ -1052,7 +1055,7 @@ object Similarity {
         CAST(coalesce(w * $pcaVScale // nullif(max(abs(w)) OVER (), 0), 0) AS BIGINT) AS v
       FROM w$k)"""
     }.mkString
-    s"""WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
         list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000) AS BIGINT)) AS q
       FROM embeddings),
     dim AS MATERIALIZED (SELECT vec_id, u.i AS i, u.x AS x FROM (
@@ -1064,11 +1067,14 @@ object Similarity {
     cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
         CAST(sum(a.dv * b.dv) // count(*) AS BIGINT) AS c
       FROM c0 a JOIN c0 b USING (vec_id) GROUP BY a.i, b.i),
-    v0 AS (SELECT i, CAST($pcaVScale AS BIGINT) AS v FROM range(0, 64) r(i))$rounds
+    v0 AS (SELECT i, CAST($pcaVScale AS BIGINT) AS v FROM range(0, 64) r(i))$rounds"""
+  }
+
+  private lazy val pcaOracleSql: String =
+    s"""WITH $pcaChainSql
     SELECT v$pcaIters.i AS dim, mn.mi AS mean_q, v$pcaIters.v AS pc1
     FROM v$pcaIters JOIN mn ON mn.i = v$pcaIters.i
     ORDER BY dim"""
-  }
 
   /** Dominant principal component of the embedding corpus by POWER
     * ITERATION in pure integer fixed point — the direction training-data
@@ -1085,7 +1091,11 @@ object Similarity {
     * data-sized pass (one shuffle); the iteration runs on a
     * 4,096-row table.
     */
-  val embedPcaPower: Q = Q("embed_pca_power", (s, dir) => {
+  /** Spark side of the shared PCA pipeline: (dim = (vec_id, i, x) in
+    * exact ten-thousandths, mn = (i, mi), v = the final power-iteration
+    * vector (i, v)). Shared by [[embedPcaPower]] and [[embedAbtt]].
+    */
+  private def pcaParts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val q = Tables.t(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
     val dim = q.select(col("vec_id"), posexplode(col("q")))
@@ -1111,10 +1121,60 @@ object Similarity {
         .localCheckpoint(true)
       it += 1
     }
-    val out = v.join(broadcast(mn), "i")
+    c0.unpersist(); cov.unpersist()
+    (dim, mn, v)
+  }
+
+  val embedPcaPower: Q = Q("embed_pca_power", (s, dir) => {
+    val (_, mn, v) = pcaParts(s, dir)
+    v.join(broadcast(mn), "i")
       .select(col("i").as("dim"), col("mi").as("mean_q"), col("v").as("pc1"))
       .orderBy("dim")
-    c0.unpersist(); cov.unpersist()
-    out
   }, Some(pcaOracleSql))
+
+  /** All-but-the-top post-processing (Mu & Viswanath, ICLR'18 — public):
+    * remove the corpus mean and each vector's projection onto the
+    * dominant principal component, reporting the projection coefficient
+    * and the exact centered norm² before/after — the anisotropy
+    * correction that makes cosine similarity discriminative again, here
+    * ENTIRELY in integer fixed point on top of [[embedPcaPower]]'s
+    * component (t_e6 = ⟨c,v⟩·10⁶ ÷ ⟨v,v⟩; residual = c − t·v): the
+    * whole transform is two broadcast joins + one per-vector partial
+    * agg over the already-long dim relation — embarrassingly parallel
+    * at any corpus size.
+    */
+  val embedAbtt: Q = Q("embed_abtt", (s, dir) => {
+    val (dim, mn, v) = pcaParts(s, dir)
+    val den = v.agg(sum(expr("v * v")).as("den"))
+    val cd = dim.filter(col("vec_id") < 50)
+      .join(broadcast(mn), "i")
+      .join(broadcast(v), "i")
+      .select(col("vec_id"), col("i"), (col("x") - col("mi")).as("c"), col("v"))
+      .persist()
+    val t = cd.groupBy("vec_id").agg(sum(expr("c * v")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("vec_id"), expr("num * 1000000 DIV den").as("t_e6"))
+    val out = cd.join(t, "vec_id")
+      .withColumn("resid", expr("c - (t_e6 * v DIV 1000000)"))
+      .groupBy("vec_id", "t_e6")
+      .agg(sum(expr("c * c")).as("norm2_before"),
+        sum(expr("resid * resid")).as("norm2_after"))
+      .select(col("vec_id"), col("t_e6"), col("norm2_before"), col("norm2_after"))
+      .orderBy("vec_id")
+    out
+  }, Some(s"""WITH $pcaChainSql,
+    den AS (SELECT sum(v * v) AS den FROM v$pcaIters),
+    cd AS MATERIALIZED (SELECT d.vec_id, d.i, d.x - mn.mi AS c, pv.v
+      FROM dim d JOIN mn USING (i) JOIN v$pcaIters pv ON pv.i = d.i
+      WHERE d.vec_id < 50),
+    t AS MATERIALIZED (SELECT vec_id,
+        CAST(sum(c * v) * 1000000 // (SELECT den FROM den) AS BIGINT) AS t_e6
+      FROM cd GROUP BY vec_id)
+    SELECT cd.vec_id, t.t_e6,
+      CAST(sum(c * c) AS BIGINT) AS norm2_before,
+      CAST(sum((c - (t.t_e6 * cd.v // 1000000)) * (c - (t.t_e6 * cd.v // 1000000))) AS BIGINT)
+        AS norm2_after
+    FROM cd JOIN t USING (vec_id)
+    GROUP BY cd.vec_id, t.t_e6
+    ORDER BY cd.vec_id"""))
 }
