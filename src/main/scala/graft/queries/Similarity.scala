@@ -24,7 +24,8 @@ object Similarity {
   def all: Seq[Q] = Seq(cosineTopk, annIvfLabel, annIvfCentroids,
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
-    annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt)
+    annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
+    embedRotateSq8)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1177,4 +1178,78 @@ object Similarity {
     FROM cd JOIN t USING (vec_id)
     GROUP BY cd.vec_id, t.t_e6
     ORDER BY cd.vec_id"""))
+
+  /** OPQ-style ROTATION slot before scalar quantization (Ge et al.,
+    * "Optimized Product Quantization", CVPR'13 motivates rotating before
+    * quantizing; here the rotation is a SEEDED Householder reflection —
+    * deterministic, orthogonal, no training loop): per vector, int8
+    * scalar-quantize both the raw and the rotated coordinates against
+    * their per-vector max-abs grid and report the exact integer squared
+    * reconstruction error of each — the measurement that decides whether
+    * the rotation slot earns its place in the index build. All fixed
+    * point: u_i = h60('rot'||i) % 2001 − 1000, t_e6 = 2⟨x,u⟩·10⁶ ÷
+    * ⟨u,u⟩, x′ = x − t·u; quantize q = x·127 ÷ max|x|, reconstruct,
+    * square-sum. One broadcast of the 64-element u; per-vector partial
+    * aggs; embarrassingly parallel.
+    */
+  val embedRotateSq8: Q = Q("embed_rotate_sq8", (s, dir) => {
+    graft.expressions.Md5Hash60.register(s)
+    val q = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+    val dim = q.select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos").cast("bigint").as("i"), col("col").as("x"))
+    val u = s.range(64).select(col("id").as("i"),
+      expr("graft_h60(concat('rot', CAST(id AS STRING))) % 2001 - 1000").as("u"))
+    val uu = u.agg(sum(expr("u * u")).as("uu"))
+    val withU = dim.join(broadcast(u), "i")
+    val t = withU.groupBy("vec_id").agg(sum(expr("x * u")).as("xu"))
+      .crossJoin(broadcast(uu))
+      .select(col("vec_id"), expr("2 * xu * 1000000 DIV uu").as("t_e6"))
+    val rot = withU.join(t, "vec_id")
+      .select(col("vec_id"), col("i"), col("x"),
+        expr("x - (t_e6 * u DIV 1000000)").as("xr"))
+    def errExpr(c: String, m: String) =
+      s"""CASE WHEN $m = 0 THEN 0 ELSE
+          ($c - (($c * 127 DIV $m) * $m DIV 127)) *
+          ($c - (($c * 127 DIV $m) * $m DIV 127)) END"""
+    val mx = rot.groupBy("vec_id")
+      .agg(max(abs(col("x"))).as("mx_x"), max(abs(col("xr"))).as("mx_xr"))
+    rot.join(mx, "vec_id")
+      .groupBy("vec_id")
+      .agg(max("mx_x").as("mx_raw"), max("mx_xr").as("mx_rot"),
+        sum(expr(errExpr("x", "mx_x"))).as("err2_raw"),
+        sum(expr(errExpr("xr", "mx_xr"))).as("err2_rot"))
+      .orderBy("vec_id")
+  }, Some("""WITH q AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id < 50),
+    dim AS MATERIALIZED (SELECT vec_id, u.i AS i, u.x AS x FROM (
+      SELECT vec_id, unnest(list_transform(range(1, 65),
+        i -> {'i': i - 1, 'x': q[i]})) AS u FROM q) t),
+    uv AS MATERIALIZED (SELECT i,
+        CAST('0x' || substr(md5('rot' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS u
+      FROM range(0, 64) r(i)),
+    uu AS (SELECT sum(u * u) AS uu FROM uv),
+    wu AS MATERIALIZED (SELECT dim.vec_id, dim.i, dim.x, uv.u
+      FROM dim JOIN uv USING (i)),
+    t AS MATERIALIZED (SELECT vec_id,
+        CAST(2 * sum(x * u) * 1000000 // (SELECT uu FROM uu) AS BIGINT) AS t_e6
+      FROM wu GROUP BY vec_id),
+    rot AS MATERIALIZED (SELECT wu.vec_id, wu.i, wu.x,
+        wu.x - (t.t_e6 * wu.u // 1000000) AS xr
+      FROM wu JOIN t USING (vec_id)),
+    mx AS MATERIALIZED (SELECT vec_id, max(abs(x)) AS mx_x, max(abs(xr)) AS mx_xr
+      FROM rot GROUP BY vec_id)
+    SELECT rot.vec_id, CAST(max(mx_x) AS BIGINT) AS mx_raw,
+      CAST(max(mx_xr) AS BIGINT) AS mx_rot,
+      CAST(sum(CASE WHEN mx_x = 0 THEN 0 ELSE
+        (x - ((x * 127 // mx_x) * mx_x // 127)) *
+        (x - ((x * 127 // mx_x) * mx_x // 127)) END) AS BIGINT) AS err2_raw,
+      CAST(sum(CASE WHEN mx_xr = 0 THEN 0 ELSE
+        (xr - ((xr * 127 // mx_xr) * mx_xr // 127)) *
+        (xr - ((xr * 127 // mx_xr) * mx_xr // 127)) END) AS BIGINT) AS err2_rot
+    FROM rot JOIN mx USING (vec_id)
+    GROUP BY rot.vec_id
+    ORDER BY rot.vec_id"""))
 }
