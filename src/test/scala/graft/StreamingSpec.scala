@@ -851,6 +851,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("SpaceSavingProcessor: heavy-hitter superset + count-bound guarantees across batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_ss").toFile
+    // stream: per event_type, which users are the heavy hitters
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        col("user_id").cast("string").as("item"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._2, r._3))
+    val k = 24
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    def fmt(rs: Array[(String, Long, Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._1}|${r._2}|${r._3}|${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split('|'); (p(0), p(1).toLong, p(2).toLong, p(3)) }
+    val q = graft.streaming.SpaceSavingProcessor(spark, src, k)
+      .toDF("key", "item", "est", "err", "n_seen")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_ss_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final summary per key = the rows carrying that key's max n_seen
+      val rowsOut = spark.sql("SELECT key, item, est, err, n_seen FROM graft_ss_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val finalByKey = rowsOut.groupBy(_._1).map { case (key, rs) =>
+        val nMax = rs.map(_._5).max
+        key -> (nMax, rs.filter(_._5 == nMax).map(r => r._2 -> (r._3, r._4)).toMap)
+      }
+      val exact = ev.groupBy(_._1).map { case (key, rs) =>
+        key -> rs.groupBy(_._4).map { case (it, xs) => it -> xs.length.toLong }
+      }
+      assert(finalByKey.nonEmpty && finalByKey.keySet == exact.keySet)
+      finalByKey.foreach { case (key, (n, summary)) =>
+        val truth = exact(key)
+        assert(n == truth.values.sum, s"$key: n mismatch")
+        // guarantee 1: every item above N/k is tracked
+        truth.filter(_._2 > n / k).foreach { case (it, c) =>
+          assert(summary.contains(it), s"$key: heavy hitter $it ($c > ${n / k}) missing") }
+        // guarantee 2: true <= est, est - err <= true
+        summary.foreach { case (it, (est, err)) =>
+          val c = truth.getOrElse(it, 0L)
+          assert(c <= est && est - err <= c, s"$key/$it: true=$c est=$est err=$err") }
+      }
+    } finally q.stop()
+  }
+
   test("KmvProcessor matches the batch sketch_kmv estimate EXACTLY across micro-batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
