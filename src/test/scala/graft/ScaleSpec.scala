@@ -233,4 +233,40 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ew.contains("Window") && !ew.contains("Join"),
       s"ewma fold must be a pure aggregate:\n$ew")
   }
+
+  test("round-5 operators plan scale-shaped: partitioned windows, broadcast models, equi-joins") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    // q_asof_nearest: ONE partitioned window scan, no join, and no
+    // single-partition global window
+    val near = graft.queries.Analytics.qAsofNearest
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!near.contains("Join"), s"nearest as-of must be join-free:\n$near")
+    assert(!near.contains("windowspecdefinition()"),
+      s"nearest as-of window must be user-partitioned:\n$near")
+    // text_lm_bigram: the bigram model joins back BROADCAST (vocabulary-
+    // sized build side), never a shuffled join of the corpus
+    val lm = graft.queries.TextOps.textLmBigram
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(lm.contains("BroadcastHashJoin"), s"LM model join must broadcast:\n$lm")
+    // graph_jaccard_nbrs: wedge join stays equi-keyed — a cartesian means
+    // the shared-item keying fell out
+    val jac = graft.queries.Graphs.jaccardNbrs
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!jac.contains("CartesianProduct") && !jac.contains("BroadcastNestedLoopJoin"),
+      s"neighborhood jaccard must stay equi-keyed:\n$jac")
+    // ts_holt_forecast: like the EWMA fold — one aggregate, no window/join
+    val ho = graft.queries.Series.tsHoltForecast
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!ho.contains("Window") && !ho.contains("Join"),
+      s"holt fold must be a pure aggregate:\n$ho")
+    // sketch_kmv_setops: per-side sketches are top-k heaps, never a
+    // global sort of the key sets
+    // (the cross joins in this plan are 1-row × 1-row scalar estimates —
+    // cartesian by construction and size-bounded, so only the heap-select
+    // shape is asserted)
+    val kv = graft.queries.Sketches.kmvSetOps
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(kv.contains("TakeOrderedAndProject"), s"KMV sketch must heap-select:\n$kv")
+  }
 }

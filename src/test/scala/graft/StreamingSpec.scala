@@ -565,6 +565,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).ts_us.contains(10000L) && rows(1).ts_us.contains(20000L))
   }
 
+  test("prom-proto wire replay: delimited MetricFamily bodies stream across micro-batches") {
+    import graft.parsers.PromProtoParser
+    import graft.parsers.PromProtoParser.{Bucket, Metric, MetricFamily}
+    import graft.streaming.ProtocolIngest
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_promproto").toFile
+    def b64(families: Seq[MetricFamily]): String =
+      java.util.Base64.getEncoder.encodeToString(PromProtoParser.encodeDelimited(families))
+    // batch 1: a counter + a histogram (flattens to _bucket/_sum/_count)
+    val body1 = b64(Seq(
+      MetricFamily("req_total", PromProtoParser.COUNTER,
+        Seq(Metric(Map("path" -> "/w"), Some(7.0), None, None, Some(10L)))),
+      MetricFamily("lat", PromProtoParser.HISTOGRAM,
+        Seq(Metric(Map.empty, None, None,
+          Some((3L, 1.25, Seq(Bucket(1L, 0.5), Bucket(3L, Double.PositiveInfinity)))),
+          Some(20L))))))
+    // batch 2: a gauge for a different series
+    val body2 = b64(Seq(
+      MetricFamily("mem_bytes", PromProtoParser.GAUGE,
+        Seq(Metric(Map("area" -> "heap"), Some(1048576.0), None, None, Some(30L))))))
+    Files.write(new java.io.File(dir, "b1.txt").toPath, body1.getBytes("UTF-8"))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map(l => (java.util.Base64.getDecoder.decode(l), PromProtoParser.ProtoContentType))
+    val q = ProtocolIngest.promExpositionNegotiated(spark, src, Map("job" -> "replay"))
+      .map(g => (g.name, g.labels.toSeq.sorted.map(kv => kv._1 + "=" + kv._2).mkString(","),
+        g.ts_us.getOrElse(-1L), g.v_double.getOrElse(Double.NaN)))
+      .toDF("name", "labels", "ts_us", "v")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_promproto_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, body2.getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT name, labels, ts_us, v FROM graft_promproto_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // histogram flattening: +Inf bucket, finite bucket, _sum, _count
+      assert(got.contains(("req_total", "job=replay,path=/w", 10000L, 7.0)), s"$got")
+      assert(got.contains(("lat_bucket", "job=replay,le=0.5", 20000L, 1.0)), s"$got")
+      assert(got.contains(("lat_bucket", "job=replay,le=+Inf", 20000L, 3.0)), s"$got")
+      assert(got.contains(("lat_sum", "job=replay", 20000L, 1.25)), s"$got")
+      assert(got.contains(("lat_count", "job=replay", 20000L, 3.0)), s"$got")
+      // batch 2 arrived with Go-format large-value label semantics intact
+      assert(got.contains(("mem_bytes", "area=heap,job=replay", 30000L, 1048576.0)), s"$got")
+    } finally q.stop()
+  }
+
   test("streaming quota: admission state persists across micro-batches") {
     import graft.streaming.{QuotaEvent, TokenBans}
     spark.sparkContext.setLogLevel("ERROR")
