@@ -14,7 +14,76 @@ object Series {
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
-    tsHoltForecast, tsStlDecompose, tsOhlc)
+    tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb)
+
+  /** Largest-triangle downsampling with BUCKET-AVERAGE anchors — the
+    * relational variant of LTTB (Steinarsson, "Downsampling Time Series
+    * for Visual Representation", MSc thesis U. Iceland 2013 — public):
+    * classic LTTB anchors each bucket's choice on the PREVIOUSLY
+    * SELECTED point, a sequential dependency; anchoring on the previous/
+    * next bucket MEANS instead makes every bucket's argmax independent —
+    * embarrassingly parallel, same visual intent (keep the point that
+    * subtends the largest triangle against its neighborhood trend).
+    * All EXACT integer math: 12-point buckets by per-series row number,
+    * anchor means as floor-divided (x̄·n, ȳ·n kept as exact sums with
+    * the common denominator multiplied through the cross product), area
+    * = |cross product| in bigint, ties → earliest event. One shuffle on
+    * the series key; one window for bucketing, one argmax window per
+    * bucket.
+    */
+  val tsDownsampleLtb: Q = Q("ts_downsample_ltb", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    val e = Tables.events(s, dir)
+      .withColumn("y", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("x", row_number().over(ord).cast("bigint"))
+      .withColumn("b", expr("(x - 1) DIV 12"))
+    val anchors = e.groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+    val wb = Window.partitionBy("event_type").orderBy("b")
+    val withNbr = anchors
+      .withColumn("pn", lag("n", 1).over(wb))
+      .withColumn("psx", lag("sx", 1).over(wb))
+      .withColumn("psy", lag("sy", 1).over(wb))
+      .withColumn("nn", lead("n", 1).over(wb))
+      .withColumn("nsx", lead("sx", 1).over(wb))
+      .withColumn("nsy", lead("sy", 1).over(wb))
+    // cross product with the mean denominators multiplied through:
+    // area ∝ |(px̄−x)(nȳ−y) − (nx̄−x)(pȳ−y)| · pn·nn — drop the common
+    // positive factor, compare (psx−x·pn)(nsy−y·nn)−(nsx−x·nn)(psy−y·pn)
+    val cand = e.join(withNbr, Seq("event_type", "b"))
+      .filter(col("pn").isNotNull && col("nn").isNotNull)
+      .withColumn("area", abs(expr(
+        "(psx - x * pn) * (nsy - y * nn) - (nsx - x * nn) * (psy - y * pn)")))
+    val pick = Window.partitionBy("event_type", "b")
+      .orderBy(col("area").desc, col("event_id").asc)
+    cand.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("event_type"), col("b"), col("event_id"), col("x"), col("y"),
+        col("area"))
+      .orderBy("event_type", "b")
+  }, Some("""WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    x AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        ORDER BY ts_us, event_id) AS BIGINT) AS x FROM e),
+    bk AS (SELECT *, (x - 1) // 12 AS b FROM x),
+    a AS (SELECT event_type, b, count(*)::BIGINT AS n,
+        sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy
+      FROM bk GROUP BY event_type, b),
+    nb AS (SELECT event_type, b, n, sx, sy,
+        lag(n) OVER w AS pn, lag(sx) OVER w AS psx, lag(sy) OVER w AS psy,
+        lead(n) OVER w AS nn, lead(sx) OVER w AS nsx, lead(sy) OVER w AS nsy
+      FROM a WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+    c AS (SELECT bk.event_type, bk.b, bk.event_id, bk.x, bk.y,
+        abs((psx - bk.x * pn) * (nsy - bk.y * nn)
+          - (nsx - bk.x * nn) * (psy - bk.y * pn)) AS area
+      FROM bk JOIN nb ON nb.event_type = bk.event_type AND nb.b = bk.b
+      WHERE pn IS NOT NULL AND nn IS NOT NULL)
+    SELECT event_type, b, event_id, x, y, area FROM c
+    QUALIFY row_number() OVER (PARTITION BY event_type, b
+      ORDER BY area DESC, event_id ASC) = 1
+    ORDER BY event_type, b"""))
 
   /** Hour-of-day seasonality profile per event type: per-(type, hour)
     * volume and mean value, plus the hour's deviation from the type's
