@@ -14,7 +14,8 @@ object Series {
   def all: Seq[Q] = Seq(tsEwma, tsMadAnomaly, tsSeasonalProfile,
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
-    tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb)
+    tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
+    tsAnomalyAgreement)
 
   /** Largest-triangle downsampling with BUCKET-AVERAGE anchors — the
     * relational variant of LTTB (Steinarsson, "Downsampling Time Series
@@ -674,4 +675,43 @@ object Series {
       max(cents) AS high_c, min(cents) AS low_c
     FROM r GROUP BY event_type, h
     ORDER BY event_type, h"""))
+
+  /** Detector-ensemble agreement report: the classical z-score detector
+    * (q_zscore_anomaly — mean/σ over a trailing window) vs the robust
+    * MAD detector (ts_mad_anomaly) on the same events, rolled up per
+    * event type as flag counts, intersection, union, and Jaccard overlap
+    * in integer basis points — the calibration readout that decides
+    * whether an ensemble vote is worth its cost. Composes the two
+    * REGISTERED queries (same Spark plans, same oracle subqueries), so
+    * the report can never drift from the detectors it grades; one
+    * full-outer join on event_id + one tiny rollup. (Sits after the
+    * detector vals it interpolates — object-body init order.)
+    */
+  val tsAnomalyAgreement: Q = Q("ts_anomaly_agreement", (s, dir) => {
+    val z = Analytics.qZscoreAnomaly.fn(s, dir)
+      .select(col("event_id").as("zid"), col("event_type").as("ztype"))
+    val m = tsMadAnomaly.fn(s, dir)
+      .select(col("event_id").as("mid"), col("event_type").as("mtype"))
+    z.join(m, col("zid") === col("mid"), "full_outer")
+      .select(coalesce(col("ztype"), col("mtype")).as("event_type"),
+        col("zid"), col("mid"))
+      .groupBy("event_type")
+      .agg(count(col("zid")).as("n_z"), count(col("mid")).as("n_mad"),
+        sum(when(col("zid").isNotNull && col("mid").isNotNull, 1L).otherwise(0L))
+          .as("n_both"),
+        count(lit(1)).as("n_union"))
+      .withColumn("overlap_bp", expr("n_both * 10000 DIV n_union"))
+      .orderBy("event_type")
+  }, Some(s"""WITH z AS (${Analytics.qZscoreAnomaly.oracle.get}),
+    m AS (${tsMadAnomaly.oracle.get}),
+    j AS (SELECT coalesce(z.event_type, m.event_type) AS event_type,
+        z.event_id AS zid, m.event_id AS mid
+      FROM z FULL OUTER JOIN m ON z.event_id = m.event_id)
+    SELECT event_type, count(zid)::BIGINT AS n_z, count(mid)::BIGINT AS n_mad,
+      sum(CASE WHEN zid IS NOT NULL AND mid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        AS n_both,
+      count(*)::BIGINT AS n_union,
+      sum(CASE WHEN zid IS NOT NULL AND mid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        * 10000 // count(*) AS overlap_bp
+    FROM j GROUP BY event_type ORDER BY event_type"""))
 }
