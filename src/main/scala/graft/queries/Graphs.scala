@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity)
+  def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
+    assortativity)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -191,6 +192,47 @@ object Graphs {
         ORDER BY epoch_us(ts), event_id) AS rn
       FROM events WHERE user_id < 3)
     WHERE rn <= 9 ORDER BY event_id"""))
+
+  /** Degree assortativity of the user-similarity graph (Newman,
+    * "Assortative mixing in networks", PRL 2002 — public): the Pearson
+    * correlation of endpoint degrees over all DIRECTED edge instances
+    * (each undirected edge counted both ways, the standard convention).
+    * Every moment (Σd, Σd², Σd_src·d_dst, 2m) is an EXACT bigint, and
+    * because the two marginals are identical under the both-directions
+    * convention, the Pearson denominator collapses to the single integer
+    * 2m·Σd²−(Σd)² — r is one IEEE-exact double division, no sqrt, so
+    * round(r, 6) is engine-stable. r &gt; 0: hubs befriend hubs; r &lt;
+    * 0: hub-and-spoke. Shape: one degree agg + one edge join + a 1-row
+    * moment agg.
+    */
+  val assortativity: Q = Q("graph_assortativity", (s, dir) => {
+    val je = simEdges(s, dir)
+    val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val pairs = ed
+      .join(deg.select(col("v").as("src"), col("d").as("da")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("db")), "dst")
+    pairs.agg(count(lit(1)).as("m2"),
+        sum("da").as("sx"), sum(expr("da * da")).as("sxx"),
+        sum(expr("da * db")).as("sxy"))
+      .select(col("m2"), col("sx"), col("sxx"), col("sxy"),
+        round(expr("""CAST(m2 * sxy - sx * sx AS DOUBLE) /
+            CAST(m2 * sxx - sx * sx AS DOUBLE)"""), 6).as("r6"))
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d
+      FROM ed GROUP BY src),
+    dp AS (SELECT a.d AS da, b.d AS db
+      FROM ed JOIN deg a ON a.v = ed.src JOIN deg b ON b.v = ed.dst),
+    mo AS (SELECT count(*)::BIGINT AS m2, sum(da)::BIGINT AS sx,
+        sum(da * da)::BIGINT AS sxx, sum(da * db)::BIGINT AS sxy
+      FROM dp)
+    SELECT m2, sx, sxx, sxy,
+      round(CAST(m2 * sxy - sx * sx AS DOUBLE) /
+        CAST(m2 * sxx - sx * sx AS DOUBLE), 6) AS r6
+    FROM mo"""))
 
   private val hitsIters = 8
   private val hitsScale = 1000000L
