@@ -32,10 +32,14 @@ object Lsh {
 
   /** The md5-derived shingle hash reduced into the minhash universe
     * (applies to a column named `sh`) — the native graft_h60 expression,
-    * bit-identical to the conv/substr/md5 chain (callers register it via
-    * [[graft.expressions.Md5Hash60.registerActive]]).
+    * bit-identical to the conv/substr/md5 chain. Registers the function
+    * on the active/default sessions (the fragment resolves at analysis
+    * time — same pattern as ops/Sketch.h60).
     */
-  val hashExpr = "graft_h60(sh) % 2147483647"
+  def hashExpr: String = {
+    graft.expressions.Md5Hash60.registerActive()
+    "graft_h60(sh) % 2147483647"
+  }
 
   /** Distinct word n-gram shingles of a text column: (`idCol`, `sh`).
     * Words are lowercased space-split; docs shorter than `n` words drop.
