@@ -43,7 +43,7 @@ object Analytics {
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
-    qMergeUpsert)
+    qMergeUpsert, qGapsIslands)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1038,6 +1038,36 @@ object Analytics {
     FROM events e JOIN orders o
       ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
     WHERE e.user_id < 30) WHERE rn = 1 ORDER BY event_id"""))
+
+  /** Gaps-and-islands over each customer's order-key sequence — the
+    * classic "collapse consecutive ids into ranges" warehouse pattern
+    * (inventory runs, seat blocks, retry streaks): island id = key −
+    * row_number(), constant exactly while keys are consecutive. Output:
+    * one row per island with extent and length. One shuffle on the
+    * customer key; pure integer arithmetic.
+    */
+  val qGapsIslands: Q = Q("q_gaps_islands", (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.t(s, dir, "orders").filter(col("o_custkey") < 30)
+      .select(col("o_custkey").cast("bigint").as("custkey"),
+        col("o_orderkey").cast("bigint").as("k"))
+      .withColumn("island", col("k") - row_number().over(
+        Window.partitionBy("custkey").orderBy("k")))
+      .groupBy("custkey", "island")
+      .agg(min("k").as("k_start"), max("k").as("k_end"),
+        count(lit(1)).as("n_keys"))
+      .select(col("custkey"), col("k_start"), col("k_end"), col("n_keys"))
+      .orderBy("custkey", "k_start")
+  }, Some("""WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        CAST(o_orderkey AS BIGINT) AS k
+      FROM orders WHERE o_custkey < 30),
+    i AS (SELECT custkey, k,
+        k - row_number() OVER (PARTITION BY custkey ORDER BY k) AS island
+      FROM o)
+    SELECT custkey, min(k) AS k_start, max(k) AS k_end,
+      count(*)::BIGINT AS n_keys
+    FROM i GROUP BY custkey, island
+    ORDER BY custkey, k_start"""))
 
   /** MERGE/upsert (SCD1 apply) expressed as a FULL OUTER join +
     * row-level coalesce — matched keys take the change row, unmatched

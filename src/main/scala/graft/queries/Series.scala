@@ -15,7 +15,49 @@ object Series {
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
-    tsAnomalyAgreement)
+    tsAnomalyAgreement, tsPeakDetect)
+
+  /** Prominence-gated peak detection on each event type's hourly series:
+    * a peak is a strict local maximum over its ±1 neighbors whose
+    * PROMINENCE (height above the higher shoulder) clears a fixed cent
+    * threshold — the alert-worthy-spike primitive (plain local maxima
+    * fire on every jitter; the prominence gate is what monitoring
+    * systems actually ship). All integer: hourly mean cents by floor
+    * division, lag/lead comparisons, strict &gt; on the left and ≥ on
+    * the right breaks plateaus deterministically toward their first
+    * sample. One per-type window on one shuffle.
+    */
+  val tsPeakDetect: Q = Q("ts_peak_detect", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val Prom = 500L // 5.00 in cents
+    val w = Window.partitionBy("event_type").orderBy("h")
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+      .withColumn("pc", lag("c", 1).over(w))
+      .withColumn("nc", lead("c", 1).over(w))
+      .filter(col("pc").isNotNull && col("nc").isNotNull)
+      .filter(col("c") > col("pc") && col("c") >= col("nc"))
+      .withColumn("prominence", col("c") - greatest(col("pc"), col("nc")))
+      .filter(col("prominence") >= Prom)
+      .select(col("event_type"), col("h"), col("c"), col("pc"), col("nc"),
+        col("prominence"))
+      .orderBy("event_type", "h")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, sum(cents) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    nb AS (SELECT event_type, h, c,
+        lag(c) OVER w AS pc, lead(c) OVER w AS nc
+      FROM hd WINDOW w AS (PARTITION BY event_type ORDER BY h))
+    SELECT event_type, h, c, pc, nc, c - greatest(pc, nc) AS prominence
+    FROM nb
+    WHERE pc IS NOT NULL AND nc IS NOT NULL
+      AND c > pc AND c >= nc AND c - greatest(pc, nc) >= 500
+    ORDER BY event_type, h"""))
 
   /** Largest-triangle downsampling with BUCKET-AVERAGE anchors — the
     * relational variant of LTTB (Steinarsson, "Downsampling Time Series
