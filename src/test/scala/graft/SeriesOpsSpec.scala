@@ -156,4 +156,42 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = finalSeqs.collect().map(_.getString(0)).distinct
     assert(out.sameElements(Array(" xyxyz ")), out.mkString("|"))
   }
+
+  test("holtStepSql packed fold == direct Scala recurrence on random series (incl. negatives)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the JVM reference: Long division truncates toward zero — exactly
+    // Spark DIV / DuckDB //
+    def direct(ys: Seq[Long]): (Long, Long) = {
+      var l = ys.head; var b = 0L
+      ys.tail.foreach { y =>
+        val ln = (3000L * y + 7000L * (l + b)) / 10000L
+        b = (1000L * (ln - l) + 9000L * b) / 10000L
+        l = ln
+      }
+      (l, b)
+    }
+    val rnd = new scala.util.Random(53)
+    val series = (1 to 40).map { k =>
+      val n = 1 + rnd.nextInt(60)
+      // negative cents too — the packed encoding must survive sign flips
+      k.toLong -> Seq.fill(n)(rnd.nextInt(200001).toLong - 100000L)
+    }
+    val rows = series.flatMap { case (k, ys) =>
+      ys.zipWithIndex.map { case (y, i) => (k, i.toLong, i.toLong, y) }
+    }
+    val df = rows.toDF("k", "t", "id", "y")
+    val step = graft.ops.Series.holtStepSql("DIV", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("DIV", "fin")
+    val got = df.groupBy("k")
+      .agg(expr("transform(array_sort(collect_list(struct(t, id, y))), s -> s.y)").as("ys"))
+      .withColumn("fin", expr(
+        s"aggregate(slice(ys, 2, size(ys) - 1), element_at(ys, 1), (acc, x) -> $step)"))
+      .select(col("k"), expr(dl).as("l"), expr(db).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    series.foreach { case (k, ys) =>
+      assert(got(k) == direct(ys), s"series $k: ${got(k)} vs ${direct(ys)}")
+    }
+  }
 }
