@@ -32,7 +32,42 @@ object Ingest {
     promExposition, promExpositionProto, promRemoteWrite, promPathLabels,
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
-    influxPrecision, graphiteFailfast, quotaEnforce)
+    influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup)
+
+  /** Graphite metric-TREE rollup: every dotted metric contributes its
+    * observations to each ancestor prefix (`metrics.click.m3` also
+    * counts under `metrics.click` and `metrics`) — the hierarchy
+    * aggregation a graphite-compatible store answers `sumSeries(a.b.*)`
+    * from, and the natural consumer of the A7 hierarchy→labels mapping.
+    * Prefix generation is a per-row transform over the split name (depth
+    * is the name's own segment count — no joins); one partial-agged
+    * shuffle on the prefix key. Exact integer cent sums.
+    */
+  val graphiteTreeRollup: Q = Q("graphite_tree_rollup", (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("name", expr(
+        "concat('metrics.', event_type, '.m', CAST(user_id % 10 AS STRING))"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("parts", split(col("name"), "\\."))
+      .select(col("cents"), explode(expr(
+        "transform(sequence(1, size(parts)), i -> array_join(slice(parts, 1, i), '.'))"))
+        .as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_points"), sum("cents").as("sum_cents"),
+        expr("size(split(first(prefix), '\\\\.'))").as("depth"))
+      .select(col("prefix"), expr("CAST(depth AS BIGINT)").as("depth"),
+        col("n_points"), col("sum_cents"))
+      .orderBy("prefix")
+  }, Some("""WITH e AS (
+      SELECT 'metrics.' || event_type || '.m' || CAST(user_id % 10 AS VARCHAR) AS name,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    p AS (SELECT cents, unnest(list_transform(range(1, len(string_split(name, '.')) + 1),
+        i -> array_to_string(string_split(name, '.')[1:i], '.'))) AS prefix
+      FROM e)
+    SELECT prefix, CAST(len(string_split(prefix, '.')) AS BIGINT) AS depth,
+      count(*)::BIGINT AS n_points, sum(cents)::BIGINT AS sum_cents
+    FROM p GROUP BY prefix ORDER BY prefix"""))
 
   /** Sensision encoding of URL-UNSAFE names/labels/values through the
     * native codegen'd [[graft.expressions.UrlEncodeWarp]] expression:
