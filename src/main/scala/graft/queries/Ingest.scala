@@ -32,7 +32,8 @@ object Ingest {
     promExposition, promExpositionProto, promRemoteWrite, promPathLabels,
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
-    influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup)
+    influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
+    seriesChurn)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -68,6 +69,47 @@ object Ingest {
     SELECT prefix, CAST(len(string_split(prefix, '.')) AS BIGINT) AS depth,
       count(*)::BIGINT AS n_points, sum(cents)::BIGINT AS sum_cents
     FROM p GROUP BY prefix ORDER BY prefix"""))
+
+  /** Active-series CHURN between the time range's first and second half:
+    * per metric family (event type), how many distinct series (metric id
+    * = name × sub-id) appeared, persisted, or vanished — the
+    * series-cardinality lifecycle readout a TSDB operator watches to
+    * catch label explosions and dead sensors (the reference's domain:
+    * every parsed GTS is one series). A full-outer set compare on
+    * (family, series) presence flags; two distinct-aggregates + one
+    * rollup, all exact counts.
+    */
+  val seriesChurn: Q = Q("series_churn", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val rng = e.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+    val pres = e.crossJoin(broadcast(rng))
+      .select(col("event_type"),
+        expr("concat('m', CAST(user_id % 100 AS STRING))").as("series"),
+        (col("ts_us") * 2 <= col("mn") + col("mx")).as("fh"))
+      .groupBy("event_type", "series")
+      .agg(max(when(col("fh"), 1L).otherwise(0L)).as("in_a"),
+        max(when(!col("fh"), 1L).otherwise(0L)).as("in_b"))
+    pres.groupBy("event_type")
+      .agg(sum(expr("in_a * (1 - in_b)")).as("n_gone"),
+        sum(expr("(1 - in_a) * in_b")).as("n_new"),
+        sum(expr("in_a * in_b")).as("n_stayed"),
+        count(lit(1)).as("n_total"))
+      .withColumn("churn_bp", expr("(n_gone + n_new) * 10000 DIV n_total"))
+      .orderBy("event_type")
+  }, Some("""WITH rng AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        FROM events),
+    pr AS (SELECT event_type, 'm' || CAST(user_id % 100 AS VARCHAR) AS series,
+        max(CASE WHEN epoch_us(ts) * 2 <= mn + mx THEN 1 ELSE 0 END)::BIGINT AS in_a,
+        max(CASE WHEN epoch_us(ts) * 2 > mn + mx THEN 1 ELSE 0 END)::BIGINT AS in_b
+      FROM events, rng GROUP BY event_type, series)
+    SELECT event_type,
+      sum(in_a * (1 - in_b))::BIGINT AS n_gone,
+      sum((1 - in_a) * in_b)::BIGINT AS n_new,
+      sum(in_a * in_b)::BIGINT AS n_stayed,
+      count(*)::BIGINT AS n_total,
+      sum(in_a * (1 - in_b) + (1 - in_a) * in_b)::BIGINT * 10000 // count(*)
+        AS churn_bp
+    FROM pr GROUP BY event_type ORDER BY event_type"""))
 
   /** Sensision encoding of URL-UNSAFE names/labels/values through the
     * native codegen'd [[graft.expressions.UrlEncodeWarp]] expression:
