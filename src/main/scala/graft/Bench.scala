@@ -42,7 +42,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full line first (it is long and sbt prefixes [info]; a tail window
+    // can truncate it — round-3 BENCH files all had parsed:null), then a
+    // short bare totals line that truncation can't eat, and the full JSON
+    // to a fixed path for out-of-band pickup.
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

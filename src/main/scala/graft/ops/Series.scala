@@ -94,6 +94,20 @@ object Series {
     s"(CASE WHEN $acc < 2097152 THEN $acc ELSE ($acc $div 4194304) - 131072 END)",
     s"(CASE WHEN $acc < 2097152 THEN 0 ELSE ($acc % 4194304) - 2097152 END)")
 
+  /** Loud domain gate for a cents array about to enter a packed Holt
+    * fold (ADVICE r3): the packing invariants need y₁ &lt; 2²¹ (raw-vs-
+    * packed discriminator) and every level &gt; −131072 — silently
+    * violated, they produce a wrong-but-plausible packed state. This
+    * wraps the array so any element outside the CONSERVATIVE input box
+    * (−2¹⁶, 2²⁰) — enough headroom that level/trend provably stay inside
+    * their encodable ranges for α=0.3, β=0.1 — raises at runtime instead.
+    * Spark-side only: the oracle runs on data that already passed this.
+    */
+  def holtGuardSql(arr: String): String =
+    s"""transform($arr, y -> CASE WHEN y > -65536 AND y < 1048576 THEN y
+        ELSE CAST(raise_error(concat('holt fold domain: cents must be in (-2^16, 2^20), got ',
+          CAST(y AS STRING))) AS BIGINT) END)"""
+
   /** Robust per-group outlier flagging by median absolute deviation:
     * score = |x - median| / (1.4826·MAD), keep rows with score > `k`.
     * The 1.4826 factor scales MAD to σ under normality — the standard

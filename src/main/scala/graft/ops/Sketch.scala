@@ -130,7 +130,10 @@ object Sketch {
     * everything). One shuffle on the group key; sketch size k per group.
     */
   def kmvEstimate(df: DataFrame, grpCol: String, keyCol: String, k: Int): DataFrame = {
-    require(k >= 2 && k <= 256, "k in [2,256]")
+    // k capped at 128: the estimate's numerator (k-1)·2^56 overflows
+    // signed 64-bit from k = 129 — Spark would wrap silently while the
+    // DuckDB twin errors (ADVICE r3)
+    require(k >= 2 && k <= 128, "k in [2,128]")
     val hashed = df.select(col(grpCol).as("grp"),
         expr(s"${h60("'k'", keyCol)} DIV 16").as("h")).distinct()
     val maxH = 72057594037927936L // 2^56
@@ -158,7 +161,8 @@ object Sketch {
     * k-row joins.
     */
   def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame = {
-    require(k >= 2 && k <= 256, "k in [2,256]")
+    // same 64-bit bound as kmvEstimate: (k-1)·2^56 must stay signed-safe
+    require(k >= 2 && k <= 128, "k in [2,128]")
     val maxH = 72057594037927936L // 2^56
     def sketch(df: DataFrame): DataFrame =
       df.select(expr(s"${h60("'k'", keyCol)} DIV 16").as("h")).distinct()

@@ -763,14 +763,31 @@ object Analytics {
     ORDER BY user_id, ts_us, event_id"""))
 
   /** HLL-sketch distinct counting (approx_count_distinct) — the scale path
-    * when exact distinct's shuffle is too expensive. Rows-only check: the
-    * oracle engine's HLL differs by construction.
+    * when exact distinct's shuffle is too expensive. The engine-native
+    * HLL++ estimate can never match another engine bit-for-bit, so the
+    * CHECKED output is the exact distinct counts (hash-exact both sides)
+    * plus tolerance booleans: |approx − exact| ≤ 15% of exact (3× the
+    * default rsd=0.05 — Spark's HLL++ is hash-based and deterministic,
+    * so the booleans are stable per dataset; margins measured ≤2% at
+    * sf0.001–0.1). The oracle asserts the same exact counts and literal
+    * TRUE bounds — a real cross-engine check that the native sketch runs
+    * and lands inside its documented error envelope.
     */
   val qApproxDistinct: Q = Q("q_approx_distinct", (s, dir) => {
     Tables.t(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_suppkey")).as("approx_supps"))
-  }, None)
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      countDistinct(col("l_suppkey")).as("exact_supps"),
+      approx_count_distinct(col("l_partkey")).as("a_parts"),
+      approx_count_distinct(col("l_suppkey")).as("a_supps"))
+      .select(col("exact_parts"), col("exact_supps"),
+        (abs(col("a_parts") - col("exact_parts")) * 100 <= col("exact_parts") * 15)
+          .as("parts_within_15pct"),
+        (abs(col("a_supps") - col("exact_supps")) * 100 <= col("exact_supps") * 15)
+          .as("supps_within_15pct"))
+  }, Some("""SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+      count(DISTINCT l_suppkey)::BIGINT AS exact_supps,
+      TRUE AS parts_within_15pct, TRUE AS supps_within_15pct
+    FROM lineitem"""))
 
   /** TPC-H Q1-style pricing summary: partial+final hash aggregation, 6
     * aggregates over one scan, filter pushed to parquet.
@@ -1047,7 +1064,6 @@ object Analytics {
     * customer key; pure integer arithmetic.
     */
   val qGapsIslands: Q = Q("q_gaps_islands", (s, dir) => {
-    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     Tables.t(s, dir, "orders").filter(col("o_custkey") < 30)
       .select(col("o_custkey").cast("bigint").as("custkey"),
         col("o_orderkey").cast("bigint").as("k"))
@@ -1088,8 +1104,12 @@ object Analytics {
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val updates = base.filter(col("k") % 10 === 0)
       .select(col("k"), lit("X").as("status"), (col("cents") + 10000L).as("cents"))
+    // insert keys offset ABOVE the o_orderkey domain at any SF (orderkey
+    // max is SF·6M, custkey max SF·150k — 10^12 clears both to SF 10^5+);
+    // a colliding synthetic key would duplicate merge keys and fan out
+    // the full-outer join (ADVICE r3)
     val inserts = Tables.t(s, dir, "customer").filter(col("c_custkey") % 30 === 0)
-      .select((col("c_custkey").cast("bigint") + 2000000L).as("k"),
+      .select((col("c_custkey").cast("bigint") + 1000000000000L).as("k"),
         lit("N").as("status"), lit(100L).as("cents"))
     val changes = updates.union(inserts)
       .select(col("k").as("ck"), col("status").as("cstatus"), col("cents").as("ccents"))
@@ -1107,7 +1127,7 @@ object Analytics {
       SELECT k AS ck, 'X' AS cstatus, cents + 10000 AS ccents
       FROM base WHERE k % 10 = 0
       UNION ALL
-      SELECT CAST(c_custkey AS BIGINT) + 2000000, 'N', 100
+      SELECT CAST(c_custkey AS BIGINT) + 1000000000000, 'N', 100
       FROM customer WHERE c_custkey % 30 = 0),
     merged AS (SELECT coalesce(cstatus, status) AS status,
         coalesce(ccents, cents) AS cents

@@ -48,7 +48,7 @@ object Series {
       SELECT event_type, epoch_us(ts) // 3600000000 AS h,
         CAST(round(value * 100) AS BIGINT) AS cents
       FROM events),
-    hd AS (SELECT event_type, h, sum(cents) // count(*) AS c
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
       FROM e GROUP BY event_type, h),
     nb AS (SELECT event_type, h, c,
         lag(c) OVER w AS pc, lead(c) OVER w AS nc
@@ -286,8 +286,8 @@ object Series {
         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS brk
       FROM g),
     sid AS (SELECT *,
-        sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM b)
     SELECT user_id, session_id, count(*)::BIGINT AS n_events,
       min(ts_us) AS start_us, max(ts_us) AS end_us,
@@ -536,9 +536,9 @@ object Series {
       FROM hd JOIN m USING (event_type)
       WINDOW w AS (PARTITION BY hd.event_type ORDER BY hd.h))
     SELECT event_type, max(n_hours) AS n_hours,
-      10000 * sum(dev * d1) // nullif(sum(dev * dev), 0) AS acf1_bp,
-      10000 * sum(dev * d2) // nullif(sum(dev * dev), 0) AS acf2_bp,
-      10000 * sum(dev * d3) // nullif(sum(dev * dev), 0) AS acf3_bp
+      CAST(10000 * sum(dev * d1) // nullif(sum(dev * dev), 0) AS BIGINT) AS acf1_bp,
+      CAST(10000 * sum(dev * d2) // nullif(sum(dev * dev), 0) AS BIGINT) AS acf2_bp,
+      CAST(10000 * sum(dev * d3) // nullif(sum(dev * dev), 0) AS BIGINT) AS acf3_bp
     FROM d GROUP BY event_type ORDER BY event_type"""))
 
   /** Rolling least-squares TREND per user: the OLS slope of cent values
@@ -579,7 +579,7 @@ object Series {
       WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
         ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
     SELECT user_id, event_id, w::BIGINT AS n_window,
-      10000 * (w * sxy - sx * sy) // nullif(w * sxx - sx * sx, 0) AS slope_e4
+      CAST(10000 * (w * sxy - sx * sy) // nullif(w * sxx - sx * sx, 0) AS BIGINT) AS slope_e4
     FROM f ORDER BY user_id, event_id"""))
 
   /** Holt double-exponential smoothing (level + trend) per user, in PURE
@@ -602,6 +602,9 @@ object Series {
       .agg(count(lit(1)).as("n_points"),
         expr("""transform(array_sort(collect_list(struct(ts_us, event_id, y))),
             s -> s.y)""").as("ys"))
+      // loud domain gate on the packed-fold input (ADVICE r3): values
+      // outside the encodable cents box raise instead of mis-packing
+      .withColumn("ys", expr(graft.ops.Series.holtGuardSql("ys")))
       .withColumn("fin", expr(
         s"aggregate(slice(ys, 2, size(ys) - 1), element_at(ys, 1), (acc, x) -> $step)"))
       .select(col("user_id"), col("n_points"),
@@ -660,15 +663,15 @@ object Series {
       SELECT event_type, epoch_us(ts) // 3600000000 AS h,
         CAST(round(value * 100) AS BIGINT) AS cents
       FROM events),
-    hd AS (SELECT event_type, h, sum(cents) // count(*) AS y
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS y
       FROM e GROUP BY event_type, h),
     t AS (SELECT event_type, h, y,
-        sum(y) OVER w // count(*) OVER w AS trend
+        CAST(sum(y) OVER w // count(*) OVER w AS BIGINT) AS trend
       FROM hd
       WINDOW w AS (PARTITION BY event_type ORDER BY h
         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
     d AS (SELECT *, y - trend AS det, h % 24 AS hod FROM t),
-    se AS (SELECT event_type, hod, sum(det) // count(*) AS seasonal
+    se AS (SELECT event_type, hod, CAST(sum(det) // count(*) AS BIGINT) AS seasonal
       FROM d GROUP BY event_type, hod)
     SELECT d.event_type, d.h, d.y, d.trend, se.seasonal,
       d.det - se.seasonal AS resid

@@ -25,7 +25,7 @@ object Similarity {
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
-    embedRotateSq8)
+    embedRotateSq8, hybridRrf)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -953,8 +953,12 @@ object Similarity {
     * rrf = Σ 10^8 DIV (60 + rank) — the standard k=60 RRF in pure
     * integers over the ranks. Both input rankings break float ties with
     * round(,6)+id (house rule), so rank vectors — and therefore the
-    * fused scores — are bit-exact cross-engine. Fusion itself is a full
-    * outer join of two 50-row relations: free at any corpus size.
+    * fused scores — are bit-exact cross-engine. Each top-50 is taken by
+    * orderBy+limit (TakeOrderedAndProject — distributed per-partition
+    * top-k, no data-sized global window); the rank numbers are then a
+    * window over the 50 survivors only (GlobalWindowGuard-clean: Limit
+    * below the window is provably small). Fusion itself is a full outer
+    * join of two 50-row relations: free at any corpus size.
     */
   val hybridRrf: Q = Q("hybrid_rrf", (s, dir) => {
     val terms = Seq("spark", "join", "window")
@@ -971,20 +975,23 @@ object Similarity {
       s"ln(1 + (n - df_$q + 0.5) / (df_$q + 0.5)) * (tf_$q * 2.2) / (tf_$q + 1.2 * (0.25 + 0.75 * dl / avgdl))")
       .mkString(" + ")
     val wTxt = org.apache.spark.sql.expressions.Window
-      .orderBy(expr("round(score, 6)").desc, col("doc_id").asc)
+      .orderBy(col("skey").desc, col("doc_id").asc)
     val txt = t.crossJoin(broadcast(stats)).withColumn("score", expr(scoreSql))
+      .withColumn("skey", expr("round(score, 6)"))
+      .orderBy(col("skey").desc, col("doc_id").asc).limit(50)
       .withColumn("rank_text", row_number().over(wTxt).cast("bigint"))
-      .filter(col("rank_text") <= 50).select(col("doc_id"), col("rank_text"))
+      .select(col("doc_id"), col("rank_text"))
 
     val n = normed(s, dir)
     val q7 = n.filter(col("vec_id") === 7)
       .select(col("emb").as("qe"), col("nrm").as("qn"))
     val wVec = org.apache.spark.sql.expressions.Window
-      .orderBy(expr("round(sim, 6)").desc, col("vec_id").asc)
+      .orderBy(col("simkey").desc, col("vec_id").asc)
     val vec = n.filter(col("vec_id") =!= 7).crossJoin(broadcast(q7))
       .withColumn("sim", dotD(col("emb"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("simkey", expr("round(sim, 6)"))
+      .orderBy(col("simkey").desc, col("vec_id").asc).limit(50)
       .withColumn("rank_vec", row_number().over(wVec).cast("bigint"))
-      .filter(col("rank_vec") <= 50)
       .select(col("vec_id").as("doc_id"), col("rank_vec"))
 
     txt.join(vec, Seq("doc_id"), "full_outer")

@@ -90,4 +90,21 @@ object ProtocolIngest {
     import spark.implicits._
     bodies.flatMap(b => handle(mode)(graft.parsers.PrompbParser.parseSnappyBody(b)))
   }
+
+  /** The InfluxDB protocol version the line-protocol ingest speaks
+    * (catalyser/influxdb.go:17-18).
+    */
+  val InfluxDBVersion = "1.4.x"
+
+  /** A33: the influx `/ping` liveness answer (catalyser/influxdb.go:53-57)
+    * — 204 No Content, the fixed supported-version header, and the
+    * request's txn id echoed back. Pure data: the serving layer maps it
+    * onto whatever HTTP framework fronts the ingest.
+    */
+  final case class PingResponse(status: Int, headers: Map[String, String])
+
+  def influxPing(txnId: String): PingResponse =
+    PingResponse(204, Map(
+      "X-Influxdb-Version" -> InfluxDBVersion,
+      "Request-Id" -> txnId))
 }

@@ -29,7 +29,16 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             sdf = con.sql(f"SELECT * FROM '{spark_glob}'").fetchdf()
-            ddf = con.sql(oracle[name]).fetchdf()
+            rel = con.sql(oracle[name])
+            # HUGEINT/UHUGEINT oracle output columns hash differently in the
+            # driver than BIGINT even when values are identical (round-3
+            # postmortem): sum()/"//" promote silently — force a CAST.
+            wide = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                    if "HUGEINT" in str(t).upper()]
+            if wide:
+                print(f"FAIL {name}: HUGEINT oracle columns (CAST to BIGINT): {wide}")
+                n_fail += 1; continue
+            ddf = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:300]}"); n_fail += 1; continue
         scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
