@@ -263,6 +263,13 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("v").as("lo"), col("d").as("dlo")), "lo")
       .join(deg.select(col("v").as("hi"), col("d").as("dhi")), "hi")
+      // degree-1 endpoints can't close a triangle: cut their edges here
+      // (free — degrees are already joined). Long-tail graphs are
+      // leaf-heavy, so this trims the wedge-join input AND the closure
+      // build side; every triangle edge survives (all three endpoints
+      // have degree ≥ 2), and orientation below still uses the ORIGINAL
+      // degrees — any fixed total order stays correct.
+      .filter(col("dlo") >= 2 && col("dhi") >= 2)
     // (degree, id) is a total order, so each undirected edge gets exactly
     // one direction; carry the HEAD's degree for the wedge ordering below
     val oriented = withDeg.select(
