@@ -129,6 +129,33 @@ object Text {
         range(1, greatest(len($ghExpr) - ${win - 1}, 0) + 1),
         i -> list_min(($ghExpr)[i:i+${win - 1}])))"""
 
+  /** POSITIONAL k-gram hash index: one (key, p, gh) row per k-gram,
+    * p = 0-based gram start — the inverted-index substrate of span-level
+    * exact-substring deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22 — public; their suffix
+    * array finds maximal repeated substrings, relationally the same
+    * spans are maximal runs on matching DIAGONALS of the k-gram
+    * dotplot). Same hoisted-gram-hash shape as [[winnowFingerprints]]
+    * (each md5 computed once, descending-sequence guard), plus the
+    * position carried through posexplode.
+    *
+    * `wordsCol` must name an ARRAY<STRING> column.
+    */
+  def gramPositionIndex(
+      df: DataFrame,
+      keyCol: String,
+      wordsCol: String,
+      k: Int): DataFrame = {
+    graft.expressions.Md5Hash60.register(df.sparkSession)
+    df.withColumn("_graft_gh", expr(
+        s"""CASE WHEN size($wordsCol) >= $k THEN transform(
+            sequence(1, size($wordsCol) - ${k - 1}),
+            j -> graft_h60(concat_ws(' ', slice($wordsCol, j, $k))))
+          ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .select(col(keyCol), posexplode(col("_graft_gh")).as(Seq("p", "gh")))
+      .withColumn("p", col("p").cast("bigint"))
+  }
+
   // ---- BPE merge training (byte-pair encoding over word-ish symbols) ----
   //
   // A BPE round = count adjacent symbol pairs, pick the most frequent

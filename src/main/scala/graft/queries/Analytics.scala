@@ -43,7 +43,7 @@ object Analytics {
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
-    qMergeUpsert, qGapsIslands)
+    qMergeUpsert, qGapsIslands, qAsofTolerance)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1055,6 +1055,50 @@ object Analytics {
     FROM events e JOIN orders o
       ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
     WHERE e.user_id < 30) WHERE rn = 1 ORDER BY event_id"""))
+
+  /** As-of join with a TOLERANCE bound (pandas merge_asof's `tolerance`,
+    * kdb wj's window): the latest prior order only counts if it is no
+    * staler than the bound; events whose nearest match is too old keep a
+    * NULL — the semantics market-data and sensor joins need ("last quote,
+    * but not if it's an hour old"). Same scale shape as [[qAsofJoin]]
+    * (equi-join on the key + range predicate + row_number pick — the
+    * tolerance predicate prunes the join INPUT, so it's cheaper, never
+    * wider), then a left join back onto the events keeps the misses.
+    * Tolerance 8400 days splits this corpus's synthetic time bases near
+    * the median staleness, so both branches are genuinely exercised.
+    */
+  val qAsofTolerance: Q = Q("q_asof_tolerance", (s, dir) => {
+    val TolUs = 8400L * 86400000000L
+    val e = Tables.events(s, dir).filter(col("user_id") < 30)
+      .select("event_id", "user_id", "ts_us")
+    val o = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), epochUs(col("o_orderdate")).as("o_date_us"))
+    val w = Window.partitionBy("event_id").orderBy(desc("o_date_us"), desc("o_orderkey"))
+    val matched = e.join(o, e("user_id") === o("o_custkey")
+        && o("o_date_us") <= e("ts_us")
+        && e("ts_us") - o("o_date_us") <= TolUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id").as("m_eid"), col("o_orderkey"), col("o_date_us"))
+    e.join(matched, col("event_id") === col("m_eid"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_date_us"), col("o_orderkey").isNotNull.as("matched"))
+      .orderBy("event_id")
+  }, Some("""WITH m AS (
+      SELECT event_id AS m_eid, o_orderkey, o_date_us FROM (
+        SELECT e.event_id, o.o_orderkey, epoch_us(o.o_orderdate) AS o_date_us,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id
+          AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+          AND epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 725760000000000
+        WHERE e.user_id < 30) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, m.o_orderkey, m.o_date_us,
+      m.o_orderkey IS NOT NULL AS matched
+    FROM events e LEFT JOIN m ON m.m_eid = e.event_id
+    WHERE e.user_id < 30
+    ORDER BY e.event_id"""))
 
   /** Gaps-and-islands over each customer's order-key sequence — the
     * classic "collapse consecutive ids into ranges" warehouse pattern

@@ -27,7 +27,7 @@ object Dedup {
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
     dedupClusters, hashSplit, decontaminate, dedupIncremental,
     pipelineTrainingSet, pipelineEvalSet, dedupCrossSource,
-    minhashContainment)
+    minhashContainment, dedupMaxSpan)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -499,4 +499,66 @@ object Dedup {
       WHERE sa.source <> sb.source)
     SELECT src_a, src_b, count(*)::BIGINT AS n_pairs FROM sp
     GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
+
+  /** MAXIMAL shared-span detection — the relational form of
+    * exact-substring training-data dedup (Lee et al., ACL'22: suffix
+    * arrays find verbatim repeated spans that document-level near-dup
+    * scoring under-weighs; a 60-token boilerplate block inside two
+    * otherwise-different documents is invisible to whole-doc Jaccard
+    * but is exactly what substring dedup removes). Relationally: a
+    * positional 5-gram inverted index ([[graft.ops.Text.gramPositionIndex]]),
+    * matches between two documents lie on DIAGONALS (pa − pb constant)
+    * of their k-gram dotplot, and a maximal shared span is a maximal
+    * run of consecutive positions on one diagonal — found with the
+    * gaps-and-islands trick (pa − row_number() constant per run), no
+    * per-pair alignment loop. Grams occurring in &gt; 50 positions are
+    * cut first (boilerplate/hot-gram cap — the standard bound that
+    * keeps the inverted-index self-join from exploding at corpus
+    * scale). Output: every ≥ 8-token maximal shared span with both
+    * start offsets. Shape: one gram-frequency window, one equi-join on
+    * the gram hash, one partitioned islands window — all keyed
+    * shuffles, never all-pairs.
+    */
+  val dedupMaxSpan: Q = Q("dedup_max_span", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+    val idx = graft.ops.Text.gramPositionIndex(docs, "doc_id", "w", k)
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("n_occ") <= 50)
+    val a = idx.select(col("doc_id").as("da"), col("p").as("pa"), col("gh"))
+    val b = idx.select(col("doc_id").as("db"), col("p").as("pb"), col("gh"))
+    val m = a.join(b, "gh").filter(col("da") < col("db"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val runs = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    m.withColumn("isl", col("pa") - row_number().over(runs))
+      .groupBy("da", "db", "diag", "isl")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= (k - 1) + 4)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("start_a"), col("start_b"), col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    jd AS (SELECT doc_id, w,
+        unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS j
+      FROM d),
+    g AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p,
+        CAST('0x' || substr(md5(list_aggregate(w[j:j+4], 'string_agg', ' ')), 1, 15) AS BIGINT) AS gh
+      FROM jd),
+    f AS (SELECT * FROM g QUALIFY count(*) OVER (PARTITION BY gh) <= 50),
+    m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb,
+        a.p - b.p AS diag
+      FROM f a JOIN f b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+    i AS (SELECT *,
+        pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS isl
+      FROM m)
+    SELECT da AS doc_a, db AS doc_b, min(pa) AS start_a, min(pb) AS start_b,
+      CAST(count(*) + 4 AS BIGINT) AS span_tokens
+    FROM i GROUP BY da, db, diag, isl
+    HAVING count(*) + 4 >= 8
+    ORDER BY doc_a, doc_b, start_a, start_b"""))
 }
