@@ -1112,24 +1112,32 @@ object Similarity {
     val c0 = dim.join(broadcast(mn), "i")
       .select(col("vec_id"), col("i"), (col("x") - col("mi")).as("dv"))
       .persist()
-    val cov = c0.select(col("vec_id"), col("i"), col("dv"))
+    // ONE data-sized pass builds the Gram matrix; everything after is
+    // bounded by DIMENSION², not data — collect the dim×dim covariance
+    // to the driver (64² = 4,096 longs; the "model", same size class as
+    // broadcast centroids) and run the power iteration locally in the
+    // IDENTICAL Long arithmetic (Spark DIV and Java / both truncate
+    // toward zero; Long multiply wraps identically to bigint). The
+    // previous 6 localCheckpoint'd jobs over a 4,096-row table were
+    // pure scheduling overhead — ~2 s/query at sf0.1, worse on a busy
+    // cluster scheduler; the oracle CTE chain is unchanged and results
+    // stay bit-exact.
+    val covRows = c0.select(col("vec_id"), col("i"), col("dv"))
       .join(c0.select(col("vec_id"), col("i").as("j"), col("dv").as("dw")), "vec_id")
       .groupBy("i", "j").agg(expr("sum(dv * dw) DIV count(1)").as("c"))
-      .persist()
-    var v: DataFrame = cov.select(col("i")).distinct()
-      .select(col("i"), lit(pcaVScale).as("v"))
-    var it = 0
-    while (it < pcaIters) {
-      val w = cov.join(v.select(col("i").as("j"), col("v")), "j")
-        .groupBy("i").agg(sum(expr("c * v")).as("w"))
-      val mw = w.agg(max(abs(col("w"))).as("mw"))
-      v = w.crossJoin(broadcast(mw))
-        .select(col("i"),
-          expr(s"coalesce(w * $pcaVScale DIV nullif(mw, 0), 0)").as("v"))
-        .localCheckpoint(true)
-      it += 1
+      .collect()
+    c0.unpersist()
+    val dims = covRows.map(_.getLong(0)).distinct.sorted
+    val cov = covRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var vm: Map[Long, Long] = dims.map(_ -> pcaVScale).toMap
+    for (_ <- 0 until pcaIters) {
+      val w = dims.map(i =>
+        i -> dims.map(j => cov.getOrElse((i, j), 0L) * vm(j)).sum).toMap
+      val mw = w.valuesIterator.map(math.abs).max
+      vm = dims.map(i => i -> (if (mw == 0) 0L else w(i) * pcaVScale / mw)).toMap
     }
-    c0.unpersist(); cov.unpersist()
+    import s.implicits._
+    val v = dims.map(i => (i, vm(i))).toSeq.toDF("i", "v")
     (dim, mn, v)
   }
 
