@@ -43,7 +43,7 @@ object Analytics {
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
-    qMergeUpsert, qGapsIslands, qAsofTolerance)
+    qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1178,6 +1178,46 @@ object Analytics {
       FROM base FULL OUTER JOIN changes ON base.k = changes.ck)
     SELECT status, count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS sum_cents
     FROM merged GROUP BY status ORDER BY status"""))
+
+  /** Market-basket co-occurrence with lift — the association-rule
+    * primitive (Agrawal & Srikant's Apriori setting, VLDB'94 — public;
+    * here the pair-support + lift readout, which is the part a
+    * warehouse actually materializes): parts ordered together, scored
+    * by lift = P(a,b) ⁄ (P(a)·P(b)) in integer basis points. Pair
+    * generation is a self-join CO-PARTITIONED on the order key, so the
+    * blow-up is bounded by basket size (≤ items²/2 per order — TPC-H
+    * baskets are ≤ 13 items; a production run would cap giant baskets
+    * first), never corpus²; part supports are a dimension-sized
+    * broadcast; top-20 by (support, lift) is TakeOrderedAndProject.
+    */
+  val qBasketPairs: Q = Q("basket_pairs", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val supp = li.groupBy("pk").agg(count(lit(1)).as("n_p"))
+    val tot = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val a = li.select(col("ok"), col("pk").as("pa"))
+    val b = li.select(col("ok"), col("pk").as("pb"))
+    a.join(b, "ok").filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(supp.select(col("pk").as("pa"), col("n_p").as("n_a"))), "pa")
+      .join(broadcast(supp.select(col("pk").as("pb"), col("n_p").as("n_b"))), "pb")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_bp", expr("n_ab * n_orders * 10000 DIV (n_a * n_b)"))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_bp"))
+      .orderBy(col("n_ab").desc, col("lift_bp").desc, col("pa"), col("pb"))
+      .limit(20)
+  }, Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem),
+    sp AS (SELECT pk, count(*)::BIGINT AS n_p FROM li GROUP BY pk),
+    tot AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
+    pr AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n_ab
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2)
+    SELECT pa, pb, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+      CAST(n_ab * n_orders * 10000 // (sa.n_p * sb.n_p) AS BIGINT) AS lift_bp
+    FROM pr JOIN sp sa ON sa.pk = pr.pa JOIN sp sb ON sb.pk = pr.pb, tot
+    ORDER BY n_ab DESC, lift_bp DESC, pa, pb LIMIT 20"""))
 
   /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
     * each other instead of vanishing — the semantics CDC merge keys and

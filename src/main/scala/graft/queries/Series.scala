@@ -15,7 +15,50 @@ object Series {
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
-    tsAnomalyAgreement, tsPeakDetect)
+    tsAnomalyAgreement, tsPeakDetect, tsSloBurn)
+
+  /** Multi-window error-budget burn-rate monitor (the SRE-workbook
+    * alerting pattern — public: alert when BOTH a fast and a slow
+    * window burn hot, so spikes page quickly but blips don't):
+    * per-hour error fraction of the event stream against a 20% error
+    * budget, burn = rate ÷ budget in integer basis points (10000 =
+    * exactly consuming budget), the 6-hour trailing burn from one
+    * window sum, `page` = fast ≥ 2× AND slow ≥ 1.5×, `ticket` = slow ≥
+    * 1×. All integer floor division — nothing to diverge cross-engine.
+    * Scale shape: the data-sized pass is ONE partial-aggregated
+    * groupBy onto the hour grid (bounded by the time range, not the
+    * volume); the trailing window runs on that grid — the sanctioned
+    * global-window-over-Aggregate shape.
+    */
+  val tsSloBurn: Q = Q("ts_slo_burn", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.events(s, dir)
+      .groupBy(expr("ts_us DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"))
+    val w6 = Window.orderBy("h").rowsBetween(-5, Window.currentRow)
+    h.withColumn("n6", sum("n").over(w6))
+      .withColumn("ne6", sum("ne").over(w6))
+      // burn_bp = (ne/n) / 0.20 in bp = ne·50000 DIV n
+      .select(col("h"), col("n"), col("ne"),
+        expr("ne * 50000 DIV n").as("burn1_bp"),
+        expr("ne6 * 50000 DIV n6").as("burn6_bp"))
+      .withColumn("page", col("burn1_bp") >= 20000 && col("burn6_bp") >= 15000)
+      .withColumn("ticket", col("burn6_bp") >= 10000)
+      .orderBy("h")
+  }, Some("""WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS n,
+        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS ne
+      FROM events GROUP BY 1),
+    r AS (SELECT h, n, ne,
+        sum(n) OVER w AS n6, sum(ne) OVER w AS ne6
+      FROM h WINDOW w AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT h, n, ne,
+      CAST(ne * 50000 // n AS BIGINT) AS burn1_bp,
+      CAST(ne6 * 50000 // n6 AS BIGINT) AS burn6_bp,
+      (ne * 50000 // n >= 20000) AND (ne6 * 50000 // n6 >= 15000) AS page,
+      ne6 * 50000 // n6 >= 10000 AS ticket
+    FROM r ORDER BY h"""))
 
   /** Prominence-gated peak detection on each event type's hourly series:
     * a peak is a strict local maximum over its ±1 neighbors whose
