@@ -43,7 +43,7 @@ object Analytics {
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
-    qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs)
+    qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1218,6 +1218,69 @@ object Analytics {
       CAST(n_ab * n_orders * 10000 // (sa.n_p * sb.n_p) AS BIGINT) AS lift_bp
     FROM pr JOIN sp sa ON sa.pk = pr.pa JOIN sp sb ON sb.pk = pr.pb, tot
     ORDER BY n_ab DESC, lift_bp DESC, pa, pb LIMIT 20"""))
+
+  /** Clamped running stock balance per part — the warehouse fold a
+    * window sum CANNOT express: balance_t = max(0, balance_{t−1} + Δ_t)
+    * (stock can't go negative; returns restock, shipments draw down) is
+    * NON-LINEAR in the prefix, so it needs a true sequential fold, not
+    * a prefix sum. Runs as the house sorted-fold shape (collect →
+    * array_sort → aggregate with a SCALAR bigint accumulator — the
+    * DuckDB-safe state class), one shuffle on the part key, linear per
+    * part inside the aggregate. Deltas: returnflag 'R' restocks
+    * +quantity, anything else ships −quantity, ordered by (shipdate,
+    * orderkey, linenumber). Output: final balance, peak balance (a
+    * second fold packing (balance, peak) into one offset bigint would
+    * also work — here peak is folded separately to keep both scalar),
+    * move count and gross in/out.
+    */
+  val qClampedBalance: Q = Q("warehouse_clamped_balance", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem").filter(col("l_partkey") < 200)
+      .select(col("l_partkey").as("pk"),
+        epochUs(col("l_shipdate")).as("sd"), col("l_orderkey").as("ok"),
+        col("l_linenumber").cast("bigint").as("ln"),
+        expr("""CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+                ELSE -CAST(l_quantity AS BIGINT) END""").as("delta"))
+    li.groupBy("pk")
+      .agg(count(lit(1)).as("n_moves"),
+        sum(when(col("delta") > 0, col("delta")).otherwise(0L)).as("gross_in"),
+        sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).as("gross_out"),
+        expr("""transform(array_sort(collect_list(struct(sd, ok, ln, delta))),
+            s -> s.delta)""").as("ds"))
+      .select(col("pk").as("partkey"), col("n_moves"), col("gross_in"),
+        col("gross_out"),
+        expr("aggregate(ds, 0L, (acc, x) -> greatest(0L, acc + x))").as("final_balance"),
+        expr("""aggregate(ds, named_struct('b', 0L, 'p', 0L),
+            (acc, x) -> named_struct(
+              'b', greatest(0L, acc.b + x),
+              'p', greatest(acc.p, greatest(0L, acc.b + x))), acc -> acc.p)""")
+          .as("peak_balance"))
+      .orderBy("partkey")
+  }, Some("""WITH li AS (
+      SELECT l_partkey AS pk, epoch_us(l_shipdate) AS sd, l_orderkey AS ok,
+        CAST(l_linenumber AS BIGINT) AS ln,
+        CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+             ELSE -CAST(l_quantity AS BIGINT) END AS delta
+      FROM lineitem WHERE l_partkey < 200),
+    g AS (SELECT pk AS partkey, count(*)::BIGINT AS n_moves,
+        CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS gross_in,
+        CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) AS BIGINT) AS gross_out,
+        list(delta ORDER BY sd, ok, ln) AS ds
+      FROM li GROUP BY pk)
+    SELECT partkey, n_moves, gross_in, gross_out,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+        (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)) AS final_balance,
+      -- (balance, peak) packed into ONE offset bigint: DuckDB 1.0
+      -- list_reduce miscompiles STRUCT accumulators (repo gotcha), and
+      -- balances here are bounded by gross_in <= ~1e6 << 2^30
+      (list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+        (acc, x) -> greatest(CAST(0 AS BIGINT), (acc % 1073741824) + x)
+          + (acc // 1073741824) * 1073741824
+          + CASE WHEN greatest(CAST(0 AS BIGINT), (acc % 1073741824) + x)
+                      > acc // 1073741824
+            THEN (greatest(CAST(0 AS BIGINT), (acc % 1073741824) + x)
+                  - acc // 1073741824) * 1073741824
+            ELSE 0 END)) // 1073741824 AS peak_balance
+    FROM g ORDER BY partkey"""))
 
   /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
     * each other instead of vanishing — the semantics CDC merge keys and

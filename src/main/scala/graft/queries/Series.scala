@@ -15,7 +15,135 @@ object Series {
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
-    tsAnomalyAgreement, tsPeakDetect, tsSloBurn)
+    tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr)
+
+  /** Theil–Sen robust trend per event type (Theil '50 / Sen '68 —
+    * public): the MEDIAN of all pairwise slopes of the hourly-mean
+    * series, in PURE INTEGER fixed point — slope_e4 = Δc·10⁴ DIV Δh per
+    * pair (both engines truncate toward zero, negatives included), and
+    * the median picked by the rank-window trick (lower/upper middle by
+    * row_number, floor-averaged) rather than an interpolating quantile,
+    * so nothing floats. Breakdown point 29% — the trend estimate OLS
+    * ([[tsRollingSlope]]) can't give under outliers. Scale: the pair
+    * join is per-series over the HOURLY GRID (bounded by the time
+    * range, not event volume) — the classical O(grid²) Theil–Sen bound;
+    * everything is keyed on event_type.
+    */
+  val tsTheilSen: Q = Q("ts_theil_sen", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val a = hourly.select(col("event_type"), col("h").as("ha"), col("c").as("ca"))
+    val b = hourly.select(col("event_type"), col("h").as("hb"), col("c").as("cb"))
+    val slopes = a.join(b, "event_type").filter(col("ha") < col("hb"))
+      .select(col("event_type"),
+        expr("(cb - ca) * 10000 DIV (hb - ha)").as("sl"))
+    val w = Window.partitionBy("event_type").orderBy("sl")
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n_pairs"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("sl"))).as("m1"),
+        max(when(col("rn") === expr("n DIV 2 + 1"), col("sl"))).as("m2"))
+      .select(col("event_type"), col("n_pairs"),
+        expr("(m1 + m2) DIV 2").as("theil_sen_e4"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    sl AS (SELECT a.event_type,
+        CAST((b.c - a.c) * 10000 // (b.h - a.h) AS BIGINT) AS sl
+      FROM hd a JOIN hd b ON a.event_type = b.event_type AND a.h < b.h),
+    r AS (SELECT event_type, sl,
+        row_number() OVER (PARTITION BY event_type ORDER BY sl) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM sl)
+    SELECT event_type, max(n)::BIGINT AS n_pairs,
+      CAST((max(CASE WHEN rn = (n + 1) // 2 THEN sl END)
+          + max(CASE WHEN rn = n // 2 + 1 THEN sl END)) // 2 AS BIGINT)
+        AS theil_sen_e4
+    FROM r GROUP BY event_type ORDER BY event_type"""))
+
+  /** Lagged cross-correlation between every event-type PAIR's hourly
+    * deviation series at lags 0–2 hours — the "does B follow A"
+    * monitoring readout (deploys → errors, clicks → purchases) that
+    * [[tsAutocorr]]'s self-correlation can't answer. Deviations and
+    * their lags come from the SAME integer hourly machinery as
+    * autocorr; r_k is the cosine of the matched deviation vectors —
+    * exact bigint sums, one IEEE sqrt+division at the end (correctly
+    * rounded on both engines), rounded at 4. Pair join is keyed on the
+    * hour grid: |types|²·grid rows, bounded by the time range.
+    */
+  val tsCrossCorr: Q = Q("ts_crosscorr", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val hourly = e.groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val m = hourly.groupBy("event_type")
+      .agg(expr("sum(c) DIV count(1)").as("mean_c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val d = hourly.join(m, "event_type")
+      .withColumn("dev", col("c") - col("mean_c"))
+      .withColumn("d1", lead("dev", 1).over(w))
+      .withColumn("d2", lead("dev", 2).over(w))
+    val a = d.select(col("event_type").as("ta"), col("h"), col("dev").as("da"))
+    val b = d.select(col("event_type").as("tb"), col("h"),
+      col("dev").as("db"), col("d1").as("db1"), col("d2").as("db2"))
+    a.join(b, "h").filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(expr("da * db")).as("n0"), sum(expr("da * da")).as("saa"),
+        sum(expr("db * db")).as("sbb"),
+        sum(when(col("db1").isNotNull, expr("da * db1"))).as("n1"),
+        sum(when(col("db1").isNotNull, expr("da * da"))).as("sa1"),
+        sum(when(col("db1").isNotNull, expr("db1 * db1"))).as("sb1"),
+        sum(when(col("db2").isNotNull, expr("da * db2"))).as("n2"),
+        sum(when(col("db2").isNotNull, expr("da * da"))).as("sa2"),
+        sum(when(col("db2").isNotNull, expr("db2 * db2"))).as("sb2"))
+      .select(col("ta"), col("tb"), col("n_hours"),
+        round(expr("n0 / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))"), 4).as("r0"),
+        round(expr("n1 / sqrt(CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE))"), 4).as("r1"),
+        round(expr("n2 / sqrt(CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE))"), 4).as("r2"))
+      .orderBy("ta", "tb")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    m AS (SELECT event_type, CAST(sum(c) // count(*) AS BIGINT) AS mean_c
+      FROM hd GROUP BY event_type),
+    d AS (SELECT hd.event_type, hd.h, hd.c - m.mean_c AS dev,
+        lead(hd.c - m.mean_c, 1) OVER w AS d1,
+        lead(hd.c - m.mean_c, 2) OVER w AS d2
+      FROM hd JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY hd.event_type ORDER BY hd.h)),
+    j AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        a.dev AS da, b.dev AS db, b.d1 AS db1, b.d2 AS db2
+      FROM d a JOIN d b ON a.h = b.h AND a.event_type < b.event_type),
+    g AS (SELECT ta, tb, count(*)::BIGINT AS n_hours,
+        CAST(sum(da * db) AS BIGINT) AS n0,
+        CAST(sum(da * da) AS BIGINT) AS saa,
+        CAST(sum(db * db) AS BIGINT) AS sbb,
+        CAST(sum(CASE WHEN db1 IS NOT NULL THEN da * db1 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN db1 IS NOT NULL THEN da * da END) AS BIGINT) AS sa1,
+        CAST(sum(CASE WHEN db1 IS NOT NULL THEN db1 * db1 END) AS BIGINT) AS sb1,
+        CAST(sum(CASE WHEN db2 IS NOT NULL THEN da * db2 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN db2 IS NOT NULL THEN da * da END) AS BIGINT) AS sa2,
+        CAST(sum(CASE WHEN db2 IS NOT NULL THEN db2 * db2 END) AS BIGINT) AS sb2
+      FROM j GROUP BY ta, tb)
+    SELECT ta, tb, n_hours,
+      round(n0 / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 4) AS r0,
+      round(n1 / sqrt(CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE)), 4) AS r1,
+      round(n2 / sqrt(CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE)), 4) AS r2
+    FROM g ORDER BY ta, tb"""))
 
   /** Multi-window error-budget burn-rate monitor (the SRE-workbook
     * alerting pattern — public: alert when BOTH a fast and a slow

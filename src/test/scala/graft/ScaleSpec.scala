@@ -269,4 +269,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .fn(spark, sf).queryExecution.executedPlan.toString
     assert(kv.contains("TakeOrderedAndProject"), s"KMV sketch must heap-select:\n$kv")
   }
+
+  test("round-4 operators plan scale-shaped: equi-joins, heap top-k, bounded windows") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    // dedup_max_span: the gram-index self-join must stay equi-keyed on
+    // the gram hash — a cartesian/BNLJ means the inverted-index keying
+    // fell out and the dotplot went all-pairs
+    val span = graft.queries.Dedup.dedupMaxSpan
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!span.contains("CartesianProduct") && !span.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay an inverted-index equi-join:\n$span")
+    assert(!span.contains("windowspecdefinition()"),
+      s"span dedup windows must be partitioned (gram hash / pair-diagonal):\n$span")
+    // basket_pairs: supports broadcast, top-20 is a heap, pair join
+    // equi-keyed on the order key
+    val bp = graft.queries.Analytics.qBasketPairs
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(bp.contains("TakeOrderedAndProject"), s"basket top-k must heap-select:\n$bp")
+    assert(!bp.contains("CartesianProduct"),
+      s"basket pair join must stay equi-keyed on the order key:\n$bp")
+    // q_asof_tolerance: same equi-join + partitioned-window shape as the
+    // plain as-of — the tolerance bound must not degrade the join
+    val tol = graft.queries.Analytics.qAsofTolerance
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!tol.contains("CartesianProduct") && !tol.contains("BroadcastNestedLoopJoin"),
+      s"tolerance as-of must stay an equi-join:\n$tol")
+    // hybrid_rrf: both rankings are distributed top-k heaps, not sorts
+    val rrf = graft.queries.Similarity.hybridRrf
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(rrf.contains("TakeOrderedAndProject"),
+      s"hybrid RRF top-50s must heap-select:\n$rrf")
+  }
 }
