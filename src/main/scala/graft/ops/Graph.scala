@@ -9,6 +9,44 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Driver-side union-find for a COUNTED-small edge set — the adaptive
+    * fast path of both components variants (the same class of move as
+    * AQE demoting a shuffle join to broadcast): an iterative distributed
+    * loop over a tiny graph is pure scheduler overhead — at LSH-candidate
+    * scale (near-dup pairs are sketch-bounded by design) the rounds cost
+    * seconds to label a few dozen edges. Path-compressed union-find with
+    * the min member id as the component label — the identical output
+    * contract, deterministic. Only taken when the caller has COUNTED the
+    * edge/vertex sets under the cutoff; the distributed loops remain the
+    * path for real graphs.
+    */
+  private def unionFindComponents(
+      s: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)],
+      singletons: Array[Long]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def add(v: Long): Unit = if (!parent.contains(v)) parent.update(v, v)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) { parent.update(x, parent(parent(x))); x = parent(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.update(ra, rb)
+    }
+    singletons.foreach(add)
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keysIterator.foreach { v =>
+      val r = find(v)
+      minOf.update(r, math.min(minOf.getOrElse(r, v), v))
+    }
+    import s.implicits._
+    parent.keysIterator.map(v => (v, minOf(find(v)))).toSeq.sorted
+      .toDF("v", "component")
+  }
+
   /** Connected components by min-label propagation, iterated to the
     * fixpoint. Input: an edge list (two long-typed columns); edges are
     * treated as UNDIRECTED. Output: (`v`, `component`) where component =
@@ -29,7 +67,8 @@ object Graph {
       edgeList: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIters: Int = 64): DataFrame = {
+      maxIters: Int = 64,
+      smallCutoff: Long = 200000L): DataFrame = {
     val s = edgeList.sparkSession
     val ckDir = s.conf.getOption("spark.graft.checkpointDir")
     ckDir.foreach(s.sparkContext.setCheckpointDir)
@@ -38,6 +77,23 @@ object Graph {
 
     val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
+    // adaptive fast path: one count over the just-persisted edges; tiny
+    // graphs are labeled on the driver (union-find), big ones fall
+    // through to the distributed loop. smallCutoff = 0 disables (tests
+    // use that to exercise the loop).
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, ShortType, ByteType)
+    val vt = edgeList.schema(srcCol).dataType
+    val integral = intTypes.contains(vt) &&
+      intTypes.contains(edgeList.schema(dstCol).dataType)
+    if (smallCutoff > 0 && integral && edges.count() <= 2 * smallCutoff) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      return unionFindComponents(s, es, Array.empty)
+        .select(col("v").cast(vt).as("v"), col("component").cast(vt).as("component"))
+    }
     var labels = break(edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")))
     // coalesce: an EMPTY edge list (no duplicates found) sums to null,
@@ -92,7 +148,8 @@ object Graph {
       edgeList: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIters: Int = 48): DataFrame = {
+      maxIters: Int = 48,
+      smallCutoff: Long = 200000L): DataFrame = {
     val s = edgeList.sparkSession
     val ckDir = s.conf.getOption("spark.graft.checkpointDir")
     ckDir.foreach(s.sparkContext.setCheckpointDir)
@@ -140,6 +197,14 @@ object Graph {
     }
 
     var edges = break(raw)
+    // adaptive fast path (see unionFindComponents): counts run over the
+    // already-materialized checkpoint, so the probe is two cheap jobs
+    if (smallCutoff > 0 && edges.count() <= smallCutoff &&
+        vertices.count() <= smallCutoff) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sing = vertices.collect().map(_.getLong(0))
+      return unionFindComponents(s, es, sing)
+    }
     var (prevSum, prevCnt) = edgeStats(edges)
     var converged = false
     var iter = 0

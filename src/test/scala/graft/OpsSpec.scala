@@ -64,7 +64,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ~511 shuffle rounds (its maxIters guard would throw), star
     // contraction must land well inside 12 alternating rounds
     val chain = (0L until 511L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = graft.ops.Graph.connectedComponentsStar(chain, maxIters = 12)
+    // smallCutoff = 0: force the distributed loop — the round-count
+    // claim is about star contraction, not the union-find fast path
+    val got = graft.ops.Graph.connectedComponentsStar(chain, maxIters = 12, smallCutoff = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 512 && got.values.forall(_ == 0L), s"bad labels: ${got.take(5)}")
   }
@@ -84,9 +86,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
       val want = parent.keys.map(v => v -> find(v)).toMap
-      val got = graft.ops.Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+      // loop forced (smallCutoff = 0) AND fast path (default): both must
+      // match the reference union-find
+      val got = graft.ops.Graph.connectedComponentsStar(edges.toDF("src", "dst"),
+          smallCutoff = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"trial $trial: $got vs $want")
+      val gotFast = graft.ops.Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotFast == want, s"trial $trial fast path: $gotFast vs $want")
     }
   }
 
@@ -269,9 +277,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val want = parent.keys.map(v => v -> find(v)).toMap
       // min-root canonicalization: find() compresses to the min id
       // because unions always point the larger root at the smaller
-      val got = graft.ops.Graph.connectedComponents(edges.toDF("src", "dst"))
+      val got = graft.ops.Graph.connectedComponents(edges.toDF("src", "dst"),
+          smallCutoff = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"trial $trial: $got vs $want")
+      val gotFast = graft.ops.Graph.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotFast == want, s"trial $trial fast path: $gotFast vs $want")
     }
   }
 
