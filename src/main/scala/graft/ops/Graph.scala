@@ -557,7 +557,8 @@ object Graph {
     * `maxIters` is a runaway guard — hitting it THROWS rather than
     * returning a non-core subgraph.
     */
-  def kcore(edgeList: DataFrame, k: Int, maxIters: Int = 64): DataFrame = {
+  def kcore(edgeList: DataFrame, k: Int, maxIters: Int = 64,
+      smallCutoff: Long = 200000L): DataFrame = {
     require(k >= 1, "k >= 1")
     val s = edgeList.sparkSession
     val ckDir = s.conf.getOption("spark.graft.checkpointDir")
@@ -567,6 +568,29 @@ object Graph {
 
     var e = break(edgeList.select(col("lo"), col("hi")))
     var prev = e.count()
+    // adaptive fast path (see unionFindComponents): the k-core is UNIQUE
+    // (peel order doesn't matter), so a counted-small edge set peels on
+    // the driver in microseconds instead of 2 scheduled jobs per round.
+    // The gate reuses the round-start count — zero extra jobs either way.
+    if (smallCutoff > 0 && prev <= smallCutoff) {
+      val vt = e.schema("lo").dataType
+      var es = e.select(col("lo").cast("long"), col("hi").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var shrunk = true
+      while (shrunk) {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+        es.foreach { case (a, b) =>
+          deg.update(a, deg.getOrElse(a, 0) + 1)
+          deg.update(b, deg.getOrElse(b, 0) + 1)
+        }
+        val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        shrunk = next.length != es.length
+        es = next
+      }
+      import s.implicits._
+      return es.toSeq.sorted.toDF("lo", "hi")
+        .select(col("lo").cast(vt).as("lo"), col("hi").cast(vt).as("hi"))
+    }
     var changed = prev > 0
     var iter = 0
     while (changed && iter < maxIters) {

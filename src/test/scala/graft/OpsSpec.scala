@@ -38,9 +38,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and there is no 3-core
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toDF("lo", "hi")
-    val core2 = graft.ops.Graph.kcore(edges, 2).collect()
+    // smallCutoff = 0 forces the distributed peel loop; the fast path is
+    // asserted right after against the same expectations
+    val core2 = graft.ops.Graph.kcore(edges, 2, smallCutoff = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(core2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val core2fast = graft.ops.Graph.kcore(edges, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core2fast == core2, "fast path must match the distributed peel")
     assert(graft.ops.Graph.kcore(edges, 3).count() == 0)
     // k=1 on a clean edge list keeps everything
     assert(graft.ops.Graph.kcore(edges, 1).count() == 5)
