@@ -257,7 +257,8 @@ object Graph {
       weightCol: String = "w",
       iters: Int = 10,
       dampingBp: Long = 8500L,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      smallCutoff: Long = 200000L): DataFrame = {
     require(iters >= 0 && dampingBp >= 0 && dampingBp <= 10000)
     val s = edgeList.sparkSession
     val ckDir = s.conf.getOption("spark.graft.checkpointDir")
@@ -275,6 +276,38 @@ object Graph {
     val n = verts.agg(count(lit(1)).as("nv"))
     val out = e.groupBy("src").agg(sum("w").as("wout")).persist()
     val ew = e.join(out, "src").persist()
+    // adaptive fast path (see unionFindComponents): the rank recurrence
+    // is pure Long arithmetic (DIV ≡ Java /, integer sums are order-free),
+    // so a counted-small graph iterates on the driver bit-identically
+    // instead of 2 scheduled jobs per round. Vertex keys stay generic.
+    if (smallCutoff > 0 && verts.count() <= smallCutoff &&
+        ew.count() <= smallCutoff) {
+      val vs = verts.collect().map(_.get(0))
+      val ewRows = ew.collect()
+        .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
+      out.unpersist(); ew.unpersist()
+      val baseL = scale / vs.length
+      var rank = scala.collection.mutable.HashMap[Any, Long](
+        vs.map(_ -> baseL).toSeq: _*)
+      for (_ <- 0 until iters) {
+        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        ewRows.foreach { case (src, dst, w, wout) =>
+          m.update(dst, m.getOrElse(dst, 0L) + rank(src) * w / wout)
+        }
+        val next = scala.collection.mutable.HashMap.empty[Any, Long]
+        vs.foreach { v =>
+          next.update(v,
+            ((10000 - dampingBp) * baseL + dampingBp * m.getOrElse(v, 0L)) / 10000)
+        }
+        rank = next
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kt = edgeList.schema(srcCol).dataType
+      return s.createDataFrame(
+        java.util.Arrays.asList(vs.map(v => Row(v, rank(v))): _*),
+        StructType(Seq(StructField("v", kt), StructField("rank", LongType))))
+    }
     val base = verts.crossJoin(broadcast(n))
       .select(col("v"), expr(s"$scale DIV nv").as("base"))
     var ranks = break(base.select(col("v"), col("base").as("rank")))
@@ -495,7 +528,8 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       iters: Int = 8,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      smallCutoff: Long = 200000L): DataFrame = {
     require(iters >= 1 && scale >= 1)
     val s = edgeList.sparkSession
     val ckDir = s.conf.getOption("spark.graft.checkpointDir")
@@ -507,6 +541,47 @@ object Graph {
       .distinct().persist()
     val verts = break(
       e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct())
+    // adaptive fast path (see unionFindComponents): each half-round is
+    // integer sums + one max + truncating division — bit-identical on
+    // the driver for a counted-small graph, vs 4 scheduled jobs/round.
+    if (smallCutoff > 0 && verts.count() <= smallCutoff &&
+        e.count() <= smallCutoff) {
+      val vs = verts.collect().map(_.get(0))
+      val es = e.collect().map(r => (r.get(0), r.get(1)))
+      e.unpersist()
+      var hubM = scala.collection.mutable.HashMap[Any, Long](
+        vs.map(_ -> scale).toSeq: _*)
+      var authM = scala.collection.mutable.HashMap.empty[Any, Long]
+      def normalize(raw: scala.collection.mutable.HashMap[Any, Long])
+          : scala.collection.mutable.HashMap[Any, Long] = {
+        val top = if (raw.isEmpty) 0L else raw.valuesIterator.max
+        val outM = scala.collection.mutable.HashMap.empty[Any, Long]
+        vs.foreach { v =>
+          outM.update(v,
+            if (top == 0L) 0L else raw.getOrElse(v, 0L) * scale / top)
+        }
+        outM
+      }
+      for (_ <- 0 until iters) {
+        val aRaw = scala.collection.mutable.HashMap.empty[Any, Long]
+        es.foreach { case (src, dst) =>
+          aRaw.update(dst, aRaw.getOrElse(dst, 0L) + hubM(src))
+        }
+        authM = normalize(aRaw)
+        val hRaw = scala.collection.mutable.HashMap.empty[Any, Long]
+        es.foreach { case (src, dst) =>
+          hRaw.update(src, hRaw.getOrElse(src, 0L) + authM(dst))
+        }
+        hubM = normalize(hRaw)
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kt = edgeList.schema(srcCol).dataType
+      return s.createDataFrame(
+        java.util.Arrays.asList(vs.map(v => Row(v, authM(v), hubM(v))): _*),
+        StructType(Seq(StructField("v", kt), StructField("auth", LongType),
+          StructField("hub", LongType))))
+    }
     var hub = verts.withColumn("h", lit(scale))
     var auth: DataFrame = null
     var it = 0

@@ -202,6 +202,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
       assert(got == r, s"parts=$parts: $got vs $r")
     }
+    // smallCutoff = 0 forces the distributed loop — both paths must hit
+    // the identical fixed point
+    val gotLoop = graft.ops.Graph.pagerank(edges.toDF("src", "dst", "w"),
+        smallCutoff = 0)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(gotLoop == r, s"distributed loop: $gotLoop vs $r")
     // rank mass sanity: never exceeds the initial mass; the teleport
     // floor (15% of base per vertex per round) survives even though the
     // dangling sink evaporates most link mass
@@ -436,6 +442,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("src", "dst")
     val got = graft.ops.Graph.hits(edges, iters = 6)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val gotLoop = graft.ops.Graph.hits(edges, iters = 6, smallCutoff = 0)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == gotLoop, s"fast path vs distributed loop: $got vs $gotLoop")
     val scale = 1000000L
     // 0 is the max hub (normalized to scale); leaves 2..4 have hub 0
     assert(got(0L)._2 == scale, s"hub: $got")
