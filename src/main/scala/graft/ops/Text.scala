@@ -135,9 +135,16 @@ object Text {
     * Data Makes Language Models Better", ACL'22 — public; their suffix
     * array finds maximal repeated substrings, relationally the same
     * spans are maximal runs on matching DIAGONALS of the k-gram
-    * dotplot). Same hoisted-gram-hash shape as [[winnowFingerprints]]
-    * (each md5 computed once, descending-sequence guard), plus the
-    * position carried through posexplode.
+    * dotplot).
+    *
+    * Unlike [[winnowFingerprints]] (which NEEDS the per-doc hash array
+    * for its window-min selection, so it pays a transform lambda), the
+    * positional index is per-ROW output — so positions explode FIRST
+    * (a cheap integer sequence; InferFiltersFromGenerate re-evaluating
+    * it is free) and each gram hashes through the codegen'd
+    * [[graft.expressions.Md5Hash60]] on its own row. Measured 9× over
+    * the lambda form: HOF lambdas run interpreted, and the whole-stage
+    * codegen span stays unbroken here.
     *
     * `wordsCol` must name an ARRAY<STRING> column.
     */
@@ -147,13 +154,12 @@ object Text {
       wordsCol: String,
       k: Int): DataFrame = {
     graft.expressions.Md5Hash60.register(df.sparkSession)
-    df.withColumn("_graft_gh", expr(
-        s"""CASE WHEN size($wordsCol) >= $k THEN transform(
-            sequence(1, size($wordsCol) - ${k - 1}),
-            j -> graft_h60(concat_ws(' ', slice($wordsCol, j, $k))))
-          ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
-      .select(col(keyCol), posexplode(col("_graft_gh")).as(Seq("p", "gh")))
-      .withColumn("p", col("p").cast("bigint"))
+    df.filter(expr(s"size($wordsCol) >= $k"))
+      .select(col(keyCol), col(wordsCol),
+        posexplode(expr(s"sequence(1, size($wordsCol) - ${k - 1})"))
+          .as(Seq("p", "_j")))
+      .select(col(keyCol), col("p").cast("bigint").as("p"),
+        expr(s"graft_h60(concat_ws(' ', slice($wordsCol, _j, $k)))").as("gh"))
   }
 
   // ---- BPE merge training (byte-pair encoding over word-ish symbols) ----

@@ -1191,8 +1191,11 @@ object Analytics {
     * broadcast; top-20 by (support, lift) is TakeOrderedAndProject.
     */
   val qBasketPairs: Q = Q("basket_pairs", (s, dir) => {
+    // persisted: the distinct basket relation feeds four consumers
+    // (both self-join sides, supports, order count)
     val li = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .persist()
     val supp = li.groupBy("pk").agg(count(lit(1)).as("n_p"))
     val tot = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
     val a = li.select(col("ok"), col("pk").as("pa"))

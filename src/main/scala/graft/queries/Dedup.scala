@@ -524,9 +524,12 @@ object Dedup {
     val k = 5
     val docs = Tables.t(s, dir, "documents")
       .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+    // persisted: BOTH sides of the dotplot self-join read it — without
+    // the cache the gram hashing (one md5 per k-gram) runs twice
     val idx = graft.ops.Text.gramPositionIndex(docs, "doc_id", "w", k)
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gh")))
       .filter(col("n_occ") <= 50)
+      .persist()
     val a = idx.select(col("doc_id").as("da"), col("p").as("pa"), col("gh"))
     val b = idx.select(col("doc_id").as("db"), col("p").as("pb"), col("gh"))
     val m = a.join(b, "gh").filter(col("da") < col("db"))
