@@ -27,7 +27,7 @@ object Dedup {
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
     dedupClusters, hashSplit, decontaminate, dedupIncremental,
     pipelineTrainingSet, pipelineEvalSet, dedupCrossSource,
-    minhashContainment, dedupMaxSpan)
+    minhashContainment, dedupMaxSpan, dedupSpanApply)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -564,4 +564,63 @@ object Dedup {
     FROM i GROUP BY da, db, diag, isl
     HAVING count(*) + 4 >= 8
     ORDER BY doc_a, doc_b, start_a, start_b"""))
+
+  /** Span-dedup APPLY — the removal step the detector feeds (Lee et al.
+    * keep ONE copy of each duplicated span and cut the rest): for every
+    * maximal shared span found by [[dedupMaxSpan]], the LATER document
+    * (doc_b — higher id loses, deterministic) drops the covered tokens;
+    * overlapping spans union naturally through the anti-join. Output is
+    * the per-document removal manifest with an md5 fingerprint of the
+    * cleaned text — volume-proof, and a regression in the detector, the
+    * tokenizer, or the cut logic all surface in one hash. Composes the
+    * REGISTERED detector and its oracle subquery (same pattern as
+    * ts_anomaly_agreement), so apply can never drift from detect.
+    * Shape: positions explode only for AFFECTED docs (semi-join first),
+    * the coverage test is an anti-join equi-keyed on doc id with a
+    * bounded range predicate per span.
+    */
+  val dedupSpanApply: Q = Q("dedup_span_apply", (s, dir) => {
+    val spans = dedupMaxSpan.fn(s, dir)
+      .select(col("doc_b"), col("start_b"), col("span_tokens"))
+    val affected = spans.select(col("doc_b").as("doc_id")).distinct()
+    val tw = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+      .withColumn("p", col("p").cast("bigint"))
+    val coverCond = tw("doc_id") === spans("doc_b") &&
+      tw("p") >= spans("start_b") &&
+      tw("p") < spans("start_b") + spans("span_tokens")
+    val kept = tw.join(spans, coverCond, "left_anti")
+    val before = tw.groupBy("doc_id").agg(count(lit(1)).as("tokens_before"))
+    val after = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("tokens_after"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(p, word))), x -> x.word)"),
+          " ")).as("cleaned_md5"))
+    before.join(after, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("tokens_before"),
+        (col("tokens_before") - coalesce(col("tokens_after"), lit(0L)))
+          .as("tokens_removed"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH spans AS (${dedupMaxSpan.oracle.get}),
+    w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents WHERE doc_id IN (SELECT doc_b FROM spans)),
+    tw AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p, w[j] AS word
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM w)),
+    kept AS (SELECT tw.* FROM tw WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp WHERE sp.doc_b = tw.doc_id
+          AND tw.p >= sp.start_b AND tw.p < sp.start_b + sp.span_tokens)),
+    b AS (SELECT doc_id, count(*)::BIGINT AS tokens_before FROM tw GROUP BY doc_id),
+    a AS (SELECT doc_id, count(*)::BIGINT AS tokens_after,
+        md5(list_aggregate(list(word ORDER BY p), 'string_agg', ' ')) AS cleaned_md5
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, b.tokens_before,
+      b.tokens_before - coalesce(a.tokens_after, 0) AS tokens_removed,
+      coalesce(a.tokens_after, 0) AS tokens_after,
+      coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM b LEFT JOIN a USING (doc_id)
+    ORDER BY doc_id"""))
 }
