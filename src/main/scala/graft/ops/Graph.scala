@@ -435,7 +435,8 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       seedCol: String = "v",
-      maxDepth: Int = 8): DataFrame = {
+      maxDepth: Int = 8,
+      smallCutoff: Long = 200000L): DataFrame = {
     require(maxDepth >= 0)
     val s = edgeList.sparkSession
     val ckDir = s.conf.getOption("spark.graft.checkpointDir")
@@ -445,8 +446,31 @@ object Graph {
 
     val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
-    var labels = break(seeds.select(col(seedCol).as("v")).distinct()
-      .withColumn("hop", lit(0L)))
+    val seedSet = seeds.select(col(seedCol).as("v")).distinct()
+    // adaptive fast path (see unionFindComponents): frontier BFS over a
+    // counted-small graph is a driver loop; only vertex EQUALITY is
+    // needed, so keys stay fully generic.
+    if (smallCutoff > 0 && edges.count() <= 2 * smallCutoff &&
+        seedSet.count() <= smallCutoff) {
+      val es = edges.collect().map(r => (r.get(0), r.get(1)))
+      val hop = scala.collection.mutable.HashMap.empty[Any, Long]
+      seedSet.collect().foreach(r => hop.update(r.get(0), 0L))
+      edges.unpersist()
+      for (d <- 1 to maxDepth) {
+        val newly = scala.collection.mutable.ArrayBuffer.empty[Any]
+        es.foreach { case (a, b) =>
+          if (hop.get(a).contains(d - 1L) && !hop.contains(b)) newly += b
+        }
+        newly.foreach(v => hop.update(v, d.toLong))
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kt = edgeList.schema(srcCol).dataType
+      return s.createDataFrame(
+        java.util.Arrays.asList(hop.iterator.map { case (v, h) => Row(v, h) }.toSeq: _*),
+        StructType(Seq(StructField("v", kt), StructField("hop", LongType))))
+    }
+    var labels = break(seedSet.withColumn("hop", lit(0L)))
     var d = 1
     while (d <= maxDepth) {
       val prop = edges.join(labels.filter(col("hop") === (d - 1)), col("src") === col("v"))
@@ -478,7 +502,8 @@ object Graph {
       edgeList: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4,
+      smallCutoff: Long = 200000L): DataFrame = {
     require(iters >= 0)
     val s = edgeList.sparkSession
     val ckDir = s.conf.getOption("spark.graft.checkpointDir")
@@ -490,6 +515,45 @@ object Graph {
     val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
     val edges = fwd.union(fwd.select(col("dst"), col("src"))).distinct().persist()
+    // adaptive fast path (see unionFindComponents). The (count desc,
+    // label asc) vote tie-break needs a total order on labels, so the
+    // fast path is gated to integral vertex types like the components'.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val lpIntTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, ShortType, ByteType)
+    val vt = edgeList.schema(srcCol).dataType
+    if (smallCutoff > 0 && lpIntTypes.contains(vt) &&
+        lpIntTypes.contains(edgeList.schema(dstCol).dataType) &&
+        edges.count() <= 2 * smallCutoff) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      var lbl = scala.collection.mutable.HashMap[Long, Long](
+        es.map(e => e._1 -> e._1).toSeq: _*)
+      for (_ <- 0 until iters) {
+        val votes = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        es.foreach { case (src, dst) =>
+          val k = (dst, lbl(src))
+          votes.update(k, votes.getOrElse(k, 0L) + 1L)
+        }
+        val next = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+        votes.foreach { case ((u, l), c) =>
+          next.get(u) match {
+            case Some((bc, bl)) if bc > c || (bc == c && bl < l) => ()
+            case _ => next.update(u, (c, l))
+          }
+        }
+        lbl = scala.collection.mutable.HashMap(
+          next.iterator.map { case (u, (_, l)) => u -> l }.toSeq: _*)
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType}
+      return s.createDataFrame(
+        java.util.Arrays.asList(
+          lbl.keysIterator.toSeq.sorted.map(v => Row(v, lbl(v))): _*),
+        StructType(Seq(StructField("v", LongType), StructField("community", LongType))))
+        .select(col("v").cast(vt).as("v"), col("community").cast(vt).as("community"))
+    }
     val verts = break(edges.select(col("src").as("v")).distinct())
     var labels = verts.withColumn("lbl", col("v"))
     var it = 0

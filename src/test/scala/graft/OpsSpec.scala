@@ -411,6 +411,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // hop(5) = 4 > maxDepth → absent; 9 unreachable → absent
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // the distributed frontier loop (smallCutoff = 0) must agree with
+    // the fast path above
+    val gotLoop = graft.ops.Graph.bfsHops(edges, seeds, maxDepth = 3, smallCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoop == got, s"loop vs fast path: $gotLoop vs $got")
     // a seed that is also reachable at distance > 0 stays hop 0
     val two = graft.ops.Graph.bfsHops(edges, Seq(0L, 4L).toDF("v"), maxDepth = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -427,6 +432,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((4L, 10L))).toDF("src", "dst")
     val got = graft.ops.Graph.labelPropagation(edges, iters = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotLoop = graft.ops.Graph.labelPropagation(edges, iters = 4, smallCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoop == got, s"loop vs fast path: $gotLoop vs $got")
     val left = Seq(1L, 2L, 3L, 4L).map(got)
     val right = Seq(10L, 11L, 12L, 13L).map(got)
     assert(left.distinct.size == 1, s"left clique split: $got")
