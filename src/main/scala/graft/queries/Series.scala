@@ -15,7 +15,81 @@ object Series {
     scd2Snapshot, tsSessionizeGap, tsInterpolate, tsEquidepthHistogram,
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
-    tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr)
+    tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
+    tsHistogramQuantile)
+
+  /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
+    * the quantile a Prometheus stack computes from bucketed COUNTERS
+    * (never raw samples): per event type, cumulative counts at 10 fixed
+    * cent thresholds, then for each φ the first bucket whose cumulative
+    * count reaches rank ⌈φ·total⌉ and a LINEAR interpolation inside it
+    * (prometheus/promql/quantile.go's published rule), all in exact
+    * fixed point — rank and bucket counts are integers, the
+    * interpolation is one bigint multiply/floor-divide (q_e4 = le·100
+    * interpolated), so nothing floats. Output long-form (type, φ_bp,
+    * q_e4). Scale: ONE conditional-aggregate pass builds the 10
+    * counters per series (map-side combine); everything after runs on
+    * the series×bucket grid.
+    */
+  val tsHistogramQuantile: Q = Q("ts_histogram_quantile", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val les = (1 to 10).map(_ * 1000L) // cents: 10.00, 20.00, … 100.00
+    val phis = Seq(5000L, 9000L, 9900L)
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val aggCols = count(lit(1)).as("total") +:
+      les.map(t => sum(when(col("cents") <= t, 1L).otherwise(0L)).as(s"c$t"))
+    val agg = e.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
+    // +Inf bucket (cum = total), per promql: a quantile landing there
+    // returns the highest FINITE bound instead of interpolating
+    val inf = Long.MaxValue
+    val melted = agg.selectExpr(Seq("event_type", "total",
+      s"stack(${les.size + 1}, ${les.map(t => s"${t}L, c$t").mkString(", ")}, ${inf}L, total) AS (le, cum)"): _*)
+    val w = Window.partitionBy("event_type").orderBy("le")
+    val b = melted
+      .withColumn("prev_le", coalesce(lag("le", 1).over(w), lit(0L)))
+      .withColumn("prev_cum", coalesce(lag("cum", 1).over(w), lit(0L)))
+    import s.implicits._
+    val phiDf = phis.toDF("phi_bp")
+    b.crossJoin(broadcast(phiDf))
+      .withColumn("target", expr("(total * phi_bp + 9999) DIV 10000"))
+      .filter(col("cum") >= col("target") && col("prev_cum") < col("target"))
+      .select(col("event_type"), col("phi_bp"), col("total"),
+        expr(s"""CASE WHEN le = ${inf}L THEN prev_le * 100
+                ELSE prev_le * 100 + (le - prev_le) * 100 * (target - prev_cum)
+                  DIV (cum - prev_cum) END""").as("q_e4"))
+      .orderBy("event_type", "phi_bp")
+  }, Some {
+    val les = (1 to 10).map(_ * 1000L)
+    val cumCols = les.map(t =>
+      s"sum(CASE WHEN cents <= $t THEN 1 ELSE 0 END)::BIGINT AS c$t").mkString(",\n        ")
+    val leCase = les.map(t => s"WHEN $t THEN c$t").mkString(" ")
+    s"""WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    a AS (SELECT event_type, count(*)::BIGINT AS total,
+        $cumCols
+      FROM e GROUP BY event_type),
+    m AS (SELECT event_type, total, t.le,
+        CASE t.le $leCase ELSE total END AS cum
+      FROM a CROSS JOIN (VALUES ${les.map(t => s"(CAST($t AS BIGINT))").mkString(", ")},
+        (CAST(9223372036854775807 AS BIGINT))) t(le)),
+    b AS (SELECT event_type, total, le, cum,
+        coalesce(lag(le) OVER w, 0) AS prev_le,
+        coalesce(lag(cum) OVER w, 0) AS prev_cum
+      FROM m WINDOW w AS (PARTITION BY event_type ORDER BY le)),
+    p AS (SELECT b.*, ph.phi_bp,
+        (total * ph.phi_bp + 9999) // 10000 AS target
+      FROM b CROSS JOIN (VALUES (CAST(5000 AS BIGINT)), (CAST(9000 AS BIGINT)),
+        (CAST(9900 AS BIGINT))) ph(phi_bp))
+    SELECT event_type, phi_bp, total,
+      CAST(CASE WHEN le = 9223372036854775807 THEN prev_le * 100
+        ELSE prev_le * 100 + (le - prev_le) * 100 * (target - prev_cum)
+          // (cum - prev_cum) END AS BIGINT) AS q_e4
+    FROM p
+    WHERE cum >= target AND prev_cum < target
+    ORDER BY event_type, phi_bp"""
+  })
 
   /** Theil–Sen robust trend per event type (Theil '50 / Sen '68 —
     * public): the MEDIAN of all pairwise slopes of the hourly-mean
