@@ -300,5 +300,25 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .fn(spark, sf).queryExecution.executedPlan.toString
     assert(rrf.contains("TakeOrderedAndProject"),
       s"hybrid RRF top-50s must heap-select:\n$rrf")
+    // warehouse_clamped_balance: a true sorted fold — no window, and the
+    // only join would mean the fold state escaped the aggregate
+    val cb = graft.queries.Analytics.qClampedBalance
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!cb.contains("Window") && !cb.contains("Join"),
+      s"clamped balance must be a pure sorted-fold aggregate:\n$cb")
+    // ts_theil_sen / ts_crosscorr: pair joins stay equi-keyed (series /
+    // hour-grid key) — a cartesian means the grid keying fell out
+    for ((n, q) <- Seq("theil_sen" -> graft.queries.Series.tsTheilSen,
+        "crosscorr" -> graft.queries.Series.tsCrossCorr)) {
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n pair join must stay equi-keyed:\n$p")
+    }
+    // dedup_span_apply: coverage test is an anti-join keyed on the doc
+    // id, not an all-pairs scan
+    val sa = graft.queries.Dedup.dedupSpanApply
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!sa.contains("CartesianProduct"),
+      s"span apply must stay doc-keyed:\n$sa")
   }
 }
