@@ -279,13 +279,28 @@ object Graph {
     // adaptive fast path (see unionFindComponents): the rank recurrence
     // is pure Long arithmetic (DIV ≡ Java /, integer sums are order-free),
     // so a counted-small graph iterates on the driver bit-identically
-    // instead of 2 scheduled jobs per round. Vertex keys stay generic.
-    if (smallCutoff > 0 && verts.count() <= smallCutoff &&
+    // instead of 2 scheduled jobs per round. Vertex keys stay generic
+    // BUT the gate requires IDENTICAL src/dst column types: the driver
+    // HashMap compares BOXED values, and a mixed Int/Long edge list —
+    // which the distributed joins silently coerce — would never match
+    // boxed equality and return wrong ranks. Mixed-width graphs fall
+    // through to the distributed loop (correct, just not fast-pathed).
+    val prKeysIdentical =
+      edgeList.schema(srcCol).dataType == edgeList.schema(dstCol).dataType
+    if (smallCutoff > 0 && prKeysIdentical && verts.count() <= smallCutoff &&
         ew.count() <= smallCutoff) {
       val vs = verts.collect().map(_.get(0))
       val ewRows = ew.collect()
         .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
       out.unpersist(); ew.unpersist()
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kt = edgeList.schema(srcCol).dataType
+      val schema = StructType(Seq(StructField("v", kt), StructField("rank", LongType)))
+      // empty graph: the distributed path returns an empty frame — mirror
+      // it here instead of dividing scale by zero
+      if (vs.isEmpty)
+        return s.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       val baseL = scale / vs.length
       var rank = scala.collection.mutable.HashMap[Any, Long](
         vs.map(_ -> baseL).toSeq: _*)
@@ -301,12 +316,8 @@ object Graph {
         }
         rank = next
       }
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{LongType, StructField, StructType}
-      val kt = edgeList.schema(srcCol).dataType
       return s.createDataFrame(
-        java.util.Arrays.asList(vs.map(v => Row(v, rank(v))): _*),
-        StructType(Seq(StructField("v", kt), StructField("rank", LongType))))
+        java.util.Arrays.asList(vs.map(v => Row(v, rank(v))): _*), schema)
     }
     val base = verts.crossJoin(broadcast(n))
       .select(col("v"), expr(s"$scale DIV nv").as("base"))
@@ -449,8 +460,17 @@ object Graph {
     val seedSet = seeds.select(col(seedCol).as("v")).distinct()
     // adaptive fast path (see unionFindComponents): frontier BFS over a
     // counted-small graph is a driver loop; only vertex EQUALITY is
-    // needed, so keys stay fully generic.
-    if (smallCutoff > 0 && edges.count() <= 2 * smallCutoff &&
+    // needed, so keys stay generic — but the gate requires IDENTICAL
+    // src/dst/seed column types: boxed equality in the driver HashMap
+    // never matches across widths the distributed joins would coerce
+    // (an Int seed vs Long edges would freeze BFS at hop 0). Mixed
+    // types fall through to the distributed loop.
+    val bfsKeysIdentical = {
+      val st = edgeList.schema(srcCol).dataType
+      st == edgeList.schema(dstCol).dataType &&
+        st == seeds.schema(seedCol).dataType
+    }
+    if (smallCutoff > 0 && bfsKeysIdentical && edges.count() <= 2 * smallCutoff &&
         seedSet.count() <= smallCutoff) {
       val es = edges.collect().map(r => (r.get(0), r.get(1)))
       val hop = scala.collection.mutable.HashMap.empty[Any, Long]
@@ -608,7 +628,11 @@ object Graph {
     // adaptive fast path (see unionFindComponents): each half-round is
     // integer sums + one max + truncating division — bit-identical on
     // the driver for a counted-small graph, vs 4 scheduled jobs/round.
-    if (smallCutoff > 0 && verts.count() <= smallCutoff &&
+    // Gated to IDENTICAL src/dst types (boxed-equality hazard — see
+    // pagerank); mixed-width graphs use the distributed loop.
+    val hitsKeysIdentical =
+      edgeList.schema(srcCol).dataType == edgeList.schema(dstCol).dataType
+    if (smallCutoff > 0 && hitsKeysIdentical && verts.count() <= smallCutoff &&
         e.count() <= smallCutoff) {
       val vs = verts.collect().map(_.get(0))
       val es = e.collect().map(r => (r.get(0), r.get(1)))

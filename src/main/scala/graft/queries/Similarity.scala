@@ -1117,11 +1117,13 @@ object Similarity {
     // to the driver (64² = 4,096 longs; the "model", same size class as
     // broadcast centroids) and run the power iteration locally in the
     // IDENTICAL Long arithmetic (Spark DIV and Java / both truncate
-    // toward zero; Long multiply wraps identically to bigint). The
-    // previous 6 localCheckpoint'd jobs over a 4,096-row table were
-    // pure scheduling overhead — ~2 s/query at sf0.1, worse on a busy
-    // cluster scheduler; the oracle CTE chain is unchanged and results
-    // stay bit-exact.
+    // toward zero). Spark 4 ANSI mode THROWS on bigint overflow where
+    // raw Java Long arithmetic would silently wrap, so the driver loop
+    // below uses Math.multiplyExact/addExact — overflow fails loudly on
+    // both paths instead of silently diverging. The previous 6
+    // localCheckpoint'd jobs over a 4,096-row table were pure scheduling
+    // overhead — ~2 s/query at sf0.1, worse on a busy cluster scheduler;
+    // the oracle CTE chain is unchanged and results stay bit-exact.
     val covRows = c0.select(col("vec_id"), col("i"), col("dv"))
       .join(c0.select(col("vec_id"), col("i").as("j"), col("dv").as("dw")), "vec_id")
       .groupBy("i", "j").agg(expr("sum(dv * dw) DIV count(1)").as("c"))
@@ -1132,9 +1134,11 @@ object Similarity {
     var vm: Map[Long, Long] = dims.map(_ -> pcaVScale).toMap
     for (_ <- 0 until pcaIters) {
       val w = dims.map(i =>
-        i -> dims.map(j => cov.getOrElse((i, j), 0L) * vm(j)).sum).toMap
+        i -> dims.foldLeft(0L)((acc, j) =>
+          Math.addExact(acc, Math.multiplyExact(cov.getOrElse((i, j), 0L), vm(j))))).toMap
       val mw = w.valuesIterator.map(math.abs).max
-      vm = dims.map(i => i -> (if (mw == 0) 0L else w(i) * pcaVScale / mw)).toMap
+      vm = dims.map(i =>
+        i -> (if (mw == 0) 0L else Math.multiplyExact(w(i), pcaVScale) / mw)).toMap
     }
     import s.implicits._
     val v = dims.map(i => (i, vm(i))).toSeq.toDF("i", "v")

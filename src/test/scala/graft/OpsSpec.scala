@@ -464,4 +464,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0L)._1 == 976L, s"back-edge auth: $got")
     assert(got(1L)._2 == 244L, s"leaf-1 hub: $got")
   }
+
+  test("Graph fast paths: mixed Int/Long key widths match the distributed loops") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // src typed INT, dst typed LONG: the distributed joins coerce, but a
+    // driver HashMap on boxed values would never match Integer vs Long —
+    // the fast-path gate must fall through to the distributed loop and
+    // produce identical results (the r4-ADVICE silent-wrong-result bug)
+    val mixed = Seq((0, 1L), (1, 2L), (2, 0L), (2, 3L)).toDF("src", "dst")
+      .withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val prFast = graft.ops.Graph.pagerank(mixed, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prLoop = graft.ops.Graph.pagerank(mixed, iters = 4, smallCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prFast == prLoop && prFast.nonEmpty, s"pagerank mixed: $prFast vs $prLoop")
+    val hFast = graft.ops.Graph.hits(mixed, iters = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val hLoop = graft.ops.Graph.hits(mixed, iters = 4, smallCutoff = 0)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(hFast == hLoop && hFast.nonEmpty, s"hits mixed: $hFast vs $hLoop")
+    // Int seeds against Long edges: an Any-keyed frontier would freeze at
+    // hop 0 (seeds only); the gate must route to the distributed loop
+    val ledges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val iseeds = Seq(0).toDF("v")
+    val bFast = graft.ops.Graph.bfsHops(ledges, iseeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bLoop = graft.ops.Graph.bfsHops(ledges, iseeds, maxDepth = 3, smallCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bFast == bLoop, s"bfs mixed-seed: $bFast vs $bLoop")
+    assert(bFast == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"bfs: $bFast")
+  }
+
+  test("Graph.pagerank: empty edge list and IntegerType weights on the fast path") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // empty graph: both paths return an empty frame (the fast path used
+    // to divide scale by |V| = 0)
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(graft.ops.Graph.pagerank(none, iters = 3).count() == 0L)
+    assert(graft.ops.Graph.pagerank(none, iters = 3, smallCutoff = 0).count() == 0L)
+    // IntegerType weight column under the documented integral contract:
+    // the op casts to long before the fast-path collect — no
+    // ClassCastException, identical to the distributed result
+    val wi = Seq((0L, 1L, 2), (1L, 0L, 1), (0L, 2L, 1)).toDF("src", "dst", "w")
+    val fast = graft.ops.Graph.pagerank(wi, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = graft.ops.Graph.pagerank(wi, iters = 4, smallCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop && fast.nonEmpty, s"int-weight: $fast vs $loop")
+  }
 }
