@@ -6,6 +6,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * A small uncounted warmup first touches parquet reading + codegen paths
   * so the first measured query isn't charged JVM class-loading.
+  *
+  * Contention-proofing (round-4 verdict: a noisy host window inflated the
+  * driver's single-shot bench 8× vs the same build measured quiet):
+  *  - every query is timed in TWO full passes over the registry and the
+  *    per-query MIN is reported — two samples minutes apart, so a
+  *    transient contention window can only inflate one of them (back-to-
+  *    back reps would both land inside the window);
+  *  - a fixed probe query (the warmup aggregation) is re-timed before,
+  *    between, and after the passes and reported as `host_noise` — a
+  *    probe ratio far above 1 flags that even the mins are suspect.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,37 +29,56 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    try { // warmup: parquet reader + shuffle + codegen machinery
-      Tables.t(spark, sfDir, "lineitem").groupBy("l_returnflag").count().collect()
-      Tables.events(spark, sfDir).agg(org.apache.spark.sql.functions.max("ts_us")).collect()
-    } catch { case _: Throwable => () }
+    def probe(): Double = { // fixed, cheap, stable: the noise sentinel
+      val t0 = System.nanoTime()
+      try {
+        Tables.t(spark, sfDir, "lineitem").groupBy("l_returnflag").count().collect()
+        Tables.events(spark, sfDir).agg(org.apache.spark.sql.functions.max("ts_us")).collect()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // uncounted warmup: parquet reader + shuffle + codegen machinery
 
     // optional trailing args: bench only the named queries (repeated
-    // `--reps N` times each) — the perf-iteration loop for one operator
+    // `--reps N` times each) — the perf-iteration loop for one operator.
+    // Full-registry runs always take at least 2 passes (see scaladoc).
     val (reps, names) = args.toSeq match {
       case Seq("--reps", n, rest @ _*) => (n.toInt, rest)
       case other => (1, other)
     }
+    val passes = if (names.isEmpty) math.max(2, reps) else math.max(1, reps)
     val selected =
       if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    val results = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
-      spark.catalog.clearCache() // previous query's persisted intermediates: teardown OUTSIDE the timed region
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val probes = scala.collection.mutable.ArrayBuffer[Double](probe())
+    val samples = (1 to passes).flatMap { _ =>
+      val pass = selected.map { case (name, fn) =>
+        spark.catalog.clearCache() // previous query's persisted intermediates: teardown OUTSIDE the timed region
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      probes += probe()
+      pass
     }
+    val best = samples.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val results = selected.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val noise = {
+      val lo = probes.min
+      val ratio = if (lo > 0) probes.max / lo else 1.0
+      s"""{"probe_sec":${probes.map(p => f"$p%.3f").mkString("[", ",", "]")},"ratio":${f"$ratio%.2f"}}"""
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"host_noise":$noise,"sf":"$sfDir"}"""
     // Full line first (it is long and sbt prefixes [info]; a tail window
     // can truncate it — round-3 BENCH files all had parsed:null), then a
     // short bare totals line that truncation can't eat, and the full JSON
     // to a fixed path for out-of-band pickup.
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"host_noise":$noise,"sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
