@@ -580,14 +580,24 @@ object Dedup {
     * bounded range predicate per span.
     */
   val dedupSpanApply: Q = Q("dedup_span_apply", (s, dir) => {
+    // the span MANIFEST is materialized once: it feeds both the
+    // affected-doc semi-join and the coverage anti-join below, and
+    // without the persist the whole detector subtree (gram index,
+    // dotplot self-join, islands window) is planned and EXECUTED twice
+    // — a production pipeline writes this manifest once and reuses it
     val spans = dedupMaxSpan.fn(s, dir)
       .select(col("doc_b"), col("start_b"), col("span_tokens"))
+      .persist()
     val affected = spans.select(col("doc_b").as("doc_id")).distinct()
+    // also read twice (tokens_before + the kept/after branch); bounded
+    // by the AFFECTED documents only, so the cache is manifest-sized
+    // times average doc length, not corpus-sized
     val tw = Tables.t(s, dir, "documents")
       .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
       .join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
       .withColumn("p", col("p").cast("bigint"))
+      .persist()
     val coverCond = tw("doc_id") === spans("doc_b") &&
       tw("p") >= spans("start_b") &&
       tw("p") < spans("start_b") + spans("span_tokens")
