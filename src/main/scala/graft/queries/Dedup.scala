@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
-    dedupClusters, hashSplit, decontaminate, dedupIncremental,
-    pipelineTrainingSet, pipelineEvalSet, dedupCrossSource,
-    minhashContainment, dedupMaxSpan, dedupSpanApply)
+    dedupClusters, hashSplit, decontaminate, decontaminate13,
+    dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
+    dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -361,6 +361,42 @@ object Dedup {
   }, Some(s"""WITH $duckShingles,
     hs AS (SELECT doc_id, sh,
       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h FROM sh),
+    t AS (SELECT DISTINCT sh FROM hs WHERE h >= 90)
+    SELECT hs.doc_id, count(DISTINCT hs.sh) AS n_shared_shingles
+    FROM hs JOIN t ON hs.sh = t.sh WHERE hs.h < 80
+    GROUP BY hs.doc_id ORDER BY doc_id"""))
+
+  /** Eval decontamination at the LITERATURE n: the word-3-gram check
+    * above is the cheap screen; published contamination filters use
+    * ~13-token verbatim overlap (Lee et al., ACL'22 dedup suffix spans;
+    * Rae et al., Gopher, report 13-gram decontamination of their evals)
+    * because 3-grams flag benign phrase reuse while 13 consecutive
+    * shared tokens are near-certain leakage. Same inverted-index shape —
+    * the n only changes the shingle grammar ([[graft.ops.Lsh.shingles]]
+    * is n-generic): test-side 13-gram set is far SMALLER than the
+    * 3-gram set (only verbatim runs survive), so the broadcast side
+    * shrinks as n grows — the literature n is also the cheaper join at
+    * 100 TB.
+    */
+  val decontaminate13: Q = Q("dedup_decontaminate_13g", (s, dir) => {
+    val sh = graft.ops.Lsh
+      .shingles(Tables.t(s, dir, "documents"), "doc_id", "text", n = 13)
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+    val trainSh = sh.filter(col("h") < 80).select(col("doc_id"), col("sh"))
+    val testSh = sh.filter(col("h") >= 90).select(col("sh").as("t_sh")).distinct()
+    trainSh.join(testSh, col("sh") === col("t_sh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }, Some("""WITH ws AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    sh13 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 11),
+        i -> list_aggregate(w[i:i+12], 'string_agg', ' ')))) AS sh
+      FROM ws WHERE len(w) >= 13),
+    hs AS (SELECT doc_id, sh,
+      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h FROM sh13),
     t AS (SELECT DISTINCT sh FROM hs WHERE h >= 90)
     SELECT hs.doc_id, count(DISTINCT hs.sh) AS n_shared_shingles
     FROM hs JOIN t ON hs.sh = t.sh WHERE hs.h < 80
