@@ -48,4 +48,22 @@ object Scale {
     }
     phase1.groupBy(col("_key")).agg(finals.head, finals.tail: _*)
   }
+
+  /** Drop entire groups with more than `maxRows` rows — the self-join
+    * blow-up guard: any per-group pair generation (market baskets,
+    * co-occurrence, dotplot matches) explodes quadratically in group
+    * size, so one pathological group (a bulk order, a bot session, a
+    * boilerplate n-gram) can dominate the whole job. Capping bounds
+    * per-group pair output at maxRows·(maxRows−1)/2 REGARDLESS of data —
+    * the same move as the hot-gram cap in the span-dedup index. Cost:
+    * one partitioned count window on the group key; a downstream
+    * self-join on the same key reuses the partitioning, so the guard
+    * adds no extra shuffle.
+    */
+  def capGroups(df: DataFrame, keyCol: String, maxRows: Long): DataFrame = {
+    require(maxRows >= 1, "maxRows >= 1")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_gn", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .filter(col("_gn") <= maxRows).drop("_gn")
+  }
 }

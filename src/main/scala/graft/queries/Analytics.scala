@@ -1184,17 +1184,28 @@ object Analytics {
     * here the pair-support + lift readout, which is the part a
     * warehouse actually materializes): parts ordered together, scored
     * by lift = P(a,b) ⁄ (P(a)·P(b)) in integer basis points. Pair
-    * generation is a self-join CO-PARTITIONED on the order key, so the
-    * blow-up is bounded by basket size (≤ items²/2 per order — TPC-H
-    * baskets are ≤ 13 items; a production run would cap giant baskets
-    * first), never corpus²; part supports are a dimension-sized
-    * broadcast; top-20 by (support, lift) is TakeOrderedAndProject.
+    * generation is a self-join CO-PARTITIONED on the order key; baskets
+    * larger than `maxBasketItems` are DROPPED first
+    * ([[graft.ops.Scale.capGroups]] — the outlier bound every
+    * frequent-itemset run applies: a bulk order with 10⁴ parts would
+    * emit 5·10⁷ pairs alone), so per-order pair output is provably
+    * ≤ cap²/2 at ANY data scale, never corpus²; the cap window
+    * partitions on the same order key the self-join shuffles on, so the
+    * guard reuses that partitioning. Part supports are a
+    * dimension-sized broadcast; top-20 by (support, lift) is
+    * TakeOrderedAndProject. TPC-H baskets are ≤ 13 distinct parts, so
+    * the cap leaves the result unchanged here — the oracle applies the
+    * identical bound.
     */
+  private val maxBasketItems = 64L
+
   val qBasketPairs: Q = Q("basket_pairs", (s, dir) => {
     // persisted: the distinct basket relation feeds four consumers
     // (both self-join sides, supports, order count)
-    val li = Tables.t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val li = graft.ops.Scale.capGroups(
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct(),
+      "ok", maxBasketItems)
       .persist()
     val supp = li.groupBy("pk").agg(count(lit(1)).as("n_p"))
     val tot = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
@@ -1210,8 +1221,10 @@ object Analytics {
         col("lift_bp"))
       .orderBy(col("n_ab").desc, col("lift_bp").desc, col("pa"), col("pb"))
       .limit(20)
-  }, Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  }, Some(s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       FROM lineitem),
+    li AS (SELECT ok, pk FROM li0
+      QUALIFY count(*) OVER (PARTITION BY ok) <= $maxBasketItems),
     sp AS (SELECT pk, count(*)::BIGINT AS n_p FROM li GROUP BY pk),
     tot AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
     pr AS (SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n_ab

@@ -321,4 +321,33 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!sa.contains("CartesianProduct"),
       s"span apply must stay doc-keyed:\n$sa")
   }
+
+  test("capGroups bounds per-group pair blow-up; basket_pairs plans the cap window") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // one pathological giant group (100 items) beside normal ones: the
+    // cap must drop the giant ENTIRELY, so downstream self-join pair
+    // output is provably <= cap*(cap-1)/2 per group at any data size
+    val cap = 16L
+    val baskets = ((1 to 100).map(i => ("giant", s"i$i")) ++
+      (1 to 5).map(i => ("small_a", s"i$i")) ++
+      (1 to 3).map(i => ("small_b", s"i$i"))).toDF("ok", "pk")
+    val capped = graft.ops.Scale.capGroups(baskets, "ok", cap)
+    val sizes = capped.groupBy("ok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("small_a" -> 5L, "small_b" -> 3L), s"cap left: $sizes")
+    val a = capped.select(col("ok"), col("pk").as("pa"))
+    val b = capped.select(col("ok"), col("pk").as("pb"))
+    val nPairs = a.join(b, "ok").filter(col("pa") < col("pb")).count()
+    assert(nPairs == 5 * 4 / 2 + 3 * 2 / 2, s"pairs after cap: $nPairs")
+    // the giant basket alone would have contributed 100*99/2 pairs
+    assert(nPairs <= sizes.size * cap * (cap - 1) / 2)
+    // basket_pairs itself: the cap window must partition on the order
+    // key (no degenerate global window) and the plan stays equi-keyed
+    val bp = graft.queries.Analytics.qBasketPairs
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(bp.contains("Window"), s"basket cap window missing from plan:\n$bp")
+    assert(!bp.contains("windowspecdefinition()"),
+      s"basket cap window must partition on the order key:\n$bp")
+  }
 }
