@@ -898,6 +898,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("SloBurnProcessor matches the batch ts_slo_burn rows EXACTLY across micro-batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_slo").toFile
+    // constant key 0: the batch query is the single-series instance of
+    // the keyed streaming monitor
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts_us"),
+        expr("CASE WHEN event_type = 'error' THEN 1L ELSE 0L END").as("err"))
+      .collect().map(r => (0L, r.getLong(0), r.getLong(1)))
+      .sortBy(_._2)
+    assert(ev.length > 100)
+    // chronological split: the partial tail hour of batch 1 is re-emitted
+    // corrected in batch 2 (update mode — last row per hour wins)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    def fmt(rs: Array[(Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.SloBurnProcessor(spark, src)
+      .toDF("k", "h", "n", "ne", "burn1_bp", "burn6_bp", "page", "ticket")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_slo_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // per hour keep the final correction (max n — counts only grow)
+      val got = spark.sql(
+          "SELECT h, n, ne, burn1_bp, burn6_bp, page, ticket FROM graft_slo_out")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
+        .groupBy(_._1).map { case (h, rows) => h -> rows.maxBy(_._2._1)._2 }
+      val want = graft.queries.Series.tsSloBurn.fn(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
+        .toMap
+      assert(got.keySet == want.keySet, s"hour grids differ: ${got.keySet} vs ${want.keySet}")
+      // BIT-EXACT: integer floor division admits no tolerance
+      got.foreach { case (h, g) => assert(g == want(h), s"hour $h: $g vs ${want(h)}") }
+    } finally q.stop()
+  }
+
   test("SpaceSavingProcessor: heavy-hitter superset + count-bound guarantees across batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
