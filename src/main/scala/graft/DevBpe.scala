@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: A/B probe for the BPE trainer's corpus representation
+  * (ROADMAP/r4-verdict item). Variant A is the shipped framed-STRING
+  * pipeline (ops/Text.bpeTrain): each round splits every sequence for
+  * pair counts and rewrites it with one codegen'd `replace`. Variant B
+  * carries the corpus as token ARRAYS across rounds: pair counts skip
+  * the split, but the merge rewrite becomes an `aggregate` fold with a
+  * carry slot (identical non-overlap semantics to `replace` — a merge
+  * consumes its left token, so a merged pair can't chain into the next
+  * match) — and HOF lambdas run INTERPRETED (the round-4 gram-index
+  * finding), so the fold trades a codegen string scan for an
+  * interpreted per-token loop.
+  *
+  * MEASURED at sf0.1 / local[32] (4 rounds, two sessions, round 5):
+  * warm/best-of-2 strings 3.6-3.7 s vs arrays 5.0-5.3 s — the
+  * interpreted fold costs more than the re-split saves, so variant A
+  * stays shipped. COLD first-run inverts (strings 16-22 s vs arrays
+  * 6-7 s): the 4-round nested-replace plan pays a large whole-stage-
+  * codegen COMPILE tax that the interpreted fold never does — it
+  * amortizes across reps/rounds, which is why the steady-state (what a
+  * ~30k-round production trainer sees) favors strings. Both variants
+  * produce IDENTICAL symbol counts (269303 at sf0.1 — the fold's
+  * carry-slot semantics match `replace` exactly). Re-run this probe if
+  * Spark ever codegens higher-order functions.
+  */
+object DevBpe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val rounds = 4
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[devbpe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // ---- variant A: the shipped framed-string trainer ----
+    def runStrings(): Long = {
+      val d = Tables.t(spark, dir, "documents")
+        .select(col("source"), graft.ops.Text.bpeInitSeq(col("text")).as("seq"))
+      val (_, enc) = graft.ops.Text.bpeTrain(d, "seq", rounds)
+      val n = enc.agg(sum(expr(
+        "CASE WHEN length(trim(seq)) = 0 THEN 0 ELSE size(split(trim(seq), '  ')) END")))
+        .head.getLong(0)
+      spark.catalog.clearCache()
+      n
+    }
+
+    // ---- variant B: token arrays carried across rounds ----
+    def pairCountsArr(seqs: DataFrame): DataFrame =
+      seqs.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          expr("slice(toks, 1, size(toks) - 1)"), expr("slice(toks, 2, size(toks) - 1)"),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+    def applyMergeArr(seqs: DataFrame, rule: DataFrame): DataFrame =
+      seqs.crossJoin(broadcast(rule.select(col("w1").as("_mw1"), col("w2").as("_mw2"))))
+        // left fold with a carry slot: prev == w1 and x == w2 merges and
+        // clears the carry (non-overlapping, left-to-right — the exact
+        // `replace` semantics on framed strings); the finisher flushes
+        // the last carried token
+        .withColumn("toks", expr(
+          """aggregate(toks,
+               named_struct('out', CAST(array() AS ARRAY<STRING>), 'prev', CAST(NULL AS STRING)),
+               (acc, x) -> CASE
+                 WHEN acc.prev = _mw1 AND x = _mw2 THEN
+                   named_struct('out', array_append(acc.out, _mw1 || _mw2),
+                                'prev', CAST(NULL AS STRING))
+                 WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', x)
+                 ELSE named_struct('out', array_append(acc.out, acc.prev), 'prev', x) END,
+               acc -> CASE WHEN acc.prev IS NULL THEN acc.out
+                           ELSE array_append(acc.out, acc.prev) END)"""))
+        .drop("_mw1", "_mw2")
+    def runArrays(): Long = {
+      var cur = Tables.t(spark, dir, "documents")
+        .select(col("source"), regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)).as("toks"))
+        .persist()
+      for (_ <- 1 to rounds) {
+        val rule = pairCountsArr(cur).orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(1)
+        cur = applyMergeArr(cur, rule).persist()
+      }
+      val n = cur.agg(sum(size(col("toks")))).head.getLong(0)
+      spark.catalog.clearCache()
+      n
+    }
+
+    var na = 0L; var nb = 0L
+    for (rep <- 1 to 2) {
+      na = time(s"strings (shipped) rep$rep")(runStrings())
+      nb = time(s"arrays rep$rep")(runArrays())
+    }
+    println(s"[devbpe] final symbol counts: strings=$na arrays=$nb " +
+      (if (na == nb) "(MATCH)" else "(MISMATCH — semantics bug!)"))
+    spark.stop()
+  }
+}
