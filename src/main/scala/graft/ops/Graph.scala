@@ -339,6 +339,110 @@ object Graph {
     ranks.select(col("v"), col("rank"))
   }
 
+  /** PERSONALIZED PageRank — the seed-restart variant (Haveliwala,
+    * "Topic-Sensitive PageRank", WWW'02 — public): teleport mass returns
+    * to the SEED set instead of the uniform vector, scoring every vertex
+    * by proximity to the seeds — the related-entity / local-
+    * recommendation primitive. Same FIXED-POINT integer contract as
+    * [[pagerank]] (scale-scaled bigint ranks, truncating division,
+    * bit-identical on any engine/order), same per-round shape (one join
+    * shuffled on `src`, one aggregation shuffled on `dst`, lineage
+    * broken per round), same counted-small driver fast path.
+    *
+    * Seeds are restricted to graph vertices (semi-join); restart mass
+    * is `scale DIV |seeds ∩ V|` on each surviving seed and zero
+    * elsewhere; r₀ = the restart vector. No surviving seeds → all-zero
+    * ranks (deterministic, mirrored by the SQL NULL-division guard).
+    */
+  def personalizedPagerank(
+      edgeList: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w",
+      seedCol: String = "v",
+      iters: Int = 10,
+      dampingBp: Long = 8500L,
+      scale: Long = 1000000000L,
+      smallCutoff: Long = 200000L): DataFrame = {
+    require(iters >= 0 && dampingBp >= 0 && dampingBp <= 10000)
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val e = edgeList.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"), col(weightCol).cast("long").as("w"))
+    val verts = break(
+      e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct())
+    val sd = seeds.select(col(seedCol).as("v")).distinct()
+      .join(verts, Seq("v"), "left_semi").persist()
+    val out = e.groupBy("src").agg(sum("w").as("wout")).persist()
+    val ew = e.join(out, "src").persist()
+    // counted-small fast path — gated on IDENTICAL src/dst/seed types
+    // (boxed-equality hazard, see pagerank/bfsHops)
+    val keysIdentical = {
+      val st = edgeList.schema(srcCol).dataType
+      st == edgeList.schema(dstCol).dataType && st == seeds.schema(seedCol).dataType
+    }
+    if (smallCutoff > 0 && keysIdentical && verts.count() <= smallCutoff &&
+        ew.count() <= smallCutoff) {
+      val vs = verts.collect().map(_.get(0))
+      val seedSet = sd.collect().map(_.get(0)).toSet
+      val ewRows = ew.collect()
+        .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
+      out.unpersist(); ew.unpersist(); sd.unpersist()
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kt = edgeList.schema(srcCol).dataType
+      val schema = StructType(Seq(StructField("v", kt), StructField("rank", LongType)))
+      if (vs.isEmpty)
+        return s.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      val ns = seedSet.size
+      val baseOf: Any => Long =
+        v => if (ns > 0 && seedSet.contains(v)) scale / ns else 0L
+      var rank = scala.collection.mutable.HashMap[Any, Long](
+        vs.map(v => v -> baseOf(v)).toSeq: _*)
+      for (_ <- 0 until iters) {
+        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        ewRows.foreach { case (src, dst, w, wout) =>
+          m.update(dst, m.getOrElse(dst, 0L) + rank(src) * w / wout)
+        }
+        val next = scala.collection.mutable.HashMap.empty[Any, Long]
+        vs.foreach { v =>
+          next.update(v,
+            ((10000 - dampingBp) * baseOf(v) + dampingBp * m.getOrElse(v, 0L)) / 10000)
+        }
+        rank = next
+      }
+      return s.createDataFrame(
+        java.util.Arrays.asList(vs.map(v => Row(v, rank(v))): _*), schema)
+    }
+    val nsRow = sd.agg(count(lit(1)).as("ns"))
+    val base = verts.join(sd.select(col("v"), lit(1).as("is_seed")), Seq("v"), "left_outer")
+      .crossJoin(broadcast(nsRow))
+      .select(col("v"), expr(
+        s"coalesce(CASE WHEN is_seed IS NOT NULL THEN $scale DIV nullif(ns, 0) END, 0L)")
+        .as("base"))
+    var ranks = break(base.select(col("v"), col("base").as("rank")))
+    var it = 0
+    while (it < iters) {
+      val contrib = ew.join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("rank * w DIV wout").as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      val next = base
+        .join(contrib, col("v") === col("dst"), "left_outer")
+        .select(col("v"), expr(
+          s"((10000 - $dampingBp) * base + $dampingBp * coalesce(m, 0)) DIV 10000")
+          .as("rank"))
+      it += 1
+      ranks = break(next)
+    }
+    out.unpersist(); ew.unpersist(); sd.unpersist()
+    ranks.select(col("v"), col("rank"))
+  }
+
   /** Per-vertex triangle counts by DEGREE-ORIENTED wedge closure
     * (Schank/Wagner '05; the standard MapReduce formulation is Suri &
     * Vassilvitskii, WWW'11 — both public): orient every undirected edge

@@ -41,7 +41,7 @@ object Analytics {
     qPercentiles, qStatsAgg, qOuterJoins, qSkewProfile, qHavingSubquery,
     qDatetimeFuncs, qArrayFuncs, qMapFuncs, qAsofForward, qUnpivot, qLateral,
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
-    qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qFunnel,
+    qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qPpr, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance)
 
@@ -153,6 +153,59 @@ object Analytics {
       .select(col("v"), col("rank"))
       .orderBy(col("rank").desc, col("v").asc)
   }, Some(pagerankOracleSql))
+
+  /** 10-iteration oracle twin of [[graft.ops.Graph.personalizedPagerank]]
+    * over the same transition graph, seeds = {'error'} — identical
+    * unrolled-CTE policy as [[pagerankOracleSql]] (single reference per
+    * round CTE, all integer fixed point).
+    */
+  private lazy val pprOracleSql: String = {
+    val head = s"""WITH t AS (SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    e AS (SELECT event_type AS src, nxt AS dst, count(*) AS w
+      FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    v AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e),
+    sd AS (SELECT v FROM v WHERE v = 'error'),
+    ns AS (SELECT count(*) AS c FROM sd),
+    o AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+    ew AS (SELECT e.src, e.dst, e.w, o.wout FROM e JOIN o USING (src)),
+    b AS (SELECT v.v,
+        coalesce(CASE WHEN sd.v IS NOT NULL THEN 1000000000 // nullif(ns.c, 0) END, 0) AS base
+      FROM v LEFT JOIN sd ON sd.v = v.v, ns),
+    r0 AS (SELECT v, base AS rank FROM b)"""
+    val its = (1 to 10).map { k =>
+      s""",
+    s$k AS (SELECT ew.dst AS v, sum(r.rank * ew.w // ew.wout) AS m
+      FROM ew JOIN r${k - 1} r ON r.v = ew.src GROUP BY ew.dst),
+    r$k AS (SELECT b.v, (1500 * b.base + 8500 * coalesce(s$k.m, 0)) // 10000 AS rank
+      FROM b LEFT JOIN s$k ON s$k.v = b.v)"""
+    }.mkString
+    head + its + """
+    SELECT v, CAST(rank AS BIGINT) AS rank FROM r10 ORDER BY rank DESC, v"""
+  }
+
+  /** PERSONALIZED PageRank from the 'error' event type over the user-flow
+    * transition graph — "which event kinds sit nearest to errors in user
+    * journeys", the proximity query topic-sensitive ranking answers
+    * (Haveliwala, WWW'02). Runs the generic seed-restart
+    * [[graft.ops.Graph.personalizedPagerank]]: restart mass on the seed
+    * only, FIXED-POINT integer ranks — bit-identical to the unrolled
+    * oracle chain.
+    */
+  val qPpr: Q = Q("graph_ppr", (s, dir) => {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = e.withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    import s.implicits._
+    val seeds = Seq("error").toDF("v")
+    graft.ops.Graph.personalizedPagerank(trans, seeds, iters = 10)
+      .select(col("v"), col("rank"))
+      .orderBy(col("rank").desc, col("v").asc)
+  }, Some(pprOracleSql))
 
   /** Connected components over a genuinely HIGH-DIAMETER graph — per-user
     * time-adjacent event chains (each event linked to the user's next

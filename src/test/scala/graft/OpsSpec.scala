@@ -496,6 +496,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bFast == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"bfs: $bFast")
   }
 
+  test("Graph.personalizedPagerank: fast path == distributed loop; seed semantics") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // chain 0->1->2->3 plus a back-edge; restart on seed {0}
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 0L, 2L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("v")
+    val fast = graft.ops.Graph.personalizedPagerank(edges, seeds, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = graft.ops.Graph.personalizedPagerank(edges, seeds, iters = 8,
+        smallCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop && fast.size == 4, s"fast vs loop: $fast vs $loop")
+    // proximity: the seed outranks everything; rank decays along the chain
+    assert(fast(0L) > fast(1L) && fast(1L) > fast(2L) && fast(2L) > fast(3L),
+      s"seed-proximity ordering violated: $fast")
+    // seeds outside the graph are ignored; NO surviving seed -> all zero
+    val ghost = graft.ops.Graph.personalizedPagerank(edges, Seq(99L).toDF("v"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ghost.values.forall(_ == 0L), s"ghost seeds must yield zero mass: $ghost")
+    // mixed Int seed vs Long edges: gate must fall through to the loop
+    val mixedSeed = Seq(0).toDF("v")
+    val mFast = graft.ops.Graph.personalizedPagerank(edges, mixedSeed, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mFast == fast, s"mixed-width seed diverged: $mFast vs $fast")
+  }
+
   test("Graph.pagerank: empty edge list and IntegerType weights on the fast path") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
