@@ -41,6 +41,47 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(words(text))), " "))
 
+  /** Sliding-window token CHUNKING with overlap — the context-window
+    * prep primitive (RAG indexing, splitting long documents for
+    * embedding models, packing fixed windows for training): chunk j of
+    * a document covers tokens [j·stride, j·stride + chunkTokens); every
+    * document yields ≥ 1 chunk (the last one is the possibly-short
+    * tail), chunk count = 1 + ⌈(n − chunkTokens) ⁄ stride⌉ for
+    * n &gt; chunkTokens — all integer math, deterministic boundaries,
+    * no rand() and no length-dependent drift. Output: (`idCol`,
+    * `chunk_id`, `start_tok`, `n_tokens`, `chunk_md5`).
+    *
+    * Scale shape: pure per-row array expressions (the transform runs
+    * over ≤ a handful of chunk slots per doc) — embarrassingly
+    * parallel, zero shuffles; the fan-out is bounded by n ⁄ stride per
+    * document, never corpus-sized.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      wordsCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens >= 1")
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride in [1, chunkTokens] (larger strides would drop tokens)")
+    df.select(col(idCol), col(wordsCol).as("_w"))
+      .withColumn("_n", size(col("_w")))
+      // ceil((n - chunk) / stride) in exact integer form; the CASE keeps
+      // sequence() ascending (Spark sequence(1, 0) DESCENDS — guarded)
+      .withColumn("_nc", expr(
+        s"1 + CASE WHEN _n > $chunkTokens THEN (_n - $chunkTokens + ${stride - 1}) DIV $stride ELSE 0 END"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, _nc - 1), j -> named_struct(
+             'start_tok', CAST(j * $stride AS BIGINT),
+             'toks', slice(_w, j * $stride + 1, $chunkTokens)))"""))
+        .as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        col("c.start_tok"),
+        size(col("c.toks")).cast("bigint").as("n_tokens"),
+        md5(array_join(col("c.toks"), " ")).as("chunk_md5"))
+  }
+
   /** Composite quality score in EXACT integer basis points over the
     * common denominator n_chars·n_words — integer floor-division cannot
     * straddle float round-boundaries between engines (the text_stats

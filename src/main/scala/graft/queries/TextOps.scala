@@ -548,31 +548,34 @@ object TextOps {
     WHERE rn = 1 ORDER BY typo"""))
 
   /** Sliding-window document chunking (50-token windows, stride 40 — the
-    * pre-tokenization step of a training pipeline): one row per chunk with
-    * a content hash. Pure per-doc generation — embarrassingly parallel.
+    * RAG/pre-tokenization context-prep step): one row per chunk with a
+    * content hash, via the generic [[graft.ops.Text.chunk]] (chunk count
+    * = 1 + ⌈(n − 50) ⁄ 40⌉ exactly — a document whose tail is already
+    * fully covered gets NO redundant dangling chunk, unlike the naive
+    * range-step emission). Pure per-doc array expressions —
+    * embarrassingly parallel, zero shuffles before the presentation sort.
     */
   val docChunk: Q = Q("doc_chunk", (s, dir) => {
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("w"))
       .filter(size(col("w")) >= 1)
-    d.select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")), lit(40))).as("start_tok"))
-      .select(col("doc_id"),
-        (expr("start_tok DIV 40") + 1).cast("bigint").as("chunk_idx"),
-        col("start_tok").cast("bigint").as("start_tok"),
-        size(slice(col("w"), col("start_tok"), lit(50))).cast("bigint").as("n_tokens"),
-        md5(array_join(slice(col("w"), col("start_tok"), lit(50)), " ")).as("chunk_md5"))
+    graft.ops.Text.chunk(d, "doc_id", "w", chunkTokens = 50, stride = 40)
+      .select(col("doc_id"), (col("chunk_id") + 1).as("chunk_idx"),
+        (col("start_tok") + 1).as("start_tok"), col("n_tokens"), col("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
-  }, Some("""SELECT doc_id,
-      CAST(start_tok // 40 + 1 AS BIGINT) AS chunk_idx,
-      CAST(start_tok AS BIGINT) AS start_tok,
-      CAST(len(list_slice(w, start_tok, least(start_tok + 49, len(w)))) AS BIGINT) AS n_tokens,
-      md5(list_aggregate(list_slice(w, start_tok, least(start_tok + 49, len(w))), 'string_agg', ' ')) AS chunk_md5
-    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, 40)) AS start_tok
-      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
-            FROM documents)
-      WHERE len(w) >= 1)
-    ORDER BY doc_id, chunk_idx"""))
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    g AS (SELECT doc_id, w,
+        1 + CASE WHEN len(w) > 50 THEN (len(w) - 50 + 39) // 40 ELSE 0 END AS nc
+      FROM d WHERE len(w) >= 1),
+    c AS (SELECT doc_id, j AS chunk_id, w[j*40+1 : j*40+50] AS toks
+      FROM (SELECT doc_id, w, unnest(range(0, nc)) AS j FROM g))
+    SELECT doc_id, CAST(chunk_id + 1 AS BIGINT) AS chunk_idx,
+      CAST(chunk_id * 40 + 1 AS BIGINT) AS start_tok,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      md5(list_aggregate(toks, 'string_agg', ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx"""))
 
   /** Greedy sequential context packing: documents (in doc_id order) are
     * packed into 512-token training contexts by cumulative token count —

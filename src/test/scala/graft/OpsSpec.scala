@@ -496,6 +496,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bFast == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"bfs: $bFast")
   }
 
+  test("Text.chunk: exact-coverage boundaries, short tails, singleton docs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def toks(n: Int) = (1 to n).map(i => s"t$i")
+    val docs = Seq(
+      (1L, toks(10)),  // n == chunk: exactly 1 chunk, no dangling tail
+      (2L, toks(11)),  // one past: 2 chunks, tail has 3 tokens (starts 0, 8)
+      (3L, toks(26)),  // 1 + ceil(16/8) = 3 chunks
+      (4L, toks(1))    // singleton: 1 chunk of 1
+    ).toDF("id", "w")
+    val got = graft.ops.Text.chunk(docs, "id", "w", chunkTokens = 10, stride = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    assert(got(1L) == Seq((0L, 10L)), s"exact coverage: ${got(1L)}")
+    assert(got(2L) == Seq((0L, 10L), (8L, 3L)), s"short tail: ${got(2L)}")
+    assert(got(3L) == Seq((0L, 10L), (8L, 10L), (16L, 10L)), s"3 chunks: ${got(3L)}")
+    assert(got(4L) == Seq((0L, 1L)), s"singleton: ${got(4L)}")
+    // every token of every doc is covered by at least one chunk
+    val covered = graft.ops.Text.chunk(docs, "id", "w", 10, 8)
+      .select(col("id"), explode(expr(
+        "sequence(start_tok, start_tok + n_tokens - 1)")).as("p"))
+      .distinct().groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(covered == Map(1L -> 10L, 2L -> 11L, 3L -> 26L, 4L -> 1L), s"coverage: $covered")
+    intercept[IllegalArgumentException] {
+      graft.ops.Text.chunk(docs, "id", "w", chunkTokens = 10, stride = 11)
+    }
+  }
+
   test("Graph.personalizedPagerank: fast path == distributed loop; seed semantics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
