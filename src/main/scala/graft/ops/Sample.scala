@@ -99,4 +99,41 @@ object Sample {
     * shared with the emitted oracle twins. */
   val PriorityModulus: Long = 1000003L
   val PriorityScale: Long = 1000000000000L
+
+  /** TEMPERATURE-based source mixing at α = 1/2 — the multilingual
+    * data-mixing rule p_i ∝ n_i^α (Conneau &amp; Lample, XLM, NeurIPS'19;
+    * Xue et al., mT5, NAACL'21 — α ∈ [0.2, 0.7] in practice) that
+    * upsamples low-resource strata relative to proportional sampling.
+    * α = 1/2 is the temperature whose weights are EXACT integers:
+    * w_i = isqrt(n_i), computed as floor(sqrt) then corrected ±1 by
+    * SQUARING (sqrt of a bigint-sized double is correctly rounded in
+    * both engines, and the integer correction removes any boundary
+    * doubt — no float ever reaches the output). The budget is
+    * apportioned by CUMULATIVE QUOTAS: alloc_i = ⌊B·cum_i ⁄ T⌋ −
+    * ⌊B·cum_{i−1} ⁄ T⌋ over the stratum-ordered cumulative weights —
+    * telescopes to EXACTLY B, deterministic, one window over the
+    * #strata-row aggregate (the sanctioned global-window-over-Aggregate
+    * shape; nothing data-sized is ever globally ordered).
+    *
+    * Output: (`strataCol`, `n_rows`, `weight`, `alloc`). Feed `alloc`
+    * into a per-stratum hash-order rank (e.g. [[stratifiedTopN]]'s
+    * window) to materialize the actual sample.
+    */
+  def temperatureAlloc(df: DataFrame, strataCol: String, budget: Long): DataFrame = {
+    require(budget >= 0)
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_rows"))
+      .withColumn("_k0", expr("CAST(floor(sqrt(CAST(n_rows AS DOUBLE))) AS BIGINT)"))
+      .withColumn("weight", expr(
+        """CASE WHEN (_k0 + 1) * (_k0 + 1) <= n_rows THEN _k0 + 1
+                WHEN _k0 * _k0 > n_rows THEN _k0 - 1 ELSE _k0 END"""))
+      .drop("_k0")
+    val wCum = Window.orderBy(col(strataCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = counts.withColumn("cumw", sum("weight").over(wCum))
+    val tot = counts.agg(sum("weight").as("tw"))
+    withCum.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr(
+        s"($budget * cumw) DIV tw - ($budget * (cumw - weight)) DIV tw"))
+      .select(col(strataCol), col("n_rows"), col("weight"), col("alloc"))
+  }
 }

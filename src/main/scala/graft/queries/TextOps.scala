@@ -18,7 +18,7 @@ object TextOps {
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
-    multimodalFrames)
+    multimodalFrames, sampleTemperature)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -281,6 +281,68 @@ object TextOps {
         % 10000 < r.rate_bp THEN tok END), 0) AS BIGINT) AS kept_tokens
     FROM d JOIN r USING (source)
     GROUP BY d.source ORDER BY source"""))
+
+  /** Temperature-based (α = 1/2) source mixing — allocate a 100-doc
+    * training budget across sources ∝ √n_i ([[graft.ops.Sample
+    * .temperatureAlloc]]: exact integer sqrt + cumulative-quota
+    * apportionment that sums EXACTLY to the budget), then materialize
+    * the sample per source in salted-hash order (the stratifiedTopN
+    * window with a data-driven per-stratum n). Output is the mixing
+    * manifest: counts, weight, allocation, and an md5 of the ordered
+    * selected-id list — one hash catches any drift in the sqrt, the
+    * apportionment, or the hash ordering.
+    */
+  val sampleTemperature: Q = Q("sample_temperature", (s, dir) => {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val alloc = graft.ops.Sample.temperatureAlloc(d, "source", budget = 100L)
+      .persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+    val ranked = d
+      .withColumn("h", graft.ops.Sample.hashOrder(col("doc_id"), "strat"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+    val sel = ranked
+      .join(broadcast(alloc.select(col("source"), col("alloc"))), "source")
+      .filter(col("rn") <= col("alloc"))
+    val agg = sel.groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(rn, doc_id))), x -> CAST(x.doc_id AS STRING))"),
+          ",")).as("sel_md5"))
+    alloc.join(agg, Seq("source"), "left_outer")
+      .select(col("source"), col("n_rows").as("n_docs"), col("weight"),
+        col("alloc"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_md5"), md5(lit(""))).as("sel_md5"))
+      .orderBy("source")
+  }, Some("""WITH c AS (
+      SELECT source, count(*)::BIGINT AS n_rows FROM documents GROUP BY source),
+    k AS (SELECT source, n_rows,
+        CAST(floor(sqrt(CAST(n_rows AS DOUBLE))) AS BIGINT) AS k0 FROM c),
+    wt AS (SELECT source, n_rows,
+        CASE WHEN (k0 + 1) * (k0 + 1) <= n_rows THEN k0 + 1
+             WHEN k0 * k0 > n_rows THEN k0 - 1 ELSE k0 END AS weight FROM k),
+    cw AS (SELECT source, n_rows, weight,
+        sum(weight) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+      FROM wt),
+    tw AS (SELECT sum(weight) AS tw FROM wt),
+    alloc AS (SELECT source, n_rows, weight,
+        (100 * cumw) // tw.tw - (100 * (cumw - weight)) // tw.tw AS alloc
+      FROM cw, tw),
+    r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+        ORDER BY CAST('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+          doc_id) AS BIGINT) AS rn
+      FROM documents),
+    sel AS (SELECT r.source, r.doc_id, r.rn
+      FROM r JOIN alloc a ON a.source = r.source AND r.rn <= a.alloc),
+    sa AS (SELECT source, count(*)::BIGINT AS n_selected,
+        md5(list_aggregate(list(CAST(doc_id AS VARCHAR) ORDER BY rn), 'string_agg', ',')) AS sel_md5
+      FROM sel GROUP BY source)
+    SELECT a.source, a.n_rows AS n_docs, a.weight, CAST(a.alloc AS BIGINT) AS alloc,
+      coalesce(sa.n_selected, 0) AS n_selected,
+      coalesce(sa.sel_md5, md5('')) AS sel_md5
+    FROM alloc a LEFT JOIN sa USING (source)
+    ORDER BY source"""))
 
   /** Per-document top-3 TF-IDF terms — the classic distinctive-term
     * extractor (keyword tagging, near-boilerplate triage). Plan shape at

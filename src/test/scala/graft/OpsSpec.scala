@@ -496,6 +496,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bFast == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"bfs: $bFast")
   }
 
+  test("Sample.temperatureAlloc: exact isqrt weights, allocation sums exactly to budget") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // strata sized around perfect-square boundaries: 1, 4, 8, 9, 10000
+    val rows = Seq("a" -> 1, "b" -> 4, "c" -> 8, "d" -> 9, "e" -> 10000)
+      .flatMap { case (s, n) => (1 to n).map(i => (s, i)) }.toDF("src", "i")
+    for (budget <- Seq(0L, 1L, 7L, 100L, 1000L)) {
+      val a = graft.ops.Sample.temperatureAlloc(rows, "src", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(a.map(_._4).sum == budget, s"alloc must sum to $budget: ${a.toSeq}")
+      assert(a.forall(_._4 >= 0), s"negative alloc: ${a.toSeq}")
+    }
+    val w = graft.ops.Sample.temperatureAlloc(rows, "src", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 3L, "e" -> 100L),
+      s"isqrt weights: $w")
+    // temperature flattens: the 10000-row stratum gets ~93% of the mass
+    // proportionally but only 100/108 ~ 92 of the sqrt-weighted budget;
+    // the 1-row stratum gets ~0 proportionally but >= 1/108 here — just
+    // assert the relative lift direction
+    val alloc = graft.ops.Sample.temperatureAlloc(rows, "src", 108L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(alloc("e") == 100L && alloc("a") == 1L, s"sqrt mixing: $alloc")
+  }
+
   test("Text.chunk: exact-coverage boundaries, short tails, singleton docs") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
