@@ -27,7 +27,8 @@ object Dedup {
   def all: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
     dedupClusters, hashSplit, decontaminate, decontaminate13,
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
-    dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply)
+    dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
+    dedupSpanApplyBest)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -615,28 +616,33 @@ object Dedup {
     * the coverage test is an anti-join equi-keyed on doc id with a
     * bounded range predicate per span.
     */
-  val dedupSpanApply: Q = Q("dedup_span_apply", (s, dir) => {
-    // the span MANIFEST is materialized once: it feeds both the
-    // affected-doc semi-join and the coverage anti-join below, and
-    // without the persist the whole detector subtree (gram index,
-    // dotplot self-join, islands window) is planned and EXECUTED twice
-    // — a production pipeline writes this manifest once and reuses it
-    val spans = dedupMaxSpan.fn(s, dir)
-      .select(col("doc_b"), col("start_b"), col("span_tokens"))
+  /** Shared apply machinery for the span-dedup removal variants: given
+    * a LOSER-oriented cut manifest (`loser`, `start_l`, `span_tokens`),
+    * drop the covered tokens from each loser document and emit the
+    * per-document removal report. The manifest is materialized ONCE (it
+    * feeds both the affected-doc semi-join and the coverage anti-join;
+    * without the persist the whole detector subtree — gram index,
+    * dotplot self-join, islands window — would be planned and EXECUTED
+    * twice). The token explode is also read twice (before + after
+    * aggregations) and is bounded by the AFFECTED documents only, so
+    * its cache is manifest-sized times average doc length, never
+    * corpus-sized.
+    */
+  private def applySpanCuts(
+      s: SparkSession, dir: String, manifest: DataFrame): DataFrame = {
+    val spans = manifest
+      .select(col("loser"), col("start_l"), col("span_tokens"))
       .persist()
-    val affected = spans.select(col("doc_b").as("doc_id")).distinct()
-    // also read twice (tokens_before + the kept/after branch); bounded
-    // by the AFFECTED documents only, so the cache is manifest-sized
-    // times average doc length, not corpus-sized
+    val affected = spans.select(col("loser").as("doc_id")).distinct()
     val tw = Tables.t(s, dir, "documents")
       .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
       .join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
       .withColumn("p", col("p").cast("bigint"))
       .persist()
-    val coverCond = tw("doc_id") === spans("doc_b") &&
-      tw("p") >= spans("start_b") &&
-      tw("p") < spans("start_b") + spans("span_tokens")
+    val coverCond = tw("doc_id") === spans("loser") &&
+      tw("p") >= spans("start_l") &&
+      tw("p") < spans("start_l") + spans("span_tokens")
     val kept = tw.join(spans, coverCond, "left_anti")
     val before = tw.groupBy("doc_id").agg(count(lit(1)).as("tokens_before"))
     val after = kept.groupBy("doc_id")
@@ -651,6 +657,12 @@ object Dedup {
         coalesce(col("tokens_after"), lit(0L)).as("tokens_after"),
         coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
       .orderBy("doc_id")
+  }
+
+  val dedupSpanApply: Q = Q("dedup_span_apply", (s, dir) => {
+    applySpanCuts(s, dir, dedupMaxSpan.fn(s, dir)
+      .select(col("doc_b").as("loser"), col("start_b").as("start_l"),
+        col("span_tokens")))
   }, Some(s"""WITH spans AS (${dedupMaxSpan.oracle.get}),
     w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
       FROM documents WHERE doc_id IN (SELECT doc_b FROM spans)),
@@ -659,6 +671,64 @@ object Dedup {
     kept AS (SELECT tw.* FROM tw WHERE NOT EXISTS (
         SELECT 1 FROM spans sp WHERE sp.doc_b = tw.doc_id
           AND tw.p >= sp.start_b AND tw.p < sp.start_b + sp.span_tokens)),
+    b AS (SELECT doc_id, count(*)::BIGINT AS tokens_before FROM tw GROUP BY doc_id),
+    a AS (SELECT doc_id, count(*)::BIGINT AS tokens_after,
+        md5(list_aggregate(list(word ORDER BY p), 'string_agg', ' ')) AS cleaned_md5
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id, b.tokens_before,
+      b.tokens_before - coalesce(a.tokens_after, 0) AS tokens_removed,
+      coalesce(a.tokens_after, 0) AS tokens_after,
+      coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM b LEFT JOIN a USING (doc_id)
+    ORDER BY doc_id"""))
+
+  /** Span-dedup apply, KEEP-BEST policy — instead of the keep-first
+    * rule (doc_b, the higher id, always loses), each shared span is cut
+    * from the LOWER-QUALITY copy (the shared ops/Text.qualityBp integer
+    * score; ties fall back to keep-first, so the orientation is total).
+    * This is the policy a curation pipeline actually wants: when
+    * boilerplate is shared between a high-quality page and a junk page,
+    * the junk page pays. Same materialized-manifest machinery as
+    * [[dedupSpanApply]] — only the loser orientation differs, composed
+    * from the REGISTERED detector and the registered quality formula so
+    * neither can drift from its own oracle.
+    */
+  val dedupSpanApplyBest: Q = Q("dedup_span_apply_best", (s, dir) => {
+    val qual = graft.ops.Text.qualityBp(
+        Tables.t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("quality_bp"))
+    val oriented = dedupMaxSpan.fn(s, dir)
+      .join(qual.select(col("doc_id").as("doc_a"), col("quality_bp").as("qa")), "doc_a")
+      .join(qual.select(col("doc_id").as("doc_b"), col("quality_bp").as("qb")), "doc_b")
+      .select(
+        when(col("qa") < col("qb"), col("doc_a")).otherwise(col("doc_b")).as("loser"),
+        when(col("qa") < col("qb"), col("start_a")).otherwise(col("start_b")).as("start_l"),
+        col("span_tokens"))
+    applySpanCuts(s, dir, oriented)
+  }, Some(s"""WITH spans0 AS (${dedupMaxSpan.oracle.get}),
+    qd AS (SELECT doc_id,
+        (40 * least(n_words, 100) * n_chars * n_words
+          + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+          // nullif(n_chars * n_words, 0) AS quality_bp
+      FROM (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha,
+        CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct
+        FROM documents)),
+    spans AS (SELECT
+        CASE WHEN qa.quality_bp < qb.quality_bp THEN sp.doc_a ELSE sp.doc_b END AS loser,
+        CASE WHEN qa.quality_bp < qb.quality_bp THEN sp.start_a ELSE sp.start_b END AS start_l,
+        sp.span_tokens
+      FROM spans0 sp JOIN qd qa ON qa.doc_id = sp.doc_a
+        JOIN qd qb ON qb.doc_id = sp.doc_b),
+    w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents WHERE doc_id IN (SELECT loser FROM spans)),
+    tw AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p, w[j] AS word
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM w)),
+    kept AS (SELECT tw.* FROM tw WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp WHERE sp.loser = tw.doc_id
+          AND tw.p >= sp.start_l AND tw.p < sp.start_l + sp.span_tokens)),
     b AS (SELECT doc_id, count(*)::BIGINT AS tokens_before FROM tw GROUP BY doc_id),
     a AS (SELECT doc_id, count(*)::BIGINT AS tokens_after,
         md5(list_aggregate(list(word ORDER BY p), 'string_agg', ' ')) AS cleaned_md5
