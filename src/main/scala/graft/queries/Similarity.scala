@@ -25,7 +25,7 @@ object Similarity {
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
-    embedRotateSq8, hybridRrf, annNswBeam)
+    embedRotateSq8, hybridRrf, annNswBeam, embedMatryoshka)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -604,6 +604,75 @@ object Similarity {
       FROM p)
     SELECT q_id, rnk, c_id, round(sim, 4) AS cosine FROM r WHERE rnk <= 5
     ORDER BY q_id, rnk"""))
+
+  /** MATRYOSHKA-style truncated-dimension retrieval comparison
+    * (Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS'22 — public): rank the corpus by FULL 64-dim cosine and by
+    * the 16-dim PREFIX cosine, and report per query the top-3 of each
+    * plus the overlap count — the diagnostic a pipeline runs before
+    * switching its first-stage retrieval to truncated vectors (4×
+    * cheaper dot products and memory traffic; the overlap says what
+    * recall that buys). Same round(,6)+id ranking determinism as every
+    * ANN query; both rankings share one corpus pass and the truncated
+    * side slices the SAME vectors (no second scan). On isotropic
+    * synthetic vectors the overlap is chance-level — the query verifies
+    * the machinery, AnnRecallSpec documents the coverage framing.
+    */
+  val embedMatryoshka: Q = Q("embed_matryoshka", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"),
+        expr("slice(emb, 1, 16)").as("qt"),
+        sqrt(dotD(expr("slice(emb, 1, 16)"), expr("slice(emb, 1, 16)"))).as("qtn"))
+    val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"),
+      expr("slice(emb, 1, 16)").as("ct"),
+      sqrt(dotD(expr("slice(emb, 1, 16)"), expr("slice(emb, 1, 16)"))).as("ctn"))
+    val pairs = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim_full", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("sim_trunc", dotD(col("qt"), col("ct")) / (col("qtn") * col("ctn")))
+    val wF = Window.partitionBy("q_id")
+      .orderBy(round(col("sim_full"), 6).desc, col("c_id").asc)
+    val wT = Window.partitionBy("q_id")
+      .orderBy(round(col("sim_trunc"), 6).desc, col("c_id").asc)
+    val ranked = pairs
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rt", row_number().over(wT))
+      .filter(col("rf") <= 3 || col("rt") <= 3)
+    ranked.groupBy("q_id")
+      .agg(
+        expr("transform(array_sort(collect_list(CASE WHEN rf <= 3 THEN struct(rf, c_id) END)), x -> x.c_id)")
+          .as("top_full"),
+        expr("transform(array_sort(collect_list(CASE WHEN rt <= 3 THEN struct(rt, c_id) END)), x -> x.c_id)")
+          .as("top_trunc"))
+      .withColumn("overlap",
+        size(array_intersect(col("top_full"), col("top_trunc"))).cast("bigint"))
+      .select(col("q_id"), concat_ws(",", col("top_full")).as("top_full"),
+        concat_ws(",", col("top_trunc")).as("top_trunc"), col("overlap"))
+      .orderBy("q_id")
+  }, Some("""WITH e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb,
+        sqrt(list_dot_product(emb, emb)) AS nrm,
+        sqrt(list_dot_product(emb[1:16], emb[1:16])) AS tnrm
+      FROM e0),
+    p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim_full,
+        list_dot_product(q.emb[1:16], c.emb[1:16]) / (q.tnrm * c.tnrm) AS sim_trunc
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    r AS (SELECT q_id, c_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY round(sim_full, 6) DESC, c_id ASC) AS rf,
+        row_number() OVER (PARTITION BY q_id ORDER BY round(sim_trunc, 6) DESC, c_id ASC) AS rt
+      FROM p),
+    g AS (SELECT q_id,
+        list_aggregate(list(CAST(c_id AS VARCHAR) ORDER BY rf) FILTER (WHERE rf <= 3), 'string_agg', ',') AS top_full,
+        list(c_id ORDER BY rf) FILTER (WHERE rf <= 3) AS lf,
+        list_aggregate(list(CAST(c_id AS VARCHAR) ORDER BY rt) FILTER (WHERE rt <= 3), 'string_agg', ',') AS top_trunc,
+        list(c_id ORDER BY rt) FILTER (WHERE rt <= 3) AS lt
+      FROM r WHERE rf <= 3 OR rt <= 3 GROUP BY q_id)
+    SELECT q_id, top_full, top_trunc,
+      CAST(len(list_intersect(lf, lt)) AS BIGINT) AS overlap
+    FROM g ORDER BY q_id"""))
 
   /** NSW-LITE graph-ANN — the navigable-small-world shape (Malkov et
     * al., "Approximate nearest neighbor algorithm based on navigable
