@@ -18,7 +18,7 @@ object TextOps {
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
-    multimodalFrames, sampleTemperature)
+    multimodalFrames, sampleTemperature, pipelineChunkIndex)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -669,6 +669,56 @@ object TextOps {
           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents))
     GROUP BY bin ORDER BY bin"""))
+
+  /** Composed CHUNK-INDEX pipeline — the embedding-index prep a RAG
+    * system runs between raw corpus and encoder: (1) sliding-window
+    * chunking ([[graft.ops.Text.chunk]], 50/40 — the registered
+    * doc_chunk grammar), (2) EXACT chunk dedup by content hash (the
+    * first (doc_id, chunk_id) copy survives — shared boilerplate
+    * windows collapse before they waste encoder FLOPs), (3) packing
+    * survivors into 512-token encoder batches
+    * ([[graft.ops.Pack.assignBins]] — the distributed prefix-sum, no
+    * global data window). One hash-exact oracle across the three
+    * stages: a regression in the chunk grammar, the dedup rule, or the
+    * packer surfaces here even if each stage's own query still passes.
+    * Chunk key = doc_id·4096 + chunk_id (chunk counts are len/stride
+    * bounded far under 4096), so the packer's shard key stays the
+    * document.
+    */
+  val pipelineChunkIndex: Q = Q("pipeline_chunk_index", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+    val chunks = graft.ops.Text.chunk(d, "doc_id", "w", chunkTokens = 50, stride = 40)
+    val wd = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+    val surv = chunks.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(expr("doc_id * 4096 + chunk_id").as("ck_id"), col("n_tokens"))
+    graft.ops.Pack.assignBins(surv, "ck_id", "n_tokens", binTokens = 512L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"),
+        min("ck_id").as("first_chunk"), max("ck_id").as("last_chunk"))
+      .orderBy("bin")
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    g AS (SELECT doc_id, w,
+        1 + CASE WHEN len(w) > 50 THEN (len(w) - 50 + 39) // 40 ELSE 0 END AS nc
+      FROM d WHERE len(w) >= 1),
+    c0 AS (SELECT doc_id, j AS chunk_id, w[j*40+1 : j*40+50] AS toks
+      FROM (SELECT doc_id, w, unnest(range(0, nc)) AS j FROM g)),
+    ch AS (SELECT doc_id, chunk_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        md5(list_aggregate(toks, 'string_agg', ' ')) AS chunk_md5 FROM c0),
+    s AS (SELECT *, row_number() OVER (PARTITION BY chunk_md5
+        ORDER BY doc_id, chunk_id) AS rn FROM ch),
+    k AS (SELECT doc_id * 4096 + chunk_id AS ck_id, n_tokens FROM s WHERE rn = 1),
+    b AS (SELECT ck_id, n_tokens,
+        CAST((sum(n_tokens) OVER (ORDER BY ck_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+      FROM k)
+    SELECT bin, count(*)::BIGINT AS n_chunks,
+      CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      min(ck_id) AS first_chunk, max(ck_id) AS last_chunk
+    FROM b GROUP BY bin ORDER BY bin"""))
 
   /** Generator surface (posexplode / LATERAL VIEW): the first three words
     * of each doc with their ordinal positions.
