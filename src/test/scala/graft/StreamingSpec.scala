@@ -945,6 +945,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("TempMixProcessor matches the batch temperature allocation EXACTLY per batch") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_mix").toFile
+    val srcs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(srcs.length > 50)
+    val (b1, b2) = srcs.splitAt(srcs.length / 2)
+    def fmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._2} 1").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.TempMixProcessor(spark, src, budget = 100L)
+      .toDF("source", "n_rows", "weight", "alloc")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_mix_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final manifest per source = the row with the max count
+      val got = spark.sql("SELECT source, n_rows, weight, alloc FROM graft_mix_out")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (s, rows) => s -> rows.maxBy(_._2._1)._2 }
+      val want = graft.ops.Sample.temperatureAlloc(
+          Tables.t(spark, "/root/testdata/sf0.001", "documents"), "source", 100L)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got.keySet == want.keySet, s"strata differ: ${got.keySet} vs ${want.keySet}")
+      got.foreach { case (s, g) => assert(g == want(s), s"stratum $s: $g vs ${want(s)}") }
+      assert(got.values.map(_._3).sum == 100L, "allocation must sum to the budget")
+    } finally q.stop()
+  }
+
   test("SpaceSavingProcessor: heavy-hitter superset + count-bound guarantees across batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
