@@ -25,7 +25,7 @@ object Similarity {
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
-    embedRotateSq8, hybridRrf, annNswBeam, embedMatryoshka)
+    embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -702,7 +702,11 @@ object Similarity {
     * vs exact is coverage-bounded (AnnRecallSpec note); this query
     * verifies the machinery bit-exactly.
     */
-  val annNswBeam: Q = Q("ann_nsw_beam", (s, dir) => {
+  /** Shared NSW graph build (see [[annNswBeam]] scaladoc): ≤6 local
+    * within-cell out-links + ≤2 hub shortcuts per vector. Returns
+    * (n persisted, edges persisted, q, c). */
+  private def nswParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val n = normed(s, dir).persist()
     val wSrc = Window.partitionBy("src")
@@ -726,15 +730,20 @@ object Similarity {
     val q = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
-    // deterministic entry: the two smallest corpus ids, broadcast
-    val m2 = n.select(col("vec_id")).orderBy("vec_id").limit(2)
-      .agg(min("vec_id").as("m0"), max("vec_id").as("m1"))
-    var beam = q.select(col("q_id")).crossJoin(broadcast(m2))
-      .select(col("q_id"),
-        when(col("q_id") === col("m0"), col("m1")).otherwise(col("m0")).as("c_id"))
+    (n, edges, q, c)
+  }
+
+  /** Shared greedy beam: `hops` rounds of expand-score-keep-8, then the
+    * top-3 report (see [[annNswBeam]] scaladoc). `beam0` = (q_id, c_id)
+    * entry rows. */
+  private def nswBeam(
+      edges: DataFrame, q: DataFrame, c: DataFrame,
+      beam0: DataFrame, hops: Int, simName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wQ = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
-    for (_ <- 1 to 3) {
+    var beam = beam0
+    for (_ <- 1 to hops) {
       val nbrs = beam.join(edges, beam("c_id") === edges("src"))
         .select(col("q_id"), col("dst").as("c_id"))
       val cand = beam.union(nbrs).distinct().filter(col("c_id") =!= col("q_id"))
@@ -748,23 +757,13 @@ object Similarity {
       .withColumn("rnk", row_number().over(wQ).cast("bigint"))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk"), col("c_id"),
-        round(col("sim"), 4).as("cosine_nsw"))
+        round(col("sim"), 4).as(simName))
       .orderBy("q_id", "rnk")
-  }, Some {
-    def hop(prev: String, cand: String, beam: String) =
-      s"""$cand AS MATERIALIZED (SELECT DISTINCT q_id, c_id FROM (
-        SELECT q_id, c_id FROM $prev
-        UNION ALL
-        SELECT r.q_id, ed.dst AS c_id FROM $prev r JOIN edges ed ON ed.src = r.c_id)
-        WHERE c_id <> q_id),
-    $beam AS MATERIALIZED (SELECT q_id, c_id FROM (
-        SELECT cc.q_id, cc.c_id,
-          row_number() OVER (PARTITION BY cc.q_id
-            ORDER BY round(list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm), 6) DESC,
-              cc.c_id ASC) AS rn
-        FROM $cand cc JOIN q ON q.q_id = cc.q_id JOIN e ce ON ce.vec_id = cc.c_id)
-        WHERE rn <= 8)"""
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+  }
+
+  // ---- shared NSW oracle fragments (DuckDB side) ----
+  private def nswGraphSql: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings),
     loc AS (SELECT src, dst FROM (
@@ -780,24 +779,89 @@ object Similarity {
               h.vec_id ASC) AS rn
         FROM e a JOIN e h ON h.vec_id % 50 = 0 AND a.vec_id <> h.vec_id) WHERE rn <= 2),
     edges AS MATERIALIZED (SELECT src, dst FROM loc UNION SELECT src, dst FROM hub),
-    q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM e WHERE vec_id < 10),
-    mm AS (SELECT min(vec_id) AS m0 FROM e),
-    mm2 AS (SELECT min(vec_id) AS m1 FROM e WHERE vec_id > (SELECT m0 FROM mm)),
-    r0 AS MATERIALIZED (SELECT q_id,
-        CASE WHEN q_id = (SELECT m0 FROM mm) THEN (SELECT m1 FROM mm2)
-             ELSE (SELECT m0 FROM mm) END AS c_id FROM q),
-    ${hop("r0", "c1", "r1")},
-    ${hop("r1", "c2", "r2")},
-    ${hop("r2", "c3", "r3")}
-    SELECT q_id, rnk, c_id, round(sim, 4) AS cosine_nsw FROM (
+    q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM e WHERE vec_id < 10)"""
+
+  private def nswHopSql(prev: String, cand: String, beam: String): String =
+    s"""$cand AS MATERIALIZED (SELECT DISTINCT q_id, c_id FROM (
+        SELECT q_id, c_id FROM $prev
+        UNION ALL
+        SELECT r.q_id, ed.dst AS c_id FROM $prev r JOIN edges ed ON ed.src = r.c_id)
+        WHERE c_id <> q_id),
+    $beam AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT cc.q_id, cc.c_id,
+          row_number() OVER (PARTITION BY cc.q_id
+            ORDER BY round(list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm), 6) DESC,
+              cc.c_id ASC) AS rn
+        FROM $cand cc JOIN q ON q.q_id = cc.q_id JOIN e ce ON ce.vec_id = cc.c_id)
+        WHERE rn <= 8)"""
+
+  private def nswFinalSql(last: String, simName: String): String =
+    s"""SELECT q_id, rnk, c_id, round(sim, 4) AS $simName FROM (
       SELECT r.q_id, r.c_id,
         list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm) AS sim,
         CAST(row_number() OVER (PARTITION BY r.q_id
           ORDER BY round(list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm), 6) DESC,
             r.c_id ASC) AS BIGINT) AS rnk
-      FROM r3 r JOIN q ON q.q_id = r.q_id JOIN e ce ON ce.vec_id = r.c_id)
+      FROM $last r JOIN q ON q.q_id = r.q_id JOIN e ce ON ce.vec_id = r.c_id)
     WHERE rnk <= 3 ORDER BY q_id, rnk"""
-  })
+
+  val annNswBeam: Q = Q("ann_nsw_beam", (s, dir) => {
+    val (_, edges, q, c) = nswParts(s, dir)
+    val n = normed(s, dir)
+    // deterministic entry: the two smallest corpus ids, broadcast
+    val m2 = n.select(col("vec_id")).orderBy("vec_id").limit(2)
+      .agg(min("vec_id").as("m0"), max("vec_id").as("m1"))
+    val beam0 = q.select(col("q_id")).crossJoin(broadcast(m2))
+      .select(col("q_id"),
+        when(col("q_id") === col("m0"), col("m1")).otherwise(col("m0")).as("c_id"))
+    nswBeam(edges, q, c, beam0, hops = 3, simName = "cosine_nsw")
+  }, Some(s"""WITH $nswGraphSql,
+    mm AS (SELECT min(vec_id) AS m0 FROM e),
+    mm2 AS (SELECT min(vec_id) AS m1 FROM e WHERE vec_id > (SELECT m0 FROM mm)),
+    r0 AS MATERIALIZED (SELECT q_id,
+        CASE WHEN q_id = (SELECT m0 FROM mm) THEN (SELECT m1 FROM mm2)
+             ELSE (SELECT m0 FROM mm) END AS c_id FROM q),
+    ${nswHopSql("r0", "c1", "r1")},
+    ${nswHopSql("r1", "c2", "r2")},
+    ${nswHopSql("r2", "c3", "r3")}
+    ${nswFinalSql("r3", "cosine_nsw")}"""))
+
+  /** HNSW-style TWO-LAYER descent (Malkov &amp; Yashunin, "Efficient and
+    * robust approximate nearest neighbor search using Hierarchical
+    * Navigable Small World graphs", TPAMI 2018 — public): the hub set
+    * (`vec_id % 50 = 0`) plays the UPPER layer — each query first finds
+    * its nearest hub EXACTLY (a broadcast-sized scan, the upper-layer
+    * greedy descent collapsed to one step), then runs the width-8 beam
+    * for only 2 hops at the base layer from that per-query entry.
+    * Against [[annNswBeam]]'s fixed global entry this trades one cheap
+    * hub scan for a hop — the layered-entry idea that makes HNSW
+    * log-ish. Same graph, same determinism contract, same oracle
+    * machinery with the entry CTE swapped.
+    */
+  val annHnswLayers: Q = Q("ann_hnsw_layers", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val (n, edges, q, c) = nswParts(s, dir)
+    // upper layer: exact nearest hub per query (broadcast-sized side)
+    val hubs = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
+    val wE = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    val beam0 = q.crossJoin(broadcast(hubs)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wE)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"))
+    nswBeam(edges, q, c, beam0, hops = 2, simName = "cosine_hnsw")
+  }, Some(s"""WITH $nswGraphSql,
+    r0 AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT q.q_id, h.vec_id AS c_id,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY round(list_dot_product(q.qe, h.emb) / (q.qn * h.nrm), 6) DESC,
+              h.vec_id ASC) AS rn
+        FROM q JOIN e h ON h.vec_id % 50 = 0 AND h.vec_id <> q.q_id)
+      WHERE rn = 1),
+    ${nswHopSql("r0", "c1", "r1")},
+    ${nswHopSql("r1", "c2", "r2")}
+    ${nswFinalSql("r2", "cosine_hnsw")}"""))
 
   /** IVF-pruned ANN: search only the query's coarse cell (`label`). */
   val annIvfLabel: Q = Q("ann_ivf_label", (s, dir) => {

@@ -90,5 +90,17 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val nswRecall = recall(rows.map(r => (r._1, r._3)).toSet)
     info(f"recall@3  nswBeam=$nswRecall%.2f (coverage-bounded on isotropic vectors)")
+    // HNSW-style layered entry: same structural contract, per-query
+    // nearest-hub entry instead of a fixed global entry, one hop fewer
+    val hrows = graft.queries.Similarity.annHnswLayers.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hByQ = hrows.groupBy(_._1)
+    assert(hByQ.keySet == (0L until 10L).toSet, s"hnsw queries: ${hByQ.keySet}")
+    hByQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"hnsw ranks q=$q")
+      assert(rs.forall(_._3 != q), s"hnsw self-match q=$q")
+    }
+    val hnswRecall = recall(hrows.map(r => (r._1, r._3)).toSet)
+    info(f"recall@3  hnswLayers=$hnswRecall%.2f (2 hops from the per-query nearest hub)")
   }
 }
