@@ -322,6 +322,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"span apply must stay doc-keyed:\n$sa")
   }
 
+  test("round-5 additions plan scale-shaped: keyed joins, bounded broadcasts, no cartesians") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    // pipeline_chunk_index: chunk explode + md5 dedup + packer — every
+    // join keyed (chunk hash / shard), nothing all-pairs
+    val ci = graft.queries.TextOps.pipelineChunkIndex
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!ci.contains("CartesianProduct") && !ci.contains("BroadcastNestedLoopJoin"),
+      s"chunk-index pipeline must stay keyed:\n$ci")
+    // sample_temperature: the only windows are the #strata cumsum and
+    // the per-source rank — no data-sized global window (WindowAudit
+    // enforces registry-wide; asserted here for the plan too)
+    val st = graft.queries.TextOps.sampleTemperature
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!st.contains("CartesianProduct"),
+      s"temperature mixing must stay keyed/broadcast:\n$st")
+    // span keep-best: quality join + anti-join stay doc-keyed
+    val sb = graft.queries.Dedup.dedupSpanApplyBest
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!sb.contains("CartesianProduct"),
+      s"keep-best span apply must stay doc-keyed:\n$sb")
+    // NSW / HNSW: the only nested-loop is the bounded broadcast hub scan
+    // (hubs = N/50 rows by construction); the wedge/beam joins are keyed
+    for ((nm, qq) <- Seq("nsw" -> graft.queries.Similarity.annNswBeam,
+        "hnsw" -> graft.queries.Similarity.annHnswLayers)) {
+      val p = qq.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$nm beam must not plan an unbounded cartesian:\n$p")
+    }
+  }
+
   test("capGroups bounds per-group pair blow-up; basket_pairs plans the cap window") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
