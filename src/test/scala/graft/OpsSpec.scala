@@ -496,6 +496,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bFast == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"bfs: $bFast")
   }
 
+  test("chunk + temperatureAlloc invariants hold on seeded-random inputs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(404)
+    // --- chunk: 150 random docs per (chunk, stride) config, ONE pass each
+    for ((ck, st) <- Seq((10, 8), (16, 16), (7, 3))) {
+      val docs = (1 to 150).map { id =>
+        (id.toLong, (0 until rnd.nextInt(60)).map(j => s"w$j"))
+      }
+      val lens = docs.map { case (id, w) => id -> w.length.toLong }.toMap
+      val got = graft.ops.Text.chunk(docs.toDF("id", "w"), "id", "w", ck, st)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, _) =>
+        val n = lens(id)
+        val cs = got(id).sortBy(_._2)
+        val wantChunks = 1 + (if (n > ck) (n - ck + st - 1) / st else 0L)
+        assert(cs.length == wantChunks, s"cfg($ck,$st) id=$id n=$n: ${cs.length}")
+        cs.foreach { case (_, cid, start, nt) =>
+          assert(start == cid * st, s"start arithmetic: $cs")
+          assert(nt == math.min(ck.toLong, math.max(0L, n - start)),
+            s"cfg($ck,$st) id=$id n=$n chunk $cid: nt=$nt")
+        }
+      }
+    }
+    // --- temperatureAlloc: random strata sets; alloc sums exactly to B
+    // and every alloc is within 1 of its real-valued quota B*w/T
+    for (_ <- 1 to 3) {
+      val strata = (1 to (5 + rnd.nextInt(20))).map(i =>
+        s"s$i" -> (1L + rnd.nextInt(5000)))
+      val rows = strata.flatMap { case (s, n) => (1L to n).map(j => (s, j)) }
+      val budget = rnd.nextInt(10000).toLong
+      val a = graft.ops.Sample.temperatureAlloc(rows.toDF("src", "i"), "src", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(a.map(_._4).sum == budget, s"sum != $budget: ${a.toSeq}")
+      val tw = a.map(_._3).sum
+      a.foreach { case (s, n, w, alloc) =>
+        assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt($n) = $w")
+        // |alloc*T - B*w| < T  <=>  |alloc - B*w/T| < 1
+        assert(math.abs(alloc * tw - budget * w) < tw,
+          s"$s: alloc=$alloc quota=${budget * w}/$tw")
+      }
+    }
+  }
+
   test("Sample.temperatureAlloc: exact isqrt weights, allocation sums exactly to budget") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
