@@ -18,7 +18,8 @@ object TextOps {
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
-    multimodalFrames, sampleTemperature, pipelineChunkIndex)
+    multimodalFrames, sampleTemperature, pipelineChunkIndex,
+    textPhraseOccurrences)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -719,6 +720,52 @@ object TextOps {
       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
       min(ck_id) AS first_chunk, max(ck_id) AS last_chunk
     FROM b GROUP BY bin ORDER BY bin"""))
+
+  /** Boilerplate-phrase audit via the positional gram index — "where
+    * does the corpus's most repeated 5-word phrase occur": the top gram
+    * by (count, hash) from [[graft.ops.Text.gramPositionIndex]], every
+    * (doc, position) occurrence, and the phrase TEXT recovered from the
+    * first occurrence (which also verifies the index's positions round-
+    * trip back to the words). This is the inspection step before a
+    * span-dedup run — the same positional index, read as an IR phrase
+    * lookup: an exact-phrase search is this query with the probe gram
+    * hash supplied instead of argmaxed. Shape: one gram shuffle, a
+    * 1-row broadcast probe, a broadcast phrase constant — the
+    * occurrence scan never self-joins.
+    */
+  val textPhraseOccurrences: Q = Q("text_phrase_occurrences", (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+    // persisted: the index feeds the argmax and the occurrence scan
+    val idx = graft.ops.Text.gramPositionIndex(docs, "doc_id", "w", 5).persist()
+    val top = idx.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+      .orderBy(desc("n_occ"), asc("gh")).limit(1)
+    val occ = idx.join(broadcast(top), "gh").persist()
+    val first = occ.orderBy("doc_id", "p").limit(1)
+      .select(col("doc_id").as("f_doc"), col("p").as("f_p"))
+    val phrase = docs.join(broadcast(first), col("doc_id") === col("f_doc"))
+      .select(array_join(expr("slice(w, CAST(f_p AS INT) + 1, 5)"), " ").as("phrase"))
+    occ.crossJoin(broadcast(phrase))
+      .select(col("phrase"), col("doc_id"), col("p"), col("n_occ"))
+      .orderBy("doc_id", "p")
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    jd AS (SELECT doc_id, w,
+        unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS j
+      FROM d),
+    g AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p,
+        CAST('0x' || substr(md5(list_aggregate(w[j:j+4], 'string_agg', ' ')), 1, 15) AS BIGINT) AS gh
+      FROM jd),
+    top AS (SELECT gh, count(*)::BIGINT AS n_occ FROM g GROUP BY gh
+      ORDER BY n_occ DESC, gh ASC LIMIT 1),
+    occ AS (SELECT doc_id, p, n_occ FROM g JOIN top USING (gh)),
+    f AS (SELECT doc_id AS f_doc, p AS f_p FROM occ ORDER BY doc_id, p LIMIT 1),
+    ph AS (SELECT list_aggregate(d.w[CAST(f.f_p AS BIGINT) + 1 : CAST(f.f_p AS BIGINT) + 5],
+        'string_agg', ' ') AS phrase
+      FROM d JOIN f ON d.doc_id = f.f_doc)
+    SELECT ph.phrase, occ.doc_id, occ.p, occ.n_occ
+    FROM occ, ph ORDER BY occ.doc_id, occ.p"""))
 
   /** Generator surface (posexplode / LATERAL VIEW): the first three words
     * of each doc with their ordinal positions.
