@@ -735,10 +735,18 @@ object Similarity {
 
   /** Shared greedy beam: `hops` rounds of expand-score-keep-8, then the
     * top-3 report (see [[annNswBeam]] scaladoc). `beam0` = (q_id, c_id)
-    * entry rows. */
-  private def nswBeam(
+    * entry rows. The plan is TRUNCATED between hops (eager
+    * localCheckpoint on the |queries|·8-row beam): DevNsw A/B-measured
+    * the chained 3-hop plan at 8.5-8.9 s cold / 2.5-3.1 s warm vs
+    * 2.7-2.8 / 2.0-2.3 s truncated at sf0.1 — the deep chained plan
+    * pays a whole-stage-codegen compile tax per hop level that the
+    * tiny checkpoint never recovers. `truncate = false` is the
+    * measurement twin.
+    */
+  private[graft] def nswBeam(
       edges: DataFrame, q: DataFrame, c: DataFrame,
-      beam0: DataFrame, hops: Int, simName: String): DataFrame = {
+      beam0: DataFrame, hops: Int, simName: String,
+      truncate: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wQ = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
@@ -747,10 +755,11 @@ object Similarity {
       val nbrs = beam.join(edges, beam("c_id") === edges("src"))
         .select(col("q_id"), col("dst").as("c_id"))
       val cand = beam.union(nbrs).distinct().filter(col("c_id") =!= col("q_id"))
-      beam = cand.join(c, "c_id").join(q, "q_id")
+      val next = cand.join(c, "c_id").join(q, "q_id")
         .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
         .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 8)
         .select(col("q_id"), col("c_id"))
+      beam = if (truncate) next.localCheckpoint(true) else next
     }
     beam.join(c, "c_id").join(q, "q_id")
       .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
@@ -759,6 +768,19 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("c_id"),
         round(col("sim"), 4).as(simName))
       .orderBy("q_id", "rnk")
+  }
+
+  /** Dev-only A/B twin of [[annNswBeam]] with the CHAINED (untruncated)
+    * hop plan — the pre-adoption shape, kept for re-measurement by
+    * [[graft.DevNsw]]; not registered. */
+  private[graft] def devNswBeamChained(s: SparkSession, dir: String): DataFrame = {
+    val (n, edges, q, c) = nswParts(s, dir)
+    val m2 = n.select(col("vec_id")).orderBy("vec_id").limit(2)
+      .agg(min("vec_id").as("m0"), max("vec_id").as("m1"))
+    val beam0 = q.select(col("q_id")).crossJoin(broadcast(m2))
+      .select(col("q_id"),
+        when(col("q_id") === col("m0"), col("m1")).otherwise(col("m0")).as("c_id"))
+    nswBeam(edges, q, c, beam0, hops = 3, simName = "cosine_nsw", truncate = false)
   }
 
   // ---- shared NSW oracle fragments (DuckDB side) ----
