@@ -982,6 +982,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("SloBurn + TempMix processors recover their state across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // --- SloBurn: stop after batch 1, restart from the checkpoint,
+    // feed batch 2 — the recovered ring must still produce the batch rows
+    val dirS = Files.createTempDirectory("graft_slo_ck_in").toFile
+    val ckptS = Files.createTempDirectory("graft_slo_ck").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts_us"),
+        expr("CASE WHEN event_type = 'error' THEN 1L ELSE 0L END").as("err"))
+      .collect().map(r => (0L, r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val (sb1, sb2) = ev.splitAt(ev.length / 2)
+    def sfmt(rs: Array[(Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    val sloOut = new java.util.concurrent.ConcurrentLinkedQueue[(Long, (Long, Long, Long, Long, Boolean, Boolean))]()
+    def startSlo() = {
+      val src = spark.readStream.text(dirS.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong) }
+      graft.streaming.SloBurnProcessor(spark, src)
+        .toDF("k", "h", "n", "ne", "burn1_bp", "burn6_bp", "page", "ticket")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => sloOut.add((r.getLong(1), (r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7)))))
+        }
+        .option("checkpointLocation", ckptS).start()
+    }
+    Files.write(new java.io.File(dirS, "b1.txt").toPath, sfmt(sb1))
+    val q1 = startSlo(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dirS, "b2.txt").toPath, sfmt(sb2))
+    val q2 = startSlo()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = sloOut.toArray(Array.empty[(Long, (Long, Long, Long, Long, Boolean, Boolean))])
+      .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2).maxBy(_._1) }
+    val want = graft.queries.Series.tsSloBurn.fn(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(got.keySet == want.keySet, s"slo hour grids: ${got.keySet} vs ${want.keySet}")
+    got.foreach { case (h, g) => assert(g == want(h), s"slo hour $h after restart: $g vs ${want(h)}") }
+
+    // --- TempMix: same restart shape; recovered counts must reproduce
+    // the batch allocation exactly
+    val dirM = Files.createTempDirectory("graft_mix_ck_in").toFile
+    val ckptM = Files.createTempDirectory("graft_mix_ck").toString
+    val srcs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (mb1, mb2) = srcs.splitAt(srcs.length / 2)
+    def mfmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._2} 1").mkString("\n").getBytes("UTF-8")
+    val mixOut = new java.util.concurrent.ConcurrentLinkedQueue[(String, (Long, Long, Long))]()
+    def startMix() = {
+      val src = spark.readStream.text(dirM.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+      graft.streaming.TempMixProcessor(spark, src, budget = 100L)
+        .toDF("source", "n_rows", "weight", "alloc")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => mixOut.add((r.getString(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3)))))
+        }
+        .option("checkpointLocation", ckptM).start()
+    }
+    Files.write(new java.io.File(dirM, "b1.txt").toPath, mfmt(mb1))
+    val m1 = startMix(); m1.processAllAvailable(); m1.stop()
+    Files.write(new java.io.File(dirM, "b2.txt").toPath, mfmt(mb2))
+    val m2 = startMix()
+    try m2.processAllAvailable() finally m2.stop()
+    val gotM = mixOut.toArray(Array.empty[(String, (Long, Long, Long))])
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).maxBy(_._1) }
+    val wantM = graft.ops.Sample.temperatureAlloc(
+        Tables.t(spark, "/root/testdata/sf0.001", "documents"), "source", 100L)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotM.keySet == wantM.keySet, s"mix strata: ${gotM.keySet} vs ${wantM.keySet}")
+    gotM.foreach { case (s, g) => assert(g == wantM(s), s"mix $s after restart: $g vs ${wantM(s)}") }
+  }
+
   test("SpaceSavingProcessor: heavy-hitter superset + count-bound guarantees across batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
