@@ -69,7 +69,12 @@ object Lsh {
     * relation: `bands` bands of `rowsPerBand` signature slots each;
     * a pair is a candidate iff some band's slots all collide.
     */
-  def candidatePairs(
+  /** Banded signature rows: one (`idCol`, `band`, `bsig`) row per band
+    * per id — the bucket keys of the LSH collision join, exposed so the
+    * streaming gate ([[graft.streaming.LshGateProcessor]]) and the
+    * batch join below share one construction.
+    */
+  def bandRows(
       sig: DataFrame, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     // out-of-range slots would read as null and concat_ws drops nulls —
@@ -82,8 +87,14 @@ object Lsh {
         .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), concat_ws("_", slots: _*).as("bsig"))
     }: _*)
-    val bandsDf = sig.select(col(idCol), explode(bandArr).as("bs"))
+    sig.select(col(idCol), explode(bandArr).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
+  def candidatePairs(
+      sig: DataFrame, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bandsDf = bandRows(sig, idCol, bands, rowsPerBand)
     bandsDf.select(col("band"), col("bsig"), col(idCol).as("d1"))
       .join(bandsDf.select(col("band").as("band2"), col("bsig").as("bsig2"),
           col(idCol).as("d2")),

@@ -982,6 +982,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("LshGateProcessor: streamed candidate set == batch candidatePairs, any split") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_lshgate").toFile
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val sigs = graft.ops.Lsh.signatures(
+      graft.ops.Lsh.shingles(docs, "doc_id", "text", n = 3), "doc_id").persist()
+    // one line per band row: "band|bsig docId" — split at a DOC boundary
+    // (a doc's band rows travel together, like a real ingest)
+    val rows = graft.ops.Lsh.bandRows(sigs, "doc_id")
+      .select(col("doc_id"), col("band"), col("bsig"))
+      .collect().map(r => (r.getLong(0), s"${r.get(1)}|${r.getString(2)}"))
+      .sortBy(_._1)
+    val cut = rows.map(_._1).distinct.apply(rows.map(_._1).distinct.length / 2)
+    val (b1, b2) = rows.partition(_._1 < cut)
+    def fmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._2} ${r._1}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.LshGateProcessor(spark, src).toDF("d1", "d2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_lsh_gate").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT d1, d2 FROM graft_lsh_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = graft.ops.Lsh.candidatePairs(sigs, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "batch candidate set unexpectedly empty")
+      assert(got == want, s"streamed vs batch candidates: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("SloBurn + TempMix processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
