@@ -82,6 +82,67 @@ object Text {
         md5(array_join(col("c.toks"), " ")).as("chunk_md5"))
   }
 
+  /** Sentence-boundary-aware chunking — the multilingual alternative to
+    * fixed-stride [[chunk]]: chunk edges snap to SENTENCE boundaries
+    * (never mid-sentence), sentences pack greedily into chunks of at
+    * most `maxTokens` whitespace tokens, and a single sentence longer
+    * than the budget becomes its own over-budget chunk rather than being
+    * split. Boundary grammar: a terminator in `.!?` or the CJK full-width
+    * `。！？` followed by whitespace ends a sentence (the standard
+    * language-agnostic heuristic; CJK terminators make it multilingual
+    * without a language model). Output: one row per chunk —
+    * (`idCol`, `chunk_idx` 1-based, `n_sentences`, `n_tokens`,
+    * `chunk_md5`).
+    *
+    * Scale shape: one LINEAR per-document fold (Spark `aggregate` HOF
+    * over the sentence array — state is the open chunk plus the emitted
+    * list, O(sentences) per doc), then a posexplode. Zero shuffles; the
+    * fold never leaves the row, so this parallelizes per-document
+    * exactly like [[chunk]].
+    */
+  def chunkSentences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens >= 1")
+    val sep = "\u0001"
+    df.select(col(idCol),
+        filter(transform(
+          split(regexp_replace(col(textCol),
+            "([.!?。！？])\\s+", "$1" + sep), sep),
+          s => trim(s)), s => s =!= "").as("_sents"))
+      .filter(size(col("_sents")) >= 1)
+      // zip each sentence with its whitespace-token count once
+      .withColumn("_st", expr(
+        """transform(_sents, s -> named_struct('s', s,
+             't', CAST(size(filter(split(s, ' '), x -> x <> '')) AS BIGINT)))"""))
+      // greedy pack: close the open chunk when the next sentence would
+      // overflow the budget; the finish lambda flushes the last chunk
+      .withColumn("_chunks", expr(s"""
+        aggregate(_st,
+          named_struct(
+            'chunks', array_repeat(named_struct('ns', CAST(0 AS BIGINT),
+              'nt', CAST(0 AS BIGINT), 'txt', ''), 0),
+            'cs', CAST(0 AS BIGINT), 'ct', CAST(0 AS BIGINT), 'ctxt', ''),
+          (acc, p) -> CASE WHEN acc.ct > 0 AND acc.ct + p.t > $maxTokens
+            THEN named_struct(
+              'chunks', array_append(acc.chunks, named_struct('ns', acc.cs,
+                'nt', acc.ct, 'txt', acc.ctxt)),
+              'cs', CAST(1 AS BIGINT), 'ct', p.t, 'ctxt', p.s)
+            ELSE named_struct('chunks', acc.chunks, 'cs', acc.cs + 1,
+              'ct', acc.ct + p.t,
+              'ctxt', IF(acc.cs = 0, p.s, concat(acc.ctxt, ' ', p.s))) END,
+          acc -> IF(acc.ct > 0,
+            array_append(acc.chunks, named_struct('ns', acc.cs,
+              'nt', acc.ct, 'txt', acc.ctxt)),
+            acc.chunks))"""))
+      .select(col(idCol), posexplode(col("_chunks")).as(Seq("_ci", "_c")))
+      .select(col(idCol), (col("_ci") + 1).cast("bigint").as("chunk_idx"),
+        col("_c.ns").as("n_sentences"), col("_c.nt").as("n_tokens"),
+        md5(col("_c.txt")).as("chunk_md5"))
+  }
+
   /** Composite quality score in EXACT integer basis points over the
     * common denominator n_chars·n_words — integer floor-division cannot
     * straddle float round-boundaries between engines (the text_stats

@@ -19,7 +19,7 @@ object TextOps {
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
     multimodalFrames, sampleTemperature, pipelineChunkIndex,
-    textPhraseOccurrences)
+    textPhraseOccurrences, docChunkSentences)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -639,6 +639,67 @@ object TextOps {
       CAST(len(toks) AS BIGINT) AS n_tokens,
       md5(list_aggregate(toks, 'string_agg', ' ')) AS chunk_md5
     FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Sentence-boundary-aware chunking ([[graft.ops.Text.chunkSentences]]
+    * — ROADMAP "multilingual chunking grammar"): chunk edges snap to
+    * sentence boundaries instead of a fixed stride; sentences pack
+    * greedily into ≤ 25-token chunks, an over-budget sentence becomes
+    * its own chunk. The synthetic corpus has no punctuation, so the
+    * binding first injects deterministic terminators: word i (1-based)
+    * of each doc ends a sentence iff h60(doc_id:':':i) % 5 == 0 — the
+    * house md5 hash, identical in both engines, average sentence ≈ 5
+    * tokens. The op itself is grammar-driven ([.!?。！？]\s+), so real
+    * punctuated corpora (incl. CJK) need no injection. Shape: pure
+    * per-doc array fold, zero shuffles before the presentation sort.
+    */
+  val docChunkSentences: Q = Q("doc_chunk_sentences", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+      .withColumn("txt", expr(
+        """array_join(transform(w, (x, i) -> CASE
+             WHEN CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',
+               CAST(i + 1 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 5 = 0
+             THEN concat(x, '.') ELSE x END), ' ')"""))
+    graft.ops.Text.chunkSentences(d, "doc_id", "txt", maxTokens = 25)
+      .orderBy("doc_id", "chunk_idx")
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+        list_aggregate(list_transform(range(1, len(w)+1), i ->
+          CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 5 = 0
+               THEN w[i] || '.' ELSE w[i] END), 'string_agg', ' ') AS txt
+      FROM d WHERE len(w) >= 1),
+    s0 AS (
+      SELECT doc_id,
+        list_filter(list_transform(string_split(
+          regexp_replace(txt, '([.!?]|。|！|？)\s+', '\1' || chr(1), 'g'),
+          chr(1)), x -> trim(x)), x -> x <> '') AS sents
+      FROM r),
+    s1 AS (
+      SELECT doc_id, sents,
+        list_transform(sents, s ->
+          CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS BIGINT)) AS tc
+      FROM s0 WHERE len(sents) >= 1),
+    a AS (
+      SELECT doc_id, sents, tc,
+        list_transform(range(1, len(sents)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), tc[1:i]), (acc, t) ->
+            CASE WHEN acc % 1048576 > 0 AND acc % 1048576 + t > 25
+                 THEN ((acc // 1048576) + 1) * 1048576 + t
+                 ELSE acc + t END) // 1048576) AS cid
+      FROM s1),
+    e AS (
+      SELECT doc_id, unnest(cid) AS chunk_id, unnest(sents) AS sent,
+             unnest(tc) AS t, unnest(range(1, len(sents)+1)) AS si
+      FROM a)
+    SELECT doc_id, CAST(chunk_id + 1 AS BIGINT) AS chunk_idx,
+      CAST(count(*) AS BIGINT) AS n_sentences, CAST(sum(t) AS BIGINT) AS n_tokens,
+      md5(string_agg(sent, ' ' ORDER BY si)) AS chunk_md5
+    FROM e GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_idx"""))
 
   /** Greedy sequential context packing: documents (in doc_id order) are
     * packed into 512-token training contexts by cumulative token count —

@@ -597,6 +597,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Text.chunkSentences: boundary grammar, greedy packing, over-budget sentences") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq(
+      // 3 sentences of 3/4/2 tokens; budget 6 packs [3], [4+2]
+      (1L, "a b c. d e f g! h i?"),
+      // CJK terminators split; budget 6 packs [2+4], [3]
+      (2L, "一 二。 三 四 五 六！ 七 八 九？"),
+      // a 9-token sentence blows the budget alone: own over-budget chunk
+      (3L, "s t. t1 t2 t3 t4 t5 t6 t7 t8 t9. u v."),
+      // no terminators at all: one sentence, one chunk
+      (4L, "w x y z"),
+      // terminator at end of text (no trailing space) does not split
+      (5L, "p q."),
+      (6L, "   ")  // whitespace-only: no sentences, no rows
+    ).toDF("id", "txt")
+    val got = graft.ops.Text.chunkSentences(docs, "id", "txt", maxTokens = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    // (n_sentences, n_tokens) per chunk
+    assert(got(1L) == Seq((1L, 3L), (2L, 6L)), s"greedy close: ${got(1L)}")
+    assert(got(2L) == Seq((2L, 6L), (1L, 3L)), s"CJK grammar: ${got(2L)}")
+    assert(got(3L) == Seq((1L, 2L), (1L, 9L), (1L, 2L)), s"over-budget: ${got(3L)}")
+    assert(got(4L) == Seq((1L, 4L)), s"no terminators: ${got(4L)}")
+    assert(got(5L) == Seq((1L, 2L)), s"trailing dot: ${got(5L)}")
+    assert(!got.contains(6L), s"whitespace doc dropped: $got")
+    // chunk text integrity: md5 of chunk 2 of doc 1 is the joined sentences
+    val m = graft.ops.Text.chunkSentences(docs, "id", "txt", maxTokens = 6)
+      .filter(col("id") === 1L && col("chunk_idx") === 2L)
+      .select("chunk_md5").collect().head.getString(0)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("d e f g! h i?".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(m == want, s"chunk text fidelity: $m")
+    intercept[IllegalArgumentException] {
+      graft.ops.Text.chunkSentences(docs, "id", "txt", maxTokens = 0)
+    }
+  }
+
   test("Graph.personalizedPagerank: fast path == distributed loop; seed semantics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
