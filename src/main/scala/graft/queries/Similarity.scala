@@ -25,7 +25,8 @@ object Similarity {
     annIvfNprobe, annLshRp, annLshMultiprobe, embedQuantize, annIvfSq8,
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
-    embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka)
+    embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
+    annBeamSensitivity)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -746,7 +747,7 @@ object Similarity {
   private[graft] def nswBeam(
       edges: DataFrame, q: DataFrame, c: DataFrame,
       beam0: DataFrame, hops: Int, simName: String,
-      truncate: Boolean = true): DataFrame = {
+      truncate: Boolean = true, width: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wQ = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
@@ -757,7 +758,7 @@ object Similarity {
       val cand = beam.union(nbrs).distinct().filter(col("c_id") =!= col("q_id"))
       val next = cand.join(c, "c_id").join(q, "q_id")
         .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
-        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 8)
+        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= width)
         .select(col("q_id"), col("c_id"))
       beam = if (truncate) next.localCheckpoint(true) else next
     }
@@ -803,7 +804,8 @@ object Similarity {
     edges AS MATERIALIZED (SELECT src, dst FROM loc UNION SELECT src, dst FROM hub),
     q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM e WHERE vec_id < 10)"""
 
-  private def nswHopSql(prev: String, cand: String, beam: String): String =
+  private def nswHopSql(prev: String, cand: String, beam: String,
+      width: Int = 8): String =
     s"""$cand AS MATERIALIZED (SELECT DISTINCT q_id, c_id FROM (
         SELECT q_id, c_id FROM $prev
         UNION ALL
@@ -815,7 +817,7 @@ object Similarity {
             ORDER BY round(list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm), 6) DESC,
               cc.c_id ASC) AS rn
         FROM $cand cc JOIN q ON q.q_id = cc.q_id JOIN e ce ON ce.vec_id = cc.c_id)
-        WHERE rn <= 8)"""
+        WHERE rn <= $width)"""
 
   private def nswFinalSql(last: String, simName: String): String =
     s"""SELECT q_id, rnk, c_id, round(sim, 4) AS $simName FROM (
@@ -884,6 +886,84 @@ object Similarity {
     ${nswHopSql("r0", "c1", "r1")},
     ${nswHopSql("r1", "c2", "r2")}
     ${nswFinalSql("r2", "cosine_hnsw")}"""))
+
+  /** Per-chain top-3 as a LIST + csv (the graded unit of the beam
+    * sensitivity eval) — house round(,6)+id ranking, matching
+    * [[nswFinalSql]]'s ordering. */
+  private def nswTop3Sql(last: String, lst: String): String =
+    s"""$lst AS (SELECT q_id, list(c_id ORDER BY rnk) AS l,
+        list_aggregate(list(CAST(c_id AS VARCHAR) ORDER BY rnk), 'string_agg', ',') AS csv
+      FROM (SELECT r.q_id, r.c_id,
+          row_number() OVER (PARTITION BY r.q_id
+            ORDER BY round(list_dot_product(q.qe, ce.emb) / (q.qn * ce.nrm), 6) DESC,
+              r.c_id ASC) AS rnk
+        FROM $last r JOIN q ON q.q_id = r.q_id JOIN e ce ON ce.vec_id = r.c_id)
+      WHERE rnk <= 3 GROUP BY q_id)"""
+
+  /** Beam-WIDTH sensitivity eval for the graph-ANN (the HNSW `ef`
+    * parameter study, made deterministic): the SAME NSW graph and entry
+    * searched twice — width 4 vs width 8, 3 hops each — then both top-3
+    * sets graded against the EXACT top-3 (the 10-query × corpus scan the
+    * house uses as ANN ground truth). Reports per query: both top-3
+    * lists, their mutual overlap, and each width's recall@3. A wider
+    * beam can only widen the explored frontier, so recall_w8 ≥
+    * recall_w4 is the expected (not guaranteed — greedy) shape; on the
+    * isotropic synthetic vectors both are coverage-bounded
+    * (AnnRecallSpec note).
+    *
+    * Shape: graph build shared (persisted once), each search is
+    * |queries|·width rows of beam state, exact grading is 10 × N — the
+    * verifier pattern ([[cosineTopk]]), never all-pairs.
+    */
+  val annBeamSensitivity: Q = Q("ann_beam_sensitivity", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val (n, edges, q, c) = nswParts(s, dir)
+    val m2 = n.select(col("vec_id")).orderBy("vec_id").limit(2)
+      .agg(min("vec_id").as("m0"), max("vec_id").as("m1"))
+    val beam0 = q.select(col("q_id")).crossJoin(broadcast(m2))
+      .select(col("q_id"),
+        when(col("q_id") === col("m0"), col("m1")).otherwise(col("m0")).as("c_id"))
+    def top3(df: DataFrame, out: String): DataFrame = df.groupBy("q_id")
+      .agg(expr("transform(array_sort(collect_list(struct(rnk, c_id))), x -> x.c_id)")
+        .as(out))
+    val b4 = top3(nswBeam(edges, q, c, beam0, hops = 3, simName = "s", width = 4), "l4")
+    val b8 = top3(nswBeam(edges, q, c, beam0, hops = 3, simName = "s", width = 8), "l8")
+    val wQ = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    val exact = top3(q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(wQ)).filter(col("rnk") <= 3), "le")
+    b4.join(b8, "q_id").join(exact, "q_id")
+      .select(col("q_id"),
+        concat_ws(",", col("l4")).as("top_w4"),
+        concat_ws(",", col("l8")).as("top_w8"),
+        size(array_intersect(col("l4"), col("l8"))).cast("bigint").as("wb_overlap"),
+        size(array_intersect(col("l4"), col("le"))).cast("bigint").as("recall_w4"),
+        size(array_intersect(col("l8"), col("le"))).cast("bigint").as("recall_w8"))
+      .orderBy("q_id")
+  }, Some(s"""WITH $nswGraphSql,
+    mm AS (SELECT min(vec_id) AS m0 FROM e),
+    mm2 AS (SELECT min(vec_id) AS m1 FROM e WHERE vec_id > (SELECT m0 FROM mm)),
+    r0 AS MATERIALIZED (SELECT q_id,
+        CASE WHEN q_id = (SELECT m0 FROM mm) THEN (SELECT m1 FROM mm2)
+             ELSE (SELECT m0 FROM mm) END AS c_id FROM q),
+    ${nswHopSql("r0", "c1a", "r1a", 4)},
+    ${nswHopSql("r1a", "c2a", "r2a", 4)},
+    ${nswHopSql("r2a", "c3a", "r3a", 4)},
+    ${nswHopSql("r0", "c1b", "r1b", 8)},
+    ${nswHopSql("r1b", "c2b", "r2b", 8)},
+    ${nswHopSql("r2b", "c3b", "r3b", 8)},
+    ${nswTop3Sql("r3a", "t4")},
+    ${nswTop3Sql("r3b", "t8")},
+    ex0 AS (SELECT q.q_id, ce.vec_id AS c_id FROM q
+      JOIN e ce ON ce.vec_id <> q.q_id),
+    ${nswTop3Sql("ex0", "tex")}
+    SELECT t4.q_id, t4.csv AS top_w4, t8.csv AS top_w8,
+      CAST(len(list_intersect(t4.l, t8.l)) AS BIGINT) AS wb_overlap,
+      CAST(len(list_intersect(t4.l, tex.l)) AS BIGINT) AS recall_w4,
+      CAST(len(list_intersect(t8.l, tex.l)) AS BIGINT) AS recall_w8
+    FROM t4 JOIN t8 ON t8.q_id = t4.q_id JOIN tex ON tex.q_id = t4.q_id
+    ORDER BY t4.q_id"""))
 
   /** IVF-pruned ANN: search only the query's coarse cell (`label`). */
   val annIvfLabel: Q = Q("ann_ivf_label", (s, dir) => {
