@@ -1020,6 +1020,99 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("GramGateProcessor: streamed dotplot matches + islands agg == dedup_max_span") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, min, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft_gramgate").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+    // the positional 5-gram index, one line per occurrence "gh doc pos",
+    // split at a DOC boundary (a doc's gram rows travel together)
+    val rows = graft.ops.Text.gramPositionIndex(docs, "doc_id", "w", 5)
+      .select(col("gh"), col("doc_id"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._3))
+    val ids = rows.map(_._2).distinct
+    val cut = ids(ids.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.GramGateProcessor(spark, src).toDF("da", "pa", "db", "pb")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_gram_gate").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val matches = spark.sql("SELECT DISTINCT da, pa, db, pb FROM graft_gram_gate")
+      // batch m relation: the capped index self-joined on the gram hash
+      // (no gram saturates at sf0.001 — max occupancy 4 — so the gate's
+      // first-cap truncation and the batch n_occ filter both no-op)
+      val idx = graft.ops.Text.gramPositionIndex(docs, "doc_id", "w", 5)
+        .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("n_occ") <= 50)
+      val want = idx.select(col("doc_id").as("da"), col("p").as("pa"), col("gh"))
+        .join(idx.select(col("doc_id").as("db"), col("p").as("pb"), col("gh")), "gh")
+        .filter(col("da") < col("db")).select("da", "pa", "db", "pb")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = matches.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(want.nonEmpty, "batch match relation unexpectedly empty")
+      assert(got == want, s"streamed vs batch matches: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      // capstone: the batch islands aggregation over the STREAMED matches
+      // reproduces the registered detector's spans exactly
+      val runs = Window.partitionBy("da", "db", "diag").orderBy("pa")
+      val spans = matches.withColumn("diag", col("pa") - col("pb"))
+        .withColumn("isl", col("pa") - row_number().over(runs))
+        .groupBy("da", "db", "diag", "isl")
+        .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+          (count(lit(1)) + 4).as("span_tokens"))
+        .filter(col("span_tokens") >= 8)
+        .select("da", "db", "start_a", "start_b", "span_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val wantSpans = graft.queries.Dedup.dedupMaxSpan.fn(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(wantSpans.nonEmpty, "detector found no spans at sf0.001")
+      assert(spans == wantSpans, s"streamed spans vs dedup_max_span: " +
+        s"missing=${(wantSpans -- spans).take(3)} extra=${(spans -- wantSpans).take(3)}")
+    } finally q.stop()
+  }
+
+  test("GramGateProcessor: bucket saturates at the cap — later arrivals dropped") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gramcap").toFile
+    // one gram, 4 occurrences across 2 micro-batches, cap 3: the 4th
+    // (doc 4) is never stored and never emits
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      "7 1 10\n7 2 20".getBytes("UTF-8"))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.GramGateProcessor(spark, src, cap = 3)
+      .toDF("da", "pa", "db", "pb")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_gram_cap").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        "7 3 30\n7 4 40".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT da, pa, db, pb FROM graft_gram_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, 10L, 2L, 20L), (1L, 10L, 3L, 30L), (2L, 20L, 3L, 30L)),
+        s"cap semantics: $got")
+    } finally q.stop()
+  }
+
   test("SloBurn + TempMix processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
