@@ -51,18 +51,43 @@ class SloBurnProcessor(
     // (key, ts_us, err 0/1) — bucket the micro-batch onto the hour grid
     val pts = rows.toArray
     if (pts.isEmpty) return Iterator.empty
+    val buf0 = if (st.exists()) st.get().bs.toVector else Vector.empty[(Long, Long, Long)]
+    val (buf, out) = SloBurnProcessor.step(key, buf0, pts, windowHours, mult,
+      pageFastBp, pageSlowBp, ticketBp)
+    st.update(SloBurnProcessor.Buckets(buf.takeRight(windowHours)))
+    out.iterator
+  }
+}
+
+object SloBurnProcessor {
+  /** Bounded per-key state: the `windowHours` most recent hour-buckets. */
+  case class Buckets(bs: Seq[(Long, Long, Long)])
+
+  /** One micro-batch fold of the burn-rate ring — shared by the
+    * unwatermarked processor and [[SloBurnLateProcessor]]: merge the
+    * batch's hour-bucket deltas into the ring, re-emit every bucket from
+    * the earliest touched hour on (their trailing windows shifted).
+    * Returns (merged ring BEFORE the takeRight trim, emitted rows).
+    */
+  private[streaming] def step(
+      key: Long,
+      buf0: Vector[(Long, Long, Long)],
+      pts: Array[(Long, Long, Long)],
+      windowHours: Int,
+      mult: Long,
+      pageFastBp: Long,
+      pageSlowBp: Long,
+      ticketBp: Long): (Vector[(Long, Long, Long)], Seq[(Long, Long, Long, Long, Long, Long, Boolean, Boolean)]) = {
     val deltas = pts.groupBy(_._2 / 3600000000L)
       .map { case (h, rs) => (h, rs.length.toLong, rs.map(_._3).sum) }
       .toSeq.sortBy(_._1)
-    var buf = if (st.exists()) st.get().bs.toVector else Vector.empty[(Long, Long, Long)]
+    var buf = buf0
     deltas.foreach { case (h, dn, dne) =>
       buf.indexWhere(_._1 == h) match {
         case -1 => buf = (buf :+ ((h, dn, dne))).sortBy(_._1)
         case i  => val (bh, n0, e0) = buf(i); buf = buf.updated(i, (bh, n0 + dn, e0 + dne))
       }
     }
-    // re-emit every retained bucket whose trailing window could have
-    // shifted: the earliest touched hour and everything after it
     val minTouched = deltas.head._1
     val out = buf.zipWithIndex.collect { case ((h, n, ne), i) if h >= minTouched =>
       val win = buf.slice(math.max(0, i - (windowHours - 1)), i + 1)
@@ -72,14 +97,8 @@ class SloBurnProcessor(
       val bw = new_ * mult / nw
       (key, h, n, ne, b1, bw, b1 >= pageFastBp && bw >= pageSlowBp, bw >= ticketBp)
     }
-    st.update(SloBurnProcessor.Buckets(buf.takeRight(windowHours)))
-    out.iterator
+    (buf, out)
   }
-}
-
-object SloBurnProcessor {
-  /** Bounded per-key state: the `windowHours` most recent hour-buckets. */
-  case class Buckets(bs: Seq[(Long, Long, Long)])
 
   /** Rows: (key, ts_us, err 0/1) → per affected (key, hour) each
     * micro-batch: (key, h, n, ne, burn1_bp, burn6_bp, page, ticket) —

@@ -1113,6 +1113,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("SloBurnLateProcessor: watermark drops late points, admitted points match the ring") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_slolate").toFile
+    val H = 3600000000L // one hour in µs
+    // batch 1 — key 0: hour 100 (4 points, 1 err), hour 102 (2 points,
+    // both err). Max event = 102h+30min → watermark after the batch
+    // ("2 hours" delay) = 100h+30min.
+    val b1 = Seq(
+      (0L, 100 * H + 1_000_000L, 1L), (0L, 100 * H + 2_000_000L, 0L),
+      (0L, 100 * H + 3_000_000L, 0L), (0L, 100 * H + 4_000_000L, 0L),
+      (0L, 102 * H + 1_000_000L, 1L), (0L, 102 * H + 1800 * 1_000_000L, 1L))
+    // batch 2: one LATE point (99h+10min < watermark — must be dropped,
+    // would otherwise resurrect an hour below the ring) and one on-time
+    // error at 102h+40min
+    val b2 = Seq(
+      (0L, 99 * H + 600 * 1_000_000L, 0L),
+      (0L, 102 * H + 2400 * 1_000_000L, 1L))
+    def fmt(rs: Seq[(Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.SloBurnLateProcessor(spark, src)
+      .toDF("k", "h", "n", "ne", "burn1_bp", "burn6_bp", "page", "ticket")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_slo_late").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT k, h, n, ne, burn1_bp, burn6_bp, page, ticket FROM graft_slo_late")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7))).toSet
+      // hand-computed: batch 1 emits h=100 (burn1 = 1·50000/4) and
+      // h=102 (window {100,102}: 3 errs / 6 → 25000); batch 2 re-emits
+      // ONLY h=102 with the admitted error folded in (4 errs / 7).
+      val want = Set(
+        (0L, 100L, 4L, 1L, 12500L, 12500L, false, true),
+        (0L, 102L, 2L, 2L, 50000L, 25000L, true, true),
+        (0L, 102L, 3L, 3L, 50000L, 28571L, true, true))
+      assert(got == want, s"late-gated ring: got=$got")
+      // the late point left no trace: no h=99 row, h=100 never re-emitted
+      assert(!got.exists(_._2 == 99L), "late point must be dropped")
+      assert(got.count(_._2 == 100L) == 1, "h=100 must not be re-emitted by the late point")
+    } finally q.stop()
+  }
+
   test("SloBurn + TempMix processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
