@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
-    assortativity)
+    assortativity, linkPredict)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -289,4 +289,30 @@ object Graphs {
     graft.ops.Graph.hits(trans, iters = hitsIters, scale = hitsScale)
       .orderBy("v")
   }, Some(hitsOracleSql))
+
+  /** Link prediction on the user-similarity graph
+    * ([[graft.ops.Graph.linkScores]]): for every user pair at distance
+    * 2 (a shared similarity-neighbor but no direct Jaccard ≥ 0.30
+    * edge), common-neighbor count and the Resource-Allocation index in
+    * exact scaled integers — the "who should be connected next"
+    * recommender over the same graph the LPA communities use. Top 25 by
+    * (cn, ra) with full deterministic tie-break.
+    */
+  val linkPredict: Q = Q("graph_link_predict", (s, dir) => {
+    graft.ops.Graph.linkScores(simEdges(s, dir))
+      .orderBy(desc("cn"), desc("ra"), asc("src"), asc("dst"))
+      .limit(25)
+  }, Some(s"""WITH $itemsSql,
+    je AS (SELECT ua AS lo, ub AS hi FROM jac WHERE jacc_bp >= 3000),
+    ed AS (SELECT lo AS u, hi AS v FROM je UNION ALL SELECT hi, lo FROM je),
+    dg AS (SELECT u, count(*)::BIGINT AS deg FROM ed GROUP BY u),
+    w AS (SELECT a.u AS m, a.v AS x, b.v AS y
+      FROM ed a JOIN ed b ON a.u = b.u AND a.v < b.v),
+    c AS (SELECT x, y, count(*)::BIGINT AS cn,
+        CAST(sum(1000000000 // dg.deg) AS BIGINT) AS ra
+      FROM w JOIN dg ON dg.u = w.m GROUP BY x, y)
+    SELECT x AS src, y AS dst, cn, ra
+    FROM c LEFT JOIN je ON je.lo = c.x AND je.hi = c.y
+    WHERE je.lo IS NULL
+    ORDER BY cn DESC, ra DESC, src, dst LIMIT 25"""))
 }

@@ -636,6 +636,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Graph.linkScores: distance-2 pairs only, exact RA arithmetic, adjacents excluded") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // path 1-2-3-4 plus edge 1-3: candidate non-edges are (1,4) via m=3
+    // and (2,4) via m=3; (1,3) is an EDGE so the m=2 wedge must not
+    // resurface it; (2,3) adjacent too. deg: 1→2, 2→2, 3→3, 4→1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val got = graft.ops.Graph.linkScores(edges, scale = 1000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // (1,4): m=3 → cn=1, ra=1000/3=333; (2,4): m=3 → 333
+    assert(got == Map((1L, 4L) -> ((1L, 333L)), (2L, 4L) -> ((1L, 333L))),
+      s"linkScores: $got")
+    // triangle 5-6-7 (complete): no candidates from that component
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L)).toDF("src", "dst")
+    assert(graft.ops.Graph.linkScores(tri).count() == 0,
+      "complete graph has no distance-2 pairs")
+    // reversed/duplicate edges normalize: same result
+    val rev = Seq((2L, 1L), (3L, 2L), (4L, 3L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got2 = graft.ops.Graph.linkScores(rev, scale = 1000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got2 == got, s"orientation/dup normalization: $got2")
+  }
+
   test("Graph.personalizedPagerank: fast path == distributed loop; seed semantics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
