@@ -16,7 +16,7 @@ object Series {
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
-    tsHistogramQuantile)
+    tsHistogramQuantile, tsCusumAlarm)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1004,4 +1004,93 @@ object Series {
       sum(CASE WHEN zid IS NOT NULL AND mid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         * 10000 // count(*) AS overlap_bp
     FROM j GROUP BY event_type ORDER BY event_type"""))
+
+  /** Page's SEQUENTIAL CUSUM alarm (Page, "Continuous inspection
+    * schemes", Biometrika 41, 1954 — public; the SPC drift monitor):
+    * per event-type hourly mean series, two one-sided CLAMPED sums
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − μ − k) and S⁻ᵢ = max(0, S⁻ᵢ₋₁ + μ − k − xᵢ)
+    * alarm when they exceed H — the ALERTING complement to
+    * `ts_change_points` (which localizes the single best split offline
+    * via the unclamped cusum peak). All arithmetic EXACT integers:
+    * means in truncated cents, slack k = max(1, mad ⁄ 2) and threshold
+    * H = 5·mad from the integer mean absolute deviation — the σ-free
+    * noise scale, so the alarm density self-tunes per series (~5% of
+    * hours on this data, not 0% or 90%).
+    *
+    * Cross-engine fold: the per-hour (S⁺, S⁻) trajectory is a
+    * non-linear clamped prefix fold — Spark carries it in a struct
+    * aggregate; the oracle packs both sides into ONE offset-encoded
+    * bigint (S⁺ + S⁻·2³⁰ — the warehouse_clamped_balance recipe; DuckDB
+    * list_reduce miscompiles struct accumulators) with a quadratic
+    * prefix fold per hour. Shape: one hourly partial agg, one per-series
+    * collect (bounded by the hour count, never event count), per-row
+    * array fold, explode.
+    */
+  val tsCusumAlarm: Q = Q("ts_cusum_alarm", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hb = e.groupBy("event_type", "h")
+      .agg(expr("sum(cents) DIV count(1)").as("m"))
+    // per-series scalars through REAL aggregation boundaries: computing
+    // mu/mad as array folds over the collected series lets Catalyst
+    // inline them into every step of the big fold below (CollapseProject
+    // re-evaluates the O(n) aggregate per element — O(n³) interpreted,
+    // minutes at 680 hours). As agg attributes behind a broadcast join
+    // each fold step reads them O(1).
+    val muDf = hb.groupBy("event_type").agg(expr("sum(m) DIV count(1)").as("mu"))
+    val stats = hb.join(muDf, "event_type").groupBy("event_type", "mu")
+      .agg(expr("greatest(1L, sum(abs(m - mu)) DIV count(1))").as("mad"))
+      .withColumn("k", expr("greatest(1L, mad DIV 2)"))
+      .withColumn("hh", expr("5 * mad"))
+    hb.groupBy("event_type")
+      .agg(expr("array_sort(collect_list(struct(h, m)))").as("pts"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("tr", expr("""
+        aggregate(pts,
+          named_struct('rows',
+            array_repeat(named_struct('h', 0L, 'm', 0L, 'sh', 0L, 'sl', 0L), 0),
+            'sh', 0L, 'sl', 0L),
+          (acc, p) -> named_struct(
+            'rows', array_append(acc.rows, named_struct('h', p.h, 'm', p.m,
+              'sh', greatest(0L, acc.sh + p.m - mu - k),
+              'sl', greatest(0L, acc.sl + mu - k - p.m))),
+            'sh', greatest(0L, acc.sh + p.m - mu - k),
+            'sl', greatest(0L, acc.sl + mu - k - p.m)),
+          acc -> acc.rows)"""))
+      .select(col("event_type"), col("hh"), posexplode(col("tr")).as(Seq("_i", "r")))
+      .select(col("event_type"), col("r.h").as("h"), col("r.m").as("mean_cents"),
+        col("r.sh").as("cusum_hi"), col("r.sl").as("cusum_lo"),
+        (col("r.sh") > col("hh")).as("alarm_hi"),
+        (col("r.sl") > col("hh")).as("alarm_lo"))
+      .orderBy("event_type", "h")
+  }, Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value*100) AS BIGINT) AS cents
+      FROM events),
+    hb AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS m
+      FROM e GROUP BY 1, 2),
+    s AS (SELECT event_type, list(m ORDER BY h) AS ms, list(h ORDER BY h) AS hs
+      FROM hb GROUP BY 1),
+    p AS (SELECT event_type, hs, ms,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), ms), (a, x) -> a + x) // len(ms) AS mu
+      FROM s),
+    p2 AS (SELECT *, greatest(CAST(1 AS BIGINT),
+        list_reduce(list_prepend(CAST(0 AS BIGINT), ms),
+          (a, x) -> a + abs(x - mu)) // len(ms)) AS mad
+      FROM p),
+    p3 AS (SELECT *, greatest(CAST(1 AS BIGINT), mad // 2) AS k, 5 * mad AS hh FROM p2),
+    t AS (SELECT event_type, mu, k, hh, hs, ms,
+        list_transform(range(1, len(ms)+1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), ms[1:i]), (acc, x) ->
+            greatest(CAST(0 AS BIGINT), (acc % 1073741824) + x - mu - k)
+            + greatest(CAST(0 AS BIGINT), (acc // 1073741824) + mu - k - x)
+              * 1073741824)) AS st
+      FROM p3),
+    u AS (SELECT event_type, hh, unnest(hs) AS h, unnest(ms) AS m,
+        unnest(st) AS sv FROM t)
+    SELECT event_type, CAST(h AS BIGINT) AS h, m AS mean_cents,
+      CAST(sv % 1073741824 AS BIGINT) AS cusum_hi,
+      CAST(sv // 1073741824 AS BIGINT) AS cusum_lo,
+      sv % 1073741824 > hh AS alarm_hi, sv // 1073741824 > hh AS alarm_lo
+    FROM u ORDER BY event_type, h"""))
 }
