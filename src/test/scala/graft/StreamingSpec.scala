@@ -1162,6 +1162,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("CusumProcessor: streamed completed hours == batch ts_cusum_alarm rows") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_cusum").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // refs from the SAME integer math the batch query uses (hindsight
+    // μ/MAD become the monitor's fixed control parameters)
+    val hb = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "h").agg(expr("sum(cents) DIV count(1)").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val refs = hb.groupBy(_._1).map { case (et, rows) =>
+      val ms = rows.map(_._3)
+      val mu = ms.sum / ms.length
+      val mad = math.max(1L, ms.map(m => math.abs(m - mu)).sum / ms.length)
+      et -> ((mu, math.max(1L, mad / 2), 5 * mad))
+    }
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    // split at an hour boundary + sentinel far-future point per key to
+    // flush the final real hour (the sentinel hour never completes)
+    val cutTs = (pts(pts.length / 2)._2 / 3600000000L + 1) * 3600000000L
+    val (b1, b2) = pts.partition(_._2 < cutTs)
+    val maxH = pts.map(_._2).max / 3600000000L
+    val sentinels = refs.keys.map(et => (et, (maxH + 10) * 3600000000L, 0L))
+    def fmt(rs: Seq[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1.toSeq))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.CusumProcessor(spark, src, refs)
+      .toDF("event_type", "h", "mean_cents", "cusum_hi", "cusum_lo",
+        "alarm_hi", "alarm_lo")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_cusum_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        fmt(b2.toSeq ++ sentinels))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_cusum_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      val want = graft.queries.Series.tsCusumAlarm.fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      assert(want.nonEmpty, "batch cusum unexpectedly empty")
+      assert(got == want, s"streamed vs batch cusum: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("SloBurn + TempMix processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
