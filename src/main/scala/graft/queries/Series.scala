@@ -16,7 +16,7 @@ object Series {
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
-    tsHistogramQuantile, tsCusumAlarm)
+    tsHistogramQuantile, tsCusumAlarm, tsHoltWinters)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1004,6 +1004,85 @@ object Series {
       sum(CASE WHEN zid IS NOT NULL AND mid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         * 10000 // count(*) AS overlap_bp
     FROM j GROUP BY event_type ORDER BY event_type"""))
+
+  /** HOLT-WINTERS-style additive seasonal forecast (Winters, "
+    * Forecasting sales by exponentially weighted moving averages",
+    * Mgmt. Sci. 6, 1960 — public), made bit-exact cross-engine by
+    * DECOMPOSING the seasonal state out of the fold: the classic triple
+    * smoother carries (level, trend, seasonal[p]) — p+2 values, which
+    * no offset-packed bigint can hold (the DuckDB list_reduce struct
+    * bug rules struct accumulators out). Instead: (1) a FIXED additive
+    * seasonal grid per (series, hour-of-day) — grid mean minus series
+    * grand mean, exact integer cents (the ts_stl_decompose seasonal
+    * shape); (2) the series deseasonalized per hour (broadcast 24-row
+    * join); (3) the EXISTING packed Holt fold over the deseasonalized
+    * values ([[graft.ops.Series.holtStepSql]], domain-guarded); (4) the
+    * 3-hour-ahead forecast re-seasonalized with the target hour's grid
+    * cell. Fixed seasonal indices + smoothed level/trend is the
+    * standard "seasonal-adjustment + Holt" decomposition — the same
+    * accuracy class as full HW when seasonality is stable, and exactly
+    * reproducible.
+    *
+    * Shape: hour-grid partial agg, two broadcast-sized seasonal joins,
+    * one per-series collect bounded by the hour count, per-row fold.
+    */
+  val tsHoltWinters: Q = Q("ts_holt_winters", (s, dir) => {
+    val step = graft.ops.Series.holtStepSql("DIV", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("DIV", "fin")
+    val hb = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "h")
+      .agg(expr("sum(cents) DIV count(1)").as("m"))
+    val grand = hb.groupBy("event_type").agg(expr("sum(m) DIV count(1)").as("g"))
+    val seas = hb.withColumn("hod", expr("h % 24"))
+      .groupBy("event_type", "hod").agg(expr("sum(m) DIV count(1)").as("sh"))
+      .join(grand, "event_type")
+      .select(col("event_type"), col("hod"), expr("sh - g").as("sidx"))
+    val d = hb.withColumn("hod", expr("h % 24"))
+      .join(broadcast(seas), Seq("event_type", "hod"))
+      .select(col("event_type"), col("h"), expr("m - sidx").as("d"))
+    val ser = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), max("h").as("hlast"),
+        expr("transform(array_sort(collect_list(struct(h, d))), s -> s.d)").as("ds"))
+      .withColumn("ds", expr(graft.ops.Series.holtGuardSql("ds")))
+      .withColumn("fin", expr(
+        s"aggregate(slice(ds, 2, size(ds) - 1), element_at(ds, 1), (acc, x) -> $step)"))
+      .withColumn("thod", expr("(hlast + 3) % 24"))
+    ser.join(broadcast(seas), ser("event_type") === seas("event_type") &&
+        ser("thod") === seas("hod"))
+      .select(ser("event_type"), col("n_hours"),
+        expr(dl).as("level_c"), expr(db).as("trend_c"), col("sidx").as("season_c"),
+        expr(s"$dl + 3 * $db + sidx").as("fc3_c"))
+      .orderBy("event_type")
+  }, Some {
+    val step = graft.ops.Series.holtStepSql("//", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("//", "fin")
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value*100) AS BIGINT) AS cents
+      FROM events),
+    hb AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS m
+      FROM e GROUP BY 1, 2),
+    gr AS (SELECT event_type, CAST(sum(m) // count(*) AS BIGINT) AS g
+      FROM hb GROUP BY 1),
+    se AS (SELECT hb.event_type, h % 24 AS hod,
+        CAST(sum(m) // count(*) AS BIGINT) - any_value(g) AS sidx
+      FROM hb JOIN gr ON gr.event_type = hb.event_type
+      GROUP BY 1, 2),
+    d AS (SELECT hb.event_type, h, m - sidx AS d
+      FROM hb JOIN se ON se.event_type = hb.event_type AND se.hod = h % 24),
+    g2 AS (SELECT event_type, count(*)::BIGINT AS n_hours, max(h) AS hlast,
+        list(d ORDER BY h) AS ds
+      FROM d GROUP BY 1),
+    f AS (SELECT event_type, n_hours, hlast,
+        list_reduce(ds, (acc, x) -> $step) AS fin
+      FROM g2)
+    SELECT f.event_type, n_hours, $dl AS level_c, $db AS trend_c,
+      se.sidx AS season_c, $dl + 3 * $db + se.sidx AS fc3_c
+    FROM f JOIN se ON se.event_type = f.event_type
+      AND se.hod = (hlast + 3) % 24
+    ORDER BY f.event_type"""
+  })
 
   /** Page's SEQUENTIAL CUSUM alarm (Page, "Continuous inspection
     * schemes", Biometrika 41, 1954 — public; the SPC drift monitor):
