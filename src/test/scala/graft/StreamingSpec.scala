@@ -1219,6 +1219,105 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("Cusum + GramGate processors recover their state across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val sfDir = "/root/testdata/sf0.001"
+    // --- Cusum: cut MID-HOUR so the restart must recover the OPEN
+    // hour's accumulator, not just completed state
+    val dirC = Files.createTempDirectory("graft_cusum_ck_in").toFile
+    val ckptC = Files.createTempDirectory("graft_cusum_ck").toString
+    val hbC = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "h").agg(expr("sum(cents) DIV count(1)").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val refs = hbC.groupBy(_._1).map { case (et, rows) =>
+      val ms = rows.map(_._3)
+      val mu = ms.sum / ms.length
+      val mad = math.max(1L, ms.map(m => math.abs(m - mu)).sum / ms.length)
+      et -> ((mu, math.max(1L, mad / 2), 5 * mad))
+    }
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    val (cb1, cb2) = pts.splitAt(pts.length / 2)
+    val maxH = pts.map(_._2).max / 3600000000L
+    val sentinels = refs.keys.map(et => (et, (maxH + 10) * 3600000000L, 0L))
+    def cfmt(rs: Seq[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    val cuOut = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long, Long, Boolean, Boolean)]()
+    def startCu() = {
+      val src = spark.readStream.text(dirC.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+      graft.streaming.CusumProcessor(spark, src, refs)
+        .toDF("event_type", "h", "mean_cents", "cusum_hi", "cusum_lo",
+          "alarm_hi", "alarm_lo")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => cuOut.add((r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
+        }
+        .option("checkpointLocation", ckptC).start()
+    }
+    Files.write(new java.io.File(dirC, "b1.txt").toPath, cfmt(cb1.toSeq))
+    val c1 = startCu(); c1.processAllAvailable(); c1.stop() // simulated failure
+    Files.write(new java.io.File(dirC, "b2.txt").toPath,
+      cfmt(cb2.toSeq ++ sentinels))
+    val c2 = startCu()
+    try c2.processAllAvailable() finally c2.stop()
+    val gotC = cuOut.toArray(
+      Array.empty[(String, Long, Long, Long, Long, Boolean, Boolean)]).toSet
+    val wantC = graft.queries.Series.tsCusumAlarm.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toSet
+    assert(gotC == wantC, s"cusum after restart: " +
+      s"missing=${(wantC -- gotC).take(3)} extra=${(gotC -- wantC).take(3)}")
+
+    // --- GramGate: bucket membership must survive the restart — the
+    // dedup'd streamed match set still equals the batch dotplot relation
+    val dirG = Files.createTempDirectory("graft_gram_ck_in").toFile
+    val ckptG = Files.createTempDirectory("graft_gram_ck").toString
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("w"))
+    val grams = graft.ops.Text.gramPositionIndex(docs, "doc_id", "w", 5)
+      .select(col("gh"), col("doc_id"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._3))
+    val (gb1, gb2) = grams.splitAt(grams.length / 2)
+    def gfmt(rs: Array[(Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    val grOut = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    def startGr() = {
+      val src = spark.readStream.text(dirG.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong) }
+      graft.streaming.GramGateProcessor(spark, src)
+        .toDF("da", "pa", "db", "pb")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => grOut.add((r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))))
+        }
+        .option("checkpointLocation", ckptG).start()
+    }
+    Files.write(new java.io.File(dirG, "b1.txt").toPath, gfmt(gb1))
+    val g1 = startGr(); g1.processAllAvailable(); g1.stop()
+    Files.write(new java.io.File(dirG, "b2.txt").toPath, gfmt(gb2))
+    val g2 = startGr()
+    try g2.processAllAvailable() finally g2.stop()
+    val gotG = grOut.toArray(Array.empty[(Long, Long, Long, Long)]).toSet
+    val idx = graft.ops.Text.gramPositionIndex(docs, "doc_id", "w", 5)
+    val wantG = idx.select(col("doc_id").as("da"), col("p").as("pa"), col("gh"))
+      .join(idx.select(col("doc_id").as("db"), col("p").as("pb"), col("gh")), "gh")
+      .filter(col("da") < col("db")).select("da", "pa", "db", "pb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotG == wantG, s"gram gate after restart: " +
+      s"missing=${(wantG -- gotG).take(3)} extra=${(gotG -- wantG).take(3)}")
+  }
+
   test("SloBurn + TempMix processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
