@@ -146,6 +146,80 @@ object Sketch {
           .cast("long").as("n_est"))
   }
 
+  /** Per-partition SpaceSaving candidate summaries (Metwally, Agrawal,
+    * El Abbadi, "Efficient computation of frequent and top-k elements
+    * in data streams", ICDT'05 — public): each partition keeps at most
+    * `capacity` counters over its local stream, replacing a
+    * minimum-count entry (smallest key on ties) when a new key arrives
+    * at a full table. Returns the DISTINCT union of the partitions'
+    * surviving keys.
+    *
+    * Guarantee (averaging argument across partitions): a key whose
+    * GLOBAL count exceeds N/capacity must exceed N_p/capacity in at
+    * least one partition — SpaceSaving never evicts a key holding more
+    * than that partition's per-slot average — so the union is a
+    * SUPERSET of every true heavy hitter. Keys below the threshold may
+    * or may not surface (eviction depends on row order); consumers must
+    * confirm against exact counts ([[heavyHitters]]) before emitting.
+    *
+    * Scale shape: per-partition state is capacity-bounded (never
+    * data-sized), the raw stream is never shuffled, and the candidate
+    * union ships at most capacity × partitions keys.
+    */
+  def spaceSavingCandidates(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, "capacity >= 1")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("string")).na.drop().as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { k =>
+          counts.get(k) match {
+            case Some(c) => counts.update(k, c + 1)
+            case None if counts.size < capacity => counts.update(k, 1L)
+            case None =>
+              var mk: String = null
+              var mc = Long.MaxValue
+              counts.foreach { case (kk, cc) =>
+                if (cc < mc || (cc == mc && (mk == null || kk < mk))) { mk = kk; mc = cc }
+              }
+              counts.remove(mk)
+              counts.update(k, mc + 1)
+          }
+        }
+        counts.keysIterator
+      }.toDF("key").distinct()
+  }
+
+  /** Heavy hitters above the frequency threshold N/capacity, computed
+    * as SpaceSaving candidates + an exact confirmation pass — the
+    * candidate-then-confirm shape that makes an order-dependent sketch
+    * DETERMINISTIC: every true heavy hitter is guaranteed a candidate
+    * ([[spaceSavingCandidates]]), and only exact counts decide the
+    * output, so partition-order jitter in the sub-threshold candidates
+    * can never change a row. Two scans total: one un-shuffled summary
+    * pass, one confirm pass whose aggregate is candidate-bounded (all
+    * non-candidates collapse into a single null-key group — the
+    * grouped state is sketch-sized, not key-domain-sized). When the
+    * key domain is no larger than `capacity` the summary degrades to
+    * exact and the output is simply every key above threshold.
+    * Returns (key, n_exact, n_total, share_bp) for confirmed keys.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
+    val cands = spaceSavingCandidates(df, keyCol, capacity)
+    val counts = df.select(col(keyCol).cast("string").as("key")).na.drop()
+      .join(broadcast(cands.withColumn("hit", lit(true))), Seq("key"), "left")
+      .groupBy(when(col("hit"), col("key")).as("ckey"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // candidate-bounded: <= capacity x partitions + 1 rows
+    val total = counts.agg(sum("n").as("n_total"))
+    counts.filter(col("ckey").isNotNull)
+      .select(col("ckey").as("key"), col("n").as("n_exact"))
+      .crossJoin(broadcast(total))
+      .filter(expr(s"n_exact * CAST($capacity AS BIGINT) > n_total"))
+      .withColumn("share_bp", expr("n_exact * 10000 DIV n_total"))
+  }
+
   /** KMV multiset operations (Beyer et al., "On synopses for
     * distinct-value estimation under multiset operations", SIGMOD'07 —
     * public): from the two sides' k-minimum-value sketches alone,

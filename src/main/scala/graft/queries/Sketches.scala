@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps)
+  def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps, spaceSaving)
 
   /** DuckDB twin of [[Sketch.h60]]. */
   private def oh60(saltExpr: String, keyExpr: String): String =
@@ -183,6 +183,35 @@ object Sketches {
         // max(n) AS err_bp
     FROM rk GROUP BY event_type
     ORDER BY event_type"""))
+
+  private val ssCap = 64
+
+  /** SpaceSaving heavy hitters over the corpus token stream: words with
+    * frequency above N/64, found by capacity-bounded per-partition
+    * summaries then CONFIRMED with exact counts
+    * ([[Sketch.heavyHitters]]) — the candidate-then-confirm pattern
+    * that turns an order-dependent one-pass sketch into a deterministic
+    * operator (the guarantee makes every true heavy hitter a candidate;
+    * only exact counts reach the output). On this corpus the 31-word
+    * vocabulary is under the capacity, so the summary is provably exact
+    * — the eviction path is proven on adversarial skew in SketchSpec.
+    * The oracle is the definition itself: GROUP BY + threshold.
+    */
+  val spaceSaving: Q = Q("sketch_spacesaving", (s, dir) => {
+    val words = Tables.t(s, dir, "documents")
+      .select(explode(graft.ops.Text.words(col("text"))).as("w"))
+    Sketch.heavyHitters(words, "w", ssCap)
+      .orderBy(col("n_exact").desc, col("key"))
+  }, Some(s"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS key
+      FROM documents),
+    c AS (SELECT key, count(*)::BIGINT AS n_exact FROM w GROUP BY 1),
+    t AS (SELECT sum(n_exact)::BIGINT AS n_total FROM c)
+    SELECT key, n_exact, n_total,
+      CAST(n_exact * 10000 // n_total AS BIGINT) AS share_bp
+    FROM c, t WHERE n_exact * $ssCap > n_total
+    ORDER BY n_exact DESC, key"""))
 
   private val kmvSetK = 64
 

@@ -63,6 +63,46 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hll est $est vs exact $exact outside 3 sigma")
   }
 
+  test("spacesaving: heavy hitters exact under forced evictions; candidates bounded") {
+    import spark.implicits._
+    // Zipf-ish adversarial stream: 2 heavy keys drowned in 400 uniques,
+    // capacity 10 << 402 distinct keys -> constant eviction pressure.
+    // Interleave so the heavies never get a quiet prefix.
+    val rows = (0 until 400).flatMap { i =>
+      Seq(s"noise$i") ++ (if (i % 4 == 0) Seq("hot") else Nil) ++
+        (if (i % 7 == 0) Seq("warm") else Nil)
+    }
+    val df = rows.toDF("k").repartition(3)
+    // 558 rows: hot=100 (17.9% > 1/10), warm=58 (10.39% — clears the
+    // 10% threshold by half a row, the tightest guaranteed margin)
+    val n = rows.length.toLong
+    val cap = 10
+    val cands = Sketch.spaceSavingCandidates(df, "k", cap)
+    val nc = cands.count()
+    assert(nc <= cap * 3L, s"candidates $nc exceed capacity x partitions")
+    assert(nc < 402L, "eviction must actually shrink the key domain")
+
+    val got = Sketch.heavyHitters(df, "k", cap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c * cap > n }
+      .map { case (k, c) => (k, c, n, c * 10000L / n) }.toSet
+    assert(exact.map(_._1) == Set("hot", "warm"), "test data sanity")
+    assert(got == exact, s"confirmed heavy hitters must equal the exact " +
+      s"threshold filter: got=$got exact=$exact")
+  }
+
+  test("spacesaving degrades to exact when the key domain fits the capacity") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => s"k${i % 6}").toDF("k").repartition(2)
+    // 6 distinct keys, capacity 8: no eviction anywhere, every key is a
+    // candidate, and each of the 6 uniform keys (50/300 = 16.7% > 1/8)
+    // clears the threshold
+    val got = Sketch.heavyHitters(df, "k", 8).collect()
+    assert(got.length == 6)
+    assert(got.forall(r => r.getLong(1) == 50L && r.getLong(2) == 300L))
+  }
+
   test("kmv is exact below k and inside 3 sigma above it") {
     import spark.implicits._
     val small = (1 to 100).map(i => ("g", i % 9)).toDF("grp", "key")
