@@ -463,14 +463,31 @@ object Graph {
   def triangles(
       edgeList: DataFrame,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    // persisted: consumed twice below (degree aggregation AND the orient
-    // join) — without the cache the upstream edge construction runs twice
-    val und = edgeList
+      dstCol: String = "dst"): DataFrame =
+    triangleTriples(canonicalUndirected(edgeList, srcCol, dstCol))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+
+  /** Canonical undirected edge set (lo, hi), self-loops dropped,
+    * PERSISTED: every consumer walks it several times (degree
+    * aggregation, orientation join, closure build) — without the cache
+    * the upstream edge construction would re-run per walk.
+    */
+  private def canonicalUndirected(
+      edgeList: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edgeList
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .distinct().persist()
+
+  /** Triangle triples (a, b, c) — one row per triangle, exactly once —
+    * over a persisted canonical (lo, hi) edge set. The degree-oriented
+    * wedge machinery shared by [[triangles]] (per-vertex counts) and
+    * [[trussPeel]] (per-edge support): `a` is the wedge apex, b/c its
+    * oriented out-neighbors with (b, c) in orientation order.
+    */
+  private def triangleTriples(und: DataFrame): DataFrame = {
     val deg = und.select(col("lo").as("v")).union(und.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -521,13 +538,63 @@ object Graph {
     val m = und.count() // und is persisted above — this is a cached count
     val closure =
       if (m <= 20000000L) broadcast(packedEdges) else packedEdges.hint("shuffle_hash")
-    val tri = wedges
+    wedges
       .withColumn("bc", expr("b * 4294967296L + c"))
       .join(closure, Seq("bc"), "left_semi")
-    val counts = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("n_tri"))
-    counts
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Per-edge triangle support over a persisted canonical (lo, hi) edge
+    * set: each triangle from [[triangleTriples]] credits its three
+    * edges. Only edges in ≥1 triangle appear.
+    */
+  private def edgeSupport(und: DataFrame): DataFrame =
+    triangleTriples(und).select(explode(array(
+        struct(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi")),
+        struct(least(col("a"), col("c")).as("lo"), greatest(col("a"), col("c")).as("hi")),
+        struct(least(col("b"), col("c")).as("lo"), greatest(col("b"), col("c")).as("hi"))))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
+
+  /** Fixed-round k-truss peel (Cohen, "Trusses: cohesive subgraphs for
+    * social network analysis", NSA tech report 2008 — public): each
+    * round computes per-edge triangle support and drops edges with
+    * support &lt; `minSupport` (minSupport = k-2 peels toward the
+    * k-truss). Fixed `rounds` synchronous iterations — deterministic
+    * and unrollable to a cross-engine oracle chain, same design as
+    * [[labelPropagation]]; a converged subgraph makes extra rounds
+    * no-ops, so a fixed unroll ≥ the fixpoint depth equals full k-truss.
+    *
+    * Returns the surviving edges as (src, dst, support) with `support`
+    * recomputed IN the peeled subgraph (0 if a survivor lost all its
+    * triangles to the final round's cuts — possible because peeling is
+    * synchronous).
+    *
+    * Scale shape: every round is the O(m^1.5)-bounded oriented wedge
+    * closure plus one filter — all equi-keyed shuffles on the shrinking
+    * edge set. The per-round survivor set is EAGERLY localCheckpointed:
+    * the wedge machinery walks its input ~5 ways, so a chained lineage
+    * fans out ~5^rounds plan copies and pays the per-level codegen
+    * compile tax (53 s on a 33-edge graph, measured) — truncating the
+    * tiny intermediate is the DevNsw rule applied here (6.5 s after,
+    * same graph, cold).
+    */
+  def trussPeel(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      minSupport: Int = 2,
+      rounds: Int = 2): DataFrame = {
+    require(minSupport >= 1, "minSupport >= 1 (0 would peel nothing)")
+    require(rounds >= 1, "rounds >= 1")
+    var cur = canonicalUndirected(edgeList, srcCol, dstCol).localCheckpoint()
+    for (_ <- 1 to rounds)
+      cur = edgeSupport(cur).filter(col("sup") >= minSupport)
+        .select("lo", "hi").localCheckpoint()
+    cur.join(edgeSupport(cur), Seq("lo", "hi"), "left")
+      .na.fill(0L, Seq("sup"))
+      .select(col("lo").as("src"), col("hi").as("dst"), col("sup").as("support"))
   }
 
   /** Bounded-depth multi-source BFS: minimum hop distance from any seed

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
-    assortativity, linkPredict)
+    assortativity, linkPredict, ktruss)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -315,4 +315,44 @@ object Graphs {
     FROM c LEFT JOIN je ON je.lo = c.x AND je.hi = c.y
     WHERE je.lo IS NULL
     ORDER BY cn DESC, ra DESC, src, dst LIMIT 25"""))
+
+  /** The DuckDB per-round truss CTEs: d`k` (both directions), s`k`
+    * (per-edge triangle support via the two-hop wedge join), e`k+1`
+    * (survivors). Every CTE is MATERIALIZED — e`k` is referenced three
+    * times per round (d`k` twice + s`k` once), the exact shape the
+    * NSW-beam chains proved safe under MATERIALIZED.
+    */
+  private def trussRoundSql(k: Int, minSup: Int): String = s""",
+    d$k AS MATERIALIZED (SELECT lo AS s, hi AS t FROM e$k
+      UNION ALL SELECT hi, lo FROM e$k),
+    s$k AS MATERIALIZED (
+      SELECT e.lo, e.hi, count(*)::BIGINT AS sup
+      FROM e$k e JOIN d$k a ON a.s = e.lo JOIN d$k b ON b.s = e.hi AND b.t = a.t
+      GROUP BY e.lo, e.hi),
+    e${k + 1} AS MATERIALIZED (SELECT lo, hi FROM s$k WHERE sup >= $minSup)"""
+
+  /** 4-truss peel of the user-similarity graph: two synchronous rounds
+    * dropping every edge in fewer than 2 triangles
+    * ([[graft.ops.Graph.trussPeel]] — the degree-oriented wedge closure
+    * per round), then each survivor reported with its support INSIDE
+    * the peeled subgraph. Trusses are the community-CORE primitive one
+    * notch above k-core: membership needs cohesive triangles, not just
+    * degree, so bridges and hub spokes fall away first. The oracle
+    * unrolls the identical rounds as materialized support-join CTEs.
+    */
+  val ktruss: Q = Q("graph_ktruss", (s, dir) => {
+    graft.ops.Graph.trussPeel(simEdges(s, dir), minSupport = 2, rounds = 2)
+      .orderBy("src", "dst")
+  }, Some(s"""WITH $itemsSql,
+    e0 AS MATERIALIZED (SELECT ua AS lo, ub AS hi FROM jac WHERE jacc_bp >= 3000)
+    ${trussRoundSql(0, 2)}${trussRoundSql(1, 2)},
+    df AS MATERIALIZED (SELECT lo AS s, hi AS t FROM e2
+      UNION ALL SELECT hi, lo FROM e2),
+    sf AS MATERIALIZED (
+      SELECT e.lo, e.hi, count(*)::BIGINT AS sup
+      FROM e2 e JOIN df a ON a.s = e.lo JOIN df b ON b.s = e.hi AND b.t = a.t
+      GROUP BY e.lo, e.hi)
+    SELECT e.lo AS src, e.hi AS dst, coalesce(sf.sup, 0)::BIGINT AS support
+    FROM e2 e LEFT JOIN sf ON sf.lo = e.lo AND sf.hi = e.hi
+    ORDER BY src, dst"""))
 }

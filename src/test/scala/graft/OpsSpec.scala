@@ -51,6 +51,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Graph.kcore(edges, 1).count() == 5)
   }
 
+  test("Graph.trussPeel keeps cohesive cores, peels transitively, reports in-subgraph support") {
+    import spark.implicits._
+    // K4 {1,2,3,4}: every edge in 2 triangles — a true 4-truss.
+    // Lone triangle {5,6,7}: support 1 everywhere — dies at minSupport=2.
+    // Diamond {8,9,10}+{9,10,11}: only (9,10) has support 2, but its
+    // triangles need the support-1 edges — synchronous round 2 kills it.
+    // Pendant (11,12): support 0 — dies even at minSupport=1.
+    val edges = (Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)) ++
+      Seq((5, 6), (5, 7), (6, 7)) ++
+      Seq((8, 9), (8, 10), (9, 10), (9, 11), (10, 11)) ++
+      Seq((11, 12))).map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst")
+    val r2 = graft.ops.Graph.trussPeel(edges, minSupport = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r2 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)),
+      s"two peel rounds must leave exactly the K4: $r2")
+    // one round only: (9,10) survives on its pre-peel support but its
+    // recomputed IN-SUBGRAPH support is 0 — the left-join zero path
+    val r1 = graft.ops.Graph.trussPeel(edges, minSupport = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1.contains((9L, 10L, 0L)), s"synchronous survivor must report support 0: $r1")
+    assert(r1.size == 7)
+    // minSupport=1 drops only the triangle-free pendant
+    val r1s1 = graft.ops.Graph.trussPeel(edges, minSupport = 1, rounds = 1)
+    assert(r1s1.count() == 14 && r1s1.filter(col("src") === 11 && col("dst") === 12).count() == 0)
+  }
+
   test("Graph.connectedComponentsStar agrees with propagation on chains, rings, and self-loops") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
