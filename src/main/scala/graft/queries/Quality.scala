@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
-    qualitySurprisal, qualityDriftChi2, qualityGopherRules, langidEval)
+    qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
+    langidEval)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -305,4 +306,67 @@ object Quality {
         THEN ((p_bp - q_bp) * (p_bp - q_bp)) // (p_bp + q_bp)
         ELSE 0 END)::BIGINT AS drift_score
     FROM pq GROUP BY event_type ORDER BY event_type"""))
+
+  /** Two-sample Kolmogorov–Smirnov drift per event type — the
+    * CONTINUOUS-distribution companion to [[qualityDriftChi2]]'s
+    * categorical chi²: split the stream at the midpoint timestamp,
+    * quantize values onto a fixed 256-bin grid, and take the max
+    * absolute ECDF gap between the halves. Everything integer-exact:
+    * the gap is compared as |cumA·nB − cumB·nA| (cross-multiplied — no
+    * division until the final basis-point report), so ks_num is the
+    * EXACT numerator of D·nA·nB on the binned ECDFs. One partitioned
+    * cumulative window over the (event_type, bin) aggregate — 256 rows
+    * per partition no matter the data volume. Products stay in bigint
+    * for per-side counts up to ~3e9 rows; past that ANSI mode fails
+    * loudly rather than wrapping.
+    */
+  val qualityDriftKs: Q = Q("quality_drift_ks", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val rng = e.agg(min("ts_us").as("t0"), max("ts_us").as("t1"),
+      min("cents").as("c0"), max("cents").as("c1"))
+    val b = e.crossJoin(broadcast(rng))
+      .withColumn("late", expr("ts_us > (t0 + t1) DIV 2"))
+      .withColumn("bin", expr("least(((cents - c0) * 256) DIV (c1 - c0 + 1), 255)"))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n2"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+    val tot = b.groupBy("event_type").agg(sum("n1").as("na"), sum("n2").as("nb"))
+    b.withColumn("ca", sum("n1").over(w))
+      .withColumn("cb", sum("n2").over(w))
+      .join(tot, "event_type")
+      .withColumn("d", expr("abs(ca * nb - cb * na)"))
+      .groupBy("event_type")
+      .agg(max("na").as("n_early"), max("nb").as("n_late"),
+        max("d").as("ks_num"))
+      .withColumn("ks_bp", expr("(ks_num * 10000) DIV (n_early * n_late)"))
+      .orderBy("event_type")
+  }, Some("""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    rng AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+        min(cents) AS c0, max(cents) AS c1 FROM e),
+    b AS (
+      SELECT event_type,
+        least(((cents - c0) * 256) // (c1 - c0 + 1), 255) AS bin,
+        sum(CASE WHEN ts_us > (t0 + t1) // 2 THEN 0 ELSE 1 END)::BIGINT AS n1,
+        sum(CASE WHEN ts_us > (t0 + t1) // 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+      FROM e, rng GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin, n1, n2,
+        sum(n1) OVER (PARTITION BY event_type ORDER BY bin) AS ca,
+        sum(n2) OVER (PARTITION BY event_type ORDER BY bin) AS cb
+      FROM b),
+    tot AS (SELECT event_type, sum(n1)::BIGINT AS na, sum(n2)::BIGINT AS nb
+      FROM b GROUP BY 1)
+    SELECT c.event_type,
+      max(na)::BIGINT AS n_early, max(nb)::BIGINT AS n_late,
+      CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+      CAST((max(abs(ca * nb - cb * na)) * 10000) // (max(na) * max(nb)) AS BIGINT) AS ks_bp
+    FROM c JOIN tot USING (event_type)
+    GROUP BY c.event_type ORDER BY c.event_type"""))
 }

@@ -16,7 +16,7 @@ object Series {
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
-    tsHistogramQuantile, tsCusumAlarm, tsHoltWinters)
+    tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -143,6 +143,57 @@ object Series {
           + max(CASE WHEN rn = n // 2 + 1 THEN sl END)) // 2 AS BIGINT)
         AS theil_sen_e4
     FROM r GROUP BY event_type ORDER BY event_type"""))
+
+  /** Spearman rank correlation between each event type's hourly VOLUME
+    * and hourly MEAN VALUE — "do busy hours run hot or cold?", the
+    * monotone-association readout Pearson-style moments can't give
+    * without floats. Ranks are row_number over (metric, hour): exact
+    * integers with the time tie-break making the ranking total and
+    * deterministic (the documented ties-broken-by-time Spearman
+    * variant, not mid-rank averaging — averaging needs halves).
+    * rho·10⁴ = 10000 − (60000·Σd²) DIV (n(n²−1)) is one truncating
+    * division of exact bigints. Both rank windows partition by event
+    * type over the HOURLY aggregate — rows bounded by the wall-clock
+    * range, never the event volume; n up to ~300k hours (34 years)
+    * stays inside bigint for the 60000·Σd² product.
+    */
+  val tsSpearman: Q = Q("ts_spearman", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("m"), count(lit(1)).as("c"))
+    val wm = Window.partitionBy("event_type").orderBy(col("m"), col("h"))
+    val wc = Window.partitionBy("event_type").orderBy(col("c"), col("h"))
+    hourly
+      .withColumn("rm", row_number().over(wm))
+      .withColumn("rc", row_number().over(wc))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(expr("CAST(rm - rc AS BIGINT) * CAST(rm - rc AS BIGINT)")).as("sum_d2"))
+      .withColumn("rho_bp", expr("""CASE WHEN n_hours >= 2
+        THEN 10000 - (60000 * sum_d2) DIV (n_hours * (n_hours * n_hours - 1))
+        ELSE 10000 END"""))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS m,
+        count(*)::BIGINT AS c
+      FROM e GROUP BY event_type, h),
+    r AS (SELECT event_type,
+        row_number() OVER (PARTITION BY event_type ORDER BY m, h) AS rm,
+        row_number() OVER (PARTITION BY event_type ORDER BY c, h) AS rc
+      FROM hd),
+    g AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        CAST(sum((rm - rc) * (rm - rc)) AS BIGINT) AS sum_d2
+      FROM r GROUP BY event_type)
+    SELECT event_type, n_hours, sum_d2,
+      CAST(CASE WHEN n_hours >= 2
+        THEN 10000 - (60000 * sum_d2) // (n_hours * (n_hours * n_hours - 1))
+        ELSE 10000 END AS BIGINT) AS rho_bp
+    FROM g ORDER BY event_type"""))
 
   /** Lagged cross-correlation between every event-type PAIR's hourly
     * deviation series at lags 0–2 hours — the "does B follow A"
