@@ -19,7 +19,8 @@ object TextOps {
     textWinnow, bpePairStats, samplePriority, textNormalize, textVocabGrowth,
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
     multimodalFrames, sampleTemperature, pipelineChunkIndex,
-    textPhraseOccurrences, docChunkSentences)
+    textPhraseOccurrences, docChunkSentences, multimodalResize,
+    multimodalMips)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -981,6 +982,90 @@ object TextOps {
       16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 464 AS height,
       1 + doc_id % 30 AS frames
     FROM documents ORDER BY doc_id"""))
+
+  /** Resize/letterbox planning for the multimodal column: from each
+    * asset's stub-decoded dimensions (the SAME width/height formulas as
+    * [[multimodalMeta]] — the two ops can never disagree about an
+    * asset), compute the fixed-point scale that fits a 224×224 canvas
+    * without upscaling, the scaled output box, and the centering pad
+    * offsets. This is the WORK-PLAN side of image resize — what a
+    * preprocessing cluster must agree on deterministically before any
+    * pixel moves; the pixel pass itself stays behind the per-partition
+    * decode stub. Pure per-row integer math (scale in millionths,
+    * truncating DIV both engines), zero shuffle.
+    */
+  val multimodalResize: Q = Q("multimodal_resize", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr("CAST(octet_length(text) AS BIGINT)").as("blen"))
+      .withColumn("width", expr("16 + blen % 624"))
+      .withColumn("height", expr("16 + (blen * 7) % 464"))
+      .withColumn("scale_e6", expr(
+        "least(224000000 DIV width, 224000000 DIV height, 1000000)"))
+      .withColumn("out_w", expr("greatest(1, (width * scale_e6) DIV 1000000)"))
+      .withColumn("out_h", expr("greatest(1, (height * scale_e6) DIV 1000000)"))
+      .withColumn("pad_x", expr("(224 - out_w) DIV 2"))
+      .withColumn("pad_y", expr("(224 - out_h) DIV 2"))
+      .drop("blen")
+      .orderBy("doc_id")
+  }, Some("""WITH a AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen
+      FROM documents),
+    d AS (SELECT doc_id, 16 + blen % 624 AS width,
+        16 + (blen * 7) % 464 AS height FROM a),
+    sc AS (SELECT *,
+        least(224000000 // width, 224000000 // height, 1000000) AS scale_e6
+      FROM d),
+    o AS (SELECT *, greatest(1, (width * scale_e6) // 1000000) AS out_w,
+        greatest(1, (height * scale_e6) // 1000000) AS out_h FROM sc)
+    SELECT doc_id, width, height, scale_e6, out_w, out_h,
+      (224 - out_w) // 2 AS pad_x, (224 - out_h) // 2 AS pad_y
+    FROM o ORDER BY doc_id"""))
+
+  /** Maximum-inner-product retrieval over STUB-extracted multimodal
+    * features: a deterministic fake 16-dim integer feature vector per
+    * asset (the h60 hash per (dim, doc) — standing in for the codec+
+    * encoder this environment lacks), then exact MIPS of 4 query assets
+    * against the corpus, top-3 each. The Spark-side shape is the real
+    * one — feature rows generated per (doc, dim) AFTER an explode so
+    * the hash is a codegen'd per-row expression (HOF lambdas run
+    * interpreted — the measured 9× rule), the 64-row query side
+    * broadcast against the corpus dims, dot products as one keyed
+    * partial-agg shuffle bounded by queries × corpus, and a top-k
+    * window partitioned per query. All-integer dots: bit-exact
+    * cross-engine, no cosine float anywhere.
+    */
+  val multimodalMips: Q = Q("multimodal_mips", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.ops.Sketch.h60("concat('emb', CAST(j AS STRING))",
+      "CAST(doc_id AS STRING)")
+    val dims = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("j"))
+      .withColumn("x", expr(s"$h % 199 - 99"))
+    val q = dims.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("qid"), col("j"), col("x").as("qx"))
+    val dots = broadcast(q).join(dims, "j")
+      .filter(col("qid") =!= col("doc_id"))
+      .groupBy(col("qid"), col("doc_id").as("cid"))
+      .agg(sum(expr("qx * x")).as("dot"))
+    dots.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))))
+      .filter(col("rank") <= 3)
+      .orderBy("qid", "rank")
+  }, Some("""WITH dims AS (
+      SELECT doc_id, j,
+        CAST('0x' || substr(md5('emb' || CAST(j AS VARCHAR) || ':'
+          || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 199 - 99 AS x
+      FROM documents CROSS JOIN range(16) t(j)),
+    q AS (SELECT doc_id AS qid, j, x AS qx FROM dims WHERE doc_id < 4),
+    d AS (SELECT qid, dims.doc_id AS cid, sum(qx * x)::BIGINT AS dot
+      FROM q JOIN dims ON q.j = dims.j AND dims.doc_id <> q.qid
+      GROUP BY 1, 2),
+    r AS (SELECT qid, cid, dot,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid)
+          AS INT) AS rank
+      FROM d)
+    SELECT qid, cid, dot, rank FROM r WHERE rank <= 3
+    ORDER BY qid, rank"""))
 
   /** Two unrolled rounds of BPE merge training over the corpus symbol
     * stream — the vocabulary-construction step of a training-data
