@@ -33,7 +33,20 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with canonical µs epoch column `ts_us` (DuckDB: epoch_us(ts)). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+  /** events with canonical µs epoch column `ts_us` (DuckDB: epoch_us(ts)).
+    * The driver's generator has shipped `ts` as TIMESTAMP(NANOS) (read as
+    * LONG nanos under nanosAsLong) and as timestamp[us]; adapt on type so
+    * both vintages of the testdata produce the identical µs-epoch bigint.
+    * Session TZ is pinned UTC in [[tune]], so the NTZ cast is exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("unix_micros(cast(ts as timestamp))")
+      case _ => expr("unix_micros(ts)")
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 }

@@ -208,7 +208,7 @@ object Ingest {
         ',host=u', CAST(user_id % 20 AS STRING),
         ' value=', CAST(value AS STRING),
         ',k=', coalesce(get_json_object(props, '$.k'), '0'), 'i',
-        ' ', CAST(ts AS STRING))""").as("line"))
+        ' ', CAST(ts_us * 1000 AS STRING))""").as("line"))
     e.as[String].flatMap { line =>
       InfluxLineParser.parseLine(Option(line).getOrElse(""), "n", 0L).fold(
         _ => Seq.empty[(String, String, String, Option[Long], Option[Double], Option[Long])],
