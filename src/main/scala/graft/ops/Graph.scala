@@ -980,4 +980,39 @@ object Graph {
     cand.join(e, cand("x") === e("lo") && cand("y") === e("hi"), "left_anti")
       .select(col("x").as("src"), col("y").as("dst"), col("cn"), col("ra"))
   }
+
+  /** Weighted link prediction (Murata & Moriyasu, WI'07 weighted
+    * Resource Allocation — public): for every non-adjacent pair (x, y)
+    * at distance 2,
+    *   wcn  = Σ_{m ∈ CN} (w(x,m) + w(y,m))            (weighted CN)
+    *   wra  = Σ_{m ∈ CN} scale·(w(x,m)+w(y,m)) DIV strength(m)
+    * where strength(m) = Σ_n w(m,n). Weights must be INTEGRAL (counts)
+    * so both the sums and the scaled division are exact cross-engine.
+    *
+    * Input `edges`: (src, dst, w). Parallel edges are collapsed by
+    * summing w. Same shuffle shape as [[linkScores]]: one wedge
+    * self-join keyed on the middle vertex, one keyed strength join, one
+    * anti-join against the edge list — no vertex×vertex product.
+    */
+  def linkScoresWeighted(edges: DataFrame, scale: Long = 1000000000L): DataFrame = {
+    require(scale >= 1, "scale >= 1")
+    val e = edges.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"), col("w").cast("long").as("w"))
+      .filter(col("lo") =!= col("hi"))
+      .groupBy("lo", "hi").agg(sum("w").as("w"))
+    val und = e.select(col("lo").as("u"), col("hi").as("v"), col("w"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v"), col("w")))
+    val str = und.groupBy("u").agg(sum("w").as("strength"))
+    val wedge = und.select(col("u").as("m"), col("v").as("x"), col("w").as("wx"))
+      .join(und.select(col("u").as("m"), col("v").as("y"), col("w").as("wy")), "m")
+      .filter(col("x") < col("y"))
+    val cand = wedge.join(str.select(col("u").as("m"), col("strength")), "m")
+      .groupBy("x", "y").agg(
+        count(lit(1)).as("cn"),
+        sum(col("wx") + col("wy")).as("wcn"),
+        sum(expr(s"($scale * (wx + wy)) DIV strength")).as("wra"))
+    cand.join(e, cand("x") === e("lo") && cand("y") === e("hi"), "left_anti")
+      .select(col("x").as("src"), col("y").as("dst"),
+        col("cn"), col("wcn"), col("wra"))
+  }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
-    assortativity, linkPredict, ktruss)
+    assortativity, linkPredict, linkPredictWeighted, ktruss)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -315,6 +315,48 @@ object Graphs {
     FROM c LEFT JOIN je ON je.lo = c.x AND je.hi = c.y
     WHERE je.lo IS NULL
     ORDER BY cn DESC, ra DESC, src, dst LIMIT 25"""))
+
+  /** Weighted link prediction ([[graft.ops.Graph.linkScoresWeighted]] —
+    * Murata–Moriyasu weighted Resource Allocation) on the SAME
+    * similarity graph [[linkPredict]] scores (Jaccard ≥ 0.30 user
+    * pairs), but with each edge weighted by its shared-item count.
+    * Where the unweighted RA treats every common neighbor equally, the
+    * weighted variant lets STRONG shared-middle ties dominate: middle
+    * m contributes scale·(w(x,m)+w(y,m)) DIV strength(m), so heavy
+    * edges through low-strength middles score highest. All-integer
+    * (weights are counts) → the scaled division is bit-exact
+    * cross-engine, and the two rankings are directly comparable.
+    */
+  val linkPredictWeighted: Q = Q("graph_link_predict_weighted", (s, dir) => {
+    val items = userItems(s, dir)
+    val sizes = items.groupBy("user_id").agg(count(lit(1)).as("sz"))
+    val l = items.select(col("user_id").as("ua"), col("item"))
+    val r = items.select(col("user_id").as("ub"), col("item"))
+    val edges = l.join(r, "item").filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("user_id").as("ua"), col("sz").as("na")), "ua")
+      .join(sizes.select(col("user_id").as("ub"), col("sz").as("nb")), "ub")
+      .filter(expr("10000 * inter DIV (na + nb - inter) >= 3000"))
+      .select(col("ua").as("src"), col("ub").as("dst"), col("inter").as("w"))
+    graft.ops.Graph.linkScoresWeighted(edges)
+      .orderBy(desc("wra"), desc("wcn"), asc("src"), asc("dst"))
+      .limit(25)
+  }, Some(s"""WITH $itemsSql,
+    we AS MATERIALIZED (SELECT ua AS lo, ub AS hi, inter AS w
+      FROM jac JOIN pr USING (ua, ub) WHERE jacc_bp >= 3000),
+    ud AS MATERIALIZED (SELECT lo AS u, hi AS v, w FROM we
+      UNION ALL SELECT hi, lo, w FROM we),
+    st AS (SELECT u, CAST(sum(w) AS BIGINT) AS strength FROM ud GROUP BY u),
+    wd AS (SELECT a.u AS m, a.v AS x, a.w AS wx, b.v AS y, b.w AS wy
+      FROM ud a JOIN ud b ON a.u = b.u AND a.v < b.v),
+    c AS (SELECT x, y, count(*)::BIGINT AS cn,
+        CAST(sum(wx + wy) AS BIGINT) AS wcn,
+        CAST(sum((1000000000 * (wx + wy)) // st.strength) AS BIGINT) AS wra
+      FROM wd JOIN st ON st.u = wd.m GROUP BY x, y)
+    SELECT x AS src, y AS dst, cn, wcn, wra
+    FROM c LEFT JOIN we ON we.lo = c.x AND we.hi = c.y
+    WHERE we.lo IS NULL
+    ORDER BY wra DESC, wcn DESC, src, dst LIMIT 25"""))
 
   /** The DuckDB per-round truss CTEs: d`k` (both directions), s`k`
     * (per-edge triangle support via the two-hop wedge join), e`k+1`

@@ -687,6 +687,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == got, s"orientation/dup normalization: $got2")
   }
 
+  test("Graph.linkScoresWeighted: Murata-Moriyasu wRA, parallel-edge collapse") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // path 1-2-3-4 weighted: w(1,2)=3, w(2,3)=2, w(3,4)=5.
+    // strength: 1→3, 2→5, 3→7, 4→5.
+    // (1,3) via m=2: cn=1, wcn=w(1,2)+w(2,3)=5, wra=1000*5/5=1000
+    // (2,4) via m=3: cn=1, wcn=w(2,3)+w(3,4)=7, wra=1000*7/7=1000
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 2L), (3L, 4L, 5L)).toDF("src", "dst", "w")
+    val got = graft.ops.Graph.linkScoresWeighted(edges, scale = 1000L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map((1L, 3L) -> ((1L, 5L, 1000L)), (2L, 4L) -> ((1L, 7L, 1000L))),
+      s"linkScoresWeighted: $got")
+    // parallel + reversed edges collapse by SUMMING w: (2,1,1)+(1,2,2) ≡ w=3
+    val dup = Seq((2L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 2L), (4L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val got2 = graft.ops.Graph.linkScoresWeighted(dup, scale = 1000L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got2 == got, s"parallel-edge collapse: $got2")
+    // adjacent pairs excluded even when they also share a middle
+    val sq = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    assert(graft.ops.Graph.linkScoresWeighted(sq).count() == 0,
+      "triangle: no non-adjacent distance-2 pairs")
+  }
+
   test("Graph.personalizedPagerank: fast path == distributed loop; seed semantics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
