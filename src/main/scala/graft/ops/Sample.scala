@@ -22,6 +22,38 @@ object Sample {
       concat(lit(salt), id.cast("string")))
   }
 
+  /** Per-stratum 0-based sequence numbers in `idCol` order as a
+    * DISTRIBUTED prefix-count — the ranking companion to
+    * [[Pack.assignBins]]'s prefix-sum, same shard shape: rows shard
+    * into contiguous id ranges (`idCol DIV shardSize`), local ranks
+    * come from a per-(stratum, shard) window (parallelism =
+    * #strata × #shards), and shard offsets from a small per-stratum
+    * window over per-shard COUNTS (N/shardSize rows — the only place
+    * a full ordering survives). Adds `rn`; bit-identical to
+    * `row_number() OVER (PARTITION BY stratum ORDER BY id) - 1`.
+    */
+  def shardedRank(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      shardSize: Long = 4096L): DataFrame = {
+    require(shardSize >= 1, "shardSize >= 1")
+    val d = df.withColumn("_shard", expr(s"$idCol DIV $shardSize"))
+    val wIn = Window.partitionBy(strataCol, "_shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSh = Window.partitionBy("_o_strata").orderBy("_o_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(strataCol, "_shard").agg(count(lit(1)).as("_shard_n"))
+      .select(col(strataCol).as("_o_strata"), col("_shard").as("_o_shard"),
+        col("_shard_n"))
+      .withColumn("_off", coalesce(sum("_shard_n").over(wSh), lit(0L)))
+    d.withColumn("_local_rn", count(lit(1)).over(wIn))
+      .join(offsets,
+        col(strataCol) === col("_o_strata") && col("_shard") === col("_o_shard"))
+      .withColumn("rn", col("_local_rn") + col("_off") - 1)
+      .drop("_shard", "_o_strata", "_o_shard", "_shard_n", "_local_rn", "_off")
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen by hash order —
     * the exact-count companion to rate-based downsampling (equal-size
     * eval slices, per-source audit samples). One shuffle on the stratum

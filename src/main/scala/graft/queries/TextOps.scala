@@ -20,7 +20,7 @@ object TextOps {
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
     multimodalFrames, sampleTemperature, pipelineChunkIndex,
     textPhraseOccurrences, docChunkSentences, multimodalResize,
-    multimodalMips)
+    multimodalMips, pipelineCurriculum)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -782,6 +782,44 @@ object TextOps {
       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
       min(ck_id) AS first_chunk, max(ck_id) AS last_chunk
     FROM b GROUP BY bin ORDER BY bin"""))
+
+  /** Curriculum schedule assembly (Bengio et al., "Curriculum
+    * Learning", ICML'09 — public): docs are tiered by the integer
+    * quality score (easy ≥ 6400 bp, medium ≥ 5800, hard below — fixed
+    * thresholds, so tiering is scale-stable), then interleaved
+    * round-robin 1:1:1 into one deterministic training order:
+    * position = 3·(rank within tier) + tier. Early positions mix one
+    * doc from every difficulty band — the anti-collapse property a
+    * curriculum wants — while within-tier order stays reproducible
+    * (doc_id). The per-tier ranks are [[graft.ops.Sample.shardedRank]]
+    * distributed prefix-counts, NOT a global row_number: parallelism =
+    * #tiers × #id-shards at any corpus size.
+    */
+  val pipelineCurriculum: Q = Q("pipeline_curriculum", (s, dir) => {
+    val feat = graft.ops.Text.qualityBp(Tables.t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("quality_bp"))
+      .withColumn("tier", expr(
+        "CAST(CASE WHEN quality_bp >= 6400 THEN 0 WHEN quality_bp >= 5800 THEN 1 ELSE 2 END AS BIGINT)"))
+    graft.ops.Sample.shardedRank(feat, "tier", "doc_id")
+      .select(expr("rn * 3 + tier").as("pos"), col("doc_id"), col("tier"),
+        col("quality_bp"))
+      .orderBy("pos")
+  }, Some("""WITH feat AS (SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha,
+      CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> ''))) AS BIGINT) AS n_distinct
+      FROM documents),
+    qual AS (SELECT doc_id, CAST((40 * least(n_words, 100) * n_chars * n_words
+        + 3000 * n_alpha * n_words + 3000 * n_distinct * n_chars)
+        // nullif(n_chars * n_words, 0) AS BIGINT) AS quality_bp FROM feat),
+    t AS (SELECT doc_id, quality_bp,
+        CAST(CASE WHEN quality_bp >= 6400 THEN 0
+          WHEN quality_bp >= 5800 THEN 1 ELSE 2 END AS BIGINT) AS tier FROM qual),
+    r AS (SELECT doc_id, quality_bp, tier,
+        row_number() OVER (PARTITION BY tier ORDER BY doc_id) - 1 AS rn FROM t)
+    SELECT rn * 3 + tier AS pos, doc_id, tier, quality_bp
+    FROM r ORDER BY pos"""))
 
   /** Boilerplate-phrase audit via the positional gram index — "where
     * does the corpus's most repeated 5-word phrase occur": the top gram

@@ -687,6 +687,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 == got, s"orientation/dup normalization: $got2")
   }
 
+  test("Sample.shardedRank == row_number per stratum, any shard size") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // sparse non-contiguous ids, uneven strata, shard boundaries mid-stratum
+    val rows = Seq((1L, "a"), (3L, "b"), (4L, "a"), (7L, "a"), (9L, "b"),
+      (12L, "c"), (15L, "a"), (16L, "b")).toDF("id", "k")
+    val want = rows
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")) - 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+    for (shard <- Seq(1L, 2L, 4L, 4096L)) {
+      val got = graft.ops.Sample.shardedRank(rows, "k", "id", shardSize = shard)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want, s"shardedRank(shardSize=$shard): $got vs $want")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sample.shardedRank(rows, "k", "id", shardSize = 0)
+    }
+  }
+
   test("Graph.linkScoresWeighted: Murata-Moriyasu wRA, parallel-edge collapse") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
