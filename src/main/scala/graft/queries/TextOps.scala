@@ -20,7 +20,7 @@ object TextOps {
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
     multimodalFrames, sampleTemperature, pipelineChunkIndex,
     textPhraseOccurrences, docChunkSentences, multimodalResize,
-    multimodalMips, pipelineCurriculum)
+    multimodalMips, pipelineCurriculum, qualityDsirWeights)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -782,6 +782,74 @@ object TextOps {
       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
       min(ck_id) AS first_chunk, max(ck_id) AS last_chunk
     FROM b GROUP BY bin ORDER BY bin"""))
+
+  /** DSIR-style importance weights for domain selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS'23 — public): score every raw document by how much its
+    * bigrams look like a TARGET domain (here lang='en', a subset of the
+    * same corpus — the hashed-ngram feature space of the paper, minus
+    * the hashing since the vocab is bounded). Per bigram the likelihood
+    * ratio is the EXACT integer surrogate
+    *   ratio_bp = 10000·(c_target+1)·n_raw DIV ((c_raw+1)·n_target)
+    * (add-one smoothed both sides, total-count normalized), and a doc's
+    * importance is the mean ratio over its bigrams — top 25 are the
+    * docs importance RESAMPLING would keep first. Shape: one bigram
+    * window pass, two partial-agg count shuffles over the
+    * vocabulary-sized model, 1-row total broadcasts, model broadcast
+    * back onto the bigram stream. At much larger corpora the
+    * c_target·n_raw product needs the scale factored down (headroom
+    * note: products stay < 2^63 while c·n < 9·10^14).
+    */
+  val qualityDsirWeights: Q = Q("quality_dsir_weights", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), graft.ops.Text.words(col("text")).as("ws"))
+    val pos = d.select(col("doc_id"), col("lang"), posexplode(col("ws")))
+      .toDF("doc_id", "lang", "pos", "w")
+    val ww = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = pos.withColumn("w2", lead("w", 1).over(ww))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("lang"), col("w").as("w1"), col("w2"))
+    val cRaw = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_raw"))
+    val cTgt = pairs.filter(col("lang") === "en")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_t"))
+    val totals = pairs.agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("lang") === "en", 1)).as("n_t"))
+    val model = cRaw.join(cTgt, Seq("w1", "w2"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ratio_bp", expr(
+        "(10000 * (c_t + 1) * n_raw) DIV ((c_raw + 1) * n_t)"))
+      .select(col("w1"), col("w2"), col("ratio_bp"))
+    pairs.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id").agg(
+        first("lang").as("lang"),
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(ratio_bp) DIV count(1)").as("importance_bp"))
+      .orderBy(col("importance_bp").desc, col("doc_id")).limit(25)
+  }, Some("""WITH d AS (
+      SELECT doc_id, lang,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    pr AS (SELECT doc_id, lang,
+        unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+          i -> [ws[i], ws[i + 1]])) AS p
+      FROM d),
+    pairs AS (SELECT doc_id, lang, p[1] AS w1, p[2] AS w2 FROM pr),
+    craw AS (SELECT w1, w2, count(*)::BIGINT AS c_raw FROM pairs GROUP BY w1, w2),
+    ctgt AS (SELECT w1, w2, count(*)::BIGINT AS c_t FROM pairs
+      WHERE lang = 'en' GROUP BY w1, w2),
+    tot AS (SELECT count(*)::BIGINT AS n_raw,
+        count(CASE WHEN lang = 'en' THEN 1 END)::BIGINT AS n_t FROM pairs),
+    model AS (SELECT craw.w1, craw.w2,
+        CAST((10000 * (coalesce(ctgt.c_t, 0) + 1) * tot.n_raw)
+          // ((craw.c_raw + 1) * tot.n_t) AS BIGINT) AS ratio_bp
+      FROM craw LEFT JOIN ctgt USING (w1, w2), tot)
+    SELECT doc_id, min(lang) AS lang, count(*)::BIGINT AS n_bigrams,
+      CAST(CAST(sum(m.ratio_bp) AS BIGINT) // count(*) AS BIGINT) AS importance_bp
+    FROM pairs JOIN model m USING (w1, w2)
+    GROUP BY doc_id
+    ORDER BY importance_bp DESC, doc_id LIMIT 25"""))
 
   /** Curriculum schedule assembly (Bengio et al., "Curriculum
     * Learning", ICML'09 — public): docs are tiered by the integer
