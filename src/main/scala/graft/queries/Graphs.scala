@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
-    assortativity, linkPredict, linkPredictWeighted, ktruss)
+    assortativity, linkPredict, linkPredictWeighted, closenessSeeds, ktruss)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -357,6 +357,55 @@ object Graphs {
     FROM c LEFT JOIN we ON we.lo = c.x AND we.hi = c.y
     WHERE we.lo IS NULL
     ORDER BY wra DESC, wcn DESC, src, dst LIMIT 25"""))
+
+  /** The labeled multi-seed BFS round for [[closenessSeeds]]'s oracle:
+    * every round expands the FULL settled set (fine at oracle scale)
+    * and keeps min hop per (seed, v); MATERIALIZED per the chain rule.
+    */
+  private def bfsRoundSql(k: Int): String = s""",
+    r${k + 1} AS MATERIALIZED (SELECT seed, v, CAST(min(hop) AS BIGINT) AS hop
+      FROM (SELECT seed, v, hop FROM r$k
+        UNION ALL SELECT r.seed, e.dst AS v, r.hop + 1
+        FROM r$k r JOIN ed e ON e.src = r.v) u
+      GROUP BY seed, v)"""
+
+  /** Harmonic closeness centrality from landmark seeds (Boldi & Vigna,
+    * "Axioms for Centrality", Internet Math. 2014 — public; landmark
+    * sampling is the standard way to estimate closeness on graphs too
+    * large for all-pairs BFS). Seeds = the 5 smallest vertices of the
+    * similarity graph; for each, harmonic(seed) =
+    * Σ_{v reachable, v≠seed} scale DIV hop(seed, v) within 4 hops — all
+    * integer, so the unrolled labeled-BFS oracle chain is bit-exact.
+    * Per seed one [[graft.ops.Graph.bfsHops]] frontier walk (settled
+    * vertices never re-propagate; counted-small graphs take the driver
+    * fast path); the seed list itself is LIMIT-bounded, never
+    * data-sized.
+    */
+  val closenessSeeds: Q = Q("graph_closeness_seeds", (s, dir) => {
+    import s.implicits._
+    val e = simEdges(s, dir)
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct()
+    val seedIds = verts.orderBy("v").limit(5).collect().map(_.getLong(0))
+    val per = seedIds.toSeq.map { sd =>
+      graft.ops.Graph.bfsHops(e, Seq(sd).toDF("v"), maxDepth = 4)
+        .filter(col("hop") > 0)
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("1000000 DIV hop")).as("harmonic"))
+        .select(lit(sd).as("seed"), col("n_reached"), col("harmonic"))
+    }.reduce(_ unionByName _)
+    per.orderBy("seed")
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    sd AS MATERIALIZED (SELECT DISTINCT src AS seed FROM ed
+      ORDER BY seed LIMIT 5),
+    r0 AS MATERIALIZED (SELECT seed, seed AS v, CAST(0 AS BIGINT) AS hop
+      FROM sd)${(0 until 4).map(bfsRoundSql).mkString}
+    SELECT seed, count(*)::BIGINT AS n_reached,
+      CAST(sum(1000000 // hop) AS BIGINT) AS harmonic
+    FROM r4 WHERE hop > 0 GROUP BY seed ORDER BY seed"""))
 
   /** The DuckDB per-round truss CTEs: d`k` (both directions), s`k`
     * (per-edge triangle support via the two-hop wedge join), e`k+1`
