@@ -28,7 +28,7 @@ object Dedup {
     dedupClusters, hashSplit, decontaminate, decontaminate13,
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
-    dedupSpanApplyBest)
+    dedupSpanApplyBest, rougePairs)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -739,4 +739,109 @@ object Dedup {
       coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
     FROM b LEFT JOIN a USING (doc_id)
     ORDER BY doc_id"""))
+
+  /** ROUGE-1/ROUGE-2 between mined near-pairs (Lin, "ROUGE: A Package
+    * for Automatic Evaluation of Summaries", ACL WAS'04 — public): for
+    * every doc pair with exact 3-gram Jaccard ≥ 0.3 (the inverted-index
+    * miner, a lower-threshold [[ngramJaccard]]), the MULTISET n-gram
+    * overlap Σ_g min(c_cand(g), c_ref(g)) as recall / precision / F1 in
+    * integer basis points (F1 = 2·P·R DIV (P+R) — exact, no floats).
+    * Multiset-min is what separates ROUGE from the Jaccard the miner
+    * used: repeated grams count, word order beyond n doesn't. The
+    * reference is the lower doc_id. Shape: pair mining is the bounded
+    * candidate join; gram overlap joins key on (doc, gram) with the
+    * BOUNDED pair list as the probe side — never corpus×corpus.
+    */
+  val rougePairs: Q = Q("text_rouge_pairs", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sh = sparkShingles(s, dir).persist()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val pairs = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.3)
+      .select("d1", "d2")
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("ws"))
+    val pos = d.select(col("doc_id"), posexplode(col("ws"))).toDF("doc_id", "pos", "w")
+    val ug = pos.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val ww = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = pos.withColumn("w2", lead("w", 1).over(ww))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def overlap(grams: DataFrame, gramCol: String, out: String): DataFrame = {
+      val ga = grams.select(col("doc_id").as("d1"), col(gramCol), col("c").as("ca"))
+      val gb = grams.select(col("doc_id").as("_d2"), col(gramCol).as("_g2"), col("c").as("cb"))
+      pairs.join(ga, "d1")
+        .join(gb, col("d2") === col("_d2") && col(gramCol) === col("_g2"))
+        .groupBy("d1", "d2").agg(sum(least(col("ca"), col("cb"))).as(out))
+    }
+    val tot1 = pos.groupBy("doc_id").agg(count(lit(1)).as("t1"))
+    val tot2 = bg.groupBy("doc_id").agg(sum("c").as("t2"))
+    val ov1 = overlap(ug, "w", "ov1")
+    val ov2 = overlap(bg, "g", "ov2")
+    val fExpr = (p: String, r: String) =>
+      expr(s"CASE WHEN $p + $r > 0 THEN (2 * $p * $r) DIV ($p + $r) ELSE 0 END")
+    pairs
+      .join(ov1, Seq("d1", "d2"), "left").na.fill(0L, Seq("ov1"))
+      .join(ov2, Seq("d1", "d2"), "left").na.fill(0L, Seq("ov2"))
+      .join(tot1.select(col("doc_id").as("d1"), col("t1").as("r1t")), "d1")
+      .join(tot1.select(col("doc_id").as("d2"), col("t1").as("c1t")), "d2")
+      .join(tot2.select(col("doc_id").as("d1"), col("t2").as("r2t")), "d1")
+      .join(tot2.select(col("doc_id").as("d2"), col("t2").as("c2t")), "d2")
+      .withColumn("rouge1_r", expr("10000 * ov1 DIV r1t"))
+      .withColumn("rouge1_p", expr("10000 * ov1 DIV c1t"))
+      .withColumn("rouge1_f", fExpr("rouge1_p", "rouge1_r"))
+      .withColumn("rouge2_r", expr("10000 * ov2 DIV r2t"))
+      .withColumn("rouge2_p", expr("10000 * ov2 DIV c2t"))
+      .withColumn("rouge2_f", fExpr("rouge2_p", "rouge2_r"))
+      .select("d1", "d2", "rouge1_r", "rouge1_p", "rouge1_f",
+        "rouge2_r", "rouge2_p", "rouge2_f")
+      .orderBy("d1", "d2")
+  }, Some(s"""WITH $duckShingles,
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (SELECT d1, d2 FROM prs
+      JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
+      WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.3),
+    pos AS (SELECT doc_id, unnest(w) AS w FROM ws),
+    ug AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM pos GROUP BY doc_id, w),
+    bgr AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+        i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM ws),
+    bg AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM bgr GROUP BY doc_id, g),
+    t1 AS (SELECT doc_id, count(*)::BIGINT AS t1 FROM pos GROUP BY doc_id),
+    t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t2 FROM bg GROUP BY doc_id),
+    o1 AS (SELECT p.d1, p.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov1
+      FROM pairs p JOIN ug a ON a.doc_id = p.d1 JOIN ug b ON b.doc_id = p.d2 AND b.w = a.w
+      GROUP BY p.d1, p.d2),
+    o2 AS (SELECT p.d1, p.d2, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov2
+      FROM pairs p JOIN bg a ON a.doc_id = p.d1 JOIN bg b ON b.doc_id = p.d2 AND b.g = a.g
+      GROUP BY p.d1, p.d2),
+    m AS (SELECT p.d1, p.d2,
+        coalesce(o1.ov1, 0) AS ov1, coalesce(o2.ov2, 0) AS ov2,
+        ra.t1 AS r1t, ca.t1 AS c1t, rb.t2 AS r2t, cb.t2 AS c2t
+      FROM pairs p
+      LEFT JOIN o1 ON o1.d1 = p.d1 AND o1.d2 = p.d2
+      LEFT JOIN o2 ON o2.d1 = p.d1 AND o2.d2 = p.d2
+      JOIN t1 ra ON ra.doc_id = p.d1 JOIN t1 ca ON ca.doc_id = p.d2
+      JOIN t2 rb ON rb.doc_id = p.d1 JOIN t2 cb ON cb.doc_id = p.d2),
+    sc AS (SELECT d1, d2,
+        10000 * ov1 // r1t AS rouge1_r, 10000 * ov1 // c1t AS rouge1_p,
+        10000 * ov2 // r2t AS rouge2_r, 10000 * ov2 // c2t AS rouge2_p
+      FROM m)
+    SELECT d1, d2,
+      CAST(rouge1_r AS BIGINT) AS rouge1_r, CAST(rouge1_p AS BIGINT) AS rouge1_p,
+      CAST(CASE WHEN rouge1_p + rouge1_r > 0
+        THEN (2 * rouge1_p * rouge1_r) // (rouge1_p + rouge1_r) ELSE 0 END AS BIGINT) AS rouge1_f,
+      CAST(rouge2_r AS BIGINT) AS rouge2_r, CAST(rouge2_p AS BIGINT) AS rouge2_p,
+      CAST(CASE WHEN rouge2_p + rouge2_r > 0
+        THEN (2 * rouge2_p * rouge2_r) // (rouge2_p + rouge2_r) ELSE 0 END AS BIGINT) AS rouge2_f
+    FROM sc ORDER BY d1, d2"""))
 }
