@@ -16,7 +16,8 @@ object Series {
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
-    tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman)
+    tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
+    tsForecastEval)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1223,4 +1224,96 @@ object Series {
       CAST(sv // 1073741824 AS BIGINT) AS cusum_lo,
       sv % 1073741824 > hh AS alarm_hi, sv // 1073741824 > hh AS alarm_lo
     FROM u ORDER BY event_type, h"""))
+
+  /** Forecast backtest: hold out each user's LAST 3 points, fit the
+    * packed-integer Holt fold ([[graft.ops.Series.holtStepSql]]) on the
+    * prefix, forecast h=1..3 as level + h·trend, and grade against the
+    * held-out actuals with the standard eval trio — all in exact
+    * integer cents / basis points (Hyndman & Koehler, "Another look at
+    * measures of forecast accuracy", IJF 2006 — public — for MASE):
+    *   mae_c    = Σ|fc−act| DIV 3                  (cents)
+    *   mase_bp  = 10⁴·Σ|fc−act| DIV Σ|naive−act|   (naive = last train value)
+    *   smape_bp = (Σ_h 2·10⁴·|fc−act| DIV (|fc|+|act|)) DIV 3
+    * Per-point integer division keeps sMAPE exact; MASE is NULL when
+    * the naive error is 0 (flat holdout). One groupBy + per-row scalar
+    * decode — the fold state is the same packed bigint the streaming
+    * HoltProcessor carries, so this doubles as the batch grader for it.
+    */
+  val tsForecastEval: Q = Q("ts_forecast_eval", (s, dir) => {
+    val step = graft.ops.Series.holtStepSql("DIV", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("DIV", "fin")
+    Tables.events(s, dir)
+      .withColumn("y", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"),
+        expr("""transform(array_sort(collect_list(struct(ts_us, event_id, y))),
+            s -> s.y)""").as("ys"))
+      .filter(col("n_points") >= 6)
+      .withColumn("ys", expr(graft.ops.Series.holtGuardSql("ys")))
+      .withColumn("tr", expr("slice(ys, 1, CAST(size(ys) - 3 AS INT))"))
+      .withColumn("fin", expr(
+        s"aggregate(slice(tr, 2, size(tr) - 1), element_at(tr, 1), (acc, x) -> $step)"))
+      .withColumn("lvl", expr(dl)).withColumn("tnd", expr(db))
+      .withColumn("last_tr", expr("element_at(tr, -1)"))
+      .withColumn("a1", expr("element_at(ys, CAST(size(ys) - 2 AS INT))"))
+      .withColumn("a2", expr("element_at(ys, CAST(size(ys) - 1 AS INT))"))
+      .withColumn("a3", expr("element_at(ys, CAST(size(ys) AS INT))"))
+      .withColumn("e1", expr("abs(lvl + 1 * tnd - a1)"))
+      .withColumn("e2", expr("abs(lvl + 2 * tnd - a2)"))
+      .withColumn("e3", expr("abs(lvl + 3 * tnd - a3)"))
+      .withColumn("n1", expr("abs(last_tr - a1)"))
+      .withColumn("n2", expr("abs(last_tr - a2)"))
+      .withColumn("n3", expr("abs(last_tr - a3)"))
+      .withColumn("mae_c", expr("(e1 + e2 + e3) DIV 3"))
+      .withColumn("mase_bp", expr(
+        "CASE WHEN n1 + n2 + n3 > 0 THEN 10000 * (e1 + e2 + e3) DIV (n1 + n2 + n3) END"))
+      .withColumn("smape_bp", expr(
+        """(CASE WHEN abs(lvl + 1 * tnd) + abs(a1) > 0
+             THEN 20000 * e1 DIV (abs(lvl + 1 * tnd) + abs(a1)) ELSE 0 END
+          + CASE WHEN abs(lvl + 2 * tnd) + abs(a2) > 0
+             THEN 20000 * e2 DIV (abs(lvl + 2 * tnd) + abs(a2)) ELSE 0 END
+          + CASE WHEN abs(lvl + 3 * tnd) + abs(a3) > 0
+             THEN 20000 * e3 DIV (abs(lvl + 3 * tnd) + abs(a3)) ELSE 0 END) DIV 3"""))
+      .select("user_id", "n_points", "mae_c", "mase_bp", "smape_bp")
+      .orderBy("user_id")
+  }, Some {
+    val step = graft.ops.Series.holtStepSql("//", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("//", "fin")
+    s"""WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    g AS (SELECT user_id, count(*)::BIGINT AS n_points,
+        list(y ORDER BY ts_us, event_id) AS ys
+      FROM e GROUP BY user_id),
+    q AS (SELECT user_id, n_points, ys,
+        ys[1:CAST(n_points - 3 AS INT)] AS tr
+      FROM g WHERE n_points >= 6),
+    f AS (SELECT user_id, n_points, tr,
+        ys[CAST(n_points - 2 AS INT)] AS a1,
+        ys[CAST(n_points - 1 AS INT)] AS a2,
+        ys[CAST(n_points AS INT)] AS a3,
+        list_reduce(tr, (acc, x) -> $step) AS fin
+      FROM q),
+    d AS (SELECT user_id, n_points, a1, a2, a3, tr[-1] AS last_tr,
+        $dl AS lvl, $db AS tnd
+      FROM f),
+    er AS (SELECT user_id, n_points, lvl, tnd, a1, a2, a3,
+        abs(lvl + 1 * tnd - a1) AS e1, abs(lvl + 2 * tnd - a2) AS e2,
+        abs(lvl + 3 * tnd - a3) AS e3,
+        abs(last_tr - a1) AS n1, abs(last_tr - a2) AS n2,
+        abs(last_tr - a3) AS n3
+      FROM d)
+    SELECT user_id, n_points,
+      CAST((e1 + e2 + e3) // 3 AS BIGINT) AS mae_c,
+      CAST(CASE WHEN n1 + n2 + n3 > 0
+        THEN 10000 * (e1 + e2 + e3) // (n1 + n2 + n3) END AS BIGINT) AS mase_bp,
+      CAST((CASE WHEN abs(lvl + 1 * tnd) + abs(a1) > 0
+          THEN 20000 * e1 // (abs(lvl + 1 * tnd) + abs(a1)) ELSE 0 END
+        + CASE WHEN abs(lvl + 2 * tnd) + abs(a2) > 0
+          THEN 20000 * e2 // (abs(lvl + 2 * tnd) + abs(a2)) ELSE 0 END
+        + CASE WHEN abs(lvl + 3 * tnd) + abs(a3) > 0
+          THEN 20000 * e3 // (abs(lvl + 3 * tnd) + abs(a3)) ELSE 0 END) // 3 AS BIGINT) AS smape_bp
+    FROM er ORDER BY user_id"""
+  })
 }
