@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
-    assortativity, linkPredict, linkPredictWeighted, closenessSeeds, ktruss)
+    assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
+    reachAnf, ktruss)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -357,6 +358,41 @@ object Graphs {
     FROM c LEFT JOIN we ON we.lo = c.x AND we.hi = c.y
     WHERE we.lo IS NULL
     ORDER BY wra DESC, wcn DESC, src, dst LIMIT 25"""))
+
+  /** Approximate neighborhood function (Palmer/Gibbons/Faloutsos,
+    * "ANF: A Fast and Scalable Tool for Data Mining in Massive
+    * Graphs", KDD'02 — public): 2-hop reach over the part–supplier
+    * bipartite graph ("parts co-supplied within one shared supplier",
+    * self included). The SCALE path is the sketch merge — one HLL per
+    * supplier over its parts, unioned per part: two keyed shuffles
+    * carrying fixed-size sketches, no wedge materialization, the shape
+    * that survives any fan-out. The exact wedge join runs beside it as
+    * the verifier (the oracle-checkable half), and the query emits the
+    * exact counts plus a 15%-tolerance boolean on the estimate — the
+    * same exact+tolerance contract as q_approx_distinct, so the
+    * estimate's sanity is hash-checked without putting an
+    * engine-specific number in the output.
+    */
+  val reachAnf: Q = Q("graph_reach_anf", (s, dir) => {
+    val e = Tables.t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+      .distinct().persist()
+    val exact = e.join(e.select(col("p").as("q"), col("sup")), "sup")
+      .select("p", "q").distinct()
+      .groupBy("p").agg(count(lit(1)).as("exact_reach2"))
+    val sk = e.groupBy("sup").agg(expr("hll_sketch_agg(p)").as("skb"))
+    val est = e.join(sk, "sup")
+      .groupBy("p").agg(expr("hll_sketch_estimate(hll_union_agg(skb))").as("est"))
+    exact.join(est, "p")
+      .select(col("p").as("l_partkey"), col("exact_reach2"),
+        (abs(col("est") - col("exact_reach2")) * 100 <= col("exact_reach2") * 15)
+          .as("est_within_15pct"))
+      .orderBy("l_partkey")
+  }, Some("""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    w AS (SELECT DISTINCT a.p AS p, b.p AS q FROM e a JOIN e b ON a.s = b.s)
+    SELECT p AS l_partkey, count(*)::BIGINT AS exact_reach2,
+      TRUE AS est_within_15pct
+    FROM w GROUP BY p ORDER BY l_partkey"""))
 
   /** The labeled multi-seed BFS round for [[closenessSeeds]]'s oracle:
     * every round expands the FULL settled set (fine at oracle scale)
