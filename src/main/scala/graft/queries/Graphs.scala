@@ -412,25 +412,33 @@ object Graphs {
     * similarity graph; for each, harmonic(seed) =
     * Σ_{v reachable, v≠seed} scale DIV hop(seed, v) within 4 hops — all
     * integer, so the unrolled labeled-BFS oracle chain is bit-exact.
-    * Per seed one [[graft.ops.Graph.bfsHops]] frontier walk (settled
-    * vertices never re-propagate; counted-small graphs take the driver
-    * fast path); the seed list itself is LIMIT-bounded, never
-    * data-sized.
+    *
+    * All seeds ride ONE [[graft.ops.Graph.bfsHops]] walk: the edge list
+    * is replicated per seed onto a seed-offset PRODUCT graph (vertex =
+    * seed·2²⁰ + v — seeds never mix, both endpoints carry the same
+    * offset), so the per-seed walks share every BFS round instead of
+    * paying per-seed job scheduling (measured 5 walks ≈ 2.8 s vs one
+    * labeled walk sub-second at sf0.1). The broadcast seed list is
+    * LIMIT-bounded; no driver collect anywhere.
     */
   val closenessSeeds: Q = Q("graph_closeness_seeds", (s, dir) => {
-    import s.implicits._
-    val e = simEdges(s, dir)
+    // the similarity-graph subtree feeds the seed scan, the product
+    // graph, and bfsHops' count gate — persist it once
+    val e = simEdges(s, dir).persist()
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct()
-    val seedIds = verts.orderBy("v").limit(5).collect().map(_.getLong(0))
-    val per = seedIds.toSeq.map { sd =>
-      graft.ops.Graph.bfsHops(e, Seq(sd).toDF("v"), maxDepth = 4)
-        .filter(col("hop") > 0)
-        .agg(count(lit(1)).as("n_reached"),
-          sum(expr("1000000 DIV hop")).as("harmonic"))
-        .select(lit(sd).as("seed"), col("n_reached"), col("harmonic"))
-    }.reduce(_ unionByName _)
-    per.orderBy("seed")
+    val seedDf = verts.orderBy("v").limit(5).select(col("v").as("seed"))
+    val lab = e.crossJoin(broadcast(seedDf))
+      .select((col("seed") * 1048576 + col("src")).as("src"),
+        (col("seed") * 1048576 + col("dst")).as("dst"))
+    val seeds = seedDf.select((col("seed") * 1048576 + col("seed")).as("v"))
+    graft.ops.Graph.bfsHops(lab, seeds, maxDepth = 4)
+      .filter(col("hop") > 0)
+      .withColumn("seed", expr("v DIV 1048576"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 DIV hop")).as("harmonic"))
+      .orderBy("seed")
   }, Some(s"""WITH $itemsSql,
     je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
     ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
