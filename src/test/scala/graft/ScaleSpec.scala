@@ -353,6 +353,47 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-5 third-pass operators plan scale-shaped") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    // weighted link prediction: wedge join keyed on the middle vertex,
+    // strength join keyed, anti-join keyed — nothing all-pairs
+    val lw = graft.queries.Graphs.linkPredictWeighted
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!lw.contains("CartesianProduct") && !lw.contains("BroadcastNestedLoopJoin"),
+      s"weighted link prediction must stay keyed:\n$lw")
+    // DSIR: the bigram model joins back BROADCAST (vocabulary-sized),
+    // the only nested-loop is the 1-row totals broadcast
+    val ds = graft.queries.TextOps.qualityDsirWeights
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(ds.contains("BroadcastHashJoin"),
+      s"DSIR model join must broadcast:\n$ds")
+    assert(!ds.contains("CartesianProduct"), s"DSIR must not cartesian:\n$ds")
+    // curriculum: only partitioned windows (tier × shard + per-tier
+    // offsets) — no empty-frame global window over the data
+    val cu = graft.queries.TextOps.pipelineCurriculum
+      .fn(spark, sf).queryExecution.analyzed
+    var bad = 0
+    cu.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => bad += 1
+      case _ => ()
+    }
+    assert(bad == 0, "curriculum must not plan a global window")
+    // ROUGE: gram-overlap joins keyed on (doc, gram); pair mining keyed
+    // on the shingle — never corpus × corpus
+    val rp = graft.queries.Dedup.rougePairs
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoopJoin"),
+      s"ROUGE overlap must stay keyed:\n$rp")
+    // ANF: sketch path is two keyed shuffles; exact verifier keyed on
+    // the supplier — no vertex×vertex product anywhere
+    val an = graft.queries.Graphs.reachAnf
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!an.contains("CartesianProduct") && !an.contains("BroadcastNestedLoopJoin"),
+      s"ANF must stay keyed:\n$an")
+  }
+
   test("capGroups bounds per-group pair blow-up; basket_pairs plans the cap window") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
