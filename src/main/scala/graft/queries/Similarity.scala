@@ -26,7 +26,7 @@ object Similarity {
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
-    annBeamSensitivity)
+    annBeamSensitivity, pipelineSemDedup)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1099,6 +1099,46 @@ object Similarity {
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
     SELECT d1, d2, round(sim, 4) AS cosine FROM p WHERE round(sim, 6) >= 0.25
     ORDER BY d1, d2"""))
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540 —
+    * public) as a verified composition: the LSH-bucketed cosine pair
+    * graph (the registered [[dedupEmbedCosine]] subtree, persisted),
+    * connected components over it, min-id representative kept per
+    * cluster — the semantic-prune step that removes paraphrase
+    * clusters text hashing cannot see. Output: every clustered vector
+    * with its cluster id, cluster size, and keep flag; unclustered
+    * vectors are implicitly kept (absent). Scale shape inherits from
+    * the parts: bucketed pairing (never O(N²)) + the checkpointed
+    * component fixpoint with its counted-small fast path.
+    */
+  val pipelineSemDedup: Q = Q("pipeline_semdedup", (s, dir) => {
+    val pairs = dedupEmbedCosine.fn(s, dir).select("d1", "d2").persist()
+    val comp = graft.ops.Graph.connectedComponents(pairs, "d1", "d2")
+    val sz = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    comp.join(sz, "component")
+      .select(col("v").as("vec_id"), col("component").as("cluster_id"),
+        col("n_members"), (col("v") === col("component")).as("kept"))
+      .orderBy("vec_id")
+  }, Some(s"""WITH RECURSIVE n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    b AS (SELECT vec_id, emb, nrm, $lshBitsSql AS bucket FROM n),
+    p AS (SELECT a.vec_id AS d1, c.vec_id AS d2
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE round(list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm), 6) >= 0.25),
+    edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+    reach AS (
+      SELECT DISTINCT src AS v, src AS r FROM edges
+      UNION
+      SELECT e.dst AS v, r.r FROM reach r JOIN edges e ON e.src = r.v),
+    comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+    sz AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+      FROM comp GROUP BY cluster_id)
+    SELECT comp.v AS vec_id, comp.cluster_id, sz.n_members,
+      comp.v = comp.cluster_id AS kept
+    FROM comp JOIN sz USING (cluster_id) ORDER BY vec_id"""))
 
   /** Hard-negative mining (contrastive-training data prep): for each
     * query vector, the top-3 most similar vectors with a DIFFERENT
