@@ -28,7 +28,7 @@ object Dedup {
     dedupClusters, hashSplit, decontaminate, decontaminate13,
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
-    dedupSpanApplyBest, rougePairs)
+    dedupSpanApplyBest, rougePairs, lshEval)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -739,6 +739,46 @@ object Dedup {
       coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
     FROM b LEFT JOIN a USING (doc_id)
     ORDER BY doc_id"""))
+
+  /** Detector-quality eval: MinHash/LSH near-dup pairs graded against
+    * the exact n-gram Jaccard pairs as ground truth — the
+    * precision/recall check a pipeline runs before trusting the cheap
+    * detector at scale (both detectors are REGISTERED queries, so this
+    * eval composes their exact subtrees and regresses if either
+    * drifts). TP/FP/FN via semi/anti joins on the pair key; precision
+    * and recall in exact integer basis points; one row.
+    */
+  val lshEval: Q = Q("dedup_lsh_eval", (s, dir) => {
+    val est = minhashLsh.fn(s, dir).select("d1", "d2").persist()
+    val ex = ngramJaccard.fn(s, dir).select("d1", "d2").persist()
+    val tp = est.join(ex, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    val fp = est.join(ex, Seq("d1", "d2"), "left_anti")
+      .agg(count(lit(1)).as("fp"))
+    val fn = ex.join(est, Seq("d1", "d2"), "left_anti")
+      .agg(count(lit(1)).as("fn"))
+    tp.crossJoin(fp).crossJoin(fn)
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN 10000 * tp DIV (tp + fp) END").as("precision_bp"),
+        expr("CASE WHEN tp + fn > 0 THEN 10000 * tp DIV (tp + fn) END").as("recall_bp"))
+  }, Some(s"""WITH $minhashCtes,
+    estp AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
+      JOIN sig y ON y.doc_id = d2 WHERE $minhashEstExpr >= 0.5),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exp_ AS (SELECT d1, d2 FROM shp
+      JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
+      WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+    m AS (SELECT
+      (SELECT count(*) FROM estp JOIN exp_ USING (d1, d2))::BIGINT AS tp,
+      (SELECT count(*) FROM estp ANTI JOIN exp_ USING (d1, d2))::BIGINT AS fp,
+      (SELECT count(*) FROM exp_ ANTI JOIN estp USING (d1, d2))::BIGINT AS fn)
+    SELECT tp, fp, fn,
+      CAST(CASE WHEN tp + fp > 0 THEN 10000 * tp // (tp + fp) END AS BIGINT) AS precision_bp,
+      CAST(CASE WHEN tp + fn > 0 THEN 10000 * tp // (tp + fn) END AS BIGINT) AS recall_bp
+    FROM m"""))
 
   /** ROUGE-1/ROUGE-2 between mined near-pairs (Lin, "ROUGE: A Package
     * for Automatic Evaluation of Summaries", ACL WAS'04 — public): for
