@@ -17,7 +17,7 @@ object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
-    reachAnf, ktruss)
+    reachAnf, randomWalks, ktruss)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -358,6 +358,58 @@ object Graphs {
     FROM c LEFT JOIN we ON we.lo = c.x AND we.hi = c.y
     WHERE we.lo IS NULL
     ORDER BY wra DESC, wcn DESC, src, dst LIMIT 25"""))
+
+  /** Hash-seeded random-walk corpus (Perozzi et al., "DeepWalk: Online
+    * Learning of Social Representations", KDD'14 — public): one 4-step
+    * walk per vertex of the similarity graph, where step k moves to the
+    * neighbor minimizing the 60-bit md5 hash of (walk, step, neighbor)
+    * — "random" to the downstream skip-gram trainer, yet a pure
+    * function of the graph, so reproducible across engines, retries,
+    * and partitionings (the house rand()-free discipline applied to
+    * walk generation). Dead ends (impossible on this symmetric graph)
+    * would simply stop extending. Each step is one keyed join current →
+    * neighbors + a per-walk argmin window — walks never materialize as
+    * state bigger than (walk, position).
+    */
+  val randomWalks: Q = Q("graph_random_walks", (s, dir) => {
+    val e = simEdges(s, dir).persist()
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val w0 = und.select(col("u").as("walk")).distinct()
+      .withColumn("cur", col("walk"))
+    val stepped = (1 to 4).foldLeft(w0) { (acc, k) =>
+      val h = graft.ops.Sketch.h60(
+        s"concat(CAST(walk AS STRING), '_', '$k')", "CAST(v AS STRING)")
+      val ww = Window.partitionBy("walk")
+        .orderBy(expr(h).asc, col("v").asc)
+      acc.join(und, acc("cur") === und("u"))
+        .withColumn("rn", row_number().over(ww))
+        .filter(col("rn") === 1)
+        .select(acc.columns.filter(_ != "cur").map(col) :+
+          col("v").as(s"v$k") :+ col("v").as("cur"): _*)
+    }
+    stepped.select((col("walk") +: (1 to 4).map(k => col(s"v$k"))): _*)
+      .orderBy("walk")
+  }, Some {
+    val steps = (1 to 4).map { k =>
+      val prevCols = (1 until k).map(j => s"p.v$j, ").mkString
+      val keepCols = (1 until k).map(j => s"v$j, ").mkString
+      val cur = if (k == 1) "p.walk" else s"p.v${k - 1}"
+      s""",
+    w$k AS MATERIALIZED (SELECT walk, ${keepCols}v AS v$k FROM (
+      SELECT p.walk, ${prevCols}ed.dst AS v,
+        CAST('0x' || substr(md5(CAST(p.walk AS VARCHAR) || '_$k:'
+          || CAST(ed.dst AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM w${k - 1} p JOIN ed ON ed.src = $cur)
+      QUALIFY row_number() OVER (PARTITION BY walk ORDER BY h ASC, v ASC) = 1)"""
+    }.mkString
+    s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    w0 AS MATERIALIZED (SELECT DISTINCT src AS walk FROM ed)$steps
+    SELECT walk, v1, v2, v3, v4 FROM w4 ORDER BY walk"""
+  })
 
   /** Approximate neighborhood function (Palmer/Gibbons/Faloutsos,
     * "ANF: A Fast and Scalable Tool for Data Mining in Massive
