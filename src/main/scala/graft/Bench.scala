@@ -37,7 +37,11 @@ object Bench {
       } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    probe() // uncounted warmup: parquet reader + shuffle + codegen machinery
+    // uncounted warmups: parquet reader + shuffle + codegen machinery on
+    // the first pass, C2-tier JIT of the hot paths on the second — with a
+    // single warmup the FIRST timed probe still ran ~2x the later ones on
+    // a provably quiet host, spuriously inflating the noise ratio
+    probe(); probe()
 
     // optional trailing args: bench only the named queries (repeated
     // `--reps N` times each) — the perf-iteration loop for one operator.
