@@ -17,7 +17,7 @@ object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
-    reachAnf, randomWalks, ktruss)
+    reachAnf, randomWalks, walkSkipgrams, ktruss)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -390,7 +390,13 @@ object Graphs {
     }
     stepped.select((col("walk") +: (1 to 4).map(k => col(s"v$k"))): _*)
       .orderBy("walk")
-  }, Some {
+  }, Some(s"""WITH $walksChainSql
+    SELECT walk, v1, v2, v3, v4 FROM w4 ORDER BY walk"""))
+
+  /** The CTE chain producing w4 (walk, v1..v4) — shared by the
+    * [[randomWalks]] and [[walkSkipgrams]] oracles.
+    */
+  private lazy val walksChainSql: String = {
     val steps = (1 to 4).map { k =>
       val prevCols = (1 until k).map(j => s"p.v$j, ").mkString
       val keepCols = (1 until k).map(j => s"v$j, ").mkString
@@ -403,13 +409,40 @@ object Graphs {
       FROM w${k - 1} p JOIN ed ON ed.src = $cur)
       QUALIFY row_number() OVER (PARTITION BY walk ORDER BY h ASC, v ASC) = 1)"""
     }.mkString
-    s"""WITH $itemsSql,
+    s"""$itemsSql,
     je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
     ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
       UNION ALL SELECT ub, ua FROM je),
-    w0 AS MATERIALIZED (SELECT DISTINCT src AS walk FROM ed)$steps
-    SELECT walk, v1, v2, v3, v4 FROM w4 ORDER BY walk"""
-  })
+    w0 AS MATERIALIZED (SELECT DISTINCT src AS walk FROM ed)$steps"""
+  }
+
+  /** Skip-gram training pairs from the walk corpus — the second half of
+    * DeepWalk (walks → window-w co-occurrence pairs → embedding
+    * trainer): every ordered (center, context) pair within window 2 of
+    * each 5-vertex walk path, with corpus counts, top 30. Composes the
+    * REGISTERED [[randomWalks]] subtree, so a drift in walk generation
+    * regresses this row too. Shape: one walk-keyed position self-join
+    * (≤ 5×4 pairs per walk, bounded by the walk length) + one pair
+    * count shuffle.
+    */
+  val walkSkipgrams: Q = Q("graph_walk_skipgrams", (s, dir) => {
+    val w = randomWalks.fn(s, dir)
+      .select(col("walk"),
+        array(col("walk"), col("v1"), col("v2"), col("v3"), col("v4")).as("path"))
+    val pos = w.select(col("walk"), posexplode(col("path"))).toDF("walk", "pi", "center")
+    val ctx = w.select(col("walk").as("w2"), posexplode(col("path"))).toDF("w2", "pj", "context")
+    pos.join(ctx, col("walk") === col("w2") && expr("abs(pi - pj) BETWEEN 1 AND 2"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("center"), asc("context")).limit(30)
+  }, Some(s"""WITH $walksChainSql,
+    pth AS (SELECT walk, [walk, v1, v2, v3, v4] AS path FROM w4),
+    pos AS (SELECT walk, unnest(list_transform(range(1, 6),
+        i -> [CAST(i AS BIGINT), path[i]])) AS s FROM pth),
+    p2 AS (SELECT walk, s[1] AS pi, s[2] AS v FROM pos)
+    SELECT a.v AS center, b.v AS context, count(*)::BIGINT AS cnt
+    FROM p2 a JOIN p2 b ON a.walk = b.walk AND abs(a.pi - b.pi) BETWEEN 1 AND 2
+    GROUP BY a.v, b.v
+    ORDER BY cnt DESC, center, context LIMIT 30"""))
 
   /** Approximate neighborhood function (Palmer/Gibbons/Faloutsos,
     * "ANF: A Fast and Scalable Tool for Data Mining in Massive
