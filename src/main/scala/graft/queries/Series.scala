@@ -17,7 +17,7 @@ object Series {
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
-    tsForecastEval)
+    tsForecastEval, scd2PitJoin)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1224,6 +1224,53 @@ object Series {
       CAST(sv // 1073741824 AS BIGINT) AS cusum_lo,
       sv % 1073741824 > hh AS alarm_hi, sv // 1073741824 > hh AS alarm_lo
     FROM u ORDER BY event_type, h"""))
+
+  /** Point-in-time (PIT) join against the SCD2 dimension — the
+    * feature-store correctness primitive (no future leakage: each fact
+    * row sees exactly the dimension version valid AT its timestamp,
+    * Kimball type-2 semantics). Facts = every event of the tracked
+    * users; dimension = the [[scd2Snapshot]] validity intervals,
+    * COMPOSED from the registered query so the two can't drift. The
+    * join is EQUI on the entity key with the validity range as a
+    * post-join predicate — a keyed SortMergeJoin, never a nested loop
+    * (dimension history per entity is bounded); at warehouse scale the
+    * dimension side additionally prunes to entities present in the
+    * fact batch. Output verifies every fact lands in EXACTLY one
+    * interval (the n_matches guard column).
+    */
+  val scd2PitJoin: Q = Q("scd2_pit_join", (s, dir) => {
+    val dim = scd2Snapshot.fn(s, dir)
+      .select(col("user_id").as("d_uid"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val facts = Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    facts.join(dim,
+        col("user_id") === col("d_uid") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .groupBy("user_id", "event_id", "ts_us")
+      .agg(count(lit(1)).as("n_matches"),
+        min("state").as("state_at"),
+        min("valid_from_us").as("state_since_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE user_id < 20),
+    c AS (SELECT *,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM e QUALIFY prev_type IS NULL OR prev_type <> event_type),
+    iv AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      FROM c)
+    SELECT e.user_id, e.event_id, e.ts_us,
+      count(*)::BIGINT AS n_matches,
+      min(iv.state) AS state_at,
+      min(iv.valid_from_us) AS state_since_us
+    FROM e JOIN iv ON iv.user_id = e.user_id
+      AND iv.valid_from_us <= e.ts_us
+      AND (iv.valid_to_us IS NULL OR e.ts_us < iv.valid_to_us)
+    GROUP BY e.user_id, e.event_id, e.ts_us
+    ORDER BY e.user_id, e.ts_us, e.event_id"""))
 
   /** Forecast backtest: hold out each user's LAST 3 points, fit the
     * packed-integer Holt fold ([[graft.ops.Series.holtStepSql]]) on the
