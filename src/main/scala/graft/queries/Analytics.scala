@@ -43,7 +43,8 @@ object Analytics {
     qTsResample, qUnionByName, qSaltedAgg, qZscoreAnomaly, qIntervalBucketJoin,
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qPpr, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
-    qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance)
+    qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
+    qAttribution)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1603,4 +1604,53 @@ object Analytics {
     import s.implicits._
     rows.toDF("k", "core_vertices", "core_edges").repartition(1).orderBy("k")
   }, Some(kcoreOracleSql))
+
+  /** Marketing attribution over the event stream: every purchase is
+    * credited to the LAST non-purchase touch before it and to the FIRST
+    * touch in the user's history (the two standard single-touch models)
+    * via IGNORE NULLS window folds — one per-user ordered pass, no self
+    * join. Output: per (model, touch type) conversions and attributed
+    * revenue in exact integer cents; purchases with no prior touch fall
+    * into the '(none)' bucket so the two models' totals provably
+    * reconcile to the same conversion count.
+    */
+  val qAttribution: Q = Q("q_attribution", (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = Tables.events(s, dir)
+      .withColumn("touch", when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("last_touch", last("touch", ignoreNulls = true).over(w))
+      .withColumn("first_touch", first("touch", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("rev_c", expr("CAST(round(value * 100) AS BIGINT)"))
+    val lastM = touched.groupBy(coalesce(col("last_touch"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("conversions"), sum("rev_c").as("revenue_c"))
+      .withColumn("model", lit("last"))
+    val firstM = touched.groupBy(coalesce(col("first_touch"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("conversions"), sum("rev_c").as("revenue_c"))
+      .withColumn("model", lit("first"))
+    lastM.unionByName(firstM)
+      .select("model", "touch_type", "conversions", "revenue_c")
+      .orderBy("model", "touch_type")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events),
+    t AS (SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+        first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      FROM e),
+    p AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS rev_c
+      FROM t WHERE event_type = 'purchase')
+    SELECT 'last' AS model, coalesce(last_touch, '(none)') AS touch_type,
+      count(*)::BIGINT AS conversions, CAST(sum(rev_c) AS BIGINT) AS revenue_c
+    FROM p GROUP BY 2
+    UNION ALL
+    SELECT 'first', coalesce(first_touch, '(none)'),
+      count(*)::BIGINT, CAST(sum(rev_c) AS BIGINT)
+    FROM p GROUP BY 2
+    ORDER BY model, touch_type"""))
 }
