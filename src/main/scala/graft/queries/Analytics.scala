@@ -44,7 +44,7 @@ object Analytics {
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qPpr, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
-    qAttribution)
+    qAttribution, qFunnelLatency)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1604,6 +1604,59 @@ object Analytics {
     import s.implicits._
     rows.toDF("k", "core_vertices", "core_edges").repartition(1).orderBy("k")
   }, Some(kcoreOracleSql))
+
+  /** Funnel stage-transition latency — the "how long between stages"
+    * companion to [[qFunnel]]'s conversion rates, sharing its strict
+    * first-signup → first-click-after → first-purchase-after times.
+    * Per transition: converter count and min / exact DISCRETE median /
+    * max latency in µs — the median is element_at(sorted, (n+1) DIV 2),
+    * a sorted fold over the per-transition latency list (bounded by the
+    * converter count; both engines index the identical sorted list, so
+    * no interpolation arithmetic exists to diverge).
+    */
+  val qFunnelLatency: Q = Q("q_funnel_latency", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val lats = t1.join(t2, "user_id").join(t3, Seq("user_id"), "left_outer")
+      .select(col("user_id"), (col("t2") - col("t1")).as("lat1"),
+        (col("t3") - col("t2")).as("lat2"))
+    val s1 = lats.select(lit("signup_to_click").as("stage"), col("lat1").as("lat"))
+    val s2 = lats.filter(col("lat2").isNotNull)
+      .select(lit("click_to_purchase").as("stage"), col("lat2").as("lat"))
+    s1.unionByName(s2)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n"), min("lat").as("min_us"),
+        expr("element_at(array_sort(collect_list(lat)), CAST((count(1) + 1) DIV 2 AS INT))")
+          .as("median_us"),
+        max("lat").as("max_us"))
+      .orderBy("stage")
+  }, Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+      JOIN t1 ON t1.user_id = e.user_id AND e.ts_us > t1.t1
+      WHERE event_type = 'click' GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+      JOIN t2 ON t2.user_id = e.user_id AND e.ts_us > t2.t2
+      WHERE event_type = 'purchase' GROUP BY e.user_id),
+    l AS (SELECT t1.user_id, t2.t2 - t1.t1 AS lat1, t3.t3 - t2.t2 AS lat2
+      FROM t1 JOIN t2 ON t2.user_id = t1.user_id
+      LEFT JOIN t3 ON t3.user_id = t1.user_id),
+    u AS (SELECT 'signup_to_click' AS stage, lat1 AS lat FROM l
+      UNION ALL
+      SELECT 'click_to_purchase', lat2 FROM l WHERE lat2 IS NOT NULL)
+    SELECT stage, count(*)::BIGINT AS n,
+      min(lat) AS min_us,
+      (list_sort(list(lat)))[CAST((count(*) + 1) // 2 AS INT)] AS median_us,
+      max(lat) AS max_us
+    FROM u GROUP BY stage ORDER BY stage"""))
 
   /** Marketing attribution over the event stream: every purchase is
     * credited to the LAST non-purchase touch before it and to the FIRST
