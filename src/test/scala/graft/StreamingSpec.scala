@@ -1211,6 +1211,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("AttributionProcessor recovers first/last-touch state across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, expr, first, last, lit, when}
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_attr_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_attr_ck").toString
+    val pts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("rev_c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(p => (p._2, p._3))
+    val (b1, b2) = pts.splitAt(pts.length / 2)
+    def fmt(rs: Seq[(Long, Long, Long, String, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4} ${r._5}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, String, String, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0).toLong, p(1).toLong, p(2).toLong, p(3), p(4).toLong) }
+      graft.streaming.AttributionProcessor(spark, src)
+        .toDF("user_id", "ts_us", "event_id", "last_touch", "first_touch", "rev_c")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add((r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getString(4), r.getLong(5))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1.toSeq))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2.toSeq))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(Long, Long, Long, String, String, Long)]).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = Tables.events(spark, sfDir)
+      .withColumn("touch", when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("lt", coalesce(last("touch", ignoreNulls = true).over(w), lit("(none)")))
+      .withColumn("ft", coalesce(first("touch", ignoreNulls = true).over(w), lit("(none)")))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("lt"), col("ft"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSet
+    assert(want.nonEmpty, "batch attribution unexpectedly empty")
+    assert(got == want, s"post-restart attribution parity: " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("CusumProcessor: streamed completed hours == batch ts_cusum_alarm rows") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
