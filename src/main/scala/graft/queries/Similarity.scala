@@ -26,7 +26,7 @@ object Similarity {
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
-    annBeamSensitivity, pipelineSemDedup)
+    annBeamSensitivity, pipelineSemDedup, embedOodKnn)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1099,6 +1099,62 @@ object Similarity {
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
     SELECT d1, d2, round(sim, 4) AS cosine FROM p WHERE round(sim, 6) >= 0.25
     ORDER BY d1, d2"""))
+
+  /** kNN-distance OOD scoring — the outlier-pruning pass a training
+    * pipeline runs on embeddings (Sun et al., "Out-of-Distribution
+    * Detection with Deep Nearest Neighbors", ICML'22 — public): a
+    * vector whose nearest neighbors are all FAR is out-of-distribution.
+    * Score = mean cosine of the top-3 bucket-mates (candidates from the
+    * same 8-bit random-hyperplane buckets as [[dedupEmbedCosine]] —
+    * keyed, never O(N²)); the 10 LOWEST-scoring vectors with ≥ 3
+    * candidates are reported as the prune set. Float discipline: top-3
+    * chosen and final ranking cut on round(,6) keys, the 3-element mean
+    * summed in ascending sorted order on both engines, output at
+    * round(,4).
+    */
+  val embedOodKnn: Q = Q("embed_ood_knn", (s, dir) => {
+    val n = normed(s, dir)
+    val bucketBits: Seq[Column] = lshPlanes.map { p =>
+      when(dotD(col("emb"), typedLit(p)) > 0, lit("1")).otherwise(lit("0"))
+    }
+    val b = n.withColumn("bucket", concat(bucketBits: _*))
+    val q = b.select(col("vec_id").as("q_id"), col("bucket"),
+      col("emb").as("qe"), col("nrm").as("qn"))
+    val c = b.select(col("vec_id").as("c_id"), col("bucket").as("b2"),
+      col("emb").as("ce"), col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    val top3 = q.join(c, col("bucket") === col("b2") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    top3.groupBy("q_id")
+      .agg(count(lit(1)).as("n_cands"),
+        expr("aggregate(array_sort(collect_list(sim)), 0D, (a, x) -> a + x)").as("ssum"))
+      .filter(col("n_cands") === 3)
+      .withColumn("mean_sim", col("ssum") / 3.0)
+      .orderBy(round(col("mean_sim"), 6).asc, col("q_id").asc).limit(10)
+      .select(col("q_id").as("vec_id"), col("n_cands"),
+        round(col("mean_sim"), 4).as("mean_top3_cosine"))
+  }, Some(s"""WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    b AS (SELECT vec_id, emb, nrm, $lshBitsSql AS bucket FROM n),
+    p AS (SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+    t AS (SELECT q_id, c_id, sim,
+        row_number() OVER (PARTITION BY q_id
+          ORDER BY round(sim, 6) DESC, c_id ASC) AS rn
+      FROM p),
+    g AS (SELECT q_id, count(*)::BIGINT AS n_cands,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(sim))),
+          (a, x) -> a + x) AS ssum
+      FROM t WHERE rn <= 3 GROUP BY q_id)
+    SELECT q_id AS vec_id, n_cands, round(ssum / 3.0, 4) AS mean_top3_cosine
+    FROM g WHERE n_cands = 3
+    ORDER BY round(ssum / 3.0, 6) ASC, q_id ASC LIMIT 10"""))
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540 —
