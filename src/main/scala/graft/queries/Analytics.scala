@@ -44,7 +44,7 @@ object Analytics {
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qPpr, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
-    qAttribution, qFunnelLatency)
+    qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1657,6 +1657,107 @@ object Analytics {
       (list_sort(list(lat)))[CAST((count(*) + 1) // 2 AS INT)] AS median_us,
       max(lat) AS max_us
     FROM u GROUP BY stage ORDER BY stage"""))
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral-model estimate behind next-action
+    * prediction and PageRank-style journey analysis (the same lead()
+    * edge derivation [[Graphs.hits]] walks, aggregated to
+    * probabilities): per (from, to) transition the count and row-
+    * normalized probability in exact integer basis points. One window
+    * pass + one partial-agg shuffle; the matrix is |event types|²
+    * rows — model-sized, never data-sized.
+    */
+  val qMarkovTransitions: Q = Q("q_markov_transitions", (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = Tables.events(s, dir)
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("from_type"), col("nxt").as("to_type"))
+    val counts = trans.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("row_total"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("10000 * n DIV row_total").as("prob_bp"))
+      .orderBy("from_type", "to_type")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    t AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+      FROM e QUALIFY to_type IS NOT NULL),
+    c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM t GROUP BY from_type, to_type),
+    r AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+      CAST(10000 * c.n // r.row_total AS BIGINT) AS prob_bp
+    FROM c JOIN r USING (from_type)
+    ORDER BY from_type, to_type"""))
+
+  /** RFM customer segmentation (Hughes, "Strategic Database
+    * Marketing" — the classic warehouse recency/frequency/monetary
+    * model) with FIXED policy thresholds, the scale-stable form (quota
+    * tiers like quintiles need a data-sized global ranking; policy
+    * thresholds are a broadcast constant): R = days since last order
+    * before the corpus max date, F = order count, M = lifetime value in
+    * exact cents. Segment = concatenated R/F/M tier digits plus the
+    * standard named buckets. One groupBy(custkey) + a 1-row max-date
+    * broadcast — no window anywhere.
+    */
+  val qRfmSegmentation: Q = Q("q_rfm_segmentation", (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+      .select(col("o_custkey"), expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("od_us"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mx = o.agg(max("od_us").as("mx_us"))
+    val rfm = o.crossJoin(broadcast(mx))
+      .groupBy("o_custkey")
+      .agg(min(expr("(mx_us - od_us) DIV 86400000000")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_c"))
+      .withColumn("r_tier", expr(
+        "CASE WHEN recency_days <= 100 THEN 3 WHEN recency_days <= 400 THEN 2 ELSE 1 END"))
+      .withColumn("f_tier", expr(
+        "CASE WHEN frequency >= 20 THEN 3 WHEN frequency >= 10 THEN 2 ELSE 1 END"))
+      .withColumn("m_tier", expr(
+        "CASE WHEN monetary_c >= 300000000 THEN 3 WHEN monetary_c >= 100000000 THEN 2 ELSE 1 END"))
+      .withColumn("segment", expr(
+        """CASE WHEN r_tier = 3 AND f_tier = 3 AND m_tier = 3 THEN 'champion'
+             WHEN r_tier >= 2 AND f_tier >= 2 THEN 'loyal'
+             WHEN r_tier = 3 THEN 'recent'
+             WHEN f_tier >= 2 OR m_tier >= 2 THEN 'at_risk'
+             ELSE 'hibernating' END"""))
+    rfm.groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("monetary_c").as("segment_value_c"),
+        min(expr("r_tier * 100 + f_tier * 10 + m_tier")).as("min_rfm"),
+        max(expr("r_tier * 100 + f_tier * 10 + m_tier")).as("max_rfm"))
+      .orderBy("segment")
+  }, Some("""WITH o AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    mx AS (SELECT max(od_us) AS mx_us FROM o),
+    rfm AS (SELECT o_custkey,
+        min((mx.mx_us - od_us) // 86400000000) AS recency_days,
+        count(*)::BIGINT AS frequency,
+        CAST(sum(cents) AS BIGINT) AS monetary_c
+      FROM o, mx GROUP BY o_custkey, mx.mx_us),
+    t AS (SELECT *,
+        CASE WHEN recency_days <= 100 THEN 3 WHEN recency_days <= 400 THEN 2 ELSE 1 END AS r_tier,
+        CASE WHEN frequency >= 20 THEN 3 WHEN frequency >= 10 THEN 2 ELSE 1 END AS f_tier,
+        CASE WHEN monetary_c >= 300000000 THEN 3 WHEN monetary_c >= 100000000 THEN 2 ELSE 1 END AS m_tier
+      FROM rfm),
+    seg AS (SELECT *,
+        CASE WHEN r_tier = 3 AND f_tier = 3 AND m_tier = 3 THEN 'champion'
+          WHEN r_tier >= 2 AND f_tier >= 2 THEN 'loyal'
+          WHEN r_tier = 3 THEN 'recent'
+          WHEN f_tier >= 2 OR m_tier >= 2 THEN 'at_risk'
+          ELSE 'hibernating' END AS segment
+      FROM t)
+    SELECT segment, count(*)::BIGINT AS n_customers,
+      CAST(sum(monetary_c) AS BIGINT) AS segment_value_c,
+      min(r_tier * 100 + f_tier * 10 + m_tier) AS min_rfm,
+      max(r_tier * 100 + f_tier * 10 + m_tier) AS max_rfm
+    FROM seg GROUP BY segment ORDER BY segment"""))
 
   /** Marketing attribution over the event stream: every purchase is
     * credited to the LAST non-purchase touch before it and to the FIRST
