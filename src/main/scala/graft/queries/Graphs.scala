@@ -426,9 +426,12 @@ object Graphs {
     * count shuffle.
     */
   val walkSkipgrams: Q = Q("graph_walk_skipgrams", (s, dir) => {
+    // the walk chain feeds BOTH sides of the position self-join —
+    // persist it once instead of re-running the 4-step generation twice
     val w = randomWalks.fn(s, dir)
       .select(col("walk"),
         array(col("walk"), col("v1"), col("v2"), col("v3"), col("v4")).as("path"))
+      .persist()
     val pos = w.select(col("walk"), posexplode(col("path"))).toDF("walk", "pi", "center")
     val ctx = w.select(col("walk").as("w2"), posexplode(col("path"))).toDF("w2", "pj", "context")
     pos.join(ctx, col("walk") === col("w2") && expr("abs(pi - pj) BETWEEN 1 AND 2"))
