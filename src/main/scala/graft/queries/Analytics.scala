@@ -44,7 +44,8 @@ object Analytics {
     qRecursiveCte, qValueHistogram, qGraphChain, qPagerank, qPpr, qFunnel,
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
-    qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation)
+    qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation,
+    qCohortLtv)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1657,6 +1658,53 @@ object Analytics {
       (list_sort(list(lat)))[CAST((count(*) + 1) // 2 AS INT)] AS median_us,
       max(lat) AS max_us
     FROM u GROUP BY stage ORDER BY stage"""))
+
+  /** Cohort LTV curves — the monetary companion to
+    * [[qRetentionCohorts]] (same first-activity-week cohorts): per
+    * (cohort, week offset) the purchase revenue in exact cents, the
+    * running cumulative, and cumulative LTV per cohort user — the
+    * "when does a cohort pay back" curve. The only window is the
+    * per-cohort cumulative over WEEK OFFSETS (rows = weeks in the
+    * corpus, partitioned by cohort — never data-sized); cohort sizes
+    * join back as a broadcast-scale side.
+    */
+  val qCohortLtv: Q = Q("q_cohort_ltv", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_us DIV 604800000000").as("wk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val first = e.groupBy("user_id").agg(min("wk").as("w0"))
+    val sizes = first.groupBy("w0").agg(count(lit(1)).as("n0"))
+    val weekRev = e.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("w0").as("cohort_week"), (col("wk") - col("w0")).as("week_offset"))
+      .agg(sum("cents").as("week_rev_c"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekRev
+      .withColumn("cum_rev_c", sum("week_rev_c").over(w))
+      .join(sizes.select(col("w0").as("cohort_week"), col("n0")), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("week_rev_c"),
+        col("cum_rev_c"), expr("cum_rev_c DIV n0").as("ltv_per_user_c"))
+      .orderBy("cohort_week", "week_offset")
+  }, Some("""WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) // 604800000000 AS wk,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    f AS (SELECT user_id, min(wk) AS w0 FROM e GROUP BY user_id),
+    sz AS (SELECT w0, count(*)::BIGINT AS n0 FROM f GROUP BY w0),
+    wr AS (SELECT f.w0 AS cohort_week, e.wk - f.w0 AS week_offset,
+        CAST(sum(cents) AS BIGINT) AS week_rev_c
+      FROM e JOIN f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    c AS (SELECT *, CAST(sum(week_rev_c) OVER (PARTITION BY cohort_week
+        ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+      FROM wr)
+    SELECT cohort_week, week_offset, week_rev_c, cum_rev_c,
+      CAST(cum_rev_c // sz.n0 AS BIGINT) AS ltv_per_user_c
+    FROM c JOIN sz ON sz.w0 = c.cohort_week
+    ORDER BY cohort_week, week_offset"""))
 
   /** First-order Markov transition matrix over per-user event
     * sequences — the behavioral-model estimate behind next-action
