@@ -28,7 +28,7 @@ object Dedup {
     dedupClusters, hashSplit, decontaminate, decontaminate13,
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
-    dedupSpanApplyBest, rougePairs, lshEval)
+    dedupSpanApplyBest, rougePairs, lshEval, groupKfold)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -739,6 +739,41 @@ object Dedup {
       coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
     FROM b LEFT JOIN a USING (doc_id)
     ORDER BY doc_id"""))
+
+  /** Group-aware k-fold assignment (sklearn's GroupKFold discipline,
+    * hash-deterministic): the fold is a pure function of the GROUP key
+    * (source), never the row, so all documents of one source land in
+    * one fold and a model evaluated across folds can never see its
+    * eval sources in training — the leakage [[hashSplit]]'s row-level
+    * split cannot rule out. Emits per (fold, source) counts plus a
+    * `sources_intact` guard (count of folds the source appears in,
+    * provably 1 by construction — the oracle recomputes it, so a
+    * regression to row-level hashing flips the column and fails the
+    * hash check). One groupBy; the md5 fold hash is the house
+    * cross-engine primitive.
+    */
+  val groupKfold: Q = Q("sample_group_kfold", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .withColumn("fold", expr(
+        "CAST(conv(substr(md5(concat('gkf', source)), 1, 15), 16, 10) AS BIGINT) % 5"))
+    val perFold = d.groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val intact = perFold.groupBy("source")
+      .agg(countDistinct("fold").as("sources_intact"))
+    perFold.join(intact, "source")
+      .select("fold", "source", "n_docs", "n_chars", "sources_intact")
+      .orderBy("fold", "source")
+  }, Some("""WITH d AS (SELECT source, n_chars,
+      CAST('0x' || substr(md5('gkf' || source), 1, 15) AS BIGINT) % 5 AS fold
+      FROM documents),
+    pf AS (SELECT fold, source, count(*)::BIGINT AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM d GROUP BY fold, source),
+    it AS (SELECT source, count(DISTINCT fold)::BIGINT AS sources_intact
+      FROM pf GROUP BY source)
+    SELECT fold, source, n_docs, n_chars, sources_intact
+    FROM pf JOIN it USING (source)
+    ORDER BY fold, source"""))
 
   /** Detector-quality eval: MinHash/LSH near-dup pairs graded against
     * the exact n-gram Jaccard pairs as ground truth — the
