@@ -17,7 +17,7 @@ object Series {
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
-    tsForecastEval, scd2PitJoin)
+    tsForecastEval, scd2PitJoin, tsCompleteness)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1224,6 +1224,72 @@ object Series {
       CAST(sv // 1073741824 AS BIGINT) AS cusum_lo,
       sv % 1073741824 > hh AS alarm_hi, sv // 1073741824 > hh AS alarm_lo
     FROM u ORDER BY event_type, h"""))
+
+  /** Hourly completeness report — the "is the collector healthy"
+    * audit every TSDB operator runs: per series (event type), the
+    * expected hour grid (corpus min..max hour — a 1-row broadcast,
+    * never data-sized), observed distinct hours, missing-hour count,
+    * coverage in integer basis points, and the LONGEST outage run via
+    * gaps-and-islands over the missing hours (h − row_number island
+    * key, per-series window). Grid × series stays bounded by
+    * time-range × cardinality — at 100 TB the grid explode is still
+    * hours-sized, the one distinct pass over the data is the only
+    * data-sized stage.
+    */
+  val tsCompleteness: Q = Q("ts_completeness", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+    val bounds = e.agg(min("h").as("h0"), max("h").as("h1"))
+    val types = e.select("event_type").distinct()
+    val grid = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"),
+        (col("h1") - col("h0") + 1).as("grid_n"))
+    val obs = e.distinct()
+    val missing = grid.join(obs, Seq("event_type", "h"), "left_anti")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val runs = missing
+      .withColumn("isl", col("h") - row_number().over(w))
+      .groupBy("event_type", "isl").agg(count(lit(1)).as("run_len"))
+      .groupBy("event_type").agg(max("run_len").as("longest_gap_h"),
+        sum("run_len").as("missing_n"))
+    val observed = obs.groupBy("event_type").agg(count(lit(1)).as("observed_n"))
+    types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), (col("h1") - col("h0") + 1).as("grid_n"))
+      .join(observed, "event_type")
+      .join(runs, Seq("event_type"), "left_outer")
+      .na.fill(0L, Seq("missing_n", "longest_gap_h"))
+      .select(col("event_type"), col("grid_n"), col("observed_n"),
+        col("missing_n"), expr("10000 * observed_n DIV grid_n").as("coverage_bp"),
+        col("longest_gap_h"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+    t AS (SELECT DISTINCT event_type FROM e),
+    g AS (SELECT t.event_type, unnest(range(b.h0, b.h1 + 1)) AS h,
+        b.h1 - b.h0 + 1 AS grid_n
+      FROM t, b),
+    m AS (SELECT g.event_type, g.h FROM g
+      ANTI JOIN e ON e.event_type = g.event_type AND e.h = g.h),
+    r AS (SELECT event_type,
+        h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS isl
+      FROM m),
+    rl AS (SELECT event_type, isl, count(*)::BIGINT AS run_len
+      FROM r GROUP BY event_type, isl),
+    rr AS (SELECT event_type, max(run_len) AS longest_gap_h,
+        CAST(sum(run_len) AS BIGINT) AS missing_n
+      FROM rl GROUP BY event_type),
+    o AS (SELECT event_type, count(*)::BIGINT AS observed_n FROM e GROUP BY event_type),
+    base AS (SELECT t.event_type, b.h1 - b.h0 + 1 AS grid_n FROM t, b)
+    SELECT base.event_type, base.grid_n, o.observed_n,
+      coalesce(rr.missing_n, 0) AS missing_n,
+      CAST(10000 * o.observed_n // base.grid_n AS BIGINT) AS coverage_bp,
+      coalesce(rr.longest_gap_h, 0) AS longest_gap_h
+    FROM base
+    JOIN o ON o.event_type = base.event_type
+    LEFT JOIN rr ON rr.event_type = base.event_type
+    ORDER BY base.event_type"""))
 
   /** Point-in-time (PIT) join against the SCD2 dimension — the
     * feature-store correctness primitive (no future leakage: each fact
