@@ -146,6 +146,37 @@ object Dedup {
         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
       FROM ws WHERE len(w) >= 3)"""
 
+  /** Document-frequency cap for the EXACT shingle pair-miners: grams
+    * occurring in more than DfCap documents are dropped from the
+    * inverted index BEFORE the gram self-join, bounding the pairs a
+    * single gram can emit at DfCap² (without it one stop-gram with
+    * df=10⁶ at 100 TB emits 10¹² pairs from one shuffle key). Near-dup
+    * recall is unaffected while the cap exceeds real duplicate-cluster
+    * sizes — a gram shared by more documents than any dup cluster is
+    * boilerplate, not dup signal; dropping ultra-common n-grams is the
+    * standard cut in exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — public).
+    * Max observed 3-gram df at sf0.1 is 25, so 128 is results-neutral
+    * at test scale while the bound is structural (ScaleSpec pins the
+    * plan shape; the DuckDB oracles apply the identical QUALIFY cut).
+    * The cap reuses [[graft.ops.Scale.capGroups]]: the df window is
+    * partitioned on the gram, the same key the self-join shuffles on,
+    * so the cap adds no extra shuffle.
+    */
+  private[graft] val DfCap = 128L
+
+  /** duckShingles + the df-capped view `shc` the pair-miner oracles
+    * join on (the QUALIFY twin of capGroups over the gram key).
+    */
+  private lazy val duckCappedShingles =
+    s"""$duckShingles,
+    shc AS (SELECT doc_id, sh FROM sh
+      QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap)"""
+
+  /** The df-capped Spark shingle table feeding the exact pair-miners. */
+  private[graft] def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scale.capGroups(sparkShingles(s, dir), "sh", DfCap)
+
   /** The md5-derived shingle hash reduced into the minhash universe. */
   private[graft] val hashExpr = graft.ops.Lsh.hashExpr
 
@@ -169,11 +200,13 @@ object Dedup {
   }, Some("""SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
     FROM documents GROUP BY 1 ORDER BY content_hash"""))
 
-  /** Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join. */
+  /** Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join,
+    * df-capped at [[DfCap]] so no gram key can blow up the join.
+    */
   val ngramJaccard: Q = Q("dedup_ngram_jaccard", (s, dir) => {
     // the exploded shingle set feeds three subtrees (counts + both join
     // sides) — persist it once instead of re-exploding per consumer
-    val sh = sparkShingles(s, dir).persist()
+    val sh = cappedShingles(s, dir).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
@@ -186,10 +219,10 @@ object Dedup {
       .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
-  }, Some(s"""WITH $duckShingles,
-    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  }, Some(s"""WITH $duckCappedShingles,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT d1, d2, round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
     FROM pairs JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
@@ -799,9 +832,11 @@ object Dedup {
   }, Some(s"""WITH $minhashCtes,
     estp AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
       JOIN sig y ON y.doc_id = d2 WHERE $minhashEstExpr >= 0.5),
-    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shc AS (SELECT doc_id, sh FROM sh
+      QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     shp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     exp_ AS (SELECT d1, d2 FROM shp
       JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
@@ -829,7 +864,10 @@ object Dedup {
     */
   val rougePairs: Q = Q("text_rouge_pairs", (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val sh = sparkShingles(s, dir).persist()
+    // pair miner runs on the df-capped index (see DfCap) — same bound
+    // as dedup_ngram_jaccard; the overlap joins below probe only the
+    // bounded pair list so they need no cap
+    val sh = cappedShingles(s, dir).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
@@ -877,10 +915,10 @@ object Dedup {
       .select("d1", "d2", "rouge1_r", "rouge1_p", "rouge1_f",
         "rouge2_r", "rouge2_p", "rouge2_f")
       .orderBy("d1", "d2")
-  }, Some(s"""WITH $duckShingles,
-    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  }, Some(s"""WITH $duckCappedShingles,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (SELECT d1, d2 FROM prs
       JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2

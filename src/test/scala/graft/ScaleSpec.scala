@@ -422,4 +422,38 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!bp.contains("windowspecdefinition()"),
       s"basket cap window must partition on the order key:\n$bp")
   }
+
+  test("exact shingle pair-miners are df-capped: hot grams cannot emit df^2 pairs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // a boilerplate footer gram shared by every doc + one real dup pair:
+    // the df cap must drop the hot gram entirely and keep the dup signal
+    val cap = 8L
+    val docs = ((1 to 50).map(i => (i.toLong, s"unique text number $i all rights reserved")) ++
+      Seq((100L, "the quick brown fox jumps"), (101L, "the quick brown fox jumps"))).toDF("doc_id", "text")
+    val sh = graft.ops.Scale.capGroups(
+      graft.ops.Lsh.shingles(docs, "doc_id", "text", n = 3), "sh", cap)
+    val dfs = sh.groupBy("sh").count()
+    assert(dfs.filter(col("count") > cap).count() == 0, "a gram survived over the cap")
+    // "all rights reserved" (df=50) is gone; the dup gram (df=2) survives
+    assert(sh.filter(col("sh") === "all rights reserved").count() == 0)
+    assert(sh.filter(col("sh") === "quick brown fox").count() == 2)
+    // worst-case pair volume from the capped index is sum over grams of
+    // df^2 <= n_grams * cap^2 — bounded per key, never df_raw^2
+    val pairs = sh.select(col("doc_id").as("d1"), col("sh"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+    assert(pairs.count() <= dfs.count() * cap * (cap - 1) / 2)
+    // all three registered miners plan the cap window partitioned on the
+    // gram (the join key — no extra shuffle, no degenerate global window)
+    for (q <- Seq(graft.queries.Dedup.ngramJaccard, graft.queries.Dedup.rougePairs,
+        graft.queries.Dedup.lshEval)) {
+      val p = q.fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(p.contains("Window"), s"${q.name}: df-cap window missing:\n$p")
+      assert(!p.contains("windowspecdefinition()"),
+        s"${q.name}: df-cap window must partition on the gram key:\n$p")
+      assert(p.contains("_gn"), s"${q.name}: capGroups df filter column missing:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
 }
