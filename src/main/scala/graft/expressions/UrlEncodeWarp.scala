@@ -64,6 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalize.info, NfcNormalize.builder))
     ext.injectFunction((FunctionIdentifier(Md5Hash60.fnName),
       Md5Hash60.info, Md5Hash60.builder))
+    ext.injectFunction((FunctionIdentifier(ImageHeaderDecode.fnName),
+      ImageHeaderDecode.info, ImageHeaderDecode.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

@@ -1,0 +1,108 @@
+package graft.ops
+
+/** Multimodal asset plumbing: builds REAL container bytes (BMP /
+  * APNG / GIF headers with format-correct magics, endianness and
+  * fixed-offset dimension fields) for the opaque binary column the
+  * testdata lacks, and the DuckDB-side decode of those bytes by hex
+  * offset arithmetic. The generator emits hex in a dialect common to
+  * Spark SQL and DuckDB (hex/lpad/substr/||/CASE behave identically),
+  * so both engines materialize bit-identical blobs via unhex; the
+  * Spark-side decode is the codegen'd
+  * [[graft.expressions.ImageHeaderDecode]] expression reading the raw
+  * bytes, the oracle re-derives the same fields from hex(blob) — the
+  * two sides agree only if the byte layout is genuinely correct.
+  *
+  * PNG/acTL CRC fields are placeholder bytes (computing CRC32 in
+  * portable SQL buys nothing for a metadata scan and no decoder
+  * consulted here checks them); everything else is to-spec layout.
+  */
+object Media {
+
+  /** Little-endian hex of a 32-bit value (byte-swapped lpad'd hex). */
+  private def le32(x: String): String = {
+    def h = s"lpad(hex($x), 8, '0')"
+    s"(substr($h, 7, 2) || substr($h, 5, 2) || substr($h, 3, 2) || substr($h, 1, 2))"
+  }
+
+  /** Little-endian hex of a 16-bit value. */
+  private def le16(x: String): String = {
+    def h = s"lpad(hex($x), 4, '0')"
+    s"(substr($h, 3, 2) || substr($h, 1, 2))"
+  }
+
+  /** Big-endian hex of a 32-bit value (PNG chunk integers). */
+  private def be32(x: String): String = s"lpad(hex($x), 8, '0')"
+
+  /** Deterministic per-doc asset parameters — width/height keep the
+    * byte-length formulas the resize planner always used (so the
+    * decoded dims equal the planned dims by construction), frames is
+    * the per-doc rotation.
+    */
+  def widthExpr(blen: String): String = s"(16 + $blen % 624)"
+  def heightExpr(blen: String): String = s"(16 + ($blen * 7) % 464)"
+  def framesExpr(docId: String): String = s"(1 + $docId % 30)"
+
+  /** Hex string of the complete container for one doc: doc_id % 3
+    * rotates the format (0 = BMP, 1 = animated PNG, 2 = GIF). Common
+    * Spark/DuckDB dialect; wrap in unhex(...) on either engine.
+    */
+  def assetHexExpr(docId: String, blen: String): String = {
+    val w = widthExpr(blen)
+    val h = heightExpr(blen)
+    val f = framesExpr(docId)
+    // BMP: 'BM' + file size 54 + reserved + data offset 54 + DIB size 40
+    // + w/h le32 + planes 1 + bpp 24 + compression/size 0 + 2835 ppm
+    // densities + color counts 0 (54-byte BITMAPINFOHEADER file)
+    val bmp = "'424D' || '36000000' || '00000000' || '36000000' || '28000000' || " +
+      s"${le32(w)} || ${le32(h)} || '0100' || '1800' || " +
+      "'00000000' || '00000000' || '130B0000' || '130B0000' || '00000000' || '00000000'"
+    // PNG: signature + IHDR(len 13, w/h be32, depth 8, color 6, std
+    // comp/filter/interlace, placeholder CRC) + acTL(len 8, num_frames,
+    // num_plays 0, placeholder CRC) — APNG frame count at byte 41
+    val png = "'89504E470D0A1A0A' || '0000000D' || '49484452' || " +
+      s"${be32(w)} || ${be32(h)} || '0806000000' || 'DEADBEEF' || " +
+      s"'00000008' || '6163544C' || ${be32(f)} || '00000000' || 'DEADBEEF'"
+    // GIF89a: magic + logical screen w/h le16 + no-GCT packed byte,
+    // background 0, aspect 0 + trailer
+    val gif = s"'474946383961' || ${le16(w)} || ${le16(h)} || '000000' || '3B'"
+    s"(CASE WHEN $docId % 3 = 0 THEN $bmp WHEN $docId % 3 = 1 THEN $png ELSE $gif END)"
+  }
+
+  // ---- DuckDB-side decode: hex(blob) offset arithmetic ----
+  // byte i (0-based) of blob b lives at substr(hex(b), 2*i+1, 2)
+
+  private def duckLe32(h: String, off: Int): String =
+    s"CAST('0x' || substr($h, ${2 * off + 7}, 2) || substr($h, ${2 * off + 5}, 2) || " +
+      s"substr($h, ${2 * off + 3}, 2) || substr($h, ${2 * off + 1}, 2) AS BIGINT)"
+  private def duckLe16(h: String, off: Int): String =
+    s"CAST('0x' || substr($h, ${2 * off + 3}, 2) || substr($h, ${2 * off + 1}, 2) AS BIGINT)"
+  private def duckBe32(h: String, off: Int): String =
+    s"CAST('0x' || substr($h, ${2 * off + 1}, 8) AS BIGINT)"
+
+  /** DuckDB format sniff over a hex(blob) column named `h`. */
+  def duckFormatExpr(h: String): String =
+    s"""CASE WHEN substr($h, 1, 4) = '424D' THEN 'bmp'
+      WHEN substr($h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+      WHEN substr($h, 1, 12) IN ('474946383961', '474946383761') THEN 'gif' END"""
+
+  /** DuckDB width decode (format-dispatched, same offsets as the
+    * Spark-side expression).
+    */
+  def duckWidthExpr(h: String): String =
+    s"""CASE WHEN substr($h, 1, 4) = '424D' THEN ${duckLe32(h, 18)}
+      WHEN substr($h, 1, 16) = '89504E470D0A1A0A' THEN ${duckBe32(h, 16)}
+      ELSE ${duckLe16(h, 6)} END"""
+
+  def duckHeightExpr(h: String): String =
+    s"""CASE WHEN substr($h, 1, 4) = '424D' THEN abs(${duckLe32(h, 22)})
+      WHEN substr($h, 1, 16) = '89504E470D0A1A0A' THEN ${duckBe32(h, 20)}
+      ELSE ${duckLe16(h, 8)} END"""
+
+  /** DuckDB frame-count decode: APNG acTL num_frames when the chunk
+    * type at byte 37 reads 'acTL', else 1.
+    */
+  def duckFramesExpr(h: String): String =
+    s"""CASE WHEN substr($h, 1, 16) = '89504E470D0A1A0A'
+        AND substr($h, 75, 8) = '6163544C' THEN ${duckBe32(h, 41)}
+      ELSE 1 END"""
+}

@@ -77,31 +77,41 @@ object TextOps {
     GROUP BY doc_id
     ORDER BY ppl_bp DESC, doc_id LIMIT 25"""))
 
-  /** Frame-sampling schedule for the multimodal column: given each
-    * asset's stub-decoded frame count ([[multimodalMeta]]'s deterministic
-    * fake — no codec in this environment), emit the k = min(4, frames)
-    * uniformly-spaced frame indices ⌊j·frames ⁄ k⌋ a video pipeline
-    * would decode — the WORK PLAN side of frame extraction (the real
-    * decode stays behind the mapInPandas/mapPartitions stub; planning
-    * which frames to pull is pure relational math and is what must scale).
-    * Per-asset generation, zero shuffle; the position generator is
-    * guarded `sequence(0, k−1)` with k ≥ 1 by construction.
+  /** Frame-sampling schedule for the multimodal column: each asset's
+    * frame count comes from the REAL container decode (APNG acTL
+    * num_frames; static BMP/GIF decode to 1 — see [[multimodalMeta]]),
+    * then emit the k = min(4, frames) uniformly-spaced frame indices
+    * ⌊j·frames ⁄ k⌋ a video pipeline would pull — the WORK-PLAN side
+    * of frame extraction (the pixel pass belongs to the codec stage;
+    * planning which frames to decode is pure relational math and is
+    * what must scale). Per-asset generation, zero shuffle; the
+    * position generator is guarded `sequence(0, k−1)` with k ≥ 1 by
+    * construction.
     */
   val multimodalFrames: Q = Q("multimodal_frames", (s, dir) => {
+    graft.expressions.ImageHeaderDecode.register(s)
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(text) AS BIGINT)")
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"), expr("1 + doc_id % 30").as("frames"))
+      .select(col("doc_id"),
+        expr(s"image_header_decode(unhex($assetHex)).frames").as("frames"))
       .withColumn("k", least(lit(4L), col("frames")))
       .select(col("doc_id"), col("frames"), col("k"),
         explode(expr("transform(sequence(0, CAST(k - 1 AS INT)), j -> j * frames DIV k)"))
           .as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
-  }, Some("""WITH a AS (
-      SELECT doc_id, 1 + doc_id % 30 AS frames,
-        least(4, 1 + doc_id % 30) AS k
-      FROM documents)
-    SELECT doc_id, frames, k,
+  }, Some {
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(encode(text)) AS BIGINT)")
+    s"""WITH hx AS (SELECT doc_id, hex(unhex($assetHex)) AS h FROM documents),
+    a AS (SELECT doc_id,
+        CAST(${graft.ops.Media.duckFramesExpr("h")} AS BIGINT) AS frames
+      FROM hx),
+    b AS (SELECT doc_id, frames, least(4, frames) AS k FROM a)
+    SELECT doc_id, frames, CAST(k AS BIGINT) AS k,
       unnest(list_transform(range(0, k), j -> j * frames // k)) AS frame_idx
-    FROM a ORDER BY doc_id, frame_idx"""))
+    FROM b ORDER BY doc_id, frame_idx"""
+  })
 
   /** Span-level dup detection via winnowing fingerprints
     * (ops/Text.winnowFingerprints — SIGMOD'03 local fingerprinting):
@@ -1056,68 +1066,83 @@ object TextOps {
         list_filter(string_split(lower(text), ' '), w -> w <> ''))), 'string_agg', ' ')) AS fingerprint
     FROM documents ORDER BY doc_id"""))
 
-  /** Multimodal column plumbing: treat content as an opaque binary column
-    * with typed metadata and run a per-partition "decoder" over it — the
-    * Spark-side shape (schema, partition iteration, batch-friendly typed
-    * map) is real; the decode itself is a STUB: a deterministic fake
-    * feature extractor standing in for an image/audio codec that is not
-    * present in this environment.
+  /** Multimodal column plumbing over a REAL binary container: each doc
+    * carries actual BMP / animated-PNG / GIF header bytes
+    * (ops/Media.assetHexExpr builds the per-format layout — correct
+    * magics, endianness, fixed-offset dimension fields — from
+    * deterministic per-doc parameters, since the testdata ships no
+    * image blobs), and the metadata comes out of the codegen'd
+    * byte-level decoder [[graft.expressions.ImageHeaderDecode]]:
+    * magic sniff, le/be dimension parse, APNG acTL frame count. The
+    * DuckDB oracle re-decodes the SAME blob by hex offset arithmetic,
+    * so the two sides agree only if the byte layout and the parse are
+    * both right. The checksum hashes the canonical hex encoding of
+    * the asset (DuckDB's sha256 is VARCHAR-only). Per-row, zero
+    * shuffle, whole-stage codegen throughout.
     */
   val multimodalMeta: Q = Q("multimodal_meta", (s, dir) => {
-    import s.implicits._
-    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
-    src.as[(Long, String)].mapPartitions { it =>
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { case (docId, text) =>
-        val content: Array[Byte] = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        // ---- STUB decode: deterministic fake features (no codec in env) ----
-        val byteLen = content.length.toLong
-        val sha = digest.digest(content).map(b => f"${b & 0xFF}%02x").mkString
-        digest.reset()
-        val width = 16L + byteLen % 624L
-        val height = 16L + (byteLen * 7L) % 464L
-        val frames = 1L + docId % 30L
-        (docId, byteLen, sha, width, height, frames)
-      }
-    }.toDF("doc_id", "byte_len", "sha", "width", "height", "frames")
+    graft.expressions.ImageHeaderDecode.register(s)
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(text) AS BIGINT)")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"unhex($assetHex)").as("asset"))
+      .withColumn("m", expr("image_header_decode(asset)"))
+      .select(col("doc_id"),
+        expr("CAST(octet_length(asset) AS BIGINT)").as("byte_len"),
+        expr("sha2(hex(asset), 256)").as("sha"),
+        col("m.format").as("format"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.frames").as("frames"))
       .orderBy("doc_id")
-  }, Some("""SELECT doc_id,
-      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      sha256(text) AS sha,
-      16 + CAST(octet_length(encode(text)) AS BIGINT) % 624 AS width,
-      16 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 464 AS height,
-      1 + doc_id % 30 AS frames
-    FROM documents ORDER BY doc_id"""))
+  }, Some {
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(encode(text)) AS BIGINT)")
+    s"""WITH a AS (SELECT doc_id, unhex($assetHex) AS asset FROM documents),
+    hx AS (SELECT doc_id, asset, hex(asset) AS h FROM a)
+    SELECT doc_id, CAST(octet_length(asset) AS BIGINT) AS byte_len,
+      sha256(hex(asset)) AS sha,
+      ${graft.ops.Media.duckFormatExpr("h")} AS format,
+      CAST(${graft.ops.Media.duckWidthExpr("h")} AS BIGINT) AS width,
+      CAST(${graft.ops.Media.duckHeightExpr("h")} AS BIGINT) AS height,
+      CAST(${graft.ops.Media.duckFramesExpr("h")} AS BIGINT) AS frames
+    FROM hx ORDER BY doc_id"""
+  })
 
-  /** Resize/letterbox planning for the multimodal column: from each
-    * asset's stub-decoded dimensions (the SAME width/height formulas as
-    * [[multimodalMeta]] — the two ops can never disagree about an
-    * asset), compute the fixed-point scale that fits a 224×224 canvas
-    * without upscaling, the scaled output box, and the centering pad
-    * offsets. This is the WORK-PLAN side of image resize — what a
-    * preprocessing cluster must agree on deterministically before any
-    * pixel moves; the pixel pass itself stays behind the per-partition
-    * decode stub. Pure per-row integer math (scale in millionths,
-    * truncating DIV both engines), zero shuffle.
+  /** Resize/letterbox planning for the multimodal column: dimensions
+    * come from the REAL container decode (the same
+    * [[graft.expressions.ImageHeaderDecode]] pass as
+    * [[multimodalMeta]] — the two ops read the same bytes so they can
+    * never disagree about an asset), then compute the fixed-point
+    * scale that fits a 224×224 canvas without upscaling, the scaled
+    * output box, and the centering pad offsets. This is the WORK-PLAN
+    * side of image resize — what a preprocessing cluster must agree on
+    * deterministically before any pixel moves; the pixel pass belongs
+    * to the codec stage. Pure per-row integer math (scale in
+    * millionths, truncating DIV both engines), zero shuffle.
     */
   val multimodalResize: Q = Q("multimodal_resize", (s, dir) => {
+    graft.expressions.ImageHeaderDecode.register(s)
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(text) AS BIGINT)")
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"), expr("CAST(octet_length(text) AS BIGINT)").as("blen"))
-      .withColumn("width", expr("16 + blen % 624"))
-      .withColumn("height", expr("16 + (blen * 7) % 464"))
+      .select(col("doc_id"),
+        expr(s"image_header_decode(unhex($assetHex))").as("m"))
+      .select(col("doc_id"), col("m.width").as("width"),
+        col("m.height").as("height"))
       .withColumn("scale_e6", expr(
         "least(224000000 DIV width, 224000000 DIV height, 1000000)"))
       .withColumn("out_w", expr("greatest(1, (width * scale_e6) DIV 1000000)"))
       .withColumn("out_h", expr("greatest(1, (height * scale_e6) DIV 1000000)"))
       .withColumn("pad_x", expr("(224 - out_w) DIV 2"))
       .withColumn("pad_y", expr("(224 - out_h) DIV 2"))
-      .drop("blen")
       .orderBy("doc_id")
-  }, Some("""WITH a AS (
-      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen
-      FROM documents),
-    d AS (SELECT doc_id, 16 + blen % 624 AS width,
-        16 + (blen * 7) % 464 AS height FROM a),
+  }, Some {
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(encode(text)) AS BIGINT)")
+    s"""WITH hx AS (SELECT doc_id, hex(unhex($assetHex)) AS h FROM documents),
+    d AS (SELECT doc_id,
+        CAST(${graft.ops.Media.duckWidthExpr("h")} AS BIGINT) AS width,
+        CAST(${graft.ops.Media.duckHeightExpr("h")} AS BIGINT) AS height
+      FROM hx),
     sc AS (SELECT *,
         least(224000000 // width, 224000000 // height, 1000000) AS scale_e6
       FROM d),
@@ -1125,7 +1150,8 @@ object TextOps {
         greatest(1, (height * scale_e6) // 1000000) AS out_h FROM sc)
     SELECT doc_id, width, height, scale_e6, out_w, out_h,
       (224 - out_w) // 2 AS pad_x, (224 - out_h) // 2 AS pad_y
-    FROM o ORDER BY doc_id"""))
+    FROM o ORDER BY doc_id"""
+  })
 
   /** Maximum-inner-product retrieval over STUB-extracted multimodal
     * features: a deterministic fake 16-dim integer feature vector per
