@@ -26,6 +26,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same guard posture as Verify: scale regressions fail fast
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.graft.guard.globalWindow", "error")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // guards on by default in the driver-facing mains: a data-sized
+      // global window fails the query HERE, not in post-hoc review
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.graft.guard.globalWindow", "error")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

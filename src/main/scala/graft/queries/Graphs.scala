@@ -367,7 +367,11 @@ object Graphs {
     * function of the graph, so reproducible across engines, retries,
     * and partitionings (the house rand()-free discipline applied to
     * walk generation). Dead ends (impossible on this symmetric graph)
-    * would simply stop extending. Each step is one keyed join current →
+    * would DROP the walk at that step — the inner join on the current
+    * vertex keeps only walks with a next neighbor, and the oracle CTE
+    * chain drops identically; left-join with coalesce(v, cur) is the
+    * change if truncated-not-dropped walks are ever wanted on a
+    * directed edge source. Each step is one keyed join current →
     * neighbors + a per-walk argmin window — walks never materialize as
     * state bigger than (walk, position).
     */
@@ -515,7 +519,18 @@ object Graphs {
     val e = simEdges(s, dir).persist()
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct()
+    // loud domain gate for the 2^20 seed offset: a vertex id outside
+    // [0, 2^20) would silently mix seeds in the product encoding (and
+    // DIV mis-recovers the seed for negative ids) — fail the query
+    // instead. One-row aggregate, broadcast, evaluated 5 times.
+    val domainGate = verts.agg(max("v").as("mx"), min("v").as("mn"))
+      .select(expr("""CASE WHEN mx >= 1048576 OR mn < 0 THEN raise_error(concat(
+          'graph_closeness_seeds: vertex domain [', CAST(mn AS STRING), ',',
+          CAST(mx AS STRING), '] exceeds the 2^20 seed offset'))
+        ELSE 1 END""").as("_domain_ok"))
     val seedDf = verts.orderBy("v").limit(5).select(col("v").as("seed"))
+      .crossJoin(broadcast(domainGate)).where(col("_domain_ok") === 1)
+      .drop("_domain_ok")
     val lab = e.crossJoin(broadcast(seedDf))
       .select((col("seed") * 1048576 + col("src")).as("src"),
         (col("seed") * 1048576 + col("dst")).as("dst"))

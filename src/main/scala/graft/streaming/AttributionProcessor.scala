@@ -21,11 +21,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 class AttributionProcessor
     extends StatefulProcessor[Long, (Long, Long, Long, String, Long), (Long, Long, Long, String, String, Long)] {
 
-  @transient private var st: ValueState[(String, String)] = _
+  // Option sentinel, NOT the empty string: the batch window fold
+  // distinguishes NULL (no prior touch) from a literal "" event_type,
+  // and unvalidated streaming input may carry "" — parity demands the
+  // same distinction here (round-5 advice).
+  @transient private var st: ValueState[(Option[String], Option[String])] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    st = getHandle.getValueState[(String, String)](
-      "touches", Encoders.product[(String, String)], TTLConfig.NONE)
+    st = getHandle.getValueState[(Option[String], Option[String])](
+      "touches", Encoders.product[(Option[String], Option[String])], TTLConfig.NONE)
 
   override def handleInputRows(
       key: Long,
@@ -33,16 +37,16 @@ class AttributionProcessor
       timerValues: TimerValues): Iterator[(Long, Long, Long, String, String, Long)] = {
     // (user, ts, id, event_type, rev_c) sorted like the batch window order
     val pts = rows.toArray.sortBy(r => (r._2, r._3))
-    var (first, last) = if (st.exists()) st.get() else ("", "")
+    var (first, last) =
+      if (st.exists()) st.get() else (Option.empty[String], Option.empty[String])
     val out = Seq.newBuilder[(Long, Long, Long, String, String, Long)]
     pts.foreach { p =>
       if (p._4 == "purchase") {
         out += ((key, p._2, p._3,
-          if (last.isEmpty) "(none)" else last,
-          if (first.isEmpty) "(none)" else first, p._5))
+          last.getOrElse("(none)"), first.getOrElse("(none)"), p._5))
       } else {
-        if (first.isEmpty) first = p._4
-        last = p._4
+        if (first.isEmpty) first = Some(p._4)
+        last = Some(p._4)
       }
     }
     st.update((first, last))

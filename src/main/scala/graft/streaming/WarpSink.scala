@@ -18,6 +18,15 @@ trait WarpTransport extends Serializable {
     * Warp.Close reading the response (core/warp.go:266-277).
     */
   def close(): Option[String]
+  /** Sever the channel WITHOUT completing the request — the failed-task
+    * path. Completing a chunked POST on error would make the backend
+    * commit a partial batch and the retried task commit it again;
+    * aborting leaves the backend's read truncated (discarded), so task
+    * retry is exactly-once at the commit level. Mirrors the
+    * reference's abandoned request on handler error (the Go client
+    * cancels an un-Closed request, catalyser/graphite.go:286-295).
+    */
+  def abort(): Unit
 }
 
 /** HTTP transport: streaming POST to `endpoint` with the reference's
@@ -51,6 +60,13 @@ final class HttpWarpTransport(
   }
 
   override def send(line: String): Unit = out.write(line.getBytes("UTF-8"))
+
+  override def abort(): Unit = {
+    // disconnect severs the socket with NO terminal chunk: the server
+    // side sees a truncated chunked body and must discard the request
+    if (conn != null) conn.disconnect()
+    conn = null; out = null
+  }
 
   override def close(): Option[String] = {
     if (conn == null) return None // open() never succeeded
@@ -97,9 +113,10 @@ final class WarpForeachWriter(
 
   override def close(errorOrNull: Throwable): Unit = {
     if (errorOrNull != null) {
-      // the task already failed upstream: best-effort cleanup, but never
-      // mask the original failure with a sink-side classification
-      try transport.close() catch { case _: Throwable => () }
+      // the task already failed: ABORT, never close — closing would
+      // complete the chunked POST and the backend would commit this
+      // partial batch beside the retried task's full one
+      try transport.abort() catch { case _: Throwable => () }
       return
     }
     val errBody = transport.close()

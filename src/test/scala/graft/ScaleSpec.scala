@@ -456,4 +456,57 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     spark.catalog.clearCache()
   }
+
+  test("registry-wide self-join lint: every uncapped self-join is a curated exemption") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // the lint itself must flag the dangerous shape: a raw row-level
+    // gram self-join (the pre-fix shingle miner) with no cap boundary
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rawSh = graft.ops.Lsh.shingles(docs, "doc_id", "text", n = 3)
+    val rawJoin = rawSh.select(col("doc_id").as("d1"), col("sh"))
+      .join(rawSh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+    val rawFlags = rawJoin.queryExecution.optimizedPlan.collect {
+      case j: Join if SelfJoinAudit.isUncapped(j) => j
+    }
+    assert(rawFlags.nonEmpty, "lint failed to flag an uncapped gram self-join")
+    // ...and NOT flag the df-capped version of the identical join
+    val capSh = graft.ops.Scale.capGroups(rawSh, "sh", 128L)
+    val capJoin = capSh.select(col("doc_id").as("d1"), col("sh"))
+      .join(capSh.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+    val capFlags = capJoin.queryExecution.optimizedPlan.collect {
+      case j: Join if SelfJoinAudit.isUncapped(j) => j
+    }
+    assert(capFlags.isEmpty, "lint flagged a capGroups-bounded self-join")
+
+    // registry sweep: every remaining uncapped self-join must be HERE,
+    // with its boundedness argument — a new one cannot land silently,
+    // and a stale exemption fails the reverse direction
+    val allow = Map(
+      "ann_hard_negatives" -> "query side is a fixed small anchor set; candidates cell-keyed",
+      "dataset_diff" -> "full-outer CDC diff on the unique snapshot id — 1:1, cannot fan out",
+      "dedup_cross_source" -> "source-lookup join on unique doc_id against bounded LSH candidate pairs",
+      "embed_cosine_topk" -> "exact brute-force tier is the EVAL oracle by design; query side fixed small",
+      "multimodal_mips" -> "query side filtered to 4 docs x 16 dims, broadcast",
+      "q_asof_tolerance" -> "left join back on unique event_id — 1:1",
+      "q_interval_join_bucketed" -> "interval join pre-bucketized; per-bucket volume bounded by construction",
+      "q_merge_upsert" -> "full-outer upsert on unique business key — 1:1",
+      "q_range_join" -> "per-user bounded time window; key is user_id with 5-min range predicate",
+      "q_recursive_cte" -> "acyclic ancestor closure, depth-bounded unrolling",
+      "scd2_pit_join" -> "point-in-time join: validity intervals are disjoint per key — at most 1 match",
+      "text_pmi" -> "vocabulary capped to top-200 before the pair self-join; pair space <= 200^2/2",
+      "ts_anomaly_agreement" -> "full-outer detector agreement on unique (event_type,bucket) id — 1:1")
+    val results = SelfJoinAudit.audit(spark, "/root/testdata/sf0.001")
+    val errs = results.filter(_.err.isDefined)
+    assert(errs.isEmpty, s"queries failed to plan: ${errs.map(r => s"${r.name}: ${r.err.get}")}")
+    val flagged = results.filter(_.uncapped > 0).map(_.name).toSet
+    val unexempted = flagged -- allow.keySet
+    val stale = allow.keySet -- flagged
+    assert(unexempted.isEmpty,
+      s"uncapped self-joins with no exemption (df-cap them or justify here): $unexempted")
+    assert(stale.isEmpty, s"stale exemptions (join no longer flags — remove): $stale")
+    spark.catalog.clearCache()
+  }
 }

@@ -68,7 +68,51 @@ class WarpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     respondWith = (200, "OK")
   }
 
+  test("mid-batch transport death -> task retry -> backend commits the batch exactly ONCE") {
+    // the reference replays a buffered prefix once on connection error
+    // (core/warp.go:197-217); this repo's documented stance is
+    // idempotent task retry over an ABORTED channel (WarpSink.scala).
+    // Prove it end-to-end: the first attempt dies after 2 of 3 sends,
+    // the writer aborts the chunked POST (server read truncates ->
+    // nothing committed), Spark retries the task, and the backend ends
+    // up with EXACTLY one committed body holding each row exactly once.
+    respondWith = (200, "OK")
+    received.clear()
+    WarpSinkSpec.attempts.set(0)
+    // a fresh session with task retries enabled (local-mode default is
+    // maxFailures=1, which would kill the query on the first death)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
+    val spark = SparkSession.builder().master("local[2,4]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_retry_in")
+      java.nio.file.Files.writeString(dir.resolve("batch.txt"),
+        "a.one 1 1546420308\na.two 2 1546420309\na.three 3 1546420310\n")
+      val lines = spark.readStream.text(dir.toString).as[String]
+      val rows = ProtocolIngest.graphite(spark, lines, hierarchyLabels = false)
+        .repartition(1) // one partition = one transport = deterministic death point
+      val q = rows.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_retry_ck").toString)
+        .foreach(new WarpForeachWriter(
+          new FlakyTransport(s"http://127.0.0.1:$port/api/v0/update"), "tokR"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(WarpSinkSpec.attempts.get() == 2, s"expected death+retry, attempts=${WarpSinkSpec.attempts.get()}")
+      val bodies = received.toArray.map(_.asInstanceOf[(String, String, String)])
+        .filter(_._1 == "tokR").map(_._3).toSeq
+      assert(bodies.size == 1, s"backend committed ${bodies.size} bodies: $bodies")
+      for (m <- Seq("a.one", "a.two", "a.three"))
+        assert(bodies.head.linesIterator.count(_.contains(m)) == 1,
+          s"row $m not exactly-once in: ${bodies.head}")
+    } finally spark.stop()
+  }
+
   test("parse modes: permissive drops, failfast throws (per-transport policy)") {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -87,4 +131,33 @@ class WarpSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ProtocolIngest.promExposition(spark,
       Seq("m{a=\"b\"} 1 1000").toDS(), Map("job" -> "j")).count() == 1)
   }
+}
+
+object WarpSinkSpec {
+  /** Attempt counter for the retry test (static: local-mode tasks share
+    * the JVM with the suite).
+    */
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Real HTTP transport whose FIRST attempt dies after the second send —
+  * the mid-batch connection loss the retry test injects.
+  */
+final class FlakyTransport(endpoint: String) extends graft.streaming.WarpTransport {
+  private val inner = new graft.streaming.HttpWarpTransport(endpoint)
+  @transient private var attempt: Int = _
+  @transient private var sent: Int = _
+  override def open(token: String, txn: String): Unit = {
+    attempt = WarpSinkSpec.attempts.incrementAndGet()
+    sent = 0
+    inner.open(token, txn)
+  }
+  override def send(line: String): Unit = {
+    inner.send(line)
+    sent += 1
+    if (attempt == 1 && sent == 2)
+      throw new java.io.IOException("injected transport death mid-batch")
+  }
+  override def abort(): Unit = inner.abort()
+  override def close(): Option[String] = inner.close()
 }
