@@ -19,10 +19,17 @@ object IngestSql {
     * identically (agreement property-tested in ParserFuzzSpec).
     */
   def graphiteVtype(v: Column): Column = {
+    val d = try_to_number_double(v)
+    // Go strconv.ParseFloat RANGE errors (overflow to ±Inf, nonzero
+    // mantissa underflowing to zero) fall through to string — try_cast
+    // is silently Inf/0.0 there, so guard both (GraphiteParser twin)
+    val mantissaNonzero = regexp_extract(v, "^([^eE]*)", 1).rlike("[1-9]")
     val goFloatOk = v.contains(".") &&
       !v.rlike("[dDfF]$") && !v.rlike("\\s") &&
       !v.contains("0x") && !v.contains("0X") &&
-      try_to_number_double(v).isNotNull
+      d.isNotNull &&
+      abs(d) =!= Double.PositiveInfinity &&
+      !(d === 0.0d && mantissaNonzero)
     // long branch also needs the whitespace guard: try_cast trims, Go's
     // strconv.ParseInt does not
     when(goFloatOk, "double")

@@ -35,7 +35,26 @@ object GraphiteParser {
     val last = s.charAt(s.length - 1)
     if (last == 'd' || last == 'D' || last == 'f' || last == 'F') return None
     if (s.exists(c => c.isWhitespace) || s.contains("0x") || s.contains("0X")) return None
-    try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
+    try {
+      val v = java.lang.Double.parseDouble(s)
+      // Go strconv.ParseFloat RANGE errors where Java stays silent: a
+      // finite decimal overflowing to ±Inf, or a nonzero mantissa
+      // underflowing to zero, both return err=ErrRange in Go — the
+      // inference cascade then falls through to string
+      // (graphite.go:336-340). Pin the same fall-through here.
+      if (v.isInfinite) None
+      else if (v == 0.0d && hasNonzeroMantissa(s)) None
+      else Some(v)
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** A nonzero digit before the exponent marker — zero parsed from such
+    * a literal means hard underflow (below the smallest denormal).
+    */
+  private def hasNonzeroMantissa(s: String): Boolean = {
+    val cut = s.indexWhere(c => c == 'e' || c == 'E')
+    val m = if (cut < 0) s else s.substring(0, cut)
+    m.exists(c => c >= '1' && c <= '9')
   }
 
   private def parseGoLong(s: String): Option[Long] =

@@ -26,6 +26,58 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("graphite value inference Go-parity corners: 1e±308, Inf, NaN, signs, suffixes") {
+    import graft.core.GtsValue
+    def infer(tok: String) = GraphiteParser.inferValue(tok)
+    // float only when the token contains '.' (graphite.go:335)
+    assert(infer("1.0e308") == GtsValue.double(1.0e308))
+    assert(infer("-1.0e308") == GtsValue.double(-1.0e308))
+    assert(infer("1.7976931348623157e308.") == GtsValue.string("1.7976931348623157e308."))
+    // Go strconv.ParseFloat range errors -> the cascade falls to STRING
+    // (Java's parseDouble is silently Inf/0.0 there — pinned divergence)
+    assert(infer("1.0e309") == GtsValue.string("1.0e309"))
+    assert(infer("-1.0e309") == GtsValue.string("-1.0e309"))
+    assert(infer("2.0e-324") == GtsValue.string("2.0e-324")) // hard underflow
+    assert(infer("3.0e-324") == GtsValue.double(java.lang.Double.MIN_VALUE)) // denormal OK
+    assert(infer("0.0e-99999") == GtsValue.double(0.0)) // zero mantissa: real zero, no range err
+    // Inf/NaN have no '.', ParseInt rejects them, not booleans -> string
+    assert(infer("Inf") == GtsValue.string("Inf"))
+    assert(infer("+Inf") == GtsValue.string("+Inf"))
+    assert(infer("-Inf") == GtsValue.string("-Inf"))
+    assert(infer("NaN") == GtsValue.string("NaN"))
+    assert(infer("Infinity") == GtsValue.string("Infinity"))
+    // leading '+' accepted by both ParseFloat and ParseInt
+    assert(infer("+5.5") == GtsValue.double(5.5))
+    assert(infer("+5") == GtsValue.long(5L))
+    assert(infer("+true") == GtsValue.string("+true"))
+    // mantissa-edge syntax Go accepts
+    assert(infer("5.") == GtsValue.double(5.0))
+    assert(infer(".5") == GtsValue.double(0.5))
+    assert(infer("1.e3") == GtsValue.double(1000.0))
+    // Java-isms Go rejects: d/f suffixes, hex floats (go1.12 grammar)
+    assert(infer("5.0d") == GtsValue.string("5.0d"))
+    assert(infer("5.0f") == GtsValue.string("5.0f"))
+    assert(infer("0x1.8p1") == GtsValue.string("0x1.8p1"))
+    // int64 overflow falls through ParseInt to string (both engines)
+    assert(infer("9223372036854775807") == GtsValue.long(Long.MaxValue))
+    assert(infer("9223372036854775808") == GtsValue.string("9223372036854775808"))
+    // bool matching is ToLower-ed (graphite.go:355-360)
+    assert(infer("TRUE") == GtsValue.bool(true))
+    assert(infer("False") == GtsValue.bool(false))
+    // exponent-storm fuzz: extreme magnitudes never throw and never
+    // leak a non-finite double out of the float path
+    val rnd = new scala.util.Random(113)
+    (1 to 3000).foreach { _ =>
+      val tok = s"${if (rnd.nextBoolean()) "-" else ""}${rnd.nextInt(10)}." +
+        s"${rnd.nextInt(1000)}e${if (rnd.nextBoolean()) "-" else ""}${rnd.nextInt(400)}"
+      infer(tok) match {
+        case GtsValue.GtsDouble(v) => assert(!v.isInfinite && !v.isNaN, s"non-finite from <$tok>")
+        case GtsValue.GtsString(s2) => assert(s2 == tok)
+        case other => fail(s"unexpected $other from <$tok>")
+      }
+    }
+  }
+
   test("graphite round-trip: 2000 random synthesized lines -> parse -> expected GTS") {
     // encode-side golden: build `name[;k=v...] value ts` from random
     // components and require the parser to reconstruct exactly — the
@@ -202,7 +254,11 @@ class ParserFuzzSpec extends AnyFunSuite {
         "0x1.8p1", "0X1.8P1", "1.5e3", "1.5E3", "+1.5", "-1.5", "1.", ".5",
         ".", "..", "1..2", "5", "+5", "-5", " 5", "5 ", "5.0f", "1.d5",
         "Infinity", "-Infinity", "NaN", "Inf", "inf", "true", "True", "FALSE",
-        " true", "99999999999999999999", "1,5", "", "15e3", "1_000", "１.5")
+        " true", "99999999999999999999", "1,5", "", "15e3", "1_000", "１.5",
+        // strconv.ParseFloat range-error corners (overflow/underflow)
+        "1.0e308", "-1.0e308", "1.0e309", "-1.0e309", "1.0e-308",
+        "2.0e-324", "3.0e-324", "4.9e-324", "0.0e-99999", "0.0e99999",
+        "9.9e999", "1.e3", "9223372036854775807", "9223372036854775808")
       val rnd = new scala.util.Random(106)
       val tokens = targeted ++ (1 to 3000).map(_ => garbage(rnd, 20))
       val expected = tokens.map { t =>
