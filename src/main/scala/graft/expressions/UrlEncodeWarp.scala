@@ -66,6 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Md5Hash60.info, Md5Hash60.builder))
     ext.injectFunction((FunctionIdentifier(ImageHeaderDecode.fnName),
       ImageHeaderDecode.info, ImageHeaderDecode.builder))
+    ext.injectFunction((FunctionIdentifier(AudioHeaderDecode.fnName),
+      AudioHeaderDecode.info, AudioHeaderDecode.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

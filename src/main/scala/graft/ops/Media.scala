@@ -68,6 +68,30 @@ object Media {
     s"(CASE WHEN $docId % 3 = 0 THEN $bmp WHEN $docId % 3 = 1 THEN $png ELSE $gif END)"
   }
 
+  /** Audio asset parameters: PCM-16 WAV, sample-rate rotation, mono/
+    * stereo alternation, declared data size derived from byte length.
+    */
+  def sampleRateExpr(docId: String): String =
+    s"(CASE WHEN $docId % 3 = 0 THEN 8000 WHEN $docId % 3 = 1 THEN 16000 ELSE 44100 END)"
+  def channelsExpr(docId: String): String = s"(1 + $docId % 2)"
+  def dataSizeExpr(blen: String): String = s"($blen * 4)"
+
+  /** Hex of a canonical 44-byte PCM WAV header (header-only asset: the
+    * metadata scan this feeds never reads PCM frames, exactly like the
+    * image containers carry no pixel data). All little-endian to spec:
+    * RIFF size 36+data, fmt chunk 16/PCM/channels/rate/byte-rate/
+    * block-align/16-bit, data chunk size.
+    */
+  def wavHexExpr(docId: String, blen: String): String = {
+    val sr = sampleRateExpr(docId)
+    val ch = channelsExpr(docId)
+    val ds = dataSizeExpr(blen)
+    "'52494646' || " + le32(s"(36 + $ds)") + " || '57415645' || '666D7420' || " +
+      "'10000000' || '0100' || " + le16(ch) + " || " + le32(sr) + " || " +
+      le32(s"($sr * $ch * 2)") + " || " + le16(s"($ch * 2)") + " || '1000' || " +
+      s"'64617461' || ${le32(ds)}"
+  }
+
   // ---- DuckDB-side decode: hex(blob) offset arithmetic ----
   // byte i (0-based) of blob b lives at substr(hex(b), 2*i+1, 2)
 
@@ -105,4 +129,17 @@ object Media {
     s"""CASE WHEN substr($h, 1, 16) = '89504E470D0A1A0A'
         AND substr($h, 75, 8) = '6163544C' THEN ${duckBe32(h, 41)}
       ELSE 1 END"""
+
+  // ---- WAV decode twins (offsets per the canonical RIFF layout) ----
+
+  /** RIFF/WAVE/fmt_/data magic check over hex(blob) `h`. */
+  def duckWavOk(h: String): String =
+    s"""(substr($h, 1, 8) = '52494646' AND substr($h, 17, 8) = '57415645'
+      AND substr($h, 25, 8) = '666D7420' AND substr($h, 73, 8) = '64617461')"""
+
+  def duckWavChannels(h: String): String = duckLe16(h, 22)
+  def duckWavSampleRate(h: String): String = duckLe32(h, 24)
+  def duckWavBits(h: String): String = duckLe16(h, 34)
+  def duckWavSamples(h: String): String =
+    s"(${duckLe32(h, 40)} // ${duckLe16(h, 32)})"
 }

@@ -1631,12 +1631,20 @@ object Analytics {
     val s1 = lats.select(lit("signup_to_click").as("stage"), col("lat1").as("lat"))
     val s2 = lats.filter(col("lat2").isNotNull)
       .select(lit("click_to_purchase").as("stage"), col("lat2").as("lat"))
-    s1.unionByName(s2)
-      .groupBy("stage")
-      .agg(count(lit(1)).as("n"), min("lat").as("min_us"),
-        expr("element_at(array_sort(collect_list(lat)), CAST((count(1) + 1) DIV 2 AS INT))")
-          .as("median_us"),
-        max("lat").as("max_us"))
+    // exact discrete median via count + row_number (two passes, state
+    // per ROW): the earlier collect_list fold grew one aggregate row
+    // with the converter count — the per-stage rank window sorts
+    // spillably instead (round-5 advice)
+    val u = s1.unionByName(s2)
+    val stats = u.groupBy("stage")
+      .agg(count(lit(1)).as("n"), min("lat").as("min_us"), max("lat").as("max_us"))
+    val ranked = u.withColumn("rn",
+      row_number().over(Window.partitionBy("stage").orderBy("lat")))
+    val med = ranked.join(stats.select(col("stage"), col("n").as("_n")), "stage")
+      .filter(col("rn") === expr("(_n + 1) DIV 2"))
+      .select(col("stage"), col("lat").as("median_us"))
+    stats.join(med, "stage")
+      .select("stage", "n", "min_us", "median_us", "max_us")
       .orderBy("stage")
   }, Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
     t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
@@ -1652,12 +1660,15 @@ object Analytics {
       LEFT JOIN t3 ON t3.user_id = t1.user_id),
     u AS (SELECT 'signup_to_click' AS stage, lat1 AS lat FROM l
       UNION ALL
-      SELECT 'click_to_purchase', lat2 FROM l WHERE lat2 IS NOT NULL)
-    SELECT stage, count(*)::BIGINT AS n,
-      min(lat) AS min_us,
-      (list_sort(list(lat)))[CAST((count(*) + 1) // 2 AS INT)] AS median_us,
-      max(lat) AS max_us
-    FROM u GROUP BY stage ORDER BY stage"""))
+      SELECT 'click_to_purchase', lat2 FROM l WHERE lat2 IS NOT NULL),
+    c AS (SELECT stage, count(*)::BIGINT AS n, min(lat) AS min_us,
+      max(lat) AS max_us FROM u GROUP BY stage),
+    r AS (SELECT stage, lat,
+      row_number() OVER (PARTITION BY stage ORDER BY lat) AS rn FROM u),
+    m AS (SELECT r.stage, r.lat AS median_us FROM r JOIN c USING (stage)
+      WHERE rn = (n + 1) // 2)
+    SELECT stage, n, min_us, median_us, max_us
+    FROM c JOIN m USING (stage) ORDER BY stage"""))
 
   /** Cohort LTV curves — the monetary companion to
     * [[qRetentionCohorts]] (same first-activity-week cohorts): per

@@ -20,7 +20,8 @@ object TextOps {
     textKeywords, textPmi, textSkipgrams, bpeEncode, textLmBigram,
     multimodalFrames, sampleTemperature, pipelineChunkIndex,
     textPhraseOccurrences, docChunkSentences, multimodalResize,
-    multimodalMips, pipelineCurriculum, qualityDsirWeights)
+    multimodalMips, pipelineCurriculum, qualityDsirWeights,
+    multimodalAudioMeta)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1119,6 +1120,43 @@ object TextOps {
     * to the codec stage. Pure per-row integer math (scale in
     * millionths, truncating DIV both engines), zero shuffle.
     */
+  /** Audio twin of [[multimodalMeta]]: each doc carries a REAL 44-byte
+    * PCM WAV header (ops/Media.wavHexExpr — to-spec RIFF layout,
+    * little-endian fields, rotated sample rates, mono/stereo
+    * alternation) decoded by the codegen'd byte-level
+    * [[graft.expressions.AudioHeaderDecode]]: magic checks, fmt-chunk
+    * field parse, per-channel sample count from data size / block
+    * align, plus the derived integer duration. The DuckDB oracle
+    * re-decodes the SAME blob by hex offsets. Per-row, zero shuffle.
+    */
+  val multimodalAudioMeta: Q = Q("multimodal_audio_meta", (s, dir) => {
+    graft.expressions.AudioHeaderDecode.register(s)
+    val wavHex = graft.ops.Media.wavHexExpr(
+      "doc_id", "CAST(octet_length(text) AS BIGINT)")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"audio_header_decode(unhex($wavHex))").as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.channels").as("channels"), col("m.sample_rate").as("sample_rate"),
+        col("m.bits").as("bits"), col("m.n_samples").as("n_samples"))
+      .withColumn("duration_ms", expr("1000 * n_samples DIV sample_rate"))
+      .orderBy("doc_id")
+  }, Some {
+    import graft.ops.Media
+    val wavHex = Media.wavHexExpr(
+      "doc_id", "CAST(octet_length(encode(text)) AS BIGINT)")
+    s"""WITH hx AS (SELECT doc_id, hex(unhex($wavHex)) AS h FROM documents),
+    d AS (SELECT doc_id,
+        CASE WHEN ${Media.duckWavOk("h")} THEN 'wav' END AS format,
+        CAST(${Media.duckWavChannels("h")} AS BIGINT) AS channels,
+        CAST(${Media.duckWavSampleRate("h")} AS BIGINT) AS sample_rate,
+        CAST(${Media.duckWavBits("h")} AS BIGINT) AS bits,
+        CAST(${Media.duckWavSamples("h")} AS BIGINT) AS n_samples
+      FROM hx)
+    SELECT doc_id, format, channels, sample_rate, bits, n_samples,
+      CAST(1000 * n_samples // sample_rate AS BIGINT) AS duration_ms
+    FROM d ORDER BY doc_id"""
+  })
+
   val multimodalResize: Q = Q("multimodal_resize", (s, dir) => {
     graft.expressions.ImageHeaderDecode.register(s)
     val assetHex = graft.ops.Media.assetHexExpr(

@@ -69,6 +69,38 @@ class ImageHeaderDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.isNullAt(0)), s"expected all NULL, got ${rows.toSeq}")
   }
 
+  private def decodeWav(hex: String) = {
+    graft.expressions.AudioHeaderDecode.register(spark)
+    import spark.implicits._
+    Seq(hex).toDF("hx").repartition(1)
+      .selectExpr("audio_header_decode(unhex(hx)) AS m")
+      .selectExpr("m.format", "m.channels", "m.sample_rate", "m.bits", "m.n_samples")
+      .collect()(0)
+  }
+
+  test("WAV: RIFF magics, le fmt fields, n_samples = data size / block align") {
+    // 44.1 kHz stereo 16-bit, data 400 bytes -> 100 samples/channel
+    // rate 44100 = AC44 -> le '44AC0000'; byte rate 176400 = 2B110 -> '10B10200'
+    val hex = "52494646" + "B4010000" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0200" + "44AC0000" + "10B10200" + "0400" + "1000" +
+      "64617461" + "90010000"
+    val r = decodeWav(hex)
+    assert(r.getString(0) == "wav" && r.getLong(1) == 2L && r.getLong(2) == 44100L &&
+      r.getLong(3) == 16L && r.getLong(4) == 100L)
+    // mono 8 kHz: 8000 = 1F40 -> le '401F0000'; block align 2; data 64 -> 32 samples
+    val mono = "52494646" + "64000000" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "40000000"
+    val m = decodeWav(mono)
+    assert(m.getLong(1) == 1L && m.getLong(2) == 8000L && m.getLong(4) == 32L)
+    // wrong WAVE magic / truncated -> NULL
+    graft.expressions.AudioHeaderDecode.register(spark)
+    import spark.implicits._
+    val bad = Seq("52494646" + "54000000" + "57415646" + hex.drop(24), "524946").toDF("hx")
+      .repartition(1).selectExpr("audio_header_decode(unhex(hx)) AS m").collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("decoder runs inside whole-stage codegen (no interpreted fallback)") {
     graft.expressions.ImageHeaderDecode.register(spark)
     import spark.implicits._
