@@ -68,6 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ImageHeaderDecode.info, ImageHeaderDecode.builder))
     ext.injectFunction((FunctionIdentifier(AudioHeaderDecode.fnName),
       AudioHeaderDecode.info, AudioHeaderDecode.builder))
+    ext.injectFunction((FunctionIdentifier(ImageAHash.fnName),
+      ImageAHash.info, ImageAHash.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

@@ -142,4 +142,76 @@ object Media {
   def duckWavBits(h: String): String = duckLe16(h, 34)
   def duckWavSamples(h: String): String =
     s"(${duckLe32(h, 40)} // ${duckLe16(h, 32)})"
+
+  // ---- 8×8 thumbnail BMP with REAL pixel data (perceptual hashing) ----
+
+  /** BMP pixel-array layout constants for the 8×8 24bpp thumbnail:
+    * 54-byte header + 8 rows × 8 px × 3 bytes (24 B/row — already a
+    * 4-byte multiple, so no row padding), stored BOTTOM-UP per the BMP
+    * spec. File pixel index j (0..63) maps to image-order index
+    * (0 = top-left, row-major) k = (7 - j/8)*8 + j%8.
+    */
+  val ThumbDim = 8
+  val ThumbHeaderLen = 54
+  val ThumbPixelBytes: Int = ThumbDim * ThumbDim * 3
+  val ThumbFileLen: Int = ThumbHeaderLen + ThumbPixelBytes
+
+  /** Image-order pixel index k for file-order pixel j (bottom-up rows). */
+  def thumbFileToImage(j: Int): Int = (ThumbDim - 1 - j / ThumbDim) * ThumbDim + j % ThumbDim
+
+  /** Hex of a complete 8×8 24bpp grayscale BMP whose image-order pixel
+    * k carries the luminance byte produced by `pixelHex(k)` (a 2-hex-
+    * digit expression; the three BGR bytes repeat it). `pixelHex` is
+    * caller-supplied so each engine can bind its own word-array
+    * accessor; the container layout itself (magic, le32 sizes, 24bpp,
+    * bottom-up row order) is common and to-spec.
+    */
+  def thumbBmpHexExpr(pixelHex: Int => String): String = {
+    // header: 'BM' + file size 246 + reserved + data offset 54 + DIB 40
+    // + w/h 8 le32 + planes 1 + bpp 24 + compression 0 + image size 192
+    // + 2835 ppm densities + color counts 0
+    val header = "'424D' || 'F6000000' || '00000000' || '36000000' || '28000000' || " +
+      "'08000000' || '08000000' || '0100' || '1800' || " +
+      "'00000000' || 'C0000000' || '130B0000' || '130B0000' || '00000000' || '00000000'"
+    val pixels = (0 until ThumbDim * ThumbDim)
+      .map(j => s"repeat(${pixelHex(thumbFileToImage(j))}, 3)")
+      .mkString(" || ")
+    s"($header || $pixels)"
+  }
+
+  /** DuckDB byte extract: unsigned byte i (0-based) of hex(blob) `h`. */
+  private def duckU8(h: String, off: Int): String =
+    s"CAST('0x' || substr($h, ${2 * off + 1}, 2) AS BIGINT)"
+
+  /** DuckDB twin of [[graft.expressions.ImageAHash]] over hex(blob)
+    * `h`: per image-order pixel k the mean-of-BGR luminance (exact
+    * integer floor), then the 64-bit average-hash — bit k (MSB-first)
+    * set iff 64·lum_k ≥ Σ lum. The sign bit's weight is the BIGINT
+    * min-value literal (two's complement), every other bit a positive
+    * power of two, so the sum reproduces the JVM long bit-for-bit.
+    */
+  def duckAHashSql(h: String, lumsName: String): String = {
+    val lums = (0 until ThumbDim * ThumbDim).map { k =>
+      val j = thumbFileToImage(k) // row-flip is an involution: j ↔ k
+      val off = ThumbHeaderLen + 3 * j
+      s"((${duckU8(h, off)} + ${duckU8(h, off + 1)} + ${duckU8(h, off + 2)}) // 3)"
+    }
+    s"[${lums.mkString(", ")}] AS $lumsName"
+  }
+
+  /** The exact list-sum of the lum list as a BIGINT (for a CTE column). */
+  def duckLumSum(l: String): String = s"CAST(list_sum($l) AS BIGINT)"
+
+  /** The hash sum over the 64-element lum list `l` (1-based index) and
+    * its precomputed total `t` — both plain columns of the same CTE.
+    */
+  def duckAHashFold(l: String, t: String): String = {
+    val terms = (0 until 64).map { k =>
+      // the sign-bit weight is written subtraction-style: the bare
+      // min-value literal would parse as HUGEINT in DuckDB
+      val w = if (k == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - k)}"
+      s"CASE WHEN 64 * $l[${k + 1}] >= $t THEN CAST($w AS BIGINT) ELSE 0 END"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
 }

@@ -12,7 +12,7 @@ object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
-    langidEval)
+    langidEval, qualityReadability)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -369,4 +369,62 @@ object Quality {
       CAST((max(abs(ca * nb - cb * na)) * 10000) // (max(na) * max(nb)) AS BIGINT) AS ks_bp
     FROM c JOIN tot USING (event_type)
     GROUP BY c.event_type ORDER BY c.event_type"""))
+
+  /** Syllable-based readability grading per language — the FORCAST
+    * formula (Caylor/Sticht 1973 — the one classic readability index
+    * with NO sentence-count term, which these boundary-less synthetic
+    * docs lack): grade = 20 − (single-syllable words per 150)/10,
+    * pooled per language and also averaged over per-document grades.
+    * Syllables are the maximal-vowel-run count (min 1) — the standard
+    * dictionary-free heuristic — computed by collapsing `[aeiouy]+`
+    * runs to a sentinel and differencing lengths, which both engines'
+    * regex engines agree on over `[a-z]` tokens. All derived metrics
+    * are exact fixed-point bigints (·10³ syllable density, basis-point
+    * polysyllable share, ·10² grades), nothing floats. Scale: one
+    * explode + two keyed partial-agg shuffles (doc then lang); no
+    * window, no join.
+    */
+  val qualityReadability: Q = Q("quality_readability", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val words = d.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("runs", expr("""length(regexp_replace(w, '[aeiouy]+', 'V'))
+        - length(replace(regexp_replace(w, '[aeiouy]+', 'V'), 'V', ''))"""))
+      .withColumn("syl", greatest(lit(1L), col("runs").cast("long")))
+    val perDoc = words.groupBy("doc_id", "lang").agg(
+      count(lit(1)).as("w_n"),
+      sum("syl").as("syl_n"),
+      sum(when(col("syl") === 1, 1L).otherwise(0L)).as("single_n"),
+      sum(when(col("syl") >= 3, 1L).otherwise(0L)).as("poly_n"))
+      .withColumn("g_e2", expr("2000 - single_n * 1500 DIV w_n"))
+    perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("w_n").as("words"),
+      expr("sum(syl_n) * 1000 DIV sum(w_n)").as("syl_per_word_e3"),
+      expr("sum(poly_n) * 10000 DIV sum(w_n)").as("poly_bp"),
+      expr("2000 - sum(single_n) * 1500 DIV sum(w_n)").as("forcast_e2"),
+      expr("sum(g_e2) DIV count(1)").as("avg_doc_forcast_e2"))
+      .orderBy("lang")
+  }, Some("""WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    f AS (SELECT doc_id, lang,
+        length(regexp_replace(w, '[aeiouy]+', 'V', 'g'))
+          - length(replace(regexp_replace(w, '[aeiouy]+', 'V', 'g'), 'V', '')) AS runs
+      FROM w WHERE length(w) > 0),
+    sy AS (SELECT doc_id, lang, greatest(1, runs) AS syl FROM f),
+    pd AS (SELECT doc_id, lang, count(*)::BIGINT AS w_n,
+        CAST(sum(syl) AS BIGINT) AS syl_n,
+        CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_n,
+        CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS poly_n
+      FROM sy GROUP BY doc_id, lang),
+    pg AS (SELECT *, 2000 - single_n * 1500 // w_n AS g_e2 FROM pd)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+      CAST(sum(w_n) AS BIGINT) AS words,
+      CAST(sum(syl_n) AS BIGINT) * 1000 // CAST(sum(w_n) AS BIGINT) AS syl_per_word_e3,
+      CAST(sum(poly_n) AS BIGINT) * 10000 // CAST(sum(w_n) AS BIGINT) AS poly_bp,
+      2000 - CAST(sum(single_n) AS BIGINT) * 1500 // CAST(sum(w_n) AS BIGINT) AS forcast_e2,
+      CAST(sum(g_e2) AS BIGINT) // count(*) AS avg_doc_forcast_e2
+    FROM pg GROUP BY lang ORDER BY lang"""))
 }

@@ -17,7 +17,7 @@ object Series {
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
-    tsForecastEval, scd2PitJoin, tsCompleteness)
+    tsForecastEval, scd2PitJoin, tsCompleteness, tsSax)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1429,4 +1429,61 @@ object Series {
           THEN 20000 * e3 // (abs(lvl + 3 * tnd) + abs(a3)) ELSE 0 END) // 3 AS BIGINT) AS smape_bp
     FROM er ORDER BY user_id"""
   })
+
+  /** SAX motif discovery (Lin/Keogh/Lonardi/Chiu DMKD'03 — public):
+    * hourly means per series → PAA over 4-hour segments → alphabet-4
+    * symbols → sliding 6-segment SAX words → repeated words (motifs).
+    * Everything stays EXACT integer/rank arithmetic: PAA means are
+    * fixed-point bigints (sum·100 DIV n), and instead of the Gaussian
+    * breakpoints (which would need float z-normalization) symbols come
+    * from per-series EMPIRICAL quartiles via `ntile(4)` over the total
+    * order (paa, seg) — the adaptive-breakpoint SAX variant, rank-based
+    * so cross-engine bit-exact. Words are built from `lead()` chains
+    * (NULL past the series tail propagates through concat identically
+    * in both engines). Scale: per-series windows and keyed aggregation
+    * only — the word space is bounded (4^6) so the motif groupBy cannot
+    * blow up; no self-join, no global window.
+    */
+  val tsSax: Q = Q("ts_sax", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val paa = hourly
+      .groupBy(col("event_type"), expr("h DIV 4").as("g"))
+      .agg(expr("sum(c) * 100 DIV count(1)").as("p"))
+    val sym = paa.withColumn("sym", expr(
+      "chr(96 + ntile(4) OVER (PARTITION BY event_type ORDER BY p, g))"))
+    val ws = Window.partitionBy("event_type").orderBy("g")
+    val word = sym.withColumn("word", concat(
+      col("sym"), lead("sym", 1).over(ws), lead("sym", 2).over(ws),
+      lead("sym", 3).over(ws), lead("sym", 4).over(ws), lead("sym", 5).over(ws)))
+      .filter(col("word").isNotNull)
+    word.groupBy("event_type", "word")
+      .agg(count(lit(1)).as("n_occ"), min("g").as("first_seg"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("event_type"), col("n_occ").desc, col("word"))
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hr AS (SELECT event_type, h,
+        CAST(sum(cents) AS BIGINT) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    paa AS (SELECT event_type, h // 4 AS g,
+        CAST(sum(c) AS BIGINT) * 100 // count(*) AS p
+      FROM hr GROUP BY event_type, h // 4),
+    sym AS (SELECT event_type, g,
+        chr(CAST(96 + ntile(4) OVER (PARTITION BY event_type ORDER BY p, g) AS INT)) AS sy
+      FROM paa),
+    wrd AS (SELECT event_type, g,
+        sy || lead(sy, 1) OVER w || lead(sy, 2) OVER w || lead(sy, 3) OVER w
+           || lead(sy, 4) OVER w || lead(sy, 5) OVER w AS word
+      FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY g))
+    SELECT event_type, word, count(*)::BIGINT AS n_occ,
+      min(g) AS first_seg
+    FROM wrd WHERE word IS NOT NULL
+    GROUP BY event_type, word HAVING count(*) >= 2
+    ORDER BY event_type, n_occ DESC, word"""))
 }

@@ -21,7 +21,7 @@ object TextOps {
     multimodalFrames, sampleTemperature, pipelineChunkIndex,
     textPhraseOccurrences, docChunkSentences, multimodalResize,
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
-    multimodalAudioMeta)
+    multimodalAudioMeta, multimodalPhash, multimodalPhashPairs)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1535,4 +1535,91 @@ object TextOps {
         // nullif(sum(tok0)::BIGINT, 0) AS saved_bp
     FROM s$bpeEncodeRounds GROUP BY source ORDER BY source"""
   })
+
+  // ---- perceptual hashing over REAL pixel data ----
+
+  /** Shared thumbnail-hash frame: every doc gets a complete 8×8 24bpp
+    * grayscale BMP (real header + real pixel array, ops/Media layout;
+    * image-order pixel k's luminance byte is the first md5 byte of the
+    * doc's (k mod n_words)-th word, so near-identical texts produce
+    * near-identical images), and the 64-bit aHash comes out of the
+    * codegen'd byte-level decoder [[graft.expressions.ImageAHash]] —
+    * header parse, bottom-up pixel walk, integer mean threshold.
+    */
+  private def phashDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.expressions.ImageAHash.register(s)
+    val px: Int => String = k =>
+      s"upper(substr(md5(element_at(ws, $k % nw + 1)), 1, 2))"
+    val thumbHex = graft.ops.Media.thumbBmpHexExpr(px)
+    Tables.t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", expr("size(ws)"))
+      .select(col("doc_id"), expr(s"image_ahash(unhex($thumbHex))").as("ahash"))
+  }
+
+  /** The DuckDB twin of [[phashDf]] as a CTE chain ending in
+    * `hh(doc_id, ahash)` — same container bytes via the common hex
+    * dialect, same hash via hex offset arithmetic (Media.duckAHashFold).
+    */
+  private def phashOracleCtes: String = {
+    val px: Int => String = k =>
+      s"upper(substr(md5(ws[($k % nw) + 1]), 1, 2))"
+    val thumbHex = graft.ops.Media.thumbBmpHexExpr(px)
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS nw FROM documents),
+    hx AS (SELECT doc_id, hex(unhex($thumbHex)) AS h FROM d),
+    lm AS (SELECT doc_id, ${graft.ops.Media.duckAHashSql("h", "lums")} FROM hx),
+    tt AS (SELECT doc_id, lums, ${graft.ops.Media.duckLumSum("lums")} AS t FROM lm),
+    hh AS (SELECT doc_id, ${graft.ops.Media.duckAHashFold("lums", "t")} AS ahash FROM tt)"""
+  }
+
+  /** Per-doc perceptual hash manifest: the aHash long plus its
+    * popcount (a cheap luminance-balance diagnostic — by construction
+    * of the mean threshold it sits near 32). Per-row codegen'd pixel
+    * decode, zero shuffle; the oracle recomputes the identical hash
+    * from the identical blob by pure SQL byte arithmetic.
+    */
+  val multimodalPhash: Q = Q("multimodal_phash", (s, dir) => {
+    phashDf(s, dir)
+      .withColumn("bits_set", expr("CAST(bit_count(ahash) AS BIGINT)"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH ${phashOracleCtes}
+    SELECT doc_id, ahash, CAST(bit_count(ahash) AS BIGINT) AS bits_set
+    FROM hh ORDER BY doc_id"""))
+
+  /** Near-duplicate IMAGE pairs by banded Hamming join — the pigeonhole
+    * construction (4 bands × 16 bits: Hamming ≤ 3 ⟹ at least one band
+    * identical, so candidate generation is an exact equi-join on the
+    * band key, never all-pairs), then the exact popcount(xor) distance
+    * filter on the candidates. Scale: band buckets are df-capped at 128
+    * via ops/Scale.capGroups — the same hot-key bound as the shingle
+    * pair-miners — so one degenerate band value cannot emit df² pairs;
+    * the oracle applies the identical QUALIFY cut.
+    */
+  val multimodalPhashPairs: Q = Q("multimodal_phash_pairs", (s, dir) => {
+    val hs = phashDf(s, dir)
+    val bands = hs.select(col("doc_id"), col("ahash"),
+      explode(expr("array(0, 1, 2, 3)")).as("bi"))
+      .withColumn("bk", expr("bi * 65536 + (shiftright(ahash, 16 * bi) & 65535)"))
+    val capped = graft.ops.Scale.capGroups(bands, "bk", 128)
+    val a = capped.select(col("bk"), col("doc_id").as("da"), col("ahash").as("ha"))
+    val b = capped.select(col("bk"), col("doc_id").as("db"), col("ahash").as("hb"))
+    a.join(b, "bk").filter(col("da") < col("db"))
+      .select("da", "db", "ha", "hb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }, Some(s"""WITH ${phashOracleCtes},
+    bands AS (SELECT doc_id, ahash, bi,
+        bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
+      FROM hh, (VALUES (0), (1), (2), (3)) b(bi)),
+    capped AS (SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY bk) <= 128),
+    p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.ahash AS ha, b.ahash AS hb
+      FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM p WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY doc_a, doc_b"""))
 }

@@ -101,6 +101,70 @@ class ImageHeaderDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.forall(_.isNullAt(0)))
   }
 
+  // ---- image_ahash over the 8×8 thumbnail container ----
+
+  /** Header hex for the canonical 8×8 24bpp thumbnail (Media layout). */
+  private val thumbHeader = "424D" + "F6000000" + "00000000" + "36000000" +
+    "28000000" + "08000000" + "08000000" + "0100" + "1800" +
+    "00000000" + "C0000000" + "130B0000" + "130B0000" + "00000000" + "00000000"
+
+  private def ahash(hex: String): Option[Long] = {
+    graft.expressions.ImageAHash.register(spark)
+    import spark.implicits._
+    val r = Seq(hex).toDF("hx").repartition(1)
+      .selectExpr("image_ahash(unhex(hx)) AS a").collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  test("aHash: uniform image sets every bit (64·lum ≥ Σ at equality)") {
+    val px = "101010" * 64
+    assert(ahash(thumbHeader + px) == Some(-1L))
+  }
+
+  test("aHash: single bright top-left pixel = sign bit only (bottom-up rows mapped)") {
+    // file pixel 56 is image pixel 0 (top-left): rows are stored bottom-up
+    val px = ("000000" * 56) + "FFFFFF" + ("000000" * 7)
+    assert(ahash(thumbHeader + px) == Some(Long.MinValue))
+  }
+
+  test("aHash: luminance is the integer mean of the actual BGR bytes") {
+    // one pixel B=10,G=20,R=31 -> lum (10+20+31)/3 = 20; the rest 20 too
+    // (uniform -> all bits) vs making that pixel 21 (below-mean zeros appear)
+    val uniform = ("141414" * 63) + "0A141F"
+    assert(ahash(thumbHeader + uniform) == Some(-1L))
+    val brighter = ("141414" * 63) + "0A1421" // (10+20+33)/3 = 21 at image pixel 7 (file 63 = top-right)
+    val h = ahash(thumbHeader + brighter).get
+    // only the brighter pixel clears 64·lum ≥ Σ (Σ = 63·20+21 = 1281 > 64·20)
+    assert(h == (1L << 56), f"got $h%016x")
+  }
+
+  test("aHash: non-thumbnail dims, truncated pixels and non-BMP decode to NULL") {
+    val wide = thumbHeader.replace("08000000" + "08000000", "10000000" + "08000000")
+    assert(ahash(wide + "101010" * 128).isEmpty)           // 16×8: not the thumbnail contract
+    assert(ahash(thumbHeader + "101010" * 63).isEmpty)     // pixel array truncated
+    assert(ahash("474946383961" + "0800" + "0800" + "000000" + "3B").isEmpty) // GIF
+    assert(ahash(thumbHeader.take(20)).isEmpty)            // truncated header
+  }
+
+  test("aHash agrees with an independent in-test reference on random pixels") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val bytes = Array.fill(192)(rnd.nextInt(256))
+      val hex = thumbHeader + bytes.map(b => f"$b%02X").mkString
+      // independent re-derivation: file pixel j -> image (7 - j/8)*8 + j%8
+      val lum = new Array[Long](64)
+      (0 until 64).foreach { j =>
+        lum((7 - j / 8) * 8 + j % 8) =
+          (bytes(3 * j) + bytes(3 * j + 1) + bytes(3 * j + 2)) / 3
+      }
+      val sum = lum.sum
+      val expect = lum.zipWithIndex.foldLeft(0L) { case (acc, (l, k)) =>
+        if (64L * l >= sum) acc | (1L << (63 - k)) else acc
+      }
+      assert(ahash(hex) == Some(expect))
+    }
+  }
+
   test("decoder runs inside whole-stage codegen (no interpreted fallback)") {
     graft.expressions.ImageHeaderDecode.register(spark)
     import spark.implicits._
