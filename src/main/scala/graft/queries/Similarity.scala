@@ -26,7 +26,7 @@ object Similarity {
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
-    annBeamSensitivity, pipelineSemDedup, embedOodKnn)
+    annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1727,4 +1727,81 @@ object Similarity {
     FROM rot JOIN mx USING (vec_id)
     GROUP BY rot.vec_id
     ORDER BY rot.vec_id"""))
+
+  /** Binary sign-quantized retrieval eval (Charikar STOC'02 sign-random-
+    * projection family, here with axis planes — the 1-bit-per-dimension
+    * code a 100 TB first-stage retrieval serves from 8 bytes/vector,
+    * 64× smaller than float32): each vector becomes the 64-bit long of
+    * its per-dimension sign bits (pure comparisons to zero — no float
+    * arithmetic, so the code is exact cross-engine), the corpus is
+    * ranked per query by Hamming distance (popcount(xor) — an INTEGER
+    * ranking key, no rounding discipline needed), and the top-3 is
+    * graded against the exact full-cosine top-3 (round(,6)+id ties like
+    * every ANN eval). Same 10-query × corpus eval shape as
+    * embed_matryoshka; on isotropic synthetic vectors the overlap is
+    * chance-level — the machinery is the contract.
+    */
+  val embedSignHamming: Q = Q("embed_sign_hamming", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val signTerms = (0 until 64).map { d =>
+      val w = if (d == 0) "(-9223372036854775807L - 1L)" else s"${1L << (63 - d)}L"
+      s"CASE WHEN element_at(emb, ${d + 1}) >= 0 THEN $w ELSE 0L END"
+    }.mkString(" + ")
+    val n = normed(s, dir).withColumn("code", expr(signTerms))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("code").as("qc"))
+    val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"),
+      col("nrm").as("cn"), col("code").as("cc"))
+    val pairs = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("hamming", expr("CAST(bit_count(qc ^ cc) AS BIGINT)"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val wH = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("c_id").asc)
+    val wC = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    val ranked = pairs
+      .withColumn("rh", row_number().over(wH))
+      .withColumn("rc", row_number().over(wC))
+      .filter(col("rh") <= 3 || col("rc") <= 3)
+    ranked.groupBy("q_id")
+      .agg(
+        expr("transform(array_sort(collect_list(CASE WHEN rh <= 3 THEN struct(rh, c_id) END)), x -> x.c_id)")
+          .as("th"),
+        expr("transform(array_sort(collect_list(CASE WHEN rc <= 3 THEN struct(rc, c_id) END)), x -> x.c_id)")
+          .as("tc"),
+        min(when(col("rh") === 1, col("hamming"))).as("best_hamming"))
+      .withColumn("overlap", size(array_intersect(col("th"), col("tc"))).cast("bigint"))
+      .select(col("q_id"), concat_ws(",", col("th")).as("top_hamming"),
+        concat_ws(",", col("tc")).as("top_cosine"), col("best_hamming"),
+        col("overlap"))
+      .orderBy("q_id")
+  }, Some {
+    val signTerms = (0 until 64).map { d =>
+      val w = if (d == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - d)}"
+      s"CASE WHEN emb[${d + 1}] >= 0 THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        ($signTerms) AS code
+      FROM e0),
+    p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS hamming,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    r AS (SELECT q_id, c_id, hamming,
+        row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, c_id ASC) AS rh,
+        row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id ASC) AS rc
+      FROM p),
+    g AS (SELECT q_id,
+        list_aggregate(list(CAST(c_id AS VARCHAR) ORDER BY rh) FILTER (WHERE rh <= 3), 'string_agg', ',') AS top_hamming,
+        list(c_id ORDER BY rh) FILTER (WHERE rh <= 3) AS lh,
+        list_aggregate(list(CAST(c_id AS VARCHAR) ORDER BY rc) FILTER (WHERE rc <= 3), 'string_agg', ',') AS top_cosine,
+        list(c_id ORDER BY rc) FILTER (WHERE rc <= 3) AS lc,
+        min(hamming) FILTER (WHERE rh = 1) AS best_hamming
+      FROM r WHERE rh <= 3 OR rc <= 3 GROUP BY q_id)
+    SELECT q_id, top_hamming, top_cosine, best_hamming,
+      CAST(len(list_intersect(lh, lc)) AS BIGINT) AS overlap
+    FROM g ORDER BY q_id"""
+  })
 }

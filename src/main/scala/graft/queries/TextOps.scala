@@ -21,7 +21,8 @@ object TextOps {
     multimodalFrames, sampleTemperature, pipelineChunkIndex,
     textPhraseOccurrences, docChunkSentences, multimodalResize,
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
-    multimodalAudioMeta, multimodalPhash, multimodalPhashPairs)
+    multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
+    multimodalPhashClusters)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1622,4 +1623,42 @@ object TextOps {
     SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
     FROM p WHERE bit_count(xor(ha, hb)) <= 3
     ORDER BY doc_a, doc_b"""))
+
+  /** Near-duplicate IMAGE clusters: min-label connected components over
+    * the [[multimodalPhashPairs]] edge set (ops/Graph propagation —
+    * checkpointed distributed loop, counted-small driver fast path),
+    * with per-cluster size and the canonical-member flag (the min doc
+    * id — what a dedup pipeline keeps). Only docs that collided appear:
+    * singletons need no cluster decision. The oracle walks the same
+    * edges with a recursive reachability CTE.
+    */
+  val multimodalPhashClusters: Q = Q("multimodal_phash_clusters", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = multimodalPhashPairs.fn(s, dir).select("doc_a", "doc_b").persist()
+    val cl = graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), col("component").as("cluster_id"))
+    cl.withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH RECURSIVE ${phashOracleCtes},
+    bands AS (SELECT doc_id, ahash, bi,
+        bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
+      FROM hh, (VALUES (0), (1), (2), (3)) b(bi)),
+    capped AS (SELECT * FROM bands
+      QUALIFY count(*) OVER (PARTITION BY bk) <= 128),
+    pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      UNION ALL SELECT doc_b, doc_a FROM pr),
+    reach AS (
+      SELECT DISTINCT src AS v, src AS r FROM edges
+      UNION
+      SELECT e.dst AS v, r.r FROM reach r JOIN edges e ON e.src = r.v),
+    cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id,
+      count(*) OVER (PARTITION BY cluster_id) AS n_members,
+      doc_id = cluster_id AS is_canonical
+    FROM cl ORDER BY doc_id"""))
 }

@@ -394,6 +394,43 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ANF must stay keyed:\n$an")
   }
 
+  test("round-6 operators plan scale-shaped: banded phash join capped, keyed windows only") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    // phash pair miner: candidates come from an EQUI-join on the band
+    // key (pigeonhole), never an all-pairs product, and the band
+    // buckets pass through the capGroups hot-key bound (`_gn` window)
+    val pp = graft.queries.TextOps.multimodalPhashPairs.fn(spark, sf)
+    val ppPlan = pp.queryExecution.executedPlan.toString
+    assert(!ppPlan.contains("CartesianProduct") &&
+      !ppPlan.contains("BroadcastNestedLoopJoin"),
+      s"phash pairs must stay band-keyed:\n$ppPlan")
+    var capWindows = 0
+    pp.queryExecution.analyzed.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.nonEmpty => capWindows += 1
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        fail(s"phash pairs plans a global window: $w")
+      case _ => ()
+    }
+    assert(capWindows >= 1, "phash pairs must plan the capGroups bucket window")
+    // phash manifest: pure per-row decode — no join anywhere in the plan
+    val ph = graft.queries.TextOps.multimodalPhash
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!ph.contains("Join"), s"phash manifest must be join-free:\n$ph")
+    // SAX: every window (ntile / lead chains) is partitioned per series
+    val sx = graft.queries.Series.tsSax.fn(spark, sf).queryExecution.analyzed
+    sx.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => fail(s"ts_sax plans a global window: $w")
+      case _ => ()
+    }
+    // readability: two keyed partial aggs, no join, no window
+    val rd = graft.queries.Quality.qualityReadability
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!rd.contains("Join"), s"readability must be join-free:\n$rd")
+  }
+
   test("capGroups bounds per-group pair blow-up; basket_pairs plans the cap window") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

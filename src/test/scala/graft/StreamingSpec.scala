@@ -1020,6 +1020,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("phash gate: streamed banded image near-dups == multimodal_phash_pairs") {
+    // the image near-dup miner is the SAME gate as text LSH — band keys
+    // from the perceptual hash stream through LshGateProcessor, the
+    // exact popcount(xor) distance filters the candidates, and the
+    // result must equal the batch pair miner (which additionally caps
+    // buckets at 128 — vacuous at this SF, every bucket is tiny)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_phashgate").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val hashes = graft.queries.TextOps.multimodalPhash.fn(spark, sfDir)
+      .select("doc_id", "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hmap = hashes.toMap
+    // 4 bands × 16 bits, one line per band row "bi|bandval docId"
+    val rows = hashes.flatMap { case (id, h) =>
+      (0 until 4).map(bi => (id, s"$bi|${(h >> (16 * bi)) & 0xFFFFL}"))
+    }.sortBy(_._1)
+    val cut = {
+      val ids = rows.map(_._1).distinct
+      ids(ids.length / 2)
+    }
+    val (b1, b2) = rows.partition(_._1 < cut)
+    def fmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._2} ${r._1}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.LshGateProcessor(spark, src).toDF("d1", "d2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_phash_gate").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT DISTINCT d1, d2 FROM graft_phash_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) =>
+          java.lang.Long.bitCount(hmap(a) ^ hmap(b)) <= 3
+        }.toSet
+      val want = graft.queries.TextOps.multimodalPhashPairs.fn(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "batch phash pair set unexpectedly empty")
+      assert(got == want, s"streamed vs batch phash pairs: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("GramGateProcessor: streamed dotplot matches + islands agg == dedup_max_span") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
