@@ -60,7 +60,15 @@ object Bench {
     val probes = scala.collection.mutable.ArrayBuffer[Double](probe())
     val samples = (1 to passes).flatMap { _ =>
       val pass = selected.map { case (name, fn) =>
-        spark.catalog.clearCache() // previous query's persisted intermediates: teardown OUTSIDE the timed region
+        // previous query's persisted intermediates: teardown OUTSIDE the
+        // timed region. clearCache drops catalog-cached plans only —
+        // localCheckpoint/persist RDD blocks accumulate across a 228-query
+        // pass and the resulting storage-memory pressure measurably
+        // inflated late-alphabet heavy queries (graph_walk_skipgrams ran
+        // 10.2 s in a full pass vs 3.2 s isolated), so drop every
+        // persistent RDD explicitly as well.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

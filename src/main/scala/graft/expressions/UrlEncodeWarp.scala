@@ -70,6 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       AudioHeaderDecode.info, AudioHeaderDecode.builder))
     ext.injectFunction((FunctionIdentifier(ImageAHash.fnName),
       ImageAHash.info, ImageAHash.builder))
+    ext.injectFunction((FunctionIdentifier(DotProductLong.fnName),
+      DotProductLong.info, DotProductLong.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

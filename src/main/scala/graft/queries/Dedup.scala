@@ -203,10 +203,13 @@ object Dedup {
   /** Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join,
     * df-capped at [[DfCap]] so no gram key can blow up the join.
     */
-  val ngramJaccard: Q = Q("dedup_ngram_jaccard", (s, dir) => {
-    // the exploded shingle set feeds three subtrees (counts + both join
-    // sides) — persist it once instead of re-exploding per consumer
-    val sh = cappedShingles(s, dir).persist()
+  /** Exact-Jaccard pairs (inverted-index join at ≥ 0.5) from an already
+    * df-capped, persisted shingle relation — the ONE code path under
+    * dedup_ngram_jaccard AND the detector eval, so the eval can never
+    * drift from the operator it grades while still sharing a single
+    * shingle explode with the other detector.
+    */
+  private def exactPairsFrom(sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
@@ -218,7 +221,12 @@ object Dedup {
       .withColumn("jaccard", round(col("shared") / (col("n1") + col("n2") - col("shared")), 4))
       .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
       .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
+  }
+
+  val ngramJaccard: Q = Q("dedup_ngram_jaccard", (s, dir) => {
+    // the exploded shingle set feeds three subtrees (counts + both join
+    // sides) — persist it once instead of re-exploding per consumer
+    exactPairsFrom(cappedShingles(s, dir).persist()).orderBy("d1", "d2")
   }, Some(s"""WITH $duckCappedShingles,
     cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
@@ -232,11 +240,16 @@ object Dedup {
   /** MinHash + LSH near-dup detection: signature = 16 min-hashes, banded
     * 8×2; bucket-joined candidates filtered at estimated Jaccard ≥ 0.5.
     */
-  val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) => {
+  /** Estimated-Jaccard pairs (typed-UDAF signatures → banded candidates
+    * → est ≥ 0.5) from an exploded shingle relation — the ONE code path
+    * under dedup_minhash_lsh AND the detector eval (same no-drift
+    * contract as [[exactPairsFrom]]).
+    */
+  private def estPairsFrom(shRaw: DataFrame): DataFrame = {
     // generic pipeline from ops/Lsh: shingle → typed-UDAF signatures
     // (persisted: feeds the bands and both estimated-Jaccard sides) →
     // banded candidate pairs
-    val sigArr = graft.ops.Lsh.signatures(sparkShingles(s, dir), "doc_id").persist()
+    val sigArr = graft.ops.Lsh.signatures(shRaw, "doc_id").persist()
     val sig = sigArr.select(col("doc_id") +:
       (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     val cand = graft.ops.Lsh.candidatePairs(sigArr, "doc_id")
@@ -249,8 +262,11 @@ object Dedup {
       .withColumn("est_jaccard", round(expr(estExpr), 4))
       .filter(expr(estExpr) >= 0.5)
       .select("d1", "d2", "est_jaccard")
-      .orderBy("d1", "d2")
-  }, Some(s"""WITH $minhashCtes
+  }
+
+  val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) =>
+    estPairsFrom(sparkShingles(s, dir)).orderBy("d1", "d2"),
+  Some(s"""WITH $minhashCtes
     SELECT d1, d2, round($minhashEstExpr, 4) AS est_jaccard
     FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2
     WHERE $minhashEstExpr >= 0.5 ORDER BY d1, d2"""))
@@ -817,8 +833,14 @@ object Dedup {
     * and recall in exact integer basis points; one row.
     */
   val lshEval: Q = Q("dedup_lsh_eval", (s, dir) => {
-    val est = minhashLsh.fn(s, dir).select("d1", "d2").persist()
-    val ex = ngramJaccard.fn(s, dir).select("d1", "d2").persist()
+    // ONE shingle explode feeds BOTH detectors (round-6 perf: composing
+    // the registered .fn's re-derived the index twice — the eval shares
+    // the raw shingle relation and runs the IDENTICAL pair builders the
+    // registered detectors bind, so nothing can drift)
+    val shRaw = sparkShingles(s, dir).persist()
+    val est = estPairsFrom(shRaw).select("d1", "d2").persist()
+    val ex = exactPairsFrom(
+      graft.ops.Scale.capGroups(shRaw, "sh", DfCap).persist()).select("d1", "d2").persist()
     val tp = est.join(ex, Seq("d1", "d2"), "left_semi")
       .agg(count(lit(1)).as("tp"))
     val fp = est.join(ex, Seq("d1", "d2"), "left_anti")

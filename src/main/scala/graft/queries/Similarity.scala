@@ -26,7 +26,8 @@ object Similarity {
     kmeansRefine, annPqAdc, annPqTrained, dedupEmbedCosine, annHardNegatives,
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
-    annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming)
+    annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
+    embedCoresetGreedy)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1803,5 +1804,91 @@ object Similarity {
     SELECT q_id, top_hamming, top_cosine, best_hamming,
       CAST(len(list_intersect(lh, lc)) AS BIGINT) AS overlap
     FROM g ORDER BY q_id"""
+  })
+
+  /** Facility-location GREEDY data selection (the submodular coreset
+    * family — Krause & Golovin, "Submodular Function Maximization",
+    * survey 2014 — public; the 1−1/e greedy guarantee is Nemhauser '78):
+    * pick k=3 representatives maximizing Σ_x max_{s∈S} ⟨x,s⟩⁺, the
+    * coverage objective a data-selection pipeline optimizes when
+    * choosing which examples summarize a corpus. Kept EXACT end-to-end:
+    * vectors quantize to ×10⁴ bigints (per-element round — the SQ8/PQ
+    * discipline), every inner product and running coverage max is
+    * integer, argmax ties break on the candidate id. Scale shape:
+    * greedy over the FULL corpus would be corpus×corpus per round, so
+    * candidates are pre-bounded to the 4 highest-energy vectors per
+    * label cell (any bounded per-cell rule works at 100 TB — cell-top
+    * by centroid affinity, a sampled pool, …); each round is then a
+    * corpus × ≤40-candidate broadcast join, one 40-row argmax
+    * (TakeOrdered, no global window), and a corpus × 1-row coverage
+    * update. Long headroom: |q|≤4·10⁴ ⟹ per-pair dot ≤ 10¹¹, summed
+    * coverage ≤ 10¹⁴ at 10⁹ rows — rescale DIV before summing beyond
+    * that. Oracle = 3 unrolled MATERIALIZED greedy rounds.
+    */
+  val embedCoresetGreedy: Q = Q("embed_coreset_greedy", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.DotProductLong.register(s)
+    // codegen'd fused integer dot (identical result to the HOF fold —
+    // integer addition is associative; measured 4.3 s → see DevNsw-style
+    // note in the bench history for the interpreted-HOF tax)
+    def dotq(a: String, b: String): String = s"graft_dot_long($a, $b)"
+    val q = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+    val cands0 = q.withColumn("e", expr(dotq("q", "q")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("e").desc, col("vec_id"))))
+      .filter(col("rn") <= 4)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"))
+    var best = q.select(col("vec_id"), col("q"), lit(0L).as("best")).persist()
+    var cands = cands0.persist()
+    var picks = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (r <- 1 to 3) {
+      val gains = best.crossJoin(broadcast(cands))
+        .withColumn("g", expr(s"greatest(best, ${dotq("q", "cq")})"))
+        .groupBy("c_id").agg(sum("g").as("obj"))
+      // eager localCheckpoint truncates the per-round plan: the chosen
+      // row and the N-row coverage state are tiny, and the chained
+      // lineage otherwise pays a fresh whole-stage-codegen compile per
+      // round (the DevNsw-measured tax)
+      val chosen = gains.orderBy(col("obj").desc, col("c_id").asc).limit(1)
+        .join(broadcast(cands), "c_id").localCheckpoint(true)
+      picks = picks :+ chosen.select(lit(r.toLong).as("round"),
+        col("c_id").as("vec_id"), col("obj"))
+      best = best.crossJoin(broadcast(chosen.select(col("cq"))))
+        .select(col("vec_id"), col("q"),
+          expr(s"greatest(best, ${dotq("q", "cq")})").as("best"))
+        .localCheckpoint(true)
+      cands = cands.join(chosen.select("c_id"), Seq("c_id"), "left_anti")
+    }
+    picks.reduce(_ union _).orderBy("round")
+  }, Some {
+    def dotq(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+    def round(r: Int, prevBest: String, notIn: String): String = s"""
+    g$r AS MATERIALIZED (SELECT c.c_id,
+        CAST(sum(greatest(b.best, ${dotq("b.q", "c.cq")})) AS BIGINT) AS obj
+      FROM $prevBest b, cand c $notIn GROUP BY c.c_id),
+    s$r AS MATERIALIZED (SELECT c_id, obj FROM g$r
+      QUALIFY row_number() OVER (ORDER BY obj DESC, c_id) = 1),
+    b$r AS MATERIALIZED (SELECT b.vec_id, b.q,
+        greatest(b.best, ${dotq("b.q", "ch.cq")}) AS best
+      FROM $prevBest b CROSS JOIN
+        (SELECT c.cq FROM cand c JOIN s$r USING (c_id)) ch)"""
+    s"""WITH q0 AS (SELECT vec_id, label,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings),
+    en AS (SELECT vec_id, label, q, ${dotq("q", "q")} AS e FROM q0),
+    cand AS MATERIALIZED (SELECT vec_id AS c_id, q AS cq FROM en
+      QUALIFY row_number() OVER (PARTITION BY label ORDER BY e DESC, vec_id) <= 4),
+    b0 AS (SELECT vec_id, q, CAST(0 AS BIGINT) AS best FROM q0),
+    ${round(1, "b0", "WHERE TRUE")},
+    ${round(2, "b1", "WHERE c.c_id NOT IN (SELECT c_id FROM s1)")},
+    ${round(3, "b2",
+      "WHERE c.c_id NOT IN (SELECT c_id FROM s1 UNION ALL SELECT c_id FROM s2)")}
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round, c_id AS vec_id, obj FROM s1
+      UNION ALL SELECT 2, c_id, obj FROM s2
+      UNION ALL SELECT 3, c_id, obj FROM s3)
+    ORDER BY round"""
   })
 }

@@ -79,4 +79,45 @@ class DotProductDoubleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.toLowerCase.contains("graft_dot"))
   }
+
+  // ---- graft_dot_long: the fixed-point integer twin ----
+
+  test("graft_dot_long equals the integer fold on random quantized vectors") {
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.expressions.DotProductLong.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextInt(80001).toLong - 40000L),
+      Seq.fill(64)(rnd.nextInt(80001).toLong - 40000L)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      call_function("graft_dot_long", col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("fold"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_dot_long: null element / length mismatch NULL; wrong types rejected") {
+    graft.expressions.DotProductLong.register(spark)
+    val r1 = spark.sql(
+      "SELECT graft_dot_long(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS d").collect()
+    assert(r1.head.isNullAt(0))
+    val r2 = spark.sql("SELECT graft_dot_long(array(1L), array(1L, 2L)) AS d").collect()
+    assert(r2.head.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dot_long(array(1.0d), array(2.0d))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_dot_long"))
+  }
+
+  test("graft_dot_long runs inside whole-stage codegen") {
+    graft.expressions.DotProductLong.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b").repartition(1)
+      .selectExpr("graft_dot_long(a, b) AS d")
+    assert(df.collect()(0).getLong(0) == 11L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no WholeStageCodegen span in:\n$plan")
+  }
 }
