@@ -68,7 +68,11 @@ object Bench {
         // 10.2 s in a full pass vs 3.2 s isolated), so drop every
         // persistent RDD explicitly as well.
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // blocking: an async unpersist races into the NEXT query's timed
+        // region (the prom_* queries, right after the persist-heavy
+        // pipeline_* ones alphabetically, ran 3-5x slower under the
+        // concurrent block-removal storm)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

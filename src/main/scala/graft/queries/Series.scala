@@ -17,7 +17,7 @@ object Series {
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
-    tsForecastEval, scd2PitJoin, tsCompleteness, tsSax)
+    tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1486,4 +1486,72 @@ object Series {
     FROM wrd WHERE word IS NOT NULL
     GROUP BY event_type, word HAVING count(*) >= 2
     ORDER BY event_type, n_occ DESC, word"""))
+
+  /** Ordinal-pattern (permutation) analysis of each series — Bandt &
+    * Pompe, "Permutation Entropy: A Natural Complexity Measure for Time
+    * Series", PRL 88:174102 (2002, public), kept fully RANK-BASED so
+    * nothing floats: every 3 consecutive hourly means map to one of the
+    * 3! = 6 ordinal patterns (stable ties — equal values order by
+    * position, the standard convention), and the per-series pattern
+    * histogram comes out as exact counts + basis-point shares. The
+    * entropy itself needs log(p) — instead the query reports the
+    * integer sufficient statistics a monitor actually thresholds:
+    * per-pattern share and the determinism score (dominant-pattern
+    * share; 1667 bp ≈ white noise, 10000 = monotone). Scale: per-series
+    * lead() windows + keyed aggs; the pattern space is 6.
+    */
+  val tsOrdinalPatterns: Q = Q("ts_ordinal_patterns", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val pat = hourly
+      .withColumn("b", lead("c", 1).over(w))
+      .withColumn("cc", lead("c", 2).over(w))
+      .filter(col("cc").isNotNull)
+      .withColumn("pattern", expr("""CASE
+        WHEN c <= b AND b <= cc THEN '012'
+        WHEN c <= cc AND cc < b THEN '021'
+        WHEN b < c AND c <= cc THEN '102'
+        WHEN b <= cc AND cc < c THEN '120'
+        WHEN cc < c AND c <= b THEN '201'
+        ELSE '210' END"""))
+    val cnt = pat.groupBy("event_type", "pattern").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("event_type").agg(sum("n").as("total"),
+      max("n").as("dom_n"))
+    cnt.join(tot, "event_type")
+      .select(col("event_type"), col("pattern"), col("n"),
+        expr("n * 10000 DIV total").as("share_bp"),
+        expr("dom_n * 10000 DIV total").as("determinism_bp"))
+      .orderBy("event_type", "pattern")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hr AS (SELECT event_type, h,
+        CAST(sum(cents) AS BIGINT) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    tri AS (SELECT event_type, c,
+        lead(c, 1) OVER w AS b, lead(c, 2) OVER w AS cc
+      FROM hr WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    pat AS (SELECT event_type, CASE
+        WHEN c <= b AND b <= cc THEN '012'
+        WHEN c <= cc AND cc < b THEN '021'
+        WHEN b < c AND c <= cc THEN '102'
+        WHEN b <= cc AND cc < c THEN '120'
+        WHEN cc < c AND c <= b THEN '201'
+        ELSE '210' END AS pattern
+      FROM tri WHERE cc IS NOT NULL),
+    cnt AS (SELECT event_type, pattern, count(*)::BIGINT AS n
+      FROM pat GROUP BY event_type, pattern),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+        max(n) AS dom_n
+      FROM cnt GROUP BY event_type)
+    SELECT cnt.event_type, pattern, n,
+      n * 10000 // total AS share_bp,
+      dom_n * 10000 // total AS determinism_bp
+    FROM cnt JOIN tot ON tot.event_type = cnt.event_type
+    ORDER BY cnt.event_type, pattern"""))
 }

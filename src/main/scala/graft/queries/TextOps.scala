@@ -22,7 +22,7 @@ object TextOps {
     textPhraseOccurrences, docChunkSentences, multimodalResize,
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
-    multimodalPhashClusters)
+    multimodalPhashClusters, sampleNeymanAlloc)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1661,4 +1661,63 @@ object TextOps {
       count(*) OVER (PARTITION BY cluster_id) AS n_members,
       doc_id = cluster_id AS is_canonical
     FROM cl ORDER BY doc_id"""))
+
+  /** NEYMAN optimal allocation (Neyman 1934 — public; the
+    * variance-proportional stratified budget every survey/eval pipeline
+    * uses when strata differ in spread): sample budget per stratum
+    * n_h ∝ N_h·S_h, kept EXACT end-to-end. The trick that keeps the
+    * float out: N_h·S_h = √(N_h·Σx² − (Σx)²) — n²-scaled population
+    * variance is an INTEGER — so the weight is one exact integer sqrt
+    * (floor(sqrt(double)) corrected ±1 by SQUARING, the
+    * temperatureAlloc discipline) and the per-stratum budget comes from
+    * the telescoping cumulative-quota apportionment that provably sums
+    * to the budget. Headroom: cents ≤ 10⁴ ⟹ N·Σx² < 2⁶³ up to N ≈ 10⁷
+    * rows per stratum — pre-scale x DIV k beyond that (weights only
+    * need relative precision). One keyed agg + one sanctioned window
+    * over the #strata relation.
+    */
+  val sampleNeymanAlloc: Q = Q("sample_neyman_alloc", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 1000L
+    val a = Tables.events(s, dir)
+      .withColumn("x", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), sum("x").as("sx"),
+        sum(expr("x * x")).as("sxx"))
+      .withColumn("vv", expr("n_rows * sxx - sx * sx"))
+      .withColumn("_k0", expr("CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sd_weight", expr(
+        """CASE WHEN (_k0 + 1) * (_k0 + 1) <= vv THEN _k0 + 1
+                WHEN _k0 * _k0 > vv THEN _k0 - 1 ELSE _k0 END"""))
+    val wCum = Window.orderBy(col("event_type").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = a.withColumn("cumw", sum("sd_weight").over(wCum))
+    val tot = a.agg(sum("sd_weight").as("tw"))
+    withCum.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_rows"), col("sd_weight"),
+        expr(s"""CASE WHEN tw = 0 THEN 0L ELSE
+          ($budget * cumw) DIV tw - ($budget * (cumw - sd_weight)) DIV tw
+          END""").as("alloc"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+    a AS (SELECT event_type, count(*)::BIGINT AS n_rows,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM e GROUP BY event_type),
+    v AS (SELECT *, n_rows * sxx - sx * sx AS vv FROM a),
+    k AS (SELECT *, CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS BIGINT) AS k0 FROM v),
+    w AS (SELECT event_type, n_rows,
+        CASE WHEN (k0 + 1) * (k0 + 1) <= vv THEN k0 + 1
+             WHEN k0 * k0 > vv THEN k0 - 1 ELSE k0 END AS sd_weight
+      FROM k),
+    c AS (SELECT event_type, n_rows, sd_weight,
+        CAST(sum(sd_weight) OVER (ORDER BY event_type
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+      FROM w),
+    t AS (SELECT CAST(sum(sd_weight) AS BIGINT) AS tw FROM w)
+    SELECT event_type, n_rows, sd_weight,
+      CAST(CASE WHEN tw = 0 THEN 0 ELSE
+        (1000 * cumw) // tw - (1000 * (cumw - sd_weight)) // tw
+        END AS BIGINT) AS alloc
+    FROM c, t ORDER BY event_type"""))
 }
