@@ -17,7 +17,8 @@ object Series {
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
-    tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns)
+    tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
+    tsPacf)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1554,4 +1555,84 @@ object Series {
       dom_n * 10000 // total AS determinism_bp
     FROM cnt JOIN tot ON tot.event_type = cnt.event_type
     ORDER BY cnt.event_type, pattern"""))
+
+  /** Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    * recursion (Durbin 1960 — public; the AR-order diagnostic beside
+    * [[tsAutocorr]]'s ACF in any Box–Jenkins workflow), in QUANTIZED
+    * fixed point: the ACF terms are exact integer ratios at 10⁶ scale,
+    * and every DL step re-quantizes products back to e6 with one
+    * truncating DIV — both engines run the IDENTICAL integer recursion,
+    * so the (deliberately) quantized estimates are bit-equal, the same
+    * discipline as the packed Holt folds. |r|≤10⁶ by Cauchy–Schwarz on
+    * the lagged sums, so every product stays under 10¹⁸. Degenerate
+    * denominators (|φ|→1) null out via nullif on both sides. Shape:
+    * the ACF aggregation per series + per-type scalar math; no new
+    * shuffle beyond tsAutocorr's.
+    */
+  val tsPacf: Q = Q("ts_pacf", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val hourly = e.groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val m = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), expr("sum(c) DIV count(1)").as("mean_c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val d = hourly.join(m, "event_type")
+      .withColumn("dev", col("c") - col("mean_c"))
+      .withColumn("d1", lead("dev", 1).over(w))
+      .withColumn("d2", lead("dev", 2).over(w))
+      .withColumn("d3", lead("dev", 3).over(w))
+    val r = d.groupBy("event_type")
+      .agg(max("n_hours").as("n_hours"),
+        expr("1000000 * sum(dev * d1) DIV nullif(sum(dev * dev), 0)").as("r1"),
+        expr("1000000 * sum(dev * d2) DIV nullif(sum(dev * dev), 0)").as("r2"),
+        expr("1000000 * sum(dev * d3) DIV nullif(sum(dev * dev), 0)").as("r3"))
+    r.withColumn("p11", col("r1"))
+      .withColumn("a2", expr("r2 - (p11 * r1) DIV 1000000"))
+      .withColumn("b2", expr("1000000 - (p11 * r1) DIV 1000000"))
+      .withColumn("p22", expr("(a2 * 1000000) DIV nullif(b2, 0)"))
+      .withColumn("p21", expr("p11 - (p22 * p11) DIV 1000000"))
+      .withColumn("a3", expr(
+        "r3 - (p21 * r2) DIV 1000000 - (p22 * r1) DIV 1000000"))
+      .withColumn("b3", expr(
+        "1000000 - (p21 * r1) DIV 1000000 - (p22 * r2) DIV 1000000"))
+      .withColumn("p33", expr("(a3 * 1000000) DIV nullif(b3, 0)"))
+      .select(col("event_type"), col("n_hours"),
+        col("p11").as("pacf1_e6"), col("p22").as("pacf2_e6"),
+        col("p33").as("pacf3_e6"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, sum(cents) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    m AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        sum(c) // count(*) AS mean_c
+      FROM hd GROUP BY event_type),
+    d AS (SELECT hd.event_type, m.n_hours, hd.c - m.mean_c AS dev,
+        lead(hd.c - m.mean_c, 1) OVER w AS d1,
+        lead(hd.c - m.mean_c, 2) OVER w AS d2,
+        lead(hd.c - m.mean_c, 3) OVER w AS d3
+      FROM hd JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY hd.event_type ORDER BY hd.h)),
+    r AS (SELECT event_type, max(n_hours) AS n_hours,
+        CAST(1000000 * sum(dev * d1) // nullif(sum(dev * dev), 0) AS BIGINT) AS r1,
+        CAST(1000000 * sum(dev * d2) // nullif(sum(dev * dev), 0) AS BIGINT) AS r2,
+        CAST(1000000 * sum(dev * d3) // nullif(sum(dev * dev), 0) AS BIGINT) AS r3
+      FROM d GROUP BY event_type),
+    s2 AS (SELECT *, r1 AS p11,
+        r2 - (r1 * r1) // 1000000 AS a2,
+        1000000 - (r1 * r1) // 1000000 AS b2
+      FROM r),
+    s2b AS (SELECT *, (a2 * 1000000) // nullif(b2, 0) AS p22 FROM s2),
+    s3 AS (SELECT *, p11 - (p22 * p11) // 1000000 AS p21 FROM s2b),
+    s3b AS (SELECT *,
+        r3 - (p21 * r2) // 1000000 - (p22 * r1) // 1000000 AS a3,
+        1000000 - (p21 * r1) // 1000000 - (p22 * r2) // 1000000 AS b3
+      FROM s3)
+    SELECT event_type, n_hours, p11 AS pacf1_e6, p22 AS pacf2_e6,
+      CAST((a3 * 1000000) // nullif(b3, 0) AS BIGINT) AS pacf3_e6
+    FROM s3b ORDER BY event_type"""))
 }
