@@ -1069,6 +1069,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("OrdinalProcessor: streamed pattern counts == ts_ordinal_patterns histogram") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_ordinal").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // the hourly series the batch query folds, in series order
+    val hourly = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    // split at a GLOBAL hour cutoff: per-key order is preserved across
+    // the two files (the fold-twin ordering precondition)
+    val hs = hourly.map(_._2).distinct.sorted
+    val cut = hs(hs.length / 2)
+    val (b1, b2) = hourly.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.OrdinalProcessor(spark, src).toDF("k", "pattern")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_ordinal").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, pattern, count(*) AS n FROM graft_ordinal GROUP BY k, pattern")
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val want = graft.queries.Series.tsOrdinalPatterns.fn(spark, sfDir)
+        .select("event_type", "pattern", "n")
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      assert(want.nonEmpty, "batch pattern histogram unexpectedly empty")
+      assert(got == want, s"streamed vs batch patterns: " +
+        s"missing=${(want.toSet -- got.toSet).take(5)} extra=${(got.toSet -- want.toSet).take(5)}")
+    } finally q.stop()
+  }
+
   test("GramGateProcessor: streamed dotplot matches + islands agg == dedup_max_span") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
