@@ -17,7 +17,7 @@ object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
-    reachAnf, randomWalks, walkSkipgrams, ktruss)
+    reachAnf, randomWalks, walkSkipgrams, ktruss, squares)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -593,4 +593,38 @@ object Graphs {
     SELECT e.lo AS src, e.hi AS dst, coalesce(sf.sup, 0)::BIGINT AS support
     FROM e2 e LEFT JOIN sf ON sf.lo = e.lo AND sf.hi = e.hi
     ORDER BY src, dst"""))
+
+  /** Quadrangle (4-cycle) participation per vertex — the C4 motif
+    * beside the triangle count (bipartite-ish community signal: C4s
+    * abound where two hubs share audiences; Chiba–Nishizeki '85 is the
+    * classical listing bound — public). Counting identity: each
+    * 4-cycle contains a vertex as a member of exactly ONE opposite
+    * pair, so n_sq(v) = Σ_w C(codegree(v,w), 2) — one wedge join on
+    * the middle vertex, grouped to codegrees, one C(q,2) explode; all
+    * integer. Scale: wedge volume Σ_m d(m)² — the triangles bound;
+    * hot-hub mitigation is the same degree-orientation/df-cap
+    * playbook, unneeded on this bounded (≤60-vertex) similarity graph.
+    */
+  val squares: Q = Q("graph_squares", (s, dir) => {
+    val je = simEdges(s, dir)
+    val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val a = ed.select(col("dst").as("m"), col("src").as("u"))
+    val b = ed.select(col("dst").as("m2"), col("src").as("w"))
+    val cod = a.join(b, col("m") === col("m2") && col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("q"))
+      .filter(col("q") >= 2)
+    cod.select(explode(expr("array(u, w)")).as("v"),
+        expr("q * (q - 1) DIV 2").as("sq"))
+      .groupBy("v").agg(sum("sq").as("n_sq"))
+      .orderBy(desc("n_sq"), asc("v")).limit(50)
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    cod AS (SELECT a.src AS u, b.src AS w, count(*)::BIGINT AS q
+      FROM ed a JOIN ed b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src HAVING count(*) >= 2),
+    per AS (SELECT unnest([u, w]) AS v, q * (q - 1) // 2 AS sq FROM cod)
+    SELECT v, CAST(sum(sq) AS BIGINT) AS n_sq FROM per GROUP BY v
+    ORDER BY n_sq DESC, v LIMIT 50"""))
 }
