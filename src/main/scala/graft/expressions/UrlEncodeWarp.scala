@@ -72,6 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ImageAHash.info, ImageAHash.builder))
     ext.injectFunction((FunctionIdentifier(DotProductLong.fnName),
       DotProductLong.info, DotProductLong.builder))
+    ext.injectFunction((FunctionIdentifier(AudioFingerprint.fnName),
+      AudioFingerprint.info, AudioFingerprint.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
   }
 }

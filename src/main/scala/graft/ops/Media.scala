@@ -214,4 +214,53 @@ object Media {
     }
     s"(${terms.mkString(" + ")})"
   }
+
+  // ---- PCM WAV with REAL sample data (audio fingerprinting) ----
+
+  /** 65 mono PCM-16 samples → 64 delta-sign fingerprint bits (the
+    * 1-band simplification of the Haitsma–Kalker '02 sign-of-energy-
+    * difference fingerprint — public). 44-byte canonical header +
+    * 130 data bytes.
+    */
+  val AudioFpSamples = 65
+  val AudioFpFileLen: Int = 44 + 2 * AudioFpSamples
+
+  /** Hex of the complete mono 8 kHz PCM-16 WAV whose sample k carries
+    * the 16-bit value produced by `sampleHex(k)` (4 hex digits,
+    * LITTLE-ENDIAN byte order — the caller swaps). Header is to-spec:
+    * RIFF size 36+130, fmt 16/PCM/1ch/8000/16000 B/s/align 2/16 bit,
+    * data size 130.
+    */
+  def pcmWavHexExpr(sampleHex: Int => String): String = {
+    val header = "'52494646' || 'A6000000' || '57415645' || '666D7420' || " +
+      "'10000000' || '0100' || '0100' || '401F0000' || '803E0000' || " +
+      "'0200' || '1000' || '64617461' || '82000000'"
+    val samples = (0 until AudioFpSamples).map(sampleHex).mkString(" || ")
+    s"($header || $samples)"
+  }
+
+  /** DuckDB signed-int16 sample list (1-based) from hex(blob) `h` at
+    * the canonical 44-byte data offset, little-endian per PCM spec.
+    */
+  def duckPcmSamples(h: String, name: String): String = {
+    val vals = (0 until AudioFpSamples).map { i =>
+      val off = 44 + 2 * i
+      val raw = s"CAST('0x' || substr($h, ${2 * off + 3}, 2) || " +
+        s"substr($h, ${2 * off + 1}, 2) AS BIGINT)"
+      s"(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    }
+    s"[${vals.mkString(", ")}] AS $name"
+  }
+
+  /** The fingerprint sum over the 65-element sample list `s` (1-based):
+    * bit i (MSB-first) set iff sample i+1 > sample i — same signed
+    * weight trick as [[duckAHashFold]].
+    */
+  def duckDeltaFold(s: String): String = {
+    val terms = (0 until 64).map { i =>
+      val w = if (i == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - i)}"
+      s"CASE WHEN $s[${i + 2}] > $s[${i + 1}] THEN CAST($w AS BIGINT) ELSE 0 END"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
 }

@@ -22,7 +22,7 @@ object TextOps {
     textPhraseOccurrences, docChunkSentences, multimodalResize,
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
-    multimodalPhashClusters, sampleNeymanAlloc)
+    multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1720,4 +1720,44 @@ object TextOps {
         (1000 * cumw) // tw - (1000 * (cumw - sd_weight)) // tw
         END AS BIGINT) AS alloc
     FROM c, t ORDER BY event_type"""))
+
+  /** Audio twin of [[multimodalPhash]] over a REAL PCM payload: each
+    * doc's WAV now carries 65 actual mono 16-bit samples (little-endian
+    * int16s from per-word md5, so near-identical texts give
+    * near-identical streams), and the codegen'd byte-level
+    * [[graft.expressions.AudioFingerprint]] decoder derives the 64-bit
+    * sign-of-difference fingerprint (Haitsma–Kalker ISMIR'02, one-band
+    * form) — header validation, signed-sample parse, delta bits. The
+    * oracle re-reads the identical samples by hex offset arithmetic and
+    * refolds the identical bits. Per-row, zero shuffle; the banded
+    * near-dup machinery is shared with the image path (same 4×16
+    * pigeonhole applies downstream).
+    */
+  val multimodalAudioFingerprint: Q = Q("multimodal_audio_fingerprint", (s, dir) => {
+    graft.expressions.AudioFingerprint.register(s)
+    val sx: Int => String = k => {
+      val md5 = s"upper(md5(element_at(ws, $k % nw + 1)))"
+      s"(substr($md5, 3, 2) || substr($md5, 1, 2))" // LE byte order
+    }
+    val wavHex = graft.ops.Media.pcmWavHexExpr(sx)
+    Tables.t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", expr("size(ws)"))
+      .select(col("doc_id"), expr(s"audio_fingerprint(unhex($wavHex))").as("afp"))
+      .withColumn("bits_set", expr("CAST(bit_count(afp) AS BIGINT)"))
+      .orderBy("doc_id")
+  }, Some {
+    val sx: Int => String = k => {
+      val md5 = s"upper(md5(ws[($k % nw) + 1]))"
+      s"(substr($md5, 3, 2) || substr($md5, 1, 2))"
+    }
+    val wavHex = graft.ops.Media.pcmWavHexExpr(sx)
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS nw FROM documents),
+    hx AS (SELECT doc_id, hex(unhex($wavHex)) AS h FROM d),
+    sm AS (SELECT doc_id, ${graft.ops.Media.duckPcmSamples("h", "ss")} FROM hx),
+    fp AS (SELECT doc_id, ${graft.ops.Media.duckDeltaFold("ss")} AS afp FROM sm)
+    SELECT doc_id, afp, CAST(bit_count(afp) AS BIGINT) AS bits_set
+    FROM fp ORDER BY doc_id"""
+  })
 }

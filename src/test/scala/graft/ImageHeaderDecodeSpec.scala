@@ -165,6 +165,44 @@ class ImageHeaderDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- audio_fingerprint over the 65-sample PCM payload ----
+
+  /** Canonical mono 8 kHz 16-bit header for the 65-sample payload. */
+  private val pcmHeader = "52494646" + "A6000000" + "57415645" + "666D7420" +
+    "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+    "0200" + "1000" + "64617461" + "82000000"
+
+  private def afp(hex: String): Option[Long] = {
+    graft.expressions.AudioFingerprint.register(spark)
+    import spark.implicits._
+    val r = Seq(hex).toDF("hx").repartition(1)
+      .selectExpr("audio_fingerprint(unhex(hx)) AS a").collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  test("audio fingerprint: strictly ascending samples set every delta bit") {
+    val samples = (0 until 65).map(k => f"$k%02X00").mkString // k as le16
+    assert(afp(pcmHeader + samples) == Some(-1L))
+  }
+
+  test("audio fingerprint: constant samples clear every bit; SIGNED int16 compare") {
+    assert(afp(pcmHeader + "0000" * 65) == Some(0L))
+    // sample0 = 32767 (FF7F le), sample1 = -32768 (0080 le): an unsigned
+    // reader would call that a rise; the signed decoder must not
+    val mixed = "FF7F" + "0080" + "0000" * 63
+    assert(afp(pcmHeader + mixed) == Some(1L << 62))
+  }
+
+  test("audio fingerprint: stereo, 8-bit, truncated and non-WAV decode to NULL") {
+    val stereo = pcmHeader.replace("0100" + "0100" + "401F0000",
+      "0100" + "0200" + "401F0000")
+    assert(afp(stereo + "0000" * 65).isEmpty)
+    val eightBit = pcmHeader.replace("0200" + "1000", "0200" + "0800")
+    assert(afp(eightBit + "0000" * 65).isEmpty)
+    assert(afp(pcmHeader + "0000" * 64).isEmpty) // one sample short
+    assert(afp("424D" + "00" * 100).isEmpty)     // BMP bytes
+  }
+
   test("decoder runs inside whole-stage codegen (no interpreted fallback)") {
     graft.expressions.ImageHeaderDecode.register(spark)
     import spark.implicits._
