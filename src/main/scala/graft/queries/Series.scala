@@ -18,7 +18,7 @@ object Series {
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
-    tsPacf)
+    tsPacf, tsBurstiness)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1635,4 +1635,66 @@ object Series {
     SELECT event_type, n_hours, p11 AS pacf1_e6, p22 AS pacf2_e6,
       CAST((a3 * 1000000) // nullif(b3, 0) AS BIGINT) AS pacf3_e6
     FROM s3b ORDER BY event_type"""))
+
+  /** Burstiness coefficient per series — Goh & Barabási, "Burstiness
+    * and memory in complex systems", EPL 81 (2008, public):
+    * B = (σ−μ)/(σ+μ) over the inter-event gaps (−1 = perfectly
+    * regular, 0 = Poisson, →1 = extreme bursts), in EXACT integer
+    * arithmetic: gaps in whole seconds, μ = Σg DIV n, σ =
+    * isqrt(Σ(g−μ)² DIV n) by the floor-sqrt-then-square-correct
+    * discipline, and B in fixed-point e4 with one truncating DIV.
+    * Second-granularity gaps keep every intermediate under 2⁶³ to
+    * ~10⁸ gaps per series of any span (µs gaps would overflow the
+    * square at one large gap). One lag window per series + one keyed
+    * agg, then scalar math.
+    */
+  val tsBurstiness: Q = Q("ts_burstiness", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("g", expr("(ts_us - prev) DIV 1000000"))
+    val m = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), expr("sum(g) DIV count(1)").as("mu"))
+    g.join(m, "event_type")
+      .groupBy("event_type")
+      .agg(max("n_gaps").as("n_gaps"), max("mu").as("mean_gap_s"),
+        expr("sum((g - mu) * (g - mu)) DIV max(n_gaps)").as("v"))
+      .withColumn("_k0", expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sigma_gap_s", expr(
+        """CASE WHEN (_k0 + 1) * (_k0 + 1) <= v THEN _k0 + 1
+                WHEN _k0 * _k0 > v THEN _k0 - 1 ELSE _k0 END"""))
+      .select(col("event_type"), col("n_gaps"), col("mean_gap_s"),
+        col("sigma_gap_s"),
+        expr("""(sigma_gap_s - mean_gap_s) * 10000
+          DIV nullif(sigma_gap_s + mean_gap_s, 0)""").as("burstiness_e4"),
+        expr("sigma_gap_s * 10000 DIV nullif(mean_gap_s, 0)").as("cv_e4"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+    g0 AS (SELECT event_type,
+        lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS prev,
+        ts_us
+      FROM e),
+    g AS (SELECT event_type, (ts_us - prev) // 1000000 AS g
+      FROM g0 WHERE prev IS NOT NULL),
+    m AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        CAST(sum(g) AS BIGINT) // count(*) AS mu
+      FROM g GROUP BY event_type),
+    a AS (SELECT g.event_type, max(n_gaps) AS n_gaps, max(mu) AS mean_gap_s,
+        CAST(sum((g.g - m.mu) * (g.g - m.mu)) AS BIGINT) // max(n_gaps) AS v
+      FROM g JOIN m ON m.event_type = g.event_type
+      GROUP BY g.event_type),
+    k AS (SELECT *, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS k0 FROM a),
+    sg AS (SELECT event_type, n_gaps, mean_gap_s,
+        CASE WHEN (k0 + 1) * (k0 + 1) <= v THEN k0 + 1
+             WHEN k0 * k0 > v THEN k0 - 1 ELSE k0 END AS sigma_gap_s
+      FROM k)
+    SELECT event_type, n_gaps, mean_gap_s, sigma_gap_s,
+      CAST((sigma_gap_s - mean_gap_s) * 10000
+        // nullif(sigma_gap_s + mean_gap_s, 0) AS BIGINT) AS burstiness_e4,
+      CAST(sigma_gap_s * 10000 // nullif(mean_gap_s, 0) AS BIGINT) AS cv_e4
+    FROM sg ORDER BY event_type"""))
 }
