@@ -22,7 +22,8 @@ object TextOps {
     textPhraseOccurrences, docChunkSentences, multimodalResize,
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
-    multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint)
+    multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint,
+    pipelineDatasetCard)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1760,4 +1761,70 @@ object TextOps {
     SELECT doc_id, afp, CAST(bit_count(afp) AS BIGINT) AS bits_set
     FROM fp ORDER BY doc_id"""
   })
+
+  /** Per-source DATASET CARD — the one-row-per-slice manifest a
+    * training pipeline publishes with every snapshot (Gebru et al.,
+    * "Datasheets for Datasets", CACM 2021 — public, motivates the
+    * shape; the numbers here are the mechanical integrity half):
+    * volume (docs, words, truncating mean), composition (language
+    * count, dominant language and its share), length risk (share of
+    * sub-30-word docs) and exact-duplicate exposure (share of docs
+    * whose full text md5 collides inside the source) — every metric an
+    * exact count or basis-point integer. Shape: one doc-level pass
+    * feeding three keyed aggregations + a per-source top-1 window;
+    * everything joins back on the low-cardinality source key.
+    */
+  val pipelineDatasetCard: Q = Q("pipeline_dataset_card", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.t(s, dir, "documents")
+      .withColumn("w_n", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("th", md5(col("text")))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("w_n").as("words"),
+      sum(when(col("w_n") < 30, 1L).otherwise(0L)).as("short_n"))
+    val dups = d.groupBy("source", "th").agg(count(lit(1)).as("k"))
+      .groupBy("source")
+      .agg(sum(expr("CASE WHEN k > 1 THEN k ELSE 0L END")).as("dup_docs"))
+    val langs = d.groupBy("source", "lang").agg(count(lit(1)).as("ln"))
+    val topLang = langs.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("ln").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("ln").as("top_n"))
+    val nLangs = langs.groupBy("source").agg(count(lit(1)).as("n_langs"))
+    base.join(nLangs, "source").join(topLang, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("words"),
+        expr("words DIV n_docs").as("mean_words"),
+        expr("short_n * 10000 DIV n_docs").as("short_bp"),
+        col("n_langs"), col("top_lang"),
+        expr("top_n * 10000 DIV n_docs").as("top_lang_bp"),
+        expr("dup_docs * 10000 DIV n_docs").as("dup_bp"))
+      .orderBy("source")
+  }, Some("""WITH d AS (
+      SELECT source, lang, md5(text) AS th,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS w_n
+      FROM documents),
+    base AS (SELECT source, count(*)::BIGINT AS n_docs,
+        CAST(sum(w_n) AS BIGINT) AS words,
+        CAST(sum(CASE WHEN w_n < 30 THEN 1 ELSE 0 END) AS BIGINT) AS short_n
+      FROM d GROUP BY source),
+    dg AS (SELECT source, th, count(*)::BIGINT AS k
+      FROM d GROUP BY source, th),
+    dups AS (SELECT source,
+        CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_docs
+      FROM dg GROUP BY source),
+    langs AS (SELECT source, lang, count(*)::BIGINT AS ln
+      FROM d GROUP BY source, lang),
+    top_l AS (SELECT source, lang AS top_lang, ln AS top_n FROM langs
+      QUALIFY row_number() OVER (PARTITION BY source
+        ORDER BY ln DESC, lang ASC) = 1),
+    nl AS (SELECT source, count(*)::BIGINT AS n_langs FROM langs GROUP BY source)
+    SELECT base.source, n_docs, words,
+      words // n_docs AS mean_words,
+      short_n * 10000 // n_docs AS short_bp,
+      n_langs, top_lang,
+      top_n * 10000 // n_docs AS top_lang_bp,
+      dup_docs * 10000 // n_docs AS dup_bp
+    FROM base JOIN nl USING (source) JOIN top_l USING (source)
+      JOIN dups USING (source)
+    ORDER BY base.source"""))
 }
