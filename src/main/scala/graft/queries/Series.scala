@@ -18,7 +18,7 @@ object Series {
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
-    tsPacf, tsBurstiness)
+    tsPacf, tsBurstiness, tsGapMemory)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1697,4 +1697,76 @@ object Series {
         // nullif(sigma_gap_s + mean_gap_s, 0) AS BIGINT) AS burstiness_e4,
       CAST(sigma_gap_s * 10000 // nullif(mean_gap_s, 0) AS BIGINT) AS cv_e4
     FROM sg ORDER BY event_type"""))
+
+  /** The MEMORY coefficient that pairs with [[tsBurstiness]] in the
+    * Goh–Barabási (B, M) plane: the Pearson correlation between
+    * consecutive inter-event gaps (positive = long gaps follow long
+    * gaps), exact integer throughout — centered sums over whole-second
+    * gap pairs, σ's by the isqrt-correct-by-squaring discipline, and
+    * the division arranged as cov DIV (σxσy DIV 10⁴) so no product
+    * ever needs cov·10⁴ headroom (denominators under 10⁴ null out,
+    * correlation is meaningless there anyway). Same lag windows as the
+    * burstiness pass, one extra lag.
+    */
+  val tsGapMemory: Q = Q("ts_gap_memory", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("y", expr("(ts_us - prev) DIV 1000000"))
+      .withColumn("x", lag("y", 1).over(w))
+      .filter(col("x").isNotNull)
+    val m = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(x) DIV count(1)").as("mx"),
+        expr("sum(y) DIV count(1)").as("my"))
+    val agg = g.join(m, "event_type")
+      .groupBy("event_type")
+      .agg(max("n_pairs").as("n_pairs"),
+        expr("sum((x - mx) * (y - my))").as("cov"),
+        expr("sum((x - mx) * (x - mx))").as("vx"),
+        expr("sum((y - my) * (y - my))").as("vy"))
+    def isqrt(v: String, out: String) = Seq(
+      s"CAST(floor(sqrt(CAST($v AS DOUBLE))) AS BIGINT)" -> s"_k$out",
+      s"""CASE WHEN (_k$out + 1) * (_k$out + 1) <= $v THEN _k$out + 1
+              WHEN _k$out * _k$out > $v THEN _k$out - 1 ELSE _k$out END""" -> out)
+    val withS = (isqrt("vx", "sx") ++ isqrt("vy", "sy"))
+      .foldLeft(agg) { case (df, (e, n)) => df.withColumn(n, expr(e)) }
+    withS.select(col("event_type"), col("n_pairs"),
+        expr("cov DIV nullif((sx * sy) DIV 10000, 0)").as("memory_e4"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+    g0 AS (SELECT event_type,
+        lag(ts_us) OVER w AS prev, ts_us, event_id
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+    g1 AS (SELECT event_type, (ts_us - prev) // 1000000 AS y, ts_us, event_id
+      FROM g0 WHERE prev IS NOT NULL),
+    g AS (SELECT event_type, y,
+        lag(y) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS x
+      FROM g1),
+    gp AS (SELECT event_type, x, y FROM g WHERE x IS NOT NULL),
+    m AS (SELECT event_type, count(*)::BIGINT AS n_pairs,
+        CAST(sum(x) AS BIGINT) // count(*) AS mx,
+        CAST(sum(y) AS BIGINT) // count(*) AS my
+      FROM gp GROUP BY event_type),
+    a AS (SELECT gp.event_type, max(n_pairs) AS n_pairs,
+        CAST(sum((gp.x - m.mx) * (gp.y - m.my)) AS BIGINT) AS cov,
+        CAST(sum((gp.x - m.mx) * (gp.x - m.mx)) AS BIGINT) AS vx,
+        CAST(sum((gp.y - m.my) * (gp.y - m.my)) AS BIGINT) AS vy
+      FROM gp JOIN m ON m.event_type = gp.event_type
+      GROUP BY gp.event_type),
+    kx AS (SELECT *, CAST(floor(sqrt(CAST(vx AS DOUBLE))) AS BIGINT) AS k0x,
+        CAST(floor(sqrt(CAST(vy AS DOUBLE))) AS BIGINT) AS k0y FROM a),
+    sq AS (SELECT event_type, n_pairs, cov,
+        CASE WHEN (k0x + 1) * (k0x + 1) <= vx THEN k0x + 1
+             WHEN k0x * k0x > vx THEN k0x - 1 ELSE k0x END AS sx,
+        CASE WHEN (k0y + 1) * (k0y + 1) <= vy THEN k0y + 1
+             WHEN k0y * k0y > vy THEN k0y - 1 ELSE k0y END AS sy
+      FROM kx)
+    SELECT event_type, n_pairs,
+      CAST(cov // nullif((sx * sy) // 10000, 0) AS BIGINT) AS memory_e4
+    FROM sq ORDER BY event_type"""))
 }
