@@ -33,7 +33,7 @@ object Ingest {
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
-    seriesChurn)
+    seriesChurn, graphiteRetention)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -723,4 +723,68 @@ object Ingest {
       'tok' || CAST(user_id AS VARCHAR) AS token,
       event_type || '.m ' || CAST(value AS VARCHAR) AS rest
     FROM events ORDER BY event_id"""))
+
+  /** Graphite STORAGE-SCHEMAS retention rollup (carbon's
+    * storage-schemas.conf semantics — public Graphite config: an
+    * ordered pattern list, FIRST match assigns the metric its
+    * (resolution, retention) tier): classify every synthetic metric
+    * name by the 3-rule policy, drop points older than the tier's
+    * retention window (measured from the corpus max timestamp — no
+    * wall clock), downsample survivors onto the tier's resolution
+    * grid, and report per (tier, family) the raw-vs-stored compression
+    * the policy buys. All integer (µs buckets, cent sums, bp ratio);
+    * regex tiering uses anchored patterns both engines match
+    * identically. Shape: one 1-row max broadcast, per-row CASE, one
+    * keyed agg with a distinct-(series,bucket) count.
+    */
+  val graphiteRetention: Q = Q("graphite_retention_rollup", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("name", expr(
+        "concat('metrics.', event_type, '.m', CAST(user_id % 10 AS STRING))"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val mx = e.agg(max("ts_us").as("mx"))
+    val t = e.crossJoin(broadcast(mx))
+      .withColumn("tier", expr("""CASE
+        WHEN name RLIKE '^metrics\\.purchase\\.' THEN 1L
+        WHEN name RLIKE '\\.m[0-4]$' THEN 2L
+        ELSE 3L END"""))
+      .withColumn("res_s", expr(
+        "CASE tier WHEN 1 THEN 60L WHEN 2 THEN 300L ELSE 3600L END"))
+      .withColumn("keep_h", expr(
+        "CASE tier WHEN 1 THEN 24L WHEN 2 THEN 72L ELSE 168L END"))
+      .filter(expr("ts_us > mx - keep_h * 3600000000"))
+      .withColumn("bucket", expr("ts_us DIV (res_s * 1000000)"))
+    t.groupBy("tier", "event_type", "res_s", "keep_h")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(expr("concat(name, '#', CAST(bucket AS STRING))"))
+          .as("n_stored"),
+        sum("cents").as("sum_cents"))
+      .withColumn("compression_bp", expr("n_stored * 10000 DIV n_raw"))
+      .orderBy("tier", "event_type")
+  }, Some("""WITH e AS (
+      SELECT 'metrics.' || event_type || '.m' || CAST(user_id % 10 AS VARCHAR) AS name,
+        event_type, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    mx AS (SELECT max(ts_us) AS mx FROM e),
+    t0 AS (SELECT e.*, mx.mx,
+        CASE WHEN regexp_matches(name, '^metrics\.purchase\.') THEN 1
+             WHEN regexp_matches(name, '\.m[0-4]$') THEN 2
+             ELSE 3 END AS tier
+      FROM e, mx),
+    t1 AS (SELECT *,
+        CAST(CASE tier WHEN 1 THEN 60 WHEN 2 THEN 300 ELSE 3600 END AS BIGINT) AS res_s,
+        CAST(CASE tier WHEN 1 THEN 24 WHEN 2 THEN 72 ELSE 168 END AS BIGINT) AS keep_h
+      FROM t0),
+    t2 AS (SELECT *, ts_us // (res_s * 1000000) AS bucket FROM t1
+      WHERE ts_us > mx - keep_h * 3600000000)
+    SELECT CAST(tier AS BIGINT) AS tier, event_type,
+      CAST(res_s AS BIGINT) AS res_s, CAST(keep_h AS BIGINT) AS keep_h,
+      count(*)::BIGINT AS n_raw,
+      count(DISTINCT name || '#' || CAST(bucket AS VARCHAR))::BIGINT AS n_stored,
+      CAST(sum(cents) AS BIGINT) AS sum_cents,
+      CAST(count(DISTINCT name || '#' || CAST(bucket AS VARCHAR)) * 10000
+        // count(*) AS BIGINT) AS compression_bp
+    FROM t2 GROUP BY tier, event_type, res_s, keep_h
+    ORDER BY tier, event_type"""))
 }
