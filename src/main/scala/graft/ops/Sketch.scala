@@ -263,4 +263,41 @@ object Sketch {
         expr("matches * 10000 DIV k_used").as("jacc_bp"))
     out
   }
+
+  /** HDR-histogram bucket lower bound for a non-negative bigint `v` &lt;
+    * 2^`maxBits` (Tene's HdrHistogram / DDSketch's fixed-grid cousin —
+    * public): values below 2^(`subBits`+1) map to themselves (exact —
+    * including 0, which is its own bucket);
+    * above, the top `subBits`+1 significant bits are kept, i.e.
+    * lb = (v DIV p)·p with p = 2^(floor(log₂ v) − subBits) — relative
+    * error &lt; 2^−subBits, bucket count ≤ (maxBits − subBits)·2^subBits
+    * + 2^(subBits+1): PARAMETER-bounded, never data-bounded, and
+    * buckets MERGE by summing counts (the property that lets a 1000-
+    * executor scan ship per-partition histograms instead of values).
+    *
+    * Emitted as one CASE chain picking p by value range + one truncating
+    * divide — pure integer comparisons, codegen'd by Spark, and the
+    * IDENTICAL text (modulo `div` = `DIV`/`//`) runs in DuckDB: no
+    * float log₂ to disagree at power-of-two boundaries. Negative or
+    * overflowing v raises loudly on the Spark side (`guard` = true);
+    * the DuckDB twin passes guard = false — its `raise_error` is spelled
+    * differently and the oracle only ever sees data the Spark run
+    * already gated (the [[holtGuardSql]] precedent).
+    */
+  def hdrBucketSql(div: String, v: String, subBits: Int = 5,
+      maxBits: Int = 21, guard: Boolean = true): String = {
+    require(subBits >= 1 && maxBits > subBits + 1 && maxBits < 62)
+    val cut = 1L << (subBits + 1)
+    val branches = ((maxBits - 1) to (subBits + 1) by -1).map { b =>
+      s"WHEN $v >= ${1L << b} THEN ${1L << (b - subBits)}"
+    }
+    val p = s"(CASE ${branches.mkString(" ")} ELSE 1 END)"
+    val guardBranch = if (guard)
+      s"""WHEN $v < 0 OR $v >= ${1L << maxBits}
+        THEN CAST(raise_error(concat('hdr bucket domain: v must be in [0, 2^$maxBits), got ',
+          CAST($v AS STRING))) AS BIGINT)""" else ""
+    s"""(CASE $guardBranch
+      WHEN $v < $cut THEN $v
+      ELSE ($v $div $p) * $p END)"""
+  }
 }

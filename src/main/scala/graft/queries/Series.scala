@@ -16,9 +16,10 @@ object Series {
     tsRollingMedian, tsChangePoints, tsAutocorr, tsRollingSlope,
     tsHoltForecast, tsStlDecompose, tsOhlc, tsDownsampleLtb,
     tsAnomalyAgreement, tsPeakDetect, tsSloBurn, tsTheilSen, tsCrossCorr,
-    tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsSpearman,
+    tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsHoltWintersMul,
+    tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
-    tsPacf, tsBurstiness, tsGapMemory)
+    tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1137,6 +1138,89 @@ object Series {
     ORDER BY f.event_type"""
   })
 
+  /** MULTIPLICATIVE Holt-Winters twin of [[tsHoltWinters]] (Winters
+    * 1960 §4 — ratio seasonals; the variant for series whose seasonal
+    * swing scales with the level). Same decomposition discipline, but
+    * the seasonal index is a RATIO in basis points — sidx_bp =
+    * (hour-of-day mean · 10⁴) DIV grand mean — the series is
+    * deseasonalized by d = (m · 10⁴) DIV sidx_bp, Holt-folded with the
+    * packed-bigint step, and the 3-hour forecast re-seasonalized by
+    * fc3 = ((level + 3·trend) · sidx_bp) DIV 10⁴. Every step is bigint
+    * multiply / truncating divide, so both engines agree bit-for-bit
+    * (DIV ≡ // toward zero, negatives included).
+    *
+    * Domain gates, both LOUD: multiplicative seasonality needs strictly
+    * positive data, so sidx_bp outside [1000, 100000] (ratio outside
+    * [0.1, 10]) raises — and with sidx_bp ≥ 1000, d ≤ 10·m, re-checked
+    * against the packed-fold box by the standard [[graft.ops.Series
+    * .holtGuardSql]]. Shape: identical to the additive twin — hour-grid
+    * partial agg, broadcast seasonal joins, bounded per-series fold.
+    */
+  val tsHoltWintersMul: Q = Q("ts_holt_winters_mul", (s, dir) => {
+    val step = graft.ops.Series.holtStepSql("DIV", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("DIV", "fin")
+    val hb = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "h")
+      .agg(expr("sum(cents) DIV count(1)").as("m"))
+    val grand = hb.groupBy("event_type").agg(expr("sum(m) DIV count(1)").as("g"))
+    val seas = hb.withColumn("hod", expr("h % 24"))
+      .groupBy("event_type", "hod").agg(expr("sum(m) DIV count(1)").as("sh"))
+      .join(grand, "event_type")
+      .select(col("event_type"), col("hod"), expr("""CASE
+          WHEN (sh * 10000) DIV g BETWEEN 1000 AND 100000 THEN (sh * 10000) DIV g
+          ELSE CAST(raise_error(concat('ts_holt_winters_mul: seasonal ratio ',
+            CAST((sh * 10000) DIV g AS STRING),
+            'bp outside [0.1x, 10x] - multiplicative seasonality needs it')) AS BIGINT)
+        END""").as("sidx_bp"))
+    val d = hb.withColumn("hod", expr("h % 24"))
+      .join(broadcast(seas), Seq("event_type", "hod"))
+      .select(col("event_type"), col("h"), expr("(m * 10000) DIV sidx_bp").as("d"))
+    val ser = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), max("h").as("hlast"),
+        expr("transform(array_sort(collect_list(struct(h, d))), s -> s.d)").as("ds"))
+      .withColumn("ds", expr(graft.ops.Series.holtGuardSql("ds")))
+      .withColumn("fin", expr(
+        s"aggregate(slice(ds, 2, size(ds) - 1), element_at(ds, 1), (acc, x) -> $step)"))
+      .withColumn("thod", expr("(hlast + 3) % 24"))
+    ser.join(broadcast(seas), ser("event_type") === seas("event_type") &&
+        ser("thod") === seas("hod"))
+      .select(ser("event_type"), col("n_hours"),
+        expr(dl).as("level_c"), expr(db).as("trend_c"),
+        col("sidx_bp").as("season_bp"),
+        expr(s"(($dl + 3 * $db) * sidx_bp) DIV 10000").as("fc3_c"))
+      .orderBy("event_type")
+  }, Some {
+    val step = graft.ops.Series.holtStepSql("//", "acc", "x")
+    val (dl, db) = graft.ops.Series.holtDecodeSql("//", "fin")
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value*100) AS BIGINT) AS cents
+      FROM events),
+    hb AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS m
+      FROM e GROUP BY 1, 2),
+    gr AS (SELECT event_type, CAST(sum(m) // count(*) AS BIGINT) AS g
+      FROM hb GROUP BY 1),
+    se AS (SELECT hb.event_type, h % 24 AS hod,
+        (CAST(sum(m) // count(*) AS BIGINT) * 10000) // any_value(g) AS sidx_bp
+      FROM hb JOIN gr ON gr.event_type = hb.event_type
+      GROUP BY 1, 2),
+    d AS (SELECT hb.event_type, h, (m * 10000) // sidx_bp AS d
+      FROM hb JOIN se ON se.event_type = hb.event_type AND se.hod = h % 24),
+    g2 AS (SELECT event_type, count(*)::BIGINT AS n_hours, max(h) AS hlast,
+        list(d ORDER BY h) AS ds
+      FROM d GROUP BY 1),
+    f AS (SELECT event_type, n_hours, hlast,
+        list_reduce(ds, (acc, x) -> $step) AS fin
+      FROM g2)
+    SELECT f.event_type, n_hours, $dl AS level_c, $db AS trend_c,
+      se.sidx_bp AS season_bp,
+      (($dl + 3 * $db) * se.sidx_bp) // 10000 AS fc3_c
+    FROM f JOIN se ON se.event_type = f.event_type
+      AND se.hod = (hlast + 3) % 24
+    ORDER BY f.event_type"""
+  })
+
   /** Page's SEQUENTIAL CUSUM alarm (Page, "Continuous inspection
     * schemes", Biometrika 41, 1954 — public; the SPC drift monitor):
     * per event-type hourly mean series, two one-sided CLAMPED sums
@@ -1769,4 +1853,101 @@ object Series {
     SELECT event_type, n_pairs,
       CAST(cov // nullif((sx * sy) // 10000, 0) AS BIGINT) AS memory_e4
     FROM sq ORDER BY event_type"""))
+
+  /** BANDED matrix profile with SAD distance (Yeh et al., "Matrix
+    * Profile I", ICDM 2016 — public; SAD instead of z-normalized
+    * Euclidean keeps every distance an exact bigint). Per event-type
+    * hourly mean-cent series: subsequences of length 4 at consecutive
+    * rank positions, profile(i) = min over j with |j−i| ∈ [4, 48] of
+    * Σₖ|xᵢ₊ₖ − xⱼ₊ₖ| — exclusion zone = window length (no trivial
+    * match), band = 48 h (motifs/discords against the local two days,
+    * the streaming-monitor shape). Output: each series' top MOTIF
+    * (minimum profile — its most repeated shape) and top DISCORD
+    * (maximum profile — its most anomalous window), with the
+    * neighbor position and distance; ties break on (pos, nn).
+    *
+    * Scale shape: the O(n·band) pair space is generated by a BLOCK-
+    * bucketed self-join — positions bucket by i DIV 48, the left side
+    * explodes its 3 candidate blocks, the join keys on (series, block)
+    * so every key matches ≤ 3·48 rows; never an unkeyed range join.
+    * Both join inputs descend from the hourly AGGREGATE (bounded),
+    * and the per-position argmin is a struct-min aggregation, not a
+    * window over pairs.
+    */
+  val tsMatrixProfile: Q = Q("ts_matrix_profile", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val ord = Window.partitionBy("event_type").orderBy("h")
+    val sub = hourly
+      .withColumn("i", row_number().over(ord).cast("bigint"))
+      .withColumn("v0", col("c"))
+      .withColumn("v1", lead("c", 1).over(ord))
+      .withColumn("v2", lead("c", 2).over(ord))
+      .withColumn("v3", lead("c", 3).over(ord))
+      .filter(col("v3").isNotNull)
+      .select("event_type", "i", "v0", "v1", "v2", "v3")
+    val left = sub.withColumn("blk",
+        explode(expr("array(i DIV 48 - 1, i DIV 48, i DIV 48 + 1)")))
+    val right = sub.withColumn("blk", expr("i DIV 48"))
+      .withColumnRenamed("i", "j")
+      .withColumnRenamed("v0", "w0").withColumnRenamed("v1", "w1")
+      .withColumnRenamed("v2", "w2").withColumnRenamed("v3", "w3")
+    // blocked band self-join: SelfJoinAudit-exempt by the Aggregate
+    // boundary (both sides descend from the hourly groupBy)
+    val pairs = left.join(right, Seq("event_type", "blk"))
+      .filter(col("j") - col("i") >= 4 && col("j") - col("i") <= 48)
+      .withColumn("sad", expr(
+        "abs(v0 - w0) + abs(v1 - w1) + abs(v2 - w2) + abs(v3 - w3)"))
+      .select(col("event_type"), col("i"), col("j"), col("sad"))
+    val both = pairs.union(
+      pairs.select(col("event_type"), col("j").as("i"), col("i").as("j"), col("sad")))
+    val prof = both.groupBy("event_type", "i")
+      .agg(min(struct(col("sad"), col("j"))).as("mn"))
+      .select(col("event_type"), col("i").as("pos"),
+        col("mn.sad").as("sad"), col("mn.j").as("nn"))
+    val wMot = Window.partitionBy("event_type")
+      .orderBy(col("sad").asc, col("pos").asc, col("nn").asc)
+    val wDis = Window.partitionBy("event_type")
+      .orderBy(col("sad").desc, col("pos").asc, col("nn").asc)
+    val motif = prof.withColumn("rn", row_number().over(wMot))
+      .filter(col("rn") === 1).withColumn("kind", lit("motif"))
+    val discord = prof.withColumn("rn", row_number().over(wDis))
+      .filter(col("rn") === 1).withColumn("kind", lit("discord"))
+    motif.union(discord)
+      .select("event_type", "kind", "pos", "nn", "sad")
+      .orderBy("event_type", "kind")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    sub AS (SELECT event_type,
+        CAST(row_number() OVER w AS BIGINT) AS i,
+        c AS v0, lead(c, 1) OVER w AS v1,
+        lead(c, 2) OVER w AS v2, lead(c, 3) OVER w AS v3
+      FROM hd WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    sb AS (SELECT * FROM sub WHERE v3 IS NOT NULL),
+    pr AS (SELECT a.event_type, a.i, b.i AS j,
+        abs(a.v0 - b.v0) + abs(a.v1 - b.v1) + abs(a.v2 - b.v2)
+          + abs(a.v3 - b.v3) AS sad
+      FROM sb a JOIN sb b ON b.event_type = a.event_type
+        AND b.i - a.i BETWEEN 4 AND 48),
+    bo AS (SELECT event_type, i, j, sad FROM pr
+      UNION ALL SELECT event_type, j, i, sad FROM pr),
+    prof AS (SELECT event_type, i AS pos, sad, j AS nn FROM bo
+      QUALIFY row_number() OVER (PARTITION BY event_type, i
+        ORDER BY sad, j) = 1)
+    SELECT event_type, kind, pos, nn, sad FROM (
+      SELECT event_type, 'motif' AS kind, pos, nn, sad FROM prof
+      QUALIFY row_number() OVER (PARTITION BY event_type
+        ORDER BY sad ASC, pos ASC, nn ASC) = 1
+      UNION ALL
+      SELECT event_type, 'discord' AS kind, pos, nn, sad FROM prof
+      QUALIFY row_number() OVER (PARTITION BY event_type
+        ORDER BY sad DESC, pos ASC, nn ASC) = 1)
+    ORDER BY event_type, kind"""))
 }

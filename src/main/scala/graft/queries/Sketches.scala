@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps, spaceSaving)
+  def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps, spaceSaving,
+    hdrQuantiles)
 
   /** DuckDB twin of [[Sketch.h60]]. */
   private def oh60(saltExpr: String, keyExpr: String): String =
@@ -261,5 +262,74 @@ object Sketches {
       matches * est_union // k_used AS est_inter,
       matches * 10000 // k_used AS jacc_bp
     FROM st"""
+  })
+
+  /** Deterministic MERGEABLE rank/quantile sketch on the HDR-histogram
+    * fixed grid ([[Sketch.hdrBucketSql]] — Tene's HdrHistogram, public;
+    * the roadmap's "fixed-grid rank sketch": GK/KLL have sequential or
+    * randomized semantics, a fixed grid has neither). Per event type,
+    * cent values land in log₂-spaced buckets with 2⁵ sub-buckets
+    * (relative error &lt; 1/32, ≤ ~576 buckets total); the quantile for
+    * rank ⌈φ·n⌉ is the first bucket whose cumulative count reaches it.
+    *
+    * The query exercises the MERGE path on purpose: per-day partial
+    * histograms (what every executor would ship at 100 TB) are merged
+    * by summing counts, and the result is provably identical to a
+    * direct build because bucket assignment is value-deterministic and
+    * counts are associative. The exact quantile rides the same
+    * cum/rank machinery over the exact per-cent histogram (value-
+    * bounded, not data-bounded) for the estimate-beside-exact audit
+    * shape of this module; SketchSpec asserts the 1/32 error contract.
+    */
+  val hdrQuantiles: Q = Q("sketch_hdr_quantiles", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val lb = Sketch.hdrBucketSql("DIV", "cents")
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("ts_us DIV 86400000000").as("day"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val partial = e.groupBy(col("event_type"), col("day"), expr(lb).as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val merged = partial.groupBy("event_type", "lb").agg(sum("c").as("c"))
+    val exact = e.groupBy(col("event_type"), col("cents").as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val phis = Seq(5000L, 9000L, 9900L).toDF("phi_bp")
+    // both windows run over BUCKET tables (parameter/value-bounded),
+    // partitioned by series — never a data-sized window
+    def quant(hist: org.apache.spark.sql.DataFrame, outCol: String) =
+      hist.withColumn("cum",
+          sum("c").over(Window.partitionBy("event_type").orderBy("lb")))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        .crossJoin(broadcast(phis))
+        .withColumn("rk", expr("(n * phi_bp + 9999) DIV 10000"))
+        .filter(col("cum") >= col("rk") && col("cum") - col("c") < col("rk"))
+        .select(col("event_type"), col("phi_bp"), col("n"), col("lb").as(outCol))
+    quant(merged, "q_est_c")
+      .join(quant(exact, "q_exact_c").drop("n"), Seq("event_type", "phi_bp"))
+      .orderBy("event_type", "phi_bp")
+  }, Some {
+    val lb = Sketch.hdrBucketSql("//", "cents", guard = false)
+    def quant(src: String, outCol: String, withN: Boolean) =
+      s"""SELECT event_type, phi_bp${if (withN) ", n" else ""}, lb AS $outCol
+        FROM (SELECT event_type, lb, c,
+            CAST(sum(c) OVER (PARTITION BY event_type ORDER BY lb) AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM $src) t CROSS JOIN ph
+        WHERE cum >= (n * phi_bp + 9999) // 10000
+          AND cum - c < (n * phi_bp + 9999) // 10000"""
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    part AS (SELECT event_type, day, $lb AS lb, count(*)::BIGINT AS c
+      FROM e GROUP BY 1, 2, 3),
+    m AS (SELECT event_type, lb, sum(c)::BIGINT AS c FROM part GROUP BY 1, 2),
+    ex AS (SELECT event_type, cents AS lb, count(*)::BIGINT AS c
+      FROM e GROUP BY 1, 2),
+    ph(phi_bp) AS (VALUES (CAST(5000 AS BIGINT)), (9000), (9900)),
+    qm AS (${quant("m", "q_est_c", withN = true)}),
+    qe AS (${quant("ex", "q_exact_c", withN = false)})
+    SELECT qm.event_type, qm.phi_bp, qm.n, q_est_c, q_exact_c
+    FROM qm JOIN qe ON qe.event_type = qm.event_type AND qe.phi_bp = qm.phi_bp
+    ORDER BY 1, 2"""
   })
 }

@@ -103,6 +103,43 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(r => r.getLong(1) == 50L && r.getLong(2) == 300L))
   }
 
+  test("hdr bucket: exact below 64, monotone, within 1/32 above; guard raises") {
+    import spark.implicits._
+    val vs = ((0L to 200L) ++ Seq(63L, 64L, 65L, 127L, 128L, 129L, 1023L,
+      1024L, 1025L, (1L << 20) - 1, 1L << 20, (1L << 21) - 1, 999999L) ++
+      (1 to 60).map(i => (i * 37911L) % ((1L << 21) - 1) + 1)).distinct.sorted
+    val got = vs.toDF("cents")
+      .select(col("cents"), expr(Sketch.hdrBucketSql("DIV", "cents")).as("lb"))
+      .orderBy("cents").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (v, lb) =>
+      assert(lb <= v, s"lb must lower-bound: v=$v lb=$lb")
+      if (v < 64) assert(lb == v, s"exact region: v=$v lb=$lb")
+      else assert(v - lb < math.max(lb / 32, 1L),
+        s"1/32 relative error: v=$v lb=$lb")
+    }
+    assert(got.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      "bucket map must be monotone in v")
+    val bad = intercept[Exception] {
+      Seq(-1L).toDF("cents")
+        .select(expr(Sketch.hdrBucketSql("DIV", "cents"))).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](bad)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("hdr bucket domain"))
+  }
+
+  test("hdr quantiles: merged estimate brackets the exact value at sf0.001") {
+    val rows = graft.queries.Sketches.hdrQuantiles.fn(spark, sf("sf0.001")).collect()
+    assert(rows.length >= 9, "5 event types x 3 phis expected (>=9 even if sparse)")
+    rows.foreach { r =>
+      val est = r.getAs[Long]("q_est_c")
+      val ex = r.getAs[Long]("q_exact_c")
+      assert(est <= ex, s"sketch quantile must lower-bound exact: $r")
+      assert(ex - est < math.max(est / 32, 1L),
+        s"1/32 error contract violated: est=$est exact=$ex")
+    }
+  }
+
   test("kmv is exact below k and inside 3 sigma above it") {
     import spark.implicits._
     val small = (1 to 100).map(i => ("g", i % 9)).toDF("grp", "key")
