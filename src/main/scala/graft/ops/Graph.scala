@@ -1015,4 +1015,118 @@ object Graph {
       .select(col("x").as("src"), col("y").as("dst"),
         col("cn"), col("wcn"), col("wra"))
   }
+
+  /** Minimum spanning FOREST by Borůvka rounds (Borůvka 1926; the
+    * canonical MapReduce-MSF shape — O(log n) rounds, each one
+    * shuffle-bounded). Edges are UNDIRECTED with an integral weight;
+    * ties break by (w, lo, hi) — a STRICT total order, under which the
+    * MSF is UNIQUE, so any correct algorithm yields the identical edge
+    * set. That uniqueness is the cross-engine bridge: the DuckDB oracle
+    * verifies via the minimax-path characterization (e = (u,v) ∈ MSF ⟺
+    * no u–v path avoids e using only strictly smaller edges ⟺ the
+    * minimax path key between u and v EQUALS e's key), not by
+    * re-running Borůvka.
+    *
+    * Per round: label edges with their endpoints' components (two
+    * shuffles), keep each component's MINIMUM outgoing edge (one
+    * aggregation — the cut property makes every such edge safe), then
+    * contract the selected component graph via
+    * [[connectedComponentsStar]] (O(log²) on any topology — selected
+    * pointer chains can be long). Components at least halve per round
+    * → ≤ log₂ n rounds; the per-round selected set is ≤ #components
+    * rows and eagerly localCheckpointed (tiny-state rule).
+    *
+    * Counted-small fast path (same gate discipline as
+    * [[connectedComponents]]): when the canonical edge set is under
+    * `smallCutoff`, collect and run Kruskal with path-compressed
+    * union-find on the driver in the IDENTICAL (w, lo, hi) Long order.
+    * Tests pin smallCutoff = 0 to keep the distributed loop covered.
+    *
+    * Input: (src, dst, w) with integral types (exact math contract).
+    * Output: the MSF edge list (lo, hi, w) — Σ (|C|−1) rows over
+    * components C; self-loops dropped, parallel edges pre-reduced to
+    * their minimum weight.
+    */
+  def msfEdges(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      maxIters: Int = 48,
+      smallCutoff: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, ShortType, ByteType)
+    require(Seq(srcCol, dstCol, wCol).forall(c =>
+      intTypes.contains(edgeList.schema(c).dataType)),
+      "msfEdges needs integral src/dst/w (exact-math contract)")
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val und = break(edgeList
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("lo", "hi").agg(min("w").as("w")))
+
+    if (smallCutoff > 0 && und.count() <= smallCutoff) {
+      val es = und.collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).sorted
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def add(v: Long): Unit = if (!parent.contains(v)) parent.update(v, v)
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent(x) != x) { parent.update(x, parent(parent(x))); x = parent(x) }
+        x
+      }
+      val kept = es.flatMap { case (w, lo, hi) =>
+        add(lo); add(hi)
+        val rl = find(lo); val rh = find(hi)
+        if (rl != rh) { parent.update(rl, rh); Some((lo, hi, w)) } else None
+      }
+      import s.implicits._
+      return kept.toSeq.toDF("lo", "hi", "w")
+    }
+
+    var comp = break(und.select(col("lo").as("v"))
+      .union(und.select(col("hi").as("v"))).distinct()
+      .select(col("v"), col("v").as("c")))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var active = true
+    var iter = 0
+    while (active && iter < maxIters) {
+      val lab = und
+        .join(comp.select(col("v").as("lo"), col("c").as("cl")), "lo")
+        .join(comp.select(col("v").as("hi"), col("c").as("ch")), "hi")
+        .filter(col("cl") =!= col("ch"))
+      val cand = lab.select(col("cl").as("c"),
+          struct(col("w"), col("lo"), col("hi"), col("ch").as("o")).as("e"))
+        .union(lab.select(col("ch").as("c"),
+          struct(col("w"), col("lo"), col("hi"), col("cl").as("o")).as("e")))
+      // (w, lo, hi) is unique per edge, so the struct-min never reaches o
+      val sel = break(cand.groupBy("c").agg(min("e").as("e"))
+        .select(col("e.w").as("w"), col("e.lo").as("lo"), col("e.hi").as("hi"),
+          col("c"), col("e.o").as("o")))
+      if (sel.isEmpty) active = false
+      else {
+        // an edge may be the min of BOTH its components — dedup in-round;
+        // across rounds its endpoints share a component, so never again
+        acc += sel.select("lo", "hi", "w").distinct()
+        val merged = connectedComponentsStar(
+          sel.select(col("c").as("src"), col("o").as("dst")),
+          smallCutoff = smallCutoff)
+          .select(col("v").as("c"), col("component").as("c2"))
+        comp = break(comp.join(merged, Seq("c"), "left")
+          .select(col("v"), coalesce(col("c2"), col("c")).as("c")))
+        iter += 1
+      }
+    }
+    if (active)
+      throw new IllegalStateException(
+        s"msfEdges did not converge in $maxIters rounds")
+    acc.reduceOption(_ union _).getOrElse(und.select("lo", "hi", "w").limit(0))
+  }
 }

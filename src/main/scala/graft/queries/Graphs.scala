@@ -17,7 +17,7 @@ object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
-    reachAnf, randomWalks, walkSkipgrams, ktruss, squares)
+    reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -81,7 +81,13 @@ object Graphs {
   /** The similarity-graph edge list (Jaccard ≥ 0.30 user pairs) shared
     * by [[labelProp]] and [[modularity]].
     */
-  private def simEdges(s: SparkSession, dir: String): DataFrame = {
+  private def simEdges(s: SparkSession, dir: String): DataFrame =
+    simEdgesDist(s, dir).select("src", "dst")
+
+  /** [[simEdges]] keeping the Jaccard DISTANCE (10⁴ − jacc_bp) as the
+    * edge weight — the MSF query's input.
+    */
+  private def simEdgesDist(s: SparkSession, dir: String): DataFrame = {
     val items = userItems(s, dir)
     val sizes = items.groupBy("user_id").agg(count(lit(1)).as("sz"))
     val l = items.select(col("user_id").as("ua"), col("item"))
@@ -91,7 +97,8 @@ object Graphs {
       .join(sizes.select(col("user_id").as("ua"), col("sz").as("na")), "ua")
       .join(sizes.select(col("user_id").as("ub"), col("sz").as("nb")), "ub")
       .filter(expr("10000 * inter DIV (na + nb - inter) >= 3000"))
-      .select(col("ua").as("src"), col("ub").as("dst"))
+      .select(col("ua").as("src"), col("ub").as("dst"),
+        expr("10000 - 10000 * inter DIV (na + nb - inter)").as("dist_bp"))
   }
 
   /** The DuckDB CTE chain for [[simEdges]] + `rounds` synchronous LPA
@@ -553,6 +560,52 @@ object Graphs {
     SELECT seed, count(*)::BIGINT AS n_reached,
       CAST(sum(1000000 // hop) AS BIGINT) AS harmonic
     FROM r4 WHERE hop > 0 GROUP BY seed ORDER BY seed"""))
+
+  /** Minimum spanning FOREST of the similarity graph under Jaccard
+    * DISTANCE (10⁴ − jacc_bp), ties broken by (dist, ua, ub) — the
+    * dedup/cluster BACKBONE: the lightest edge set connecting every
+    * similar-user group (single-linkage dendrogram edges, Gower 1969 —
+    * public). Spark side runs the distributed Borůvka of
+    * [[graft.ops.Graph.msfEdges]] (counted-small Kruskal fast path).
+    *
+    * The oracle does NOT mirror Borůvka: under a strict total edge
+    * order the MSF is UNIQUE, and e = (u,v) ∈ MSF ⟺ the MINIMAX path
+    * key between u and v over the whole graph equals e's own key (cut/
+    * cycle property — a lighter-bottleneck path would expel e). Minimax
+    * keys come from log₂-doubling relaxation: m₀ = direct edges,
+    * m_{k+1}(u,v) = min(m_k(u,v), min_z max(m_k(u,z), m_k(z,v))) — 6
+    * doublings cover paths of ≤ 64 edges on the ≤ 60-vertex capped
+    * graph. The key packs (dist, ua, ub) into one bigint
+    * (dist·2²⁴ + ua·2¹² + ub — exact while ids &lt; 4096, which the
+    * itemsSql user_id &lt; 60 cap guarantees; the Spark side needs no
+    * packing, its struct-min is the same lexicographic order).
+    */
+  val mstBoruvka: Q = Q("graph_mst_boruvka", (s, dir) => {
+    graft.ops.Graph.msfEdges(simEdgesDist(s, dir), wCol = "dist_bp")
+      .select(col("lo").as("ua"), col("hi").as("ub"), col("w").as("dist_bp"))
+      .orderBy("ua", "ub")
+  }, Some {
+    val steps = (1 to 6).map { k =>
+      s""",
+    m$k AS MATERIALIZED (SELECT u, v, min(k) AS k FROM (
+      SELECT u, v, k FROM m${k - 1}
+      UNION ALL SELECT a.u, b.v, greatest(a.k, b.k) AS k
+      FROM m${k - 1} a JOIN m${k - 1} b ON b.u = a.v WHERE a.u <> b.v)
+      GROUP BY 1, 2)"""
+    }.mkString
+    s"""WITH $itemsSql,
+    ew AS MATERIALIZED (SELECT CAST(ua AS BIGINT) AS lo, CAST(ub AS BIGINT) AS hi,
+        10000 - jacc_bp AS dist_bp,
+        (10000 - jacc_bp) * 16777216 + CAST(ua AS BIGINT) * 4096 + CAST(ub AS BIGINT) AS wk
+      FROM jac WHERE jacc_bp >= 3000),
+    m0 AS MATERIALIZED (SELECT u, v, min(wk) AS k FROM (
+      SELECT lo AS u, hi AS v, wk FROM ew
+      UNION ALL SELECT hi, lo, wk FROM ew) GROUP BY 1, 2)$steps
+    SELECT lo AS ua, hi AS ub, dist_bp
+    FROM ew JOIN m6 ON m6.u = ew.lo AND m6.v = ew.hi
+    WHERE m6.k = ew.wk
+    ORDER BY ua, ub"""
+  })
 
   /** The DuckDB per-round truss CTEs: d`k` (both directions), s`k`
     * (per-edge triangle support via the two-hop wedge join), e`k+1`

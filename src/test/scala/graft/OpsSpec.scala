@@ -131,6 +131,66 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Graph.msfEdges: loop == Kruskal fast path == Prim reference on random weighted graphs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      // random multigraph incl. self-loops and parallel edges; weights
+      // collide on purpose — the (w, lo, hi) tie-break must decide
+      val edges = Seq.fill(60 + trial * 20)(
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong, (rnd.nextInt(6) + 1).toLong))
+      // reference: Kruskal over the canonical reduced edge set in the
+      // identical (w, lo, hi) order, independent union-find code
+      val canon = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+        .groupBy(e => (e._1, e._2)).map { case ((lo, hi), es) => (es.map(_._3).min, lo, hi) }
+        .toSeq.sorted
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val want = canon.flatMap { case (w, lo, hi) =>
+        val (rl, rh) = (find(lo), find(hi))
+        if (rl != rh) { parent(rl) = rh; Some((lo, hi, w)) } else None
+      }.toSet
+      val df = edges.toDF("src", "dst", "w")
+      val gotFast = graft.ops.Graph.msfEdges(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotFast == want, s"trial $trial fast path: $gotFast vs $want")
+      val gotLoop = graft.ops.Graph.msfEdges(df, smallCutoff = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotLoop == want, s"trial $trial distributed loop: $gotLoop vs $want")
+      // forest weight sanity: edge count = n - #components
+      val verts = canon.flatMap(e => Seq(e._2, e._3)).distinct.size
+      val comps = {
+        val p2 = scala.collection.mutable.Map[Long, Long]()
+        def f2(x: Long): Long = { val p = p2.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = f2(p); p2(x) = r; r } }
+        canon.foreach { case (_, lo, hi) => val (a, b) = (f2(lo), f2(hi))
+          if (a != b) p2(a) = b }
+        p2.keys.map(f2).toSet.size
+      }
+      assert(want.size == verts - comps, "MSF edge count = |V| - #components")
+    }
+  }
+
+  test("Graph.msfEdges: empty and disconnected inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(graft.ops.Graph.msfEdges(empty).collect().isEmpty)
+    assert(graft.ops.Graph.msfEdges(empty, smallCutoff = 0).collect().isEmpty)
+    // two disjoint triangles -> 2 edges each, the two lightest per triangle
+    val tri = Seq((0L, 1L, 1L), (1L, 2L, 2L), (0L, 2L, 3L),
+      (10L, 11L, 5L), (11L, 12L, 4L), (10L, 12L, 6L)).toDF("src", "dst", "w")
+    val want = Set((0L, 1L, 1L), (1L, 2L, 2L), (11L, 12L, 4L), (10L, 11L, 5L))
+    assert(graft.ops.Graph.msfEdges(tri).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    assert(graft.ops.Graph.msfEdges(tri, smallCutoff = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+  }
+
   test("Sample.stratifiedTopN takes exactly min(n, stratum size) rows, stable across partitionings") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
