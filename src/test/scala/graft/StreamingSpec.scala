@@ -1153,6 +1153,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("HdrProcessor: streamed quantiles == sketch_hdr_quantiles under shuffled slicing") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hdr").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // ADVERSARIAL slicing: globally shuffled, split mid-key — the HDR
+    // sketch is order-free (pure bucket counts), so parity must hold
+    // even where the sorted-input processors' contract would not
+    val shuffled = new scala.util.Random(7).shuffle(rows.toSeq)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 3)
+    def fmt(rs: Seq[(String, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.HdrProcessor(spark, src)
+      .toDF("k", "n", "p50", "p90", "p99")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_hdr").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n, p50, p90, p99 FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n DESC) AS rn
+            FROM graft_hdr) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = graft.queries.Sketches.hdrQuantiles.fn(spark, sfDir)
+        .select("event_type", "phi_bp", "n", "q_est_c")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val want = batch.groupBy(_._1).map { case (k, rs) =>
+        val byPhi = rs.map(r => r._2 -> r._4).toMap
+        k -> (rs.head._3, byPhi(5000L), byPhi(9000L), byPhi(9900L))
+      }
+      assert(want.nonEmpty, "batch hdr quantiles unexpectedly empty")
+      assert(got == want, s"streamed vs batch hdr quantiles: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("GramGateProcessor: streamed dotplot matches + islands agg == dedup_max_span") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
