@@ -17,7 +17,8 @@ object Graphs {
 
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
-    reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka)
+    reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
+    squaresCopurchase)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -680,4 +681,62 @@ object Graphs {
     per AS (SELECT unnest([u, w]) AS v, q * (q - 1) // 2 AS sq FROM cod)
     SELECT v, CAST(sum(sq) AS BIGINT) AS n_sq FROM per GROUP BY v
     ORDER BY n_sq DESC, v LIMIT 50"""))
+
+  /** [[squares]] taken to the UNBOUNDED part co-purchase graph — the
+    * roadmap's scale-hardening twin: parts are co-purchased when they
+    * share an order, the vertex domain grows with the catalog, and both
+    * quadratic blow-up points carry EXPLICIT caps that the oracle
+    * mirrors bit-for-bit:
+    *  - basket cap 128 via [[graft.ops.Scale.capGroups]] on the order
+    *    key (the basket_pairs guard — a bulk order cannot emit 10⁶
+    *    pairs; QUALIFY count(*) twin);
+    *  - wedge cap 32: each mid vertex keeps its 32 SMALLEST neighbors
+    *    (deterministic, so both engines keep the same adjacency;
+    *    QUALIFY row_number twin) — wedge volume per mid is ≤ C(32,2)
+    *    no matter how hot the hub, the degree-cap playbook the bounded
+    *    variant documents but never needs.
+    * Output: the top-30 opposite pairs by capped-C4 participation —
+    * "these two parts anchor many 4-cycles" is the bipartite-community
+    * signal (two hubs sharing audiences) at catalog scale.
+    *
+    * Scale shape: the pair join reuses the capGroups partitioning on
+    * the order key; the wedge join keys on the mid vertex with a
+    * cap-bounded match list; every aggregate is map-side combinable.
+    */
+  val squaresCopurchase: Q = Q("graph_squares_copurchase", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bk = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val bc = graft.ops.Scale.capGroups(bk, "o", 128)
+    val eg = bc.select(col("o"), col("p").as("pa"))
+      .join(bc.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .select("pa", "pb").distinct()
+    val ad = eg.select(col("pa").as("m"), col("pb").as("n"))
+      .union(eg.select(col("pb").as("m"), col("pa").as("n")))
+    val ac = ad.withColumn("rn",
+        row_number().over(Window.partitionBy("m").orderBy("n")))
+      .filter(col("rn") <= 32).drop("rn")
+    val cod = ac.select(col("m"), col("n").as("u"))
+      .join(ac.select(col("m"), col("n").as("w")), "m")
+      .filter(col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("q"))
+      .filter(col("q") >= 2)
+    cod.select(col("u"), col("w"), col("q"),
+        expr("q * (q - 1) DIV 2").as("c4_pairs"))
+      .orderBy(desc("c4_pairs"), asc("u"), asc("w")).limit(30)
+  }, Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem),
+    bc AS (SELECT o, p FROM bk
+      QUALIFY count(*) OVER (PARTITION BY o) <= 128),
+    eg AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM bc a JOIN bc b ON a.o = b.o AND a.p < b.p),
+    ad AS (SELECT pa AS m, pb AS n FROM eg UNION ALL SELECT pb, pa FROM eg),
+    ac AS (SELECT m, n FROM ad
+      QUALIFY row_number() OVER (PARTITION BY m ORDER BY n) <= 32),
+    cod AS (SELECT a.n AS u, b.n AS w, count(*)::BIGINT AS q
+      FROM ac a JOIN ac b ON a.m = b.m AND a.n < b.n
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT u, w, q, CAST(q * (q - 1) // 2 AS BIGINT) AS c4_pairs
+    FROM cod ORDER BY c4_pairs DESC, u, w LIMIT 30"""))
 }
