@@ -1197,6 +1197,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("MatrixProfileProcessor: streamed banded profile == brute force per position") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_mp").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val hourly = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    // in-order split at a global h cutoff (per-key order holds across files)
+    val hs = hourly.map(_._2).sorted
+    val cut = hs(hs.length / 2)
+    val (b1, b2) = hourly.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.MatrixProfileProcessor(spark, src)
+      .toDF("k", "pos", "sad", "nn", "ver")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_mp").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, pos, sad, nn FROM (
+            SELECT *, row_number() OVER (PARTITION BY k, pos ORDER BY ver DESC) AS rn
+            FROM graft_mp) WHERE rn = 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // independent brute-force banded SAD profile (1-based positions,
+      // |j-i| in [4,48], ties to the smallest neighbor — the batch order)
+      val want = hourly.groupBy(_._1).flatMap { case (k, rs) =>
+        val vs = rs.sortBy(_._2).map(_._3)
+        val nSub = vs.length - 3
+        (1 to nSub).flatMap { i =>
+          val cands = (1 to nSub)
+            .filter(j => math.abs(j - i) >= 4 && math.abs(j - i) <= 48)
+            .map { j =>
+              ((0 until 4).map(t => math.abs(vs(i - 1 + t) - vs(j - 1 + t))).sum, j.toLong)
+            }
+          if (cands.isEmpty) None else Some((k, i.toLong) -> cands.min)
+        }
+      }.toMap
+      assert(want.nonEmpty, "brute-force profile unexpectedly empty")
+      assert(got == want,
+        s"streamed vs brute-force profile: sizes got=${got.size} want=${want.size}, " +
+          s"first diff=${(got.toSet diff want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("GramGateProcessor: streamed dotplot matches + islands agg == dedup_max_span") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
