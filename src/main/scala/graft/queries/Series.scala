@@ -19,7 +19,7 @@ object Series {
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsHoltWintersMul,
     tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
-    tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile)
+    tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1853,6 +1853,82 @@ object Series {
     SELECT event_type, n_pairs,
       CAST(cov // nullif((sx * sy) // 10000, 0) AS BIGINT) AS memory_e4
     FROM sq ORDER BY event_type"""))
+
+  /** Dominant seasonality PERIOD per series by integer-ACF argmax
+    * (the autocorrelation periodogram — Box & Jenkins' identification
+    * step, public; [[tsAutocorr]] reports fixed lags 1..3, this scans
+    * lags 2..168 h and returns the maximizer, i.e. "is this series
+    * daily, weekly, or something odd"). All arithmetic exact:
+    * deviations are integer cents around the truncated mean,
+    * acf_bp(L) = 10⁴·Σ devᵢ·devᵢ₊L DIV Σ dev² (biased estimator —
+    * full-series denominator like tsAutocorr), argmax ties to the
+    * SMALLEST lag.
+    *
+    * Scale shape: the lag scan is a KEYED equi-join — the series
+    * table expands 167× onto (series, position+L) and joins back on
+    * (series, position); no window wider than the series, no
+    * per-lag job loop. 167·n rows per series is the transparent cost
+    * of scanning 167 candidate periods at once.
+    */
+  val tsDominantPeriod: Q = Q("ts_dominant_period", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val m = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), expr("sum(c) DIV count(1)").as("mean_c"))
+    val d = hourly.join(broadcast(m), "event_type")
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")).cast("bigint"))
+      .select(col("event_type"), col("i"), (col("c") - col("mean_c")).as("dev"))
+    val den = d.groupBy("event_type")
+      .agg(sum(expr("dev * dev")).as("sxx"))
+    val lagged = d.withColumn("lg", explode(expr(
+        "sequence(CAST(2 AS BIGINT), CAST(168 AS BIGINT))")))
+      .select(col("event_type"), (col("i") + col("lg")).as("i"),
+        col("lg"), col("dev").as("dx"))
+    val num = lagged.join(d.withColumnRenamed("dev", "dy"), Seq("event_type", "i"))
+      .groupBy("event_type", "lg")
+      .agg(sum(expr("dx * dy")).as("sxy"), count(lit(1)).as("n_pairs"))
+    val acf = num.join(broadcast(den), "event_type")
+      .withColumn("acf_bp", expr("10000 * sxy DIV nullif(sxx, 0)"))
+    acf.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("acf_bp").desc, col("lg").asc)))
+      .filter(col("rn") === 1)
+      .join(broadcast(m.select("event_type", "n_hours")), "event_type")
+      .select(col("event_type"), col("n_hours"), col("lg").as("period_h"),
+        col("n_pairs"), col("acf_bp"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    m AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+        CAST(sum(c) // count(*) AS BIGINT) AS mean_c
+      FROM hd GROUP BY event_type),
+    d AS (SELECT hd.event_type,
+        CAST(row_number() OVER (PARTITION BY hd.event_type ORDER BY h) AS BIGINT) AS i,
+        hd.c - m.mean_c AS dev
+      FROM hd JOIN m USING (event_type)),
+    den AS (SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS sxx
+      FROM d GROUP BY event_type),
+    px AS (SELECT a.event_type, t.lg, a.dev AS dx, b.dev AS dy
+      FROM d a CROSS JOIN range(2, 169) t(lg)
+      JOIN d b ON b.event_type = a.event_type AND b.i = a.i + t.lg),
+    num AS (SELECT event_type, lg, CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        count(*)::BIGINT AS n_pairs
+      FROM px GROUP BY 1, 2),
+    acf AS (SELECT num.event_type, num.lg, num.n_pairs,
+        CAST(10000 * sxy // nullif(sxx, 0) AS BIGINT) AS acf_bp
+      FROM num JOIN den USING (event_type))
+    SELECT acf.event_type, m.n_hours, lg AS period_h, n_pairs, acf_bp
+    FROM acf JOIN m USING (event_type)
+    QUALIFY row_number() OVER (PARTITION BY acf.event_type
+      ORDER BY acf_bp DESC, lg ASC) = 1
+    ORDER BY event_type"""))
 
   /** BANDED matrix profile with SAD distance (Yeh et al., "Matrix
     * Profile I", ICDM 2016 — public; SAD instead of z-normalized

@@ -27,7 +27,7 @@ object Similarity {
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
-    embedCoresetGreedy)
+    embedCoresetGreedy, embedRrfFusion)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1742,13 +1742,25 @@ object Similarity {
     * embed_matryoshka; on isotropic synthetic vectors the overlap is
     * chance-level — the machinery is the contract.
     */
+  /** The 64-bit sign-bit code as a Spark SQL sum of CASE terms — the
+    * sign-bit-weight literal discipline from the round-6 notes (bit 0
+    * is the bare-min-value-literal trap in both dialects). Shared by
+    * [[embedSignHamming]] and [[embedRrfFusion]].
+    */
+  private val signTermsSpark: String = (0 until 64).map { d =>
+    val w = if (d == 0) "(-9223372036854775807L - 1L)" else s"${1L << (63 - d)}L"
+    s"CASE WHEN element_at(emb, ${d + 1}) >= 0 THEN $w ELSE 0L END"
+  }.mkString(" + ")
+
+  /** DuckDB twin of [[signTermsSpark]] (HUGEINT-literal-safe min value). */
+  private val signTermsDuck: String = (0 until 64).map { d =>
+    val w = if (d == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - d)}"
+    s"CASE WHEN emb[${d + 1}] >= 0 THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+  }.mkString(" + ")
+
   val embedSignHamming: Q = Q("embed_sign_hamming", (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val signTerms = (0 until 64).map { d =>
-      val w = if (d == 0) "(-9223372036854775807L - 1L)" else s"${1L << (63 - d)}L"
-      s"CASE WHEN element_at(emb, ${d + 1}) >= 0 THEN $w ELSE 0L END"
-    }.mkString(" + ")
-    val n = normed(s, dir).withColumn("code", expr(signTerms))
+    val n = normed(s, dir).withColumn("code", expr(signTermsSpark))
     val q = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("code").as("qc"))
@@ -1777,14 +1789,10 @@ object Similarity {
         col("overlap"))
       .orderBy("q_id")
   }, Some {
-    val signTerms = (0 until 64).map { d =>
-      val w = if (d == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - d)}"
-      s"CASE WHEN emb[${d + 1}] >= 0 THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
     s"""WITH e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-        ($signTerms) AS code
+        ($signTermsDuck) AS code
       FROM e0),
     p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS hamming,
@@ -1804,6 +1812,65 @@ object Similarity {
     SELECT q_id, top_hamming, top_cosine, best_hamming,
       CAST(len(list_intersect(lh, lc)) AS BIGINT) AS overlap
     FROM g ORDER BY q_id"""
+  })
+
+  /** Reciprocal-rank fusion of the two retrieval tiers (Cormack,
+    * Clarke & Buettcher, SIGIR'09 — public; the standard way hybrid
+    * search merges rankers without score calibration): per query, the
+    * sign-Hamming ranking (the 8-byte first stage) and the exact
+    * cosine ranking (the rerank tier) fuse by
+    * rrf(c) = Σ_lists 10⁶ DIV (60 + rank_list(c)) — k = 60 per the
+    * paper, scaled to fixed point so the score is an exact bigint and
+    * the cross-engine comparison needs no float discipline at all
+    * (ranks are already deterministic via the round(,6)+id and
+    * hamming+id orders). Output: top-3 fused per query with both
+    * source ranks — the hybrid-retrieval shape a RAG pipeline serves.
+    */
+  val embedRrfFusion: Q = Q("embed_rrf_fusion", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(s, dir).withColumn("code", expr(signTermsSpark))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("code").as("qc"))
+    val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"),
+      col("nrm").as("cn"), col("code").as("cc"))
+    val pairs = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("hamming", expr("CAST(bit_count(qc ^ cc) AS BIGINT)"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val wH = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("c_id").asc)
+    val wC = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    val fused = pairs
+      .withColumn("rh", row_number().over(wH).cast("bigint"))
+      .withColumn("rc", row_number().over(wC).cast("bigint"))
+      .withColumn("rrf", expr("1000000 DIV (60 + rh) + 1000000 DIV (60 + rc)"))
+    val wR = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("c_id").asc)
+    fused.withColumn("rnk", row_number().over(wR).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("rrf"),
+        col("rh").as("rank_hamming"), col("rc").as("rank_cosine"))
+      .orderBy("q_id", "rnk")
+  }, Some {
+    s"""WITH e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        ($signTermsDuck) AS code
+      FROM e0),
+    p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS hamming,
+        list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    r AS (SELECT q_id, c_id,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY hamming ASC, c_id ASC) AS BIGINT) AS rh,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(sim, 6) DESC, c_id ASC) AS BIGINT) AS rc
+      FROM p),
+    f AS (SELECT q_id, c_id, rh, rc,
+        1000000 // (60 + rh) + 1000000 // (60 + rc) AS rrf
+      FROM r)
+    SELECT q_id, rnk, c_id, rrf, rh AS rank_hamming, rc AS rank_cosine
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY rrf DESC, c_id ASC) AS BIGINT) AS rnk FROM f)
+    WHERE rnk <= 3 ORDER BY q_id, rnk"""
   })
 
   /** Facility-location GREEDY data selection (the submodular coreset

@@ -23,7 +23,7 @@ object TextOps {
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
     multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint,
-    pipelineDatasetCard)
+    pipelineDatasetCard, textCdcChunks)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -653,6 +653,69 @@ object TextOps {
       CAST(len(toks) AS BIGINT) AS n_tokens,
       md5(list_aggregate(toks, 'string_agg', ' ')) AS chunk_md5
     FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** CONTENT-DEFINED chunking + chunk-level dup report (the
+    * Karp–Rabin cut-point family behind LBFS/rsync/FastCDC — public;
+    * [[docChunk]]'s fixed stride shifts every boundary after one
+    * inserted word, CDC boundaries depend only on LOCAL content, so
+    * shared passages chunk identically wherever they sit — the chunk
+    * store dedup property). Stateless cut rule: a word ends a chunk
+    * iff h60('cdc', word) % 64 == 0 (expected chunk ≈ 64 words; the
+    * min/max clamps of FastCDC are an optimization, not semantics).
+    * Chunks hash via the house md5-60 over their joined words; the
+    * output is the corpus-level chunk-dedup report a 100 TB pipeline
+    * reads before enabling chunk-store compression: chunk counts,
+    * distinct chunks, dup rate, mean chunk length (all exact
+    * integers).
+    *
+    * Scale shape: one posexplode, one per-doc cumulative-boundary
+    * window (doc-bounded, never global), one grouped hash, one
+    * summary aggregate — no joins at all.
+    */
+  val textCdcChunks: Q = Q("text_cdc_chunks", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.ops.Text.words(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("p"), col("col").as("w"))
+    val bx = wx.withColumn("b",
+      expr(s"CASE WHEN ${graft.ops.Sketch.h60("'cdc'", "w")} % 64 = 0 THEN 1L ELSE 0L END"))
+    val cx = bx.withColumn("ck", coalesce(
+      sum("b").over(Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ch = cx.groupBy("doc_id", "ck")
+      .agg(count(lit(1)).as("n_w"),
+        expr(graft.ops.Sketch.h60("'ck'",
+          "concat_ws(' ', transform(array_sort(collect_list(struct(p, w))), x -> x.w))"))
+          .as("chash"))
+    ch.agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct("chash").as("n_distinct_chunks"),
+        sum("n_w").as("sum_w"))
+      .select(col("n_docs"), col("n_chunks"), col("n_distinct_chunks"),
+        expr("10000 * (n_chunks - n_distinct_chunks) DIV n_chunks").as("dup_bp"),
+        expr("sum_w * 100 DIV n_chunks").as("avg_chunk_words_e2"))
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    wx AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(w) + 1), i -> {'p': i, 'w': w[i]})) AS u
+      FROM d),
+    bx AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.w AS w,
+        CASE WHEN CAST('0x' || substr(md5('cdc:' || u.w), 1, 15) AS BIGINT) % 64 = 0
+          THEN 1 ELSE 0 END AS b
+      FROM wx),
+    cx AS (SELECT doc_id, p, w, coalesce(CAST(sum(b) OVER (PARTITION BY doc_id
+        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ck
+      FROM bx),
+    ch AS (SELECT doc_id, ck, count(*)::BIGINT AS n_w,
+        CAST('0x' || substr(md5('ck:' || string_agg(w, ' ' ORDER BY p)), 1, 15) AS BIGINT) AS chash
+      FROM cx GROUP BY 1, 2)
+    SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+      count(*)::BIGINT AS n_chunks,
+      count(DISTINCT chash)::BIGINT AS n_distinct_chunks,
+      CAST(10000 * (count(*) - count(DISTINCT chash)) // count(*) AS BIGINT) AS dup_bp,
+      CAST(sum(n_w) * 100 // count(*) AS BIGINT) AS avg_chunk_words_e2
+    FROM ch"""))
 
   /** Sentence-boundary-aware chunking ([[graft.ops.Text.chunkSentences]]
     * — ROADMAP "multilingual chunking grammar"): chunk edges snap to
