@@ -673,6 +673,101 @@ object Graph {
     labels
   }
 
+  /** Weighted single-source shortest-path DISTANCES from a seed set by
+    * Bellman-Ford relaxation rounds (undirected edges, integral
+    * weights ≥ 1). Distances are VALUES, not paths — unique by
+    * definition, no tie-break discipline needed — so any correct
+    * algorithm agrees: the distributed loop relaxes to the fixpoint,
+    * the counted-small fast path runs driver Bellman-Ford in identical
+    * Long arithmetic, and the DuckDB oracle can verify via min-plus
+    * DOUBLING (log₂-unrolled CTEs) instead of mirroring rounds.
+    *
+    * Fixpoint screen: reached-count only grows and, at fixed count,
+    * the exact distance sum only shrinks — so an unchanged
+    * (count, sum) pair certifies convergence in one cheap aggregate
+    * per round (the connectedComponents label-sum discipline).
+    * `maxIters` is the runaway guard; hitting it THROWS.
+    *
+    * Output: (v, dist) for every vertex reachable from any seed —
+    * dist 0 for the seeds themselves.
+    */
+  def ssspFrom(
+      edgeList: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      wCol: String = "w",
+      seedCol: String = "v",
+      maxIters: Int = 64,
+      smallCutoff: Long = 200000L): DataFrame = {
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src"), col("w"))).persist()
+    val seedSet = seeds.select(col(seedCol).as("v")).distinct()
+    // same type-identity gate as bfsHops: driver HashMaps key on boxed
+    // vertex values, and boxed equality never matches across widths
+    val keysIdentical = {
+      val st = edgeList.schema(srcCol).dataType
+      st == edgeList.schema(dstCol).dataType &&
+        st == seeds.schema(seedCol).dataType
+    }
+    if (smallCutoff > 0 && keysIdentical && edges.count() <= 2 * smallCutoff &&
+        seedSet.count() <= smallCutoff) {
+      val es = edges.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val dist = scala.collection.mutable.HashMap.empty[Any, Long]
+      seedSet.collect().foreach(r => dist.update(r.get(0), 0L))
+      edges.unpersist()
+      var changed = true
+      var iter = 0
+      while (changed && iter < maxIters) {
+        changed = false
+        es.foreach { case (a, b, w) =>
+          dist.get(a).foreach { da =>
+            if (dist.get(b).forall(_ > da + w)) { dist.update(b, da + w); changed = true }
+          }
+        }
+        iter += 1
+      }
+      if (changed)
+        throw new IllegalStateException(s"ssspFrom fast path unconverged in $maxIters")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kt = edgeList.schema(srcCol).dataType
+      return s.createDataFrame(
+        java.util.Arrays.asList(dist.iterator.map { case (v, d) => Row(v, d) }.toSeq: _*),
+        StructType(Seq(StructField("v", kt), StructField("dist", LongType))))
+    }
+    var labels = break(seedSet.withColumn("dist", lit(0L)))
+    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), coalesce(
+        sum(col("dist").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var (prevN, prevSum) = stats(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      labels = break(labels.union(prop).groupBy("v").agg(min("dist").as("dist")))
+      val (n, sm) = stats(labels)
+      converged = n == prevN && sm.compareTo(prevSum) == 0
+      prevN = n; prevSum = sm
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ssspFrom did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels
+  }
+
   /** SYNCHRONOUS label propagation (Raghavan et al., "Near linear time
     * algorithm to detect community structures in large-scale networks",
     * Phys. Rev. E 76, 2007 — public): every vertex starts with its own

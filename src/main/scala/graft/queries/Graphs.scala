@@ -18,7 +18,7 @@ object Graphs {
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
-    squaresCopurchase)
+    squaresCopurchase, ssspSeeds)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -681,6 +681,68 @@ object Graphs {
     per AS (SELECT unnest([u, w]) AS v, q * (q - 1) // 2 AS sq FROM cod)
     SELECT v, CAST(sum(sq) AS BIGINT) AS n_sq FROM per GROUP BY v
     ORDER BY n_sq DESC, v LIMIT 50"""))
+
+  /** Weighted single-source shortest paths from landmark seeds over
+    * the Jaccard-DISTANCE similarity graph ([[graft.ops.Graph.ssspFrom]]
+    * — Bellman-Ford relaxation; the weighted complement of
+    * [[closenessSeeds]]' hop-count BFS). Per seed: reach, total
+    * distance, and eccentricity, all in exact basis points. The same
+    * product-graph trick as closeness shares every relaxation round
+    * across the 5 seeds (seed·2²⁰ + v, domain-gated loudly).
+    *
+    * The oracle does not mirror the rounds: shortest-path DISTANCES
+    * are unique values, so min-plus DOUBLING (m₀ = direct min edges,
+    * m_{k+1} = min(m_k, m_k ⊕ m_k) — 6 unrolled MATERIALIZED CTEs
+    * cover 2⁶-edge paths on the ≤ 60-vertex capped graph) reaches the
+    * identical fixpoint. The seed itself is excluded by IDENTITY
+    * (v ≠ seed), not by dist &gt; 0 — zero-weight edges (identical item
+    * sets ⇒ distance 0) would otherwise drop real vertices.
+    */
+  val ssspSeeds: Q = Q("graph_sssp_seeds", (s, dir) => {
+    val e = simEdgesDist(s, dir).persist()
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct()
+    val domainGate = verts.agg(max("v").as("mx"), min("v").as("mn"))
+      .select(expr("""CASE WHEN mx >= 1048576 OR mn < 0 THEN raise_error(concat(
+          'graph_sssp_seeds: vertex domain [', CAST(mn AS STRING), ',',
+          CAST(mx AS STRING), '] exceeds the 2^20 seed offset'))
+        ELSE 1 END""").as("_domain_ok"))
+    val seedDf = verts.orderBy("v").limit(5).select(col("v").as("seed"))
+      .crossJoin(broadcast(domainGate)).where(col("_domain_ok") === 1)
+      .drop("_domain_ok")
+    val lab = e.crossJoin(broadcast(seedDf))
+      .select((col("seed") * 1048576 + col("src")).as("src"),
+        (col("seed") * 1048576 + col("dst")).as("dst"),
+        col("dist_bp").as("w"))
+    val seeds = seedDf.select((col("seed") * 1048576 + col("seed")).as("v"))
+    graft.ops.Graph.ssspFrom(lab, seeds)
+      .filter(expr("v % 1048576 != v DIV 1048576"))
+      .withColumn("seed", expr("v DIV 1048576"))
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum("dist").as("total_bp"), max("dist").as("ecc_bp"))
+      .orderBy("seed")
+  }, Some {
+    val steps = (1 to 6).map { k =>
+      s""",
+    m$k AS MATERIALIZED (SELECT u, v, min(k) AS k FROM (
+      SELECT u, v, k FROM m${k - 1}
+      UNION ALL SELECT a.u, b.v, a.k + b.k AS k
+      FROM m${k - 1} a JOIN m${k - 1} b ON b.u = a.v WHERE a.u <> b.v)
+      GROUP BY 1, 2)"""
+    }.mkString
+    s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub, 10000 - jacc_bp AS w
+      FROM jac WHERE jacc_bp >= 3000),
+    m0 AS MATERIALIZED (SELECT u, v, min(w) AS k FROM (
+      SELECT ua AS u, ub AS v, w FROM je
+      UNION ALL SELECT ub, ua, w FROM je) GROUP BY 1, 2)$steps,
+    sd AS (SELECT DISTINCT u AS seed FROM m0 ORDER BY seed LIMIT 5)
+    SELECT sd.seed, count(*)::BIGINT AS n_reached,
+      CAST(sum(k) AS BIGINT) AS total_bp, CAST(max(k) AS BIGINT) AS ecc_bp
+    FROM m6 JOIN sd ON m6.u = sd.seed WHERE m6.v <> sd.seed
+    GROUP BY 1 ORDER BY 1"""
+  })
 
   /** [[squares]] taken to the UNBOUNDED part co-purchase graph — the
     * roadmap's scale-hardening twin: parts are co-purchased when they

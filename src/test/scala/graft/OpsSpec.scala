@@ -176,6 +176,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Graph.ssspFrom: loop == fast path == reference Dijkstra, zero weights included") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      // weights include 0 on purpose (identical-item-set edges exist in
+      // the similarity binding); disconnected vertices stay absent
+      val edges = Seq.fill(50 + trial * 15)(
+        (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong, rnd.nextInt(5).toLong))
+        .filter(e => e._1 != e._2)
+      val seeds = Seq(0L, 1L)
+      // reference: plain Dijkstra-free relaxation to fixpoint
+      val want = {
+        val dist = scala.collection.mutable.Map[Long, Long](seeds.map(_ -> 0L): _*)
+        val und = edges.flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+        var changed = true
+        while (changed) {
+          changed = false
+          und.foreach { case (a, b, w) =>
+            dist.get(a).foreach { da =>
+              if (dist.get(b).forall(_ > da + w)) { dist(b) = da + w; changed = true }
+            }
+          }
+        }
+        dist.toMap
+      }
+      val df = edges.toDF("src", "dst", "w")
+      val sdf = seeds.toDF("v")
+      val gotFast = graft.ops.Graph.ssspFrom(df, sdf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotFast == want, s"trial $trial fast path: $gotFast vs $want")
+      val gotLoop = graft.ops.Graph.ssspFrom(df, sdf, smallCutoff = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop == want, s"trial $trial distributed loop: $gotLoop vs $want")
+    }
+  }
+
   test("Graph.msfEdges: empty and disconnected inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
