@@ -12,7 +12,7 @@ object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
-    langidEval, qualityReadability)
+    langidEval, qualityReadability, datasetMerkle)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -215,6 +215,99 @@ object Quality {
         WHEN fp_a <> fp_b THEN 'changed' ELSE 'unchanged' END AS status,
       count(*)::BIGINT AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM j GROUP BY 1 ORDER BY status"""))
+
+  /** MERKLE-bucket snapshot comparison — the anti-entropy primitive
+    * behind large-scale replica sync (Merkle 1987; Dynamo/Cassandra
+    * repair — public): instead of shipping [[datasetDiff]]'s full
+    * per-row fingerprint join, each side summarizes doc-id ranges
+    * hierarchically — leaf = bit_xor of row hashes per 32-id bucket
+    * (order-insensitive, overflow-free), level-1 = md5-60 over the
+    * SORTED child hashes per 32-leaf span, root likewise — and the
+    * sides compare top-down, descending only into mismatched subtrees.
+    * The report: buckets vs mismatches at each level, i.e. how much of
+    * the tree a sync would actually walk. Same synthetic snapshots as
+    * dataset_diff (A drops id%7, B drops id%5 and revises id%11), so
+    * the two reports cross-validate.
+    *
+    * Scale shape: two grouped aggregates per side (map-side
+    * combinable), bucket-keyed full-outer joins over BUCKET-sized
+    * relations — row-level data never crosses the comparison.
+    */
+  val datasetMerkle: Q = Q("dataset_merkle", (s, dir) => {
+    val h60 = graft.ops.Sketch.h60 _
+    val d = Tables.t(s, dir, "documents")
+    val a = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val b = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))).as("fp"))
+    def leaves(snap: org.apache.spark.sql.DataFrame) = snap
+      .withColumn("bkt", expr("doc_id DIV 32"))
+      .withColumn("h", expr(h60("'mk'", "concat(CAST(doc_id AS STRING), ':', fp)")))
+      .groupBy("bkt").agg(expr("bit_xor(h)").as("lh"))
+    def lvl1(lv: org.apache.spark.sql.DataFrame) = lv
+      .groupBy(expr("bkt DIV 32").as("b1"))
+      .agg(expr(h60("'l1'",
+        "concat_ws(',', transform(array_sort(collect_list(lh)), x -> CAST(x AS STRING)))"))
+        .as("h1"))
+    def root(l1: org.apache.spark.sql.DataFrame) = l1
+      .groupBy(lit(0L).as("b0"))
+      .agg(expr(h60("'rt'",
+        "concat_ws(',', transform(array_sort(collect_list(h1)), x -> CAST(x AS STRING)))"))
+        .as("hr"))
+    val (la, lb) = (leaves(a), leaves(b))
+    val (oa, ob) = (lvl1(la), lvl1(lb))
+    def cmp(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame,
+        key: String, hc: String, level: String) =
+      x.withColumnRenamed(hc, "ha")
+        .join(y.withColumnRenamed(hc, "hb"), Seq(key), "full_outer")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(expr("NOT (ha <=> hb)"), 1L).otherwise(0L)).as("n_mismatch"))
+        .select(lit(level).as("level"), col("n_buckets"), col("n_mismatch"))
+    cmp(la, lb, "bkt", "lh", "leaf")
+      .union(cmp(oa, ob, "b1", "h1", "l1"))
+      .union(cmp(root(oa), root(ob), "b0", "hr", "root"))
+      .orderBy("level")
+  }, Some {
+    def oh60(salt: String, key: String) =
+      s"CAST('0x' || substr(md5('$salt:' || $key), 1, 15) AS BIGINT)"
+    s"""WITH a AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+    b AS (
+      SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+        ELSE text END) AS fp
+      FROM documents WHERE doc_id % 5 <> 0),
+    la AS (SELECT doc_id // 32 AS bkt,
+        bit_xor(${oh60("mk", "CAST(doc_id AS VARCHAR) || ':' || fp")}) AS lh
+      FROM a GROUP BY 1),
+    lb AS (SELECT doc_id // 32 AS bkt,
+        bit_xor(${oh60("mk", "CAST(doc_id AS VARCHAR) || ':' || fp")}) AS lh
+      FROM b GROUP BY 1),
+    oa AS (SELECT bkt // 32 AS b1,
+        ${oh60("l1", "string_agg(CAST(lh AS VARCHAR), ',' ORDER BY lh)")} AS h1
+      FROM la GROUP BY 1),
+    ob AS (SELECT bkt // 32 AS b1,
+        ${oh60("l1", "string_agg(CAST(lh AS VARCHAR), ',' ORDER BY lh)")} AS h1
+      FROM lb GROUP BY 1),
+    ra AS (SELECT CAST(0 AS BIGINT) AS b0,
+        ${oh60("rt", "string_agg(CAST(h1 AS VARCHAR), ',' ORDER BY h1)")} AS hr
+      FROM oa),
+    rb AS (SELECT CAST(0 AS BIGINT) AS b0,
+        ${oh60("rt", "string_agg(CAST(h1 AS VARCHAR), ',' ORDER BY h1)")} AS hr
+      FROM ob)
+    SELECT 'leaf' AS level, count(*)::BIGINT AS n_buckets,
+      CAST(sum(CASE WHEN la.lh IS DISTINCT FROM lb.lh THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM la FULL OUTER JOIN lb USING (bkt)
+    UNION ALL
+    SELECT 'l1', count(*)::BIGINT,
+      CAST(sum(CASE WHEN oa.h1 IS DISTINCT FROM ob.h1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM oa FULL OUTER JOIN ob USING (b1)
+    UNION ALL
+    SELECT 'root', count(*)::BIGINT,
+      CAST(sum(CASE WHEN ra.hr IS DISTINCT FROM rb.hr THEN 1 ELSE 0 END) AS BIGINT)
+    FROM ra FULL OUTER JOIN rb USING (b0)
+    ORDER BY level"""
+  })
 
   /** Unigram-LM surprisal scoring — the cheap perplexity-shaped quality
     * filter: docs whose words are corpus-rare score high. The log2 is

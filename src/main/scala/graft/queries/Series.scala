@@ -19,7 +19,8 @@ object Series {
     tsHistogramQuantile, tsCusumAlarm, tsHoltWinters, tsHoltWintersMul,
     tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
-    tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod)
+    tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
+    tsHaarEnergy)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1853,6 +1854,81 @@ object Series {
     SELECT event_type, n_pairs,
       CAST(cov // nullif((sx * sy) // 10000, 0) AS BIGINT) AS memory_e4
     FROM sq ORDER BY event_type"""))
+
+  /** Multi-scale HAAR wavelet energy profile over the first 128 hourly
+    * means per series (Haar 1910; the scaleogram/multi-resolution-
+    * variance feature — public). UNNORMALIZED Haar keeps every
+    * coefficient an exact integer: level k pairs the previous approx
+    * (a, b) → approx a+b, detail a−b; energy(k) = Σ detail² — the
+    * variance of the series at scale 2^k hours — plus the final DC
+    * approx² as level 0. Spike-heavy series load the fine levels,
+    * trend/seasonal series the coarse ones; [[tsDominantPeriod]] names
+    * the period, this says how much energy lives at each scale.
+    *
+    * Shape: 7 chained bucket-halving aggregations (each map-side
+    * combinable, table size halves per level — 128→1 rows per series),
+    * zero joins, zero windows beyond the initial per-series
+    * row_number. The oracle mirrors the identical chain as
+    * MATERIALIZED pair CTEs.
+    */
+  val tsHaarEnergy: Q = Q("ts_haar_energy", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = 128
+    val levels = 7
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    var cur = hourly
+      .withColumn("p", (row_number().over(
+        Window.partitionBy("event_type").orderBy("h")) - 1).cast("bigint"))
+      .filter(col("p") < n)
+      .select(col("event_type"), col("p"), col("c").as("v"))
+    val energies = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    for (lvl <- 1 to levels) {
+      val paired = cur.groupBy(col("event_type"), expr("p DIV 2").as("p"))
+        .agg(sum(expr("CASE WHEN p % 2 = 0 THEN v ELSE 0 END")).as("a"),
+          sum(expr("CASE WHEN p % 2 = 1 THEN v ELSE 0 END")).as("b"))
+      energies += paired.groupBy("event_type")
+        .agg(sum(expr("(a - b) * (a - b)")).as("energy"))
+        .select(col("event_type"), lit(lvl.toLong).as("level"), col("energy"))
+      cur = paired.select(col("event_type"), col("p"), expr("a + b").as("v"))
+    }
+    val dc = cur.groupBy("event_type")
+      .agg(sum(expr("v * v")).as("energy"))
+      .select(col("event_type"), lit(0L).as("level"), col("energy"))
+    energies.reduce(_ union _).union(dc).orderBy("event_type", "level")
+  }, Some {
+    val steps = (1 to 7).map { k =>
+      s""",
+    pk$k AS MATERIALIZED (SELECT event_type, p // 2 AS p,
+        CAST(sum(CASE WHEN p % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS a,
+        CAST(sum(CASE WHEN p % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS b
+      FROM l${k - 1} GROUP BY 1, 2),
+    e$k AS (SELECT event_type, CAST($k AS BIGINT) AS level,
+        CAST(sum((a - b) * (a - b)) AS BIGINT) AS energy
+      FROM pk$k GROUP BY 1),
+    l$k AS (SELECT event_type, p, a + b AS v FROM pk$k)"""
+    }.mkString
+    s"""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    l0 AS (SELECT event_type, p, v FROM (
+      SELECT event_type,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS BIGINT) AS p,
+        c AS v
+      FROM hd) WHERE p < 128)$steps,
+    dc AS (SELECT event_type, CAST(0 AS BIGINT) AS level,
+        CAST(sum(v * v) AS BIGINT) AS energy
+      FROM l7 GROUP BY 1)
+    SELECT event_type, level, energy FROM (
+      ${(1 to 7).map(k => s"SELECT * FROM e$k").mkString(" UNION ALL ")}
+      UNION ALL SELECT * FROM dc)
+    ORDER BY event_type, level"""
+  })
 
   /** Dominant seasonality PERIOD per series by integer-ACF argmax
     * (the autocorrelation periodogram — Box & Jenkins' identification
