@@ -1253,6 +1253,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("MsfProcessor: online forest == batch Boruvka MSF under shuffled arrivals") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_msf").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // the SAME weighted similarity edges graph_mst_boruvka consumes
+    val edges = graft.queries.Graphs.jaccardNbrs.fn(spark, sfDir)
+      .selectExpr("ua", "ub", "10000 - jacc_bp AS w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // order-free contract: shuffle globally, split anywhere — the MSF
+    // is unique under the strict (w, lo, hi) order
+    val shuffled = new scala.util.Random(11).shuffle(edges.toSeq)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 3)
+    def fmt(rs: Seq[(Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"g ${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.MsfProcessor(spark, src)
+      .toDF("k", "lo", "hi", "w", "ver")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_msf").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT lo, hi, w FROM (
+            SELECT *, max(ver) OVER (PARTITION BY k) AS mv FROM graft_msf)
+           WHERE ver = mv""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.queries.Graphs.mstBoruvka.fn(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty, "batch MSF unexpectedly empty")
+      assert(got == want, s"online vs batch MSF: extra=${got diff want} missing=${want diff got}")
+    } finally q.stop()
+  }
+
   test("GramGateProcessor: streamed dotplot matches + islands agg == dedup_max_span") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
