@@ -20,7 +20,7 @@ object Series {
     tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
-    tsHaarEnergy)
+    tsHaarEnergy, tsMannKendall)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1854,6 +1854,60 @@ object Series {
     SELECT event_type, n_pairs,
       CAST(cov // nullif((sx * sy) // 10000, 0) AS BIGINT) AS memory_e4
     FROM sq ORDER BY event_type"""))
+
+  /** MANN-KENDALL trend test over the trailing 256 hourly means (Mann
+    * 1945, Kendall 1975 — public; the nonparametric "is it trending"
+    * complement to [[tsRollingSlope]]'s parametric OLS and
+    * [[tsTheilSen]]'s robust slope): S = Σ_{i&lt;j} sign(xⱼ − xᵢ) over
+    * every pair in the window, with the tie count and the tau-a
+    * normalization 10⁴·S / C(n,2) — sign sums and counts are exact
+    * integers, the one division truncates identically in both engines
+    * (negatives included).
+    *
+    * Scale shape: the window filter BOUNDS the pair space by
+    * construction — ≤ C(256,2) pairs per series from a keyed self-join
+    * over ≤ 256-row groups; the quadratic blow-up hazard of a pair
+    * statistic is capped by the trailing window, not by hoping series
+    * stay short. Both join sides descend from the hourly aggregate.
+    */
+  val tsMannKendall: Q = Q("ts_mann_kendall", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val last = hourly
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("h").desc)).cast("bigint"))
+      .filter(col("rn") <= 256)
+    val a = last.select(col("event_type"), col("rn").as("ra"), col("c").as("ca"))
+    val b = last.select(col("event_type"), col("rn").as("rb"), col("c").as("cb"))
+    // rn 1 = newest; pair (earlier a, later b) <=> ra > rb
+    a.join(b, "event_type").filter(col("ra") > col("rb"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CASE WHEN cb > ca THEN 1L WHEN cb < ca THEN -1L ELSE 0L END")).as("s"),
+        sum(expr("CASE WHEN cb = ca THEN 1L ELSE 0L END")).as("n_ties"))
+      .withColumn("tau_bp", expr("10000 * s DIV nullif(n_pairs, 0)"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    l AS (SELECT event_type, rn, c FROM (
+      SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY h DESC) AS BIGINT) AS rn
+      FROM hd) WHERE rn <= 256),
+    p AS (SELECT a.event_type,
+        CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg,
+        CASE WHEN b.c = a.c THEN 1 ELSE 0 END AS tie
+      FROM l a JOIN l b ON b.event_type = a.event_type AND a.rn > b.rn)
+    SELECT event_type, count(*)::BIGINT AS n_pairs,
+      CAST(sum(sg) AS BIGINT) AS s, CAST(sum(tie) AS BIGINT) AS n_ties,
+      CAST(10000 * sum(sg) // nullif(count(*), 0) AS BIGINT) AS tau_bp
+    FROM p GROUP BY event_type ORDER BY event_type"""))
 
   /** Multi-scale HAAR wavelet energy profile over the first 128 hourly
     * means per series (Haar 1910; the scaleogram/multi-resolution-
