@@ -27,7 +27,7 @@ object Similarity {
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
-    embedCoresetGreedy, embedRrfFusion)
+    embedCoresetGreedy, embedRrfFusion, embedMmrRerank)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1957,5 +1957,101 @@ object Similarity {
       UNION ALL SELECT 2, c_id, obj FROM s2
       UNION ALL SELECT 3, c_id, obj FROM s3)
     ORDER BY round"""
+  })
+
+  /** MAXIMAL MARGINAL RELEVANCE reranking (Carbonell & Goldstein,
+    * SIGIR'98 — public; the diversity-aware rerank a RAG retrieval
+    * serves so the top-k isn't three paraphrases of one passage): per
+    * query, 3 greedy rounds picking argmax λ·rel(q,c) −
+    * (1−λ)·max_{p∈picked} sim(c,p) with λ = 0.7 scaled ×10 so the
+    * score stays an exact bigint (7·rel − 3·maxsim). Relevance and
+    * diversity are quantized integer dot products (the
+    * [[embedCoresetGreedy]] ×10⁴ discipline, codegen'd
+    * graft_dot_long), argmax ties break on c_id — fully deterministic,
+    * so the 3-round unrolled oracle matches bit-for-bit.
+    *
+    * Scale shape: round r joins candidates against the r·|queries|
+    * PICKED vectors only (broadcast-sized), never candidate×candidate;
+    * per-round state is tiny and localCheckpointed (the measured
+    * per-round codegen-compile tax rule).
+    */
+  val embedMmrRerank: Q = Q("embed_mmr_rerank", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.DotProductLong.register(s)
+    def dotq(a: String, b: String): String = s"graft_dot_long($a, $b)"
+    val v = Tables.t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+    val qs = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qv"))
+    val pairs = v.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("q").as("cv"),
+        expr(dotq("q", "qv")).as("rel"))
+      .persist()
+    var picked: org.apache.spark.sql.DataFrame = null
+    var out = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (r <- 1 to 3) {
+      val scored =
+        if (picked == null) pairs.withColumn("maxsim", lit(0L))
+        else pairs
+          .join(picked.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_anti")
+          .join(broadcast(picked.select(col("q_id"), col("cv").as("pv"))), Seq("q_id"))
+          .withColumn("ps", expr(dotq("cv", "pv")))
+          .groupBy("q_id", "c_id")
+          .agg(max("rel").as("rel"), max("ps").as("maxsim"))
+      val best = scored.withColumn("score", expr("7 * rel - 3 * maxsim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("c_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(r.toLong).as("round"), col("c_id"),
+          col("score"), col("rel"), col("maxsim"))
+        .join(pairs.select(col("q_id"), col("c_id"), col("cv")), Seq("q_id", "c_id"))
+        .localCheckpoint(true)
+      out = out :+ best.select("q_id", "round", "c_id", "score", "rel", "maxsim")
+      picked =
+        if (picked == null) best.select("q_id", "c_id", "cv")
+        else picked.union(best.select("q_id", "c_id", "cv")).localCheckpoint(true)
+    }
+    out.reduce(_ union _).orderBy("q_id", "round")
+  }, Some {
+    def dotq(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+    s"""WITH q0 AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings),
+    qs AS (SELECT vec_id AS q_id, q AS qv FROM q0 WHERE vec_id < 5),
+    pr AS MATERIALIZED (SELECT qs.q_id, c.vec_id AS c_id, ${dotq("c.q", "qs.qv")} AS rel
+      FROM q0 c, qs WHERE c.vec_id <> qs.q_id),
+    s1 AS MATERIALIZED (SELECT q_id, CAST(1 AS BIGINT) AS round, c_id,
+        7 * rel AS score, rel, CAST(0 AS BIGINT) AS maxsim
+      FROM pr QUALIFY row_number() OVER (PARTITION BY q_id
+        ORDER BY 7 * rel DESC, c_id) = 1),
+    m2 AS MATERIALIZED (SELECT pr.q_id, pr.c_id, pr.rel,
+        max(${dotq("c.q", "p.q")}) AS maxsim
+      FROM pr
+      JOIN s1 ON s1.q_id = pr.q_id AND pr.c_id <> s1.c_id
+      JOIN q0 c ON c.vec_id = pr.c_id
+      JOIN q0 p ON p.vec_id = s1.c_id
+      GROUP BY 1, 2, 3),
+    s2 AS MATERIALIZED (SELECT q_id, CAST(2 AS BIGINT) AS round, c_id,
+        7 * rel - 3 * maxsim AS score, rel, maxsim
+      FROM m2 QUALIFY row_number() OVER (PARTITION BY q_id
+        ORDER BY 7 * rel - 3 * maxsim DESC, c_id) = 1),
+    p2 AS (SELECT q_id, c_id FROM s1 UNION ALL SELECT q_id, c_id FROM s2),
+    m3 AS MATERIALIZED (SELECT pr.q_id, pr.c_id, pr.rel,
+        max(${dotq("c.q", "p.q")}) AS maxsim
+      FROM pr
+      JOIN p2 ON p2.q_id = pr.q_id
+      JOIN q0 c ON c.vec_id = pr.c_id
+      JOIN q0 p ON p.vec_id = p2.c_id
+      WHERE NOT EXISTS (SELECT 1 FROM p2 x
+        WHERE x.q_id = pr.q_id AND x.c_id = pr.c_id)
+      GROUP BY 1, 2, 3),
+    s3 AS (SELECT q_id, CAST(3 AS BIGINT) AS round, c_id,
+        7 * rel - 3 * maxsim AS score, rel, maxsim
+      FROM m3 QUALIFY row_number() OVER (PARTITION BY q_id
+        ORDER BY 7 * rel - 3 * maxsim DESC, c_id) = 1)
+    SELECT q_id, round, c_id, score, rel, maxsim FROM (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+    ORDER BY q_id, round"""
   })
 }
