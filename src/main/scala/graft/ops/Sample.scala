@@ -168,4 +168,44 @@ object Sample {
         s"($budget * cumw) DIV tw - ($budget * (cumw - weight)) DIV tw"))
       .select(col(strataCol), col("n_rows"), col("weight"), col("alloc"))
   }
+
+  /** SYSTEMATIC probability-proportional-to-size sampling (Madow 1949 —
+    * the classical survey design; rand()-free variant with the
+    * threshold grid anchored at T/n): row i is hit once for every
+    * multiple of T/n its weight span (cum−w, cum] crosses —
+    * n_hits = (cum·n) DIV T − ((cum−w)·n) DIV T, the same telescoping
+    * floor-diff as [[temperatureAlloc]], so hits sum EXACTLY to n and
+    * rows heavier than T/n surface with multiplicity (the PPS
+    * certainty stratum). Inclusion is proportional to weight by
+    * construction and a pure function of the sorted order — bit-stable
+    * across engines, retries, partitionings.
+    *
+    * The row cumsum is [[Pack.assignBins]]'s DISTRIBUTED prefix-sum
+    * (per-shard local windows + a shard-offset window over the
+    * aggregate), never a data-sized global window.
+    */
+  def ppsSystematic(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Long,
+      shardSize: Long = 4096L): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val d = df.withColumn("_shard", expr(s"$idCol DIV $shardSize"))
+    val wIn = Window.partitionBy("_shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    val sh = d.groupBy("_shard").agg(sum(weightCol).as("_t"))
+    val offsets = sh.withColumn("_off", coalesce(sum("_t").over(wSh), lit(0L)))
+      .select(col("_shard").as("_o_shard"), col("_off"))
+    val total = sh.agg(sum("_t").as("_tt"))
+    d.withColumn("_lc", sum(col(weightCol)).over(wIn))
+      .join(offsets, col("_shard") === col("_o_shard"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum", expr("_lc + _off"))
+      .withColumn("n_hits", expr(
+        s"(cum * $n) DIV _tt - ((cum - $weightCol) * $n) DIV _tt"))
+      .filter(col("n_hits") > 0)
+      .drop("_shard", "_o_shard", "_lc", "_off", "_tt")
+  }
 }

@@ -23,7 +23,7 @@ object TextOps {
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
     multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint,
-    pipelineDatasetCard, textCdcChunks)
+    pipelineDatasetCard, textCdcChunks, samplePps)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -653,6 +653,36 @@ object TextOps {
       CAST(len(toks) AS BIGINT) AS n_tokens,
       md5(list_aggregate(toks, 'string_agg', ' ')) AS chunk_md5
     FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Systematic PPS sample of the corpus weighted by word count
+    * ([[graft.ops.Sample.ppsSystematic]] — Madow 1949, public; the
+    * survey-sampling complement to [[samplePriority]]'s randomized-
+    * order draw: inclusion here is proportional to document LENGTH, so
+    * a token-budget-faithful audit sample weights long docs up
+    * deterministically, and hits telescope to exactly n=50). Docs
+    * heavier than T/50 appear with multiplicity — the certainty
+    * stratum a PPS design surfaces explicitly.
+    */
+  val samplePps: Q = Q("sample_pps_systematic", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.ops.Text.words(col("text"))).cast("bigint").as("n_words"))
+    graft.ops.Sample.ppsSystematic(d, "doc_id", "n_words", n = 50)
+      .select(col("doc_id"), col("n_words"), col("n_hits"))
+      .orderBy("doc_id")
+  }, Some("""WITH d AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_words
+      FROM documents),
+    c AS (SELECT doc_id, n_words,
+        CAST(sum(n_words) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+        (SELECT CAST(sum(n_words) AS BIGINT) FROM d) AS t
+      FROM d)
+    SELECT doc_id, n_words,
+      (cum * 50) // t - ((cum - n_words) * 50) // t AS n_hits
+    FROM c
+    WHERE (cum * 50) // t - ((cum - n_words) * 50) // t > 0
+    ORDER BY doc_id"""))
 
   /** CONTENT-DEFINED chunking + chunk-level dup report (the
     * Karp–Rabin cut-point family behind LBFS/rsync/FastCDC — public;

@@ -228,6 +228,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
   }
 
+  test("Sample.ppsSystematic: hits telescope to n; heavy rows carry multiplicity; partitioning-stable") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i == 7) 500L else 5L)).toDF("id", "w")
+      .repartition(5)
+    val got = graft.ops.Sample.ppsSystematic(df, "id", "w", n = 20)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_hits")).toMap
+    assert(got.values.sum == 20L, s"hits must telescope to n: $got")
+    // T = 995, grid step 49.75; the w=500 row spans >= 10 thresholds
+    assert(got(7L) >= 10L, s"certainty-stratum multiplicity: ${got(7L)}")
+    val got2 = graft.ops.Sample.ppsSystematic(df.repartition(13), "id", "w", n = 20)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_hits")).toMap
+    assert(got2 == got, "selection must not depend on partitioning")
+  }
+
   test("Sample.stratifiedTopN takes exactly min(n, stratum size) rows, stable across partitionings") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
