@@ -33,7 +33,7 @@ object Ingest {
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
-    seriesChurn, graphiteRetention)
+    seriesChurn, graphiteRetention, graphiteAggRules)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -787,4 +787,77 @@ object Ingest {
         // count(*) AS BIGINT) AS compression_bp
     FROM t2 GROUP BY tier, event_type, res_s, keep_h
     ORDER BY tier, event_type"""))
+
+  /** Carbon storage-aggregation.conf semantics as one conditional-
+    * aggregation pass (Graphite's whisper rollup config — public docs;
+    * the retention twin [[graphiteRetention]] sizes the archives, this
+    * applies the per-pattern AGGREGATION METHOD and xFilesFactor when
+    * downsampling into them). First-match-wins rules on the metric
+    * name: purchases roll up by SUM (counters), errors by MAX with
+    * xff 0.10 (keep the worst sample, drop nearly-empty buckets),
+    * everything else by truncated AVERAGE with xff 0.50 — and a
+    * 300 s bucket is KEPT only when its known 10 s slots clear the
+    * rule's xFilesFactor, exactly whisper's known/total test in basis
+    * points. Output per (rule, series): kept/dropped buckets and the
+    * checksum of aggregated values, all exact integers.
+    *
+    * Scale shape: one pass, two grouped aggregates (bucket then rule),
+    * map-side combinable; the rule dispatch is a codegen'd CASE — no
+    * joins, no windows.
+    */
+  val graphiteAggRules: Q = Q("graphite_aggregation_rules", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("name", expr(
+        "concat('metrics.', event_type, '.m', CAST(user_id % 10 AS STRING))"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("rule", expr("""CASE
+        WHEN name RLIKE '^metrics\\.purchase\\.' THEN 1L
+        WHEN name RLIKE '^metrics\\.error\\.' THEN 2L
+        ELSE 3L END"""))
+      .withColumn("method", expr(
+        "CASE rule WHEN 1 THEN 'sum' WHEN 2 THEN 'max' ELSE 'average' END"))
+      .withColumn("xff_bp", expr(
+        "CASE rule WHEN 1 THEN 0L WHEN 2 THEN 1000L ELSE 5000L END"))
+      .withColumn("bucket", expr("ts_us DIV 300000000"))
+      .withColumn("slot", expr("ts_us DIV 10000000"))
+    val buckets = e.groupBy("rule", "method", "xff_bp", "event_type", "name", "bucket")
+      .agg(count(lit(1)).as("n_pts"),
+        countDistinct("slot").as("n_slots"),
+        sum("cents").as("s"), max("cents").as("mx"))
+      .withColumn("v", expr("""CASE method
+        WHEN 'sum' THEN s WHEN 'max' THEN mx ELSE s DIV n_pts END"""))
+      .withColumn("kept", expr("n_slots * 10000 DIV 30 >= xff_bp"))
+    buckets.groupBy("rule", "method", "event_type")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("kept"), col("v")).otherwise(0L)).as("agg_sum_c"))
+      .orderBy("rule", "event_type")
+  }, Some("""WITH e AS (
+      SELECT 'metrics.' || event_type || '.m' || CAST(user_id % 10 AS VARCHAR) AS name,
+        event_type, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (SELECT *,
+        CASE WHEN regexp_matches(name, '^metrics\.purchase\.') THEN 1
+             WHEN regexp_matches(name, '^metrics\.error\.') THEN 2
+             ELSE 3 END AS rule
+      FROM e),
+    t AS (SELECT *,
+        CASE rule WHEN 1 THEN 'sum' WHEN 2 THEN 'max' ELSE 'average' END AS method,
+        CAST(CASE rule WHEN 1 THEN 0 WHEN 2 THEN 1000 ELSE 5000 END AS BIGINT) AS xff_bp,
+        ts_us // 300000000 AS bucket, ts_us // 10000000 AS slot
+      FROM r),
+    b AS (SELECT rule, method, xff_bp, event_type, name, bucket,
+        count(*)::BIGINT AS n_pts, count(DISTINCT slot)::BIGINT AS n_slots,
+        CAST(sum(cents) AS BIGINT) AS s, max(cents) AS mx
+      FROM t GROUP BY 1, 2, 3, 4, 5, 6),
+    v AS (SELECT *,
+        CASE method WHEN 'sum' THEN s WHEN 'max' THEN mx ELSE s // n_pts END AS v,
+        n_slots * 10000 // 30 >= xff_bp AS kept
+      FROM b)
+    SELECT CAST(rule AS BIGINT) AS rule, method, event_type,
+      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      CAST(sum(CASE WHEN kept THEN v ELSE 0 END) AS BIGINT) AS agg_sum_c
+    FROM v GROUP BY 1, 2, 3 ORDER BY rule, event_type"""))
 }

@@ -20,7 +20,7 @@ object Series {
     tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
-    tsHaarEnergy, tsMannKendall)
+    tsHaarEnergy, tsMannKendall, tsStructureFunction)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -1854,6 +1854,56 @@ object Series {
     SELECT event_type, n_pairs,
       CAST(cov // nullif((sx * sy) // 10000, 0) AS BIGINT) AS memory_e4
     FROM sq ORDER BY event_type"""))
+
+  /** First-order STRUCTURE FUNCTION (madogram) at dyadic lags — mean
+    * |x_{i+L} − x_i| for L ∈ {1, 2, 4, …, 64} h (Matheron's variogram
+    * family, order 1 — public; the roughness-vs-scale curve:
+    * [[tsHaarEnergy]] integrates energy per band, this reads increment
+    * magnitude directly and is robust to spikes). Exact integers
+    * throughout: absolute cent differences summed, one truncating
+    * division for the mean.
+    *
+    * Same keyed lag-join shape as [[tsDominantPeriod]] — the series
+    * expands 7× onto (series, position+L), joins back on position; no
+    * per-lag job loop, no global window.
+    */
+  val tsStructureFunction: Q = Q("ts_structure_function", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val d = hourly
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")).cast("bigint"))
+      .select(col("event_type"), col("i"), col("c"))
+    val lagged = d.withColumn("lg", explode(expr(
+        "transform(array(1, 2, 4, 8, 16, 32, 64), x -> CAST(x AS BIGINT))")))
+      .select(col("event_type"), (col("i") + col("lg")).as("i"),
+        col("lg"), col("c").as("cx"))
+    lagged.join(d.withColumnRenamed("c", "cy"), Seq("event_type", "i"))
+      .groupBy("event_type", "lg")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(cy - cx)) DIV count(1)").as("mad_c"))
+      .select(col("event_type"), col("lg").as("lag_h"), col("n_pairs"), col("mad_c"))
+      .orderBy("event_type", "lag_h")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    d AS (SELECT event_type,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS i,
+        c
+      FROM hd),
+    px AS (SELECT a.event_type, t.lg, a.c AS cx, b.c AS cy
+      FROM d a
+      CROSS JOIN (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64]) AS BIGINT) AS lg) t
+      JOIN d b ON b.event_type = a.event_type AND b.i = a.i + t.lg)
+    SELECT event_type, lg AS lag_h, count(*)::BIGINT AS n_pairs,
+      CAST(sum(abs(cy - cx)) // count(*) AS BIGINT) AS mad_c
+    FROM px GROUP BY 1, 2 ORDER BY event_type, lag_h"""))
 
   /** MANN-KENDALL trend test over the trailing 256 hourly means (Mann
     * 1945, Kendall 1975 — public; the nonparametric "is it trending"
