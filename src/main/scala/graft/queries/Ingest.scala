@@ -33,7 +33,7 @@ object Ingest {
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
-    seriesChurn, graphiteRetention, graphiteAggRules)
+    seriesChurn, graphiteRetention, graphiteAggRules, graphiteHashRing)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -860,4 +860,93 @@ object Ingest {
       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
       CAST(sum(CASE WHEN kept THEN v ELSE 0 END) AS BIGINT) AS agg_sum_c
     FROM v GROUP BY 1, 2, 3 ORDER BY rule, event_type"""))
+
+  // --- carbon-relay consistent-hash ring (graphite_hash_ring) ---------
+  // Ring model after graphite-project/carbon's ConsistentHashRing
+  // (lib/carbon/hashing.py, public): each destination is planted at
+  // `replicas` pseudo-random ring positions, a metric routes to the
+  // first destination position at or clockwise-after its own position.
+  // Positions are the first 16 bits of md5 (carbon's big_endian short of
+  // the md5 digest) — reproducible in Spark (conv/substr/md5), DuckDB
+  // ('0x'||substr(md5)) and driver-side Java MessageDigest alike.
+  private val ringNodes: Seq[String] =
+    Seq("10.1.0.1:2103", "10.1.0.2:2103", "10.1.0.3:2103", "10.1.0.4:2103")
+  private val ringReplicas = 100
+
+  private def md5Pos16(key: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+  }
+
+  /** (pos, node, replica) for every planted replica — the oracle embeds
+    * these verbatim; the Spark side derives the 65536-entry successor
+    * lookup from the same rows.
+    */
+  private val ringEntries: Seq[(Int, String, Int)] =
+    for (n <- ringNodes; i <- 0 until ringReplicas)
+      yield (md5Pos16(s"$n:$i"), n, i)
+
+  /** Successor owner for every 16-bit position (collisions resolved to
+    * the lexicographically-first node, lowest replica — the identical
+    * ORDER BY dist, node, rep rule the oracle applies).
+    */
+  private val ringLookup: Seq[(Long, String)] = {
+    val byPos = ringEntries.groupBy(_._1).toSeq
+      .map { case (p, g) => (p, g.minBy(r => (r._2, r._3))._2) }
+      .sortBy(_._1)
+    val positions = byPos.map(_._1).toArray
+    val owners = byPos.map(_._2).toArray
+    (0 until 65536).map { p =>
+      val j = java.util.Arrays.binarySearch(positions, p)
+      val idx =
+        if (j >= 0) j
+        else { val ip = -j - 1; if (ip == positions.length) 0 else ip }
+      (p.toLong, owners(idx))
+    }
+  }
+
+  /** Carbon-relay consistent-hash routing: every synthetic metric series
+    * is assigned the destination a carbon relay ring with 4 destinations
+    * × 100 replicas would route it to (semantics of carbon's
+    * ConsistentHashRing — 16-bit md5 positions, clockwise successor with
+    * wrap-around; the sharding layer under every large graphite fleet,
+    * and the natural next hop after the reference's per-token transport
+    * fan-out, catalyser/graphite.go:218). Exactness: ring positions are
+    * computed ONCE driver-side and embedded in both plans; the metric's
+    * own position is md5-derived identically in Spark and DuckDB; ties
+    * between colliding replicas break on (node, replica) in both. Scale:
+    * series are reduced FIRST (map-side-combinable groupBy), the ring is
+    * a broadcast 65536-row equi-join lookup — no inequality join, no
+    * per-row ring scan; point volume never meets the ring.
+    */
+  val graphiteHashRing: Q = Q("graphite_hash_ring", (s, dir) => {
+    import s.implicits._
+    val lookup = ringLookup.toDF("pos16", "node")
+    Tables.events(s, dir)
+      .withColumn("name", expr(
+        "concat('metrics.', event_type, '.m', CAST(user_id % 10 AS STRING))"))
+      .groupBy("name").agg(count(lit(1)).as("n_points"))
+      .withColumn("pos16", expr("CAST(conv(substr(md5(name), 1, 4), 16, 10) AS BIGINT)"))
+      .join(broadcast(lookup), "pos16")
+      .select(col("name"), col("node"), col("n_points"))
+      .orderBy("name")
+  }, Some {
+    val ringValues = ringEntries
+      .map { case (p, n, i) => s"($p, '$n', $i)" }.mkString(",\n      ")
+    s"""WITH m AS (
+      SELECT 'metrics.' || event_type || '.m' || CAST(user_id % 10 AS VARCHAR) AS name,
+        count(*)::BIGINT AS n_points
+      FROM events GROUP BY 1),
+    p AS (SELECT name, n_points,
+        CAST('0x' || substr(md5(name), 1, 4) AS BIGINT) AS pos16
+      FROM m),
+    ring(rpos, node, rep) AS (VALUES
+      $ringValues),
+    a AS (SELECT p.name, p.n_points, r.node
+      FROM p CROSS JOIN ring r
+      QUALIFY row_number() OVER (PARTITION BY p.name
+        ORDER BY (r.rpos - p.pos16 + 65536) % 65536, r.node, r.rep) = 1)
+    SELECT name, node, n_points FROM a ORDER BY name"""
+  })
 }

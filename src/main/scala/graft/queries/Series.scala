@@ -20,7 +20,7 @@ object Series {
     tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
-    tsHaarEnergy, tsMannKendall, tsStructureFunction)
+    tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2206,4 +2206,55 @@ object Series {
       QUALIFY row_number() OVER (PARTITION BY event_type
         ORDER BY sad DESC, pos ASC, nn ASC) = 1)
     ORDER BY event_type, kind"""))
+
+  /** PromQL-style counter `increase()` with reset correction — the one
+    * query every Prometheus recording rule runs and the repo did not yet
+    * cover. A cumulative counter is synthesized per event type (running
+    * cent sum modulo 10,000.00 — the modulus plays the role of a process
+    * restart, giving deterministic resets at every SF), then per hourly
+    * bucket the increase is recovered the way promql/functions.go's
+    * extrapolatedRate corrects for resets: a negative adjacent delta
+    * means the counter restarted from 0, so the sample's own value IS
+    * its contribution (delta >= 0 ? delta : v_curr). All bigint: cents,
+    * running sums, modulo — nothing floats, so Spark and DuckDB agree
+    * bit-for-bit. rate_e4 is the per-second rate in 1e-4 cent units by
+    * floor division (exact). Scale: one window partitioned by series
+    * (shuffle on event_type), then a map-side-combinable groupBy — the
+    * shape survives any row count; series cardinality is the
+    * parallelism, as in any TSDB rollup.
+    */
+  val tsCounterRate: Q = Q("ts_counter_rate", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val Cap = 1000000L // counter wraps at 10,000.00
+    val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("ctr", expr(s"sum(cents) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) % $Cap"))
+      .withColumn("prev", lag("ctr", 1).over(w))
+      .withColumn("adj", expr("CASE WHEN prev IS NULL THEN 0 WHEN ctr >= prev THEN ctr - prev ELSE ctr END"))
+      .withColumn("reset", expr("CASE WHEN prev IS NOT NULL AND ctr < prev THEN 1 ELSE 0 END"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("samples"),
+        sum("adj").as("increase_cents"),
+        sum("reset").as("resets"))
+      .withColumn("rate_e4", expr("increase_cents * 10000 DIV 3600"))
+      .orderBy("event_type", "h")
+  }, Some("""WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    c AS (SELECT event_type, event_id, ts_us,
+        sum(cents) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) % 1000000 AS ctr
+      FROM e),
+    d AS (SELECT event_type, ts_us, ctr,
+        lag(ctr) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS prev
+      FROM c)
+    SELECT event_type, ts_us // 3600000000 AS h,
+      count(*)::BIGINT AS samples,
+      sum(CASE WHEN prev IS NULL THEN 0
+               WHEN ctr >= prev THEN ctr - prev ELSE ctr END)::BIGINT AS increase_cents,
+      sum(CASE WHEN prev IS NOT NULL AND ctr < prev THEN 1 ELSE 0 END)::BIGINT AS resets,
+      sum(CASE WHEN prev IS NULL THEN 0
+               WHEN ctr >= prev THEN ctr - prev ELSE ctr END)::BIGINT * 10000 // 3600 AS rate_e4
+    FROM d GROUP BY event_type, h ORDER BY event_type, h"""))
 }
