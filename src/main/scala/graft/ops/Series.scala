@@ -108,6 +108,64 @@ object Series {
         ELSE CAST(raise_error(concat('holt fold domain: cents must be in (-2^16, 2^20), got ',
           CAST(y AS STRING))) AS BIGINT) END)"""
 
+  /** One 1-D random-walk Kalman-filter step over a PACKED integer
+    * accumulator, emitted as SQL for either engine (`div` = `DIV` /
+    * `//`; both truncate toward zero, so every floor-division below is
+    * bit-identical cross-engine). State is (nis_alarms, level, variance)
+    * offset-packed into one bigint — enc = a·2⁴³ + x·2²⁵ + p — for the
+    * same reason as [[holtStepSql]]: DuckDB list_reduce miscompiles
+    * STRUCT accumulators, scalar folds are proven exact. Fixed-point
+    * gains: k₆ = p⁻·10⁶ ÷ (p⁻ + R) (ppm), level update x + k₆(z−x)÷10⁶,
+    * variance (10⁶−k₆)p⁻ ÷ 10⁶ — every operand stays under 2⁶² (ANSI
+    * overflow headroom audited in the scaladoc bounds).
+    *
+    * Constants: process variance Q = 250,000 c² (σ≈50.00), observation
+    * variance R = 4,000,000 c² (σ≈200.00). The NIS alarm increments when
+    * the squared innovation exceeds 9·(p⁻+R) — the 3σ normalized-
+    * innovation gate every tracking stack uses — and SATURATES at 2¹⁹−1
+    * so the packing can never overflow. A raw (un-packed) first element
+    * seeds x=z₁, p=R, a=0; raw cents sit under 2²⁵ (enforced by
+    * [[kalmanGuardSql]]: z ∈ [1, 131071]) while any packed state is
+    * ≥ 2²⁵ because the level never falls below min(z) ≥ 1, so the CASE
+    * discriminates exactly.
+    *
+    * Bounds: p⁻ ≤ R+Q &lt; 2²³; level stays inside [min z, max z] ⊂
+    * [1, 2¹⁷) because the truncated correction never overshoots its
+    * target; k₆·(z−x) ≤ 10⁶·2¹⁷ &lt; 2³⁷; (10⁶−k₆)·p⁻ &lt; 2⁴³;
+    * enc ≤ (2¹⁹−1)·2⁴³ + 2¹⁸·2²⁵ + 2²⁵ &lt; 2⁶².
+    */
+  def kalmanStepSql(div: String, acc: String, z: String): String = {
+    val Q = 250000L; val R = 4000000L
+    val x0 = s"(CASE WHEN $acc < 33554432 THEN $acc ELSE ($acc $div 33554432) % 262144 END)"
+    val p0 = s"(CASE WHEN $acc < 33554432 THEN $R ELSE $acc % 33554432 END)"
+    val a0 = s"(CASE WHEN $acc < 33554432 THEN 0 ELSE $acc $div 8796093022208 END)"
+    val pp = s"($p0 + $Q)"
+    val k6 = s"(($pp * 1000000) $div ($pp + $R))"
+    val xn = s"($x0 + ($k6 * ($z - $x0)) $div 1000000)"
+    val pn = s"(((1000000 - $k6) * $pp) $div 1000000)"
+    val an = s"(LEAST($a0 + (CASE WHEN ($z - $x0) * ($z - $x0) > 9 * ($pp + $R) THEN 1 ELSE 0 END), 524287))"
+    s"($an * 8796093022208 + $xn * 33554432 + $pn)"
+  }
+
+  /** Decode [[kalmanStepSql]]'s packed accumulator:
+    * (nis_alarms, level, variance). Single-sample series (the
+    * accumulator is still the raw seed) decode to (0, z₁, R).
+    */
+  def kalmanDecodeSql(div: String, acc: String): (String, String, String) = (
+    s"(CASE WHEN $acc < 33554432 THEN 0 ELSE $acc $div 8796093022208 END)",
+    s"(CASE WHEN $acc < 33554432 THEN $acc ELSE ($acc $div 33554432) % 262144 END)",
+    s"(CASE WHEN $acc < 33554432 THEN 4000000 ELSE $acc % 33554432 END)")
+
+  /** Loud domain gate for cents entering the packed Kalman fold: the
+    * raw-vs-packed discriminator and the level-bounds proof need
+    * z ∈ [1, 131071]. Spark-side only (the oracle folds data that
+    * already passed this gate). Same contract as [[holtGuardSql]].
+    */
+  def kalmanGuardSql(arr: String): String =
+    s"""transform($arr, y -> CASE WHEN y >= 1 AND y <= 131071 THEN y
+        ELSE CAST(raise_error(concat('kalman fold domain: cents must be in [1, 131071], got ',
+          CAST(y AS STRING))) AS BIGINT) END)"""
+
   /** Robust per-group outlier flagging by median absolute deviation:
     * score = |x - median| / (1.4826·MAD), keep rows with score > `k`.
     * The 1.4826 factor scales MAD to σ under normality — the standard

@@ -20,7 +20,8 @@ object Series {
     tsSpearman,
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
-    tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate)
+    tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
+    tsAlertFor, tsKalman)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2257,4 +2258,105 @@ object Series {
       sum(CASE WHEN prev IS NULL THEN 0
                WHEN ctr >= prev THEN ctr - prev ELSE ctr END)::BIGINT * 10000 // 3600 AS rate_e4
     FROM d GROUP BY event_type, h ORDER BY event_type, h"""))
+
+  /** Prometheus alert-rule `for:` duration semantics: an alert whose
+    * condition (hourly mean ≥ 50.00) first turns PENDING and only
+    * starts FIRING once it has held for 3 consecutive hourly
+    * evaluations — the rules/alerting.go state machine every alerting
+    * stack implements, and the one piece of the alert pipeline the
+    * repo's burn/CUSUM/peak detectors did not yet model. A missing
+    * evaluation point (an hour with no samples for the series) resets
+    * the streak, exactly as a failed PromQL eval resets `for` tracking.
+    * All integer: the condition compares a floor-divided mean, streaks
+    * are row_numbers inside consecutive-hour islands (h minus its rank
+    * is the island key — the gaps-and-islands identity, so a gap in h
+    * breaks the run with no extra pass). Output is only the non-idle
+    * rows (pending/firing), trimmed like a real alertmanager feed.
+    * Scale: two windows over the per-(series, hour) aggregate — state
+    * is series×hours sized, never sample-sized; one shuffle key.
+    */
+  val tsAlertFor: Q = Q("ts_alert_for", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("mean_c"))
+      .withColumn("cond", col("mean_c") >= 5000L)
+    val w = Window.partitionBy("event_type").orderBy("h")
+    // only cond rows survive, so an hour gap in the SURVIVING sequence is
+    // either a missing eval or a false eval — both reset the streak,
+    // which is exactly one gaps-and-islands pass on h
+    val islands = hourly.filter(col("cond"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("grp", col("h") - col("rk")) // consecutive cond-hours share grp
+    val wRun = Window.partitionBy("event_type", "grp").orderBy("h")
+    islands
+      .withColumn("streak", row_number().over(wRun))
+      .select(col("event_type"), col("h"), col("mean_c"), col("streak"),
+        when(col("streak") >= 3, lit("firing")).otherwise(lit("pending")).as("state"))
+      .orderBy("event_type", "h")
+  }, Some("""WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        sum(CAST(round(value * 100) AS BIGINT))::BIGINT // count(*) AS mean_c
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, h, mean_c,
+        h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+      FROM hourly WHERE mean_c >= 5000),
+    r AS (SELECT event_type, h, mean_c,
+        row_number() OVER (PARTITION BY event_type, grp ORDER BY h) AS streak
+      FROM c)
+    SELECT event_type, h, mean_c, CAST(streak AS INT) AS streak,
+      CASE WHEN streak >= 3 THEN 'firing' ELSE 'pending' END AS state
+    FROM r ORDER BY event_type, h"""))
+
+  /** Exact fixed-point 1-D Kalman filter per series — the optimal
+    * level estimator under a random-walk-plus-noise model, run entirely
+    * in bigint arithmetic so Spark and DuckDB fold to the SAME final
+    * state bit-for-bit (gain in ppm, truncating divisions — see
+    * [[graft.ops.Series.kalmanStepSql]] for the packing and overflow
+    * proof). Alongside the level it counts 3σ normalized-innovation
+    * (NIS) alarms — the tracking-stack anomaly gate, which EWMA/MAD
+    * detectors approximate and a Kalman gets for free from its own
+    * predicted variance. Iterative float Kalman filters CANNOT be
+    * oracle-checked across engines (divergence compounds per step);
+    * the fixed-point design makes the whole 2000-step fold exact.
+    * Scale: one sorted fold per series key (the [[graft.ops.Series.ewmaLast]]
+    * contract — key by bounded-cardinality series id); state is one
+    * bigint per series, never per sample.
+    */
+  val tsKalman: Q = Q("ts_kalman", (s, dir) => {
+    val step = graft.ops.Series.kalmanStepSql("DIV", "acc", "z")
+    val (aSql, xSql, pSql) = graft.ops.Series.kalmanDecodeSql("DIV", "_acc")
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_points"),
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("cents")))).as("_a"))
+      .withColumn("_zs", expr(
+        graft.ops.Series.kalmanGuardSql("transform(_a, r -> r.cents)")))
+      .withColumn("_acc", expr(
+        s"aggregate(slice(_zs, 2, size(_zs) - 1), element_at(_zs, 1), (acc, z) -> $step)"))
+      .select(col("event_type"), col("n_points"),
+        expr(s"CAST($aSql AS BIGINT)").as("nis_alarms"),
+        expr(s"CAST($xSql AS BIGINT)").as("level_c"),
+        expr(s"CAST($pSql AS BIGINT)").as("var_c2"))
+      .orderBy("event_type")
+  }, Some {
+    val step = graft.ops.Series.kalmanStepSql("//", "acc", "z")
+    val (aSql, xSql, pSql) = graft.ops.Series.kalmanDecodeSql("//", "acc")
+    s"""WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    f AS (SELECT event_type, count(*)::BIGINT AS n_points,
+        list_reduce(list(cents ORDER BY ts_us, event_id),
+          (acc, z) -> $step) AS acc
+      FROM e GROUP BY event_type)
+    SELECT event_type, n_points,
+      CAST($aSql AS BIGINT) AS nis_alarms,
+      CAST($xSql AS BIGINT) AS level_c,
+      CAST($pSql AS BIGINT) AS var_c2
+    FROM f ORDER BY event_type"""
+  })
 }
