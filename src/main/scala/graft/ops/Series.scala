@@ -156,6 +156,33 @@ object Series {
     s"(CASE WHEN $acc < 33554432 THEN $acc ELSE ($acc $div 33554432) % 262144 END)",
     s"(CASE WHEN $acc < 33554432 THEN 4000000 ELSE $acc % 33554432 END)")
 
+  /** Driver/executor-side Long mirror of ONE [[kalmanStepSql]] step —
+    * Java `/` truncates toward zero exactly like Spark DIV and DuckDB
+    * `//`, and every operand stays under 2⁶² (no silent wrap even
+    * without ANSI), so a sequential fold of this function over the same
+    * ordered cents reproduces the distributed fold bit-for-bit. Used by
+    * the streaming [[graft.streaming.KalmanProcessor]] twin.
+    */
+  def kalmanStepLong(acc: Long, z: Long): Long = {
+    val raw = acc < 33554432L
+    val x0 = if (raw) acc else (acc / 33554432L) % 262144L
+    val p0 = if (raw) 4000000L else acc % 33554432L
+    val a0 = if (raw) 0L else acc / 8796093022208L
+    val pp = p0 + 250000L
+    val k6 = (pp * 1000000L) / (pp + 4000000L)
+    val xn = x0 + (k6 * (z - x0)) / 1000000L
+    val pn = ((1000000L - k6) * pp) / 1000000L
+    val alarm = if ((z - x0) * (z - x0) > 9L * (pp + 4000000L)) 1L else 0L
+    val an = math.min(a0 + alarm, 524287L)
+    an * 8796093022208L + xn * 33554432L + pn
+  }
+
+  /** Decode a packed Kalman accumulator (Long mirror of
+    * [[kalmanDecodeSql]]): (nis_alarms, level, variance). */
+  def kalmanDecodeLong(acc: Long): (Long, Long, Long) =
+    if (acc < 33554432L) (0L, acc, 4000000L)
+    else (acc / 8796093022208L, (acc / 33554432L) % 262144L, acc % 33554432L)
+
   /** Loud domain gate for cents entering the packed Kalman fold: the
     * raw-vs-packed discriminator and the level-bounds proof need
     * z ∈ [1, 131071]. Spark-side only (the oracle folds data that

@@ -21,7 +21,7 @@ object Series {
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
-    tsAlertFor, tsKalman)
+    tsAlertFor, tsKalman, tsArForecast)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2359,4 +2359,96 @@ object Series {
       CAST($pSql AS BIGINT) AS var_c2
     FROM f ORDER BY event_type"""
   })
+
+  /** AR(2) h-step forecast per series, fitted by the same quantized
+    * Durbin–Levinson recursion as [[tsPacf]] (the order-2 coefficient
+    * vector IS the recursion's second stage: φ₁ = p21, φ₂ = p22) and
+    * rolled forward 6 hourly steps from the last two observed
+    * deviations — the classic Box–Jenkins point forecast, in EXACT e6
+    * fixed point so both engines produce identical paths (each step is
+    * two bigint multiplies and one truncating DIV; negative numerators
+    * truncate toward zero identically). Forecasts revert to the series
+    * mean as φ powers decay — the visible sanity property of a
+    * stationary AR fit. Scale: everything after the hourly rollup runs
+    * on series-count-sized aggregates; the unrolled 6 steps are six
+    * scalar expressions, not six passes over data.
+    */
+  val tsArForecast: Q = Q("ts_ar_forecast", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val hourly = e.groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val m = hourly.groupBy("event_type")
+      .agg(expr("sum(c) DIV count(1)").as("mean_c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val wDesc = Window.partitionBy("event_type").orderBy(col("h").desc)
+    val d = hourly.join(m, "event_type")
+      .withColumn("dev", col("c") - col("mean_c"))
+      .withColumn("d1", lead("dev", 1).over(w))
+      .withColumn("d2", lead("dev", 2).over(w))
+      .withColumn("rn", row_number().over(wDesc))
+    val r = d.groupBy("event_type")
+      .agg(max("mean_c").as("mean_c"),
+        expr("1000000 * sum(dev * d1) DIV nullif(sum(dev * dev), 0)").as("r1"),
+        expr("1000000 * sum(dev * d2) DIV nullif(sum(dev * dev), 0)").as("r2"),
+        expr("max(CASE WHEN rn = 1 THEN dev END)").as("dev0"),
+        expr("max(CASE WHEN rn = 2 THEN dev END)").as("dev1"))
+    val phi = r
+      .withColumn("p22", expr(
+        "((r2 - (r1 * r1) DIV 1000000) * 1000000) DIV nullif(1000000 - (r1 * r1) DIV 1000000, 0)"))
+      .withColumn("phi1", expr("r1 - (p22 * r1) DIV 1000000"))
+      .withColumn("phi2", col("p22"))
+    val steps = (1 to 6).foldLeft(phi) { (acc, k) =>
+      val (prev1, prev2) =
+        if (k == 1) ("dev0", "dev1")
+        else if (k == 2) ("f1", "dev0")
+        else (s"f${k - 1}", s"f${k - 2}")
+      acc.withColumn(s"f$k", expr(s"(phi1 * $prev1 + phi2 * $prev2) DIV 1000000"))
+    }
+    steps.selectExpr("event_type", "mean_c", "phi1 AS phi1_e6", "phi2 AS phi2_e6",
+      s"stack(6, ${(1 to 6).map(k => s"$k, mean_c + f$k").mkString(", ")}) AS (step, forecast_c)")
+      .select(col("event_type"), col("phi1_e6"), col("phi2_e6"),
+        col("step").cast("int").as("step"), col("forecast_c"))
+      .orderBy("event_type", "step")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, sum(cents) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    m AS (SELECT event_type, sum(c) // count(*) AS mean_c
+      FROM hd GROUP BY event_type),
+    d AS (SELECT hd.event_type, m.mean_c, hd.c - m.mean_c AS dev,
+        lead(hd.c - m.mean_c, 1) OVER w AS d1,
+        lead(hd.c - m.mean_c, 2) OVER w AS d2,
+        row_number() OVER (PARTITION BY hd.event_type ORDER BY hd.h DESC) AS rn
+      FROM hd JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY hd.event_type ORDER BY hd.h)),
+    r AS (SELECT event_type, max(mean_c) AS mean_c,
+        CAST(1000000 * sum(dev * d1) // nullif(sum(dev * dev), 0) AS BIGINT) AS r1,
+        CAST(1000000 * sum(dev * d2) // nullif(sum(dev * dev), 0) AS BIGINT) AS r2,
+        max(CASE WHEN rn = 1 THEN dev END) AS dev0,
+        max(CASE WHEN rn = 2 THEN dev END) AS dev1
+      FROM d GROUP BY event_type),
+    p AS (SELECT *,
+        ((r2 - (r1 * r1) // 1000000) * 1000000)
+          // nullif(1000000 - (r1 * r1) // 1000000, 0) AS p22
+      FROM r),
+    ph AS (SELECT *, r1 - (p22 * r1) // 1000000 AS phi1, p22 AS phi2 FROM p),
+    f AS (SELECT *,
+        (phi1 * dev0 + phi2 * dev1) // 1000000 AS f1 FROM ph),
+    f2 AS (SELECT *, (phi1 * f1 + phi2 * dev0) // 1000000 AS f2 FROM f),
+    f3 AS (SELECT *, (phi1 * f2 + phi2 * f1) // 1000000 AS f3 FROM f2),
+    f4 AS (SELECT *, (phi1 * f3 + phi2 * f2) // 1000000 AS f4 FROM f3),
+    f5 AS (SELECT *, (phi1 * f4 + phi2 * f3) // 1000000 AS f5 FROM f4),
+    f6 AS (SELECT *, (phi1 * f5 + phi2 * f4) // 1000000 AS f6 FROM f5),
+    u AS (
+      SELECT event_type, phi1 AS phi1_e6, phi2 AS phi2_e6, t.step,
+        mean_c + CASE t.step WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3
+          WHEN 4 THEN f4 WHEN 5 THEN f5 ELSE f6 END AS forecast_c
+      FROM f6 CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) t(step))
+    SELECT event_type, phi1_e6, phi2_e6, CAST(step AS INT) AS step,
+      CAST(forecast_c AS BIGINT) AS forecast_c
+    FROM u ORDER BY event_type, step"""))
 }

@@ -1592,6 +1592,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("KalmanProcessor: streamed final state == batch ts_kalman BIT-EXACT") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_kalman").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    assert(pts.length > 100)
+    // chronological split keeps each key ordered ACROSS batches — the
+    // exact-parity precondition the processor documents
+    val (b1, b2) = pts.splitAt(pts.length / 2)
+    def fmt(rs: Array[(String, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.KalmanProcessor(spark, src)
+      .toDF("event_type", "n_points", "nis_alarms", "level_c", "var_c2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_kalman_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // update mode emits one row per touched key per batch: keep the
+      // final (max-n) row per key
+      val got = spark.sql("SELECT * FROM graft_kalman_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val want = graft.queries.Series.tsKalman.fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(want.nonEmpty && want.exists(_._3 > 0), "batch kalman empty or alarm-free")
+      assert(got == want, s"streamed vs batch kalman: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("Cusum + GramGate processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
