@@ -23,7 +23,8 @@ object TextOps {
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
     multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint,
-    pipelineDatasetCard, textCdcChunks, samplePps)
+    pipelineDatasetCard, textCdcChunks, samplePps, sampleBootstrap,
+    multimodalScenecut)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1920,4 +1921,118 @@ object TextOps {
     FROM base JOIN nl USING (source) JOIN top_l USING (source)
       JOIN dups USING (source)
     ORDER BY base.source"""))
+
+  /** Deterministic Poisson bootstrap of the corpus mean document length
+    * — the distributed-bootstrap construction (Chamandy et al., "Teaching
+    * statistics at Google scale", and the classic Poissonized resample:
+    * each doc enters replica b with multiplicity k ~ Poisson(1)), with
+    * the randomness replaced by the repo's md5 hash so both engines draw
+    * IDENTICAL multiplicities: u = h60(doc_id:b) mod 1e9 inverted
+    * through the exact Poisson(1) CDF thresholds (e9-scaled, k capped at
+    * 9 where the tail mass is 1.1e-7). The 32 replicate means ARE the
+    * bootstrap distribution — rank them and read any CI off the order
+    * statistics; means are truncating integer division, so every value
+    * is exact. Scale: the explode is a fixed 32× fan-out feeding a
+    * map-side-combinable 32-group aggregate — no shuffle grows with
+    * replica count, the canonical one-pass bootstrap every distributed
+    * engine ships.
+    */
+  val sampleBootstrap: Q = Q("sample_bootstrap", (s, dir) => {
+    graft.expressions.Md5Hash60.registerActive()
+    val cum = Seq(367879441L, 735758882L, 919698602L, 981011843L,
+      996340153L, 999405815L, 999916758L, 999989750L, 999998874L)
+    val kExpr = cum.map(c => s"(CASE WHEN u >= ${c}L THEN 1 ELSE 0 END)").mkString(" + ")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("sequence(1, 32)")).as("b"))
+      .withColumn("u", expr(
+        "graft_h60(concat('boot', CAST(doc_id AS STRING), ':', CAST(b AS STRING))) % 1000000000"))
+      .withColumn("k", expr(kExpr))
+      .groupBy("b")
+      .agg(sum("k").as("n_eff"),
+        expr("sum(k * n_chars) DIV sum(k)").as("mean_chars"))
+      .orderBy("b")
+  }, Some {
+    val cum = Seq(367879441L, 735758882L, 919698602L, 981011843L,
+      996340153L, 999405815L, 999916758L, 999989750L, 999998874L)
+    val kExpr = cum.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH r AS (
+      SELECT doc_id, n_chars, t.b,
+        CAST('0x' || substr(md5('boot' || CAST(doc_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1000000000 AS u
+      FROM documents CROSS JOIN (SELECT unnest(range(1, 33)) AS b) t),
+    k AS (SELECT b, n_chars, $kExpr AS k FROM r)
+    SELECT CAST(b AS INT) AS b, sum(k)::BIGINT AS n_eff,
+      CAST(sum(k * n_chars) // sum(k) AS BIGINT) AS mean_chars
+    FROM k GROUP BY b ORDER BY b"""
+  })
+
+  /** Video scene-cut detection by perceptual-hash jump — the shot-
+    * boundary detector real video pipelines run on sampled frames
+    * (consecutive-frame aHash Hamming distance over a threshold ⇒ cut;
+    * cheap, codec-agnostic, and robust to per-frame noise, unlike raw
+    * pixel SAD). Frames are REAL 8×8 BMP bytes built per (doc, frame)
+    * by the common hex dialect: each 5-frame shot renders a stable
+    * word-seeded luminance pattern, plus a per-frame md5 jitter of
+    * 0–7 levels (so within-shot hashes differ by a FEW bits — the
+    * realistic regime — while shot changes flip ~half the hash). The
+    * codegen'd [[graft.expressions.ImageAHash]] decodes every frame's
+    * bytes; the oracle re-decodes the identical bytes by hex-offset
+    * arithmetic and agrees bit-for-bit, jitter and all. Scale: frame
+    * fan-out is bounded (≤30/doc), hashing is per-row codegen, the only
+    * shuffle is the per-doc lag window + final rollup — video-frame
+    * volume never joins anything.
+    */
+  val multimodalScenecut: Q = Q("multimodal_scenecut", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.ImageAHash.register(s)
+    val px: Int => String = k =>
+      s"upper(lpad(hex((CAST(conv(substr(md5(element_at(ws, CAST(($k + 11 * shot) % nw + 1 AS INT))), 1, 2), 16, 10) AS BIGINT)" +
+        s" + CAST(conv(substr(jh, ${(k % 16) * 2 + 1}, 2), 16, 10) AS BIGINT) % 8) % 256), 2, '0'))"
+    val thumbHex = graft.ops.Media.thumbBmpHexExpr(px)
+    val frames = Tables.t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", expr("size(ws)"))
+      .withColumn("f", explode(expr("sequence(0, doc_id % 30)")))
+      .withColumn("shot", expr("f DIV 5"))
+      .withColumn("jh", expr("md5(concat('jit', CAST(doc_id AS STRING), ':', CAST(f AS STRING)))"))
+      .select(col("doc_id"), col("f"),
+        expr(s"image_ahash(unhex($thumbHex))").as("ahash"))
+    val w = Window.partitionBy("doc_id").orderBy("f")
+    frames.withColumn("prev", lag("ahash", 1).over(w))
+      .withColumn("ham", expr("CAST(bit_count(ahash ^ prev) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("ham") >= 12, 1L).otherwise(0L)).as("n_cuts"),
+        max("ham").as("max_ham"),
+        sum(when(col("ham") < 12, col("ham")).otherwise(0L)).as("intra_ham_sum"))
+      .orderBy("doc_id")
+  }, Some {
+    val px: Int => String = k =>
+      s"upper(lpad(hex((CAST('0x' || substr(md5(ws[(($k + 11 * shot) % nw) + 1]), 1, 2) AS BIGINT)" +
+        s" + CAST('0x' || substr(jh, ${(k % 16) * 2 + 1}, 2) AS BIGINT) % 8) % 256), 2, '0'))"
+    val thumbHex = graft.ops.Media.thumbBmpHexExpr(px)
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS nw FROM documents),
+    fr0 AS (SELECT doc_id, ws, nw,
+        unnest(range(0, 1 + doc_id % 30)) AS f FROM d),
+    fr AS (SELECT doc_id, ws, nw, f, f // 5 AS shot,
+        md5('jit' || CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS jh
+      FROM fr0),
+    hx AS (SELECT doc_id, f, hex(unhex($thumbHex)) AS h FROM fr),
+    lm AS (SELECT doc_id, f, ${graft.ops.Media.duckAHashSql("h", "lums")} FROM hx),
+    tt AS (SELECT doc_id, f, lums, ${graft.ops.Media.duckLumSum("lums")} AS t FROM lm),
+    hh AS (SELECT doc_id, f, ${graft.ops.Media.duckAHashFold("lums", "t")} AS ahash FROM tt),
+    lg AS (SELECT doc_id, f, ahash,
+        lag(ahash) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM hh),
+    hm AS (SELECT doc_id,
+        CASE WHEN prev IS NULL THEN NULL
+             ELSE CAST(bit_count(xor(ahash, prev)) AS BIGINT) END AS ham
+      FROM lg)
+    SELECT doc_id, count(*)::BIGINT AS n_frames,
+      sum(CASE WHEN ham >= 12 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+      max(ham) AS max_ham,
+      sum(CASE WHEN ham < 12 THEN ham ELSE 0 END)::BIGINT AS intra_ham_sum
+    FROM hm GROUP BY doc_id ORDER BY doc_id"""
+  })
 }
