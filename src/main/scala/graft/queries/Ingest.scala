@@ -33,7 +33,8 @@ object Ingest {
     sensisionEncode, sensisionEncodeUnsafe, tokenExtract, warpBatch27,
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
-    seriesChurn, graphiteRetention, graphiteAggRules, graphiteHashRing)
+    seriesChurn, graphiteRetention, graphiteAggRules, graphiteHashRing,
+    graphiteRingRebalance)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -879,20 +880,20 @@ object Ingest {
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
   }
 
-  /** (pos, node, replica) for every planted replica — the oracle embeds
-    * these verbatim; the Spark side derives the 65536-entry successor
-    * lookup from the same rows.
+  /** (pos, node, replica) for every planted replica of `nodes` — the
+    * oracle embeds these verbatim; the Spark side derives the
+    * 65536-entry successor lookup from the same rows.
     */
-  private val ringEntries: Seq[(Int, String, Int)] =
-    for (n <- ringNodes; i <- 0 until ringReplicas)
+  private def ringEntriesOf(nodes: Seq[String]): Seq[(Int, String, Int)] =
+    for (n <- nodes; i <- 0 until ringReplicas)
       yield (md5Pos16(s"$n:$i"), n, i)
 
   /** Successor owner for every 16-bit position (collisions resolved to
     * the lexicographically-first node, lowest replica — the identical
     * ORDER BY dist, node, rep rule the oracle applies).
     */
-  private val ringLookup: Seq[(Long, String)] = {
-    val byPos = ringEntries.groupBy(_._1).toSeq
+  private def ringLookupOf(entries: Seq[(Int, String, Int)]): Seq[(Long, String)] = {
+    val byPos = entries.groupBy(_._1).toSeq
       .map { case (p, g) => (p, g.minBy(r => (r._2, r._3))._2) }
       .sortBy(_._1)
     val positions = byPos.map(_._1).toArray
@@ -905,6 +906,9 @@ object Ingest {
       (p.toLong, owners(idx))
     }
   }
+
+  private val ringEntries: Seq[(Int, String, Int)] = ringEntriesOf(ringNodes)
+  private val ringLookup: Seq[(Long, String)] = ringLookupOf(ringEntries)
 
   /** Carbon-relay consistent-hash routing: every synthetic metric series
     * is assigned the destination a carbon relay ring with 4 destinations
@@ -948,5 +952,65 @@ object Ingest {
       QUALIFY row_number() OVER (PARTITION BY p.name
         ORDER BY (r.rpos - p.pos16 + 65536) % 65536, r.node, r.rep) = 1)
     SELECT name, node, n_points FROM a ORDER BY name"""
+  })
+
+  /** Ring-rebalance audit: what MOVES when a fifth destination joins
+    * the consistent-hash ring — the elasticity property the ring
+    * construction exists for (only ≈1/(n+1) of series relocate, and
+    * every relocation lands ON the new node; a modulo router would
+    * reshuffle ~4/5 of the fleet). Both assignments reuse the
+    * [[graphiteHashRing]] machinery: two broadcast successor lookups,
+    * equi-joined per series, rolled up into the (before → after)
+    * movement matrix with series and point volume per cell — the
+    * capacity-planning number (bytes to stream to the new node) an
+    * operator reads before resizing. Exactness/scale: as the parent
+    * query — driver-computed ring constants in both plans, series
+    * reduced before any lookup, no inequality joins.
+    */
+  val graphiteRingRebalance: Q = Q("graphite_ring_rebalance", (s, dir) => {
+    import s.implicits._
+    val before = ringLookup.toDF("pos16", "node_before")
+    val after = ringLookupOf(ringEntriesOf(ringNodes :+ "10.1.0.5:2103"))
+      .toDF("pos16", "node_after")
+    Tables.events(s, dir)
+      .withColumn("name", expr(
+        "concat('metrics.', event_type, '.m', CAST(user_id % 10 AS STRING))"))
+      .groupBy("name").agg(count(lit(1)).as("n_points"))
+      .withColumn("pos16", expr("CAST(conv(substr(md5(name), 1, 4), 16, 10) AS BIGINT)"))
+      .join(broadcast(before), "pos16")
+      .join(broadcast(after), "pos16")
+      .groupBy("node_before", "node_after")
+      .agg(count(lit(1)).as("n_series"), sum("n_points").as("n_points"),
+        max(col("node_before") =!= col("node_after")).as("moved"))
+      .orderBy("node_before", "node_after")
+  }, Some {
+    def ringValues(entries: Seq[(Int, String, Int)]): String = entries
+      .map { case (p, n, i) => s"($p, '$n', $i)" }.mkString(",\n      ")
+    val beforeVals = ringValues(ringEntries)
+    val afterVals = ringValues(ringEntriesOf(ringNodes :+ "10.1.0.5:2103"))
+    s"""WITH m AS (
+      SELECT 'metrics.' || event_type || '.m' || CAST(user_id % 10 AS VARCHAR) AS name,
+        count(*)::BIGINT AS n_points
+      FROM events GROUP BY 1),
+    p AS (SELECT name, n_points,
+        CAST('0x' || substr(md5(name), 1, 4) AS BIGINT) AS pos16
+      FROM m),
+    ring_b(rpos, node, rep) AS (VALUES
+      $beforeVals),
+    ring_a(rpos, node, rep) AS (VALUES
+      $afterVals),
+    ab AS (SELECT p.name, p.n_points, r.node AS node_before
+      FROM p CROSS JOIN ring_b r
+      QUALIFY row_number() OVER (PARTITION BY p.name
+        ORDER BY (r.rpos - p.pos16 + 65536) % 65536, r.node, r.rep) = 1),
+    aa AS (SELECT p.name, r.node AS node_after
+      FROM p CROSS JOIN ring_a r
+      QUALIFY row_number() OVER (PARTITION BY p.name
+        ORDER BY (r.rpos - p.pos16 + 65536) % 65536, r.node, r.rep) = 1)
+    SELECT node_before, node_after, count(*)::BIGINT AS n_series,
+      sum(ab.n_points)::BIGINT AS n_points,
+      max(node_before <> node_after) AS moved
+    FROM ab JOIN aa USING (name)
+    GROUP BY node_before, node_after ORDER BY node_before, node_after"""
   })
 }

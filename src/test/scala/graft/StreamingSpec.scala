@@ -1634,6 +1634,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("AlertForProcessor: streamed pending/firing rows == batch ts_alert_for") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_alertfor").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    // split at an hour boundary + far-future sentinel per key to flush
+    // the final real hour (the sentinel hour never completes and its
+    // zero mean can never satisfy the condition)
+    val cutTs = (pts(pts.length / 2)._2 / 3600000000L + 1) * 3600000000L
+    val (b1, b2) = pts.partition(_._2 < cutTs)
+    val maxH = pts.map(_._2).max / 3600000000L
+    val keys = pts.map(_._1).distinct
+    val sentinels = keys.map(et => (et, (maxH + 10) * 3600000000L, 0L))
+    def fmt(rs: Seq[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1.toSeq))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.AlertForProcessor(spark, src)
+      .toDF("event_type", "h", "mean_c", "streak", "state")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_alertfor_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        fmt(b2.toSeq ++ sentinels))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_alertfor_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val want = graft.queries.Series.tsAlertFor.fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3).toLong, r.getString(4))).toSet
+      assert(want.nonEmpty, "batch alert_for unexpectedly empty")
+      assert(got == want, s"streamed vs batch alert_for: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("Cusum + GramGate processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
