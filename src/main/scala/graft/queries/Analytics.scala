@@ -45,7 +45,7 @@ object Analytics {
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
     qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation,
-    qCohortLtv)
+    qCohortLtv, qIvmDelta)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1866,4 +1866,65 @@ object Analytics {
       count(*)::BIGINT, CAST(sum(rev_c) AS BIGINT)
     FROM p GROUP BY 2
     ORDER BY model, touch_type"""))
+
+  /** Incremental view maintenance: a per-customer (order count, revenue)
+    * materialized view kept current by MERGING a delta batch into the
+    * base snapshot — the self-maintainable-aggregate algebra (count/sum
+    * merge by addition over a full outer join on the key) every
+    * warehouse's IVM engine implements, with the correctness proof IN
+    * the query: the merged view is full-outer-joined against a from-
+    * scratch recompute and every row carries `matches_full`. Output is
+    * the per-merge-case rollup (base_only / delta_only / both): customer
+    * counts, merged order counts and cent revenue, and the all-true
+    * match flag — at 100 TB the delta path aggregates ONLY the delta
+    * partition and one key-partitioned merge join, which is the entire
+    * point of IVM vs the full scan it replaces (the recompute here is
+    * the embedded oracle of the technique, not part of the maintained
+    * path). All integer: order counts and exact cent sums.
+    */
+  val qIvmDelta: Q = Q("q_ivm_delta", (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+      .withColumn("rev_c", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .withColumn("is_delta", expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("rev_c").as("rev"))
+    val base = agg(o.filter(!col("is_delta")))
+      .select(col("o_custkey"), col("n").as("n_b"), col("rev").as("rev_b"))
+    val delta = agg(o.filter(col("is_delta")))
+      .select(col("o_custkey"), col("n").as("n_d"), col("rev").as("rev_d"))
+    val merged = base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        when(col("n_b").isNotNull && col("n_d").isNotNull, lit("both"))
+          .when(col("n_b").isNotNull, lit("base_only"))
+          .otherwise(lit("delta_only")).as("mcase"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("rev_b"), lit(0L)) + coalesce(col("rev_d"), lit(0L))).as("rev"))
+    val full = agg(o).select(col("o_custkey"), col("n").as("n_f"), col("rev").as("rev_f"))
+    merged.join(full, Seq("o_custkey"), "full_outer")
+      .groupBy("mcase")
+      .agg(count(lit(1)).as("n_cust"), sum("n").as("n_orders"),
+        sum("rev").as("revenue_c"),
+        min(col("n") === col("n_f") && col("rev") === col("rev_f")).as("matches_full"))
+      .orderBy("mcase")
+  }, Some("""WITH o AS (
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c,
+        o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AS is_delta
+      FROM orders),
+    base AS (SELECT o_custkey, count(*)::BIGINT AS n_b, sum(rev_c)::BIGINT AS rev_b
+      FROM o WHERE NOT is_delta GROUP BY 1),
+    delta AS (SELECT o_custkey, count(*)::BIGINT AS n_d, sum(rev_c)::BIGINT AS rev_d
+      FROM o WHERE is_delta GROUP BY 1),
+    merged AS (SELECT coalesce(base.o_custkey, delta.o_custkey) AS o_custkey,
+        CASE WHEN n_b IS NOT NULL AND n_d IS NOT NULL THEN 'both'
+             WHEN n_b IS NOT NULL THEN 'base_only' ELSE 'delta_only' END AS mcase,
+        coalesce(n_b, 0) + coalesce(n_d, 0) AS n,
+        coalesce(rev_b, 0) + coalesce(rev_d, 0) AS rev
+      FROM base FULL OUTER JOIN delta ON base.o_custkey = delta.o_custkey),
+    full_v AS (SELECT o_custkey, count(*)::BIGINT AS n_f, sum(rev_c)::BIGINT AS rev_f
+      FROM o GROUP BY 1)
+    SELECT mcase, count(*)::BIGINT AS n_cust,
+      CAST(sum(n) AS BIGINT) AS n_orders, CAST(sum(rev) AS BIGINT) AS revenue_c,
+      min(n = n_f AND rev = rev_f) AS matches_full
+    FROM merged FULL OUTER JOIN full_v ON merged.o_custkey = full_v.o_custkey
+    GROUP BY mcase ORDER BY mcase"""))
 }

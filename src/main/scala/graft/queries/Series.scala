@@ -21,7 +21,7 @@ object Series {
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
-    tsAlertFor, tsKalman, tsArForecast)
+    tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2258,6 +2258,49 @@ object Series {
       sum(CASE WHEN prev IS NULL THEN 0
                WHEN ctr >= prev THEN ctr - prev ELSE ctr END)::BIGINT * 10000 // 3600 AS rate_e4
     FROM d GROUP BY event_type, h ORDER BY event_type, h"""))
+
+  /** M4 visual downsampling — Jugel et al., "M4: A Visualization-
+    * Oriented Time Series Data Aggregation" (PVLDB 7(10), 2014,
+    * public): per pixel-column bucket keep exactly the min, max, first
+    * and last points, which provably preserves the rendered line at
+    * that pixel width (the error-free downsample a dashboard backend
+    * ships, vs the LTB heuristic already in [[tsDownsampleLtb]]).
+    * 10-hour buckets ≈ 72 pixel columns over the month. Exactness:
+    * min/max over bigint cents; first/last resolved by row_number over
+    * the unique (ts, event_id) total order — no min_by/arg_min tie
+    * ambiguity cross-engine. Scale: ONE window pass co-partitioned with
+    * the following groupBy on (series, bucket) — a single shuffle, all
+    * aggregation map-side combinable.
+    */
+  val tsDownsampleM4: Q = Q("ts_downsample_m4", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("b", expr("ts_us DIV 36000000000"))
+    val wA = Window.partitionBy("event_type", "b").orderBy(col("ts_us").asc, col("event_id").asc)
+    val wD = Window.partitionBy("event_type", "b").orderBy(col("ts_us").desc, col("event_id").desc)
+    e.withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_c"), max("cents").as("max_c"),
+        expr("max(CASE WHEN ra = 1 THEN cents END)").as("first_c"),
+        expr("max(CASE WHEN rd = 1 THEN cents END)").as("last_c"))
+      .orderBy("event_type", "b")
+  }, Some("""WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        epoch_us(ts) // 36000000000 AS b
+      FROM events),
+    r AS (SELECT event_type, b, cents,
+        row_number() OVER (PARTITION BY event_type, b ORDER BY ts_us ASC, event_id ASC) AS ra,
+        row_number() OVER (PARTITION BY event_type, b ORDER BY ts_us DESC, event_id DESC) AS rd
+      FROM e)
+    SELECT event_type, b, count(*)::BIGINT AS n,
+      min(cents) AS min_c, max(cents) AS max_c,
+      max(CASE WHEN ra = 1 THEN cents END) AS first_c,
+      max(CASE WHEN rd = 1 THEN cents END) AS last_c
+    FROM r GROUP BY event_type, b ORDER BY event_type, b"""))
 
   /** Prometheus alert-rule `for:` duration semantics: an alert whose
     * condition (hourly mean ≥ 50.00) first turns PENDING and only
