@@ -432,4 +432,53 @@ object Text {
     val nd = df.agg(count(lit(1)).as("n_docs"))
     pairs.crossJoin(nd)
   }
+
+  /** Content-defined chunks of a (id, text) relation: one row per
+    * chunk, `(idCol, ck, n_w, chash)` — boundaries after words whose
+    * md5 hits `1/64` (Rabin-style CDC at word granularity: boundaries
+    * depend ONLY on content, so shared passages chunk identically in
+    * every document — the invariant all CDC dedup rests on). Shared by
+    * `text_cdc_chunks` (corpus dup-rate report) and
+    * `dedup_cdc_rewrite` (keep-first rewrite); extend here, not in the
+    * queries. Scale: posexplode → per-doc running-sum window → per-
+    * chunk aggregate; one shuffle on the doc key, chunk hashes via the
+    * sorted in-chunk fold (chunks are ≈64 words — bounded, unlike a
+    * per-doc collect).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = df
+      .select(col(idCol), posexplode(words(col(textCol))))
+      .select(col(idCol), (col("pos") + 1).cast("bigint").as("p"), col("col").as("w"))
+    val bx = wx.withColumn("b",
+      expr(s"CASE WHEN ${graft.ops.Sketch.h60("'cdc'", "w")} % 64 = 0 THEN 1L ELSE 0L END"))
+    val cx = bx.withColumn("ck", coalesce(
+      sum("b").over(Window.partitionBy(idCol).orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cx.groupBy(col(idCol), col("ck"))
+      .agg(count(lit(1)).as("n_w"),
+        expr(graft.ops.Sketch.h60("'ck'",
+          "concat_ws(' ', transform(array_sort(collect_list(struct(p, w))), x -> x.w))"))
+          .as("chash"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]] as CTEs ending in
+    * `ch(idCol, ck, n_w, chash)` over table `table`. */
+  def cdcChunksSqlCtes(table: String, idCol: String, textCol: String): String =
+    s"""d AS (
+      SELECT $idCol, list_filter(string_split(lower($textCol), ' '), x -> x <> '') AS w
+      FROM $table),
+    wx AS (SELECT $idCol,
+        unnest(list_transform(range(1, len(w) + 1), i -> {'p': i, 'w': w[i]})) AS u
+      FROM d),
+    bx AS (SELECT $idCol, CAST(u.p AS BIGINT) AS p, u.w AS w,
+        CASE WHEN CAST('0x' || substr(md5('cdc:' || u.w), 1, 15) AS BIGINT) % 64 = 0
+          THEN 1 ELSE 0 END AS b
+      FROM wx),
+    cx AS (SELECT $idCol, p, w, coalesce(CAST(sum(b) OVER (PARTITION BY $idCol
+        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ck
+      FROM bx),
+    ch AS (SELECT $idCol, ck, count(*)::BIGINT AS n_w,
+        CAST('0x' || substr(md5('ck:' || string_agg(w, ' ' ORDER BY p)), 1, 15) AS BIGINT) AS chash
+      FROM cx GROUP BY 1, 2)"""
 }

@@ -28,7 +28,7 @@ object Dedup {
     dedupClusters, hashSplit, decontaminate, decontaminate13,
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
-    dedupSpanApplyBest, rougePairs, lshEval, groupKfold)
+    dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -979,4 +979,45 @@ object Dedup {
       CAST(CASE WHEN rouge2_p + rouge2_r > 0
         THEN (2 * rouge2_p * rouge2_r) // (rouge2_p + rouge2_r) ELSE 0 END AS BIGINT) AS rouge2_f
     FROM sc ORDER BY d1, d2"""))
+
+  /** C4-style keep-first chunk-dedup REWRITE (Raffel et al. 2020 §2.2's
+    * repeated-span removal, public): every content-defined chunk
+    * ([[graft.ops.Text.cdcChunks]] — the shared builder under
+    * `text_cdc_chunks`, which only REPORTS the dup rate) is kept at its
+    * globally-first occurrence (lexicographic (doc_id, chunk index))
+    * and removed everywhere else, and each doc reports what survives.
+    * Keep-first is one min-struct aggregate per chunk hash joined back
+    * on the hash — at 100 TB that is a map-side-combinable aggregate
+    * over the chunk table plus a hash-partitioned equi-join; the
+    * boilerplate chunk that appears a million times costs ONE group,
+    * never a pair blow-up (contrast: the df-capped pair miners —
+    * rewrite needs no pairs at all). All integer outputs; the oracle
+    * applies the identical min-(doc,ck) rule via one window.
+    */
+  val cdcRewrite: Q = Q("dedup_cdc_rewrite", (s, dir) => {
+    val ch = graft.ops.Text.cdcChunks(
+      Tables.t(s, dir, "documents"), "doc_id", "text")
+    val keeper = ch.groupBy("chash")
+      .agg(min(struct(col("doc_id"), col("ck"))).as("k"))
+      .select(col("chash"), col("k.doc_id").as("k_doc"), col("k.ck").as("k_ck"))
+    ch.join(keeper, "chash")
+      .withColumn("kept", col("doc_id") === col("k_doc") && col("ck") === col("k_ck"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_w").as("words_total"),
+        sum(when(col("kept"), col("n_w")).otherwise(0L)).as("words_kept"))
+      .withColumn("removed_bp", expr("10000 * (words_total - words_kept) DIV words_total"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH ${graft.ops.Text.cdcChunksSqlCtes("documents", "doc_id", "text")},
+    rk AS (SELECT doc_id, ck, n_w,
+        row_number() OVER (PARTITION BY chash ORDER BY doc_id, ck) = 1 AS kept
+      FROM ch)
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      sum(n_w)::BIGINT AS words_total,
+      sum(CASE WHEN kept THEN n_w ELSE 0 END)::BIGINT AS words_kept,
+      CAST(10000 * (sum(n_w) - sum(CASE WHEN kept THEN n_w ELSE 0 END))
+        // sum(n_w) AS BIGINT) AS removed_bp
+    FROM rk GROUP BY doc_id ORDER BY doc_id"""))
 }

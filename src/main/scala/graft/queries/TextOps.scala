@@ -704,20 +704,8 @@ object TextOps {
     * summary aggregate — no joins at all.
     */
   val textCdcChunks: Q = Q("text_cdc_chunks", (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val wx = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(graft.ops.Text.words(col("text"))))
-      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("p"), col("col").as("w"))
-    val bx = wx.withColumn("b",
-      expr(s"CASE WHEN ${graft.ops.Sketch.h60("'cdc'", "w")} % 64 = 0 THEN 1L ELSE 0L END"))
-    val cx = bx.withColumn("ck", coalesce(
-      sum("b").over(Window.partitionBy("doc_id").orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val ch = cx.groupBy("doc_id", "ck")
-      .agg(count(lit(1)).as("n_w"),
-        expr(graft.ops.Sketch.h60("'ck'",
-          "concat_ws(' ', transform(array_sort(collect_list(struct(p, w))), x -> x.w))"))
-          .as("chash"))
+    val ch = graft.ops.Text.cdcChunks(
+      Tables.t(s, dir, "documents"), "doc_id", "text")
     ch.agg(countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_chunks"),
         countDistinct("chash").as("n_distinct_chunks"),
@@ -725,22 +713,7 @@ object TextOps {
       .select(col("n_docs"), col("n_chunks"), col("n_distinct_chunks"),
         expr("10000 * (n_chunks - n_distinct_chunks) DIV n_chunks").as("dup_bp"),
         expr("sum_w * 100 DIV n_chunks").as("avg_chunk_words_e2"))
-  }, Some("""WITH d AS (
-      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-      FROM documents),
-    wx AS (SELECT doc_id,
-        unnest(list_transform(range(1, len(w) + 1), i -> {'p': i, 'w': w[i]})) AS u
-      FROM d),
-    bx AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.w AS w,
-        CASE WHEN CAST('0x' || substr(md5('cdc:' || u.w), 1, 15) AS BIGINT) % 64 = 0
-          THEN 1 ELSE 0 END AS b
-      FROM wx),
-    cx AS (SELECT doc_id, p, w, coalesce(CAST(sum(b) OVER (PARTITION BY doc_id
-        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ck
-      FROM bx),
-    ch AS (SELECT doc_id, ck, count(*)::BIGINT AS n_w,
-        CAST('0x' || substr(md5('ck:' || string_agg(w, ' ' ORDER BY p)), 1, 15) AS BIGINT) AS chash
-      FROM cx GROUP BY 1, 2)
+  }, Some(s"""WITH ${graft.ops.Text.cdcChunksSqlCtes("documents", "doc_id", "text")}
     SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
       count(*)::BIGINT AS n_chunks,
       count(DISTINCT chash)::BIGINT AS n_distinct_chunks,
