@@ -34,7 +34,7 @@ object Ingest {
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
     seriesChurn, graphiteRetention, graphiteAggRules, graphiteHashRing,
-    graphiteRingRebalance)
+    graphiteRingRebalance, promHaDedup)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -953,6 +953,58 @@ object Ingest {
         ORDER BY (r.rpos - p.pos16 + 65536) % 65536, r.node, r.rep) = 1)
     SELECT name, node, n_points FROM a ORDER BY name"""
   })
+
+  /** High-availability replica deduplication — the Thanos/Cortex
+    * `deduplicate` step every doubled-scrape Prometheus fleet runs
+    * (two replicas scrape the same targets; the query layer must elect
+    * ONE replica per series per window or every rate doubles; Thanos
+    * compact.Deduplicate semantics, public). Replica ingest is
+    * synthesized deterministically: replica `a` carries every sample,
+    * replica `b` loses each with probability 1/5 (md5 coin — identical
+    * both engines), the real-world asymmetric-gap regime. Election:
+    * per (series, hour) the replica with MORE samples wins, ties to
+    * the lexicographic first — Thanos' penalty rule reduced to its
+    * decidable per-window core. Output per series: elected-hour split,
+    * raw vs deduped sample counts (the ingestion-cost number HA
+    * dedup exists to halve). Scale: one map-side-combinable aggregate
+    * over (series, hour, replica) then per-(series, hour) election by
+    * one window — no joins at all.
+    */
+  val promHaDedup: Q = Q("prom_ha_dedup", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts_us DIV 3600000000").as("h"),
+        explode(expr("array('a', 'b')")).as("replica"))
+      .filter(expr(
+        s"replica = 'a' OR ${graft.ops.Sketch.h60("'ha'", "CAST(event_id AS STRING)")} % 5 > 0"))
+    val cnt = raw.groupBy("event_type", "h", "replica")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type", "h")
+      .orderBy(col("n").desc, col("replica").asc)
+    val elected = cnt.withColumn("rk", row_number().over(w))
+    elected.groupBy("event_type")
+      .agg(sum(when(col("rk") === 1 && col("replica") === "a", 1L).otherwise(0L)).as("hours_a"),
+        sum(when(col("rk") === 1 && col("replica") === "b", 1L).otherwise(0L)).as("hours_b"),
+        sum("n").as("raw_samples"),
+        sum(when(col("rk") === 1, col("n")).otherwise(0L)).as("dedup_samples"))
+      .orderBy("event_type")
+  }, Some("""WITH raw AS (
+      SELECT event_type, event_id, epoch_us(ts) // 3600000000 AS h, r.replica
+      FROM events CROSS JOIN (VALUES ('a'), ('b')) r(replica)
+      WHERE r.replica = 'a'
+        OR CAST('0x' || substr(md5('ha:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 > 0),
+    cnt AS (SELECT event_type, h, replica, count(*)::BIGINT AS n
+      FROM raw GROUP BY 1, 2, 3),
+    e AS (SELECT *, row_number() OVER (PARTITION BY event_type, h
+        ORDER BY n DESC, replica ASC) AS rk
+      FROM cnt)
+    SELECT event_type,
+      sum(CASE WHEN rk = 1 AND replica = 'a' THEN 1 ELSE 0 END)::BIGINT AS hours_a,
+      sum(CASE WHEN rk = 1 AND replica = 'b' THEN 1 ELSE 0 END)::BIGINT AS hours_b,
+      sum(n)::BIGINT AS raw_samples,
+      sum(CASE WHEN rk = 1 THEN n ELSE 0 END)::BIGINT AS dedup_samples
+    FROM e GROUP BY event_type ORDER BY event_type"""))
 
   /** Ring-rebalance audit: what MOVES when a fifth destination joins
     * the consistent-hash ring — the elasticity property the ring

@@ -21,7 +21,7 @@ object Series {
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
-    tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4)
+    tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2258,6 +2258,62 @@ object Series {
       sum(CASE WHEN prev IS NULL THEN 0
                WHEN ctr >= prev THEN ctr - prev ELSE ctr END)::BIGINT * 10000 // 3600 AS rate_e4
     FROM d GROUP BY event_type, h ORDER BY event_type, h"""))
+
+  /** Bounded last-observation-carried-forward gap fill: each series is
+    * projected onto the full hourly grid (the month's 720 buckets) and
+    * every empty bucket takes the latest mean from AT MOST 3 hours back
+    * — LOCF with a staleness bound, i.e. Prometheus staleness semantics
+    * (a series stops answering after its lookback window) rather than
+    * naive unbounded carry-forward. Exact: hourly means are truncating
+    * integer division; the carry is a window `last(_, ignoreNulls)` over
+    * a 3-row frame — both engines implement IGNORE NULLS identically on
+    * the unique hour order. Output is the per-series fill report plus an
+    * exact checksum of the filled signal, so one changed carry anywhere
+    * flips the hash. Scale: grid fan-out is (series × hours) — the
+    * DENSE representation a TSDB rollup materializes anyway; one window
+    * per series, no joins beyond the broadcast grid bounds.
+    */
+  val tsLocfFill: Q = Q("ts_locf_fill", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("h", expr("ts_us DIV 3600000000"))
+    val hourly = e.groupBy("event_type", "h")
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val bounds = e.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-3, Window.currentRow)
+    val filled = grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("carry", last("c", ignoreNulls = true).over(w))
+    filled.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("c").isNull && col("carry").isNotNull, 1L).otherwise(0L)).as("n_filled"),
+        sum(when(col("carry").isNull, 1L).otherwise(0L)).as("n_unfilled"),
+        sum(coalesce(col("carry"), lit(0L))).as("filled_checksum"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hourly AS (SELECT event_type, h, sum(cents) // count(*) AS c
+      FROM e GROUP BY 1, 2),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+    grid AS (SELECT et.event_type, t.h
+      FROM (SELECT DISTINCT event_type FROM e) et
+      CROSS JOIN (SELECT unnest(range((SELECT h0 FROM b), (SELECT h1 FROM b) + 1)) AS h) t),
+    f AS (SELECT grid.event_type, grid.h, hourly.c,
+        last_value(hourly.c IGNORE NULLS) OVER (PARTITION BY grid.event_type
+          ORDER BY grid.h ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS carry
+      FROM grid LEFT JOIN hourly ON grid.event_type = hourly.event_type AND grid.h = hourly.h)
+    SELECT event_type, count(*)::BIGINT AS n_hours,
+      sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+      sum(CASE WHEN c IS NULL AND carry IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+      sum(CASE WHEN carry IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unfilled,
+      CAST(sum(coalesce(carry, 0)) AS BIGINT) AS filled_checksum
+    FROM f GROUP BY event_type ORDER BY event_type"""))
 
   /** M4 visual downsampling — Jugel et al., "M4: A Visualization-
     * Oriented Time Series Data Aggregation" (PVLDB 7(10), 2014,
