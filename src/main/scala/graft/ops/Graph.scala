@@ -1224,4 +1224,83 @@ object Graph {
         s"msfEdges did not converge in $maxIters rounds")
     acc.reduceOption(_ union _).getOrElse(und.select("lo", "hi", "w").limit(0))
   }
+
+  /** Bounded-radius Brandes betweenness from seed sources (Brandes
+    * 2001, "A faster algorithm for betweenness centrality" — public;
+    * seed/pivot sampling per Brandes &amp; Pich 2007): level-synchronous
+    * BFS accumulates exact INTEGER shortest-path counts σ, then the
+    * dependency sweep runs the levels backwards with
+    * δ(v) = Σ_{(v,w), hop(w)=hop(v)+1} ⌊σ_v · (10⁶ + δ_w) / σ_w⌋ —
+    * each edge term floor-divided INDEPENDENTLY and summed, so the
+    * accumulation is order-free and bit-reproducible in any engine
+    * with truncating integer division (the reason this, unlike float
+    * Brandes, can be oracle-checked). Paths are truncated at
+    * `maxDepth` (δ at the horizon is 0) — the bounded-radius
+    * approximation all large-graph betweenness estimators make.
+    *
+    * Input edges are symmetrized (each undirected pair listed once is
+    * enough). Returns one row per (reached vertex, hop ≥ 1):
+    * (v, hop, sigma, delta_e6). Run seeds on a product graph
+    * (seed-offset vertex ids) to share every round across seeds, as
+    * the closeness/landmark queries do. Scale: each BFS level is one
+    * hash join + map-side-combinable aggregate on the frontier; the
+    * backward sweep the same shape per level; tiny frontiers are
+    * plan-truncated with eager localCheckpoint (the DevNsw rule —
+    * per-level codegen compile would dominate otherwise). ANSI mode
+    * turns any σ/δ overflow on a pathological graph into a loud error,
+    * never silent wrap.
+    */
+  def betweennessSeeds(
+      edgeList: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "v",
+      maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1)
+    def break(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
+
+    // forward: levels(0) = seeds, sigma 1; level d = unseen neighbors
+    // of level d-1 with sigma = Σ predecessor sigmas
+    val l0 = break(seeds.select(col(seedCol).as("v")).distinct()
+      .select(col("v"), lit(0L).as("hop"), lit(1L).as("sigma")))
+    var levels = List(l0) // head = deepest
+    var visited = l0.select("v")
+    for (d <- 1 to maxDepth) {
+      val prev = levels.head
+      val next = edges
+        .join(prev.select(col("v").as("src"), col("sigma")), "src")
+        .join(visited, col("dst") === visited("v"), "left_anti")
+        .groupBy(col("dst").as("v"))
+        .agg(sum("sigma").as("sigma"))
+        .select(col("v"), lit(d.toLong).as("hop"), col("sigma"))
+      val b = break(next)
+      levels = b :: levels
+      visited = break(visited.union(b.select("v")))
+    }
+
+    // backward: deepest level's delta is 0; each shallower level sums
+    // its floor-divided edge terms toward the level below
+    var lower = break(levels.head.withColumn("delta", lit(0L)))
+    var out = lower
+    levels.tail.foreach { lvl =>
+      val contrib = edges
+        .join(lower.select(col("v").as("dst"), col("sigma").as("sw"),
+          col("delta").as("dw")), "dst")
+        .select(col("src").as("v"), col("sw"), col("dw"))
+        .join(lvl.select(col("v"), col("sigma")), "v")
+        .withColumn("term", expr("sigma * (1000000 + dw) DIV sw"))
+        .groupBy("v").agg(sum("term").as("dsum"))
+      val withDelta = lvl.join(contrib, Seq("v"), "left")
+        .select(col("v"), col("hop"), col("sigma"),
+          coalesce(col("dsum"), lit(0L)).as("delta"))
+      lower = break(withDelta)
+      out = out.unionByName(lower)
+    }
+    edges.unpersist()
+    out.filter(col("hop") >= 1)
+      .select(col("v"), col("hop"), col("sigma"), col("delta").as("delta_e6"))
+  }
 }

@@ -18,7 +18,7 @@ object Graphs {
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
-    squaresCopurchase, ssspSeeds)
+    squaresCopurchase, ssspSeeds, betweennessSeedsQ)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -801,4 +801,77 @@ object Graphs {
       GROUP BY 1, 2 HAVING count(*) >= 2)
     SELECT u, w, q, CAST(q * (q - 1) // 2 AS BIGINT) AS c4_pairs
     FROM cod ORDER BY c4_pairs DESC, u, w LIMIT 30"""))
+
+  /** Bounded-radius betweenness centrality from the 5 landmark seeds
+    * ([[graft.ops.Graph.betweennessSeeds]] — exact-integer Brandes:
+    * BFS σ counts + the order-free floor-divided dependency sweep),
+    * completing the centrality family beside closeness/pagerank/HITS
+    * with THE canonical broker-vertex measure. Runs all seeds on the
+    * same 2²⁰-offset product graph as [[closenessSeeds]] (one shared
+    * BFS per level instead of per-seed jobs, same loud vertex-domain
+    * gate). bc_e6 sums each seed's dependency δ in e6 fixed point;
+    * n_seed_hits counts the seed copies that reached the vertex within
+    * radius 4. The oracle unrolls the identical forward levels and
+    * backward sweep as MATERIALIZED CTEs — bit-exact because every σ
+    * and every δ term is integer arithmetic shared by both engines.
+    */
+  val betweennessSeedsQ: Q = Q("graph_betweenness_seeds", (s, dir) => {
+    val e = simEdges(s, dir).persist()
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct()
+    val domainGate = verts.agg(max("v").as("mx"), min("v").as("mn"))
+      .select(expr("""CASE WHEN mx >= 1048576 OR mn < 0 THEN raise_error(concat(
+          'graph_betweenness_seeds: vertex domain [', CAST(mn AS STRING), ',',
+          CAST(mx AS STRING), '] exceeds the 2^20 seed offset'))
+        ELSE 1 END""").as("_domain_ok"))
+    val seedDf = verts.orderBy("v").limit(5).select(col("v").as("seed"))
+      .crossJoin(broadcast(domainGate)).where(col("_domain_ok") === 1)
+      .drop("_domain_ok")
+    val lab = e.crossJoin(broadcast(seedDf))
+      .select((col("seed") * 1048576 + col("src")).as("src"),
+        (col("seed") * 1048576 + col("dst")).as("dst"))
+    val seeds = seedDf.select((col("seed") * 1048576 + col("seed")).as("v"))
+    graft.ops.Graph.betweennessSeeds(lab, seeds, maxDepth = 4)
+      .withColumn("vtx", expr("v % 1048576"))
+      .groupBy("vtx")
+      .agg(sum("delta_e6").as("bc_e6"), count(lit(1)).as("n_seed_hits"))
+      .orderBy("vtx")
+  }, Some {
+    val fwdRounds = (1 to 4).map { k =>
+      s""",
+    l$k AS MATERIALIZED (SELECT e.dst AS v, CAST($k AS BIGINT) AS hop,
+        CAST(sum(p.sigma) AS BIGINT) AS sigma
+      FROM l${k - 1} p JOIN led e ON e.src = p.v
+      WHERE e.dst NOT IN (SELECT v FROM vis${k - 1})
+      GROUP BY e.dst),
+    vis$k AS MATERIALIZED (SELECT v FROM vis${k - 1} UNION SELECT v FROM l$k)"""
+    }.mkString
+    val backRounds = (3 to 1 by -1).map { k =>
+      s""",
+    d$k AS MATERIALIZED (SELECT l.v, l.sigma,
+        CAST(coalesce(sum(l.sigma * (1000000 + nx.delta) // nx.sigma), 0) AS BIGINT) AS delta
+      FROM l$k l LEFT JOIN (SELECT e.src AS sv, d.sigma, d.delta
+          FROM led e JOIN d${k + 1} d ON d.v = e.dst) nx
+        ON nx.sv = l.v
+      GROUP BY l.v, l.sigma)"""
+    }.mkString
+    s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    sd AS MATERIALIZED (SELECT DISTINCT src AS seed FROM ed
+      ORDER BY seed LIMIT 5),
+    led AS MATERIALIZED (SELECT sd.seed * 1048576 + ed.src AS src,
+        sd.seed * 1048576 + ed.dst AS dst
+      FROM ed CROSS JOIN sd),
+    l0 AS MATERIALIZED (SELECT seed * 1048576 + seed AS v,
+        CAST(0 AS BIGINT) AS hop, CAST(1 AS BIGINT) AS sigma FROM sd),
+    vis0 AS MATERIALIZED (SELECT v FROM l0)$fwdRounds,
+    d4 AS MATERIALIZED (SELECT v, sigma, CAST(0 AS BIGINT) AS delta FROM l4)$backRounds,
+    u AS (SELECT v, delta FROM d1 UNION ALL SELECT v, delta FROM d2
+      UNION ALL SELECT v, delta FROM d3 UNION ALL SELECT v, delta FROM d4)
+    SELECT CAST(v % 1048576 AS BIGINT) AS vtx,
+      CAST(sum(delta) AS BIGINT) AS bc_e6, count(*)::BIGINT AS n_seed_hits
+    FROM u GROUP BY 1 ORDER BY vtx"""
+  })
 }
