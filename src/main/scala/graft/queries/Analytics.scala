@@ -45,7 +45,7 @@ object Analytics {
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
     qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation,
-    qCohortLtv, qIvmDelta)
+    qCohortLtv, qIvmDelta, qSkyline)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1866,6 +1866,55 @@ object Analytics {
       count(*)::BIGINT, CAST(sum(rev_c) AS BIGINT)
     FROM p GROUP BY 2
     ORDER BY model, touch_type"""))
+
+  /** 2-D skyline (Pareto frontier) of customers over (total spend,
+    * order count) — the classic Börzsönyi et al. 2001 SKYLINE OF
+    * operator, absent from both engines' SQL surfaces, computed by the
+    * sort-scan identity: after sorting by spend DESC (ties broken so
+    * the order is total), a point is Pareto-optimal iff its order count
+    * STRICTLY exceeds the running maximum of everything before it —
+    * one window pass, no dominance self-join (the naive NOT EXISTS
+    * formulation is the O(n²) pair blow-up the repo's join lint
+    * exists to catch). Exact: spend in cents, counts integer; the
+    * running max over the (spend desc, n desc, cust) total order is
+    * engine-independent. Scale: one aggregate + one global-ORDER
+    * window over the CUSTOMER aggregate (key-count-sized, not
+    * row-count-sized — the same bounded-input contract as every top-k
+    * presentation sort here).
+    */
+  val qSkyline: Q = Q("q_skyline", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(expr("CAST(sum(round(o_totalprice * 100)) AS BIGINT)").as("spend_c"),
+        count(lit(1)).as("n_orders"))
+    // strict dominance needs BOTH checks: beat every strictly-richer
+    // point's order count (RANGE frame — integer cents make 1 PRECEDING
+    // on the DESC order exactly "spend > mine"), and be the max of the
+    // equal-spend tie group (an equal-spend point with strictly more
+    // orders dominates; an exact (spend, n) twin does not — both stay)
+    val wStrict = Window.orderBy(col("spend_c").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy("spend_c")
+    per.withColumn("strict_max_n", max("n_orders").over(wStrict))
+      .withColumn("tie_max_n", max("n_orders").over(wTie))
+      .filter(col("n_orders") === col("tie_max_n") &&
+        (col("strict_max_n").isNull || col("n_orders") > col("strict_max_n")))
+      .select(col("o_custkey"), col("spend_c"), col("n_orders"))
+      .orderBy(col("spend_c").desc, col("o_custkey"))
+  }, Some("""WITH per AS (
+      SELECT o_custkey, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend_c,
+        count(*)::BIGINT AS n_orders
+      FROM orders GROUP BY 1),
+    sk AS (SELECT o_custkey, spend_c, n_orders,
+        max(n_orders) OVER (ORDER BY spend_c DESC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_max_n,
+        max(n_orders) OVER (PARTITION BY spend_c) AS tie_max_n
+      FROM per)
+    SELECT o_custkey, spend_c, n_orders FROM sk
+    WHERE n_orders = tie_max_n
+      AND (strict_max_n IS NULL OR n_orders > strict_max_n)
+    ORDER BY spend_c DESC, o_custkey"""))
 
   /** Incremental view maintenance: a per-customer (order count, revenue)
     * materialized view kept current by MERGING a delta batch into the

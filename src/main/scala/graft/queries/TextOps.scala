@@ -24,7 +24,7 @@ object TextOps {
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
     multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint,
     pipelineDatasetCard, textCdcChunks, samplePps, sampleBootstrap,
-    multimodalScenecut)
+    multimodalScenecut, pipelineShardBalance, sampleHtEstimate)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1939,6 +1939,95 @@ object TextOps {
       CAST(sum(k * n_chars) // sum(k) AS BIGINT) AS mean_chars
     FROM k GROUP BY b ORDER BY b"""
   })
+
+  /** Snake-order shard layout: documents are ranked by size (chars
+    * desc) and dealt onto 8 output shards boustrophedon-style (lap 0
+    * deals 0→7, lap 1 deals 7→0, …) — the classic longest-processing-
+    * time-first balancing deal that bounds any shard's excess by one
+    * document, i.e. how training corpora are split into same-cost
+    * shards so no data-parallel worker straggles. The global size rank
+    * comes from [[graft.ops.Sample.shardedRank]]'s DISTRIBUTED
+    * prefix-count over a packed (size, id) key — bit-identical to
+    * `row_number() OVER (ORDER BY n_chars DESC, doc_id)` with NO
+    * data-sized global window (the join lint's contract); a loud gate
+    * bounds n_chars under the 2¹² packing limit. Output: per-shard doc
+    * and char totals plus the signed deviation from the ideal in bp —
+    * the imbalance a straggler analysis reads.
+    */
+  val pipelineShardBalance: Q = Q("pipeline_shard_balance", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .withColumn("_nc", expr("""CASE WHEN n_chars > 0 AND n_chars < 4096 THEN n_chars
+        ELSE CAST(raise_error(concat('pipeline_shard_balance: n_chars out of (0, 4096): ',
+          CAST(n_chars AS STRING))) AS BIGINT) END"""))
+      .withColumn("_key", expr("(4096 - _nc) * 4294967296 + doc_id"))
+      .withColumn("_one", lit(1))
+    val ranked = graft.ops.Sample.shardedRank(d, "_one", "_key",
+      shardSize = 64L * 4294967296L)
+    ranked
+      .withColumn("shard", expr(
+        "CASE WHEN (rn DIV 8) % 2 = 0 THEN rn % 8 ELSE 7 - rn % 8 END"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .crossJoin(broadcast(
+        Tables.t(s, dir, "documents")
+          .agg(expr("sum(n_chars) DIV 8").as("ideal"))))
+      .select(col("shard"), col("n_docs"), col("chars"),
+        expr("10000 * (chars - ideal) DIV ideal").as("dev_bp"))
+      .orderBy("shard")
+  }, Some("""WITH r AS (
+      SELECT doc_id, n_chars,
+        row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+      FROM documents),
+    sh AS (SELECT doc_id, n_chars,
+        CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8 ELSE 7 - rn % 8 END AS shard
+      FROM r),
+    i AS (SELECT CAST(sum(n_chars) // 8 AS BIGINT) AS ideal FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS chars,
+      CAST(10000 * (sum(n_chars) - i.ideal) // i.ideal AS BIGINT) AS dev_bp
+    FROM sh CROSS JOIN i
+    GROUP BY shard, i.ideal ORDER BY shard"""))
+
+  /** Horvitz–Thompson estimation under unequal-rate stratified
+    * sampling (Horvitz &amp; Thompson 1952, public — THE design-
+    * unbiased estimator every survey-sampled corpus audit rests on):
+    * each source stratum samples at its own deterministic rate 1/k
+    * (md5 coin, k ∈ {2..5} derived from the source name), and the
+    * stratum total is recovered as k·Σ(sampled chars) — inverse-
+    * inclusion-probability weighting in EXACT integers (rates are
+    * unit fractions, so the weight is the integer k itself; no float
+    * division anywhere). Output per source: truth, sample size, the
+    * HT estimate and its signed error in bp — the accuracy-vs-cost
+    * table that justifies sampled audits at 100 TB (scan 1/k of the
+    * bytes, bounded relative error). One pass, map-side combinable.
+    */
+  val sampleHtEstimate: Q = Q("sample_ht_estimate", (s, dir) => {
+    graft.expressions.Md5Hash60.registerActive()
+    Tables.t(s, dir, "documents")
+      .withColumn("k", expr("2 + graft_h60(concat('htk:', source)) % 4"))
+      .withColumn("picked", expr("graft_h60(concat('ht:', CAST(doc_id AS STRING))) % k = 0"))
+      .groupBy("source")
+      .agg(max("k").as("k"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("true_chars"),
+        sum(when(col("picked"), 1L).otherwise(0L)).as("n_sampled"),
+        (max("k") * sum(when(col("picked"), col("n_chars")).otherwise(0L))).as("ht_chars"))
+      .withColumn("err_bp", expr("10000 * (ht_chars - true_chars) DIV true_chars"))
+      .orderBy("source")
+  }, Some("""WITH d AS (
+      SELECT source, doc_id, n_chars,
+        2 + CAST('0x' || substr(md5('htk:' || source), 1, 15) AS BIGINT) % 4 AS k
+      FROM documents),
+    p AS (SELECT *,
+        CAST('0x' || substr(md5('ht:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % k = 0 AS picked
+      FROM d)
+    SELECT source, CAST(max(k) AS BIGINT) AS k, count(*)::BIGINT AS n_docs,
+      sum(n_chars)::BIGINT AS true_chars,
+      sum(CASE WHEN picked THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+      CAST(max(k) * sum(CASE WHEN picked THEN n_chars ELSE 0 END) AS BIGINT) AS ht_chars,
+      CAST(10000 * (max(k) * sum(CASE WHEN picked THEN n_chars ELSE 0 END) - sum(n_chars))
+        // sum(n_chars) AS BIGINT) AS err_bp
+    FROM p GROUP BY source ORDER BY source"""))
 
   /** Video scene-cut detection by perceptual-hash jump — the shot-
     * boundary detector real video pipelines run on sampled frames
