@@ -24,7 +24,8 @@ object TextOps {
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
     multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint,
     pipelineDatasetCard, textCdcChunks, samplePps, sampleBootstrap,
-    multimodalScenecut, pipelineShardBalance, sampleHtEstimate)
+    multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
+    multimodalIntegrity)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1938,6 +1939,68 @@ object TextOps {
     SELECT CAST(b AS INT) AS b, sum(k)::BIGINT AS n_eff,
       CAST(sum(k * n_chars) // sum(k) AS BIGINT) AS mean_chars
     FROM k GROUP BY b ORDER BY b"""
+  })
+
+  /** Container integrity audit — the corruption gate an ingest pipeline
+    * runs BEFORE any decoder touches a blob (truncated uploads are the
+    * dominant real-world multimodal defect, and every format declares
+    * enough to catch them): BMP's header carries the exact file size
+    * (le32 at offset 2 — must equal the actual byte count), a GIF must
+    * END with the 0x3B trailer byte, and the APNG synthesis has a fixed
+    * 53-byte minimum (signature + IHDR + acTL). Corruption is INJECTED
+    * deterministically — every 13th doc's asset loses its last 3 bytes —
+    * and the audit's flag set must reproduce the injection set exactly
+    * (the `agree` column proves recall AND precision per format). Byte
+    * arithmetic runs on the common hex dialect in both engines; per-row
+    * column work, zero shuffle before the 3-group rollup.
+    */
+  val multimodalIntegrity: Q = Q("multimodal_integrity", (s, dir) => {
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(text) AS BIGINT)")
+    def le32(o: Int) = s"CAST(conv(substr(h, ${2 * o + 7}, 2) || substr(h, ${2 * o + 5}, 2) || " +
+      s"substr(h, ${2 * o + 3}, 2) || substr(h, ${2 * o + 1}, 2), 16, 10) AS BIGINT)"
+    Tables.t(s, dir, "documents")
+      .withColumn("h0", expr(assetHex))
+      .withColumn("inj", expr("doc_id % 13 = 0"))
+      .withColumn("h", expr("CASE WHEN doc_id % 13 = 0 THEN substr(h0, 1, length(h0) - 6) ELSE h0 END"))
+      .withColumn("actual", expr("length(h) DIV 2"))
+      .withColumn("format", expr("""CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp'
+        WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png' ELSE 'gif' END"""))
+      .withColumn("intact", expr(s"""CASE format
+        WHEN 'bmp' THEN ${le32(2)} = actual
+        WHEN 'png' THEN actual >= 53
+        ELSE substr(h, length(h) - 1, 2) = '3B' END"""))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("inj"), 1L).otherwise(0L)).as("n_injected"),
+        sum(when(!col("intact"), 1L).otherwise(0L)).as("n_flagged"),
+        min(col("inj") === !col("intact")).as("agree"))
+      .orderBy("format")
+  }, Some {
+    val assetHex = graft.ops.Media.assetHexExpr(
+      "doc_id", "CAST(octet_length(encode(text)) AS BIGINT)")
+    def le32(o: Int) = s"CAST('0x' || substr(h, ${2 * o + 7}, 2) || substr(h, ${2 * o + 5}, 2) || " +
+      s"substr(h, ${2 * o + 3}, 2) || substr(h, ${2 * o + 1}, 2) AS BIGINT)"
+    s"""WITH a AS (SELECT doc_id, $assetHex AS h0, doc_id % 13 = 0 AS inj
+      FROM documents),
+    t AS (SELECT doc_id, inj,
+        CASE WHEN inj THEN substr(h0, 1, length(h0) - 6) ELSE h0 END AS h
+      FROM a),
+    d AS (SELECT doc_id, inj, h, length(h) // 2 AS actual,
+        CASE WHEN substr(h, 1, 4) = '424D' THEN 'bmp'
+          WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png' ELSE 'gif' END AS format
+      FROM t),
+    i AS (SELECT format, inj,
+        CASE format
+          WHEN 'bmp' THEN ${le32(2)} = actual
+          WHEN 'png' THEN actual >= 53
+          ELSE substr(h, length(h) - 1, 2) = '3B' END AS intact
+      FROM d)
+    SELECT format, count(*)::BIGINT AS n_assets,
+      sum(CASE WHEN inj THEN 1 ELSE 0 END)::BIGINT AS n_injected,
+      sum(CASE WHEN NOT intact THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+      min(inj = (NOT intact)) AS agree
+    FROM i GROUP BY format ORDER BY format"""
   })
 
   /** Snake-order shard layout: documents are ranked by size (chars

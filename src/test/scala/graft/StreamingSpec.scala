@@ -1679,6 +1679,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("CounterRateProcessor: streamed completed hours == batch ts_counter_rate") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_ctrrate").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // counter readings from the SAME integer rule the batch query uses:
+    // per-key running cent sum modulo 10^6 in (ts, event_id) order
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    val cum = scala.collection.mutable.HashMap.empty[String, Long]
+    val readings = pts.map { case (et, ts, eid, cents) =>
+      val c = cum.getOrElse(et, 0L) + cents
+      cum.update(et, c)
+      (et, ts, eid, c % 1000000L)
+    }
+    val cutTs = (readings(readings.length / 2)._2 / 3600000000L + 1) * 3600000000L
+    val (b1, b2) = readings.partition(_._2 < cutTs)
+    val maxH = readings.map(_._2).max / 3600000000L
+    val keys = readings.map(_._1).distinct
+    val sentinels = keys.map(et => (et, (maxH + 10) * 3600000000L, Long.MaxValue, 0L))
+    def fmt(rs: Seq[(String, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1.toSeq))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.CounterRateProcessor(spark, src)
+      .toDF("event_type", "h", "samples", "increase_cents", "resets", "rate_e4")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_ctrrate_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        fmt(b2.toSeq ++ sentinels))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_ctrrate_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val want = graft.queries.Series.tsCounterRate.fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(want.nonEmpty && want.exists(_._5 > 0), "batch counter-rate empty or reset-free")
+      assert(got == want, s"streamed vs batch counter-rate: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("Cusum + GramGate processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
