@@ -45,7 +45,8 @@ object Analytics {
     qRetentionCohorts, qTriangles, qKcore, qAsofNearest, qNullsafeJoin,
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
     qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation,
-    qCohortLtv, qIvmDelta, qSkyline)
+    qCohortLtv, qIvmDelta, qSkyline, qRollingDistinct, q18LargeOrders,
+    q10ReturnedRevenue)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1866,6 +1867,114 @@ object Analytics {
       count(*)::BIGINT, CAST(sum(rev_c) AS BIGINT)
     FROM p GROUP BY 2
     ORDER BY model, touch_type"""))
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity clears a threshold, joined back to their customers — the
+    * canonical HAVING-driven semi-reduction: the lineitem table (the
+    * 100-TB one) is aggregated FIRST and only qualifying order keys
+    * (a tiny set) ever join orders/customer, both as broadcast-scale
+    * probes. Quantities are exact integers; revenue in cents. Top 100
+    * by (total_qty desc, o_orderkey) via TakeOrderedAndProject.
+    */
+  val q18LargeOrders: Q = Q("q18_large_orders", (s, dir) => {
+    val big = Tables.t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(expr("CAST(sum(l_quantity) AS BIGINT)").as("total_qty"),
+        expr("CAST(sum(round(l_extendedprice * 100)) AS BIGINT)").as("rev_c"))
+      .filter(col("total_qty") > 150)
+    Tables.t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("total_qty"), col("rev_c"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }, Some("""WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+        CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150)
+    SELECT c_custkey, c_name, o_orderkey, total_qty, rev_c
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100"""))
+
+  /** TPC-H Q10 shape (returned-item revenue): which customers returned
+    * the most value in a quarter, with their nation — the classic
+    * 4-way join whose SCALE discipline is that lineitem is filtered on
+    * return flag + the orders quarter BEFORE joining (predicate
+    * pushdown does the quarter cut at the scan), and nation is a
+    * broadcast dim. Revenue = extendedprice·(1−discount) kept exact by
+    * integer cents × integer discount-bp / 10⁴ with floor division.
+    * Top 20 by revenue, key tie-break.
+    */
+  val q10ReturnedRevenue: Q = Q("q10_returned_revenue", (s, dir) => {
+    val l = Tables.t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .withColumn("rev_c", expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) DIV 10000"))
+    val o = Tables.t(s, dir, "orders").filter(
+      expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+  }, Some("""SELECT c_custkey, c_name, n_name,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000) AS BIGINT) AS revenue_c,
+      count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_c DESC, c_custkey LIMIT 20"""))
+
+  /** Exact rolling-window distinct users — DAU alongside trailing-7-day
+    * WAU and the DAU/WAU stickiness ratio, the product-analytics pair
+    * every engagement dashboard leads with. COUNT DISTINCT over a
+    * SLIDING window has no window-function form (distinct state can't
+    * fold frame-incrementally); the scale-correct exact shape is the
+    * contribution expansion: dedupe to (user, active-day), fan each
+    * row out to the ≤7 window-ends it contributes to, dedupe (user,
+    * window-end), count — bounded 7× fan-out of the DEDUPED activity
+    * table (not raw events), every stage map-side partial. Stickiness
+    * in exact integer bp. Window-ends past the observed range are
+    * clipped so every reported day aggregates a full real window.
+    */
+  val qRollingDistinct: Q = Q("q_rolling_distinct", (s, dir) => {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("d"))
+      .distinct()
+    val dau = days.groupBy("d").agg(countDistinct("user_id").as("dau"))
+    val span = days.agg(max("d").as("dmax"))
+    val wau = days
+      .select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("wd"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .filter(col("wd") <= col("dmax"))
+      .groupBy("wd").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, dau("d") === wau("wd"))
+      .select(col("d"), col("dau"), col("wau"),
+        expr("10000 * dau DIV wau").as("stickiness_bp"))
+      .orderBy("d")
+  }, Some("""WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+    dau AS (SELECT d, count(DISTINCT user_id)::BIGINT AS dau FROM days GROUP BY d),
+    span AS (SELECT max(d) AS dmax FROM days),
+    ww AS (SELECT DISTINCT user_id, d + t.i AS wd
+      FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS i) t),
+    wau AS (SELECT wd, count(DISTINCT user_id)::BIGINT AS wau
+      FROM ww, span WHERE wd <= span.dmax GROUP BY wd)
+    SELECT dau.d, dau.dau, wau.wau,
+      CAST(10000 * dau.dau // wau.wau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN wau ON wau.wd = dau.d
+    ORDER BY dau.d"""))
 
   /** 2-D skyline (Pareto frontier) of customers over (total spend,
     * order count) — the classic Börzsönyi et al. 2001 SKYLINE OF
