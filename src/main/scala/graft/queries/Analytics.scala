@@ -46,7 +46,7 @@ object Analytics {
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
     qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation,
     qCohortLtv, qIvmDelta, qSkyline, qRollingDistinct, q18LargeOrders,
-    q10ReturnedRevenue)
+    q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1867,6 +1867,73 @@ object Analytics {
       count(*)::BIGINT, CAST(sum(rev_c) AS BIGINT)
     FROM p GROUP BY 2
     ORDER BY model, touch_type"""))
+
+  /** TPC-H Q16 shape (supplier breadth per part class): how many
+    * DISTINCT suppliers ship each (brand, size-band) part class,
+    * excluding one brand — the assortment-coverage query a sourcing
+    * team runs. Scale shape: the part dim is filtered and BROADCAST
+    * into the lineitem scan, the distinct-supplier count groups by the
+    * class key with partial aggregation; no row-level self-joins.
+    * Size bands are integer quartiles of p_size (size DIV 13 — fixed
+    * width, no data-dependent breakpoints).
+    */
+  val q16SupplierBreadth: Q = Q("q16_supplier_breadth", (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"),
+        expr("p_size DIV 13").as("size_band"))
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "size_band")
+      .agg(countDistinct("l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_suppliers").desc, col("p_brand"), col("size_band"))
+  }, Some("""SELECT p_brand, p_size // 13 AS size_band,
+      count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+      count(*)::BIGINT AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, size_band
+    ORDER BY n_suppliers DESC, p_brand, size_band"""))
+
+  /** TPC-H Q9 shape (product-line revenue by supplier nation and
+    * year): the 5-way star join — lineitem at the center, part
+    * (filtered on type) and supplier→nation broadcast in, the order
+    * date supplying the year — grouped by (nation, year). The 100-TB
+    * discipline: every dimension is broadcast, lineitem is touched
+    * once, revenue is exact cents × discount-bp floor math, and the
+    * only shuffle is the final small group-by. (No partsupp table in
+    * this corpus, so profit reduces to discounted revenue.)
+    */
+  val q9NationYearRevenue: Q = Q("q9_nation_year_revenue", (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_type").startsWith("STANDARD"))
+      .select("p_partkey")
+    val sn = Tables.t(s, dir, "supplier")
+      .join(broadcast(Tables.t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.t(s, dir, "lineitem")
+      .withColumn("rev_c", expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) DIV 10000"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name", "yr")
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("yr").desc)
+  }, Some("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000) AS BIGINT) AS revenue_c,
+      count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_type LIKE 'STANDARD%'
+    GROUP BY n_name, yr
+    ORDER BY n_name, yr DESC"""))
 
   /** TPC-H Q18 shape (large-volume customers): orders whose total line
     * quantity clears a threshold, joined back to their customers — the
