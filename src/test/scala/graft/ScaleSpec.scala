@@ -431,6 +431,57 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rd.contains("Join"), s"readability must be join-free:\n$rd")
   }
 
+  test("round-6 second-pass operators plan scale-shaped: broadcast dims, keyed windows, equi-joins") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    def planOf(q: graft.Q): String = q.fn(spark, sf).queryExecution.executedPlan.toString
+    // TPC-H star shapes: dimensions broadcast, fact scanned once, no
+    // nested-loop or cartesian anywhere
+    for (q <- Seq(graft.queries.Analytics.q9NationYearRevenue,
+        graft.queries.Analytics.q16SupplierBreadth,
+        graft.queries.Analytics.q18LargeOrders,
+        graft.queries.Analytics.q10ReturnedRevenue)) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} must stay equi-join only:\n$p")
+    }
+    assert(planOf(graft.queries.Analytics.q9NationYearRevenue)
+      .contains("BroadcastHashJoin"), "q9 must broadcast its dims")
+    assert(planOf(graft.queries.Analytics.q16SupplierBreadth)
+      .contains("BroadcastHashJoin"), "q16 must broadcast the part dim")
+    // ring routing: successor lookup joins as a broadcast EQUI-join
+    // (a naive ring successor is an inequality join the lint bans)
+    val ring = planOf(graft.queries.Ingest.graphiteHashRing)
+    assert(ring.contains("BroadcastHashJoin") &&
+      !ring.contains("BroadcastNestedLoopJoin"),
+      s"hash ring must equi-join the broadcast lookup:\n$ring")
+    // rolling distinct: bounded fan-out + aggregates, no window at all
+    val rdq = graft.queries.Analytics.qRollingDistinct.fn(spark, sf)
+    rdq.queryExecution.analyzed.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        fail(s"q_rolling_distinct plans a window: $w")
+      case _ => ()
+    }
+    // new series operators: every window partitioned per series
+    for (q <- Seq(graft.queries.Series.tsCounterRate,
+        graft.queries.Series.tsAlertFor,
+        graft.queries.Series.tsDownsampleM4,
+        graft.queries.Series.tsLocfFill)) {
+      q.fn(spark, sf).queryExecution.analyzed.foreach {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty =>
+          fail(s"${q.name} plans a global window: $w")
+        case _ => ()
+      }
+    }
+    // betweenness: the only non-equi product is the 5-row broadcast
+    // seed labeling (the intended product-graph construction); the
+    // frontier sweeps themselves must never plan a cartesian
+    val bw = planOf(graft.queries.Graphs.betweennessSeedsQ)
+    assert(!bw.contains("CartesianProduct"),
+      s"betweenness must stay frontier-keyed:\n$bw")
+  }
+
   test("capGroups bounds per-group pair blow-up; basket_pairs plans the cap window") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
