@@ -28,7 +28,8 @@ object Dedup {
     dedupClusters, hashSplit, decontaminate, decontaminate13,
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
-    dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite)
+    dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
+    lshBands)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -871,6 +872,71 @@ object Dedup {
       CAST(CASE WHEN tp + fp > 0 THEN 10000 * tp // (tp + fp) END AS BIGINT) AS precision_bp,
       CAST(CASE WHEN tp + fn > 0 THEN 10000 * tp // (tp + fn) END AS BIGINT) AS recall_bp
     FROM m"""))
+
+  /** LSH band-shape sensitivity sweep — the S-curve tuning table
+    * (Leskovec/Rajaraman/Ullman, MMDS ch.3, public: b bands × r rows
+    * collide at probability 1−(1−s^r)^b, so (16,1) is recall-greedy,
+    * (4,4) precision-greedy) measured EMPIRICALLY on this corpus: the
+    * same 16-slot signatures re-banded three ways, each config's
+    * candidate volume and recall against the exact-Jaccard truth set.
+    * This is the table an operator reads before picking the production
+    * banding — the repo ships (8,2); the sweep shows what moving
+    * either way costs. Shares ONE shingle explode and ONE signature
+    * aggregation across all three configs (the dedup_lsh_eval
+    * composition rule); candidates stay bucket-keyed per config.
+    */
+  val lshBands: Q = Q("dedup_lsh_bands", (s, dir) => {
+    val shRaw = sparkShingles(s, dir).persist()
+    val sigArr = graft.ops.Lsh.signatures(shRaw, "doc_id").persist()
+    val ex = exactPairsFrom(
+      graft.ops.Scale.capGroups(shRaw, "sh", DfCap).persist())
+      .select("d1", "d2").persist()
+    Seq((16, 1), (8, 2), (4, 4)).map { case (bands, rows) =>
+      val cand = graft.ops.Lsh.candidatePairs(sigArr, "doc_id", bands, rows)
+        .persist()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(ex, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .crossJoin(ex.agg(count(lit(1)).as("n_truth")))
+        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("n_candidates"), col("n_truth"), col("n_hit"),
+          expr("CASE WHEN n_truth > 0 THEN 10000 * n_hit DIV n_truth END").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy("rows_per_band")
+  }, Some {
+    val configs = Seq((16, 1), (8, 2), (4, 4))
+    val bandCtes = configs.map { case (bands, rows) =>
+      val selects = (0 until bands).map { b =>
+        val slots = (0 until rows)
+          .map(r => s"CAST(m${b * rows + r} AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $slots AS bsig FROM sig"
+      }.mkString(" UNION ALL ")
+      s""",
+    bands_$bands AS ($selects),
+    cand_$bands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands_$bands a JOIN bands_$bands b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+    }.mkString
+    val rowsSql = configs.map { case (bands, rows) =>
+      s"""SELECT $bands AS bands, $rows AS rows_per_band,
+      (SELECT count(*) FROM cand_$bands)::BIGINT AS n_candidates,
+      (SELECT count(*) FROM exp_)::BIGINT AS n_truth,
+      (SELECT count(*) FROM cand_$bands JOIN exp_ USING (d1, d2))::BIGINT AS n_hit"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $minhashCtes$bandCtes,
+    shc AS (SELECT doc_id, sh FROM sh
+      QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    shp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exp_ AS (SELECT d1, d2 FROM shp
+      JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
+      WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+    u AS ($rowsSql)
+    SELECT bands, rows_per_band, n_candidates, n_truth, n_hit,
+      CAST(CASE WHEN n_truth > 0 THEN 10000 * n_hit // n_truth END AS BIGINT) AS recall_bp
+    FROM u ORDER BY rows_per_band"""
+  })
 
   /** ROUGE-1/ROUGE-2 between mined near-pairs (Lin, "ROUGE: A Package
     * for Automatic Evaluation of Summaries", ACL WAS'04 — public): for
