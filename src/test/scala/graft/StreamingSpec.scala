@@ -1729,6 +1729,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("M4Processor: streamed completed buckets == batch ts_downsample_m4") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_m4").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._2, r._3))
+    // split MID-BUCKET so the restartless cross-batch merge is exercised,
+    // sentinel flushes the final real bucket
+    val (b1, b2) = pts.splitAt(pts.length / 2)
+    val maxB = pts.map(_._2).max / 36000000000L
+    val keys = pts.map(_._1).distinct
+    val sentinels = keys.map(et => (et, (maxB + 10) * 36000000000L, Long.MaxValue, 0L))
+    def fmt(rs: Seq[(String, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1.toSeq))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.M4Processor(spark, src)
+      .toDF("event_type", "b", "n", "min_c", "max_c", "first_c", "last_c")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_m4_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        fmt(b2.toSeq ++ sentinels))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_m4_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val want = graft.queries.Series.tsDownsampleM4.fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(want.nonEmpty, "batch M4 unexpectedly empty")
+      assert(got == want, s"streamed vs batch M4: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("Cusum + GramGate processors recover their state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
