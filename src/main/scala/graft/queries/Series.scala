@@ -21,7 +21,8 @@ object Series {
     tsForecastEval, scd2PitJoin, tsCompleteness, tsSax, tsOrdinalPatterns,
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
-    tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill)
+    tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
+    tsStlAnomaly, qHoppingWindow)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -978,6 +979,119 @@ object Series {
       d.det - se.seasonal AS resid
     FROM d JOIN se USING (event_type, hod)
     ORDER BY event_type, h"""))
+
+  /** Seasonal-residual anomaly detection — the composition every
+    * production anomaly system runs (decompose, THEN threshold the
+    * residual): the [[tsStlDecompose]] integer pipeline strips trend
+    * and hour-of-day seasonality, and hours whose residual robust-z
+    * clears 3σ are flagged — so a spike at 3am fires even when its raw
+    * value is ordinary, and the daily rush never fires. Exactness: the
+    * residual median and MAD are DISCRETE rank-based medians
+    * (row_number = (n+1) DIV 2 over the per-series order — the
+    * q_funnel_latency discipline, no data-sized collect), and the 3σ
+    * gate is the integer cross-multiplication dev·10⁴ &gt; 44478·MAD
+    * (1.4826·3 e4-scaled), so no float ever appears. Scale: two
+    * rank-median windows per series plus broadcast-sized stat joins —
+    * all partitioned on the series key.
+    */
+  val tsStlAnomaly: Q = Q("ts_stl_anomaly", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("y"))
+    val wt = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    val withTrend = hourly
+      .withColumn("trend", expr("sum(y) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) DIV count(1) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)"))
+      .withColumn("det", col("y") - col("trend"))
+      .withColumn("hod", expr("h % 24"))
+    val seasonal = withTrend.groupBy("event_type", "hod")
+      .agg(expr("sum(det) DIV count(1)").as("seasonal"))
+    val d = withTrend.join(seasonal, Seq("event_type", "hod"))
+      .withColumn("resid", col("det") - col("seasonal"))
+    val wMed = Window.partitionBy("event_type").orderBy("resid", "h")
+    val wAll = Window.partitionBy("event_type")
+    val med = d.withColumn("rn", row_number().over(wMed))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(nn + 1) DIV 2"))
+      .select(col("event_type"), col("resid").as("med"))
+    val dv = d.join(med, "event_type").withColumn("dev", abs(col("resid") - col("med")))
+    val wDev = Window.partitionBy("event_type").orderBy("dev", "h")
+    val mad = dv.withColumn("rn", row_number().over(wDev))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(nn + 1) DIV 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dv.join(mad, "event_type")
+      .filter(col("mad") > 0 && expr("dev * 10000 > 44478 * mad"))
+      .select(col("event_type"), col("h"), col("y"), col("resid"),
+        col("med"), col("mad"))
+      .orderBy("event_type", "h")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS y
+      FROM e GROUP BY event_type, h),
+    t AS (SELECT event_type, h, y,
+        CAST(sum(y) OVER w // count(*) OVER w AS BIGINT) AS trend
+      FROM hd
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    d0 AS (SELECT *, y - trend AS det, h % 24 AS hod FROM t),
+    se AS (SELECT event_type, hod, CAST(sum(det) // count(*) AS BIGINT) AS seasonal
+      FROM d0 GROUP BY event_type, hod),
+    d AS (SELECT d0.event_type, d0.h, d0.y, d0.det - se.seasonal AS resid
+      FROM d0 JOIN se USING (event_type, hod)),
+    med AS (SELECT event_type, resid AS med FROM (
+        SELECT event_type, resid,
+          row_number() OVER (PARTITION BY event_type ORDER BY resid, h) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS nn
+        FROM d) WHERE rn = (nn + 1) // 2),
+    dv AS (SELECT d.event_type, d.h, d.y, d.resid, med.med,
+        abs(d.resid - med.med) AS dev
+      FROM d JOIN med USING (event_type)),
+    mad AS (SELECT event_type, dev AS mad FROM (
+        SELECT event_type, dev,
+          row_number() OVER (PARTITION BY event_type ORDER BY dev, h) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS nn
+        FROM dv) WHERE rn = (nn + 1) // 2)
+    SELECT dv.event_type, dv.h, dv.y, dv.resid, dv.med, mad.mad
+    FROM dv JOIN mad USING (event_type)
+    WHERE mad.mad > 0 AND dv.dev * 10000 > 44478 * mad.mad
+    ORDER BY dv.event_type, dv.h"""))
+
+  /** Flink/KSQL HOP-window semantics — overlapping 6-hour windows
+    * advancing every 2 hours, the standing-aggregation surface the
+    * tumbling/session queries did not cover: each event contributes to
+    * exactly the 3 window starts that contain it (window-start
+    * expansion by a bounded explode — the scale-correct TVF lowering,
+    * 3× fan-out then map-side-combinable aggregation; no range join).
+    * Edge windows are partial, as HOP defines them. All integer.
+    */
+  val qHoppingWindow: Q = Q("q_hopping_window", (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("hh", expr("ts_us DIV 3600000000"))
+      .withColumn("s0", expr("(hh DIV 2) * 2"))
+      .select(col("event_type"), col("cents"), col("user_id"),
+        explode(expr("sequence(s0 - 4, s0, 2)")).as("wstart"))
+      .groupBy("wstart")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").as("sum_c"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("wstart")
+  }, Some("""WITH e AS (
+      SELECT event_type, user_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        (epoch_us(ts) // 3600000000 // 2) * 2 AS s0
+      FROM events),
+    x AS (SELECT event_type, user_id, cents,
+        unnest(range(s0 - 4, s0 + 2, 2)) AS wstart
+      FROM e)
+    SELECT wstart, count(*)::BIGINT AS n_events,
+      sum(cents)::BIGINT AS sum_c,
+      count(DISTINCT user_id)::BIGINT AS n_users
+    FROM x GROUP BY wstart ORDER BY wstart"""))
 
   /** OHLC (candlestick) downsampling: per (event type, hour) the opening
     * value (first by event time), closing value (last), high, low, and
