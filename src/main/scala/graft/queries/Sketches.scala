@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps, spaceSaving,
-    hdrQuantiles)
+    hdrQuantiles, hllWindow)
 
   /** DuckDB twin of [[Sketch.h60]]. */
   private def oh60(saltExpr: String, keyExpr: String): String =
@@ -331,5 +331,84 @@ object Sketches {
     SELECT qm.event_type, qm.phi_bp, qm.n, q_est_c, q_exact_c
     FROM qm JOIN qe ON qe.event_type = qm.event_type AND qe.phi_bp = qm.phi_bp
     ORDER BY 1, 2"""
+  })
+
+  /** Sliding-window distinct users via HLL register MERGE — the
+    * mergeability property that makes sketches the 100-TB answer to
+    * windowed COUNT DISTINCT: per (hour, bucket) registers are built
+    * ONCE, and the trailing-6-hour sketch is just the per-bucket
+    * register MAX over a RANGE frame (no re-scan of 6 hours of raw
+    * data, which is what the exact expansion must do). Same
+    * fixed-point estimate dialect as [[hll]] (rho from the binary
+    * string, 2⁴⁰-scaled harmonic sum, /2048 alpha — every step
+    * bigint). The exact trailing-6h distinct rides beside it as the
+    * accuracy audit (bounded 6× fan-out), so every window carries its
+    * own err_bp — the table that justifies replacing the exact path
+    * at scale. Shapes: one register grid (hours × 64), one range
+    * window per bucket, map-side-combinable rollups.
+    */
+  val hllWindow: Q = Q("sketch_hll_window", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val alphaNum = math.round(0.7213 / (1.0 + 1.079 / hllM) * 2048)
+    val e = Tables.events(s, dir)
+      .withColumn("hh", expr("ts_us DIV 3600000000"))
+    val h = e.select(col("hh"),
+        expr(Sketch.h60("'hw'", "CAST(user_id AS STRING)")).as("h"))
+      .distinct()
+    val r = h.withColumn("bucket", expr(s"h % $hllM"))
+      .withColumn("rho", expr(
+        s"least(length(bin(h DIV $hllM)) - length(rtrim('0', bin(h DIV $hllM))) + 1, 40)"))
+      .groupBy("hh", "bucket").agg(max("rho").as("rho"))
+    val grid = e.select("hh").distinct()
+      .crossJoin(broadcast(s.range(hllM).select(col("id").as("bucket"))))
+    val wR = Window.partitionBy("bucket").orderBy("hh").rangeBetween(-5, 0)
+    val merged = grid.join(r, Seq("hh", "bucket"), "left")
+      .na.fill(0L, Seq("rho"))
+      .withColumn("reg", max("rho").over(wR))
+    val est = merged.groupBy("hh").agg(
+        sum(expr("CAST(pow(2, 40 - reg) AS BIGINT)")).as("sum_scaled"),
+        sum(when(col("reg") > 0, 1L).otherwise(0L)).as("nonzero_buckets"))
+      .withColumn("est_distinct", expr(
+        s"($alphaNum * ${hllM.toLong * hllM} * 1099511627776) DIV (sum_scaled * 2048)"))
+    val du = e.select("user_id", "hh").distinct()
+    val span = e.agg(max("hh").as("hmax"))
+    val exact = du.select(col("user_id"), explode(expr("sequence(hh, hh + 5)")).as("we"))
+      .distinct()
+      .crossJoin(broadcast(span)).filter(col("we") <= col("hmax"))
+      .groupBy("we").agg(countDistinct("user_id").as("n_exact"))
+    est.join(exact, est("hh") === exact("we"))
+      .select(col("hh"), col("n_exact"), col("est_distinct"),
+        expr("(abs(est_distinct - n_exact) * 10000) DIV n_exact").as("err_bp"),
+        col("nonzero_buckets"))
+      .orderBy("hh")
+  }, Some {
+    val alphaNum = math.round(0.7213 / (1.0 + 1.079 / hllM) * 2048)
+    val estExpr = s"($alphaNum * ${hllM.toLong * hllM} * 1099511627776) // (est.sum_scaled * 2048)"
+    s"""WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hh FROM events),
+    h AS (SELECT DISTINCT hh, ${oh60("'hw'", "CAST(user_id AS VARCHAR)")} AS h FROM e),
+    r AS (SELECT hh, h % $hllM AS bucket,
+        max(least(length(bin(h // $hllM)) - length(rtrim(bin(h // $hllM), '0')) + 1, 40)) AS rho
+      FROM h GROUP BY hh, bucket),
+    hours AS (SELECT DISTINCT hh FROM e),
+    grid AS (SELECT hours.hh, g.bucket FROM hours CROSS JOIN range($hllM) g(bucket)),
+    mg AS (SELECT grid.hh, grid.bucket, coalesce(r.rho, 0) AS rho
+      FROM grid LEFT JOIN r ON r.hh = grid.hh AND r.bucket = grid.bucket),
+    w AS (SELECT hh, max(rho) OVER (PARTITION BY bucket ORDER BY hh
+        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS reg FROM mg),
+    est AS (SELECT hh, sum(CAST(pow(2, 40 - reg) AS BIGINT))::BIGINT AS sum_scaled,
+        sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END)::BIGINT AS nonzero_buckets
+      FROM w GROUP BY hh),
+    du AS (SELECT DISTINCT user_id, hh FROM e),
+    ex0 AS (SELECT DISTINCT user_id, hh + t.i AS we
+      FROM du CROSS JOIN (SELECT unnest(range(0, 6)) AS i) t),
+    mx AS (SELECT max(hh) AS hmax FROM e),
+    ex AS (SELECT we, count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM ex0, mx WHERE we <= mx.hmax GROUP BY we)
+    SELECT est.hh, ex.n_exact,
+      CAST($estExpr AS BIGINT) AS est_distinct,
+      CAST((abs($estExpr - ex.n_exact) * 10000) // ex.n_exact AS BIGINT) AS err_bp,
+      est.nonzero_buckets
+    FROM est JOIN ex ON ex.we = est.hh ORDER BY est.hh"""
   })
 }
