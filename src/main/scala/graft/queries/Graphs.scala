@@ -18,7 +18,7 @@ object Graphs {
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
-    squaresCopurchase, ssspSeeds, betweennessSeedsQ)
+    squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -801,6 +801,77 @@ object Graphs {
       GROUP BY 1, 2 HAVING count(*) >= 2)
     SELECT u, w, q, CAST(q * (q - 1) // 2 AS BIGINT) AS c4_pairs
     FROM cod ORDER BY c4_pairs DESC, u, w LIMIT 30"""))
+
+  /** Time-respecting reachability (earliest-arrival) over the
+    * co-activity CONTACT graph — the temporal dimension every static
+    * graph query here ignores, and the one that matters for influence/
+    * contagion questions (Holme &amp; Saramäki, "Temporal networks",
+    * Phys. Rep. 519, 2012 — public): an edge (u→v at hour h) exists
+    * when both users act in the same (event type, hour) cell, and a
+    * path is valid only if its edge times are NON-DECREASING from the
+    * seed's first own activity — so reachability here is strictly
+    * smaller than static BFS reach, which is the point. Three unrolled
+    * min-arrival relaxations (arr'(v) = min over edges with h ≥ arr(u))
+    * — all integers, so the MATERIALIZED oracle chain is bit-exact.
+    * Scale: contact cells are capGroups-capped at 20 (the lint's
+    * self-join contract — a hot cell cannot emit df² contacts);
+    * per-round joins key on the frontier vertex; tiny per-round state
+    * is plan-truncated (DevNsw rule).
+    */
+  val temporalReach: Q = Q("graph_temporal_reach", (s, dir) => {
+    val c = Tables.events(s, dir).filter(col("user_id") < 60)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_us DIV 3600000000").as("h"))
+      .distinct()
+      .withColumn("cell", concat_ws(":", col("event_type"), col("h")))
+    val capped = graft.ops.Scale.capGroups(c, "cell", 20).persist()
+    val ed = capped.select(col("cell"), col("user_id").as("u"), col("h"))
+      .join(capped.select(col("cell"), col("user_id").as("v")), "cell")
+      .filter(col("u") =!= col("v"))
+      .select("u", "v", "h").distinct().persist()
+    val seeds = capped.select("user_id").distinct()
+      .orderBy("user_id").limit(3)
+    val a0 = capped.join(seeds, "user_id")
+      .groupBy(col("user_id").as("seed"))
+      .agg(min("h").as("arr"))
+      .select(col("seed"), col("seed").as("v"), col("arr"))
+      .localCheckpoint(true)
+    val arr3 = (1 to 3).foldLeft(a0) { (arr, _) =>
+      val relax = arr.join(ed, arr("v") === ed("u"))
+        .filter(col("h") >= col("arr"))
+        .select(col("seed"), ed("v").as("v"), col("h").as("arr"))
+      arr.unionByName(relax)
+        .groupBy("seed", "v").agg(min("arr").as("arr"))
+        .localCheckpoint(true)
+    }
+    arr3.filter(col("v") =!= col("seed"))
+      .select(col("seed"), col("v"), col("arr").as("arr_h"))
+      .orderBy("seed", "v")
+  }, Some {
+    val rounds = (1 to 3).map { k =>
+      s""",
+    a$k AS MATERIALIZED (SELECT seed, v, min(arr) AS arr FROM (
+      SELECT seed, v, arr FROM a${k - 1}
+      UNION ALL SELECT p.seed, e.v, e.h AS arr
+      FROM a${k - 1} p JOIN ed e ON e.u = p.v WHERE e.h >= p.arr) u
+      GROUP BY seed, v)"""
+    }.mkString
+    s"""WITH c0 AS (
+      SELECT DISTINCT user_id, event_type, epoch_us(ts) // 3600000000 AS h
+      FROM events WHERE user_id < 60),
+    c AS MATERIALIZED (SELECT * FROM c0
+      QUALIFY count(*) OVER (PARTITION BY event_type, h) <= 20),
+    ed AS MATERIALIZED (SELECT DISTINCT a.user_id AS u, b.user_id AS v, a.h
+      FROM c a JOIN c b ON a.event_type = b.event_type AND a.h = b.h
+        AND a.user_id <> b.user_id),
+    sd AS MATERIALIZED (SELECT DISTINCT user_id AS seed FROM c
+      ORDER BY seed LIMIT 3),
+    a0 AS MATERIALIZED (SELECT c.user_id AS seed, c.user_id AS v,
+        CAST(min(c.h) AS BIGINT) AS arr
+      FROM c JOIN sd ON sd.seed = c.user_id GROUP BY c.user_id)$rounds
+    SELECT seed, v, arr AS arr_h FROM a3 WHERE v <> seed
+    ORDER BY seed, v"""
+  })
 
   /** Bounded-radius betweenness centrality from the 5 landmark seeds
     * ([[graft.ops.Graph.betweennessSeeds]] — exact-integer Brandes:
