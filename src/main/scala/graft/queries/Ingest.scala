@@ -34,7 +34,7 @@ object Ingest {
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
     seriesChurn, graphiteRetention, graphiteAggRules, graphiteHashRing,
-    graphiteRingRebalance, promHaDedup)
+    graphiteRingRebalance, promHaDedup, carbonPickle)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -953,6 +953,56 @@ object Ingest {
         ORDER BY (r.rpos - p.pos16 + 65536) % 65536, r.node, r.rep) = 1)
     SELECT name, node, n_points FROM a ORDER BY name"""
   })
+
+  /** Carbon pickle bulk ingest round-trip — points batched per
+    * (metric family, hour), framed as the python-pickle list every
+    * carbon relay ships ([[graft.parsers.CarbonPickleParser]]: real
+    * protocol-2 opcodes, allowlisted decoder), then decoded back by
+    * the same hardened interpreter. The oracle cannot run a pickle VM,
+    * so it asserts the two things that pin the wire format: the
+    * decoded points are EXACTLY the source rows, and each batch's
+    * byte length equals the closed-form frame size (8 framing bytes +
+    * 17 + len(metric) per point — BINUNICODE + two 5-byte BININTs +
+    * two TUPLE2s) — one wrong opcode anywhere and the length column
+    * breaks. Scale: batches are (family, hour)-keyed groups (bounded),
+    * encode/decode is per-group CPU, no shuffle beyond the grouping.
+    */
+  val carbonPickle: Q = Q("carbon_pickle", (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      col("event_type"),
+      expr("concat('carbon.', event_type, '.e', CAST(event_id AS STRING))").as("metric"),
+      expr("ts_us DIV 3600000000").as("batch_h"),
+      expr("ts_us DIV 1000000").as("ts_s"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+    e.as[(String, String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._3))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, String, Long, Long, Long)]) =>
+        val bh = key._2
+        val pts = it.toSeq.sortBy(_._2).map(r => (r._2, r._4, r._5))
+        val bytes = graft.parsers.CarbonPickleParser.encode(pts)
+        val decoded = graft.parsers.CarbonPickleParser.decode(bytes)
+          .fold(err => throw new IllegalStateException(s"pickle round-trip: $err"),
+            identity)
+        decoded.map { case (m, ts, v) =>
+          (m, bh, ts, v, decoded.size.toLong, bytes.length.toLong)
+        }
+      }
+      .toDF("metric", "batch_h", "ts_s", "v_c", "batch_points", "batch_bytes")
+      .orderBy("metric")
+  }, Some("""WITH e AS (
+      SELECT event_type,
+        'carbon.' || event_type || '.e' || CAST(event_id AS VARCHAR) AS metric,
+        epoch_us(ts) // 3600000000 AS batch_h,
+        epoch_us(ts) // 1000000 AS ts_s,
+        CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events),
+    b AS (SELECT event_type, batch_h, count(*)::BIGINT AS batch_points,
+        CAST(8 + sum(17 + length(metric)) AS BIGINT) AS batch_bytes
+      FROM e GROUP BY 1, 2)
+    SELECT e.metric, e.batch_h, e.ts_s, e.v_c, b.batch_points, b.batch_bytes
+    FROM e JOIN b ON b.event_type = e.event_type AND b.batch_h = e.batch_h
+    ORDER BY e.metric"""))
 
   /** High-availability replica deduplication — the Thanos/Cortex
     * `deduplicate` step every doubled-scrape Prometheus fleet runs
