@@ -34,7 +34,7 @@ object Ingest {
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
     seriesChurn, graphiteRetention, graphiteAggRules, graphiteHashRing,
-    graphiteRingRebalance, promHaDedup, carbonPickle)
+    graphiteRingRebalance, promHaDedup, carbonPickle, statsdFlush)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -1003,6 +1003,127 @@ object Ingest {
     SELECT e.metric, e.batch_h, e.ts_s, e.v_c, b.batch_points, b.batch_bytes
     FROM e JOIN b ON b.event_type = e.event_type AND b.batch_h = e.batch_h
     ORDER BY e.metric"""))
+
+  /** statsd ingest + flush aggregation — the fourth line protocol
+    * (after graphite/influx/opentsdb) and the one with per-TYPE flush
+    * semantics ([[graft.parsers.StatsdParser]]): counters scale by the
+    * client sample rate (Σ v·k for @1/k rates — exact integers, never
+    * float division), timers flush (recv count, estimated count, sum,
+    * min, max), sets count distinct members, and gauges replay the
+    * set-vs-signed-delta stream (`g = last absolute + deltas since`,
+    * initial 0) to their end-of-hour value — the quirk that makes
+    * gauges ORDER-dependent and hence the windowed fold here. Lines
+    * are synthesized from events, parsed by the REAL parser on the
+    * executors, and the oracle recomputes the identical flush from the
+    * source columns — any parser drift breaks the diff. Scale: per-row
+    * parse, one (metric, hour)-keyed aggregate; the gauge fold is a
+    * per-metric window, series-count parallelism.
+    */
+  val statsdFlush: Q = Q("statsd_flush", (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      expr("ts_us DIV 3600000000").as("h"))
+    val lines = e.select(col("event_id"), col("h"), expr("""
+      CASE CAST(event_id % 4 AS INT)
+        WHEN 0 THEN concat('statsd.', event_type, '.c:', CAST(cents AS STRING), '|c',
+          CASE CAST(event_id % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN '|@0.5' ELSE '|@0.25' END)
+        WHEN 1 THEN concat('statsd.', event_type, '.g:',
+          CASE WHEN event_id % 5 = 0 THEN
+            concat(CASE WHEN event_id % 2 = 0 THEN '+' ELSE '-' END, CAST(cents % 1000 AS STRING))
+          ELSE CAST(cents AS STRING) END, '|g')
+        WHEN 2 THEN concat('statsd.', event_type, '.ms:', CAST(cents AS STRING), '|ms',
+          CASE WHEN event_id % 7 = 0 THEN '|@0.5' ELSE '' END)
+        ELSE concat('statsd.', event_type, '.s:', CAST(user_id AS STRING), '|s')
+      END""").as("line"))
+    val parsed = lines.as[(Long, Long, String)].map { case (eid, h, line) =>
+      graft.parsers.StatsdParser.parseLine(line) match {
+        case Right(sm) => (eid, h, sm.metric, sm.v, sm.mtype, sm.delta, sm.rateK)
+        case Left(err) => (eid, h, "__error__", 0L, "e", false, 1L)
+      }
+    }.toDF("eid", "h", "metric", "v", "mtype", "delta", "k")
+    val cts = parsed.filter(col("mtype") === "c")
+      .groupBy("metric", "h", "mtype")
+      .agg(count(lit(1)).as("n_recv"), sum(expr("v * k")).as("agg1"),
+        sum("k").as("agg2"), lit(0L).as("agg3"))
+    val tms = parsed.filter(col("mtype") === "ms")
+      .groupBy("metric", "h", "mtype")
+      .agg(count(lit(1)).as("n_recv"), sum("v").as("agg1"),
+        min("v").as("agg2"), max("v").as("agg3"))
+    val sets = parsed.filter(col("mtype") === "s")
+      .groupBy("metric", "h", "mtype")
+      .agg(count(lit(1)).as("n_recv"), countDistinct("v").as("agg1"),
+        lit(0L).as("agg2"), lit(0L).as("agg3"))
+    val wOrd = Window.partitionBy("metric").orderBy("h", "eid")
+    val g = parsed.filter(col("mtype") === "g")
+      .withColumn("grp", sum(when(!col("delta"), 1L).otherwise(0L)).over(wOrd))
+      .withColumn("base", max(when(!col("delta"), col("v"))).over(
+        Window.partitionBy("metric", "grp")))
+      .withColumn("dsum", sum(when(col("delta"), col("v")).otherwise(0L)).over(
+        Window.partitionBy("metric", "grp").orderBy("h", "eid")))
+      .withColumn("gval", coalesce(col("base"), lit(0L)) + col("dsum"))
+    val wLast = Window.partitionBy("metric", "h").orderBy(col("eid").desc)
+    val gauges = g.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .groupBy("metric", "h", "mtype")
+      .agg(count(lit(1)).as("n_recv"), max("gval").as("agg1"),
+        lit(0L).as("agg2"), lit(0L).as("agg3"))
+    // gauge n_recv must count ALL samples in the hour, not the kept row
+    val gCounts = parsed.filter(col("mtype") === "g")
+      .groupBy("metric", "h").agg(count(lit(1)).as("n_all"))
+    val gaugesN = gauges.join(gCounts, Seq("metric", "h"))
+      .select(col("metric"), col("h"), col("mtype"), col("n_all").as("n_recv"),
+        col("agg1"), col("agg2"), col("agg3"))
+    cts.unionByName(tms).unionByName(sets).unionByName(gaugesN)
+      .orderBy("metric", "h")
+  }, Some("""WITH e AS (
+      SELECT event_id AS eid, user_id, event_type,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        epoch_us(ts) // 3600000000 AS h
+      FROM events),
+    c AS (SELECT 'statsd.' || event_type || '.c' AS metric, h, 'c' AS mtype,
+        count(*)::BIGINT AS n_recv,
+        sum(cents * CASE CAST(eid % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)::BIGINT AS agg1,
+        sum(CASE CAST(eid % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)::BIGINT AS agg2,
+        CAST(0 AS BIGINT) AS agg3
+      FROM e WHERE eid % 4 = 0 GROUP BY 1, 2),
+    t AS (SELECT 'statsd.' || event_type || '.ms' AS metric, h, 'ms' AS mtype,
+        count(*)::BIGINT AS n_recv, sum(cents)::BIGINT AS agg1,
+        min(cents) AS agg2, max(cents) AS agg3
+      FROM e WHERE eid % 4 = 2 GROUP BY 1, 2),
+    st AS (SELECT 'statsd.' || event_type || '.s' AS metric, h, 's' AS mtype,
+        count(*)::BIGINT AS n_recv, count(DISTINCT user_id)::BIGINT AS agg1,
+        CAST(0 AS BIGINT) AS agg2, CAST(0 AS BIGINT) AS agg3
+      FROM e WHERE eid % 4 = 3 GROUP BY 1, 2),
+    graw AS (SELECT 'statsd.' || event_type || '.g' AS metric, h, eid,
+        eid % 5 = 0 AS delta,
+        CASE WHEN eid % 5 = 0 THEN
+          CASE WHEN eid % 2 = 0 THEN cents % 1000 ELSE -(cents % 1000) END
+        ELSE cents END AS v
+      FROM e WHERE eid % 4 = 1),
+    gg AS (SELECT *, sum(CASE WHEN NOT delta THEN 1 ELSE 0 END)
+        OVER (PARTITION BY metric ORDER BY h, eid) AS grp
+      FROM graw),
+    gv AS (SELECT metric, h, eid,
+        coalesce(max(CASE WHEN NOT delta THEN v END)
+          OVER (PARTITION BY metric, grp), 0)
+        + sum(CASE WHEN delta THEN v ELSE 0 END)
+          OVER (PARTITION BY metric, grp ORDER BY h, eid) AS gval
+      FROM gg),
+    glast AS (SELECT metric, h, gval FROM gv
+      QUALIFY row_number() OVER (PARTITION BY metric, h ORDER BY eid DESC) = 1),
+    gcnt AS (SELECT metric, h, count(*)::BIGINT AS n_recv FROM graw GROUP BY 1, 2),
+    g AS (SELECT glast.metric, glast.h, 'g' AS mtype, gcnt.n_recv,
+        CAST(glast.gval AS BIGINT) AS agg1,
+        CAST(0 AS BIGINT) AS agg2, CAST(0 AS BIGINT) AS agg3
+      FROM glast JOIN gcnt ON gcnt.metric = glast.metric AND gcnt.h = glast.h)
+    SELECT metric, h, mtype, n_recv, agg1, agg2, agg3 FROM c
+    UNION ALL SELECT * FROM t
+    UNION ALL SELECT * FROM st
+    UNION ALL SELECT * FROM g
+    ORDER BY metric, h"""))
 
   /** High-availability replica deduplication — the Thanos/Cortex
     * `deduplicate` step every doubled-scrape Prometheus fleet runs

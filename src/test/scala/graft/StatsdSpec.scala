@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parsers.StatsdParser
+import graft.parsers.StatsdParser.Sample
+
+class StatsdSpec extends AnyFunSuite {
+
+  test("grammar corners: types, gauge signs, unit-fraction rates") {
+    assert(StatsdParser.parseLine("a.b:42|c") == Right(Sample("a.b", 42, "c", false, 1)))
+    assert(StatsdParser.parseLine("a:42|c|@0.5") == Right(Sample("a", 42, "c", false, 2)))
+    assert(StatsdParser.parseLine("a:42|c|@0.25") == Right(Sample("a", 42, "c", false, 4)))
+    assert(StatsdParser.parseLine("a:42|c|@0.125") == Right(Sample("a", 42, "c", false, 8)))
+    assert(StatsdParser.parseLine("a:42|c|@0.2") == Right(Sample("a", 42, "c", false, 5)))
+    assert(StatsdParser.parseLine("a:42|c|@1") == Right(Sample("a", 42, "c", false, 1)))
+    assert(StatsdParser.parseLine("t:9|ms|@0.5") == Right(Sample("t", 9, "ms", false, 2)))
+    // gauges: sign = delta, unsigned = absolute set; negatives keep sign
+    assert(StatsdParser.parseLine("g:+5|g") == Right(Sample("g", 5, "g", true, 1)))
+    assert(StatsdParser.parseLine("g:-5|g") == Right(Sample("g", -5, "g", true, 1)))
+    assert(StatsdParser.parseLine("g:5|g") == Right(Sample("g", 5, "g", false, 1)))
+    assert(StatsdParser.parseLine("s:77|s") == Right(Sample("s", 77, "s", false, 1)))
+  }
+
+  test("malformed lines fail loudly, never guess") {
+    for (bad <- Seq(":5|c", "m", "m:|c", "m:x|c", "m:5|q", "m:5|c|0.5",
+        "m:5|c|@0.3", "m:5|c|@0", "m:5|c|@x", "m:5|s|@0.5", "m:+5|c",
+        "m:-5|ms", "m:5|c|@0.5|extra"))
+      assert(StatsdParser.parseLine(bad).isLeft, s"accepted: $bad")
+  }
+}
