@@ -220,6 +220,29 @@ object Sketch {
       .withColumn("share_bp", expr("n_exact * 10000 DIV n_total"))
   }
 
+  /** AMS tug-of-war counters for F2, the second frequency moment
+    * (Alon, Matias & Szegedy, "The space complexity of approximating
+    * the frequency moments", STOC'96 — public): `k` independent ±1
+    * sign hashes (parity bit of the j-salted 60-bit md5 hash), each
+    * counter c_j = Σ_key sign_j(key)·n(key). E[c_j²] = F2 and the
+    * estimator is the mean of the k squares. Built from EXACT per-key
+    * counts (one partial-agg shuffle over the raw rows), so the k-way
+    * fan-out is over the bounded KEY set, never the row stream; the
+    * counter state is k bigints no matter the data volume — the
+    * mergeable-summary property that matters at 100 TB (per-shard
+    * counters ADD). Deterministic hash ⇒ the estimate itself is
+    * bit-reproducible cross-engine. Returns (j, c).
+    */
+  def amsCounters(exact: DataFrame, keyCol: String, nCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 512, "k in [1,512]")
+    val s = exact.sparkSession
+    exact
+      .crossJoin(broadcast(s.range(k).select(col("id").as("j"))))
+      .select(col("j"), expr(
+        s"CASE WHEN ${h60("CAST(j AS STRING)", keyCol)} % 2 = 0 THEN $nCol ELSE -$nCol END").as("v"))
+      .groupBy("j").agg(sum("v").as("c"))
+  }
+
   /** KMV multiset operations (Beyer et al., "On synopses for
     * distinct-value estimation under multiset operations", SIGMOD'07 —
     * public): from the two sides' k-minimum-value sketches alone,

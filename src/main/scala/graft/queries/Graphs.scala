@@ -18,7 +18,7 @@ object Graphs {
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
-    squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach)
+    squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -945,4 +945,57 @@ object Graphs {
       CAST(sum(delta) AS BIGINT) AS bc_e6, count(*)::BIGINT AS n_seed_hits
     FROM u GROUP BY 1 ORDER BY vtx"""
   })
+
+  private val richClubKs = Seq(1, 2, 3, 4, 6, 8, 12, 16)
+
+  /** Rich-club coefficient profile of the user-similarity graph (Zhou &
+    * Mondragón, "The rich-club phenomenon in the Internet topology",
+    * IEEE Comm. Lett. 2004 — public): for each degree threshold k,
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph induced by nodes
+    * of degree &gt; k, in exact basis points (one truncating division).
+    * φ rising with k ⇒ hubs preferentially interlink (the "rich club").
+    * Everything is counting: one degree agg, one edge→degree join to
+    * tag each undirected edge with min(d_src,d_dst) — an edge survives
+    * the k-cut iff its min endpoint degree &gt; k — then one broadcast
+    * 8-row threshold fan-out over the (bounded) node and edge lists.
+    * No iteration, no all-pairs; at 100× the only growing side is the
+    * edge list and it is touched linearly (×8 thresholds).
+    */
+  val richClub: Q = Q("graph_rich_club", (s, dir) => {
+    import s.implicits._
+    val je = simEdges(s, dir)
+    val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val em = je
+      .join(deg.select(col("v").as("src"), col("d").as("da")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("db")), "dst")
+      .select(least(col("da"), col("db")).as("dmin"))
+    val ks = richClubKs.toDF("k")
+    val nk = deg.crossJoin(broadcast(ks)).filter(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_k"))
+    val ek = em.crossJoin(broadcast(ks)).filter(col("dmin") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_k"))
+    nk.join(ek, Seq("k"), "left_outer")
+      .na.fill(0L, Seq("e_k"))
+      .filter(col("n_k") >= 2)
+      .select(col("k"), col("n_k"), col("e_k"),
+        expr("20000 * e_k DIV (n_k * (n_k - 1))").as("phi_bp"))
+      .orderBy("k")
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d
+      FROM ed GROUP BY src),
+    em AS (SELECT least(a.d, b.d) AS dmin
+      FROM je JOIN deg a ON a.v = je.ua JOIN deg b ON b.v = je.ub),
+    ks AS (SELECT unnest([${richClubKs.mkString(", ")}]) AS k),
+    nk AS (SELECT k, count(*)::BIGINT AS n_k
+      FROM deg CROSS JOIN ks WHERE d > k GROUP BY k),
+    ek AS (SELECT k, count(*)::BIGINT AS e_k
+      FROM em CROSS JOIN ks WHERE dmin > k GROUP BY k)
+    SELECT nk.k, n_k, coalesce(ek.e_k, 0) AS e_k,
+      20000 * coalesce(ek.e_k, 0) // (n_k * (n_k - 1)) AS phi_bp
+    FROM nk LEFT JOIN ek USING (k)
+    WHERE n_k >= 2 ORDER BY nk.k"""))
 }

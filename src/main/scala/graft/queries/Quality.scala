@@ -12,7 +12,7 @@ object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
-    langidEval, qualityReadability, datasetMerkle)
+    langidEval, qualityReadability, datasetMerkle, qualityBenford)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -520,4 +520,49 @@ object Quality {
       2000 - CAST(sum(single_n) AS BIGINT) * 1500 // CAST(sum(w_n) AS BIGINT) AS forcast_e2,
       CAST(sum(g_e2) AS BIGINT) // count(*) AS avg_doc_forcast_e2
     FROM pg GROUP BY lang ORDER BY lang"""))
+
+  /** The first-significant-digit CASE (Benford expected shares in basis
+    * points, log10(1+1/d) pre-rounded to integer constants — the SAME
+    * literal table on both engines, so no float ever enters the
+    * comparison). 3010+1761+1249+969+792+669+580+512+458 = 10000.
+    */
+  private val benfordCase: String =
+    """CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1761 WHEN '3' THEN 1249
+      WHEN '4' THEN 969 WHEN '5' THEN 792 WHEN '6' THEN 669
+      WHEN '7' THEN 580 WHEN '8' THEN 512 WHEN '9' THEN 458 END"""
+
+  /** Benford first-digit conformance of the invoice amounts (Benford,
+    * "The law of anomalous numbers", Proc. Am. Phil. Soc. 1938; the
+    * standard forensic-accounting fraud screen and a cheap synthetic-
+    * data smell test for any positive, scale-spanning column): the
+    * observed first-significant-digit distribution of l_extendedprice
+    * in exact basis points beside the Benford expectation, with the
+    * per-digit deviation. Digits come from the exact cent integers
+    * (round(x·100) — the repo-wide money convention), so the leading
+    * digit is a pure string head, no log/float anywhere. Shape: one
+    * 9-group partial-agg shuffle + a broadcast 1-row total.
+    */
+  val qualityBenford: Q = Q("quality_benford", (s, dir) => {
+    val d = Tables.t(s, dir, "lineitem")
+      .select(expr(
+        "substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING), 1, 1)")
+        .as("digit"))
+    val byD = d.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(count(lit(1)).as("total"))
+    byD.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("total"),
+        expr("n * 10000 DIV total").as("share_bp"),
+        expr(s"CAST($benfordCase AS BIGINT)").as("benford_bp"),
+        expr(s"abs(n * 10000 DIV total - $benfordCase)").as("dev_bp"))
+      .orderBy("digit")
+  }, Some(s"""WITH d AS (
+      SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM lineitem),
+    byd AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    tot AS (SELECT count(*)::BIGINT AS total FROM d)
+    SELECT digit, n, total,
+      n * 10000 // total AS share_bp,
+      CAST($benfordCase AS BIGINT) AS benford_bp,
+      abs(n * 10000 // total - $benfordCase) AS dev_bp
+    FROM byd, tot ORDER BY digit"""))
 }

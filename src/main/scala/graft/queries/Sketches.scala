@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps, spaceSaving,
-    hdrQuantiles, hllWindow)
+    hdrQuantiles, hllWindow, amsF2)
 
   /** DuckDB twin of [[Sketch.h60]]. */
   private def oh60(saltExpr: String, keyExpr: String): String =
@@ -411,4 +411,48 @@ object Sketches {
       est.nonzero_buckets
     FROM est JOIN ex ON ex.we = est.hh ORDER BY est.hh"""
   })
+
+  private val amsK = 64
+
+  /** AMS tug-of-war F2 (self-join size / skew mass) of the l_partkey
+    * stream: 64 ±1-sign counters over the exact per-key counts
+    * ([[Sketch.amsCounters]]), estimate = mean of the squared counters,
+    * audited against the exact F2 = Σ n² computed from the same
+    * per-key agg. F2 is what a cost model needs to size a shuffle
+    * self-join or detect key skew before it happens — and the AMS
+    * state is 64 additive bigints per shard vs a full key histogram.
+    * Deterministic md5 signs ⇒ est and err_bp are bit-identical
+    * cross-engine; `within_3sigma` records the √(2/k)≈17.7% ·3 design
+    * envelope. Headroom: |c_j| ≤ N rows, so c² stays signed-64-safe
+    * below ~3·10⁹ rows per shard — at 100 TB run per-shard counters
+    * and ADD them (the merge IS the sum), never a global re-hash.
+    * Shapes: one exact groupBy, a broadcast 64-row fan-out over keys,
+    * one 64-row agg.
+    */
+  val amsF2: Q = Q("sketch_ams_f2", (s, dir) => {
+    val ex = Tables.t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .persist() // key-bounded: one row per distinct part
+    val est = Sketch.amsCounters(ex, "key", "n", amsK)
+      .agg(sum(expr("c * c")).as("ss"))
+      .select(expr(s"ss DIV $amsK").as("f2_est"))
+    val exact = ex.agg(sum(expr("n * n")).as("f2_exact"))
+    exact.crossJoin(est)
+      .select(col("f2_exact"), col("f2_est"),
+        expr("abs(f2_est - f2_exact) * 10000 DIV f2_exact").as("err_bp"),
+        expr("abs(f2_est - f2_exact) * 10000 DIV f2_exact <= 5300").as("within_3sigma"))
+  }, Some(s"""WITH ex AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS key, count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1),
+    sg AS (SELECT t.j,
+        CASE WHEN ${oh60("CAST(t.j AS VARCHAR)", "key")} % 2 = 0 THEN n ELSE -n END AS v
+      FROM ex CROSS JOIN range($amsK) t(j)),
+    c AS (SELECT j, sum(v)::BIGINT AS c FROM sg GROUP BY j),
+    es AS (SELECT sum(c * c)::BIGINT // $amsK AS f2_est FROM c),
+    xx AS (SELECT sum(n * n)::BIGINT AS f2_exact FROM ex)
+    SELECT f2_exact, f2_est,
+      abs(f2_est - f2_exact) * 10000 // f2_exact AS err_bp,
+      abs(f2_est - f2_exact) * 10000 // f2_exact <= 5300 AS within_3sigma
+    FROM es, xx"""))
 }
