@@ -22,7 +22,7 @@ object Series {
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
-    tsStlAnomaly, qHoppingWindow)
+    tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2664,4 +2664,144 @@ object Series {
     SELECT event_type, phi1_e6, phi2_e6, CAST(step AS INT) AS step,
       CAST(forecast_c AS BIGINT) AS forecast_c
     FROM u ORDER BY event_type, step"""))
+
+  /** Wald–Wolfowitz runs test for serial randomness (Wald & Wolfowitz,
+    * Ann. Math. Stat. 1940 — public) over the trailing 512 hourly means
+    * per series: points above/below the EXACT discrete median (median
+    * ties dropped, the classic convention; median by count +
+    * row_number, never a collected array), R = 1 + sign changes in
+    * chronological order. Everything after the hourly agg is rational,
+    * so z² is EXACT fixed-point: with A = (R−1)·n − 2·n1·n2,
+    * z² = A²·(n−1) / (2n1n2·(2n1n2−n)) — reported ×10⁴, one truncating
+    * division, along with μ×10⁴. n ≤ 512 bounds every product far under
+    * signed-64 (A² (n−1) 10⁴ ≤ 8·10¹⁷). `random_at_5pct` is z² ≤
+    * 1.96²×10⁴. Too few runs = trending/sticky, too many = oscillating
+    * — the residual-whiteness check behind every forecast monitor.
+    * Shapes: one hourly agg, one 512-bounded rank window, one exact
+    * median rank filter joined back (broadcast — #series rows), one
+    * lag window, one final per-series agg.
+    */
+  val tsRunsTest: Q = Q("ts_runs_test", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val last = hourly
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("h").desc)).cast("bigint"))
+      .filter(col("rnd") <= 512)
+      .select("event_type", "h", "c")
+    val med = last
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("event_type").orderBy("c", "h")).cast("bigint"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("rv = (nn + 1) DIV 2"))
+      .select(col("event_type"), col("c").as("m"))
+    val signed = last.join(broadcast(med), "event_type")
+      .filter(col("c") =!= col("m"))
+      .withColumn("sgn", expr("CASE WHEN c > m THEN 1L ELSE 0L END"))
+      .withColumn("prev", lag("sgn", 1).over(
+        Window.partitionBy("event_type").orderBy("h")))
+    signed.groupBy("event_type")
+      .agg(sum("sgn").as("n1"),
+        sum(expr("1 - sgn")).as("n2"),
+        (sum(expr("CASE WHEN prev IS NOT NULL AND sgn != prev THEN 1L ELSE 0L END")) + 1L).as("runs"))
+      .withColumn("n", expr("n1 + n2"))
+      .withColumn("mu_e4", expr("2 * n1 * n2 * 10000 DIV n + 10000"))
+      .withColumn("z2_e4", expr(
+        """((runs - 1) * n - 2 * n1 * n2) * ((runs - 1) * n - 2 * n1 * n2)
+           * (n - 1) * 10000 DIV nullif(2 * n1 * n2 * (2 * n1 * n2 - n), 0)"""))
+      .withColumn("random_at_5pct", expr("z2_e4 <= 38416"))
+      .select("event_type", "n1", "n2", "runs", "n", "mu_e4", "z2_e4", "random_at_5pct")
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    l AS (SELECT event_type, h, c FROM (
+      SELECT event_type, h, c,
+        row_number() OVER (PARTITION BY event_type ORDER BY h DESC) AS rnd
+      FROM hd) WHERE rnd <= 512),
+    md AS (SELECT event_type, c AS m FROM (
+      SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, h) AS BIGINT) AS rv,
+        count(*) OVER (PARTITION BY event_type) AS nn
+      FROM l) WHERE rv = (nn + 1) // 2),
+    sg AS (SELECT l.event_type, l.h,
+        CASE WHEN l.c > md.m THEN 1 ELSE 0 END AS sgn
+      FROM l JOIN md USING (event_type) WHERE l.c <> md.m),
+    lg AS (SELECT event_type, sgn,
+        lag(sgn) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      FROM sg),
+    ag AS (SELECT event_type,
+        CAST(sum(sgn) AS BIGINT) AS n1,
+        CAST(sum(1 - sgn) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+      FROM lg GROUP BY event_type)
+    SELECT event_type, n1, n2, runs, CAST(n1 + n2 AS BIGINT) AS n,
+      CAST(2 * n1 * n2 * 10000 // (n1 + n2) + 10000 AS BIGINT) AS mu_e4,
+      CAST(((runs - 1) * (n1 + n2) - 2 * n1 * n2) * ((runs - 1) * (n1 + n2) - 2 * n1 * n2)
+        * (n1 + n2 - 1) * 10000
+        // nullif(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)), 0) AS BIGINT) AS z2_e4,
+      ((((runs - 1) * (n1 + n2) - 2 * n1 * n2) * ((runs - 1) * (n1 + n2) - 2 * n1 * n2)
+        * (n1 + n2 - 1) * 10000
+        // nullif(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)), 0)) <= 38416) AS random_at_5pct
+    FROM ag ORDER BY event_type"""))
+
+  /** Record statistics per series (the running-extremes summary behind
+    * "new all-time high" alerting): over the full hourly-mean history,
+    * how many observations were a strict record high / record low at
+    * arrival (the first observation counts as both, the standard
+    * convention), and when the LAST record of each kind happened. A
+    * stationary iid series collects records at harmonic-number rate
+    * (~ln n); a trending series keeps setting them — cheap drift
+    * evidence with zero parameters. All exact integer counting over
+    * one running-extreme window per direction. Shapes: one hourly agg,
+    * two prefix-extreme windows on the same sort, one per-series agg.
+    */
+  val tsRecordStats: Q = Q("ts_record_stats", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = hourly
+      .withColumn("pmax", max("c").over(w))
+      .withColumn("pmin", min("c").over(w))
+      .withColumn("rec_hi", expr("CASE WHEN pmax IS NULL OR c > pmax THEN 1L ELSE 0L END"))
+      .withColumn("rec_lo", expr("CASE WHEN pmin IS NULL OR c < pmin THEN 1L ELSE 0L END"))
+    flagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("rec_hi").as("n_rec_hi"),
+        sum("rec_lo").as("n_rec_lo"),
+        max(expr("CASE WHEN rec_hi = 1 THEN h END")).as("h_last_hi"),
+        max(expr("CASE WHEN rec_lo = 1 THEN h END")).as("h_last_lo"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    f AS (SELECT event_type, h, c,
+        max(c) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+        min(c) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+      FROM hd),
+    g AS (SELECT event_type, h,
+        CASE WHEN pmax IS NULL OR c > pmax THEN 1 ELSE 0 END AS rec_hi,
+        CASE WHEN pmin IS NULL OR c < pmin THEN 1 ELSE 0 END AS rec_lo
+      FROM f)
+    SELECT event_type, count(*)::BIGINT AS n,
+      CAST(sum(rec_hi) AS BIGINT) AS n_rec_hi,
+      CAST(sum(rec_lo) AS BIGINT) AS n_rec_lo,
+      CAST(max(CASE WHEN rec_hi = 1 THEN h END) AS BIGINT) AS h_last_hi,
+      CAST(max(CASE WHEN rec_lo = 1 THEN h END) AS BIGINT) AS h_last_lo
+    FROM g GROUP BY event_type ORDER BY event_type"""))
 }

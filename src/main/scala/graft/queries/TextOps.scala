@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def all: Seq[Q] = Seq(textStats, langId, tokenCount, docFingerprint,
+  def all: Seq[Q] = Seq(editPairs, textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
@@ -2160,4 +2160,59 @@ object TextOps {
       sum(CASE WHEN ham < 12 THEN ham ELSE 0 END)::BIGINT AS intra_ham_sum
     FROM hm GROUP BY doc_id ORDER BY doc_id"""
   })
+
+  /** Edit-distance-1 word-pair mining via the SymSpell deletion
+    * neighborhood (Garbe's symmetric-delete algorithm — public): two
+    * words are at Levenshtein distance ≤ 1 only if they share a key in
+    * {word} ∪ single-character-deletions(word), so candidates come
+    * from an EQUI-join on that bounded key set (≤ len+1 keys per vocab
+    * entry), never a vocab×vocab cross — the near-duplicate-identifier
+    * primitive behind typo normalization and entity resolution, bound
+    * here to the customer-name universe (IDs differing in one digit
+    * are exactly the fat-finger duplicates an account deduper hunts;
+    * the doc-word corpus has no distance-1 pairs by construction).
+    * Both engines dedupe the per-word key set before the join
+    * (array_union / list_distinct), the key index is df-capped at 64
+    * with the identical QUALIFY cut in the oracle (hot short keys are
+    * the stop-grams of this miner), and the final levenshtein(wa,wb)=1
+    * filter is exact in both engines (ASCII-only vocab keeps
+    * codepoint-vs-byte semantics out of play). Output is the per-name
+    * neighbor summary (count + lexical extremes), keeping result size
+    * linear in the vocabulary while still hash-pinning every mined
+    * pair through the counts. Shapes: one distinct (Aggregate boundary
+    * for the self-join lint), one bounded key explode, one
+    * key-partitioned cap window co-located with the equi-join key.
+    */
+  val editPairs: Q = Q("text_edit_pairs", (s, dir) => {
+    val vocab = Tables.t(s, dir, "customer")
+      .select(lower(col("c_name")).as("word")).distinct()
+      .filter(col("word").rlike("^[a-z#0-9]{4,24}$"))
+    val keyed = vocab.select(col("word"),
+      explode(expr("""array_union(array(word),
+        transform(sequence(1, length(word)),
+          i -> concat(substring(word, 1, i - 1), substring(word, i + 1))))""")).as("k"))
+    val capped = graft.ops.Scale.capGroups(keyed, "k", 64L)
+    val a = capped.select(col("k"), col("word").as("wa"))
+    val b = capped.select(col("k"), col("word").as("wb"))
+    a.join(b, Seq("k")).filter(col("wa") < col("wb"))
+      .select("wa", "wb").distinct()
+      .filter(levenshtein(col("wa"), col("wb")) === 1)
+      .groupBy("wa")
+      .agg(count(lit(1)).as("n_nbrs"), min("wb").as("wb_min"), max("wb").as("wb_max"))
+      .orderBy("wa")
+  }, Some("""WITH v AS (
+      SELECT DISTINCT lower(c_name) AS word FROM customer
+      WHERE regexp_matches(lower(c_name), '^[a-z#0-9]{4,24}$')),
+    k0 AS (SELECT word, unnest(list_distinct(list_prepend(word,
+        list_transform(range(1, len(word) + 1),
+          i -> substr(word, 1, i - 1) || substr(word, i + 1))))) AS k
+      FROM v),
+    kc AS (SELECT word, k FROM k0
+      QUALIFY count(*) OVER (PARTITION BY k) <= 64),
+    p AS (SELECT DISTINCT a.word AS wa, b.word AS wb
+      FROM kc a JOIN kc b ON a.k = b.k AND a.word < b.word)
+    SELECT wa, count(*)::BIGINT AS n_nbrs,
+      min(wb) AS wb_min, max(wb) AS wb_max
+    FROM p WHERE levenshtein(wa, wb) = 1
+    GROUP BY wa ORDER BY wa"""))
 }
