@@ -46,7 +46,8 @@ object Analytics {
     qMergeUpsert, qGapsIslands, qAsofTolerance, qBasketPairs, qClampedBalance,
     qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation,
     qCohortLtv, qIvmDelta, qSkyline, qRollingDistinct, q18LargeOrders,
-    q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue)
+    q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue,
+    q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -2152,4 +2153,120 @@ object Analytics {
       min(n = n_f AND rev = rev_f) AS matches_full
     FROM merged FULL OUTER JOIN full_v ON merged.o_custkey = full_v.o_custkey
     GROUP BY mcase ORDER BY mcase"""))
+
+  /** TPC-H Q13 shape (customer order-count distribution): customers
+    * LEFT OUTER joined to a filtered orders side, counted per customer
+    * (zero-order customers survive as c_count=0 — the whole point of
+    * the outer join), then the count-of-counts histogram. Pure
+    * integer counting. The scale discipline: the outer join shuffles
+    * on custkey once; both aggregations are partial-agg combinable,
+    * and the final histogram is ≤ max-orders-per-customer rows.
+    */
+  val q13CustomerDistribution: Q = Q("q13_customer_distribution", (s, dir) => {
+    val c = Tables.t(s, dir, "customer").select("c_custkey")
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }, Some("""WITH cc AS (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM cc GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    * brand whose quantity is below 20% of their part's average order
+    * quantity. The correlated avg is decorrelated into one per-part
+    * aggregate joined back, and the 0.2·avg comparison is EXACT
+    * integer cross-multiplication (qty·5·cnt &lt; Σqty — quantities are
+    * integral by construction), so no float ever decides membership.
+    * Revenue in exact cents, "avg yearly" as the canonical /7 — one
+    * truncating division at the very end. The brand filter is a
+    * broadcast part-key probe; the per-part agg shuffles the (bounded)
+    * brand slice only.
+    */
+  val q17SmallQuantity: Q = Q("q17_small_quantity", (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_brand") === "Brand#2")
+      .select("p_partkey")
+    val l = Tables.t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+    val avgq = l.groupBy(col("l_partkey").as("pk"))
+      .agg(sum("qty").as("sum_q"), count(lit(1)).as("cnt"))
+    l.join(avgq, col("l_partkey") === col("pk"))
+      .filter(expr("qty * 5 * cnt < sum_q"))
+      .agg(sum("price_c").as("small_rev_c"), count(lit(1)).as("n_small"))
+      .select(expr("small_rev_c DIV 7").as("avg_yearly_c"), col("n_small"))
+  }, Some("""WITH l AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#2'),
+    a AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sum_q,
+        count(*)::BIGINT AS cnt
+      FROM l GROUP BY l_partkey)
+    SELECT CAST(sum(price_c) // 7 AS BIGINT) AS avg_yearly_c,
+      count(*)::BIGINT AS n_small
+    FROM l JOIN a ON l.l_partkey = a.pk
+    WHERE qty * 5 * cnt < sum_q"""))
+
+  /** TPC-H Q2 shape (min-cost supplier per part): the correlated
+    * "cost = (SELECT min(cost) ... WHERE same part)" subquery,
+    * decorrelated the scalable way — one per-part min aggregate joined
+    * back on the part key, keeping only suppliers that achieve it
+    * (ties all qualify, as in Q2). With no partsupp table in this
+    * corpus, supply cost is the observed min unit price per
+    * (part, supplier) from lineitem — unit cents by truncating
+    * division of exact cents by the integral quantity. Output: top
+    * 100 by supplier account balance (exact cents), nation, supplier,
+    * part — the Q2 sort — via TakeOrderedAndProject; supplier→nation
+    * is a broadcast dim join on a small filtered part side.
+    */
+  val q2MinCostSupplier: Q = Q("q2_min_cost_supplier", (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_size") < 10)
+      .select("p_partkey")
+    val ps = Tables.t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)"))
+        .as("cost_c"))
+    val mn = ps.groupBy(col("l_partkey").as("pk"))
+      .agg(min("cost_c").as("min_c"))
+    val sn = Tables.t(s, dir, "supplier")
+      .join(broadcast(Tables.t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("acctbal_c"))
+    ps.join(mn, col("l_partkey") === col("pk"))
+      .filter(col("cost_c") === col("min_c"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select(col("acctbal_c"), col("n_name"), col("s_name"),
+        col("l_partkey").as("p_partkey"), col("cost_c"))
+      .orderBy(col("acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }, Some("""WITH p AS (SELECT p_partkey FROM part WHERE p_size < 10),
+    ps AS (SELECT l_partkey, l_suppkey,
+        min(CAST(round(l_extendedprice * 100) AS BIGINT)
+          // CAST(l_quantity AS BIGINT)) AS cost_c
+      FROM lineitem JOIN p ON l_partkey = p_partkey
+      GROUP BY l_partkey, l_suppkey),
+    mn AS (SELECT l_partkey AS pk, min(cost_c) AS min_c
+      FROM ps GROUP BY l_partkey),
+    sn AS (SELECT s_suppkey, s_name, n_name,
+        CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    SELECT acctbal_c, n_name, s_name, l_partkey AS p_partkey, cost_c
+    FROM ps JOIN mn ON ps.l_partkey = mn.pk AND ps.cost_c = mn.min_c
+    JOIN sn ON ps.l_suppkey = sn.s_suppkey
+    ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+    LIMIT 100"""))
 }
