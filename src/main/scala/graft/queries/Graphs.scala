@@ -18,7 +18,8 @@ object Graphs {
   def all: Seq[Q] = Seq(bfsHops, jaccardNbrs, labelProp, hits, modularity,
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
-    squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub)
+    squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
+    reciprocity)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -998,4 +999,55 @@ object Graphs {
       20000 * coalesce(ek.e_k, 0) // (n_k * (n_k - 1)) AS phi_bp
     FROM nk LEFT JOIN ek USING (k)
     WHERE n_k >= 2 ORDER BY nk.k"""))
+
+  /** Reciprocity of the DIRECTED event-type transition graph (the
+    * distinct user-flow edges behind graph_hits/graph_pagerank,
+    * self-loops excluded): the share of edges whose reverse edge also
+    * exists, in exact basis points, plus Garlaschelli & Loffredo's
+    * density-corrected ρ = (r − a)/(1 − a) (PRL 93, 268701, 2004 —
+    * public) with a = L/(N(N−1)), computed by integer
+    * cross-multiplication: ρ·10⁴ = 10⁴·(L↔·N(N−1) − L²) DIV
+    * (L·(N(N−1) − L)) — ρ &gt; 0 means mutual links beat the random-
+    * density expectation. The reverse-edge test is one left-semi
+    * self-join on the DISTINCT edge list (Aggregate boundary, key =
+    * the edge itself — at most one match, no fan-out; negative
+    * numerators truncate toward zero identically in both engines).
+    */
+  val reciprocity: Q = Q("graph_reciprocity", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .withColumn("nxt", lead("event_type", 1).over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("event_type"))
+      .select(col("event_type").as("src"), col("nxt").as("dst"))
+      .distinct()
+    val recip = e.join(
+      e.select(col("dst").as("r_src"), col("src").as("r_dst")),
+      col("src") === col("r_src") && col("dst") === col("r_dst"), "left_semi")
+    val nn = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val counts = e.agg(count(lit(1)).as("l_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("l_recip")))
+      .crossJoin(nn)
+    counts.select(col("n_nodes"), col("l_edges"), col("l_recip"),
+      expr("10000 * l_recip DIV l_edges").as("r_bp"),
+      expr("""10000 * (l_recip * n_nodes * (n_nodes - 1) - l_edges * l_edges)
+        DIV nullif(l_edges * (n_nodes * (n_nodes - 1) - l_edges), 0)""").as("rho_e4"))
+  }, Some("""WITH t AS (
+      SELECT event_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events),
+    e AS (SELECT DISTINCT event_type AS src, nxt AS dst
+      FROM t WHERE nxt IS NOT NULL AND nxt <> event_type),
+    rc AS (SELECT count(*)::BIGINT AS l_recip FROM e
+      WHERE EXISTS (SELECT 1 FROM e r
+        WHERE r.src = e.dst AND r.dst = e.src)),
+    le AS (SELECT count(*)::BIGINT AS l_edges FROM e),
+    nn AS (SELECT count(*)::BIGINT AS n_nodes FROM
+      (SELECT src AS v FROM e UNION SELECT dst FROM e))
+    SELECT n_nodes, l_edges, l_recip,
+      10000 * l_recip // l_edges AS r_bp,
+      10000 * (l_recip * n_nodes * (n_nodes - 1) - l_edges * l_edges)
+        // nullif(l_edges * (n_nodes * (n_nodes - 1) - l_edges), 0) AS rho_e4
+    FROM le, rc, nn"""))
 }

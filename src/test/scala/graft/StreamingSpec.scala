@@ -2080,4 +2080,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.foreach { case (k, v) => assert(v == want(k), s"row $k: $v vs ${want(k)}") }
     } finally q.stop()
   }
+
+  test("RecordsProcessor: running record counts == ts_record_stats after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_records").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // the same hourly-mean series the batch query folds over
+    val rows = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    // split at a global hour cutoff: per-key h order holds across files
+    val hs = rows.map(_._2).sorted
+    val cut = hs(hs.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.RecordsProcessor(spark, src)
+      .toDF("k", "n", "n_rec_hi", "n_rec_lo", "h_last_hi", "h_last_lo")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_records").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final emission per key = the row with the max n
+      val got = spark.sql(
+        """SELECT k, n, n_rec_hi, n_rec_lo, h_last_hi, h_last_lo FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n DESC) AS rn
+            FROM graft_records) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val want = graft.queries.Series.tsRecordStats.fn(spark, sfDir)
+        .select("event_type", "n", "n_rec_hi", "n_rec_lo", "h_last_hi", "h_last_lo")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(want.nonEmpty, "batch record stats unexpectedly empty")
+      assert(got == want, s"streamed vs batch records: got=$got want=$want")
+    } finally q.stop()
+  }
 }
