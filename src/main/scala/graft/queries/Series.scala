@@ -22,7 +22,8 @@ object Series {
     tsPacf, tsBurstiness, tsGapMemory, tsMatrixProfile, tsDominantPeriod,
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
-    tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats)
+    tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
+    tsVarianceRatio)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2804,4 +2805,78 @@ object Series {
       CAST(max(CASE WHEN rec_hi = 1 THEN h END) AS BIGINT) AS h_last_hi,
       CAST(max(CASE WHEN rec_lo = 1 THEN h END) AS BIGINT) AS h_last_lo
     FROM g GROUP BY event_type ORDER BY event_type"""))
+
+  /** Lo–MacKinlay variance-ratio test (Lo & MacKinlay, "Stock market
+    * prices do not follow random walks", Rev. Fin. Studies 1988 —
+    * public) on the hourly-mean level series: VR(q) = Var(q-period
+    * overlapping differences) / (q · Var(1-period differences)), ≈1
+    * under a random walk, &gt;1 under momentum, &lt;1 under mean
+    * reversion. Integer-exact by construction: per-q population
+    * variance v_q = (ΣD² − 2·qμ·ΣD + m·(qμ)²) DIV m with μ the
+    * TRUNCATING 1-diff mean — the GapStats expansion identity holds
+    * for any constant center, so the single-pass sums reproduce the
+    * centered sum exactly — then vr_e4 = v_q·10⁴ DIV (q·v₁). Every
+    * intermediate is a bounded bigint (cents-scale diffs keep v_q·10⁴
+    * under 10¹⁵ at any realistic magnitude). Shapes: one hourly agg,
+    * one lag window per q on the same sort (single window exchange),
+    * one per-(series,q) agg, a broadcast join back to the q=1 moments.
+    */
+  val tsVarianceRatio: Q = Q("ts_variance_ratio", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val diffs = hourly
+      .withColumn("d1", col("c") - lag("c", 1).over(w))
+      .withColumn("d2", col("c") - lag("c", 2).over(w))
+      .withColumn("d4", col("c") - lag("c", 4).over(w))
+      .withColumn("d8", col("c") - lag("c", 8).over(w))
+    val stacked = diffs.select(col("event_type"),
+      expr("""stack(4, 1L, d1, 2L, d2, 4L, d4, 8L, d8) AS (q, d)"""))
+      .filter(col("d").isNotNull)
+    val mo = stacked.groupBy("event_type", "q")
+      .agg(count(lit(1)).as("m"), sum("d").as("sd"), sum(expr("d * d")).as("sdd"))
+    val base = mo.filter(col("q") === 1)
+      .select(col("event_type"), col("m").as("n1"),
+        expr("sd DIV m").as("mu"), col("sd").as("sd1"), col("sdd").as("sdd1"))
+      .withColumn("v1", expr("(sdd1 - 2 * mu * sd1 + n1 * mu * mu) DIV n1"))
+    mo.filter(col("q") =!= 1)
+      .join(broadcast(base), "event_type")
+      .withColumn("vq", expr("(sdd - 2 * q * mu * sd + m * q * mu * q * mu) DIV m"))
+      .select(col("event_type"), col("q"), col("m"), col("mu"), col("v1"), col("vq"),
+        expr("vq * 10000 DIV nullif(q * v1, 0)").as("vr_e4"))
+      .orderBy("event_type", "q")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    df AS (SELECT event_type,
+        c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS d1,
+        c - lag(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS d2,
+        c - lag(c, 4) OVER (PARTITION BY event_type ORDER BY h) AS d4,
+        c - lag(c, 8) OVER (PARTITION BY event_type ORDER BY h) AS d8
+      FROM hd),
+    st AS (
+      SELECT event_type, 1::BIGINT AS q, d1 AS d FROM df WHERE d1 IS NOT NULL
+      UNION ALL SELECT event_type, 2, d2 FROM df WHERE d2 IS NOT NULL
+      UNION ALL SELECT event_type, 4, d4 FROM df WHERE d4 IS NOT NULL
+      UNION ALL SELECT event_type, 8, d8 FROM df WHERE d8 IS NOT NULL),
+    mo AS (SELECT event_type, q, count(*)::BIGINT AS m,
+        CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd
+      FROM st GROUP BY event_type, q),
+    base AS (SELECT event_type, m AS n1, sd // m AS mu, sd AS sd1, sdd AS sdd1,
+        (sdd - 2 * (sd // m) * sd + m * (sd // m) * (sd // m)) // m AS v1
+      FROM mo WHERE q = 1)
+    SELECT mo.event_type, mo.q, mo.m, base.mu, base.v1,
+      (mo.sdd - 2 * mo.q * base.mu * mo.sd
+        + mo.m * mo.q * base.mu * mo.q * base.mu) // mo.m AS vq,
+      ((mo.sdd - 2 * mo.q * base.mu * mo.sd
+        + mo.m * mo.q * base.mu * mo.q * base.mu) // mo.m) * 10000
+        // nullif(mo.q * base.v1, 0) AS vr_e4
+    FROM mo JOIN base USING (event_type)
+    WHERE mo.q <> 1 ORDER BY mo.event_type, mo.q"""))
 }
