@@ -47,7 +47,8 @@ object Analytics {
     qAttribution, qFunnelLatency, qMarkovTransitions, qRfmSegmentation,
     qCohortLtv, qIvmDelta, qSkyline, qRollingDistinct, q18LargeOrders,
     q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue,
-    q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier)
+    q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier,
+    q4OrderPriority, q22IdleCustomers)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -2269,4 +2270,79 @@ object Analytics {
     JOIN sn ON ps.l_suppkey = sn.s_suppkey
     ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
     LIMIT 100"""))
+
+  /** TPC-H Q4 shape (order-priority checking): orders in one quarter
+    * having at least one SLOW lineitem — shipped more than 60 days
+    * after the order date — counted per priority. The correlated
+    * EXISTS becomes a LEFT SEMI join whose predicate compares columns
+    * ACROSS the two tables (the shape that forces the join before the
+    * filter can run); the date window prunes orders first so the semi
+    * probe is the small side. Date arithmetic in whole µs-epoch days —
+    * exact integers, no interval/calendar semantics to diverge on.
+    */
+  val q4OrderPriority: Q = Q("q4_order_priority", (s, dir) => {
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("o_day"))
+    val l = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000").as("ship_day"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("ship_day") > col("o_day") + 60, "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }, Some("""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND epoch_us(l_shipdate) // 86400000000
+            > epoch_us(o_orderdate) // 86400000000 + 60)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average account balance and NO urgent order — a scalar
+    * aggregate subquery feeding a filter plus an ANTI join, grouped by
+    * market segment (every customer in this corpus has SOME order, so
+    * the idle predicate is priority-scoped to keep the anti side
+    * selective, same plan shape as Q22's no-order test). The
+    * above-average test is EXACT integer cross-multiplication
+    * (bal_c · n &gt; Σbal_c over the positive-balance population — no
+    * float mean ever materializes), the average is a broadcast 1-row
+    * agg, and the anti join probes the filtered orders side once on
+    * custkey. Output: per-segment count and total idle balance in
+    * cents.
+    */
+  val q22IdleCustomers: Q = Q("q22_idle_customers", (s, dir) => {
+    val c = Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+    val avgPos = c.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_pos"))
+    val o = Tables.t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(expr("bal_c * n_pos > sum_c"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+      .orderBy("c_mktsegment")
+  }, Some("""WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer),
+    a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*)::BIGINT AS n_pos
+      FROM c WHERE bal_c > 0)
+    SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+      CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+    FROM c, a
+    WHERE bal_c * n_pos > sum_c
+      AND NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 }
