@@ -23,7 +23,7 @@ object Series {
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
-    tsVarianceRatio)
+    tsVarianceRatio, tsSeasonalStrength)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2879,4 +2879,87 @@ object Series {
         // nullif(mo.q * base.v1, 0) AS vr_e4
     FROM mo JOIN base USING (event_type)
     WHERE mo.q <> 1 ORDER BY mo.event_type, mo.q"""))
+
+  /** Seasonal and trend STRENGTH per series (Wang, Smith & Hyndman,
+    * "Characteristic-based clustering for time series data", DMKD 2006;
+    * the tsfeatures F_s/F_t — public): from the same integer STL
+    * pipeline as [[tsStlDecompose]], F_s = 1 − Var(resid)/Var(detrended)
+    * and F_t = 1 − Var(resid)/Var(deseasonalized), floored at 0 — the
+    * two numbers that say whether a series is worth a seasonal model
+    * at all (the routing feature in front of every forecast fleet).
+    * Variances are population-floor integers via the expansion
+    * identity around the TRUNCATING mean (exact for any constant
+    * center), strengths are one truncating division each (×10⁴) —
+    * bit-identical cross-engine, no float anywhere. Shapes: the STL
+    * chain (one trend window + one 24-cell seasonal agg) plus a
+    * per-series moment agg.
+    */
+  val tsSeasonalStrength: Q = Q("ts_seasonal_strength", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("y"))
+    val wt = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    val withTrend = hourly
+      .withColumn("tsum", sum("y").over(wt))
+      .withColumn("tcnt", count(lit(1)).over(wt))
+      .withColumn("trend", expr("tsum DIV tcnt"))
+      .withColumn("det", col("y") - col("trend"))
+      .withColumn("hod", expr("h % 24"))
+    val seasonal = withTrend.groupBy("event_type", "hod")
+      .agg(expr("sum(det) DIV count(1)").as("seasonal"))
+    val comp = withTrend.join(seasonal, Seq("event_type", "hod"))
+      .select(col("event_type"), col("det"),
+        (col("det") - col("seasonal")).as("resid"),
+        (col("y") - col("seasonal")).as("deseas"))
+    def varExpr(sc: String, sscc: String, n: String): String =
+      s"($sscc - 2 * ($sc DIV $n) * $sc + $n * ($sc DIV $n) * ($sc DIV $n)) DIV $n"
+    comp.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("resid").as("sr"), sum(expr("resid * resid")).as("srr"),
+        sum("det").as("sd"), sum(expr("det * det")).as("sdd"),
+        sum("deseas").as("ss"), sum(expr("deseas * deseas")).as("sss"))
+      .withColumn("v_resid", expr(varExpr("sr", "srr", "n")))
+      .withColumn("v_det", expr(varExpr("sd", "sdd", "n")))
+      .withColumn("v_deseas", expr(varExpr("ss", "sss", "n")))
+      .select(col("event_type"), col("n"), col("v_resid"), col("v_det"), col("v_deseas"),
+        expr("greatest(0L, 10000 - v_resid * 10000 DIV nullif(v_det, 0))").as("fs_e4"),
+        expr("greatest(0L, 10000 - v_resid * 10000 DIV nullif(v_deseas, 0))").as("ft_e4"))
+      .orderBy("event_type")
+  }, Some {
+    def varSql(sc: String, sscc: String, n: String): String =
+      s"($sscc - 2 * ($sc // $n) * $sc + $n * ($sc // $n) * ($sc // $n)) // $n"
+    s"""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS y
+      FROM e GROUP BY event_type, h),
+    t AS (SELECT event_type, h, y,
+        CAST(sum(y) OVER w // count(*) OVER w AS BIGINT) AS trend
+      FROM hd
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    d AS (SELECT *, y - trend AS det, h % 24 AS hod FROM t),
+    se AS (SELECT event_type, hod, CAST(sum(det) // count(*) AS BIGINT) AS seasonal
+      FROM d GROUP BY event_type, hod),
+    c AS (SELECT d.event_type, d.det, d.det - se.seasonal AS resid,
+        d.y - se.seasonal AS deseas
+      FROM d JOIN se USING (event_type, hod)),
+    mo AS (SELECT event_type, count(*)::BIGINT AS n,
+        CAST(sum(resid) AS BIGINT) AS sr, CAST(sum(resid * resid) AS BIGINT) AS srr,
+        CAST(sum(det) AS BIGINT) AS sd, CAST(sum(det * det) AS BIGINT) AS sdd,
+        CAST(sum(deseas) AS BIGINT) AS ss, CAST(sum(deseas * deseas) AS BIGINT) AS sss
+      FROM c GROUP BY event_type),
+    v AS (SELECT event_type, n,
+        ${varSql("sr", "srr", "n")} AS v_resid,
+        ${varSql("sd", "sdd", "n")} AS v_det,
+        ${varSql("ss", "sss", "n")} AS v_deseas
+      FROM mo)
+    SELECT event_type, n, v_resid, v_det, v_deseas,
+      greatest(0, 10000 - v_resid * 10000 // nullif(v_det, 0)) AS fs_e4,
+      greatest(0, 10000 - v_resid * 10000 // nullif(v_deseas, 0)) AS ft_e4
+    FROM v ORDER BY event_type"""
+  })
 }
