@@ -48,7 +48,8 @@ object Analytics {
     qCohortLtv, qIvmDelta, qSkyline, qRollingDistinct, q18LargeOrders,
     q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue,
     q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier,
-    q4OrderPriority, q22IdleCustomers)
+    q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
+    q8MarketShare)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -2345,4 +2346,143 @@ object Analytics {
       AND NOT EXISTS (SELECT 1 FROM orders
         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier as
+    * a derived view, then the suppliers achieving the GLOBAL maximum —
+    * the correlated `= (SELECT max(...))` decorrelated into a 1-row
+    * broadcast max joined back by equality (ties all qualify). Revenue
+    * is exact cents × discount basis points, floored once per line —
+    * associative, so partial aggregation reproduces it identically on
+    * any partitioning. The 100-TB shape: lineitem is aggregated FIRST;
+    * only the (bounded) supplier revenue view ever meets the max row.
+    */
+  val q15TopSupplier: Q = Q("q15_top_supplier", (s, dir) => {
+    val rev = Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) DIV 10000"))
+        .as("total_rev_c"))
+    val mx = rev.agg(max("total_rev_c").as("max_rev_c"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_c") === col("max_rev_c"))
+      .join(broadcast(Tables.t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+      .orderBy("s_suppkey")
+  }, Some("""WITH rev AS (
+      SELECT l_suppkey,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000) AS BIGINT)
+          AS total_rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey),
+    mx AS (SELECT max(total_rev_c) AS max_rev_c FROM rev)
+    SELECT s_suppkey, s_name, total_rev_c
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    CROSS JOIN mx WHERE total_rev_c = max_rev_c
+    ORDER BY s_suppkey"""))
+
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two
+    * specific nations — supplier nation × customer nation pairs in
+    * both directions, by year. The nation dim joins TWICE under two
+    * aliases (the self-referenced-dimension shape a star schema hits
+    * constantly); both alias sides broadcast, lineitem→orders is the
+    * only big join, and the pair filter prunes before the final tiny
+    * group-by. Exact cents-bp revenue.
+    */
+  val q7VolumeShipping: Q = Q("q7_volume_shipping", (s, dir) => {
+    val n = Tables.t(s, dir, "nation").select("n_nationkey", "n_name")
+    val sup = Tables.t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.t(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.t(s, dir, "lineitem")
+      .withColumn("rev_c", expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) DIV 10000"))
+      .join(Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }, Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000) AS BIGINT)
+        AS revenue_c,
+      count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's revenue per order year — the conditional-sum-over-sum
+    * ratio aggregate. Share is EXACT basis points: both numerator
+    * (CASE-gated cents) and denominator are bigint sums of the same
+    * floored per-line revenue, divided once, truncating — no float
+    * ratio. Region→nation→customer is the broadcast probe chain on
+    * the orders side; supplier nation tags the numerator.
+    */
+  val q8MarketShare: Q = Q("q8_market_share", (s, dir) => {
+    val rn = Tables.t(s, dir, "nation")
+      .join(broadcast(Tables.t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.t(s, dir, "customer")
+      .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val sup = Tables.t(s, dir, "supplier")
+      .join(broadcast(Tables.t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.t(s, dir, "lineitem")
+      .withColumn("rev_c", expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) DIV 10000"))
+      .join(Tables.t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("bigint").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sum(expr("CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0L END")).as("nation_rev_c"),
+        sum("rev_c").as("total_rev_c"))
+      .withColumn("mkt_share_bp", expr("nation_rev_c * 10000 DIV total_rev_c"))
+      .orderBy("o_year")
+  }, Some("""WITH eu AS (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    l AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000 AS rev_c,
+        sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE o_custkey IN (
+        SELECT c_custkey FROM customer JOIN eu ON c_nationkey = n_nationkey))
+    SELECT o_year,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS BIGINT)
+        AS nation_rev_c,
+      CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS BIGINT)
+        * 10000 // CAST(sum(rev_c) AS BIGINT) AS mkt_share_bp
+    FROM l GROUP BY o_year ORDER BY o_year"""))
 }

@@ -19,7 +19,7 @@ object Graphs {
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
-    reciprocity)
+    reciprocity, knnDegree)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -1050,4 +1050,38 @@ object Graphs {
       10000 * (l_recip * n_nodes * (n_nodes - 1) - l_edges * l_edges)
         // nullif(l_edges * (n_nodes * (n_nodes - 1) - l_edges), 0) AS rho_e4
     FROM le, rc, nn"""))
+
+  /** Average-nearest-neighbor-degree function k_nn(k) of the user-
+    * similarity graph (Pastor-Satorras, Vázquez & Vespignani,
+    * "Dynamical and correlation properties of the Internet", PRL 2001
+    * — public): for each degree class k, the mean degree of the
+    * neighbors of degree-k nodes, in exact hundredths (integer DIV of
+    * the neighbor-degree sum by the directed-edge count). Rising
+    * k_nn(k) = assortative mixing, falling = hub-and-spoke — the full
+    * CURVE behind graph_assortativity's single r. Pure counting: one
+    * degree agg, one edge→degree tag join (both directions), one
+    * (k)-group agg — every shuffle on bounded keys.
+    */
+  val knnDegree: Q = Q("graph_knn_degree", (s, dir) => {
+    val je = simEdges(s, dir)
+    val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    ed.join(deg.select(col("v").as("src"), col("d").as("da")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("db")), "dst")
+      .groupBy(col("da").as("k"))
+      .agg(count(lit(1)).as("n_edge_ends"), sum("db").as("nbr_deg_sum"))
+      .withColumn("knn_e2", expr("100 * nbr_deg_sum DIV n_edge_ends"))
+      .orderBy("k")
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d
+      FROM ed GROUP BY src),
+    tag AS (SELECT a.d AS da, b.d AS db
+      FROM ed JOIN deg a ON a.v = ed.src JOIN deg b ON b.v = ed.dst)
+    SELECT da AS k, count(*)::BIGINT AS n_edge_ends,
+      CAST(sum(db) AS BIGINT) AS nbr_deg_sum,
+      100 * CAST(sum(db) AS BIGINT) // count(*) AS knn_e2
+    FROM tag GROUP BY da ORDER BY k"""))
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def all: Seq[Q] = Seq(editPairs, textStats, langId, tokenCount, docFingerprint,
+  def all: Seq[Q] = Seq(editPairs, textHapax, textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
@@ -2215,4 +2215,43 @@ object TextOps {
       min(wb) AS wb_min, max(wb) AS wb_max
     FROM p WHERE levenshtein(wa, wb) = 1
     GROUP BY wa ORDER BY wa"""))
+
+  /** Lexical-richness profile per language: hapax legomena (words seen
+    * exactly once corpus-wide), dis legomena (exactly twice), the
+    * vocabulary size, and the type-token ratio — all in exact integer
+    * basis points. Herdan/Zipf vocabulary-growth laws make
+    * hapax-share ≈ 50% the healthy-corpus signature; a far lower
+    * share means templated/duplicated text (the cheap tripwire before
+    * running dedup), far higher means OCR noise or tokenizer damage.
+    * Two partial-agg shuffles (word counts, then count-of-count
+    * classes per language) over the bounded (lang, word) key space.
+    */
+  val textHapax: Q = Q("text_hapax", (s, dir) => {
+    val w = Tables.t(s, dir, "documents")
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("word"))
+    val wc = w.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    wc.groupBy("lang")
+      .agg(count(lit(1)).as("vocab"),
+        sum("n").as("tokens"),
+        sum(expr("CASE WHEN n = 1 THEN 1L ELSE 0L END")).as("hapax"),
+        sum(expr("CASE WHEN n = 2 THEN 1L ELSE 0L END")).as("dis"))
+      .select(col("lang"), col("vocab"), col("tokens"), col("hapax"), col("dis"),
+        expr("hapax * 10000 DIV vocab").as("hapax_share_bp"),
+        expr("vocab * 10000 DIV tokens").as("ttr_bp"))
+      .orderBy("lang")
+  }, Some("""WITH w AS (
+      SELECT lang,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    wc AS (SELECT lang, word, count(*)::BIGINT AS n FROM w GROUP BY lang, word),
+    ag AS (SELECT lang, count(*)::BIGINT AS vocab,
+        CAST(sum(n) AS BIGINT) AS tokens,
+        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+      FROM wc GROUP BY lang)
+    SELECT lang, vocab, tokens, hapax, dis,
+      hapax * 10000 // vocab AS hapax_share_bp,
+      vocab * 10000 // tokens AS ttr_bp
+    FROM ag ORDER BY lang"""))
 }
