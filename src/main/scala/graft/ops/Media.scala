@@ -215,6 +215,41 @@ object Media {
     s"(${terms.mkString(" + ")})"
   }
 
+  // ---- DCT pHash twin (graft.expressions.ImageDctHash) ----
+
+  /** The row-pass of the separable fixed-point DCT over the 64-element
+    * lum list `l` (1-based): g[8u+m+1] = Σ_n C[u][n]·l[8n+m+1], with
+    * the cosine table interpolated as the SAME integer literals the
+    * Spark expression multiplies ([[graft.expressions.ImageDctHash.cosTable]]).
+    */
+  def duckDctG(l: String, name: String): String = {
+    val c = graft.expressions.ImageDctHash.cosTable
+    val terms = for (u <- 0 until 8; m <- 0 until 8) yield
+      (0 until 8).map(n => s"(${c(u)(n)})*$l[${8 * n + m + 1}]").mkString(" + ")
+    s"[${terms.mkString(", ")}] AS $name"
+  }
+
+  /** The column-pass: f[8u+v+1] = Σ_m g[8u+m+1]·C[v][m]. */
+  def duckDctF(g: String, name: String): String = {
+    val c = graft.expressions.ImageDctHash.cosTable
+    val terms = for (u <- 0 until 8; v <- 0 until 8) yield
+      (0 until 8).map(m => s"$g[${8 * u + m + 1}]*(${c(v)(m)})").mkString(" + ")
+    s"[${terms.mkString(", ")}] AS $name"
+  }
+
+  /** The pHash fold over the 64-coefficient list `f` and its list-sum
+    * `t`: bit k (MSB-first, k = 8u+v) set iff 63·f[k+1] > t − f[1],
+    * except the DC bit (k = 0) which is always 0 — so unlike
+    * [[duckAHashFold]] no sign-weight term exists and the hash is
+    * non-negative by construction.
+    */
+  def duckDctFold(f: String, t: String): String = {
+    val terms = (1 until 64).map { k =>
+      s"CASE WHEN 63 * $f[${k + 1}] > ($t - $f[1]) THEN CAST(${1L << (63 - k)} AS BIGINT) ELSE 0 END"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
   // ---- PCM WAV with REAL sample data (audio fingerprinting) ----
 
   /** 65 mono PCM-16 samples → 64 delta-sign fingerprint bits (the

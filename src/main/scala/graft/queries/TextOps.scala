@@ -22,7 +22,7 @@ object TextOps {
     textPhraseOccurrences, docChunkSentences, multimodalResize,
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
-    multimodalPhashClusters, sampleNeymanAlloc, multimodalAudioFingerprint,
+    multimodalPhashClusters, multimodalDctPhash, sampleNeymanAlloc, multimodalAudioFingerprint,
     pipelineDatasetCard, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity)
@@ -1730,6 +1730,45 @@ object TextOps {
       count(*) OVER (PARTITION BY cluster_id) AS n_members,
       doc_id = cluster_id AS is_canonical
     FROM cl ORDER BY doc_id"""))
+
+  /** DCT perceptual hash manifest — the 2D-DCT sibling of
+    * [[multimodalPhash]] (classic pHash; Zauner 2010 — public) over the
+    * SAME real thumbnail bytes: the codegen'd
+    * [[graft.expressions.ImageDctHash]] decodes the 8×8 24bpp BMP,
+    * runs the separable fixed-point DCT-II (cosine basis = shared
+    * integer literals, see cosTable), and sets bit 8u+v iff the
+    * coefficient clears the cross-multiplied AC mean — structure-
+    * sensitive where aHash is brightness-sensitive, so the two hashes
+    * disagree exactly where spatial frequency matters. DC bit is 0 by
+    * construction (hash ≥ 0 — asserted in ImageHeaderDecodeSpec).
+    * Per-row codegen'd decode, zero shuffle; the oracle re-runs the
+    * identical integer DCT from the identical blob through two list
+    * CTE passes (Media.duckDctG/duckDctF/duckDctFold).
+    */
+  val multimodalDctPhash: Q = Q("multimodal_dct_phash", (s, dir) => {
+    graft.expressions.ImageAHash.register(s)
+    graft.expressions.ImageDctHash.register(s)
+    val px: Int => String = k =>
+      s"upper(substr(md5(element_at(ws, $k % nw + 1)), 1, 2))"
+    val thumbHex = graft.ops.Media.thumbBmpHexExpr(px)
+    Tables.t(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", expr("size(ws)"))
+      .withColumn("blob", expr(s"unhex($thumbHex)"))
+      .select(col("doc_id"), expr("image_ahash(blob)").as("ahash"),
+        expr("image_dct_hash(blob)").as("dhash"))
+      .select(col("doc_id"), col("dhash"),
+        expr("CAST(bit_count(dhash) AS BIGINT)").as("bits_set"),
+        expr("CAST(bit_count(dhash ^ ahash) AS BIGINT)").as("vs_ahash_dist"))
+      .orderBy("doc_id")
+  }, Some(s"""WITH ${phashOracleCtes},
+    gg AS (SELECT doc_id, ${graft.ops.Media.duckDctG("lums", "g")} FROM lm),
+    ff AS (SELECT doc_id, ${graft.ops.Media.duckDctF("g", "f")} FROM gg),
+    ft AS (SELECT doc_id, f, CAST(list_sum(f) AS BIGINT) AS t FROM ff),
+    dh AS (SELECT doc_id, ${graft.ops.Media.duckDctFold("f", "t")} AS dhash FROM ft)
+    SELECT dh.doc_id, dhash, CAST(bit_count(dhash) AS BIGINT) AS bits_set,
+      CAST(bit_count(xor(dhash, ahash)) AS BIGINT) AS vs_ahash_dist
+    FROM dh JOIN hh ON hh.doc_id = dh.doc_id ORDER BY dh.doc_id"""))
 
   /** NEYMAN optimal allocation (Neyman 1934 — public; the
     * variance-proportional stratified budget every survey/eval pipeline

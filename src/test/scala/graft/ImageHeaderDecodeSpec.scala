@@ -165,6 +165,63 @@ class ImageHeaderDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- image_dct_hash over the same thumbnail container ----
+
+  private def dctHash(hex: String): Option[Long] = {
+    graft.expressions.ImageDctHash.register(spark)
+    import spark.implicits._
+    val r = Seq(hex).toDF("hx").repartition(1)
+      .selectExpr("image_dct_hash(unhex(hx)) AS a").collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  test("dctHash: uniform image has zero AC spectrum -> hash 0 (and DC bit always 0)") {
+    assert(dctHash(thumbHeader + "808080" * 64) == Some(0L))
+    assert(dctHash(thumbHeader + "000000" * 64) == Some(0L))
+  }
+
+  test("dctHash: cosine table is the exact fixed-point DCT-II basis") {
+    val c = graft.expressions.ImageDctHash.cosTable
+    assert(c(0).forall(_ == 10000L))                       // k=0 row is flat
+    assert(c(4)(0) == 7071L && c(4)(1) == -7071L)          // cos(π/4) alternation
+    assert(c(1)(0) == 9808L && c(1)(7) == -9808L)          // cos(π/16) symmetry
+    (1 until 8).foreach(k => assert(c(k).sum == 0L,
+      s"row $k of an even-length DCT basis must sum to 0"))
+  }
+
+  test("dctHash: non-thumbnail dims, truncated pixels and non-BMP decode to NULL") {
+    val wide = thumbHeader.replace("08000000" + "08000000", "10000000" + "08000000")
+    assert(dctHash(wide + "101010" * 128).isEmpty)
+    assert(dctHash(thumbHeader + "101010" * 63).isEmpty)
+    assert(dctHash(thumbHeader.take(20)).isEmpty)
+  }
+
+  test("dctHash agrees with an independent in-test reference and is non-negative") {
+    val c = graft.expressions.ImageDctHash.cosTable
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val bytes = Array.fill(192)(rnd.nextInt(256))
+      val hex = thumbHeader + bytes.map(b => f"$b%02X").mkString
+      val lum = new Array[Long](64)
+      (0 until 64).foreach { j =>
+        lum((7 - j / 8) * 8 + j % 8) =
+          (bytes(3 * j) + bytes(3 * j + 1) + bytes(3 * j + 2)) / 3
+      }
+      // independent direct (non-separable) 2D DCT fold
+      val f = Array.tabulate(8, 8) { (u, v) =>
+        (for (n <- 0 until 8; m <- 0 until 8)
+          yield c(u)(n) * c(v)(m) * lum(n * 8 + m)).sum
+      }.flatten
+      val acSum = f.sum - f(0)
+      val expect = f.zipWithIndex.foldLeft(0L) { case (acc, (x, k)) =>
+        if (k > 0 && 63L * x > acSum) acc | (1L << (63 - k)) else acc
+      }
+      val got = dctHash(hex)
+      assert(got == Some(expect))
+      assert(got.get >= 0L, "DC bit must be 0")
+    }
+  }
+
   // ---- audio_fingerprint over the 65-sample PCM payload ----
 
   /** Canonical mono 8 kHz 16-bit header for the 65-sample payload. */
