@@ -2126,4 +2126,104 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"streamed vs batch records: got=$got want=$want")
     } finally q.stop()
   }
+
+  test("VarianceRatioProcessor: running VR(q) moments == ts_variance_ratio after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_vr").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    val hs = rows.map(_._2).sorted
+    val cut = hs(hs.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.VarianceRatioProcessor(spark, src)
+      .toDF("k", "q", "m", "mu", "v1", "vq", "vr_e4")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_vr").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final emission per (key, q) = the row with the max m
+      val got = spark.sql(
+        """SELECT k, q, m, mu, v1, vq, vr_e4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY k, q ORDER BY m DESC) AS rn
+            FROM graft_vr) WHERE rn = 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+      val want = graft.queries.Series.tsVarianceRatio.fn(spark, sfDir)
+        .select("event_type", "q", "m", "mu", "v1", "vq", "vr_e4")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+      assert(want.nonEmpty, "batch variance ratio unexpectedly empty")
+      assert(got == want, s"streamed vs batch VR: got=$got want=$want")
+    } finally q.stop()
+  }
+
+  test("RunsTestProcessor: runs state vs the frozen median == ts_runs_test after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_runs").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val hourly = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // freeze the reference exactly like the batch: last 512 buckets per
+    // key, discrete median at rank (n+1) DIV 2 ordered by (c, h)
+    val rows = hourly.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      val last = rs.sortBy(_._2).takeRight(512)
+      val srt = last.sortBy(r => (r._3, r._2))
+      val m = srt(((srt.length + 1) / 2 - 1).toInt)._3
+      last.map(r => (k, r._2, r._3, m))
+    }.sortBy(r => (r._1, r._2)).toArray
+    val hs = rows.map(_._2).sorted
+    val cut = hs(hs.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.RunsTestProcessor(spark, src)
+      .toDF("k", "n1", "n2", "runs", "n", "mu_e4", "z2_e4", "random_at_5pct")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_runs").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n1, n2, runs, n, mu_e4, z2_e4, random_at_5pct FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n DESC) AS rn
+            FROM graft_runs) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getLong(6)),
+            if (r.isNullAt(7)) None else Some(r.getBoolean(7)))).toMap
+      val want = graft.queries.Series.tsRunsTest.fn(spark, sfDir)
+        .select("event_type", "n1", "n2", "runs", "n", "mu_e4", "z2_e4", "random_at_5pct")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getLong(6)),
+            if (r.isNullAt(7)) None else Some(r.getBoolean(7)))).toMap
+      assert(want.nonEmpty, "batch runs test unexpectedly empty")
+      assert(got == want, s"streamed vs batch runs: got=$got want=$want")
+    } finally q.stop()
+  }
 }
