@@ -23,7 +23,7 @@ object TextOps {
     multimodalMips, pipelineCurriculum, qualityDsirWeights,
     multimodalAudioMeta, multimodalPhash, multimodalPhashPairs,
     multimodalPhashClusters, multimodalDctPhash, sampleNeymanAlloc, multimodalAudioFingerprint,
-    pipelineDatasetCard, textCdcChunks, samplePps, sampleBootstrap,
+    pipelineDatasetCard, pipelineDomainMixture, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity)
 
@@ -931,6 +931,89 @@ object TextOps {
     FROM pairs JOIN model m USING (w1, w2)
     GROUP BY doc_id
     ORDER BY importance_bp DESC, doc_id LIMIT 25"""))
+
+  /** DoReMi-lite domain-mixture weights (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023 — public), the multiplicative-weights sibling of
+    * [[qualityDsirWeights]]: per training domain (lang), iterate
+    * w ← normalize(w · (1 + η·excess_loss)) for a fixed 4 rounds and
+    * report both the final and the round-averaged mixture (DoReMi's
+    * actual deliverable is the average). The reference-loss proxy is
+    * deterministic — mean tokens per doc, truncating — and the whole
+    * iteration is EXACT integer math: the linear (1 + ηx) update
+    * replaces exp(ηx) (their first-order agreement is the mirror-
+    * descent vs hedge equivalence), and each round renormalizes to
+    * exactly 10⁴ bp via the telescoping cumulative-quota apportionment
+    * (floor(10⁴·cum/W) diffed — the temperatureAlloc discipline).
+    * Domains are a bounded categorical (#langs), so after one
+    * distributed agg the iteration runs driver-side in identical Long
+    * arithmetic (counted-small discipline, loud 4096 gate); the oracle
+    * unrolls the 4 rounds as MATERIALIZED single-reference CTEs with a
+    * running `aw` column so no round is referenced twice.
+    */
+  val pipelineDomainMixture: Q = Q("pipeline_domain_mixture", (s, dir) => {
+    val Rounds = 4
+    val Eta = 50L
+    val perDomain = Tables.t(s, dir, "documents")
+      .select(col("lang"),
+        expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)").as("nw"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), expr("sum(nw) DIV count(1)").as("loss"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(perDomain.length <= 4096,
+      s"pipeline_domain_mixture: ${perDomain.length} domains exceed the counted-small gate")
+    val d = perDomain.length.toLong
+    val minLoss = perDomain.map(_._3).min
+    val excess = perDomain.map(_._3 - minLoss)
+    // equal start, apportioned to exactly 10^4
+    val w = Array.tabulate(perDomain.length) { i =>
+      10000L * (i + 1) / d - 10000L * i / d
+    }
+    val aw = new Array[Long](perDomain.length)
+    (1 to Rounds).foreach { _ =>
+      val u = Array.tabulate(perDomain.length)(i => w(i) * (10000L + Eta * excess(i)))
+      val total = u.sum
+      var cum = 0L
+      var i = 0
+      while (i < u.length) {
+        val prev = cum
+        cum += u(i)
+        w(i) = 10000L * cum / total - 10000L * prev / total
+        aw(i) += w(i)
+        i += 1
+      }
+    }
+    import s.implicits._
+    perDomain.zipWithIndex.map { case ((lang, nDocs, loss), i) =>
+      (lang, nDocs, loss, excess(i), w(i), aw(i) / Rounds)
+    }.toSeq.toDF("lang", "n_docs", "loss", "excess", "w_bp", "w_avg_bp")
+      .repartition(1).orderBy("lang")
+  }, Some {
+    val round: Int => String = r =>
+      s"""r$r AS MATERIALIZED (SELECT lang, n_docs, loss, excess,
+        (10000 * cu) // tw - (10000 * (cu - u)) // tw AS w,
+        aw + ((10000 * cu) // tw - (10000 * (cu - u)) // tw) AS aw
+      FROM (SELECT lang, n_docs, loss, excess, aw, u,
+          sum(u) OVER (ORDER BY lang) AS cu, sum(u) OVER () AS tw
+        FROM (SELECT *, w * (10000 + 50 * excess) AS u FROM r${r - 1})))"""
+    s"""WITH ls AS MATERIALIZED (SELECT lang, count(*)::BIGINT AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+          // count(*) AS loss
+      FROM documents GROUP BY lang),
+    ex AS MATERIALIZED (SELECT lang, n_docs, loss,
+        loss - min(loss) OVER () AS excess,
+        row_number() OVER (ORDER BY lang) AS idx,
+        count(*) OVER () AS d
+      FROM ls),
+    r0 AS MATERIALIZED (SELECT lang, n_docs, loss, excess,
+        10000 * idx // d - 10000 * (idx - 1) // d AS w, 0 AS aw FROM ex),
+    ${(1 to 4).map(round).mkString(",\n    ")}
+    SELECT lang, n_docs, CAST(loss AS BIGINT) AS loss,
+      CAST(excess AS BIGINT) AS excess, CAST(w AS BIGINT) AS w_bp,
+      CAST(aw // 4 AS BIGINT) AS w_avg_bp
+    FROM r4 ORDER BY lang"""
+  })
 
   /** Curriculum schedule assembly (Bengio et al., "Curriculum
     * Learning", ICML'09 — public): docs are tiered by the integer
