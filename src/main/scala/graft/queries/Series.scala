@@ -23,7 +23,7 @@ object Series {
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
-    tsVarianceRatio, tsSeasonalStrength)
+    tsVarianceRatio, tsSeasonalStrength, tsDfa)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -2962,4 +2962,100 @@ object Series {
       greatest(0, 10000 - v_resid * 10000 // nullif(v_deseas, 0)) AS ft_e4
     FROM v ORDER BY event_type"""
   })
+
+  /** Detrended fluctuation analysis (Peng et al., "Mosaic organization
+    * of DNA nucleotides", Phys. Rev. E 1994 — public) in EXACT integer
+    * arithmetic: integrate the series into the profile Y = Σ(c − μ)
+    * (truncating mean — any constant center is fine for DFA), slice the observed sample
+    * sequence (rank-indexed, the standard DFA convention — only the
+    * tail remainder is dropped) into complete windows at scales n ∈ {4, 8, 16}, least-squares
+    * detrend each window, and report the mean squared fluctuation
+    * F²(n) per scale plus the dyadic ratio F²(n)/F²(n/2) — under
+    * F²(n) ~ n²ᴴ that ratio is 2²ᴴ in e4 (20000 ⟹ H=½ random walk,
+    * 40000 ⟹ H=1 strong persistence), so the Hurst exponent is
+    * readable without a single float. The detrending is the Cramer
+    * trick: with centered positions τ = 2t−(n−1) (Στ = 0, so the
+    * window-zeroed shift never touches the slope term),
+    * n·Sττ·RSS = n·Sττ·Σy² − Sττ·(Σy)² − n·(Στy)² is an integer
+    * identity, floored once per window. Window-zeroing (subtract the
+    * t=0 profile value, an in-aggregate CASE, no extra window pass)
+    * keeps every product under 2⁶³ up to ~1.5·10⁶-cent deviations at
+    * n=16 — ANSI throws loudly beyond, never silently wraps. Shapes:
+    * one hourly agg, one per-key prefix-sum window, one 3×-stacked
+    * keyed window agg, a 3-row-per-key lag window.
+    */
+  val tsDfa: Q = Q("ts_dfa", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val mu = hourly.groupBy("event_type")
+      .agg(expr("sum(c) DIV count(1)").as("mu"))
+    val prof = hourly.join(broadcast(mu), "event_type")
+      .withColumn("y", sum(expr("c - mu")).over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")).cast("bigint") - 1)
+    val wins = prof
+      .select(col("event_type"), col("r"), col("y"),
+        explode(expr("array(4L, 8L, 16L)")).as("n"))
+      .withColumn("w", expr("r DIV n"))
+      .withColumn("t", expr("r % n"))
+      .groupBy("event_type", "n", "w")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("sy"),
+        sum(expr("(2 * t - (n - 1)) * y")).as("sty"),
+        sum(expr("y * y")).as("syy"),
+        max(expr("CASE WHEN t = 0 THEN y END")).as("c0"))
+      .filter(col("cnt") === col("n"))
+      .withColumn("stt", expr("n * (n * n - 1) DIV 3"))
+      .withColumn("syp", expr("sy - n * c0"))
+      .withColumn("syyp", expr("syy - 2 * c0 * sy + n * c0 * c0"))
+      .withColumn("rssf", expr(
+        "(n * stt * syyp - stt * syp * syp - n * sty * sty) DIV (n * stt)"))
+    wins.groupBy("event_type", "n")
+      .agg(count(lit(1)).as("n_windows"), sum("rssf").as("rss_sum"))
+      .withColumn("f2", expr("rss_sum DIV (n_windows * n)"))
+      .withColumn("h2_ratio_e4", expr(
+        "10000 * f2 DIV nullif(lag(f2) OVER (PARTITION BY event_type ORDER BY n), 0)"))
+      .select("event_type", "n", "n_windows", "rss_sum", "f2", "h2_ratio_e4")
+      .orderBy("event_type", "n")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, CAST(sum(cents) // count(*) AS BIGINT) AS c
+      FROM e GROUP BY event_type, h),
+    mu AS (SELECT event_type, CAST(sum(c) // count(*) AS BIGINT) AS mu
+      FROM hd GROUP BY event_type),
+    pf AS (SELECT hd.event_type, h,
+        sum(c - mu) OVER (PARTITION BY hd.event_type ORDER BY h) AS y,
+        CAST(row_number() OVER (PARTITION BY hd.event_type ORDER BY h) - 1 AS BIGINT) AS r
+      FROM hd JOIN mu USING (event_type)),
+    st AS (SELECT event_type, r, y, n, r // n AS w, r % n AS t
+      FROM pf, unnest([4::BIGINT, 8::BIGINT, 16::BIGINT]) AS sc(n)),
+    ws AS (SELECT event_type, n, w, count(*)::BIGINT AS cnt,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum((2 * t - (n - 1)) * y) AS BIGINT) AS sty,
+        CAST(sum(y * y) AS BIGINT) AS syy,
+        CAST(max(CASE WHEN t = 0 THEN y END) AS BIGINT) AS c0
+      FROM st GROUP BY event_type, n, w),
+    rs AS (SELECT event_type, n,
+        (n * (n * n - 1) // 3) AS stt,
+        (sy - n * c0) AS syp,
+        (syy - 2 * c0 * sy + n * c0 * c0) AS syyp,
+        sty
+      FROM ws WHERE cnt = n),
+    rf AS (SELECT event_type, n,
+        (n * stt * syyp - stt * syp * syp - n * sty * sty) // (n * stt) AS rssf
+      FROM rs),
+    ag AS (SELECT event_type, n, count(*)::BIGINT AS n_windows,
+        CAST(sum(rssf) AS BIGINT) AS rss_sum
+      FROM rf GROUP BY event_type, n)
+    SELECT event_type, n, n_windows, rss_sum,
+      CAST(rss_sum // (n_windows * n) AS BIGINT) AS f2,
+      CAST(10000 * (rss_sum // (n_windows * n))
+        // nullif(lag(rss_sum // (n_windows * n))
+          OVER (PARTITION BY event_type ORDER BY n), 0) AS BIGINT) AS h2_ratio_e4
+    FROM ag ORDER BY event_type, n"""))
 }
