@@ -579,6 +579,8 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "embed_cosine_topk" -> "exact brute-force tier is the EVAL oracle by design; query side fixed small",
       "multimodal_mips" -> "query side filtered to 4 docs x 16 dims, broadcast",
       "q_asof_tolerance" -> "left join back on unique event_id — 1:1",
+      "q7_volume_shipping" -> "nation dim aliased twice (supplier/customer side) — 25-row broadcast, keys unique",
+      "q8_market_share" -> "nation dim aliased twice (region probe + supplier tag) — 25-row broadcast, keys unique",
       "q_interval_join_bucketed" -> "interval join pre-bucketized; per-bucket volume bounded by construction",
       "q_merge_upsert" -> "full-outer upsert on unique business key — 1:1",
       "q_range_join" -> "per-user bounded time window; key is user_id with 5-min range predicate",
