@@ -34,7 +34,8 @@ object Ingest {
     methodFilter, errorClassify, graphiteTcpToken, banExpiry,
     influxPrecision, graphiteFailfast, quotaEnforce, graphiteTreeRollup,
     seriesChurn, graphiteRetention, graphiteAggRules, graphiteHashRing,
-    graphiteRingRebalance, promHaDedup, carbonPickle, statsdFlush)
+    graphiteRingRebalance, promHaDedup, carbonPickle, statsdFlush,
+    dogstatsdParse)
 
   /** Graphite metric-TREE rollup: every dotted metric contributes its
     * observations to each ancestor prefix (`metrics.click.m3` also
@@ -1124,6 +1125,76 @@ object Ingest {
     UNION ALL SELECT * FROM st
     UNION ALL SELECT * FROM g
     ORDER BY metric, h"""))
+
+  /** DogStatsD dialect ingest — the Datadog datagram extensions over
+    * plain statsd (public spec: tag sections, value packing, and the
+    * `h`/`d` histogram/distribution types), parsed by the REAL
+    * [[graft.parsers.StatsdParser.parseDogLine]] on the executors.
+    * The synthesized corpus exercises every extension: sampled
+    * counters with a two-tag section (emitted in BOTH tag orders, so
+    * the canonical sorted-tags key is what makes the two streams
+    * aggregate together), gauges with a host tag, three-value packed
+    * histograms at @0.25, and bare-tag distributions. Flush per
+    * (metric, type, canonical tags): line/value counts, rate-estimated
+    * value count and sum (Σk, Σv·k — exact integers), min/max. The
+    * oracle recomputes the identical flush from the source columns —
+    * tag canonicalization drift, packing drift, or rate drift all
+    * break the diff. Scale: per-row parse, one keyed aggregate.
+    */
+  val dogstatsdParse: Q = Q("dogstatsd_parse", (s, dir) => {
+    import s.implicits._
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val lines = e.select(col("event_id"), expr("""
+      CASE CAST(event_id % 4 AS INT)
+        WHEN 0 THEN concat('dog.', event_type, '.c:', CAST(cents AS STRING), '|c|@0.5|#',
+          CASE WHEN event_id % 2 = 0
+            THEN concat('env:e', CAST(event_id % 3 AS STRING), ',host:h', CAST(user_id % 8 AS STRING))
+            ELSE concat('host:h', CAST(user_id % 8 AS STRING), ',env:e', CAST(event_id % 3 AS STRING)) END)
+        WHEN 1 THEN concat('dog.', event_type, '.g:', CAST(cents AS STRING),
+          '|g|#host:h', CAST(user_id % 8 AS STRING))
+        WHEN 2 THEN concat('dog.', event_type, '.h:', CAST(cents AS STRING), ':',
+          CAST(cents % 997 AS STRING), ':', CAST(cents % 89 AS STRING),
+          '|h|@0.25|#env:e', CAST(event_id % 3 AS STRING))
+        ELSE concat('dog.', event_type, '.d:', CAST(cents AS STRING), '|d|#canary')
+      END""").as("line"))
+    val parsed = lines.as[(Long, String)].flatMap { case (eid, line) =>
+      graft.parsers.StatsdParser.parseDogLine(line) match {
+        case Right(ds) => ds.values.map(v => (eid, ds.metric, ds.mtype, ds.tags, v, ds.rateK))
+        case Left(_) => Seq((eid, "__error__", "e", "", 0L, 1L))
+      }
+    }.toDF("eid", "metric", "mtype", "tags", "v", "k")
+    parsed.groupBy("metric", "mtype", "tags")
+      .agg(countDistinct("eid").as("n_lines"), count(lit(1)).as("n_vals"),
+        sum("k").as("est_n"), sum(expr("v * k")).as("v_sum_est"),
+        min("v").as("v_min"), max("v").as("v_max"))
+      .orderBy("metric", "tags")
+  }, Some("""WITH e AS (
+      SELECT event_id AS eid, user_id, event_type,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    v0 AS (SELECT eid, 'dog.' || event_type || '.c' AS metric, 'c' AS mtype,
+        'env:e' || CAST(eid % 3 AS VARCHAR) || ',host:h' || CAST(user_id % 8 AS VARCHAR) AS tags,
+        cents AS v, 2::BIGINT AS k
+      FROM e WHERE eid % 4 = 0),
+    v1 AS (SELECT eid, 'dog.' || event_type || '.g' AS metric, 'g' AS mtype,
+        'host:h' || CAST(user_id % 8 AS VARCHAR) AS tags, cents AS v, 1::BIGINT AS k
+      FROM e WHERE eid % 4 = 1),
+    v2 AS (SELECT eid, 'dog.' || event_type || '.h' AS metric, 'h' AS mtype,
+        'env:e' || CAST(eid % 3 AS VARCHAR) AS tags,
+        unnest([cents, cents % 997, cents % 89]) AS v, 4::BIGINT AS k
+      FROM e WHERE eid % 4 = 2),
+    v3 AS (SELECT eid, 'dog.' || event_type || '.d' AS metric, 'd' AS mtype,
+        'canary' AS tags, cents AS v, 1::BIGINT AS k
+      FROM e WHERE eid % 4 = 3),
+    u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+      UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+    SELECT metric, mtype, tags, count(DISTINCT eid)::BIGINT AS n_lines,
+      count(*)::BIGINT AS n_vals, CAST(sum(k) AS BIGINT) AS est_n,
+      CAST(sum(v * k) AS BIGINT) AS v_sum_est, min(v) AS v_min, max(v) AS v_max
+    FROM u GROUP BY metric, mtype, tags
+    ORDER BY metric, tags"""))
 
   /** High-availability replica deduplication — the Thanos/Cortex
     * `deduplicate` step every doubled-scrape Prometheus fleet runs
