@@ -49,7 +49,7 @@ object Analytics {
     q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue,
     q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier,
     q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
-    q8MarketShare)
+    q8MarketShare, q21WaitingShape)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -2346,6 +2346,47 @@ object Analytics {
       AND NOT EXISTS (SELECT 1 FROM orders
         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** TPC-H Q21 shape (waiting orders): suppliers who shipped LAST on
+    * multi-supplier orders — the benchmark's hardest correlated
+    * EXISTS + NOT EXISTS pair. The decorrelation: "no other supplier
+    * shipped strictly later" ⟺ this supplier's max ship date equals
+    * the order's max (ties all qualify, exactly the correlated
+    * semantics), and "exists another supplier" is a per-order distinct
+    * count ≥ 2 — so both subqueries collapse into one (order, supplier)
+    * aggregate plus one order aggregate, joined back on the SAME order
+    * key (co-partitioned, no extra shuffle). The oracle deliberately
+    * keeps the ORIGINAL correlated form — bit-equality proves the
+    * rewrite, not just the numbers.
+    */
+  val q21WaitingShape: Q = Q("q21_waiting_shape", (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("smax"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(max("smax").as("omax"), count(lit(1)).as("nsupp"))
+    perSupp.join(perOrder, "l_orderkey")
+      .filter(col("nsupp") >= 2 && col("smax") === col("omax"))
+      .join(broadcast(Tables.t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(countDistinct("l_orderkey").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(25)
+  }, Some("""SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 25"""))
 
   /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier as
     * a derived view, then the suppliers achieving the GLOBAL maximum —

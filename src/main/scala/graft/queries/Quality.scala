@@ -12,7 +12,8 @@ object Quality {
 
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
-    langidEval, qualityReadability, datasetMerkle, qualityBenford)
+    langidEval, qualityReadability, datasetMerkle, qualityBenford,
+    qualityConformal)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -565,4 +566,73 @@ object Quality {
       CAST($benfordCase AS BIGINT) AS benford_bp,
       abs(n * 10000 // total - $benfordCase) AS dev_bp
     FROM byd, tot ORDER BY digit"""))
+
+  /** Split-conformal calibration (Vovk et al., "Algorithmic Learning in
+    * a Random World", 2005; Angelopoulos & Bates, "A Gentle
+    * Introduction to Conformal Prediction", 2021 — public): the
+    * distribution-free uncertainty gate a filtering pipeline puts in
+    * front of any scorer. Even event_ids are the calibration split,
+    * odd the test split; the "model" is the exact calibration median
+    * per event type, the nonconformity score |cents − median|, and the
+    * 90% conformal quantile q̂ is the ⌈0.9·(n+1)⌉-th smallest
+    * calibration score — EXACT rank selection (ceiling division
+    * (9(n+1)+9) DIV 10, capped at n), no interpolation, so the
+    * finite-sample ≥90% marginal coverage guarantee holds verbatim.
+    * Reported: per-type q̂ and the realized test coverage in bp — the
+    * exchangeability check itself. Shapes: two per-type rank windows
+    * (count + row_number, state per row), two broadcast joins of
+    * #type-sized tables, one keyed agg.
+    */
+  val qualityConformal: Q = Q("quality_conformal_bounds", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val cal = e.filter(col("event_id") % 2 === 0)
+    val tst = e.filter(col("event_id") % 2 === 1)
+    val med = cal
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("event_type").orderBy("c", "event_id")).cast("bigint"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("rv = (nn + 1) DIV 2"))
+      .select(col("event_type"), col("c").as("med"))
+    val qh = cal.join(broadcast(med), "event_type")
+      .withColumn("sc", expr("abs(c - med)"))
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("event_type").orderBy("sc", "event_id")).cast("bigint"))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("rv = least((9 * (nc + 1) + 9) DIV 10, nc)"))
+      .select(col("event_type"), col("sc").as("qhat"), col("nc").as("n_cal"))
+    tst.join(broadcast(med), "event_type").join(broadcast(qh), "event_type")
+      .groupBy("event_type")
+      .agg(first("n_cal").as("n_cal"), first("med").as("med"),
+        first("qhat").as("qhat"), count(lit(1)).as("n_test"),
+        sum(expr("CASE WHEN abs(c - med) <= qhat THEN 1L ELSE 0L END")).as("covered"))
+      .withColumn("coverage_bp", expr("covered * 10000 DIV n_test"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, event_id,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    cal AS (SELECT * FROM e WHERE event_id % 2 = 0),
+    tst AS (SELECT * FROM e WHERE event_id % 2 = 1),
+    med AS (SELECT event_type, c AS med FROM (
+      SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS BIGINT) AS rv,
+        count(*) OVER (PARTITION BY event_type) AS nn
+      FROM cal) WHERE rv = (nn + 1) // 2),
+    qh AS (SELECT event_type, sc AS qhat, nc AS n_cal FROM (
+      SELECT cal.event_type, abs(c - med) AS sc, event_id,
+        CAST(row_number() OVER (PARTITION BY cal.event_type
+          ORDER BY abs(c - med), event_id) AS BIGINT) AS rv,
+        count(*) OVER (PARTITION BY cal.event_type) AS nc
+      FROM cal JOIN med USING (event_type))
+      WHERE rv = least((9 * (nc + 1) + 9) // 10, nc))
+    SELECT tst.event_type, CAST(n_cal AS BIGINT) AS n_cal, med, qhat,
+      count(*)::BIGINT AS n_test,
+      CAST(sum(CASE WHEN abs(c - med) <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+      CAST(sum(CASE WHEN abs(c - med) <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        * 10000 // count(*) AS coverage_bp
+    FROM tst JOIN med USING (event_type) JOIN qh USING (event_type)
+    GROUP BY tst.event_type, n_cal, med, qhat
+    ORDER BY event_type"""))
 }

@@ -27,7 +27,7 @@ object Similarity {
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
-    embedCoresetGreedy, embedRrfFusion, embedMmrRerank)
+    embedCoresetGreedy, embedCoresetKcenter, embedRrfFusion, embedMmrRerank)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1956,6 +1956,82 @@ object Similarity {
       SELECT CAST(1 AS BIGINT) AS round, c_id AS vec_id, obj FROM s1
       UNION ALL SELECT 2, c_id, obj FROM s2
       UNION ALL SELECT 3, c_id, obj FROM s3)
+    ORDER BY round"""
+  })
+
+  /** K-CENTER coreset by farthest-first traversal (Gonzalez, "Clustering
+    * to minimize the maximum intercluster distance", TCS 1985 — public;
+    * the 2-approximation every diversity-first data-selection pipeline
+    * uses, and the max-min complement of [[embedCoresetGreedy]]'s
+    * max-coverage objective): seed with the highest-energy vector, then
+    * 3 rounds of "pick the point farthest from the chosen set". EXACT
+    * integers end-to-end: ×10⁴ quantized vectors, squared Euclidean
+    * distance via d(x,s) = |x|² + |s|² − 2⟨x,s⟩ (codegen'd
+    * graft_dot_long), per-point running min-distance state, argmax ties
+    * on vec_id. Scale shape: every round is corpus × ONE broadcast pick
+    * (never corpus × corpus), the argmax is a TakeOrdered, and the tiny
+    * per-round state is eagerly localCheckpointed (the measured
+    * per-round codegen-compile tax rule). Long headroom: d ≤ 4·10¹¹ at
+    * 64 dims — no sums over the corpus exist.
+    */
+  val embedCoresetKcenter: Q = Q("embed_coreset_kcenter", (s, dir) => {
+    graft.expressions.DotProductLong.register(s)
+    def dotq(a: String, b: String): String = s"graft_dot_long($a, $b)"
+    val v = Tables.t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+      .withColumn("xx", expr(dotq("q", "q")))
+    val seed = v.orderBy(col("xx").desc, col("vec_id").asc).limit(1)
+      .localCheckpoint(true)
+    var picks = Seq(seed.select(lit(1L).as("round"),
+      col("vec_id"), col("xx").as("obj")))
+    var pickedIds = seed.select("vec_id")
+    var state = v.crossJoin(broadcast(seed.select(col("q").as("sq"))))
+      .select(col("vec_id"), col("q"), col("xx"),
+        expr(s"xx + ${dotq("sq", "sq")} - 2 * ${dotq("q", "sq")}").as("mind"))
+      .localCheckpoint(true)
+    for (r <- 2 to 4) {
+      val cand = state.join(broadcast(pickedIds), Seq("vec_id"), "left_anti")
+        .orderBy(col("mind").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint(true)
+      picks = picks :+ cand.select(lit(r.toLong).as("round"),
+        col("vec_id"), col("mind").as("obj"))
+      pickedIds = pickedIds.union(cand.select("vec_id"))
+      state = state.crossJoin(broadcast(cand.select(col("q").as("sq"))))
+        .select(col("vec_id"), col("q"), col("xx"),
+          expr(s"least(mind, xx + ${dotq("sq", "sq")} - 2 * ${dotq("q", "sq")})").as("mind"))
+        .localCheckpoint(true)
+    }
+    picks.reduce(_ union _).orderBy("round")
+  }, Some {
+    def dotq(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+    def round(r: Int): String = {
+      val excl = (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      s"""
+    s$r AS MATERIALIZED (SELECT vec_id, mind AS obj, q FROM b${r - 1}
+      WHERE vec_id NOT IN ($excl)
+      QUALIFY row_number() OVER (ORDER BY mind DESC, vec_id) = 1),
+    b$r AS MATERIALIZED (SELECT b.vec_id, b.q, b.xx,
+        least(b.mind, b.xx + ${dotq("p.q", "p.q")} - 2 * ${dotq("b.q", "p.q")}) AS mind
+      FROM b${r - 1} b CROSS JOIN s$r p)"""
+    }
+    s"""WITH q0 AS (SELECT vec_id,
+        list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings),
+    en AS (SELECT vec_id, q, ${dotq("q", "q")} AS xx FROM q0),
+    s1 AS MATERIALIZED (SELECT vec_id, xx AS obj, q FROM en
+      QUALIFY row_number() OVER (ORDER BY xx DESC, vec_id) = 1),
+    b1 AS MATERIALIZED (SELECT e.vec_id, e.q, e.xx,
+        e.xx + ${dotq("p.q", "p.q")} - 2 * ${dotq("e.q", "p.q")} AS mind
+      FROM en e CROSS JOIN s1 p),
+    ${round(2)},
+    ${round(3)},
+    ${round(4)}
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round, vec_id, obj FROM s1
+      UNION ALL SELECT 2, vec_id, obj FROM s2
+      UNION ALL SELECT 3, vec_id, obj FROM s3
+      UNION ALL SELECT 4, vec_id, obj FROM s4)
     ORDER BY round"""
   })
 
