@@ -49,7 +49,7 @@ object Analytics {
     q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue,
     q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier,
     q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
-    q8MarketShare, q21WaitingShape)
+    q8MarketShare, q21WaitingShape, qAbWelch)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -2346,6 +2346,61 @@ object Analytics {
       AND NOT EXISTS (SELECT 1 FROM orders
         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** A/B mean-difference test (Welch, "The generalization of Student's
+    * problem", Biometrika 1947 — public; the default two-sample gate in
+    * every experimentation pipeline): users split by id parity into
+    * arms A/B, per event type the difference of mean values and the
+    * Welch t² statistic — EXACT integers throughout. Means truncate
+    * (μ = S DIV n), variances use the centered-expansion identity
+    * around the truncating mean (v = (Σx² − 2μS + nμ²) DIV n, the
+    * GapStats discipline), and t² is one cross-multiplied rational:
+    * t²·10⁴ = 10⁴·d²·n_a·n_b DIV (v_a·n_b + v_b·n_a). Significance at
+    * 5% is t² > 1.96² (38416 in e4) — the same fixed-point threshold
+    * convention as ts_runs_test. Headroom: d²·n_a·n_b < 2⁶³ up to
+    * ~10⁷ rows per arm at 5·10⁴-cent effects; beyond that pre-scale d
+    * DIV 10. Shape: one map-side-combining (type, arm) aggregate, a
+    * 1:1 self-merge of the two #type-sized arm rows.
+    */
+  val qAbWelch: Q = Q("q_ab_welch", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_type"),
+      expr("user_id % 2").as("arm"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val mo = e.groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"), sum(expr("c * c")).as("scc"))
+      .withColumn("mu", expr("sc DIV n"))
+      .withColumn("v", expr("(scc - 2 * mu * sc + n * mu * mu) DIV n"))
+    val a = mo.filter(col("arm") === 0)
+      .select(col("event_type"), col("n").as("n_a"), col("mu").as("mu_a"), col("v").as("v_a"))
+    val b = mo.filter(col("arm") === 1)
+      .select(col("event_type"), col("n").as("n_b"), col("mu").as("mu_b"), col("v").as("v_b"))
+    a.join(b, "event_type")
+      .withColumn("d", expr("mu_a - mu_b"))
+      .withColumn("t2_e4", expr(
+        "10000 * d * d * n_a * n_b DIV nullif(v_a * n_b + v_b * n_a, 0)"))
+      .withColumn("significant_5pct", expr("t2_e4 > 38416"))
+      .select("event_type", "n_a", "n_b", "mu_a", "mu_b", "d", "v_a", "v_b",
+        "t2_e4", "significant_5pct")
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, user_id % 2 AS arm,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    mo AS (SELECT event_type, arm, count(*)::BIGINT AS n,
+        CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+      FROM e GROUP BY event_type, arm),
+    mv AS (SELECT event_type, arm, n, sc // n AS mu,
+        (scc - 2 * (sc // n) * sc + n * (sc // n) * (sc // n)) // n AS v
+      FROM mo)
+    SELECT a.event_type, a.n AS n_a, b.n AS n_b, a.mu AS mu_a, b.mu AS mu_b,
+      CAST(a.mu - b.mu AS BIGINT) AS d, a.v AS v_a, b.v AS v_b,
+      CAST(10000 * (a.mu - b.mu) * (a.mu - b.mu) * a.n * b.n
+        // nullif(a.v * b.n + b.v * a.n, 0) AS BIGINT) AS t2_e4,
+      (10000 * (a.mu - b.mu) * (a.mu - b.mu) * a.n * b.n
+        // nullif(a.v * b.n + b.v * a.n, 0)) > 38416 AS significant_5pct
+    FROM mv a JOIN mv b ON a.event_type = b.event_type
+      AND a.arm = 0 AND b.arm = 1
+    ORDER BY a.event_type"""))
 
   /** TPC-H Q21 shape (waiting orders): suppliers who shipped LAST on
     * multi-supplier orders — the benchmark's hardest correlated

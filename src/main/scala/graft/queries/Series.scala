@@ -23,7 +23,7 @@ object Series {
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
-    tsVarianceRatio, tsSeasonalStrength, tsDfa)
+    tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3058,4 +3058,54 @@ object Series {
         // nullif(lag(rss_sum // (n_windows * n))
           OVER (PARTITION BY event_type ORDER BY n), 0) AS BIGINT) AS h2_ratio_e4
     FROM ag ORDER BY event_type, n"""))
+
+  /** Mean-excess (mean residual life) profile — the standard
+    * extreme-value-theory tail diagnostic (Davison & Smith, "Models
+    * for exceedances over high thresholds", JRSS-B 1990 — public):
+    * at the empirical 50/75/90% thresholds per event type, the mean
+    * exceedance e(u) = E[X − u | X > u]. A mean-excess curve RISING in
+    * u is the heavy-tail signature (GPD shape ξ > 0 — alert budgets
+    * and capacity plans must use tail quantiles, not means); falling
+    * means a short tail. EXACT throughout: thresholds are ceiling-rank
+    * order statistics (rank = ⌈p·n/100⌉ via (p·n+99) DIV 100, ties on
+    * event_id), exceedance means are one truncating division. Shapes:
+    * one per-type rank window, a #type×3 broadcast threshold join, one
+    * keyed agg.
+    */
+  val tsMeanExcess: Q = Q("ts_mean_excess", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val th = e
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("event_type").orderBy("c", "event_id")).cast("bigint"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("c"), col("rv"), col("nn"),
+        explode(expr("array(50L, 75L, 90L)")).as("p"))
+      .filter(expr("rv = (p * nn + 99) DIV 100"))
+      .select(col("event_type"), col("p"), col("c").as("u"))
+    e.join(broadcast(th), "event_type")
+      .filter(col("c") > col("u"))
+      .groupBy("event_type", "p", "u")
+      .agg(count(lit(1)).as("n_exceed"), sum(expr("c - u")).as("excess_sum"))
+      .withColumn("mean_excess", expr("excess_sum DIV n_exceed"))
+      .orderBy("event_type", "p")
+  }, Some("""WITH e AS (
+      SELECT event_type, event_id,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    r AS (SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS BIGINT) AS rv,
+        count(*) OVER (PARTITION BY event_type) AS nn
+      FROM e),
+    th AS (SELECT event_type, p, c AS u
+      FROM r, unnest([50::BIGINT, 75::BIGINT, 90::BIGINT]) AS pp(p)
+      WHERE rv = (p * nn + 99) // 100)
+    SELECT e.event_type, p, u, count(*)::BIGINT AS n_exceed,
+      CAST(sum(c - u) AS BIGINT) AS excess_sum,
+      CAST(sum(c - u) AS BIGINT) // count(*) AS mean_excess
+    FROM e JOIN th USING (event_type)
+    WHERE c > u
+    GROUP BY e.event_type, p, u
+    ORDER BY e.event_type, p"""))
 }
