@@ -49,7 +49,7 @@ object Analytics {
     q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue,
     q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier,
     q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
-    q8MarketShare, q21WaitingShape, qAbWelch)
+    q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -2400,6 +2400,100 @@ object Analytics {
         // nullif(a.v * b.n + b.v * a.n, 0)) > 38416 AS significant_5pct
     FROM mv a JOIN mv b ON a.event_type = b.event_type
       AND a.arm = 0 AND b.arm = 1
+    ORDER BY a.event_type"""))
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, "Improving
+    * the sensitivity of online controlled experiments by utilizing
+    * pre-experiment data", WSDM 2013 — public): the adjustment every
+    * mature experimentation platform applies before the t-test. Per
+    * event type: X = a user's PRE-period spend (hours below the
+    * per-type midpoint), Y = post-period spend, θ = cov(X,Y)/var(X)
+    * pooled across arms, adjusted effect d_adj = d_raw − θ·(μXa − μXb).
+    * EXACT integers: user metrics in whole dollars (cents DIV 100 —
+    * bounds every cross-moment square under 2⁶³), covariance/variance
+    * via the centered-expansion identity around truncating pooled
+    * means, θ and the variance-reduction fraction ρ² as single
+    * cross-multiplied rationals (θ·10⁴ = 10⁴·cov DIV vx; ρ²·10⁴ =
+    * 10⁴·cov² DIV (vx·vy)), and d_adj through one scaled subtraction
+    * (vx·d_raw − cov·dX) DIV vx. A sample-ratio-mismatch χ² column
+    * guards the randomization itself: χ²·10⁴ = 10⁴·(n_a−n_b)² DIV
+    * (n_a+n_b), >38416 ⟹ the split is broken and no test below is
+    * valid. Shapes: one (type,user) agg, one (type,arm) moment agg,
+    * one #type-sized reduce — map-side combining end to end.
+    */
+  val qAbCuped: Q = Q("q_ab_cuped", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      expr("CAST(round(value * 100) AS BIGINT) DIV 100").as("d"),
+      expr("ts_us DIV 3600000000").as("h"))
+    val split = e.groupBy("event_type")
+      .agg(expr("(min(h) + max(h) + 1) DIV 2").as("hsplit"))
+    val per = e.join(broadcast(split), "event_type")
+      .groupBy("event_type", "user_id")
+      .agg(sum(expr("CASE WHEN h < hsplit THEN d ELSE 0L END")).as("x"),
+        sum(expr("CASE WHEN h >= hsplit THEN d ELSE 0L END")).as("y"))
+      .withColumn("arm", expr("user_id % 2"))
+    val mo = per.groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+    val pooled = mo.groupBy("event_type")
+      .agg(sum("n").as("np"), sum("sx").as("sxp"), sum("sy").as("syp"),
+        sum("sxx").as("sxxp"), sum("syy").as("syyp"), sum("sxy").as("sxyp"))
+      .withColumn("mxp", expr("sxp DIV np"))
+      .withColumn("myp", expr("syp DIV np"))
+      .withColumn("vx", expr("(sxxp - 2 * mxp * sxp + np * mxp * mxp) DIV np"))
+      .withColumn("vy", expr("(syyp - 2 * myp * syp + np * myp * myp) DIV np"))
+      .withColumn("cov", expr("(sxyp - mxp * syp - myp * sxp + np * mxp * myp) DIV np"))
+    val a = mo.filter(col("arm") === 0).select(col("event_type"), col("n").as("n_a"),
+      expr("sx DIV n").as("mxa"), expr("sy DIV n").as("mya"))
+    val b = mo.filter(col("arm") === 1).select(col("event_type"), col("n").as("n_b"),
+      expr("sx DIV n").as("mxb"), expr("sy DIV n").as("myb"))
+    a.join(b, "event_type").join(broadcast(pooled), "event_type")
+      .withColumn("d_raw", expr("mya - myb"))
+      .withColumn("theta_e4", expr("10000 * cov DIV nullif(vx, 0)"))
+      .withColumn("rho2_bp", expr("10000 * cov * cov DIV nullif(vx * vy, 0)"))
+      .withColumn("d_adj", expr("(vx * (mya - myb) - cov * (mxa - mxb)) DIV nullif(vx, 0)"))
+      .withColumn("srm_chi2_e4", expr("10000 * (n_a - n_b) * (n_a - n_b) DIV (n_a + n_b)"))
+      .select("event_type", "n_a", "n_b", "d_raw", "theta_e4", "rho2_bp",
+        "d_adj", "srm_chi2_e4")
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, user_id,
+        CAST(round(value * 100) AS BIGINT) // 100 AS d,
+        epoch_us(ts) // 3600000000 AS h
+      FROM events),
+    sp AS (SELECT event_type, (min(h) + max(h) + 1) // 2 AS hsplit
+      FROM e GROUP BY event_type),
+    per AS (SELECT e.event_type, user_id, user_id % 2 AS arm,
+        CAST(sum(CASE WHEN h < hsplit THEN d ELSE 0 END) AS BIGINT) AS x,
+        CAST(sum(CASE WHEN h >= hsplit THEN d ELSE 0 END) AS BIGINT) AS y
+      FROM e JOIN sp USING (event_type)
+      GROUP BY e.event_type, user_id),
+    mo AS (SELECT event_type, arm, count(*)::BIGINT AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per GROUP BY event_type, arm),
+    pl AS (SELECT event_type,
+        CAST(sum(n) AS BIGINT) AS np, CAST(sum(sx) AS BIGINT) AS sxp,
+        CAST(sum(sy) AS BIGINT) AS syp, CAST(sum(sxx) AS BIGINT) AS sxxp,
+        CAST(sum(syy) AS BIGINT) AS syyp, CAST(sum(sxy) AS BIGINT) AS sxyp
+      FROM mo GROUP BY event_type),
+    pv AS (SELECT event_type,
+        (sxxp - 2 * (sxp // np) * sxp + np * (sxp // np) * (sxp // np)) // np AS vx,
+        (syyp - 2 * (syp // np) * syp + np * (syp // np) * (syp // np)) // np AS vy,
+        (sxyp - (sxp // np) * syp - (syp // np) * sxp
+          + np * (sxp // np) * (syp // np)) // np AS cov
+      FROM pl)
+    SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+      CAST(a.sy // a.n - b.sy // b.n AS BIGINT) AS d_raw,
+      CAST(10000 * cov // nullif(vx, 0) AS BIGINT) AS theta_e4,
+      CAST(10000 * cov * cov // nullif(vx * vy, 0) AS BIGINT) AS rho2_bp,
+      CAST((vx * (a.sy // a.n - b.sy // b.n) - cov * (a.sx // a.n - b.sx // b.n))
+        // nullif(vx, 0) AS BIGINT) AS d_adj,
+      CAST(10000 * (a.n - b.n) * (a.n - b.n) // (a.n + b.n) AS BIGINT) AS srm_chi2_e4
+    FROM mo a JOIN mo b ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    JOIN pv ON pv.event_type = a.event_type
     ORDER BY a.event_type"""))
 
   /** TPC-H Q21 shape (waiting orders): suppliers who shipped LAST on
