@@ -2173,6 +2173,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("WelchProcessor: running A/B moments == q_ab_welch after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_welch").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("user_id % 2").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // order-insensitive: split arbitrarily, no sort anywhere
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.WelchProcessor(spark, src)
+      .toDF("k", "n_a", "n_b", "mu_a", "mu_b", "d", "v_a", "v_b", "t2_e4", "sig")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_welch").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n_a, n_b, mu_a, mu_b, d, v_a, v_b, t2_e4, sig FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n_a + n_b DESC) AS rn
+            FROM graft_welch) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7),
+            if (r.isNullAt(8)) None else Some(r.getLong(8)),
+            if (r.isNullAt(9)) None else Some(r.getBoolean(9)))).toMap
+      val want = graft.queries.Analytics.qAbWelch.fn(spark, sfDir)
+        .select("event_type", "n_a", "n_b", "mu_a", "mu_b", "d", "v_a", "v_b",
+          "t2_e4", "significant_5pct")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7),
+            if (r.isNullAt(8)) None else Some(r.getLong(8)),
+            if (r.isNullAt(9)) None else Some(r.getBoolean(9)))).toMap
+      assert(want.nonEmpty, "batch welch unexpectedly empty")
+      assert(got == want, s"streamed vs batch welch: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("RunsTestProcessor: runs state vs the frozen median == ts_runs_test after the full stream") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
