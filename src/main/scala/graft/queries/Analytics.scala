@@ -49,7 +49,9 @@ object Analytics {
     q10ReturnedRevenue, q16SupplierBreadth, q9NationYearRevenue,
     q13CustomerDistribution, q17SmallQuantity, q2MinCostSupplier,
     q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
-    q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped)
+    q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
+    q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
+    q20ExcessSuppliers)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -2675,4 +2677,149 @@ object Analytics {
       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS BIGINT)
         * 10000 // CAST(sum(rev_c) AS BIGINT) AS mkt_share_bp
     FROM l GROUP BY o_year ORDER BY o_year"""))
+
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-filter-
+    * aggregate — one year of shipments, a narrow discount band, small
+    * quantities, and the would-have-been revenue Σ price·discount. The
+    * filters are on RAW columns (shipdate range, discount band,
+    * quantity cap) so all three reach the parquet scan as PushedFilters
+    * with a 3-column ReadSchema; the exact integer products (cents ×
+    * discount basis points) are computed only on surviving rows. At
+    * 100 TB this is the min-over-data query: zero joins, zero shuffles
+    * beyond the final 1-row partial-agg merge.
+    */
+  val q6ForecastRevenue: Q = Q("q6_forecast_revenue", (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 10000) AS BIGINT)"))
+        .as("revenue_cbp"), count(lit(1)).as("n_lines"))
+  }, Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_cbp,
+      count(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""))
+
+  /** TPC-H Q11 shape (important stock), re-based onto lineitem since
+    * the testdata has no partsupp: per-part shipped value from the
+    * suppliers of one nation, keeping parts whose value exceeds TWICE
+    * the mean part value — the HAVING-against-a-global-scalar
+    * decorrelated into a 1-row broadcast joined back. The mean-based
+    * threshold (value·n_parts > 2·total) is scale-INVARIANT, unlike
+    * Q11's literal fraction, so the query returns a stable head at any
+    * SF. Supplier set broadcasts; lineitem aggregates before meeting
+    * the scalar.
+    */
+  val q11ImportantStock: Q = Q("q11_important_stock", (s, dir) => {
+    val sup = Tables.t(s, dir, "supplier")
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_9")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pv = Tables.t(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("value_c"))
+    val tot = pv.agg(sum("value_c").as("total_c"), count(lit(1)).as("n_parts"))
+    pv.crossJoin(broadcast(tot))
+      .filter(expr("value_c * n_parts > 2 * total_c"))
+      .select("l_partkey", "value_c")
+      .orderBy(col("value_c").desc, col("l_partkey"))
+  }, Some("""WITH pv AS (
+      SELECT l_partkey,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_9')
+      GROUP BY l_partkey),
+    tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+      count(*)::BIGINT AS n_parts FROM pv)
+    SELECT l_partkey, value_c FROM pv CROSS JOIN tot
+    WHERE value_c * n_parts > 2 * total_c
+    ORDER BY value_c DESC, l_partkey"""))
+
+  /** TPC-H Q19 shape (discounted revenue): three disjunctive
+    * brand/size/quantity brackets OR'd across the lineitem×part join.
+    * The OR cannot be pushed as-is, so both sides carry the manually
+    * derived envelope (part: the 3 brands + size ≤ 15; lineitem:
+    * quantity ≤ 30) — the classic Q19 optimization, giving the scan
+    * real PushedFilters while the bracket residual evaluates after the
+    * broadcast join. Exact cents-bp revenue, one output row.
+    */
+  val q19DisjunctiveRevenue: Q = Q("q19_disjunctive_revenue", (s, dir) => {
+    val p = Tables.t(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size") <= 5 &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#2" && col("p_size") <= 10 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#3" &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) DIV 10000"))
+        .as("revenue_c"), count(lit(1)).as("n_lines"))
+  }, Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000) AS BIGINT)
+        AS revenue_c,
+      count(*)::BIGINT AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** TPC-H Q20 shape (potential part promotion), re-based onto
+    * lineitem shipping history since the testdata has no partsupp: for
+    * red parts, (supplier, part) pairs whose 1996 shipments exceed
+    * HALF their all-time shipments — the correlated availqty>½·shipped
+    * subquery becomes ONE conditional aggregate per pair (no second
+    * scan, no correlated re-execution) — then the suppliers holding
+    * such a pair, restricted to one nation. Part filter broadcasts;
+    * the semi join keeps supplier output distinct by construction.
+    */
+  val q20ExcessSuppliers: Q = Q("q20_excess_suppliers", (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_name").like("red%"))
+      .select("p_partkey")
+    val pairs = Tables.t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(expr(
+        "CASE WHEN year(l_shipdate) = 1996 THEN CAST(l_quantity AS BIGINT) ELSE 0L END"))
+        .as("qty96"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("qty_tot"))
+      .filter(expr("qty96 * 2 > qty_tot"))
+      .select("l_suppkey")
+    Tables.t(s, dir, "supplier")
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_9")), col("s_nationkey") === col("n_nationkey"))
+      .join(pairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }, Some("""WITH pairs AS (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_suppkey, l_partkey
+      HAVING CAST(sum(CASE WHEN year(l_shipdate) = 1996
+          THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) * 2
+        > CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT))
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND s_suppkey IN (SELECT l_suppkey FROM pairs)
+    ORDER BY s_suppkey"""))
 }

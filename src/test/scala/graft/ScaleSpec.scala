@@ -545,6 +545,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("round-6 TPC-H additions plan scale-shaped: q6 pushdown, q19 envelope, no cartesians") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    def planOf(q: graft.Q): String = {
+      val df = q.fn(spark, sf)
+      df.collect() // finalize AQE before reading the executed plan
+      df.queryExecution.executedPlan.toString
+    }
+    // Q6: all three predicates live on RAW columns, so the lineitem
+    // scan must carry real pushed filters (shipdate range + discount
+    // band + quantity cap) — the query IS the scan
+    val p6 = planOf(graft.queries.Analytics.q6ForecastRevenue)
+    val pushed = p6.linesIterator.filter(_.contains("PushedFilters: [")).mkString
+    assert(pushed.nonEmpty, s"q6 scan carries no pushed filters:\n$p6")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"q6 lost the $c pushdown: $pushed")
+    // Q19: the disjunctive brackets must not degrade the join — part
+    // envelope broadcast, equi-join on partkey, residual OR after
+    val p19 = planOf(graft.queries.Analytics.q19DisjunctiveRevenue)
+    assert(p19.contains("BroadcastHashJoin") && !p19.contains("CartesianProduct") &&
+      !p19.contains("BroadcastNestedLoopJoin"),
+      s"q19 must stay a broadcast equi-join with an OR residual:\n$p19")
+    // Q11/Q20: aggregate-first, only 1-row scalars cross; no cartesian
+    // over data-sized inputs (the scalar BNLJ is a 1-row broadcast)
+    for (q <- Seq(graft.queries.Analytics.q11ImportantStock,
+        graft.queries.Analytics.q20ExcessSuppliers)) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
+    }
+  }
+
   test("registry-wide self-join lint: every uncapped self-join is a curated exemption") {
     spark.sparkContext.setLogLevel("ERROR")
     // the lint itself must flag the dangerous shape: a raw row-level
