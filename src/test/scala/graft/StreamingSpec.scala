@@ -1153,6 +1153,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("GapMemoryProcessor: running lag-1 gap correlation == ts_gap_memory after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_gapmem").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2, r._3))
+    // split at a global time cutoff: per-key (ts, id) order holds across files
+    val ts = rows.map(_._2).sorted
+    val cut = ts(ts.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.GapMemoryProcessor(spark, src)
+      .toDF("k", "n", "mem")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_gapmem").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n, mem FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n DESC) AS rn
+            FROM graft_gapmem) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val want = graft.queries.Series.tsGapMemory.fn(spark, sfDir)
+        .select("event_type", "n_pairs", "memory_e4")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(want.nonEmpty, "batch gap memory unexpectedly empty")
+      assert(got == want, s"streamed vs batch gap memory: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("HdrProcessor: streamed quantiles == sketch_hdr_quantiles under shuffled slicing") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
