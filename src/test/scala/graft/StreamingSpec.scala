@@ -1195,6 +1195,93 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("MannKendallProcessor: running windowed trend test == ts_mann_kendall after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_mk").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    // split at a global time cutoff: per-key ts order holds across files
+    val ts = rows.map(_._2).sorted
+    val cut = ts(ts.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.MannKendallProcessor(spark, src)
+      .toDF("k", "n_pairs", "s", "n_ties", "tau_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_mk").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final emission per key = the newest batch's row (max pairs seen)
+      val got = spark.sql(
+        """SELECT k, n_pairs, s, n_ties, tau_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n_pairs DESC) AS rn
+            FROM graft_mk) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = graft.queries.Series.tsMannKendall.fn(spark, sfDir)
+        .select("event_type", "n_pairs", "s", "n_ties", "tau_bp")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(want.nonEmpty, "batch mann-kendall unexpectedly empty")
+      assert(got == want, s"streamed vs batch mann-kendall: got=$got want=$want")
+    } finally q.stop()
+  }
+
+  test("BenfordProcessor: running digit audit == quality_benford after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val dir = Files.createTempDirectory("graft_benford").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.t(spark, sfDir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => r.getLong(0))
+    // order-insensitive: arbitrary split, no sort anywhere
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    def fmt(rs: Array[Long]): Array[Byte] =
+      rs.map(c => s"all $c").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.BenfordProcessor(spark, src)
+      .toDF("k", "digit", "n", "total", "share_bp", "benford_bp", "dev_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_benford").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT digit, n, total, share_bp, benford_bp, dev_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY digit ORDER BY total DESC) AS rn
+            FROM graft_benford) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+      val want = graft.queries.Quality.qualityBenford.fn(spark, sfDir)
+        .select("digit", "n", "total", "share_bp", "benford_bp", "dev_bp")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+      assert(want.nonEmpty, "batch benford unexpectedly empty")
+      assert(got == want, s"streamed vs batch benford: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("HdrProcessor: streamed quantiles == sketch_hdr_quantiles under shuffled slicing") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
