@@ -1282,6 +1282,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("HistogramQuantileProcessor: running bucketed quantiles == ts_histogram_quantile after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_hq").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // order-insensitive: arbitrary split, no sort anywhere
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    def fmt(rs: Array[(String, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.HistogramQuantileProcessor(spark, src)
+      .toDF("k", "phi_bp", "total", "q_e4")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_hq").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, phi_bp, total, q_e4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY k, phi_bp ORDER BY total DESC) AS rn
+            FROM graft_hq) WHERE rn = 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val want = graft.queries.Series.tsHistogramQuantile.fn(spark, sfDir)
+        .select("event_type", "phi_bp", "total", "q_e4")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(want.nonEmpty, "batch histogram quantile unexpectedly empty")
+      assert(got == want, s"streamed vs batch histogram quantile: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("HdrProcessor: streamed quantiles == sketch_hdr_quantiles under shuffled slicing") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
