@@ -1616,10 +1616,10 @@ object Analytics {
     * companion to [[qFunnel]]'s conversion rates, sharing its strict
     * first-signup → first-click-after → first-purchase-after times.
     * Per transition: converter count and min / exact DISCRETE median /
-    * max latency in µs — the median is element_at(sorted, (n+1) DIV 2),
-    * a sorted fold over the per-transition latency list (bounded by the
-    * converter count; both engines index the identical sorted list, so
-    * no interpolation arithmetic exists to diverge).
+    * max latency in µs — the median is the rank-(n+1) DIV 2 element via
+    * count + a per-stage row_number filter (state per ROW, spillable at
+    * any converter count; both engines pick the identical ranked
+    * element, so no interpolation arithmetic exists to diverge).
     */
   val qFunnelLatency: Q = Q("q_funnel_latency", (s, dir) => {
     val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))

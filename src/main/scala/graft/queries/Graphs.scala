@@ -19,7 +19,7 @@ object Graphs {
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
-    reciprocity, knnDegree)
+    reciprocity, knnDegree, clusteringLocal)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -1084,4 +1084,46 @@ object Graphs {
       CAST(sum(db) AS BIGINT) AS nbr_deg_sum,
       100 * CAST(sum(db) AS BIGINT) // count(*) AS knn_e2
     FROM tag GROUP BY da ORDER BY k"""))
+
+  /** Per-vertex LOCAL clustering coefficient (Watts & Strogatz, Nature
+    * 1998 — public) over the user-similarity graph: cc(v) =
+    * 2·tri(v) ⁄ (deg(v)·(deg(v)−1)) in exact basis points — the "how
+    * clique-like is each user's neighborhood" score that separates
+    * community cores from bridge vertices, where [[graft.queries.Analytics.qTriangles]]
+    * only ranks raw triangle counts. Rides
+    * [[graft.ops.Graph.triangles]]' degree-oriented wedge closure
+    * (O(m^1.5) wedges, each triangle once) plus one degree aggregation
+    * of the same canonical edge set; the oracle re-enumerates by the
+    * canonical a&lt;b&lt;c three-way join on the tiny sim graph. All
+    * integer — counts and one truncating DIV — so bit-exact.
+    */
+  val clusteringLocal: Q = Q("graph_clustering_local", (s, dir) => {
+    val e = simEdges(s, dir)
+    val tri = graft.ops.Graph.triangles(e)
+    val deg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.join(tri, Seq("v"), "left_outer")
+      .select(col("v").as("user_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("""CASE WHEN deg >= 2
+          THEN 20000 * coalesce(n_tri, 0L) DIV (deg * (deg - 1))
+          ELSE 0L END""").as("cc_bp"))
+      .orderBy("user_id")
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    dg AS (SELECT src AS v, count(*)::BIGINT AS deg FROM ed GROUP BY src),
+    t AS (SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+      FROM je e1 JOIN je e2 ON e2.ua = e1.ub
+        JOIN je e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+    tv AS (SELECT unnest([a, b, c]) AS v FROM t),
+    tc AS (SELECT v, count(*)::BIGINT AS n_tri FROM tv GROUP BY v)
+    SELECT dg.v AS user_id, dg.deg,
+      coalesce(tc.n_tri, 0)::BIGINT AS n_tri,
+      CAST(CASE WHEN dg.deg >= 2
+        THEN 20000 * coalesce(tc.n_tri, 0) // (dg.deg * (dg.deg - 1))
+        ELSE 0 END AS BIGINT) AS cc_bp
+    FROM dg LEFT JOIN tc ON tc.v = dg.v
+    ORDER BY user_id"""))
 }

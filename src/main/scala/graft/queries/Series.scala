@@ -23,7 +23,8 @@ object Series {
     tsHaarEnergy, tsMannKendall, tsStructureFunction, tsCounterRate,
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
-    tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess)
+    tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
+    tsLjungBox, tsPageHinkley)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3108,4 +3109,133 @@ object Series {
     WHERE c > u
     GROUP BY e.event_type, p, u
     ORDER BY e.event_type, p"""))
+
+  /** Ljung–Box portmanteau whiteness test (Ljung & Box, Biometrika
+    * 1978 — public) at lags 1–3 over each event type's hourly-mean
+    * series, composing the EXACT fixed-point autocorrelations of
+    * [[tsAutocorr]]: Q = n(n+2)·Σ_k r_k²⁄(n−k) evaluated entirely in
+    * bigints — r_k in basis points, each r_k² DIV (n−k) a truncating
+    * integer term, the n(n+2) product applied once, one final DIV 10⁴
+    * to land in e4 — so both engines walk the identical arithmetic.
+    * `reject_95` compares against χ²₍₃₎ 0.95 = 7.8147 (e4 literal).
+    * The "is this series just noise" gate run before fitting any
+    * seasonal/AR model. Shapes: identical to tsAutocorr — three lead()
+    * scans on ONE per-type window, then a per-type partial agg.
+    * Headroom: r_bp² ≤ 10⁸, ×3 lags ×n(n+2) ≈ 5·10⁵ at a year of
+    * hours → ~1.6·10¹⁴, far under the bigint edge.
+    */
+  val tsLjungBox: Q = Q("ts_ljung_box", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val hourly = e.groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val m = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), expr("sum(c) DIV count(1)").as("mean_c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val d = hourly.join(m, "event_type")
+      .withColumn("dev", col("c") - col("mean_c"))
+      .withColumn("d1", lead("dev", 1).over(w))
+      .withColumn("d2", lead("dev", 2).over(w))
+      .withColumn("d3", lead("dev", 3).over(w))
+    d.groupBy("event_type")
+      .agg(max("n").as("n_hours"),
+        expr("10000 * sum(dev * d1) DIV nullif(sum(dev * dev), 0)").as("r1_bp"),
+        expr("10000 * sum(dev * d2) DIV nullif(sum(dev * dev), 0)").as("r2_bp"),
+        expr("10000 * sum(dev * d3) DIV nullif(sum(dev * dev), 0)").as("r3_bp"))
+      .withColumn("lb_e4", expr(
+        """n_hours * (n_hours + 2) * (r1_bp * r1_bp DIV (n_hours - 1)
+           + r2_bp * r2_bp DIV (n_hours - 2)
+           + r3_bp * r3_bp DIV (n_hours - 3)) DIV 10000"""))
+      .withColumn("reject_95", expr("lb_e4 > 78147"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, sum(cents) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    m AS (SELECT event_type, count(*)::BIGINT AS n,
+        sum(c) // count(*) AS mean_c
+      FROM hd GROUP BY event_type),
+    d AS (SELECT hd.event_type, m.n, hd.c - m.mean_c AS dev,
+        lead(hd.c - m.mean_c, 1) OVER w AS d1,
+        lead(hd.c - m.mean_c, 2) OVER w AS d2,
+        lead(hd.c - m.mean_c, 3) OVER w AS d3
+      FROM hd JOIN m USING (event_type)
+      WINDOW w AS (PARTITION BY hd.event_type ORDER BY hd.h)),
+    a AS (SELECT event_type, max(n) AS n_hours,
+        CAST(10000 * sum(dev * d1) // nullif(sum(dev * dev), 0) AS BIGINT) AS r1_bp,
+        CAST(10000 * sum(dev * d2) // nullif(sum(dev * dev), 0) AS BIGINT) AS r2_bp,
+        CAST(10000 * sum(dev * d3) // nullif(sum(dev * dev), 0) AS BIGINT) AS r3_bp
+      FROM d GROUP BY event_type)
+    SELECT event_type, n_hours, r1_bp, r2_bp, r3_bp,
+      CAST(n_hours * (n_hours + 2) * (r1_bp * r1_bp // (n_hours - 1)
+        + r2_bp * r2_bp // (n_hours - 2)
+        + r3_bp * r3_bp // (n_hours - 3)) // 10000 AS BIGINT) AS lb_e4,
+      n_hours * (n_hours + 2) * (r1_bp * r1_bp // (n_hours - 1)
+        + r2_bp * r2_bp // (n_hours - 2)
+        + r3_bp * r3_bp // (n_hours - 3)) // 10000 > 78147 AS reject_95
+    FROM a ORDER BY event_type"""))
+
+  /** Page–Hinkley drift detector (Page, Biometrika 1954; Hinkley 1971
+    * — public; the standard stream-drift test in the river/MOA
+    * literature) over each event type's hourly-mean series, EXACT:
+    * with a RUNNING truncating mean x̄_t = S_t DIV t, the detector
+    * accumulates m_t = Σ(c_i − x̄_i − δ) and alarms when
+    * ph_t = m_t − min_{i≤t} m_i exceeds λ — every step integer window
+    * arithmetic (prefix count/sum, one DIV per row, prefix min), so
+    * both engines walk the identical path, negatives included (DIV
+    * and // both truncate toward zero). δ = 500 (5.00 in cents),
+    * λ = 10000 (100.00). The upward-drift companion to
+    * [[tsCusumAlarm]]'s two-sided known-mean CUSUM — PH tracks the
+    * running mean instead, the form that needs no training window.
+    * Shapes: one hourly pre-agg shuffle, then three chained window
+    * passes sharing the per-type sort; output is one row per series.
+    */
+  val tsPageHinkley: Q = Q("ts_page_hinkley", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+    val hourly = e.groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = hourly
+      .withColumn("t", row_number().over(w).cast("bigint"))
+      .withColumn("s", sum("c").over(cum))
+      .withColumn("term", expr("c - s DIV t - 500"))
+      .withColumn("m", sum("term").over(cum))
+      .withColumn("mmin", min("m").over(cum))
+      .withColumn("ph", col("m") - col("mmin"))
+    ph.groupBy("event_type")
+      .agg(max("t").as("n_hours"),
+        max("ph").as("ph_max"),
+        sum(when(col("ph") > 10000, 1L).otherwise(0L)).as("n_alarm_hours"),
+        min(when(col("ph") > 10000, col("h"))).as("first_alarm_h"))
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hd AS (SELECT event_type, h, sum(cents) // count(*) AS c
+      FROM e GROUP BY event_type, h),
+    p1 AS (SELECT event_type, h, c,
+        CAST(row_number() OVER w AS BIGINT) AS t,
+        sum(c) OVER wc AS s
+      FROM hd WINDOW w AS (PARTITION BY event_type ORDER BY h),
+        wc AS (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p2 AS (SELECT *, c - s // t - 500 AS term FROM p1),
+    p3 AS (SELECT *, sum(term) OVER wc AS m FROM p2
+      WINDOW wc AS (PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p4 AS (SELECT *, m - min(m) OVER wc AS ph FROM p3
+      WINDOW wc AS (PARTITION BY event_type ORDER BY h
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, max(t) AS n_hours,
+      CAST(max(ph) AS BIGINT) AS ph_max,
+      sum(CASE WHEN ph > 10000 THEN 1 ELSE 0 END)::BIGINT AS n_alarm_hours,
+      min(CASE WHEN ph > 10000 THEN h END) AS first_alarm_h
+    FROM p4 GROUP BY event_type ORDER BY event_type"""))
 }
