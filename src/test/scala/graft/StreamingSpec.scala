@@ -1760,6 +1760,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("PageHinkleyProcessor: streamed final rows == batch ts_page_hinkley BIT-EXACT") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_ph").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val pts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    // split at an hour boundary + one far-future sentinel point per key
+    // so the final REAL hour completes (the sentinel hour never does)
+    val cutTs = (pts(pts.length / 2)._2 / 3600000000L + 1) * 3600000000L
+    val (b1, b2) = pts.partition(_._2 < cutTs)
+    val maxH = pts.map(_._2).max / 3600000000L
+    val keys = pts.map(_._1).distinct.toSeq
+    val sentinels = keys.map(et => (et, (maxH + 10) * 3600000000L, 0L))
+    def fmt(rs: Seq[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1.toSeq))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.PageHinkleyProcessor(spark, src)
+      .toDF("event_type", "h", "mean_cents", "n_hours", "ph", "ph_max",
+        "n_alarm_hours", "first_alarm_h")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_ph_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        fmt(b2.toSeq ++ sentinels))
+      q.processAllAvailable()
+      // the running aggregate at the LAST completed hour per key is the
+      // batch answer
+      val got = spark.sql(
+        """SELECT event_type, n_hours, ph_max, n_alarm_hours, first_alarm_h
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY n_hours DESC) AS _rn FROM graft_ph_out)
+           WHERE _rn = 1""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.getLong(4) == -1L) None else Some(r.getLong(4)))).toSet
+      val want = graft.queries.Series.tsPageHinkley.fn(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+      assert(want.nonEmpty, "batch page-hinkley unexpectedly empty")
+      assert(got == want, s"streamed vs batch page-hinkley: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("KalmanProcessor: streamed final state == batch ts_kalman BIT-EXACT") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
