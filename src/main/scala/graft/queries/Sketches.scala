@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   def all: Seq[Q] = Seq(countMin, bloomJoin, hll, kmv, kmvSetOps, spaceSaving,
-    hdrQuantiles, hllWindow, amsF2)
+    hdrQuantiles, hllWindow, amsF2, bitmapIntersect)
 
   /** DuckDB twin of [[Sketch.h60]]. */
   private def oh60(saltExpr: String, keyExpr: String): String =
@@ -455,4 +455,62 @@ object Sketches {
       abs(f2_est - f2_exact) * 10000 // f2_exact AS err_bp,
       abs(f2_est - f2_exact) * 10000 // f2_exact <= 5300 AS within_3sigma
     FROM es, xx"""))
+
+  /** Distributed bitmap-index set algebra — the segment-bitmap form an
+    * OLAP engine (Druid/Pinot/ClickHouse roaring bitmaps — public) uses
+    * for audience-overlap questions: per event type the distinct-user
+    * set is packed into 63-bit words keyed by user_id DIV 63 (bit 63
+    * stays clear — DuckDB's `<<` refuses the sign bit, and the sub-word
+    * popcounts are unaffected), then every pairwise overlap is ONE
+    * word-keyed equi-join of bitmap fragments with popcount(a AND b) —
+    * set intersection at #users⁄63 longs per side instead of a
+    * user-level join, the exact companion to [[kmvSetOps]]' estimated
+    * intersections. Shapes: one distinct shuffle, one word-keyed
+    * bitmap agg (bit_or partials combine map-side), and the fragment
+    * join is co-partitioned on the word key — at 100 TB the bitmap
+    * relation is users⁄63 × #types rows, shrinking the join input 63×
+    * versus raw user pairs. All integer (popcounts + one DIV), so
+    * bit-exact.
+    */
+  val bitmapIntersect: Q = Q("sketch_bitmap_intersect", (s, dir) => {
+    val tu = Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct()
+    // loud domain gate: a negative user_id would shift by a negative
+    // amount (Spark % keeps the dividend sign) and silently corrupt the
+    // word packing — fail the query instead. One-row broadcast.
+    val domainGate = tu.agg(min("user_id").as("mn"))
+      .select(expr("""CASE WHEN mn < 0 THEN raise_error(concat(
+          'sketch_bitmap_intersect: negative user_id ', CAST(mn AS STRING),
+          ' cannot be bit-packed')) ELSE 1 END""").as("_domain_ok"))
+    val bm = tu
+      .crossJoin(broadcast(domainGate)).where(col("_domain_ok") === 1)
+      .select(col("event_type"), expr("user_id DIV 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("b"))
+      .groupBy("event_type", "w").agg(expr("bit_or(b)").as("bits"))
+    val sz = bm.groupBy("event_type")
+      .agg(expr("CAST(sum(bit_count(bits)) AS BIGINT)").as("n_users"))
+    val ix = bm.as("a").join(bm.as("b"),
+        col("a.w") === col("b.w") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(expr("CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT)").as("n_both"))
+    ix.join(sz.select(col("event_type").as("type_a"), col("n_users").as("n_a")), "type_a")
+      .join(sz.select(col("event_type").as("type_b"), col("n_users").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("10000 * n_both DIV (n_a + n_b - n_both)").as("jaccard_bp"))
+      .orderBy("type_a", "type_b")
+  }, Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    bm AS (SELECT event_type, user_id // 63 AS w,
+        bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+      FROM tu GROUP BY event_type, w),
+    sz AS (SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+      FROM bm GROUP BY event_type),
+    ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+      FROM bm a JOIN bm b ON b.w = a.w AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+      CAST(10000 * n_both // (sa.n_users + sb.n_users - n_both) AS BIGINT) AS jaccard_bp
+    FROM ix
+    JOIN sz sa ON sa.event_type = ix.type_a
+    JOIN sz sb ON sb.event_type = ix.type_b
+    ORDER BY type_a, type_b"""))
 }
