@@ -25,7 +25,7 @@ object TextOps {
     multimodalPhashClusters, multimodalDctPhash, sampleNeymanAlloc, multimodalAudioFingerprint,
     pipelineDatasetCard, pipelineDomainMixture, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
-    multimodalIntegrity)
+    multimodalIntegrity, textKneserNey)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -2376,4 +2376,61 @@ object TextOps {
       hapax * 10000 // vocab AS hapax_share_bp,
       vocab * 10000 // tokens AS ttr_bp
     FROM ag ORDER BY lang"""))
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney, ICASSP
+    * 1995; Chen & Goodman 1998 — public), the smoothing every serious
+    * n-gram LM pipeline ships, in EXACT fixed point: with discount
+    * d = 0.75 carried as 75⁄100, P_KN(w₂|w₁) = max(c(w₁w₂)−d, 0)⁄c(w₁)
+    * + d·N₁₊(w₁·)⁄c(w₁) · P_cont(w₂), where the continuation prob
+    * P_cont(w₂) = N₁₊(·w₂)⁄N counts bigram TYPES — the "how many
+    * contexts does this word follow" mass that separates KN from the
+    * add-k smoothing of [[textLmBigram]]. Each term is its own
+    * truncating e6 DIV, so both engines walk identical integer paths.
+    * Every model statistic (c₁, N₁₊(w₁·), N₁₊(·w₂), N) derives from ONE
+    * pass over the c₂ table — the bigram-type relation — so the plan is
+    * the bigram count shuffle plus three vocabulary-sized partial aggs
+    * and a 1-row broadcast; no second scan of the corpus. Headroom:
+    * 10⁸·c₂ holds to c₂ ≈ 9·10¹⁰ adjacent repeats of one bigram.
+    */
+  val textKneserNey: Q = Q("text_kneser_ney", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Text.words(col("text")).as("ws"))
+    val pos = d.select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "pos", "w")
+    val ww = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = pos.withColumn("w2", lead("w", 1).over(ww))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx = c2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1w1"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val nTypes = c2.agg(count(lit(1)).as("n_types"))
+    c2.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(nTypes))
+      .withColumn("pcont_e6", expr("1000000 * nc DIV n_types"))
+      .withColumn("pkn_e6", expr(
+        """1000000 * greatest(100 * c2 - 75, 0) DIV (100 * c1)
+           + 75 * n1w1 * pcont_e6 DIV (100 * c1)"""))
+      .select("w1", "w2", "c2", "c1", "n1w1", "nc", "pcont_e6", "pkn_e6")
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(50)
+  }, Some("""WITH d AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents),
+    pr AS (SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+          i -> [ws[i], ws[i + 1]])) AS p
+      FROM d),
+    pairs AS (SELECT p[1] AS w1, p[2] AS w2 FROM pr),
+    c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*)::BIGINT AS n1w1
+      FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::BIGINT AS nc FROM c2 GROUP BY w2),
+    nt AS (SELECT count(*)::BIGINT AS n_types FROM c2)
+    SELECT c2.w1, c2.w2, c2.c2, ctx.c1, ctx.n1w1, cont.nc,
+      CAST(1000000 * cont.nc // nt.n_types AS BIGINT) AS pcont_e6,
+      CAST(1000000 * greatest(100 * c2.c2 - 75, 0) // (100 * ctx.c1)
+        + 75 * ctx.n1w1 * (1000000 * cont.nc // nt.n_types) // (100 * ctx.c1)
+        AS BIGINT) AS pkn_e6
+    FROM c2 JOIN ctx USING (w1) JOIN cont USING (w2), nt
+    ORDER BY c2 DESC, w1, w2 LIMIT 50"""))
 }
