@@ -75,5 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(AudioFingerprint.fnName),
       AudioFingerprint.info, AudioFingerprint.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -66,4 +66,37 @@ object Scale {
     df.withColumn("_gn", count(lit(1)).over(Window.partitionBy(keyCol)))
       .filter(col("_gn") <= maxRows).drop("_gn")
   }
+
+  /** Top-k rows per group through the NATIVE [[graft.plans.TopKPerGroup]]
+    * operator instead of `row_number() OVER (...) <= k`: a bounded
+    * per-partition selection runs BEFORE the exchange (≤ k rows per
+    * (group, map partition) cross the wire) and a bounded final pass
+    * after it — no WindowExec, no full per-group sort, no sort spill.
+    * `orderKeys` are (column, ascending) pairs and MUST form a total
+    * order (tie-broken) for the partial∘final composition to be exact —
+    * the determinism rule every oracle query here already follows.
+    * Expression-valued group/order keys: project them to named columns
+    * first. Injects the planner strategy imperatively so sessions built
+    * without GraftExtensions (the driver's harness session) still plan
+    * it.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderKeys: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val spark = df.sparkSession
+    graft.plans.TopKPerGroup.ensureStrategy(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String) =
+      analyzed.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"topKPerGroup: no column '$n' in ${analyzed.output.map(_.name)}"))
+    val order = orderKeys.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.TopKPerGroup(groupCols.map(attr), order, k, analyzed))
+  }
 }

@@ -51,7 +51,7 @@ object Analytics {
     q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
     q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
-    q20ExcessSuppliers)
+    q20ExcessSuppliers, qTopkNative)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -973,6 +973,27 @@ object Analytics {
     SELECT event_type, event_id, value,
       CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
     FROM events) WHERE rn <= 3 ORDER BY event_type, rn"""))
+
+  /** [[qWindowRank]]'s semantics through the NATIVE
+    * [[graft.plans.TopKPerGroup]] operator (logical node + strategy +
+    * bounded physical exec via [[graft.ops.Scale.topKPerGroup]]): top-3
+    * events per type under the identical total order, but with a
+    * per-map-partition bounded selection BEFORE the exchange — ≤ k rows
+    * per (group, map partition) cross the wire and no WindowExec/full
+    * sort exists in the plan (TopKPerGroupSpec pins the shape). The
+    * oracle is the row_number form — same rows, different engine path,
+    * which is exactly what makes it an oracle.
+    */
+  val qTopkNative: Q = Q("q_topk_native", (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    graft.ops.Scale.topKPerGroup(e, Seq("event_type"),
+        Seq(("value", false), ("event_id", true)), 3)
+      .orderBy(col("event_type"), col("value").desc, col("event_id"))
+  }, Some("""SELECT event_type, event_id, value FROM (
+    SELECT event_type, event_id, value,
+      row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+    FROM events) WHERE rn <= 3 ORDER BY event_type, value DESC, event_id"""))
 
   /** Rolling 5-row sum (rowsBetween) per series. */
   val qWindowRolling: Q = Q("q_window_rolling", (s, dir) => {
