@@ -45,11 +45,20 @@ object Ann {
         .withColumn(s"${prefix}n", sqrt(dot(col(s"${prefix}e"), col(s"${prefix}e"))))
     val q = normed(queries, "q")
     val c = normed(corpus, "c")
-    val w = Window.partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
-    q.join(c, col("q_id") =!= col("c_id"))
+    // bounded native top-k BEFORE the exchange: the scored pair stream is
+    // |q|x|corpus|-sized, and the row_number window form would shuffle and
+    // SORT all of it per q_id — TopKPerGroup lets at most k rows per
+    // (q_id, map partition) cross the wire; the rank window then runs over
+    // <= k rows per group and reuses the operator's clustered partitioning
+    // (no second shuffle). Ordering key is the identical rounded-sim +
+    // c_id total order, so the selected rows are bit-identical.
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
       .withColumn("sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+      .withColumn("_simr", round(col("sim"), 6))
+    val sel = Scale.topKPerGroup(scored, Seq("q_id"),
+      Seq(("_simr", false), ("c_id", true)), k)
+    val w = Window.partitionBy("q_id").orderBy(col("_simr").desc, col("c_id").asc)
+    sel.withColumn("rnk", row_number().over(w).cast("bigint"))
       .select(col("q_id"), col("c_id"), col("rnk"), col("sim"))
   }
 
@@ -77,11 +86,14 @@ object Ann {
         .withColumn(s"${prefix}n", sqrt(dot(col(s"${prefix}e"), col(s"${prefix}e"))))
     val q = normed(queries, "q")
     val c = normed(corpus, "c")
-    val w = Window.partitionBy("q_id").orderBy(round(col("sim"), 6).desc, col("c_id").asc)
-    q.join(c, col("q_grp") =!= col("c_grp"))
+    // same bounded-selection shape as [[cosineTopK]] — see the note there
+    val scored = q.join(c, col("q_grp") =!= col("c_grp"))
       .withColumn("sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+      .withColumn("_simr", round(col("sim"), 6))
+    val sel = Scale.topKPerGroup(scored, Seq("q_id"),
+      Seq(("_simr", false), ("c_id", true)), k)
+    val w = Window.partitionBy("q_id").orderBy(col("_simr").desc, col("c_id").asc)
+    sel.withColumn("rnk", row_number().over(w).cast("bigint"))
       .select(col("q_id"), col("q_grp"), col("c_id"), col("c_grp"), col("rnk"), col("sim"))
   }
 }
