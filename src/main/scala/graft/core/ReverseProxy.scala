@@ -129,12 +129,24 @@ object ReverseProxy {
       }
       val status = conn.getResponseCode
       val xwarp = {
-        import scala.jdk.CollectionConverters._
-        conn.getHeaderFields.asScala.toSeq
-          .collect { case (k, vs) if k != null => (canonicalHeaderKey(k), vs) }
-          .filter(_._1.startsWith("X-Warp"))
-          .sortBy(_._1)
-          .map { case (k, vs) => (k, vs.get(vs.size - 1)) } // Header[k][0]: first-set = last in JDK order
+        // reverse.go returns Header[k][0] — the FIRST value on the wire for
+        // a repeated header. Walk getHeaderFieldKey/getHeaderField by index
+        // (wire order per JDK contract) instead of getHeaderFields, whose
+        // per-key value ordering is undocumented.
+        val firstByKey = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var i = 0
+        var done = false
+        while (!done) {
+          val k = conn.getHeaderFieldKey(i)
+          val v = conn.getHeaderField(i)
+          if (k == null && v == null) done = true
+          else if (k != null && v != null) {
+            val ck = canonicalHeaderKey(k)
+            if (ck.startsWith("X-Warp") && !firstByKey.contains(ck)) firstByKey(ck) = v
+          }
+          i += 1
+        }
+        firstByKey.toSeq.sortBy(_._1)
       }
       val contentType = Option(conn.getContentType).getOrElse("")
       val body = readAll(

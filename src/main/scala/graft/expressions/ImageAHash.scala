@@ -66,8 +66,10 @@ object ImageAHash {
     val w = le32(b, 18)
     val h = le32(b, 22)
     val bpp = le16(b, 28)
+    // subtraction form: `off + Dim*Dim*3` overflows int for off near
+    // Int.MaxValue and would pass the check, then throw inside codegen
     if (w != Dim || h != Dim || bpp != 24 || off < 0 ||
-      b.length < off + Dim * Dim * 3) return null
+      off > b.length - Dim * Dim * 3) return null
     // luminance in IMAGE order (file rows are bottom-up)
     val lum = new Array[Long](Dim * Dim)
     var sum = 0L

@@ -83,8 +83,10 @@ object ImageDctHash {
       u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     if (b == null || b.length < 34 || b(0) != 0x42 || b(1) != 0x4D) return null
     val off = le32(10)
+    // subtraction form: `off + Dim*Dim*3` overflows int for off near
+    // Int.MaxValue and would pass the check, then throw inside codegen
     if (le32(18) != Dim || le32(22) != Dim || le16(28) != 24 || off < 0 ||
-      b.length < off + Dim * Dim * 3) return null
+      off > b.length - Dim * Dim * 3) return null
     // luminance in IMAGE order (file rows are bottom-up)
     val lum = new Array[Long](Dim * Dim)
     var j = 0

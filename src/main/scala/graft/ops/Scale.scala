@@ -89,10 +89,14 @@ object Scale {
     val spark = df.sparkSession
     graft.plans.TopKPerGroup.ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String) =
-      analyzed.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"topKPerGroup: no column '$n' in ${analyzed.output.map(_.name)}"))
+    def attr(n: String) = analyzed.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"topKPerGroup: no column '$n' in ${analyzed.output.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        s"topKPerGroup: ambiguous column '$n' (${many.size} matches — " +
+          "disambiguate with aliases before calling, as col() would require)")
+    }
     val order = orderKeys.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

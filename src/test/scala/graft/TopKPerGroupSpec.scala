@@ -49,20 +49,50 @@ class TopKPerGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
-  test("plan shape: partial + final custom stages, one exchange between, no WindowExec or global sort") {
+  test("plan shape: partial + final custom stages, one exchange between, no WindowExec; only the bounded local sort") {
     val e = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("value"))
     val df = Scale.topKPerGroup(e, Seq("event_type"),
       Seq(("value", false), ("event_id", true)), 3)
     df.collect() // finalize AQE before reading the executed plan
-    val plan = df.queryExecution.executedPlan.toString
+    // AQE's toString prints Final AND Initial plans — assert on the final only
+    val whole = df.queryExecution.executedPlan.toString
+    val plan = whole.split("== Initial Plan ==")(0)
     assert(plan.contains("TopKPerGroup"), plan)
     val stages = "TopKPerGroupExec|TopKPerGroup".r.findAllIn(plan).size
     assert(stages >= 2, s"expected partial+final stages:\n$plan")
     assert(!plan.contains("Window"), s"WindowExec crept in:\n$plan")
-    assert(!plan.toLowerCase.contains("sort "), s"a sort crept in:\n$plan")
+    // the final stage's required ordering plans exactly ONE sort: the
+    // spill-capable PARTITION-LOCAL SortExec over the shuffle output the
+    // partial stage already bounded to <= k rows per (group, map). A
+    // global sort, or one below the exchange (i.e. over the raw data),
+    // would defeat the operator.
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(sorts <= 1, s"expected at most the one bounded local sort:\n$plan")
+    if (sorts == 1) assert(plan.contains("], false, 0"), s"sort must be partition-local:\n$plan")
     assert(plan.contains("Exchange") || plan.contains("ShuffleQueryStage"),
       s"expected the clustered exchange:\n$plan")
+  }
+
+  test("partial stage flushes past the byte budget: exact results with a 1 KiB budget over many groups") {
+    val sp = spark; import sp.implicits._
+    sp.conf.set("graft.topKPerGroup.flushBytes", "1024")
+    try {
+      // 500 groups x 40 rows in 4 partitions: a 1 KiB budget forces many
+      // mid-partition flushes; the final stage must still re-select exactly
+      val df = (0 until 20000).map(i => (i % 500, i.toLong)).toDF("g", "v")
+        .repartition(4)
+      val got = Scale.topKPerGroup(df, Seq("g"), Seq(("v", true)), 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val want = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("g").orderBy(col("v").asc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      }
+      assert(got.size == 1000)
+      assert(got == want)
+    } finally sp.conf.unset("graft.topKPerGroup.flushBytes")
   }
 
   test("partial stage bounds what crosses the shuffle: k rows per (group, map partition)") {
