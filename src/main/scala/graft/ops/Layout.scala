@@ -1,0 +1,48 @@
+package graft.ops
+
+/** Storage-layout machinery: Z-order (Morton) interleaved sort keys.
+  *
+  * At 100 TB the dominant cost of a multi-dimensional workload is how
+  * many files a 2-predicate scan has to open: sorting data by ONE key
+  * clusters that key only. Writing files ordered by the bit-interleave
+  * of k quantized keys gives every key locality ~2^(bits/k), so
+  * min/max zone maps prune on ALL interleaved dimensions at once —
+  * the standard lakehouse `OPTIMIZE ZORDER BY` move, reproduced here
+  * as pure integer SQL both engines evaluate identically (`>>`/`&` on
+  * BIGINT are cross-engine exact, including on negatives, and the
+  * quantizer is truncating integer division).
+  *
+  * All builders emit the SHARED Spark/DuckDB dialect; integer division
+  * is parameterized (`DIV` in Spark, `//` in DuckDB) like
+  * [[graft.ops.Series.holtStepSql]].
+  */
+object Layout {
+
+  /** Quantize `x` (BIGINT expression) from its [mn, mx] range onto
+    * [0, 2^bits): q = (x - mn)·(2^bits - 1) DIV (mx - mn). Exact in
+    * both engines for non-negative numerators; callers pass mn/mx from
+    * a 1-row aggregate so the numerator is non-negative by
+    * construction. Degenerate range (mx = mn) maps to 0.
+    */
+  def quantizeSql(div: String, x: String, mn: String, mx: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"quantize bits in [1,31], got $bits")
+    val top = (1L << bits) - 1
+    s"(CASE WHEN ($mx) > ($mn) THEN ((($x) - ($mn)) * $top) $div (($mx) - ($mn)) ELSE 0 END)"
+  }
+
+  /** Morton/Z-order interleave of already-quantized BIGINT expressions
+    * in [0, 2^bits): bit i of column j lands at position i·k + j. The
+    * interleave is a sum of `(x >> i & 1) · 2^(i·k+j)` terms with
+    * LITERAL power-of-two multipliers — no shift-by-expression, so the
+    * generated SQL parses and folds identically in Spark and DuckDB.
+    */
+  def zorderSql(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    require(k >= 2, "interleaving one column is just the column")
+    require(bits >= 1 && bits * k <= 62, s"bits*cols must fit a BIGINT: $bits*$k")
+    val terms =
+      for { i <- 0 until bits; (c, j) <- cols.zipWithIndex }
+        yield s"((($c) >> $i) & 1) * CAST(${1L << (i * k + j)} AS BIGINT)"
+    terms.mkString("(", " + ", ")")
+  }
+}

@@ -49,6 +49,39 @@ object Scale {
     phase1.groupBy(col("_key")).agg(finals.head, finals.tail: _*)
   }
 
+  /** Skew-salted equi-join: widen the shuffle key space of a join whose
+    * LEFT side is heavily skewed on the join key. The big side gets a
+    * deterministic pseudo-salt in [0, salts) (hash of the whole row —
+    * stable under task retry); the small side is REPLICATED once per
+    * salt value; the join runs on (key, salt), so a hot key's rows
+    * spread over `salts` reducers instead of one. This is the explicit
+    * lever for the case AQE's skew-join split does not reach: the small
+    * side is too big to broadcast but cheap to replicate `salts`×, and
+    * the skew is known up front (a 1000-executor job sizing `salts` to
+    * the hottest key). Join types where replication is sound: inner /
+    * left (unmatched big rows survive exactly once — their salt bucket
+    * has the full replica set), left_semi, left_anti (a key matches in
+    * its own bucket iff it matches at all). right/full outer are
+    * rejected — unmatched SMALL rows would surface once per replica.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts >= 1")
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: '$joinType' would emit unmatched replicated small-side rows once per salt")
+    val b = big.withColumn("_salt", pmod(hash(big.columns.map(col): _*), lit(salts)))
+    val sm = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.join(sm, b(bigKey) === sm(smallKey) && b("_salt") === sm("_salt"), joinType)
+      .drop("_salt")
+  }
+
   /** Drop entire groups with more than `maxRows` rows — the self-join
     * blow-up guard: any per-group pair generation (market baskets,
     * co-occurrence, dotplot matches) explodes quadratically in group

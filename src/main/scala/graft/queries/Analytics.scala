@@ -51,7 +51,7 @@ object Analytics {
     q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
     q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
-    q20ExcessSuppliers, qTopkNative)
+    q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -664,6 +664,73 @@ object Analytics {
   }, Some("""SELECT user_id, round(sum(value), 4) AS sum_value,
       count(*) AS n, min(value) AS min_value, max(value) AS max_value
     FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Skew-salted equi-join ([[graft.ops.Scale.saltedJoin]]): events
+    * (15 distinct user_ids over the whole stream — every key is hot)
+    * joined to customer over an 8-way salt, so each hot key's rows
+    * spread across 8 reducers instead of one. The small side is
+    * replicated 8× (customer rows × 8 — trivial), the big side's salt
+    * is a deterministic whole-row hash (retry-stable), and the oracle
+    * is the UNSALTED join — same rows by construction, which is the
+    * point: salting changes the exchange, never the result. At 100 TB
+    * this is the lever when the dimension exceeds the broadcast
+    * threshold but the fact side has known hot keys AQE's sort-merge
+    * skew split can't reach (e.g. a shuffled hash join).
+    */
+  val qSaltedJoin: Q = Q("q_salted_join", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val c = Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.ops.Scale.saltedJoin(e, c, "user_id", "c_custkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }, Some("""SELECT c_mktsegment, count(*)::BIGINT AS n,
+      round(sum(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Z-order (Morton) storage-layout keys ([[graft.ops.Layout]]): the
+    * lakehouse `OPTIMIZE ZORDER BY (l_partkey, l_suppkey)` move as pure
+    * integer SQL. Both keys quantize to 10 bits over their observed
+    * range (1-row broadcast agg), interleave bitwise into a 20-bit
+    * Morton code, and the table reports per-z-bucket clustering
+    * quality: 64 write buckets × (row count, partkey span, suppkey
+    * span). Under a z-ordered layout BOTH spans shrink to ~1/8 of the
+    * key range per bucket (3 interleaved bits each), which is exactly
+    * why min/max zone maps then prune 2-predicate scans on either key —
+    * a single-key sort clusters one span and leaves the other at full
+    * range. The interleave is `(x >> i & 1)·2^(ik+j)` with literal
+    * multipliers — cross-engine exact on BIGINTs.
+    */
+  val qZorderLayout: Q = Q("layout_zorder", (s, dir) => {
+    import graft.ops.Layout
+    val li = Tables.t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val rng = li.agg(
+      min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"),
+      min("l_suppkey").as("mn_s"), max("l_suppkey").as("mx_s"))
+    li.crossJoin(broadcast(rng))
+      .withColumn("p_q", expr(Layout.quantizeSql("DIV", "l_partkey", "mn_p", "mx_p", 10)))
+      .withColumn("s_q", expr(Layout.quantizeSql("DIV", "l_suppkey", "mn_s", "mx_s", 10)))
+      .withColumn("z", expr(Layout.zorderSql(Seq("p_q", "s_q"), 10)))
+      .withColumn("bucket", expr("z DIV 16384"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (max("p_q") - min("p_q")).as("p_span"),
+        (max("s_q") - min("s_q")).as("s_span"))
+      .orderBy("bucket")
+  }, Some(s"""WITH r AS (SELECT min(l_partkey) AS mn_p, max(l_partkey) AS mx_p,
+        min(l_suppkey) AS mn_s, max(l_suppkey) AS mx_s FROM lineitem),
+    q AS (SELECT
+        ${graft.ops.Layout.quantizeSql("//", "l_partkey", "mn_p", "mx_p", 10)} AS p_q,
+        ${graft.ops.Layout.quantizeSql("//", "l_suppkey", "mn_s", "mx_s", 10)} AS s_q
+      FROM lineitem, r),
+    z AS (SELECT p_q, s_q,
+        ${graft.ops.Layout.zorderSql(Seq("p_q", "s_q"), 10)} AS z FROM q)
+    SELECT z // 16384 AS bucket, count(*)::BIGINT AS n,
+      (max(p_q) - min(p_q))::BIGINT AS p_span,
+      (max(s_q) - min(s_q))::BIGINT AS s_span
+    FROM z GROUP BY bucket ORDER BY bucket"""))
 
   /** Pivot: event counts per user bucket × event_type as columns. */
   val qPivot: Q = Q("q_pivot", (s, dir) => {

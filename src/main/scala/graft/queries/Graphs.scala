@@ -19,7 +19,7 @@ object Graphs {
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
-    reciprocity, knnDegree, clusteringLocal)
+    reciprocity, knnDegree, clusteringLocal, diameterSweep)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -1126,4 +1126,61 @@ object Graphs {
         ELSE 0 END AS BIGINT) AS cc_bp
     FROM dg LEFT JOIN tc ON tc.v = dg.v
     ORDER BY user_id"""))
+
+  /** Single-seed BFS round chain for [[diameterSweep]]'s oracle —
+    * [[bfsRoundSql]] without the seed label; MATERIALIZED per the
+    * chain rule.
+    */
+  private def sweepRoundSql(pfx: String, k: Int): String = s""",
+    $pfx${k + 1} AS MATERIALIZED (SELECT v, CAST(min(hop) AS BIGINT) AS hop
+      FROM (SELECT v, hop FROM $pfx$k
+        UNION ALL SELECT e.dst AS v, r.hop + 1
+        FROM $pfx$k r JOIN ed e ON e.src = r.v) u
+      GROUP BY v)"""
+
+  /** Diameter lower bound by DOUBLE SWEEP (Magnien, Latapy & Habib,
+    * "Fast computation of empirically tight bounds for the diameter of
+    * massive graphs", JEA 2009 — public): BFS from a deterministic
+    * seed (the minimum vertex id), hop to the farthest vertex found
+    * (ties broken by min id — total order, both engines agree), BFS
+    * again from there; the second eccentricity is the classic
+    * empirically-tight diameter lower bound at the cost of exactly TWO
+    * BFS walks — the only diameter machinery that exists at
+    * 100-TB-graph scale, where all-pairs is off the table. Both sweeps
+    * are hop-capped at 8 (the same bounded-depth contract as
+    * [[bfsHops]]; both engines apply the identical cap, so the output
+    * is the 8-bounded eccentricity either way). One row out: seed,
+    * its eccentricity, the far vertex, the diameter bound, and the
+    * second sweep's reach count.
+    */
+  val diameterSweep: Q = Q("graph_diameter_sweep", (s, dir) => {
+    val e = simEdges(s, dir).persist()
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+    val s0 = verts.agg(min("v").as("v"))
+    val h1 = graft.ops.Graph.bfsHops(e, s0, maxDepth = 8)
+    val far = h1.orderBy(col("hop").desc, col("v")).limit(1)
+      .select(col("v").as("far_vertex"), col("hop").as("ecc_seed0"))
+    val h2 = graft.ops.Graph.bfsHops(
+      e, far.select(col("far_vertex").as("v")), maxDepth = 8)
+    val sweep2 = h2.agg(max("hop").as("diameter_lb"),
+      count(lit(1)).as("n_reached"))
+    s0.select(expr("CAST(v AS BIGINT)").as("seed0"))
+      .crossJoin(far).crossJoin(sweep2)
+      .select(col("seed0"), col("ecc_seed0"),
+        expr("CAST(far_vertex AS BIGINT)").as("far_vertex"),
+        col("diameter_lb"), col("n_reached"))
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM je
+      UNION ALL SELECT ub, ua FROM je),
+    a0 AS MATERIALIZED (SELECT min(src) AS v, CAST(0 AS BIGINT) AS hop
+      FROM ed)${(0 until 8).map(k => sweepRoundSql("a", k)).mkString},
+    fv AS MATERIALIZED (SELECT v, hop FROM a8 ORDER BY hop DESC, v LIMIT 1),
+    b0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS hop
+      FROM fv)${(0 until 8).map(k => sweepRoundSql("b", k)).mkString}
+    SELECT CAST((SELECT v FROM a0) AS BIGINT) AS seed0,
+      (SELECT hop FROM fv) AS ecc_seed0,
+      CAST((SELECT v FROM fv) AS BIGINT) AS far_vertex,
+      (SELECT max(hop) FROM b8) AS diameter_lb,
+      (SELECT count(*)::BIGINT FROM b8) AS n_reached"""))
 }

@@ -13,7 +13,7 @@ object Quality {
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
     langidEval, qualityReadability, datasetMerkle, qualityBenford,
-    qualityConformal)
+    qualityConformal, qualityEncoding, qualityKlSource)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -635,4 +635,137 @@ object Quality {
     FROM tst JOIN med USING (event_type) JOIN qh USING (event_type)
     GROUP BY tst.event_type, n_cal, med, qhat
     ORDER BY event_type"""))
+
+  /** Per-source vocabulary divergence — the domain-mix diagnostic a
+    * multi-corpus training pipeline tracks per ingest batch: for each
+    * source, the KL divergence of its word distribution from the whole
+    * corpus, in deci-bits, via the same EXACT floor-log₂
+    * (`length(bin(x))−1`) integer dialect as [[qualitySurprisal]].
+    * Per word w in source s with count a_w (source total A), corpus
+    * count n_w (total N): the scaled ratio r = (a_w·N·1024) DIV (A·n_w)
+    * carries floor(log₂) + 10 of the likelihood ratio, so
+    * KL·10 ≈ Σ a_w·(⌊log₂ r⌋ − 10)·10 DIV A — a one-number "this
+    * source does not read like the mix" alarm (the quantity DSIR
+    * importance weights integrate per-document; here aggregated
+    * per-source). Word counts are one partial-agg shuffle; the corpus
+    * table is vocabulary-sized and broadcast back.
+    */
+  val qualityKlSource: Q = Q("quality_kl_source", (s, dir) => {
+    val w = Tables.t(s, dir, "documents").select(col("source"),
+      explode(graft.ops.Text.words(col("text"))).as("word"))
+    val a = w.groupBy("source", "word").agg(count(lit(1)).as("a"))
+    val n = w.groupBy("word").agg(count(lit(1)).as("nw"))
+    val tot = w.groupBy("source").agg(count(lit(1)).as("asum"))
+    val big = n.agg(sum("nw").as("nsum"))
+    a.join(broadcast(n), "word").join(broadcast(tot), "source")
+      .crossJoin(broadcast(big))
+      .withColumn("lr10",
+        expr("length(bin((a * nsum * 1024) DIV (asum * nw))) - 1 - 10"))
+      .groupBy("source")
+      .agg(first("asum").as("n_words"),
+        countDistinct("word").as("n_vocab"),
+        sum(expr("a * lr10")).as("kl_num"))
+      .withColumn("kl_decibits", expr("kl_num * 10 DIV n_words"))
+      .select(col("source"), col("n_words"), col("n_vocab"), col("kl_decibits"))
+      .orderBy("source")
+  }, Some("""WITH w AS (
+      SELECT source,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    a AS (SELECT source, word, count(*)::BIGINT AS a FROM w GROUP BY source, word),
+    n AS (SELECT word, count(*)::BIGINT AS nw FROM w GROUP BY word),
+    tot AS (SELECT source, count(*)::BIGINT AS asum FROM w GROUP BY source),
+    big AS (SELECT sum(nw)::BIGINT AS nsum FROM n)
+    SELECT a.source, CAST(tot.asum AS BIGINT) AS n_words,
+      count(DISTINCT a.word)::BIGINT AS n_vocab,
+      CAST(sum(a.a * (length(bin((a.a * big.nsum * 1024) // (tot.asum * n.nw))) - 1 - 10))
+        * 10 // tot.asum AS BIGINT) AS kl_decibits
+    FROM a JOIN n USING (word) JOIN tot ON tot.source = a.source, big
+    GROUP BY a.source, tot.asum
+    ORDER BY a.source"""))
+
+  /** Encoding-damage (mojibake) detection — the byte-level hygiene scan
+    * a web-scale text pipeline runs before any tokenizer sees the data:
+    * classify every byte by its UTF-8 role (ASCII / continuation /
+    * 2-, 3-, 4-byte lead / control) and flag documents whose
+    * continuation-byte count disagrees with what their lead bytes
+    * promise (orphan continuations and truncated sequences are THE
+    * mojibake signatures) or that carry non-whitespace control bytes
+    * (NUL from binary bleed-through). The corpus text is clean ASCII,
+    * so damage is PLANTED deterministically — every byte position
+    * p ≡ doc_id (mod 7) is overwritten with a rotating damage byte
+    * (BF orphan continuation / C3 dangling lead / F0 truncated 4-byte
+    * lead / 00 NUL) — and the detector must recover exactly the
+    * per-class imbalance the plant implies. All classification happens
+    * on the first HEX DIGIT of each byte (no hex→int conversion
+    * needed), in the same hex dialect both engines share for the
+    * multimodal decoders. Per-row work is linear in bytes, the explode
+    * is position-bounded (64 bytes/doc), and the only shuffle is the
+    * per-doc count aggregation.
+    */
+  /** Per-doc UTF-8 byte-class metrics behind [[qualityEncoding]] —
+    * shared with the streaming Utf8GateProcessor parity test (compose
+    * from the builder, never from another query's `.fn`). Keeps the
+    * `source` column so gate-level aggregation can group by it.
+    */
+  def encodingMetrics(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("upper(hex(substring(text, 1, 64)))").as("hx"))
+      .withColumn("nb", expr("length(hx) DIV 2"))
+      .filter(col("nb") >= 1)
+    val bytes = d.select(col("doc_id"), col("source"), col("hx"),
+        explode(expr("sequence(1, nb)")).as("p"))
+      .withColumn("bb", expr("""CASE WHEN p % 7 = doc_id % 7 THEN
+          CASE doc_id % 4 WHEN 0 THEN 'BF' WHEN 1 THEN 'C3'
+                          WHEN 2 THEN 'F0' ELSE '00' END
+        ELSE substr(hx, 2 * p - 1, 2) END"""))
+      .withColumn("d1", expr("substr(bb, 1, 1)"))
+    bytes.groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_bytes"),
+        sum(expr("CASE WHEN d1 IN ('8','9','A','B') THEN 1L ELSE 0L END")).as("n_cont"),
+        sum(expr("""CASE WHEN d1 IN ('C','D') THEN 1L WHEN d1 = 'E' THEN 2L
+          WHEN d1 = 'F' THEN 3L ELSE 0L END""")).as("cont_expected"),
+        sum(expr("""CASE WHEN d1 IN ('0','1') AND bb NOT IN ('09','0A','0D')
+          THEN 1L ELSE 0L END""")).as("n_ctrl"))
+      .withColumn("cont_excess", expr("n_cont - cont_expected"))
+      .withColumn("damage_score", expr("abs(cont_excess) * 10 + n_ctrl"))
+  }
+
+  val qualityEncoding: Q = Q("quality_encoding", (s, dir) => {
+    encodingMetrics(s, dir)
+      .select(col("doc_id"), col("n_bytes"), col("n_cont"), col("cont_expected"),
+        col("n_ctrl"), col("cont_excess"), col("damage_score"))
+      .orderBy(col("damage_score").desc, col("doc_id")).limit(25)
+  }, Some("""WITH d AS (
+      SELECT doc_id, upper(hex(substring(text, 1, 64))) AS hx
+      FROM documents WHERE length(hex(substring(text, 1, 64))) >= 2),
+    b AS (SELECT doc_id, hx,
+        unnest(range(1, length(hx) // 2 + 1)) AS p
+      FROM d),
+    c AS (SELECT doc_id,
+        CASE WHEN p % 7 = doc_id % 7 THEN
+          CASE doc_id % 4 WHEN 0 THEN 'BF' WHEN 1 THEN 'C3'
+                          WHEN 2 THEN 'F0' ELSE '00' END
+        ELSE substr(hx, CAST(2 * p - 1 AS INT), 2) END AS bb
+      FROM b),
+    k AS (SELECT doc_id, bb, substr(bb, 1, 1) AS d1 FROM c)
+    SELECT doc_id,
+      count(*)::BIGINT AS n_bytes,
+      CAST(sum(CASE WHEN d1 IN ('8','9','A','B') THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+      CAST(sum(CASE WHEN d1 IN ('C','D') THEN 1 WHEN d1 = 'E' THEN 2
+        WHEN d1 = 'F' THEN 3 ELSE 0 END) AS BIGINT) AS cont_expected,
+      CAST(sum(CASE WHEN d1 IN ('0','1') AND bb NOT IN ('09','0A','0D')
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+      CAST(sum(CASE WHEN d1 IN ('8','9','A','B') THEN 1 ELSE 0 END)
+        - sum(CASE WHEN d1 IN ('C','D') THEN 1 WHEN d1 = 'E' THEN 2
+            WHEN d1 = 'F' THEN 3 ELSE 0 END) AS BIGINT) AS cont_excess,
+      CAST(abs(sum(CASE WHEN d1 IN ('8','9','A','B') THEN 1 ELSE 0 END)
+          - sum(CASE WHEN d1 IN ('C','D') THEN 1 WHEN d1 = 'E' THEN 2
+              WHEN d1 = 'F' THEN 3 ELSE 0 END)) * 10
+        + sum(CASE WHEN d1 IN ('0','1') AND bb NOT IN ('09','0A','0D')
+            THEN 1 ELSE 0 END) AS BIGINT) AS damage_score
+    FROM k GROUP BY doc_id
+    ORDER BY damage_score DESC, doc_id LIMIT 25"""))
 }

@@ -24,7 +24,7 @@ object Series {
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
     tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
-    tsLjungBox, tsPageHinkley)
+    tsLjungBox, tsPageHinkley, tsSeasonalEsd)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3238,4 +3238,96 @@ object Series {
       sum(CASE WHEN ph > 10000 THEN 1 ELSE 0 END)::BIGINT AS n_alarm_hours,
       min(CASE WHEN ph > 10000 THEN h END) AS first_alarm_h
     FROM p4 GROUP BY event_type ORDER BY event_type"""))
+
+  /** One oracle round of [[tsSeasonalEsd]]: exact lower median of the
+    * remaining points, exact MAD, argmax deviation (tie-broken), the
+    * round's test verdict, and the survivor set. MATERIALIZED per the
+    * chain rule — each p CTE is read by four successors.
+    */
+  private def esdRoundSql(r: Int, thresholdBp: Long): String = {
+    val p = s"p${r - 1}"
+    s""",
+    m$r AS MATERIALIZED (SELECT event_type, c AS med FROM (
+      SELECT event_type, c, event_id,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS BIGINT) AS rv,
+        count(*) OVER (PARTITION BY event_type) AS nn
+      FROM $p) WHERE rv = (nn + 1) // 2),
+    d$r AS MATERIALIZED (SELECT $p.event_type, event_id, c,
+        abs(c - med) AS dev
+      FROM $p JOIN m$r USING (event_type)),
+    md$r AS MATERIALIZED (SELECT event_type, dev AS mad FROM (
+      SELECT event_type, dev, event_id,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS BIGINT) AS rv,
+        count(*) OVER (PARTITION BY event_type) AS nn
+      FROM d$r) WHERE rv = (nn + 1) // 2),
+    t$r AS MATERIALIZED (SELECT event_type, event_id, c, dev FROM d$r
+      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, event_id) = 1),
+    o$r AS (SELECT CAST($r AS BIGINT) AS round, t$r.event_type, event_id, c, dev, mad,
+        dev * 10000 > mad * $thresholdBp AS passed
+      FROM t$r JOIN md$r USING (event_type)),
+    p$r AS MATERIALIZED (SELECT * FROM $p WHERE NOT EXISTS (
+      SELECT 1 FROM t$r WHERE t$r.event_type = $p.event_type
+        AND t$r.event_id = $p.event_id))"""
+  }
+
+  /** Quantized critical values for the 3 ESD rounds (the t-based λ_i
+    * SHRINKS with i; pinned as integer basis-point LITERALS so both
+    * engines compare identical integers — same discipline as every
+    * fixed-point threshold here). Round 1 ≈ 3·1.4826 in bp.
+    */
+  private val esdThresholds = Seq(44478L, 43000L, 42000L)
+
+  /** Seasonal-ESD-style iterative anomaly sweep (Hochenegger/Vallis/
+    * Hypponen — Twitter's AnomalyDetection S-H-ESD, public; Rosner,
+    * "Percentile points of the ESD many-outlier procedure",
+    * Technometrics 1983): unlike the one-shot MAD flagger
+    * ([[tsMadAnomaly]]), ESD REMOVES the most deviant point each round
+    * and RECOMPUTES median and MAD on the survivors — masking-proof:
+    * two outliers hiding each other's deviation get peeled one per
+    * round. 3 rounds, per event type, all in exact cents: lower
+    * medians by rank (count + row_number, never a collected array),
+    * argmax deviation tie-broken by event_id, and the round-r verdict
+    * `dev·10⁴ > MAD·λ_r` with quantized critical values. Emits one row
+    * per (event_type, round): the peeled point, its deviation, the
+    * round's MAD and the verdict. Each round is one window pass + two
+    * rank-filtered one-row-per-type broadcasts — no data-sized state,
+    * round count is a constant of the query.
+    */
+  val tsSeasonalEsd: Q = Q("ts_seasonal_esd", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    def median(df: org.apache.spark.sql.DataFrame, vc: String) = {
+      val w1 = Window.partitionBy("event_type").orderBy(col(vc), col("event_id"))
+      val w2 = Window.partitionBy("event_type")
+      df.withColumn("rv", row_number().over(w1).cast("bigint"))
+        .withColumn("nn", count(lit(1)).over(w2))
+        .filter(expr("rv = (nn + 1) DIV 2"))
+        .select(col("event_type"), col(vc).as("m"))
+    }
+    var pts = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val rounds = esdThresholds.zipWithIndex.map { case (th, i) =>
+      val med = median(pts, "c")
+      val dev = pts.join(med, "event_type")
+        .withColumn("dev", expr("abs(c - m)")).drop("m")
+      val mad = median(dev.select(col("event_type"), col("event_id"),
+        col("dev")), "dev").withColumnRenamed("m", "mad")
+      val top = dev.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("dev").desc, col("event_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val out = top.join(mad, "event_type")
+        .select(lit((i + 1).toLong).as("round"), col("event_type"),
+          col("event_id"), col("c"), col("dev"), col("mad"),
+          expr(s"dev * 10000 > mad * $th").as("passed"))
+      pts = pts.join(top.select("event_type", "event_id"),
+        Seq("event_type", "event_id"), "left_anti")
+      out
+    }
+    rounds.reduce(_ union _).orderBy("event_type", "round")
+  }, Some(s"""WITH p0 AS MATERIALIZED (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events)${esdThresholds.zipWithIndex
+        .map { case (th, i) => esdRoundSql(i + 1, th) }.mkString}
+    SELECT * FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+      UNION ALL SELECT * FROM o3)
+    ORDER BY event_type, round"""))
 }

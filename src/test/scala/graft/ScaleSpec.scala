@@ -37,6 +37,52 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(direct.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
 
+  test("saltedJoin == direct join under a hot key; shuffle keys widened by the salt") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 90% of big-side rows land on one hot key
+    val big = (1 to 20000).map(i => (if (i % 10 == 0) i % 7 else 3, i.toLong))
+      .toDF("k", "v")
+    val dim = (0 to 6).map(k => (k, s"d$k")).toDF("dk", "tag")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("tag").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .orderBy("tag").collect().map(_.toSeq).toSeq
+    assert(agg(Scale.saltedJoin(big, dim, "k", "dk", 8)) ==
+      agg(big.join(dim, big("k") === dim("dk"))))
+    // anti join: a key matches in its own salt bucket iff it matches at all
+    assert(Scale.saltedJoin(big, dim.filter(col("dk") =!= 3), "k", "dk", 8,
+      "left_anti").count() ==
+      big.join(dim.filter(col("dk") =!= 3), big("k") === dim("dk"), "left_anti").count())
+    // plan: the big side's exchange must partition on (key, salt) — the
+    // widened key space IS the operator
+    val df = Scale.saltedJoin(big, dim, "k", "dk", 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(plan).nonEmpty,
+      s"salt missing from the exchange keys:\n$plan")
+    // replication-unsound join types are rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      Scale.saltedJoin(big, dim, "k", "dk", 8, "full_outer")
+    }
+    assert(ex.getMessage.contains("replicated"))
+  }
+
+  test("layout_zorder: interleaved bucket spans are bounded on BOTH keys (zone-map prunability)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // 64 z-buckets fix the top 3 bits of EACH 10-bit dimension, so the
+    // within-bucket span of either quantized key is at most 2^7 - 1 —
+    // the invariant that makes min/max zone maps prune 2-predicate
+    // scans. A single-key sort bounds one span and leaves the other
+    // at ~full range (1023).
+    val rows = graft.queries.Analytics.qZorderLayout
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 127, s"p_span ${r.getLong(2)} exceeds the interleave bound")
+      assert(r.getLong(3) <= 127, s"s_span ${r.getLong(3)} exceeds the interleave bound")
+    }
+  }
+
   test("quality_repetition plans shuffle-free per-doc stats (no hash exchange)") {
     spark.sparkContext.setLogLevel("ERROR")
     // the run-length-fold rewrite must keep per-doc repetition stats a
@@ -617,6 +663,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_range_join" -> "per-user bounded time window; key is user_id with 5-min range predicate",
       "q_recursive_cte" -> "acyclic ancestor closure, depth-bounded unrolling",
       "quality_conformal_bounds" -> "median/q-hat sides are rank-filtered to ONE row per event type — #type-sized broadcasts, not pair miners",
+      "ts_seasonal_esd" -> "median/MAD/argmax sides are rank-filtered to ONE row per event type per round — #type-sized broadcasts, not pair miners",
       "ts_mean_excess" -> "threshold side is rank-filtered to THREE rows per event type — #type-sized broadcast, not a pair miner",
       "scd2_pit_join" -> "point-in-time join: validity intervals are disjoint per key — at most 1 match",
       "text_pmi" -> "vocabulary capped to top-200 before the pair self-join; pair space <= 200^2/2",

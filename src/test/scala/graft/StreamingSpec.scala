@@ -2492,4 +2492,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"streamed vs batch runs: got=$got want=$want")
     } finally q.stop()
   }
+
+  test("Utf8GateProcessor: running per-source byte-class census == batch encodingMetrics") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val dir = Files.createTempDirectory("graft_utf8gate").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        expr("upper(hex(substring(text, 1, 64)))").as("hx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // two arbitrary micro-batches: the census is order-insensitive sums
+    val (b1, b2) = rows.partition(_._2 % 2 == 0)
+    def fmt(rs: Array[(String, Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2)) }
+    val q = graft.streaming.Utf8GateProcessor(spark, src)
+      .toDF("source", "n_docs", "n_bytes", "cont_excess", "n_ctrl", "n_damaged")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_utf8gate").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT source, n_docs, n_bytes, cont_excess, n_ctrl, n_damaged FROM (
+            SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_docs DESC) AS rn
+            FROM graft_utf8gate) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val want = graft.queries.Quality.encodingMetrics(spark, sfDir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("n_bytes"),
+          sum("cont_excess").as("cont_excess"), sum("n_ctrl").as("n_ctrl"),
+          sum(expr("CASE WHEN damage_score > 0 THEN 1L ELSE 0L END")).as("n_damaged"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(want.nonEmpty, "batch encoding census unexpectedly empty")
+      assert(got == want, s"streamed vs batch utf8 census: got=$got want=$want")
+    } finally q.stop()
+  }
 }
