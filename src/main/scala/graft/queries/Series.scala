@@ -24,7 +24,7 @@ object Series {
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
     tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
-    tsLjungBox, tsPageHinkley, tsSeasonalEsd)
+    tsLjungBox, tsPageHinkley, tsSeasonalEsd, tsGrangerLite)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3270,6 +3270,32 @@ object Series {
         AND t$r.event_id = $p.event_id))"""
   }
 
+  /** The SHARED Granger formula over raw integer moment columns
+    * (n, sy, sy1, sx1, syy, sy1y1, sx1x1, syy1, syx1, sy1x1) — one SQL
+    * string both engines parse: the centered second moments are EXACT
+    * bigints (divisionless n·Sxy − Sx·Sy expansion, the GapMemory
+    * discipline), every one < 2⁵³ so its DOUBLE cast is exact, and all
+    * double arithmetic after that point is the IDENTICAL expression
+    * tree — IEEE ops are deterministic, so both engines produce the
+    * same bits (the assortativity discipline) and round(, 4) is safe.
+    * Emits (ssr_r, ssr_u) SELECT fragments; degenerate denominators
+    * (constant series, collinear lags) are guarded to NULL.
+    */
+  private def grangerSql: (String, String) = {
+    val ayy = "CAST(n * syy - sy * sy AS DOUBLE)"
+    val ay1y1 = "CAST(n * sy1y1 - sy1 * sy1 AS DOUBLE)"
+    val ax1x1 = "CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE)"
+    val ayy1 = "CAST(n * syy1 - sy * sy1 AS DOUBLE)"
+    val ayx1 = "CAST(n * syx1 - sy * sx1 AS DOUBLE)"
+    val ay1x1 = "CAST(n * sy1x1 - sy1 * sx1 AS DOUBLE)"
+    val ssrR = s"(CASE WHEN ($ay1y1) > 0 THEN ($ayy) - ($ayy1) * ($ayy1) / ($ay1y1) END)"
+    val d = s"(($ay1y1) * ($ax1x1) - ($ay1x1) * ($ay1x1))"
+    val byn = s"(($ayy1) * ($ax1x1) - ($ayx1) * ($ay1x1))"
+    val bxn = s"(($ayx1) * ($ay1y1) - ($ayy1) * ($ay1x1))"
+    val ssrU = s"(CASE WHEN ($d) > 0 THEN ($ayy) - (($byn) * ($ayy1) + ($bxn) * ($ayx1)) / ($d) END)"
+    (ssrR, ssrU)
+  }
+
   /** Quantized critical values for the 3 ESD rounds (the t-based λ_i
     * SHRINKS with i; pinned as integer basis-point LITERALS so both
     * engines compare identical integers — same discipline as every
@@ -3303,23 +3329,35 @@ object Series {
         .filter(expr("rv = (nn + 1) DIV 2"))
         .select(col("event_type"), col(vc).as("m"))
     }
+    // each round references pts 3x and dev 3x; without truncation the
+    // subtrees duplicate MULTIPLICATIVELY across rounds (the NSW/coreset
+    // lesson) — eager localCheckpoint per round keeps every reference a
+    // cached-block read (measured 5.8 s -> sub-second at sf0.1)
     var pts = Tables.events(s, dir).select(col("event_type"), col("event_id"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      expr("CAST(round(value * 100) AS BIGINT)").as("c")).persist()
     val rounds = esdThresholds.zipWithIndex.map { case (th, i) =>
       val med = median(pts, "c")
-      val dev = pts.join(med, "event_type")
+      // ONE sorted window pass serves both the MAD median (rank values
+      // are tie-order-insensitive) and the argmax row: ascending (dev,
+      // event_id DESC) puts the max-dev / min-event_id row at rank nn —
+      // the same row the oracle's DESC row_number()=1 picks
+      val wd = pts.join(med, "event_type")
         .withColumn("dev", expr("abs(c - m)")).drop("m")
-      val mad = median(dev.select(col("event_type"), col("event_id"),
-        col("dev")), "dev").withColumnRenamed("m", "mad")
-      val top = dev.withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("dev").desc, col("event_id"))))
-        .filter(col("rn") === 1).drop("rn")
+        .withColumn("rv", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("dev"), col("event_id").desc)).cast("bigint"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+        .persist()
+      val mad = wd.filter(expr("rv = (nn + 1) DIV 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      val top = wd.filter(expr("rv = nn"))
+        .select(col("event_type"), col("event_id"), col("c"), col("dev"))
       val out = top.join(mad, "event_type")
         .select(lit((i + 1).toLong).as("round"), col("event_type"),
           col("event_id"), col("c"), col("dev"), col("mad"),
           expr(s"dev * 10000 > mad * $th").as("passed"))
-      pts = pts.join(top.select("event_type", "event_id"),
-        Seq("event_type", "event_id"), "left_anti")
+      if (i + 1 < esdThresholds.size)
+        pts = pts.join(top.select("event_type", "event_id"),
+          Seq("event_type", "event_id"), "left_anti").persist()
       out
     }
     rounds.reduce(_ union _).orderBy("event_type", "round")
@@ -3330,4 +3368,80 @@ object Series {
     SELECT * FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
       UNION ALL SELECT * FROM o3)
     ORDER BY event_type, round"""))
+
+  /** Granger-style lagged-predictability screen between event-type
+    * activity series (Granger, Econometrica 1969 — public): for every
+    * ordered (cause, effect) pair, does the cause's hour-(t−1) count
+    * improve a 1-lag autoregression of the effect's hour-t count? Both
+    * series live on the SAME dense hour grid (zero-filled — alignment
+    * is the whole point), the restricted (y ~ y₁) and unrestricted
+    * (y ~ y₁ + x₁) SSRs come from exact integer moments through the
+    * shared [[grangerSql]] double formula, and the verdict is a
+    * >5%-SSR-reduction flag on the ROUNDED improvement — engine-stable
+    * by the exact-moments + identical-IEEE-tree discipline. Shape: one
+    * count agg, a bounded grid explode (hours × types), one
+    * grid-keyed alignment join (per-hour fan-out = #types², a
+    * constant), one moment agg per pair — nothing data-sized crosses
+    * any window.
+    */
+  val tsGrangerLite: Q = Q("ts_granger_lite", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val (ssrR, ssrU) = grangerSql
+    val e = Tables.events(s, dir)
+      .withColumn("h", expr("ts_us DIV 3600000000"))
+    val hourly = e.groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val rng = e.agg(min("h").as("mn"), max("h").as("mx"))
+    val types = e.select("event_type").distinct()
+    val grid = types.crossJoin(broadcast(rng))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("h"))
+    val dense = grid.join(hourly, Seq("event_type", "h"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val eff = dense.withColumn("y1", lag("c", 1).over(w))
+      .filter(col("y1").isNotNull)
+      .select(col("event_type").as("effect"), col("h"),
+        col("c").as("y"), col("y1"))
+    val cse = dense.select(col("event_type").as("cause"),
+      (col("h") + 1).as("h"), col("c").as("x1"))
+    val mom = eff.join(cse, "h").filter(col("cause") =!= col("effect"))
+      .groupBy("cause", "effect")
+      .agg(count(lit(1)).as("n"),
+        sum("y").as("sy"), sum("y1").as("sy1"), sum("x1").as("sx1"),
+        sum(expr("y * y")).as("syy"), sum(expr("y1 * y1")).as("sy1y1"),
+        sum(expr("x1 * x1")).as("sx1x1"), sum(expr("y * y1")).as("syy1"),
+        sum(expr("y * x1")).as("syx1"), sum(expr("y1 * x1")).as("sy1x1"))
+    mom.select(col("cause"), col("effect"), col("n"),
+        expr(s"round(CASE WHEN ($ssrR) > 0 AND ($ssrU) IS NOT NULL THEN " +
+          s"(($ssrR) - ($ssrU)) * 10000 / ($ssrR) END, 4)").as("improvement_bp"),
+        expr(s"coalesce(round(CASE WHEN ($ssrR) > 0 AND ($ssrU) IS NOT NULL THEN " +
+          s"(($ssrR) - ($ssrU)) * 10000 / ($ssrR) END, 6) > 500.0, false)").as("granger"))
+      .orderBy("cause", "effect")
+  }, Some {
+    val (ssrR, ssrU) = grangerSql
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+    hb AS (SELECT event_type, h, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+    rng AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+    ty AS (SELECT DISTINCT event_type FROM e),
+    grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM ty, rng),
+    dense AS (SELECT g.event_type, g.h, coalesce(hb.c, 0) AS c
+      FROM grid g LEFT JOIN hb ON hb.event_type = g.event_type AND hb.h = g.h),
+    eff AS (SELECT event_type AS effect, h, c AS y,
+        lag(c) OVER (PARTITION BY event_type ORDER BY h) AS y1
+      FROM dense QUALIFY y1 IS NOT NULL),
+    cse AS (SELECT event_type AS cause, h + 1 AS h, c AS x1 FROM dense),
+    j AS (SELECT cause, effect, y, y1, x1 FROM eff JOIN cse USING (h)
+      WHERE cause <> effect),
+    m AS (SELECT cause, effect, count(*)::BIGINT AS n,
+        sum(y)::BIGINT AS sy, sum(y1)::BIGINT AS sy1, sum(x1)::BIGINT AS sx1,
+        sum(y * y)::BIGINT AS syy, sum(y1 * y1)::BIGINT AS sy1y1,
+        sum(x1 * x1)::BIGINT AS sx1x1, sum(y * y1)::BIGINT AS syy1,
+        sum(y * x1)::BIGINT AS syx1, sum(y1 * x1)::BIGINT AS sy1x1
+      FROM j GROUP BY 1, 2)
+    SELECT cause, effect, n,
+      round(CASE WHEN ($ssrR) > 0 AND ($ssrU) IS NOT NULL THEN
+        (($ssrR) - ($ssrU)) * 10000 / ($ssrR) END, 4) AS improvement_bp,
+      coalesce(round(CASE WHEN ($ssrR) > 0 AND ($ssrU) IS NOT NULL THEN
+        (($ssrR) - ($ssrU)) * 10000 / ($ssrR) END, 6) > 500.0, false) AS granger
+    FROM m ORDER BY cause, effect"""
+  })
 }
