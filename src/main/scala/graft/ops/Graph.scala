@@ -1256,11 +1256,77 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       seedCol: String = "v",
-      maxDepth: Int = 4): DataFrame = {
+      maxDepth: Int = 4,
+      smallCutoff: Long = 200000L): DataFrame = {
     require(maxDepth >= 1)
     def break(df: DataFrame): DataFrame = df.localCheckpoint(true)
     val fwd = edgeList.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
+
+    // counted-small fast path (the unionFindComponents discipline): the
+    // level-synchronous loop pays ~13 sequential scheduled jobs over a
+    // tiny frontier; on a counted-small graph the IDENTICAL Long
+    // arithmetic (multiplyExact/addExact = ANSI parity, / ≡ DIV on the
+    // non-negative σ/δ terms) runs driver-side in one pass. Gated on
+    // IDENTICAL src/dst/seed column types — boxed equality never
+    // matches across widths the distributed joins would coerce.
+    val keysIdentical = {
+      val st = edgeList.schema(srcCol).dataType
+      st == edgeList.schema(dstCol).dataType &&
+        st == seeds.schema(seedCol).dataType
+    }
+    val seedSetSmall = seeds.select(col(seedCol).as("v")).distinct()
+    if (smallCutoff > 0 && keysIdentical && edges.count() <= 2 * smallCutoff &&
+        seedSetSmall.count() <= smallCutoff) {
+      import scala.collection.mutable
+      val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+      edges.collect().foreach { r =>
+        adj.getOrElseUpdate(r.get(0), mutable.ArrayBuffer.empty[Any]) += r.get(1)
+      }
+      edges.unpersist()
+      val hop = mutable.HashMap.empty[Any, Int]
+      val sigma = mutable.HashMap.empty[Any, Long]
+      val levels = mutable.ArrayBuffer.empty[Array[Any]]
+      val l0v = seedSetSmall.collect().map(_.get(0)).distinct
+      l0v.foreach { v => hop.update(v, 0); sigma.update(v, 1L) }
+      levels += l0v.toArray[Any]
+      for (d <- 1 to maxDepth) {
+        val next = mutable.LinkedHashMap.empty[Any, Long]
+        levels(d - 1).foreach { v =>
+          val sv = sigma(v)
+          adj.getOrElse(v, mutable.ArrayBuffer.empty).foreach { w =>
+            if (!hop.contains(w))
+              next.update(w, Math.addExact(next.getOrElse(w, 0L), sv))
+          }
+        }
+        next.foreach { case (w, sw) => hop.update(w, d); sigma.update(w, sw) }
+        levels += next.keysIterator.toArray[Any]
+      }
+      val delta = mutable.HashMap.empty[Any, Long]
+      levels(maxDepth).foreach(v => delta.update(v, 0L))
+      for (d <- (maxDepth - 1) to 0 by -1) {
+        levels(d).foreach { v =>
+          var dsum = 0L
+          adj.getOrElse(v, mutable.ArrayBuffer.empty).foreach { w =>
+            if (hop.get(w).contains(d + 1))
+              dsum = Math.addExact(dsum,
+                Math.multiplyExact(sigma(v), Math.addExact(1000000L, delta(w))) / sigma(w))
+          }
+          delta.update(v, dsum)
+        }
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val kt = edgeList.schema(srcCol).dataType
+      val spark = edgeList.sparkSession
+      val rows = hop.iterator.collect { case (v, h) if h >= 1 =>
+        Row(v, h.toLong, sigma(v), delta(v))
+      }.toSeq
+      return spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("v", kt), StructField("hop", LongType),
+          StructField("sigma", LongType), StructField("delta_e6", LongType))))
+    }
 
     // forward: levels(0) = seeds, sigma 1; level d = unseen neighbors
     // of level d-1 with sigma = Σ predecessor sigmas

@@ -886,22 +886,46 @@ object Dedup {
     * composition rule); candidates stay bucket-keyed per config.
     */
   val lshBands: Q = Q("dedup_lsh_bands", (s, dir) => {
+    import s.implicits._
     val shRaw = sparkShingles(s, dir).persist()
     val sigArr = graft.ops.Lsh.signatures(shRaw, "doc_id").persist()
     val ex = exactPairsFrom(
       graft.ops.Scale.capGroups(shRaw, "sh", DfCap).persist())
       .select("d1", "d2").persist()
-    Seq((16, 1), (8, 2), (4, 4)).map { case (bands, rows) =>
-      val cand = graft.ops.Lsh.candidatePairs(sigArr, "doc_id", bands, rows)
-        .persist()
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cand.join(ex, Seq("d1", "d2"), "left_semi")
-          .agg(count(lit(1)).as("n_hit")))
-        .crossJoin(ex.agg(count(lit(1)).as("n_truth")))
-        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
-          col("n_candidates"), col("n_truth"), col("n_hit"),
-          expr("CASE WHEN n_truth > 0 THEN 10000 * n_hit DIV n_truth END").as("recall_bp"))
-    }.reduce(_ unionByName _).orderBy("rows_per_band")
+    // ONE config-tagged band relation, ONE collision self-join, ONE
+    // dedup, ONE counting pass for all three (bands, rows) settings —
+    // the per-config version paid 3 joins + 3 distincts + 3 semi-join
+    // count trios for identical sig input (the dedup_lsh_eval
+    // shared-explode rule applied across CONFIGS)
+    val configs = Seq((16, 1), (8, 2), (4, 4))
+    val bandsAll = configs.map { case (bands, rows) =>
+      graft.ops.Lsh.bandRows(sigArr, "doc_id", bands, rows)
+        .select(lit(rows).as("cfg_rows"), lit(bands).as("cfg_bands"),
+          col("band"), col("bsig"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    val cand = bandsAll
+      .select(col("cfg_rows"), col("cfg_bands"), col("band"), col("bsig"),
+        col("doc_id").as("d1"))
+      .join(bandsAll.select(col("cfg_rows").as("cr2"), col("band").as("band2"),
+          col("bsig").as("bsig2"), col("doc_id").as("d2")),
+        col("cfg_rows") === col("cr2") && col("band") === col("band2") &&
+          col("bsig") === col("bsig2") && col("d1") < col("d2"))
+      .select("cfg_rows", "cfg_bands", "d1", "d2").distinct()
+    val counted = cand
+      .join(ex.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left_outer")
+      .groupBy("cfg_rows", "cfg_bands")
+      .agg(count(lit(1)).as("nc"), sum(coalesce(col("hit"), lit(0L))).as("nh"))
+    // literal config spine: a config with ZERO candidates must still
+    // emit its row (the old per-config agg always did)
+    configs.toDF("cfg_bands", "cfg_rows")
+      .join(counted, Seq("cfg_rows", "cfg_bands"), "left_outer")
+      .crossJoin(broadcast(ex.agg(count(lit(1)).as("n_truth"))))
+      .select(col("cfg_bands").as("bands"), col("cfg_rows").as("rows_per_band"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"), col("n_truth"),
+        coalesce(col("nh"), lit(0L)).as("n_hit"),
+        expr("CASE WHEN n_truth > 0 THEN 10000 * coalesce(nh, 0L) DIV n_truth END")
+          .as("recall_bp"))
+      .orderBy("rows_per_band")
   }, Some {
     val configs = Seq((16, 1), (8, 2), (4, 4))
     val bandCtes = configs.map { case (bands, rows) =>

@@ -893,32 +893,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast == loop && fast.nonEmpty, s"int-weight: $fast vs $loop")
   }
 
-  test("Graph.betweennessSeeds matches hand-computed Brandes on path and diamond") {
+  test("Graph.betweennessSeeds matches hand-computed Brandes on path and diamond (both paths)") {
     import spark.implicits._
-    def run(edges: Seq[(Long, Long)], seed: Long): Map[Long, (Long, Long, Long)] =
-      graft.ops.Graph.betweennessSeeds(
-          edges.toDF("src", "dst"), Seq(seed).toDF("v"), maxDepth = 4)
-        .collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-        .toMap
-    // path 1-2-3-4 from 1: σ=1 everywhere, δ(2)=2, δ(3)=1, δ(4)=0
-    val path = run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1L)
-    assert(path == Map(
-      2L -> ((1L, 1L, 2000000L)),
-      3L -> ((2L, 1L, 1000000L)),
-      4L -> ((3L, 1L, 0L))), s"path: $path")
-    // diamond 1-2,1-3,2-4,3-4 from 1: σ(4)=2, δ splits 1/2 per branch
-    val dia = run(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), 1L)
-    assert(dia == Map(
-      2L -> ((1L, 1L, 500000L)),
-      3L -> ((1L, 1L, 500000L)),
-      4L -> ((2L, 2L, 0L))), s"diamond: $dia")
-    // truncation: path 1-2-3-4-5-6 at maxDepth 4 stops δ at the horizon
-    val trunc = graft.ops.Graph.betweennessSeeds(
-        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst"),
-        Seq(1L).toDF("v"), maxDepth = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(trunc == Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L, 5L -> 0L),
-      s"truncated path: $trunc")
+    // cutoff > 0 = counted-small driver fast path; 0 = distributed loop —
+    // both must reproduce the hand-computed values exactly
+    for (cutoff <- Seq(200000L, 0L)) {
+      def run(edges: Seq[(Long, Long)], seed: Long): Map[Long, (Long, Long, Long)] =
+        graft.ops.Graph.betweennessSeeds(
+            edges.toDF("src", "dst"), Seq(seed).toDF("v"), maxDepth = 4,
+            smallCutoff = cutoff)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+      // path 1-2-3-4 from 1: σ=1 everywhere, δ(2)=2, δ(3)=1, δ(4)=0
+      val path = run(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1L)
+      assert(path == Map(
+        2L -> ((1L, 1L, 2000000L)),
+        3L -> ((2L, 1L, 1000000L)),
+        4L -> ((3L, 1L, 0L))), s"path (cutoff=$cutoff): $path")
+      // diamond 1-2,1-3,2-4,3-4 from 1: σ(4)=2, δ splits 1/2 per branch
+      val dia = run(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), 1L)
+      assert(dia == Map(
+        2L -> ((1L, 1L, 500000L)),
+        3L -> ((1L, 1L, 500000L)),
+        4L -> ((2L, 2L, 0L))), s"diamond (cutoff=$cutoff): $dia")
+      // truncation: path 1-2-3-4-5-6 at maxDepth 4 stops δ at the horizon
+      val trunc = graft.ops.Graph.betweennessSeeds(
+          Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst"),
+          Seq(1L).toDF("v"), maxDepth = 4, smallCutoff = cutoff)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(trunc == Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L, 5L -> 0L),
+        s"truncated path (cutoff=$cutoff): $trunc")
+    }
+    // mixed key widths must fall through to the distributed loop (the
+    // boxed-equality silent-wrong-result gate)
+    val mixed = graft.ops.Graph.betweennessSeeds(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        Seq(1).toDF("v"), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(mixed == Map(2L -> 1L, 3L -> 1L), s"mixed-width seeds: $mixed")
   }
 }
