@@ -110,6 +110,34 @@ object Lsh {
     (0 until nPerms).map(i => s"IF(x$i = y$i, 1, 0)")
       .mkString("(", " + ", s") / double($nPerms)")
 
+  /** Prefix postings for prefix-filtering EXACT similarity self-joins
+    * (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): order each id's distinct `shCol` tokens by ascending
+    * GLOBAL document frequency (token string as tie-break) and keep
+    * only the first |x| − ⌈t·|x|⌉ + 1 tokens, t = `tNum`/`tDen`.
+    * Any pair with Jaccard ≥ t shares its globally-rarest common token
+    * within BOTH prefixes (o ≥ t·max(|x|,|y|) bounds the token's
+    * position on each side), so an equi-join of prefix postings against
+    * themselves loses NO qualifying pair while hot boilerplate tokens —
+    * by construction each document's most frequent — never enter the
+    * join. ⌈t·n⌉ in exact integer arithmetic: (tNum·n + tDen − 1) DIV
+    * tDen.
+    */
+  def prefixPostings(
+      sh: DataFrame, idCol: String, shCol: String = "sh",
+      tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val gdf = sh.groupBy(shCol).agg(count(lit(1)).as("_df"))
+    sh.join(gdf, shCol)
+      .select(col(idCol), col(shCol),
+        row_number().over(
+          Window.partitionBy(idCol).orderBy(col("_df"), col(shCol))).as("_rk"),
+        count(lit(1)).over(Window.partitionBy(idCol)).as("_n"))
+      .filter(expr(s"_rk <= _n - (($tNum * _n + ${tDen - 1}) DIV $tDen) + 1"))
+      .select(idCol, shCol)
+  }
+
   /** 32-bit SimHash signatures (typed-UDAF aggregation over md5-derived
     * shingle hashes): one row per id with a long `sig`. The cosine-ish
     * complement to MinHash — hamming distance between signatures tracks

@@ -29,7 +29,7 @@ object Dedup {
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
-    lshBands)
+    lshBands, prefixFilter)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -264,6 +264,63 @@ object Dedup {
       .filter(expr(estExpr) >= 0.5)
       .select("d1", "d2", "est_jaccard")
   }
+
+  /** Prefix-filtering exact-Jaccard self-join (AllPairs/PPJoin family —
+    * Bayardo, Ma, Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW'07; Xiao, Wang, Lin, Yu, "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08 — public). The scale-native EXACT
+    * alternative to the df-capped inverted index: order every document's
+    * shingle set by ascending global document frequency (rarest gram
+    * first, gram string as tie-break) and index only the PREFIX of
+    * length |x| − ⌈t·|x|⌉ + 1. For Jaccard ≥ t the smallest common gram
+    * w satisfies pos_x(w) ≤ |x| − o + 1 ≤ |x| − ⌈t·|x|⌉ + 1 on BOTH
+    * sides (o ≥ t·max(|x|,|y|)), so every qualifying pair collides on a
+    * prefix-prefix equi-join — no recall loss, and the joined postings
+    * carry only each document's RAREST grams, so hot boilerplate grams
+    * never reach the join. A [[graft.ops.Scale.capGroups]] belt at
+    * [[DfCap]] on the prefix postings makes the per-key bound absolute
+    * (non-binding at test scale — max 3-gram df is 25); candidates are
+    * then verified EXACTLY against the full (per-doc bounded) gram sets,
+    * so precision is always exact. t = 0.5 ⇒ prefix = n − (n+1) DIV 2
+    * + 1 in shared integer arithmetic.
+    */
+  val prefixFilter: Q = Q("dedup_prefix_filter", (s, dir) => {
+    val sh = sparkShingles(s, dir).persist()
+    val pre = graft.ops.Scale.capGroups(
+      graft.ops.Lsh.prefixPostings(sh, "doc_id"), "sh", DfCap)
+    val cand = pre.select(col("doc_id").as("d1"), col("sh"))
+      .join(pre.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list("sh")).as("g"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("g").as("g1"), col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("g").as("g2"), col("n").as("n2")), "d2")
+      .withColumn("shared", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
+      .select(col("d1"), col("d2"),
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }, Some(s"""WITH $duckShingles,
+    gdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    rk AS (SELECT s.doc_id, s.sh,
+        row_number() OVER (PARTITION BY s.doc_id ORDER BY g.df, s.sh) AS rk,
+        count(*) OVER (PARTITION BY s.doc_id) AS n
+      FROM sh s JOIN gdf g USING (sh)),
+    pre AS (SELECT doc_id, sh FROM rk WHERE rk <= n - ((n + 1) // 2) + 1
+      QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_sort(list(sh)) AS g, count(*) AS n
+      FROM sh GROUP BY doc_id)
+    SELECT d1, d2,
+      round(len(list_intersect(x.g, y.g)) * 1.0
+        / (x.n + y.n - len(list_intersect(x.g, y.g))), 4) AS jaccard
+    FROM cand JOIN sets x ON x.doc_id = d1 JOIN sets y ON y.doc_id = d2
+    WHERE len(list_intersect(x.g, y.g)) * 1.0
+      / (x.n + y.n - len(list_intersect(x.g, y.g))) >= 0.5
+    ORDER BY d1, d2"""))
 
   val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) =>
     estPairsFrom(sparkShingles(s, dir)).orderBy("d1", "d2"),

@@ -591,6 +591,50 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("prefix-filter miner: zero recall loss vs brute force; boilerplate grams never join") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // synthetic: a boilerplate footer gram in EVERY doc + one true dup pair
+    val docs = ((1 to 50).map(i => (i.toLong, s"unique text number $i all rights reserved")) ++
+      Seq((100L, "the quick brown fox jumps all rights reserved"),
+        (101L, "the quick brown fox jumps all rights reserved"))).toDF("doc_id", "text")
+    val sh = graft.ops.Lsh.shingles(docs, "doc_id", "text", n = 3).persist()
+    val pre = graft.ops.Lsh.prefixPostings(sh, "doc_id").persist()
+    // the df-52 footer gram is every doc's MOST frequent — never in a prefix
+    assert(pre.filter(col("sh") === "all rights reserved").count() == 0,
+      "hot boilerplate gram leaked into the prefix postings")
+    assert(pre.count() < sh.count(), "prefix postings must be a strict subset")
+    // ...and the dup pair still collides on a (rare) prefix gram
+    val cand = pre.select(col("doc_id").as("d1"), col("sh"))
+      .join(pre.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    assert(cand.filter(col("d1") === 100L && col("d2") === 101L).count() == 1,
+      "prefix join lost the true duplicate pair")
+
+    // zero recall loss on real data: the registered query's pair set must
+    // EQUAL the brute-force uncapped all-pairs join at Jaccard >= 1/2
+    // (integer form 2*shared >= n1+n2-shared — no float boundary)
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Dedup.prefixFilter.fn(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.Lsh.shingles(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", n = 3).persist()
+    val cnt = full.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = full.select(col("doc_id").as("d1"), col("sh"))
+      .join(full.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("shared") * 2 >= col("n1") + col("n2") - col("shared"))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture lost its duplicate pairs — rebuild expectation")
+    assert(got == brute,
+      s"prefix filter diverged from brute force: missing=${brute -- got} extra=${got -- brute}")
+    spark.catalog.clearCache()
+  }
+
   test("round-6 TPC-H additions plan scale-shaped: q6 pushdown, q19 envelope, no cartesians") {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
