@@ -13,7 +13,7 @@ object Quality {
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
     langidEval, qualityReadability, datasetMerkle, qualityBenford,
-    qualityConformal, qualityEncoding, qualityKlSource)
+    qualityConformal, qualityEncoding, qualityKlSource, qualityPiiCensus)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -732,6 +732,110 @@ object Quality {
       .withColumn("cont_excess", expr("n_cont - cont_expected"))
       .withColumn("damage_score", expr("abs(cont_excess) * 10 + n_ctrl"))
   }
+
+  /** Unrolled Luhn (mod-10) digit sum over an all-digit string column:
+    * positions 1..`upTo` of a number whose FULL length is `totalLen`;
+    * a digit at left-index i sits at right-position totalLen − i + 1
+    * and is doubled (with the >4 ⇒ 2d−9 casting-out-nines fold) when
+    * that right-position is even. Pure substr/CAST/CASE — the identical
+    * text parses in Spark SQL and DuckDB, so plant and detector share
+    * one arithmetic definition.
+    */
+  private def luhnSumSql(c: String, totalLen: Int, upTo: Int): String =
+    (1 to upTo).map { i =>
+      val d = s"CAST(substr($c, $i, 1) AS INT)"
+      if ((totalLen - i + 1) % 2 == 0)
+        s"(CASE WHEN $d > 4 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString("(", " + ", ")")
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val ipv4Re = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** PII census — the compliance scan a training-data pipeline runs
+    * before release: per-source counts of e-mail addresses, NANP-shaped
+    * phone numbers, dotted-quad IPs, and 16-digit card candidates, with
+    * card candidates VERIFIED by the Luhn mod-10 checksum (the check
+    * that separates a real PAN from a random digit run). The corpus is
+    * synthetic clean text, so PII is PLANTED deterministically (the
+    * quality_encoding discipline): doc_id mod 7 selects the plant —
+    * e-mail / phone / IP / card — and card check digits are Luhn-VALID
+    * exactly when doc_id is even, so the detector must recover both the
+    * plant rates and the 50/50 valid/invalid split. Detection is
+    * regex + unrolled integer Luhn (shared textual SQL, no dialect
+    * fork beyond the STRING/VARCHAR cast); per-row work is linear in
+    * text bytes and the only shuffle is the per-source aggregation.
+    */
+  val qualityPiiCensus: Q = Q("quality_pii_census", (s, dir) => {
+    val det = Tables.t(s, dir, "documents")
+      .withColumn("ccb", expr("'4' || lpad(CAST(doc_id % 100000000 AS STRING), 14, '0')"))
+      .withColumn("c0", expr(s"(10 - (${luhnSumSql("ccb", 16, 15)} % 10)) % 10"))
+      .withColumn("cd", expr("CASE WHEN doc_id % 2 = 0 THEN c0 ELSE (c0 + 3) % 10 END"))
+      .withColumn("aug", expr("""text || CASE doc_id % 7
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com now'
+          WHEN 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' today'
+          WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS STRING) || '.0.1 up'
+          WHEN 3 THEN ' card ' || ccb || CAST(cd AS STRING) || ' used'
+          ELSE '' END"""))
+      .withColumn("n_email", expr(s"size(regexp_extract_all(aug, '$emailRe', 0))").cast("long"))
+      .withColumn("n_phone", expr(s"size(regexp_extract_all(aug, '$phoneRe', 0))").cast("long"))
+      .withColumn("n_ipv4", expr(s"size(regexp_extract_all(aug, '$ipv4Re', 0))").cast("long"))
+      .withColumn("cc", expr("regexp_extract(aug, '[0-9]{16}', 0)"))
+      .withColumn("cc_luhn", expr(s"""CASE WHEN length(cc) = 16 THEN
+          (CASE WHEN ${luhnSumSql("cc", 16, 16)} % 10 = 0 THEN 1L ELSE 0L END)
+        ELSE 0L END"""))
+    det.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_email").as("n_email"),
+        sum("n_phone").as("n_phone"),
+        sum("n_ipv4").as("n_ipv4"),
+        sum(expr("CASE WHEN length(cc) = 16 THEN 1L ELSE 0L END")).as("n_cc"),
+        sum("cc_luhn").as("n_cc_luhn"),
+        sum(expr("""CASE WHEN n_email + n_phone + n_ipv4 > 0 OR length(cc) = 16
+          THEN 1L ELSE 0L END""")).as("n_pii_docs"))
+      .withColumn("pii_bp", expr("10000 * n_pii_docs DIV n_docs"))
+      .orderBy("source")
+  }, Some(s"""WITH p AS (
+      SELECT doc_id, source,
+        '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS ccb
+      FROM documents),
+    p2 AS (SELECT doc_id, source, ccb,
+        (10 - (${luhnSumSql("ccb", 16, 15)} % 10)) % 10 AS c0
+      FROM p),
+    p3 AS (SELECT doc_id, source, ccb,
+        CASE WHEN doc_id % 2 = 0 THEN c0 ELSE (c0 + 3) % 10 END AS cd
+      FROM p2),
+    a AS (SELECT d.doc_id, d.source,
+        d.text || CASE d.doc_id % 7
+          WHEN 0 THEN ' contact user' || CAST(d.doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN ' call 415-555-' || lpad(CAST(d.doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+          WHEN 2 THEN ' host 10.' || CAST(d.doc_id % 256 AS VARCHAR) || '.0.1 up'
+          WHEN 3 THEN ' card ' || p3.ccb || CAST(p3.cd AS VARCHAR) || ' used'
+          ELSE '' END AS aug
+      FROM documents d JOIN p3 ON p3.doc_id = d.doc_id),
+    det AS (SELECT doc_id, source,
+        len(regexp_extract_all(aug, '$emailRe'))::BIGINT AS n_email,
+        len(regexp_extract_all(aug, '$phoneRe'))::BIGINT AS n_phone,
+        len(regexp_extract_all(aug, '$ipv4Re'))::BIGINT AS n_ipv4,
+        regexp_extract(aug, '[0-9]{16}') AS cc
+      FROM a),
+    lu AS (SELECT *, CASE WHEN length(cc) = 16 THEN
+          (CASE WHEN ${luhnSumSql("cc", 16, 16)} % 10 = 0 THEN 1 ELSE 0 END)
+        ELSE 0 END AS cc_luhn
+      FROM det)
+    SELECT source,
+      count(*)::BIGINT AS n_docs,
+      CAST(sum(n_email) AS BIGINT) AS n_email,
+      CAST(sum(n_phone) AS BIGINT) AS n_phone,
+      CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+      CAST(sum(CASE WHEN length(cc) = 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cc,
+      CAST(sum(cc_luhn) AS BIGINT) AS n_cc_luhn,
+      CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 OR length(cc) = 16
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+      CAST(10000 * sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 OR length(cc) = 16
+        THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS pii_bp
+    FROM lu GROUP BY source ORDER BY source"""))
 
   val qualityEncoding: Q = Q("quality_encoding", (s, dir) => {
     encodingMetrics(s, dir)
