@@ -24,7 +24,8 @@ object Series {
     tsAlertFor, tsKalman, tsArForecast, tsDownsampleM4, tsLocfFill,
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
     tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
-    tsLjungBox, tsPageHinkley, tsSeasonalEsd, tsGrangerLite)
+    tsLjungBox, tsPageHinkley, tsSeasonalEsd, tsGrangerLite,
+    tsExtremalIndex)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3109,6 +3110,80 @@ object Series {
     WHERE c > u
     GROUP BY e.event_type, p, u
     ORDER BY e.event_type, p"""))
+
+  /** Extremal index θ — the tail-clustering diagnostic that completes
+    * the POT family around [[tsMeanExcess]]: θ ≈ 1 means threshold
+    * exceedances arrive independently, θ < 1 means they CLUSTER
+    * (1/θ ≈ mean cluster size), which is what turns "99.9th-percentile
+    * spike" into "sustained incident" for alerting and capacity. Two
+    * standard estimators, both exact integer arithmetic over the
+    * time-ordered exceedance indexes of the empirical 90%-rank
+    * threshold (same ceiling-rank order statistic as ts_mean_excess):
+    * the RUNS estimator θ̂ = #clusters / #exceedances with run length
+    * r = 2 (a new cluster starts when the index gap to the previous
+    * exceedance is > 2), and the Ferro–Segers INTERVALS estimator
+    * θ̂ = min(1, 2(ΣT)² / ((N−1)·ΣT²)) over the N−1 interexceedance
+    * times T (Ferro & Segers, JRSS-B 2003 — public), both in basis
+    * points via truncating DIV. Shapes: one per-type rank window for
+    * the threshold, a #type-row broadcast join, one ordered per-type
+    * lag window, one keyed agg. Headroom: 20000·(ΣT)² stays under the
+    * bigint edge while ΣT ≤ ~6·10⁸ rows per type.
+    */
+  val tsExtremalIndex: Q = Q("ts_extremal_index", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      col("ts_us"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val idxd = e.withColumn("idx", row_number().over(
+      Window.partitionBy("event_type").orderBy("ts_us", "event_id")).cast("bigint"))
+    val th = e
+      .withColumn("rv", row_number().over(
+        Window.partitionBy("event_type").orderBy("c", "event_id")).cast("bigint"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("rv = (90 * nn + 99) DIV 100"))
+      .select(col("event_type"), col("c").as("u"))
+    val g = idxd.join(broadcast(th), "event_type")
+      .filter(col("c") > col("u"))
+      .withColumn("gap", col("idx") - lag("idx", 1).over(
+        Window.partitionBy("event_type").orderBy("idx")))
+    g.groupBy("event_type", "u").agg(
+        count(lit(1)).as("n_exceed"),
+        sum(expr("CASE WHEN gap IS NULL OR gap > 2 THEN 1L ELSE 0L END")).as("n_clusters"),
+        sum(expr("coalesce(gap, 0L)")).as("st"),
+        sum(expr("coalesce(gap * gap, 0L)")).as("st2"))
+      .withColumn("theta_runs_bp", expr("10000 * n_clusters DIV n_exceed"))
+      .withColumn("theta_fs_bp", expr("""CASE WHEN n_exceed > 1 AND st2 > 0
+        THEN least(10000L, 20000 * st * st DIV ((n_exceed - 1) * st2))
+        ELSE 10000L END"""))
+      .select("event_type", "u", "n_exceed", "n_clusters",
+        "theta_runs_bp", "theta_fs_bp")
+      .orderBy("event_type")
+  }, Some("""WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    i AS (SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS BIGINT) AS idx
+      FROM e),
+    r AS (SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS BIGINT) AS rv,
+        count(*) OVER (PARTITION BY event_type) AS nn
+      FROM e),
+    th AS (SELECT event_type, c AS u FROM r WHERE rv = (90 * nn + 99) // 100),
+    g AS (SELECT i.event_type, u,
+        idx - lag(idx) OVER (PARTITION BY i.event_type ORDER BY idx) AS gap
+      FROM i JOIN th USING (event_type) WHERE c > u),
+    a AS (SELECT event_type, u,
+        count(*)::BIGINT AS n_exceed,
+        CAST(sum(CASE WHEN gap IS NULL OR gap > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+        CAST(sum(coalesce(gap, 0)) AS BIGINT) AS st,
+        CAST(sum(coalesce(gap * gap, 0)) AS BIGINT) AS st2
+      FROM g GROUP BY event_type, u)
+    SELECT event_type, u, n_exceed, n_clusters,
+      CAST(10000 * n_clusters // n_exceed AS BIGINT) AS theta_runs_bp,
+      CAST(CASE WHEN n_exceed > 1 AND st2 > 0
+        THEN least(10000, 20000 * st * st // ((n_exceed - 1) * st2))
+        ELSE 10000 END AS BIGINT) AS theta_fs_bp
+    FROM a ORDER BY event_type"""))
 
   /** Ljung–Box portmanteau whiteness test (Ljung & Box, Biometrika
     * 1978 — public) at lags 1–3 over each event type's hourly-mean
