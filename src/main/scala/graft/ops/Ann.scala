@@ -96,4 +96,88 @@ object Ann {
     sel.withColumn("rnk", row_number().over(w).cast("bigint"))
       .select(col("q_id"), col("q_grp"), col("c_id"), col("c_grp"), col("rnk"), col("sim"))
   }
+
+  /** CELF lazy-greedy facility-location selection (Leskovec et al.,
+    * "Cost-effective Outbreak Detection in Networks", KDD'07 — public):
+    * returns EXACTLY the naive-greedy picks over the max-coverage
+    * objective F(S) = Σ_x max(0, max_{s∈S} ⟨x,s⟩) — submodularity makes
+    * stale marginal gains valid upper bounds, so a candidate is
+    * re-evaluated only while it tops the priority queue — but where
+    * naive greedy pays a corpus × |candidates| pass EVERY round, lazy
+    * greedy pays it once and then one corpus × 1 aggregation per
+    * re-evaluation (typically 1–3 per round). The queue orders by
+    * (stale gain DESC, candidate id ASC) — the same total order as the
+    * greedy argmax — so tie-breaks match the naive selection exactly,
+    * including equal-gain candidates (an equal-gain smaller-id stale
+    * entry pops first and becomes fresh above the incumbent).
+    *
+    * `cands` is the DRIVER-SIDE bounded candidate pool (id →
+    * ×10⁴-quantized vector) — model-sized state like the PCA Gram
+    * matrix, never corpus data; the corpus relation `v` = (`idCol`,
+    * `qCol` array<bigint>) stays distributed, with the per-round
+    * coverage state eagerly localCheckpointed (the measured per-round
+    * codegen-compile tax rule). Returns (picks as (round, id,
+    * objective), distributed gain evaluations performed) — the spec
+    * asserts evals < k·|cands| and picks == naive greedy.
+    */
+  def lazyGreedyCoreset(
+      v: DataFrame,
+      cands: Seq[(Long, Array[Long])],
+      k: Int,
+      idCol: String = "vec_id",
+      qCol: String = "q"): (Seq[(Long, Long, Long)], Int) = {
+    require(cands.nonEmpty && cands.size <= 256,
+      s"candidate pool must be driver-bounded (got ${cands.size})")
+    graft.expressions.DotProductLong.register(v.sparkSession)
+    def litArr(a: Array[Long]): String = a.map(x => s"${x}L").mkString("array(", ", ", ")")
+    var nEvals = 0
+    var best = v.select(col(idCol), col(qCol).as("q"), lit(0L).as("best"))
+      .localCheckpoint(true)
+    // round 1: one full corpus × candidates pass (identical to naive)
+    val candDf = v.sparkSession.createDataFrame(
+      cands.map { case (id, q) => (id, q.toSeq) }).toDF("c_id", "cq")
+    val f1 = best.crossJoin(broadcast(candDf))
+      .withColumn("g", expr("greatest(best, graft_dot_long(q, cq))"))
+      .groupBy("c_id").agg(sum("g").as("obj"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nEvals += cands.size
+    val qOf = cands.toMap
+    // entries (marginal gain upper bound, id); smallest by ord = best:
+    // gain DESC then id ASC — the greedy argmax's total order
+    val ord: Ordering[(Long, Long)] =
+      Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+    var fObj = 0L
+    var picks = Seq.empty[(Long, Long, Long)]
+    val pq = scala.collection.mutable.TreeMap.empty[(Long, Long), Unit](ord)
+    f1.foreach { case (id, f) => pq.update((f - fObj, id), ()) }
+    for (r <- 1 to k) {
+      var chosen = -1L
+      while (chosen < 0) {
+        val (top @ (staleGain, id), _) = pq.head
+        pq.remove(top)
+        val fresh = if (r == 1) staleGain + fObj
+        else {
+          nEvals += 1
+          best.select(sum(expr(
+            s"greatest(best, graft_dot_long(q, ${litArr(qOf(id))}))")).as("f"))
+            .collect()(0).getLong(0)
+        }
+        val gain = fresh - fObj
+        // fresh and still above (or tied-with-larger-id vs) every stale
+        // bound -> this IS the greedy argmax; otherwise reinsert updated
+        if (r == 1 || pq.isEmpty || ord.lteq((gain, id), pq.head._1)) {
+          chosen = id
+          fObj = fresh
+          picks = picks :+ ((r.toLong, id, fObj))
+        } else pq.update((gain, id), ())
+      }
+      if (r < k) {
+        best = best
+          .withColumn("best", expr(
+            s"greatest(best, graft_dot_long(q, ${litArr(qOf(chosen))}))"))
+          .localCheckpoint(true)
+      }
+    }
+    (picks, nEvals)
+  }
 }

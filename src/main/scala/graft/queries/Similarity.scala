@@ -27,7 +27,8 @@ object Similarity {
     annIvfPqResidual, embedCentroidDrift, embedPcaPower, embedAbtt,
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
-    embedCoresetGreedy, embedCoresetKcenter, embedRrfFusion, embedMmrRerank)
+    embedCoresetGreedy, embedCoresetKcenter, embedRrfFusion, embedMmrRerank,
+    embedCoresetLazy)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1958,6 +1959,35 @@ object Similarity {
       UNION ALL SELECT 3, c_id, obj FROM s3)
     ORDER BY round"""
   })
+
+  /** CELF lazy-greedy twin of [[embedCoresetGreedy]]
+    * ([[graft.ops.Ann.lazyGreedyCoreset]]): same candidate pool, same
+    * integer objective, PROVABLY identical picks (submodular stale
+    * gains are upper bounds; the queue shares the greedy argmax's
+    * (gain DESC, id ASC) total order) — which is why it shares the
+    * naive chain's oracle verbatim. The scale win: after the one full
+    * corpus × candidates round-1 pass, each later round re-evaluates
+    * only the candidates that top the queue (corpus × 1 aggregations),
+    * instead of naive's corpus × |candidates| pass per round — at a
+    * 100 TB corpus with hundreds of candidates and k in the tens,
+    * that is the difference between k full sweeps and ~one. OpsSpec
+    * pins picks == naive and evals < k·|candidates|.
+    */
+  val embedCoresetLazy: Q = Q("embed_coreset_lazy", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.DotProductLong.register(s)
+    val q = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+    val cands = q.withColumn("e", expr("graft_dot_long(q, q)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("e").desc, col("vec_id"))))
+      .filter(col("rn") <= 4)
+      .select(col("vec_id"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val (picks, _) = graft.ops.Ann.lazyGreedyCoreset(q.select("vec_id", "q"), cands, 3)
+    import s.implicits._
+    picks.toDF("round", "vec_id", "obj").orderBy("round")
+  }, embedCoresetGreedy.oracle)
 
   /** K-CENTER coreset by farthest-first traversal (Gonzalez, "Clustering
     * to minimize the maximum intercluster distance", TCS 1985 — public;

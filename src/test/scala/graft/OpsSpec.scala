@@ -893,6 +893,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast == loop && fast.nonEmpty, s"int-weight: $fast vs $loop")
   }
 
+  test("Ann.lazyGreedyCoreset == naive greedy in identical Long arithmetic, fewer full passes") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // deterministic mixed-sign vectors; candidates = every 7th id
+    val vecs: Seq[(Long, Array[Long])] = (1L to 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 17) % 23) - 11))
+    }
+    val v = vecs.map { case (id, q) => (id, q.toSeq) }.toDF("vec_id", "q")
+    val cands = vecs.filter(_._1 % 7 == 0)
+    val k = 3
+    val (picks, evals) = graft.ops.Ann.lazyGreedyCoreset(v, cands, k)
+    // naive greedy, driver-side, same Long arithmetic
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => Math.multiplyExact(x, y) }
+        .foldLeft(0L)(Math.addExact)
+    var best = vecs.map(x => x._1 -> 0L).toMap
+    var chosen = Set.empty[Long]
+    var naive = Seq.empty[(Long, Long, Long)]
+    for (r <- 1 to k) {
+      val (cid, obj) = cands.filterNot(c => chosen(c._1)).map { case (cid, cq) =>
+        (cid, vecs.map { case (id, q) => Math.max(best(id), dot(q, cq)) }.sum)
+      }.minBy { case (id, o) => (-o, id) }
+      chosen += cid
+      naive = naive :+ ((r.toLong, cid, obj))
+      val cq = cands.find(_._1 == cid).get._2
+      best = vecs.map { case (id, q) => id -> Math.max(best(id), dot(q, cq)) }.toMap
+    }
+    assert(picks == naive, s"lazy $picks vs naive $naive")
+    // lazy never exceeds naive's evaluation count (and the remaining-pool
+    // bound means it is structurally below k * |cands|)
+    assert(evals >= cands.size && evals < k * cands.size, s"evals=$evals")
+  }
+
   test("Graph.betweennessSeeds matches hand-computed Brandes on path and diamond (both paths)") {
     import spark.implicits._
     // cutoff > 0 = counted-small driver fast path; 0 = distributed loop —
