@@ -1020,6 +1020,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("prefix gate: streamed prefix-posting buckets + exact verify == dedup_prefix_filter") {
+    // the prefix-filter miner streams through the SAME unchanged gate as
+    // text LSH and phash: bucket key = the prefix gram itself, the exact
+    // Jaccard check filters candidates, and the result must equal the
+    // batch prefix-filter query (whose df belt is vacuous at this SF)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_prefixgate").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfDir, "documents")
+    val sh = graft.ops.Lsh.shingles(docs, "doc_id", "text", n = 3).persist()
+    val pre = graft.ops.Lsh.prefixPostings(sh, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets: Map[Long, Set[String]] = sh.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // grams contain spaces — doc id leads the line, split ONCE
+    val rows = pre.sortBy(_._1)
+    val cut = {
+      val ids = rows.map(_._1).distinct
+      ids(ids.length / 2)
+    }
+    val (b1, b2) = rows.partition(_._1 < cut)
+    def fmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._1} pf|${r._2}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" ", 2); (p(1), p(0).toLong) }
+    val q = graft.streaming.LshGateProcessor(spark, src).toDF("d1", "d2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_prefix_gate").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT DISTINCT d1, d2 FROM graft_prefix_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) =>
+          val i = (sets(a) intersect sets(b)).size.toLong
+          2L * i >= sets(a).size + sets(b).size - i
+        }.toSet
+      val want = graft.queries.Dedup.prefixFilter.fn(spark, sfDir)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "batch prefix-filter pair set unexpectedly empty")
+      assert(got == want, s"streamed vs batch prefix pairs: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("phash gate: streamed banded image near-dups == multimodal_phash_pairs") {
     // the image near-dup miner is the SAME gate as text LSH — band keys
     // from the perceptual hash stream through LshGateProcessor, the
