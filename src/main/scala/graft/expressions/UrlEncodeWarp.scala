@@ -76,5 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       AudioFingerprint.info, AudioFingerprint.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // row_number()<=k filters route to the bounded TopKPerGroup operator
+    // (default on; kill switch spark.graft.rewrite.topK=false)
+    ext.injectOptimizerRule(graft.plans.TopKRewrite.apply)
   }
 }

@@ -131,8 +131,10 @@ object Ann {
     graft.expressions.DotProductLong.register(v.sparkSession)
     def litArr(a: Array[Long]): String = a.map(x => s"${x}L").mkString("array(", ", ", ")")
     var nEvals = 0
+    // the initial all-zero coverage state is trivial — materializing it
+    // would scan the corpus once for nothing; checkpoint only UPDATED
+    // states (each truncates the growing greatest() chain)
     var best = v.select(col(idCol), col(qCol).as("q"), lit(0L).as("best"))
-      .localCheckpoint(true)
     // round 1: one full corpus × candidates pass (identical to naive)
     val candDf = v.sparkSession.createDataFrame(
       cands.map { case (id, q) => (id, q.toSeq) }).toDF("c_id", "cq")

@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: rewrite the `row_number() OVER (PARTITION BY g
+  * ORDER BY o) <= k` filter idiom into the bounded [[TopKPerGroup]]
+  * operator — the Catalyst ladder's "whole-operator" rung applied
+  * AUTOMATICALLY, so every query written in the ubiquitous window form
+  * gets the scale-shaped plan (≤ k rows per (group, map partition)
+  * cross the exchange; no data-sized WindowExec sort, no rank column
+  * materialized) without calling [[graft.ops.Scale.topKPerGroup]].
+  *
+  * Conservative by construction — the rewrite fires only when:
+  *  - the Window computes exactly ONE expression: `row_number()` with
+  *    the standard (UNBOUNDED PRECEDING, CURRENT ROW) row frame;
+  *  - the filter's rank conjuncts are `rn <= k` / `rn < k` / `rn = 1`
+  *    (either literal side) with an integral literal, k ≥ 1;
+  *  - the projection above DROPS the rank column (the common
+  *    `.filter(...).drop("rn")` shape) — if rn survives, the window
+  *    stays;
+  *  - partition keys are deterministic and not raw floats (byte
+  *    equality vs sort equality — the [[TopKPerGroup]] scaladoc
+  *    contract), the order spec is non-empty and deterministic, and
+  *    the remaining filter conjuncts don't reference rn.
+  *
+  * Semantics note: under a TOTAL (tie-broken) order — the registry-wide
+  * oracle discipline — the rewrite is exactly result-preserving; under
+  * ties, row_number itself is already nondeterministic in a distributed
+  * engine, and the rewrite picks an equally valid selection. The full
+  * 330+-query oracle sweep runs with this rule ACTIVE, which is the
+  * bit-exactness proof. Kill switch: `spark.graft.rewrite.topK=false`.
+  *
+  * If Spark's own InferWindowGroupLimit has already bounded the window
+  * input (Spark 3.5+'s partial answer to this pattern — it limits rows
+  * per group but still pays the reduce-side WindowExec sort and rank
+  * projection), the redundant [[WindowGroupLimit]] below the rewritten
+  * operator is stripped.
+  */
+case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  val ConfKey = "spark.graft.rewrite.topK"
+
+  private def intLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType)  => Some(v.toLong)
+    case Literal(v: Long, LongType)    => Some(v)
+    case Literal(v: Short, ShortType)  => Some(v.toLong)
+    case Literal(v: Byte, ByteType)    => Some(v.toLong)
+    case _                             => None
+  }
+
+  /** The single row_number alias of an eligible Window, if any. */
+  private def rowNumberAlias(w: Window): Option[Alias] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(_: RowNumber,
+        WindowSpecDefinition(_, _,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
+      Some(a)
+    case _ => None
+  }
+
+  /** k implied by one conjunct on the rank attribute, if recognizable. */
+  private def boundFromConjunct(c: Expression, rn: Attribute): Option[Long] = c match {
+    case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rn) => intLit(l)
+    case LessThan(a: Attribute, l) if a.semanticEquals(rn)        => intLit(l).map(_ - 1)
+    case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rn) => intLit(l)
+    case GreaterThan(l, a: Attribute) if a.semanticEquals(rn)     => intLit(l).map(_ - 1)
+    case EqualTo(a: Attribute, l) if a.semanticEquals(rn)         => intLit(l).filter(_ == 1L)
+    case EqualTo(l, a: Attribute) if a.semanticEquals(rn)         => intLit(l).filter(_ == 1L)
+    case _                                                        => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.getOption(ConfKey).contains("false")) return plan
+    plan.transformUp {
+      case p @ Project(projList, Filter(cond, w: Window)) =>
+        rewrite(projList, cond, w).getOrElse(p)
+    }
+  }
+
+  private def rewrite(
+      projList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      cond: Expression,
+      w: Window): Option[LogicalPlan] = {
+    rowNumberAlias(w).flatMap { alias =>
+      val rn = alias.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (rnParts, rest) = conjuncts.partition(_.references.contains(rn))
+      val bounds = rnParts.map(boundFromConjunct(_, rn))
+      val groupOk = w.partitionSpec.nonEmpty && w.partitionSpec.forall { e =>
+        e.deterministic && (e.dataType match {
+          case FloatType | DoubleType => false
+          case _                      => true
+        })
+      }
+      val orderOk = w.orderSpec.nonEmpty && w.orderSpec.forall(_.child.deterministic)
+      val shapeOk = rnParts.nonEmpty && bounds.forall(_.isDefined) &&
+        groupOk && orderOk &&
+        projList.forall(e => e.deterministic &&
+          e.references.subsetOf(w.child.outputSet)) &&
+        rest.forall(_.references.subsetOf(w.child.outputSet))
+      if (!shapeOk) None
+      else {
+        val k = bounds.flatten.min
+        if (k < 1L || k > Int.MaxValue.toLong) None
+        else {
+          // a WindowGroupLimit Spark already inferred below the window is
+          // redundant once the bounded operator takes over
+          val base = w.child match {
+            case wgl: WindowGroupLimit if wgl.limit >= k.toInt &&
+                wgl.partitionSpec == w.partitionSpec &&
+                wgl.orderSpec == w.orderSpec => wgl.child
+            case c => c
+          }
+          val topk = TopKPerGroup(w.partitionSpec, w.orderSpec, k.toInt, base)
+          val filtered =
+            if (rest.isEmpty) topk
+            else Filter(rest.reduce(And), topk)
+          Some(Project(projList, filtered))
+        }
+      }
+    }
+  }
+}

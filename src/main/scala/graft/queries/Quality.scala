@@ -13,7 +13,8 @@ object Quality {
   def all: Seq[Q] = Seq(dataProfile, dataQualityChecks, datasetDiff,
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
     langidEval, qualityReadability, datasetMerkle, qualityBenford,
-    qualityConformal, qualityEncoding, qualityKlSource, qualityPiiCensus)
+    qualityConformal, qualityEncoding, qualityKlSource, qualityPiiCensus,
+    qualityZipfFit)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -732,6 +733,58 @@ object Quality {
       .withColumn("cont_excess", expr("n_cont - cont_expected"))
       .withColumn("damage_score", expr("abs(cont_excess) * 10 + n_ctrl"))
   }
+
+  /** Zipf rank-frequency fit — the vocabulary-naturalness health check
+    * (Zipf's law: natural language word frequencies follow f ∝ r^−s
+    * with s ≈ 1; machine-generated, templated, or spam-like text bends
+    * the curve — a corpus whose slope drifts from ~−1 warrants a look
+    * before it trains anything). Per source: rank words by frequency
+    * (count DESC, word ASC tie-break) and least-squares-fit y = ⌊log₂ f⌋
+    * against x = ⌊log₂ r⌋ in the EXACT `length(bin(x))−1` integer
+    * dialect of [[qualityKlSource]]; the slope is the cross-multiplied
+    * rational 10⁴·(n·Σxy − Σx·Σy) DIV (n·Σx² − (Σx)²) — truncation
+    * toward zero agrees across engines even when negative. One word
+    * count shuffle, one per-source rank window, one keyed agg.
+    */
+  val qualityZipfFit: Q = Q("quality_zipf_fit", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.t(s, dir, "documents").select(col("source"),
+      explode(graft.ops.Text.words(col("text"))).as("word"))
+    val f = w.groupBy("source", "word").agg(count(lit(1)).as("f"))
+    val rk = f.withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("f").desc, col("word").asc)).cast("bigint"))
+      .withColumn("x", expr("CAST(length(bin(r)) - 1 AS BIGINT)"))
+      .withColumn("y", expr("CAST(length(bin(f)) - 1 AS BIGINT)"))
+    rk.groupBy("source").agg(
+        count(lit(1)).as("n_types"),
+        sum("f").as("n_tokens"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .withColumn("slope_e4",
+        expr("10000 * (n_types * sxy - sx * sy) DIV nullif(n_types * sxx - sx * sx, 0)"))
+      .select("source", "n_types", "n_tokens", "slope_e4")
+      .orderBy("source")
+  }, Some("""WITH w AS (
+      SELECT source,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    f AS (SELECT source, word, count(*)::BIGINT AS f FROM w GROUP BY source, word),
+    rk AS (SELECT source, f,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY f DESC, word ASC) AS BIGINT) AS r
+      FROM f),
+    l AS (SELECT source, f,
+        CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+        CAST(length(bin(f)) - 1 AS BIGINT) AS y
+      FROM rk),
+    a AS (SELECT source, count(*)::BIGINT AS n_types,
+        CAST(sum(f) AS BIGINT) AS n_tokens,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM l GROUP BY source)
+    SELECT source, n_types, n_tokens,
+      CAST(10000 * (n_types * sxy - sx * sy)
+        // nullif(n_types * sxx - sx * sx, 0) AS BIGINT) AS slope_e4
+    FROM a ORDER BY source"""))
 
   /** Unrolled Luhn (mod-10) digit sum over an all-digit string column:
     * positions 1..`upTo` of a number whose FULL length is `totalLen`;

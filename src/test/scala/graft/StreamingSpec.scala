@@ -2544,6 +2544,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("ExtremalProcessor: exceedance clustering vs the frozen threshold == ts_extremal_index") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_extremal").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // freeze u exactly like the batch: ceiling-rank 90% order statistic
+    // ordered by (c, event_id); idx = time order (ts_us, event_id)
+    val rows = ev.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      val srt = rs.sortBy(r => (r._4, r._2))
+      val u = srt(((90L * rs.length + 99L) / 100L - 1L).toInt)._4
+      rs.sortBy(r => (r._3, r._2)).zipWithIndex.map { case (r, i) =>
+        (k, (i + 1).toLong, r._4, u)
+      }
+    }.sortBy(r => (r._1, r._2)).toArray
+    val idxs = rows.map(_._2).sorted
+    val cut = idxs(idxs.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.ExtremalProcessor(spark, src)
+      .toDF("k", "n_exceed", "n_clusters", "theta_runs_bp", "theta_fs_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_extremal").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n_exceed, n_clusters, theta_runs_bp, theta_fs_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n_exceed DESC) AS rn
+            FROM graft_extremal) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = graft.queries.Series.tsExtremalIndex.fn(spark, sfDir)
+        .select("event_type", "n_exceed", "n_clusters", "theta_runs_bp", "theta_fs_bp")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(want.nonEmpty, "batch extremal index unexpectedly empty")
+      assert(got == want, s"streamed vs batch extremal: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("Utf8GateProcessor: running per-source byte-class census == batch encodingMetrics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

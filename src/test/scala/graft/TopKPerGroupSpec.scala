@@ -135,4 +135,78 @@ class TopKPerGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("nope"))
   }
+
+  private def withRewrite[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.TopKRewrite(spark))
+    graft.plans.TopKPerGroup.ensureStrategy(spark)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("TopKRewrite: the row_number()<=k idiom auto-routes to the bounded operator") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    def idiom = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    val want = idiom.orderBy("event_type", "event_id")
+      .collect().map(_.toSeq).toSeq // rule off: plain window plan
+    val (got, plan) = withRewrite {
+      val df = idiom
+      val p = finalPlan(df)
+      (df.orderBy("event_type", "event_id").collect().map(_.toSeq).toSeq, p)
+    }
+    assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"WindowExec survived the rewrite:\n$plan")
+    assert(want.nonEmpty && got == want, "rewritten results diverged from the window form")
+    // kill switch honored
+    val off = withRewrite {
+      spark.conf.set("spark.graft.rewrite.topK", "false")
+      try finalPlan(idiom) finally spark.conf.unset("spark.graft.rewrite.topK")
+    }
+    assert(!off.contains("TopKPerGroupExec"), s"kill switch ignored:\n$off")
+  }
+
+  test("TopKRewrite: extra filter conjuncts survive above the operator") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark; import sp.implicits._
+    val df = (1 to 400).map(i => (i % 7, i.toLong)).toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    def idiom = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("v") % 2 === 0).drop("rn")
+    val want = idiom.collect().map(_.toSeq).toSet
+    val (got, plan) = withRewrite {
+      val d = idiom
+      (d.collect().map(_.toSeq).toSet, finalPlan(d))
+    }
+    assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
+    assert(got == want, "residual conjunct lost or misapplied")
+  }
+
+  test("TopKRewrite: conservative non-fires — rn kept, rank(), float group keys") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark; import sp.implicits._
+    val df = (1 to 100).map(i => (i % 5, i / 7.0, i.toLong)).toDF("g", "f", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").asc)
+    withRewrite {
+      // rn survives the projection -> the window must stay
+      val kept = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      assert(!finalPlan(kept).contains("TopKPerGroupExec"),
+        "rewrote a plan that still needs the rank column")
+      // rank() has different semantics under ties -> no rewrite
+      val rk = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 2).drop("rn")
+      assert(!finalPlan(rk).contains("TopKPerGroupExec"), "rewrote rank()")
+      // raw-float group keys violate the byte-equality contract -> no rewrite
+      val wf = Window.partitionBy("f").orderBy(col("v").asc)
+      val fl = df.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 2).drop("rn")
+      assert(!finalPlan(fl).contains("TopKPerGroupExec"), "rewrote float group keys")
+    }
+  }
 }
