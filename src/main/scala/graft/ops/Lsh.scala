@@ -128,8 +128,11 @@ object Lsh {
       tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     import org.apache.spark.sql.expressions.Window
-    val gdf = sh.groupBy(shCol).agg(count(lit(1)).as("_df"))
-    sh.join(gdf, shCol)
+    // global df attaches as ONE window count on the token exchange —
+    // the groupBy + shuffle-join-back form re-shuffled the identical
+    // posting volume and lost ~1.5 s at sf0.1 (DevPrefix A/B, both reps)
+    sh.select(col(idCol), col(shCol),
+        count(lit(1)).over(Window.partitionBy(shCol)).as("_df"))
       .select(col(idCol), col(shCol),
         row_number().over(
           Window.partitionBy(idCol).orderBy(col("_df"), col(shCol))).as("_rk"),

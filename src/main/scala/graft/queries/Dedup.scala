@@ -292,8 +292,10 @@ object Dedup {
       .join(pre.select(col("doc_id").as("d2"), col("sh").as("sh2")),
         col("sh") === col("sh2") && col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+    // unsorted arrays: the intersect SIZE is order-independent, and the
+    // per-doc sort was measurable at sf0.1 (DevPrefix)
     val sets = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list("sh")).as("g"), count(lit(1)).as("n"))
+      .agg(collect_list("sh").as("g"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col("doc_id").as("d1"), col("g").as("g1"), col("n").as("n1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("g").as("g2"), col("n").as("n2")), "d2")
