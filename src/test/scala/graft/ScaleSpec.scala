@@ -591,6 +591,38 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // the 100-TB layout move: facts partitioned by the join key, dims
+    // filtered at runtime — the fact scan must carry a DPP subquery in
+    // its PartitionFilters, not read every partition
+    val tmp = Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // the dim must be a SCANNED relation: a literal one constant-folds
+    // its filter away and DPP sees no selective predicate to reuse
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("click", 1), ("view", 0), ("purchase", 0), ("signup", 0),
+      ("error", 0)).toDF("event_type", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    // this suite disables auto-broadcast to expose shuffles; DPP rides
+    // the broadcast exchange, so restore it for this test only
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val joined = fact.join(dim.filter(col("flag") === 1), "event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      val rows = joined.collect()
+      assert(rows.head.getLong(0) > 0, "fixture lost its rows")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"fact scan carries no dynamic partition pruning filter:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  }
+
   test("prefix-filter miner: zero recall loss vs brute force; boilerplate grams never join") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
