@@ -51,7 +51,8 @@ object Analytics {
     q4OrderPriority, q22IdleCustomers, q15TopSupplier, q7VolumeShipping,
     q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
-    q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout)
+    q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
+    qHbosOutliers)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -703,6 +704,58 @@ object Analytics {
     * range. The interleave is `(x >> i & 1)·2^(ik+j)` with literal
     * multipliers — cross-engine exact on BIGINTs.
     */
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel, KI 2012
+    * — public): per-feature equi-width histograms, score(x) =
+    * Σ_f log(max-bin density / density of x's bin) — the linear-time
+    * unsupervised outlier method a pipeline runs when z-scores assume
+    * too much (unimodality) and kNN-OOD costs too much (pairwise). Three
+    * features over events: the 5-unit value bin, the hour-of-day, and
+    * the event type (a 1-bin-per-category histogram); the score sums
+    * per-feature ⌊log₂ n_max⌋ − ⌊log₂ n_bin⌋ in the exact
+    * `length(bin(x))−1` dialect — integer "bits of rarity", 0 for the
+    * modal bin. Scale shape: three SMALL aggregated histograms (bounded
+    * by bin counts, broadcast back), one TakeOrdered top-20 with full
+    * tie-breaks — no window over data, no self-join.
+    */
+  val qHbosOutliers: Q = Q("q_hbos_outliers", (s, dir) => {
+    val e = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+        expr("(ts_us DIV 3600000000) % 24").as("hod"))
+      .withColumn("vb", expr("c DIV 500"))
+    val h1 = e.groupBy("vb").agg(count(lit(1)).as("n1"))
+    val h2 = e.groupBy("hod").agg(count(lit(1)).as("n2"))
+    val h3 = e.groupBy("event_type").agg(count(lit(1)).as("n3"))
+    val m1 = h1.agg(max("n1").as("m1"))
+    val m2 = h2.agg(max("n2").as("m2"))
+    val m3 = h3.agg(max("n3").as("m3"))
+    e.join(broadcast(h1), "vb").join(broadcast(h2), "hod")
+      .join(broadcast(h3), "event_type")
+      .crossJoin(broadcast(m1)).crossJoin(broadcast(m2)).crossJoin(broadcast(m3))
+      .withColumn("score_bits", expr(
+        """(length(bin(m1)) - length(bin(n1)))
+         + (length(bin(m2)) - length(bin(n2)))
+         + (length(bin(m3)) - length(bin(n3)))""").cast("long"))
+      .select(col("event_id"), col("event_type"), col("c"), col("vb"),
+        col("hod"), col("n1"), col("n2"), col("n3"), col("score_bits"))
+      .orderBy(col("score_bits").desc, col("event_id").asc).limit(20)
+  }, Some("""WITH e AS (
+      SELECT event_id, event_type,
+        CAST(round(value * 100) AS BIGINT) AS c,
+        (epoch_us(ts) // 3600000000) % 24 AS hod
+      FROM events),
+    e2 AS (SELECT *, c // 500 AS vb FROM e),
+    h1 AS (SELECT vb, count(*)::BIGINT AS n1 FROM e2 GROUP BY vb),
+    h2 AS (SELECT hod, count(*)::BIGINT AS n2 FROM e2 GROUP BY hod),
+    h3 AS (SELECT event_type, count(*)::BIGINT AS n3 FROM e2 GROUP BY event_type),
+    m AS (SELECT (SELECT max(n1) FROM h1) AS m1, (SELECT max(n2) FROM h2) AS m2,
+      (SELECT max(n3) FROM h3) AS m3)
+    SELECT event_id, event_type, c, vb, hod, n1, n2, n3,
+      CAST((length(bin(m1)) - length(bin(n1)))
+         + (length(bin(m2)) - length(bin(n2)))
+         + (length(bin(m3)) - length(bin(n3))) AS BIGINT) AS score_bits
+    FROM e2 JOIN h1 USING (vb) JOIN h2 USING (hod) JOIN h3 USING (event_type), m
+    ORDER BY score_bits DESC, event_id ASC LIMIT 20"""))
+
   val qZorderLayout: Q = Q("layout_zorder", (s, dir) => {
     import graft.ops.Layout
     val li = Tables.t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))

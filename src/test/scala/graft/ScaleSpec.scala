@@ -740,6 +740,7 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_recursive_cte" -> "acyclic ancestor closure, depth-bounded unrolling",
       "quality_conformal_bounds" -> "median/q-hat sides are rank-filtered to ONE row per event type — #type-sized broadcasts, not pair miners",
       "ts_mean_excess" -> "threshold side is rank-filtered to THREE rows per event type — #type-sized broadcast, not a pair miner",
+      "ts_extremal_index" -> "threshold side is rank-filtered to ONE row per event type — #type-sized broadcast, not a pair miner",
       "scd2_pit_join" -> "point-in-time join: validity intervals are disjoint per key — at most 1 match",
       "text_pmi" -> "vocabulary capped to top-200 before the pair self-join; pair space <= 200^2/2",
       "ts_anomaly_agreement" -> "full-outer detector agreement on unique (event_type,bucket) id — 1:1")
