@@ -25,7 +25,7 @@ object Series {
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
     tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
     tsLjungBox, tsPageHinkley, tsSeasonalEsd, tsGrangerLite,
-    tsExtremalIndex)
+    tsExtremalIndex, tsAdfLite)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3110,6 +3110,76 @@ object Series {
     WHERE c > u
     GROUP BY e.event_type, p, u
     ORDER BY e.event_type, p"""))
+
+  /** Dickey–Fuller unit-root screen (Dickey & Fuller, JASA 1979 —
+    * public) over each type's hourly-mean series, in the quantized
+    * fixed-point discipline of [[tsPacf]]: regress Δy_t on y_{t−1}
+    * (with constant, via n-scaled centered moments), report
+    * ρ̂ (e6) and the squared t-statistic (e4), and reject the unit
+    * root at 5% when t² > 2.86² AND ρ̂ < 0 (the test is one-sided
+    * negative; τ_c critical −2.86). The stationarity gate that decides
+    * whether [[tsGrangerLite]]-class level regressions are even
+    * meaningful, or the series needs differencing first. Exactness
+    * contract: series values quantize to whole units (cents DIV 100)
+    * and the moment products pass through shared ÷2¹² and ÷10⁴
+    * truncations before squaring — both engines walk the identical
+    * integer path, so the oracle is bit-exact while t² carries ~0.1
+    * resolution (plenty for a screen against an 8.18 threshold).
+    * Shapes: one hourly pre-agg, one per-type lag window, one keyed
+    * agg — no joins.
+    */
+  val tsAdfLite: Q = Q("ts_adf_lite", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("(sum(cents) DIV count(1)) DIV 100").as("y"))
+    val d = hourly
+      .withColumn("x", lag("y", 1).over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("x").isNotNull)
+      .withColumn("dy", col("y") - col("x"))
+    d.groupBy("event_type").agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"), sum("dy").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * dy")).as("sxy"),
+        sum(expr("dy * dy")).as("syy"))
+      .withColumn("cxx", expr("(m * sxx - sx * sx) DIV 4096"))
+      .withColumn("cxy", expr("(m * sxy - sx * sy) DIV 4096"))
+      .withColumn("cyy", expr("(m * syy - sy * sy) DIV 4096"))
+      .withColumn("rho_e6", expr("1000000 * (m * sxy - sx * sy) DIV nullif(m * sxx - sx * sx, 0)"))
+      .withColumn("t2_e4", expr(
+        """(cxy * cxy DIV nullif((cxx * cyy - cxy * cxy) DIV 10000, 0)) * (m - 2)"""))
+      .withColumn("unit_root_rejected_5pct",
+        expr("t2_e4 > 81796 AND rho_e6 < 0"))
+      .select("event_type", "m", "rho_e6", "t2_e4", "unit_root_rejected_5pct")
+      .orderBy("event_type")
+  }, Some("""WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) // count(*)) // 100 AS y
+      FROM events GROUP BY 1, 2),
+    d0 AS (SELECT event_type, y,
+        lag(y) OVER (PARTITION BY event_type ORDER BY h) AS x
+      FROM hourly),
+    d AS (SELECT event_type, x, y - x AS dy FROM d0 WHERE x IS NOT NULL),
+    a AS (SELECT event_type,
+        count(*)::BIGINT AS m,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * dy) AS BIGINT) AS sxy,
+        CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM d GROUP BY event_type),
+    b AS (SELECT event_type, m,
+        (m * sxx - sx * sx) // 4096 AS cxx,
+        (m * sxy - sx * sy) // 4096 AS cxy,
+        (m * syy - sy * sy) // 4096 AS cyy,
+        CAST(1000000 * (m * sxy - sx * sy) // nullif(m * sxx - sx * sx, 0) AS BIGINT) AS rho_e6
+      FROM a),
+    t AS (SELECT event_type, m, rho_e6,
+        CAST((cxy * cxy // nullif((cxx * cyy - cxy * cxy) // 10000, 0)) * (m - 2) AS BIGINT) AS t2_e4
+      FROM b)
+    SELECT event_type, m, rho_e6, t2_e4,
+      (t2_e4 > 81796 AND rho_e6 < 0) AS unit_root_rejected_5pct
+    FROM t ORDER BY event_type"""))
 
   /** Extremal index θ — the tail-clustering diagnostic that completes
     * the POT family around [[tsMeanExcess]]: θ ≈ 1 means threshold
