@@ -14,7 +14,7 @@ object Quality {
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
     langidEval, qualityReadability, datasetMerkle, qualityBenford,
     qualityConformal, qualityEncoding, qualityKlSource, qualityPiiCensus,
-    qualityZipfFit)
+    qualityZipfFit, qualityKAnonymity)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -733,6 +733,61 @@ object Quality {
       .withColumn("cont_excess", expr("n_cont - cont_expected"))
       .withColumn("damage_score", expr("abs(cont_excess) * 10 + n_ctrl"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney, IJUFKS 2002; Machanavajjhala
+    * et al., ICDE 2006 — public) — the privacy-governance twin of
+    * [[qualityPiiCensus]]: before an event table leaves the house,
+    * measure how re-identifiable its quasi-identifier tuples are. Quasi
+    * = (event_type, hour-of-day, 10-unit value band); for thresholds
+    * k ∈ {2, 5, 10} report how many quasi-groups and how many ROWS sit
+    * below k (the re-identification exposure, in basis points of the
+    * table), plus the global minimum group size and the minimum
+    * l-diversity (distinct exact values inside a group — a group can be
+    * k-anonymous yet value-homogeneous, which is the l-diversity
+    * failure). All exact integers; one quasi-group aggregation (the
+    * group table is bounded by the quasi domain), a 3-row threshold
+    * explode over it, one final agg.
+    */
+  val qualityKAnonymity: Q = Q("quality_k_anonymity", (s, dir) => {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(ts_us DIV 3600000000) % 24").as("hod"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("vb"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type", "hod", "vb")
+      .agg(count(lit(1)).as("ksize"), countDistinct("c").as("ldiv"))
+    g.select(col("ksize"), col("ldiv"),
+        explode(expr("array(2L, 5L, 10L)")).as("kt"))
+      .groupBy("kt").agg(
+        count(lit(1)).as("n_groups"),
+        sum(expr("CASE WHEN ksize < kt THEN 1L ELSE 0L END")).as("groups_below"),
+        sum("ksize").as("n_rows"),
+        sum(expr("CASE WHEN ksize < kt THEN ksize ELSE 0L END")).as("rows_below"),
+        min("ksize").as("min_k"),
+        min("ldiv").as("min_l"))
+      .withColumn("exposure_bp", expr("10000 * rows_below DIV n_rows"))
+      .select("kt", "n_groups", "groups_below", "rows_below", "exposure_bp",
+        "min_k", "min_l")
+      .orderBy("kt")
+  }, Some("""WITH q AS (
+      SELECT event_type,
+        (epoch_us(ts) // 3600000000) % 24 AS hod,
+        CAST(round(value * 100) AS BIGINT) // 1000 AS vb,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    g AS (SELECT event_type, hod, vb,
+        count(*)::BIGINT AS ksize, count(DISTINCT c)::BIGINT AS ldiv
+      FROM q GROUP BY 1, 2, 3),
+    x AS (SELECT ksize, ldiv, unnest([2::BIGINT, 5::BIGINT, 10::BIGINT]) AS kt FROM g)
+    SELECT kt,
+      count(*)::BIGINT AS n_groups,
+      CAST(sum(CASE WHEN ksize < kt THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+      CAST(sum(CASE WHEN ksize < kt THEN ksize ELSE 0 END) AS BIGINT) AS rows_below,
+      CAST(10000 * sum(CASE WHEN ksize < kt THEN ksize ELSE 0 END)
+        // sum(ksize) AS BIGINT) AS exposure_bp,
+      CAST(min(ksize) AS BIGINT) AS min_k,
+      CAST(min(ldiv) AS BIGINT) AS min_l
+    FROM x GROUP BY kt ORDER BY kt"""))
 
   /** Zipf rank-frequency fit — the vocabulary-naturalness health check
     * (Zipf's law: natural language word frequencies follow f ∝ r^−s
