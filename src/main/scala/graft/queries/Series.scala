@@ -25,7 +25,7 @@ object Series {
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
     tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
     tsLjungBox, tsPageHinkley, tsSeasonalEsd, tsGrangerLite,
-    tsExtremalIndex, tsAdfLite)
+    tsExtremalIndex, tsAdfLite, tsCointLite)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3180,6 +3180,110 @@ object Series {
     SELECT event_type, m, rho_e6, t2_e4,
       (t2_e4 > 81796 AND rho_e6 < 0) AS unit_root_rejected_5pct
     FROM t ORDER BY event_type"""))
+
+  /** Engle–Granger cointegration screen (Engle & Granger, Econometrica
+    * 1987 — public), composing the [[tsAdfLite]] machinery pairwise:
+    * for every ordered event-type pair, (1) OLS y = α + βx on the
+    * inner-joined hourly-mean unit series via n-scaled centered integer
+    * moments, (2) the Dickey–Fuller screen on the REGRESSION RESIDUAL —
+    * if two non-stationary series share a stochastic trend, the
+    * residual is stationary and the pair co-moves (the
+    * pairs-trading / redundant-metric detector). Exactness discipline:
+    * the residual is carried as the integer m·D·e (no division), then
+    * quantized to deci-units by ONE shared truncating division before
+    * the DF moments; centered products pass ÷2²⁰ and ÷10⁴ stages. Both
+    * engines walk the identical integer path. Verdict at the EG 5%
+    * two-variable critical −3.34: t² > 111556 (e4) AND ρ̂ < 0.
+    * Headroom: safe while m·D·|y| < 2⁶¹ (D = m·Σx²−(Σx)²) — at 10⁴
+    * aligned hours and 200-unit values that is 8·10¹⁸; rescale the
+    * unit quantizer first at larger spans. Shapes: one hourly pre-agg,
+    * one hour-keyed pair join between Aggregate boundaries, one
+    * #pairs-row broadcast of the step-1 moments, one lag window, one
+    * keyed agg.
+    */
+  val tsCointLite: Q = Q("ts_cointegration_lite", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("(sum(cents) DIV count(1)) DIV 100").as("y"))
+    val a = hourly.select(col("event_type").as("ta"), col("h"), col("y"))
+    val b = hourly.select(col("event_type").as("tb"), col("h").as("hb"),
+      col("y").as("x"))
+    val pairs = a.join(b, col("h") === col("hb") && col("ta") =!= col("tb"))
+      .select("ta", "tb", "h", "y", "x").persist()
+    val s1 = pairs.groupBy("ta", "tb").agg(
+        count(lit(1)).as("m"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .withColumn("dd", expr("m * sxx - sx * sx"))
+      .withColumn("num", expr("m * sxy - sx * sy"))
+      .withColumn("beta_e6", expr("1000000 * num DIV nullif(dd, 0)"))
+    val r = pairs.join(broadcast(s1), Seq("ta", "tb"))
+      .withColumn("eq", expr(
+        """(m * dd * y - (dd * sy - num * sx) - m * num * x)
+           DIV nullif((m * dd) DIV 10, 0)"""))
+      .withColumn("ex", lag("eq", 1).over(
+        Window.partitionBy("ta", "tb").orderBy("h")))
+      .filter(col("ex").isNotNull)
+      .withColumn("de", col("eq") - col("ex"))
+    r.groupBy("ta", "tb").agg(
+        max("m").as("m"), max("beta_e6").as("beta_e6"),
+        count(lit(1)).as("m2"),
+        sum("ex").as("s2x"), sum("de").as("s2y"),
+        sum(expr("ex * ex")).as("s2xx"), sum(expr("ex * de")).as("s2xy"),
+        sum(expr("de * de")).as("s2yy"))
+      .withColumn("cxx", expr("(m2 * s2xx - s2x * s2x) DIV 1048576"))
+      .withColumn("cxy", expr("(m2 * s2xy - s2x * s2y) DIV 1048576"))
+      .withColumn("cyy", expr("(m2 * s2yy - s2y * s2y) DIV 1048576"))
+      .withColumn("rho_e4",
+        expr("10000 * (m2 * s2xy - s2x * s2y) DIV nullif(m2 * s2xx - s2x * s2x, 0)"))
+      .withColumn("t2_e4", expr(
+        "(cxy * cxy DIV nullif((cxx * cyy - cxy * cxy) DIV 10000, 0)) * (m2 - 2)"))
+      .withColumn("cointegrated_5pct", expr("t2_e4 > 111556 AND rho_e4 < 0"))
+      .select("ta", "tb", "m", "beta_e6", "rho_e4", "t2_e4", "cointegrated_5pct")
+      .orderBy("ta", "tb")
+  }, Some("""WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) // count(*)) // 100 AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (SELECT a.event_type AS ta, b.event_type AS tb, a.h, a.y, b.y AS x
+      FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type <> b.event_type),
+    s1 AS (SELECT ta, tb, count(*)::BIGINT AS m,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY ta, tb),
+    s2 AS (SELECT ta, tb, m, sx, sy, sxx, sxy,
+        m * sxx - sx * sx AS dd, m * sxy - sx * sy AS num,
+        CAST(1000000 * (m * sxy - sx * sy) // nullif(m * sxx - sx * sx, 0) AS BIGINT) AS beta_e6
+      FROM s1),
+    rr AS (SELECT p.ta, p.tb, p.h, s2.m, s2.beta_e6,
+        (s2.m * s2.dd * p.y - (s2.dd * s2.sy - s2.num * s2.sx) - s2.m * s2.num * p.x)
+          // nullif((s2.m * s2.dd) // 10, 0) AS eq
+      FROM pairs p JOIN s2 ON s2.ta = p.ta AND s2.tb = p.tb),
+    lg AS (SELECT ta, tb, m, beta_e6, eq,
+        lag(eq) OVER (PARTITION BY ta, tb ORDER BY h) AS ex
+      FROM rr),
+    d AS (SELECT ta, tb, m, beta_e6, ex, eq - ex AS de FROM lg WHERE ex IS NOT NULL),
+    ag AS (SELECT ta, tb, max(m) AS m, max(beta_e6) AS beta_e6,
+        count(*)::BIGINT AS m2,
+        CAST(sum(ex) AS BIGINT) AS s2x, CAST(sum(de) AS BIGINT) AS s2y,
+        CAST(sum(ex * ex) AS BIGINT) AS s2xx, CAST(sum(ex * de) AS BIGINT) AS s2xy,
+        CAST(sum(de * de) AS BIGINT) AS s2yy
+      FROM d GROUP BY ta, tb),
+    fin AS (SELECT ta, tb, m, beta_e6, m2,
+        (m2 * s2xx - s2x * s2x) // 1048576 AS cxx,
+        (m2 * s2xy - s2x * s2y) // 1048576 AS cxy,
+        (m2 * s2yy - s2y * s2y) // 1048576 AS cyy,
+        CAST(10000 * (m2 * s2xy - s2x * s2y)
+          // nullif(m2 * s2xx - s2x * s2x, 0) AS BIGINT) AS rho_e4
+      FROM ag),
+    t AS (SELECT ta, tb, m, beta_e6, rho_e4,
+        CAST((cxy * cxy // nullif((cxx * cyy - cxy * cxy) // 10000, 0)) * (m2 - 2) AS BIGINT) AS t2_e4
+      FROM fin)
+    SELECT ta, tb, CAST(m AS BIGINT) AS m, beta_e6, rho_e4, t2_e4,
+      (t2_e4 > 111556 AND rho_e4 < 0) AS cointegrated_5pct
+    FROM t ORDER BY ta, tb"""))
 
   /** Extremal index θ — the tail-clustering diagnostic that completes
     * the POT family around [[tsMeanExcess]]: θ ≈ 1 means threshold
