@@ -28,7 +28,7 @@ object Similarity {
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
     embedCoresetGreedy, embedCoresetKcenter, embedRrfFusion, embedMmrRerank,
-    embedCoresetLazy)
+    embedCoresetLazy, embedRnnPairs)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -1100,6 +1100,64 @@ object Similarity {
         list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm) AS sim
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
     SELECT d1, d2, round(sim, 4) AS cosine FROM p WHERE round(sim, 6) >= 0.25
+    ORDER BY d1, d2"""))
+
+  /** Reciprocal-nearest-neighbor (mutual kNN) pairs — the
+    * high-precision match filter image/embedding pipelines run on top
+    * of raw kNN lists (a match that is NOT mutual is usually a hub
+    * artifact; RNN filtering is the standard fix — e.g. the mutual-NN
+    * matching step in dense retrieval and SemDeDup-class dedup): a pair
+    * survives iff each vector ranks the other within its top-3
+    * bucket-mates. Candidates come from the same 8-bit
+    * random-hyperplane buckets as [[dedupEmbedCosine]] (keyed, never
+    * all-pairs); per-point top-3 on round(,6) keys with id tie-break;
+    * the mutuality check is a LEFT SEMI join of the directed top-3
+    * list against its own swap. Cosine is direction-symmetric at the
+    * bit level (the per-element products are identical either way), so
+    * reporting the forward sim is exact.
+    */
+  val embedRnnPairs: Q = Q("embed_rnn_pairs", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(s, dir)
+    val bucketBits: Seq[Column] = lshPlanes.map { p =>
+      when(dotD(col("emb"), typedLit(p)) > 0, lit("1")).otherwise(lit("0"))
+    }
+    val b = n.withColumn("bucket", concat(bucketBits: _*))
+    val q = b.select(col("vec_id").as("q_id"), col("bucket"),
+      col("emb").as("qe"), col("nrm").as("qn"))
+    val c = b.select(col("vec_id").as("c_id"), col("bucket").as("b2"),
+      col("emb").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    val top3 = q.join(c, col("bucket") === col("b2") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id"), col("sim"))
+      .persist()
+    val fwd = top3.filter(col("q_id") < col("c_id"))
+    val bwd = top3.filter(col("q_id") > col("c_id"))
+      .select(col("c_id").as("bq"), col("q_id").as("bc"))
+    fwd.join(bwd, col("q_id") === col("bq") && col("c_id") === col("bc"), "left_semi")
+      .select(col("q_id").as("d1"), col("c_id").as("d2"),
+        round(col("sim"), 4).as("cosine"))
+      .orderBy("d1", "d2")
+  }, Some(s"""WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    b AS (SELECT vec_id, emb, nrm, $lshBitsSql AS bucket FROM n),
+    p AS (SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+    t AS (SELECT q_id, c_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY round(sim, 6) DESC, c_id ASC) AS rn FROM p)
+      WHERE rn <= 3)
+    SELECT f.q_id AS d1, f.c_id AS d2, round(f.sim, 4) AS cosine
+    FROM t f
+    WHERE f.q_id < f.c_id AND EXISTS (
+      SELECT 1 FROM t r WHERE r.q_id = f.c_id AND r.c_id = f.q_id)
     ORDER BY d1, d2"""))
 
   /** kNN-distance OOD scoring — the outlier-pruning pass a training
