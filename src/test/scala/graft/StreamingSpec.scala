@@ -2544,6 +2544,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("AdfProcessor: running Dickey-Fuller moments == ts_adf_lite after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_adf").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // the batch query's exact hourly unit series
+    val rows = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("(sum(cents) DIV count(1)) DIV 100").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    val hs = rows.map(_._2).sorted
+    val cut = hs(hs.length / 2)
+    val (b1, b2) = rows.partition(_._2 < cut)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.AdfProcessor(spark, src)
+      .toDF("k", "m", "rho_e6", "t2_e4", "rej")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_adf").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, m, rho_e6, t2_e4, rej FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY m DESC) AS rn
+            FROM graft_adf) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+      val want = graft.queries.Series.tsAdfLite.fn(spark, sfDir)
+        .select("event_type", "m", "rho_e6", "t2_e4", "unit_root_rejected_5pct")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+      assert(want.nonEmpty, "batch adf unexpectedly empty")
+      assert(got == want, s"streamed vs batch adf: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("ExtremalProcessor: exceedance clustering vs the frozen threshold == ts_extremal_index") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
