@@ -2592,6 +2592,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("AdfProcessor recovers its moment state across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val sfDir = "/root/testdata/sf0.001"
+    val dirA = Files.createTempDirectory("graft_adf_ck_in").toFile
+    val ckptA = Files.createTempDirectory("graft_adf_ck").toString
+    val rows = Tables.events(spark, sfDir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("(sum(cents) DIV count(1)) DIV 100").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    // cut mid-series: the restart must recover the six moments AND the
+    // carried last observation, or every post-restart delta is wrong
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Option[Long], Option[Long], Option[Boolean])]()
+    def start() = {
+      val src = spark.readStream.text(dirA.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+      graft.streaming.AdfProcessor(spark, src)
+        .toDF("k", "m", "rho_e6", "t2_e4", "rej")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add((r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getBoolean(4)))))
+        }
+        .option("checkpointLocation", ckptA).start()
+    }
+    Files.write(new java.io.File(dirA, "b1.txt").toPath, fmt(b1))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dirA, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(String, Long, Option[Long], Option[Long], Option[Boolean])])
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      .map { case (k, r) => k -> (r._2, r._3, r._4, r._5) }
+    val want = graft.queries.Series.tsAdfLite.fn(spark, sfDir)
+      .select("event_type", "m", "rho_e6", "t2_e4", "unit_root_rejected_5pct")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    assert(want.nonEmpty && got == want,
+      s"adf after restart: got=$got want=$want")
+  }
+
   test("ExtremalProcessor: exceedance clustering vs the frozen threshold == ts_extremal_index") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
