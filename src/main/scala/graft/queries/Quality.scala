@@ -14,7 +14,7 @@ object Quality {
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
     langidEval, qualityReadability, datasetMerkle, qualityBenford,
     qualityConformal, qualityEncoding, qualityKlSource, qualityPiiCensus,
-    qualityZipfFit, qualityKAnonymity)
+    qualityZipfFit, qualityKAnonymity, qualityDiversityIndex)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -733,6 +733,53 @@ object Quality {
       .withColumn("cont_excess", expr("n_cont - cont_expected"))
       .withColumn("damage_score", expr("abs(cont_excess) * 10 + n_ctrl"))
   }
+
+  /** Corpus composition diversity — the one-number concentration
+    * indices a mixture-planning pipeline tracks per snapshot (Simpson
+    * 1949; Berger & Parker 1970 — public): for each composition
+    * dimension (source, lang), Simpson's λ = Σn(n−1)/(N(N−1)) — the
+    * probability two random documents share the group — its inverse
+    * (the "effective number of groups"), and the Berger–Parker share of
+    * the single largest group. λ drifting UP means the mix is
+    * collapsing into few sources. Exact integer rationals (e6 / e4 /
+    * bp via truncating DIV); two tiny grouped aggregations unioned.
+    */
+  val qualityDiversityIndex: Q = Q("quality_diversity_index", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    def dim(c: String): org.apache.spark.sql.DataFrame =
+      d.groupBy(col(c).as("grp")).agg(count(lit(1)).as("n"))
+        .agg(lit(c).as("dimension"),
+          count(lit(1)).as("n_groups"),
+          sum("n").as("n_docs"),
+          sum(expr("n * (n - 1)")).as("ss"),
+          max("n").as("nmax"))
+        .withColumn("simpson_e6",
+          expr("1000000 * ss DIV nullif(n_docs * (n_docs - 1), 0)"))
+        .withColumn("inv_simpson_e4",
+          expr("10000 * n_docs * (n_docs - 1) DIV nullif(ss, 0)"))
+        .withColumn("berger_parker_bp", expr("10000 * nmax DIV n_docs"))
+        .select("dimension", "n_groups", "n_docs", "simpson_e6",
+          "inv_simpson_e4", "berger_parker_bp")
+    dim("source").unionByName(dim("lang")).orderBy("dimension")
+  }, Some("""WITH s AS (SELECT source AS grp, count(*)::BIGINT AS n
+      FROM documents GROUP BY source),
+    l AS (SELECT lang AS grp, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang),
+    a AS (
+      SELECT 'source' AS dimension, count(*)::BIGINT AS n_groups,
+        CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(sum(n * (n - 1)) AS BIGINT) AS ss,
+        CAST(max(n) AS BIGINT) AS nmax
+      FROM s
+      UNION ALL
+      SELECT 'lang', count(*)::BIGINT, CAST(sum(n) AS BIGINT),
+        CAST(sum(n * (n - 1)) AS BIGINT), CAST(max(n) AS BIGINT)
+      FROM l)
+    SELECT dimension, n_groups, n_docs,
+      CAST(1000000 * ss // nullif(n_docs * (n_docs - 1), 0) AS BIGINT) AS simpson_e6,
+      CAST(10000 * n_docs * (n_docs - 1) // nullif(ss, 0) AS BIGINT) AS inv_simpson_e4,
+      CAST(10000 * nmax // n_docs AS BIGINT) AS berger_parker_bp
+    FROM a ORDER BY dimension"""))
 
   /** k-anonymity / l-diversity audit (Sweeney, IJUFKS 2002; Machanavajjhala
     * et al., ICDE 2006 — public) — the privacy-governance twin of

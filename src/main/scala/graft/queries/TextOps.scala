@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  def all: Seq[Q] = Seq(editPairs, textHapax, textStats, langId, tokenCount, docFingerprint,
+  def all: Seq[Q] = Seq(editPairs, textHapax, textWordBurstiness, textStats, langId, tokenCount, docFingerprint,
     multimodalMeta, posExplodeWords, docChunk, contextPack, fuzzyMatch,
     textRedact, wordEntropy, corpusReport, topNgrams, tfidfTopTerms,
     qualityRepetition, mixSample, textBm25, stratifiedSample, packTokenBudget,
@@ -2348,6 +2348,42 @@ object TextOps {
     * Two partial-agg shuffles (word counts, then count-of-count
     * classes per language) over the bounded (lang, word) key space.
     */
+  /** Word burstiness — the dispersion statistic behind Church & Gale's
+    * "Poisson mixtures" (1995) and Katz's "adaptation" (1996 — both
+    * public): natural-language content words CLUMP (one mention begets
+    * another in the same document) while function words spread evenly,
+    * so cf/df (mean occurrences per containing document) and
+    * P(repeat | occurs) = (cf−df)/cf separate topical vocabulary from
+    * glue — and from spam (pathologically bursty). Exact integers:
+    * burst_e4 = 10⁴·cf DIV df, adapt_bp = 10⁴·(cf−df) DIV cf; words
+    * with cf < 5 are dropped for stability, output is the top-30 by
+    * (burst desc, word). One (doc, word) count, one word-keyed agg,
+    * one TakeOrdered.
+    */
+  val textWordBurstiness: Q = Q("text_word_burstiness", (s, dir) => {
+    val dw = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.ops.Text.words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    dw.groupBy("word")
+      .agg(sum("c").as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= 5)
+      .withColumn("burst_e4", expr("10000 * cf DIV df"))
+      .withColumn("adapt_bp", expr("10000 * (cf - df) DIV cf"))
+      .select("word", "cf", "df", "burst_e4", "adapt_bp")
+      .orderBy(col("burst_e4").desc, col("word").asc).limit(30)
+  }, Some("""WITH w AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    dw AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+    a AS (SELECT word, CAST(sum(c) AS BIGINT) AS cf, count(*)::BIGINT AS df
+      FROM dw GROUP BY word)
+    SELECT word, cf, df,
+      CAST(10000 * cf // df AS BIGINT) AS burst_e4,
+      CAST(10000 * (cf - df) // cf AS BIGINT) AS adapt_bp
+    FROM a WHERE cf >= 5
+    ORDER BY burst_e4 DESC, word ASC LIMIT 30"""))
+
   val textHapax: Q = Q("text_hapax", (s, dir) => {
     val w = Tables.t(s, dir, "documents")
       .select(col("lang"),
