@@ -2592,6 +2592,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("DiversityProcessor: MapState running Simpson == quality_diversity_index, any split") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_diversity").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val rows = docs.flatMap { case (id, src, lang) =>
+      Seq((id, "source", src), (id, "lang", lang))
+    }
+    val cut = docs(docs.length / 2)._1
+    val (b1, b2) = rows.partition(_._1 < cut)
+    def fmt(rs: Array[(Long, String, String)]): Array[Byte] =
+      rs.map(r => s"${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" ", 2); (p(0), p(1)) }
+    val q = graft.streaming.DiversityProcessor(spark, src)
+      .toDF("dimension", "n_groups", "n_docs", "simpson_e6",
+        "inv_simpson_e4", "berger_parker_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_diversity").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT dimension, n_groups, n_docs, simpson_e6, inv_simpson_e4,
+             berger_parker_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY dimension ORDER BY n_docs DESC) AS rn
+            FROM graft_diversity) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val want = graft.queries.Quality.qualityDiversityIndex.fn(spark, sfDir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(want.nonEmpty, "batch diversity unexpectedly empty")
+      assert(got == want, s"streamed vs batch diversity: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("AdfProcessor recovers its moment state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
