@@ -623,6 +623,42 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
   }
 
+  test("runtime bloom-filter join: a selective dim filter prunes fact rows at the scan") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // the non-partitioned sibling of the DPP proof: when the fact is NOT
+    // laid out by the join key, Spark's runtime bloom filter (built from
+    // the filtered dim side) must still prune fact rows before the join
+    val tmp = Files.createTempDirectory("graft_bloom").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$tmp/fact")
+    Seq(("click", 1), ("view", 0), ("purchase", 0), ("signup", 0),
+      ("error", 0)).toDF("event_type", "flag")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim")
+    // note: broadcast stays DISABLED (suite default) — Spark only
+    // injects runtime bloom filters into shuffle joins; a broadcast
+    // join already ships the whole build side
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val joined = fact.join(dim.filter(col("flag") === 1), "event_type")
+        .agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.head.getLong(0) > 0, "fixture lost its rows")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"fact side carries no runtime bloom filter:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("prefix-filter miner: zero recall loss vs brute force; boilerplate grams never join") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
