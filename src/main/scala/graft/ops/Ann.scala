@@ -104,12 +104,17 @@ object Ann {
     * stale marginal gains valid upper bounds, so a candidate is
     * re-evaluated only while it tops the priority queue — but where
     * naive greedy pays a corpus × |candidates| pass EVERY round, lazy
-    * greedy pays it once and then one corpus × 1 aggregation per
-    * re-evaluation (typically 1–3 per round). The queue orders by
-    * (stale gain DESC, candidate id ASC) — the same total order as the
-    * greedy argmax — so tie-breaks match the naive selection exactly,
+    * greedy pays it once and then small BATCHED re-evaluations: the
+    * top ≤ 8 stale entries refresh in ONE corpus × batch aggregation
+    * per loop step (each separate single-candidate job was paying a
+    * fresh whole-stage-codegen compile — the DevTopk/DevNsw tax; the
+    * batch form is one scheduled job and one compiled plan). A pick is
+    * accepted only when the queue's TOP entry is fresh-this-round, so
+    * the selection logic is unchanged. The queue orders by (stale gain
+    * DESC, candidate id ASC) — the same total order as the greedy
+    * argmax — so tie-breaks match the naive selection exactly,
     * including equal-gain candidates (an equal-gain smaller-id stale
-    * entry pops first and becomes fresh above the incumbent).
+    * entry refreshes first and sits above the incumbent).
     *
     * `cands` is the DRIVER-SIDE bounded candidate pool (id →
     * ×10⁴-quantized vector) — model-sized state like the PCA Gram
@@ -128,6 +133,7 @@ object Ann {
       qCol: String = "q"): (Seq[(Long, Long, Long)], Int) = {
     require(cands.nonEmpty && cands.size <= 256,
       s"candidate pool must be driver-bounded (got ${cands.size})")
+    require(cands.size >= k, s"need at least k=$k candidates, got ${cands.size}")
     graft.expressions.DotProductLong.register(v.sparkSession)
     def litArr(a: Array[Long]): String = a.map(x => s"${x}L").mkString("array(", ", ", ")")
     var nEvals = 0
@@ -153,25 +159,36 @@ object Ann {
     val pq = scala.collection.mutable.TreeMap.empty[(Long, Long), Unit](ord)
     f1.foreach { case (id, f) => pq.update((f - fObj, id), ()) }
     for (r <- 1 to k) {
+      // gains computed THIS round are exact; everything else is a stale
+      // upper bound (round 1: every entry is fresh by construction)
+      val freshNow = scala.collection.mutable.Set.empty[Long]
+      if (r == 1) freshNow ++= f1.keys
       var chosen = -1L
       while (chosen < 0) {
-        val (top @ (staleGain, id), _) = pq.head
-        pq.remove(top)
-        val fresh = if (r == 1) staleGain + fObj
-        else {
-          nEvals += 1
-          best.select(sum(expr(
-            s"greatest(best, graft_dot_long(q, ${litArr(qOf(id))}))")).as("f"))
-            .collect()(0).getLong(0)
+        val (topGain, topId) = pq.head._1
+        if (freshNow.contains(topId)) {
+          // fresh and above every remaining bound -> the greedy argmax
+          pq.remove((topGain, topId))
+          chosen = topId
+          fObj = fObj + topGain
+          picks = picks :+ ((r.toLong, topId, fObj))
+        } else {
+          // refresh the top ≤ 8 STALE entries in ONE aggregation
+          val batch = pq.keysIterator.filterNot(e => freshNow.contains(e._2))
+            .take(8).toSeq
+          batch.foreach(pq.remove)
+          val bdf = v.sparkSession.createDataFrame(
+            batch.map { case (_, id) => (id, qOf(id).toSeq) }).toDF("c_id", "cq")
+          val fr = best.crossJoin(broadcast(bdf))
+            .withColumn("g", expr("greatest(best, graft_dot_long(q, cq))"))
+            .groupBy("c_id").agg(sum("g").as("f"))
+            .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+          nEvals += batch.size
+          batch.foreach { case (_, id) =>
+            freshNow += id
+            pq.update((fr(id) - fObj, id), ())
+          }
         }
-        val gain = fresh - fObj
-        // fresh and still above (or tied-with-larger-id vs) every stale
-        // bound -> this IS the greedy argmax; otherwise reinsert updated
-        if (r == 1 || pq.isEmpty || ord.lteq((gain, id), pq.head._1)) {
-          chosen = id
-          fObj = fresh
-          picks = picks :+ ((r.toLong, id, fObj))
-        } else pq.update((gain, id), ())
       }
       if (r < k) {
         best = best
