@@ -62,7 +62,11 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** k implied by one conjunct on the rank attribute, if recognizable. */
+  /** k implied by one conjunct on the rank attribute, if recognizable.
+    * Vacuous LOWER bounds (`rn >= 1`, from BETWEEN 1 AND k) contribute
+    * Long.MaxValue so min() ignores them; a plan left with ONLY vacuous
+    * bounds fails the k ≤ Int.MaxValue gate and stays un-rewritten.
+    */
   private def boundFromConjunct(c: Expression, rn: Attribute): Option[Long] = c match {
     case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rn) => intLit(l)
     case LessThan(a: Attribute, l) if a.semanticEquals(rn)        => intLit(l).map(_ - 1)
@@ -70,6 +74,16 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case GreaterThan(l, a: Attribute) if a.semanticEquals(rn)     => intLit(l).map(_ - 1)
     case EqualTo(a: Attribute, l) if a.semanticEquals(rn)         => intLit(l).filter(_ == 1L)
     case EqualTo(l, a: Attribute) if a.semanticEquals(rn)         => intLit(l).filter(_ == 1L)
+    // row_number is always >= 1: these constrain nothing when the
+    // literal is <= 1 (and block the rewrite otherwise)
+    case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(rn) =>
+      intLit(l).filter(_ <= 1L).map(_ => Long.MaxValue)
+    case LessThanOrEqual(l, a: Attribute) if a.semanticEquals(rn) =>
+      intLit(l).filter(_ <= 1L).map(_ => Long.MaxValue)
+    case GreaterThan(a: Attribute, l) if a.semanticEquals(rn) =>
+      intLit(l).filter(_ <= 0L).map(_ => Long.MaxValue)
+    case LessThan(l, a: Attribute) if a.semanticEquals(rn) =>
+      intLit(l).filter(_ <= 0L).map(_ => Long.MaxValue)
     case _                                                        => None
   }
 

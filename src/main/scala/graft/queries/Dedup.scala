@@ -285,7 +285,15 @@ object Dedup {
     * + 1 in shared integer arithmetic.
     */
   val prefixFilter: Q = Q("dedup_prefix_filter", (s, dir) => {
-    val sh = sparkShingles(s, dir).persist()
+    // gram STRINGS leave the pipeline at the explode: every window sort,
+    // join key, array element and intersect below runs on the canonical
+    // md5-derived 60-bit long (the MinHash/SimHash parity hash) — the
+    // DevPrefix-measured 6.9→4.1 s move at sf0.1, bit-exact because
+    // both engines hash identically (a within-doc 2^-60 collision would
+    // merge the same two grams on both sides)
+    graft.expressions.Md5Hash60.register(s)
+    val sh = sparkShingles(s, dir)
+      .select(col("doc_id"), expr("graft_h60(sh)").as("sh")).persist()
     val pre = graft.ops.Scale.capGroups(
       graft.ops.Lsh.prefixPostings(sh, "doc_id"), "sh", DfCap)
     val cand = pre.select(col("doc_id").as("d1"), col("sh"))
@@ -305,17 +313,20 @@ object Dedup {
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 4).as("jaccard"))
       .orderBy("d1", "d2")
   }, Some(s"""WITH $duckShingles,
-    gdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    shh AS (SELECT doc_id,
+        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh
+      FROM sh),
+    gdf AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
     rk AS (SELECT s.doc_id, s.sh,
         row_number() OVER (PARTITION BY s.doc_id ORDER BY g.df, s.sh) AS rk,
         count(*) OVER (PARTITION BY s.doc_id) AS n
-      FROM sh s JOIN gdf g USING (sh)),
+      FROM shh s JOIN gdf g USING (sh)),
     pre AS (SELECT doc_id, sh FROM rk WHERE rk <= n - ((n + 1) // 2) + 1
       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, list_sort(list(sh)) AS g, count(*) AS n
-      FROM sh GROUP BY doc_id)
+    sets AS (SELECT doc_id, list(sh) AS g, count(*) AS n
+      FROM shh GROUP BY doc_id)
     SELECT d1, d2,
       round(len(list_intersect(x.g, y.g)) * 1.0
         / (x.n + y.n - len(list_intersect(x.g, y.g))), 4) AS jaccard

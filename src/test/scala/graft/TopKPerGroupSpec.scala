@@ -188,6 +188,16 @@ class TopKPerGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
     assert(got == want, "residual conjunct lost or misapplied")
+    // BETWEEN 1 AND k = vacuous lower bound + cap — still rewrites
+    def idiomB = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn").between(1, 4)).drop("rn")
+    val wantB = idiomB.collect().map(_.toSeq).toSet
+    val (gotB, planB) = withRewrite {
+      val d = idiomB
+      (d.collect().map(_.toSeq).toSet, finalPlan(d))
+    }
+    assert(planB.contains("TopKPerGroup"), s"BETWEEN idiom did not rewrite:\n$planB")
+    assert(gotB == wantB, "BETWEEN rewrite diverged")
   }
 
   test("TopKRewrite: conservative non-fires — rn kept, rank(), float group keys") {
