@@ -65,6 +65,22 @@ object Lsh {
       .groupBy(idCol).agg(expr("minhash_sig(hm)").as("sig"))
   }
 
+  /** [[signatures]] over an ALREADY-HASHED shingle relation (`sh` is the
+    * 60-bit md5-derived long, not the gram string): hm = sh % P is the
+    * identical minhash-universe value, so signatures are bit-equal to
+    * the string path — callers that hash grams once at the explode (the
+    * dedup_prefix_filter shuffle-byte win) reuse the hashed relation for
+    * both the exact miners and the MinHash pipeline without re-hashing.
+    * Collision-safe without oracle mirroring: a 2^-60 gram collision
+    * duplicates an hm value and min-aggregation ignores duplicates.
+    */
+  def signaturesHashed(sh: DataFrame, idCol: String): DataFrame = {
+    sh.sparkSession.udf.register("minhash_sig",
+      udaf(graft.functions.MinHashAggregator))
+    sh.withColumn("hm", expr(s"sh % $P"))
+      .groupBy(idCol).agg(expr("minhash_sig(hm)").as("sig"))
+  }
+
   /** Banded LSH candidate pairs (d1 < d2, distinct) from a signature
     * relation: `bands` bands of `rowsPerBand` signature slots each;
     * a pair is a candidate iff some band's slots all collide.

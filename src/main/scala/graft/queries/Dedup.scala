@@ -166,17 +166,41 @@ object Dedup {
     */
   private[graft] val DfCap = 128L
 
-  /** duckShingles + the df-capped view `shc` the pair-miner oracles
-    * join on (the QUALIFY twin of capGroups over the gram key).
+  /** duckShingles + the hashed-gram view `shh`: every downstream join,
+    * window and count in the exact pair-miner oracles runs on the
+    * canonical 60-bit md5-derived long, mirroring the Spark side
+    * ([[hashedShingles]]) so a 2^-60 gram collision would merge the
+    * same two grams on both engines — bit-exact by construction.
+    */
+  private[graft] lazy val duckHashedShingles =
+    s"""$duckShingles,
+    shh AS (SELECT doc_id,
+        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh
+      FROM sh)"""
+
+  /** duckHashedShingles + the df-capped view `shc` the pair-miner
+    * oracles join on (the QUALIFY twin of capGroups over the gram key).
     */
   private lazy val duckCappedShingles =
-    s"""$duckShingles,
-    shc AS (SELECT doc_id, sh FROM sh
+    s"""$duckHashedShingles,
+    shc AS (SELECT doc_id, sh FROM shh
       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap)"""
 
-  /** The df-capped Spark shingle table feeding the exact pair-miners. */
+  /** Hashed shingles: gram STRINGS leave the pipeline at the explode —
+    * every shuffle key, window partition, join key and count below runs
+    * on the canonical md5-derived 60-bit long (the MinHash/SimHash
+    * parity hash). Same move as dedup_prefix_filter's DevPrefix-measured
+    * 6.9→4.1 s at sf0.1: 8-byte fixed-width exchange rows instead of
+    * ~20-byte gram strings, and long equality in the joins.
+    */
+  private[graft] def hashedShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.Md5Hash60.register(s)
+    sparkShingles(s, dir).select(col("doc_id"), expr("graft_h60(sh)").as("sh"))
+  }
+
+  /** The df-capped HASHED shingle table feeding the exact pair-miners. */
   private[graft] def cappedShingles(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Scale.capGroups(sparkShingles(s, dir), "sh", DfCap)
+    graft.ops.Scale.capGroups(hashedShingles(s, dir), "sh", DfCap)
 
   /** The md5-derived shingle hash reduced into the minhash universe. */
   private[graft] val hashExpr = graft.ops.Lsh.hashExpr
@@ -247,10 +271,13 @@ object Dedup {
     * contract as [[exactPairsFrom]]).
     */
   private def estPairsFrom(shRaw: DataFrame): DataFrame = {
-    // generic pipeline from ops/Lsh: shingle → typed-UDAF signatures
-    // (persisted: feeds the bands and both estimated-Jaccard sides) →
-    // banded candidate pairs
-    val sigArr = graft.ops.Lsh.signatures(shRaw, "doc_id").persist()
+    // generic pipeline from ops/Lsh: HASHED shingle → typed-UDAF
+    // signatures (persisted: feeds the bands and both estimated-Jaccard
+    // sides) → banded candidate pairs. Input contract: shRaw carries the
+    // 60-bit hashed gram ([[hashedShingles]]); hm = sh % P is bit-equal
+    // to hashing the string directly, so the oracle sig CTEs (string
+    // md5) are unchanged
+    val sigArr = graft.ops.Lsh.signaturesHashed(shRaw, "doc_id").persist()
     val sig = sigArr.select(col("doc_id") +:
       (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     val cand = graft.ops.Lsh.candidatePairs(sigArr, "doc_id")
@@ -291,9 +318,7 @@ object Dedup {
     // DevPrefix-measured 6.9→4.1 s move at sf0.1, bit-exact because
     // both engines hash identically (a within-doc 2^-60 collision would
     // merge the same two grams on both sides)
-    graft.expressions.Md5Hash60.register(s)
-    val sh = sparkShingles(s, dir)
-      .select(col("doc_id"), expr("graft_h60(sh)").as("sh")).persist()
+    val sh = hashedShingles(s, dir).persist()
     val pre = graft.ops.Scale.capGroups(
       graft.ops.Lsh.prefixPostings(sh, "doc_id"), "sh", DfCap)
     val cand = pre.select(col("doc_id").as("d1"), col("sh"))
@@ -336,7 +361,7 @@ object Dedup {
     ORDER BY d1, d2"""))
 
   val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) =>
-    estPairsFrom(sparkShingles(s, dir)).orderBy("d1", "d2"),
+    estPairsFrom(hashedShingles(s, dir)).orderBy("d1", "d2"),
   Some(s"""WITH $minhashCtes
     SELECT d1, d2, round($minhashEstExpr, 4) AS est_jaccard
     FROM cand JOIN sig x ON x.doc_id = d1 JOIN sig y ON y.doc_id = d2
@@ -375,9 +400,11 @@ object Dedup {
     * pairs' shingles.
     */
   val minhashContainment: Q = Q("text_minhash_containment", (s, dir) => {
-    val sh = sparkShingles(s, dir).persist()
+    // one HASHED shingle explode feeds the signature aggregation and
+    // both exact-intersection sides (see hashedShingles — 8-byte keys)
+    val sh = hashedShingles(s, dir).persist()
     val cand = graft.ops.Lsh.candidatePairs(
-      graft.ops.Lsh.signatures(sh, "doc_id"), "doc_id")
+      graft.ops.Lsh.signaturesHashed(sh, "doc_id"), "doc_id")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("sh"))
     val b = sh.select(col("doc_id").as("d2b"), col("sh").as("sh2"))
@@ -393,10 +420,13 @@ object Dedup {
       .select("d1", "d2", "shared", "n1", "n2", "cont12_bp", "cont21_bp")
       .orderBy("d1", "d2")
   }, Some(s"""WITH $minhashCtes,
-    cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id,
+        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh
+      FROM sh),
+    cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM shh GROUP BY doc_id),
     shr AS (SELECT c.d1, c.d2, count(*)::BIGINT AS shared
-      FROM cand c JOIN sh a ON a.doc_id = c.d1
-        JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+      FROM cand c JOIN shh a ON a.doc_id = c.d1
+        JOIN shh b ON b.doc_id = c.d2 AND b.sh = a.sh
       GROUP BY c.d1, c.d2),
     sc AS (SELECT d1, d2, shared, x.n AS n1, y.n AS n2,
         shared * 10000 // x.n AS cont12_bp, shared * 10000 // y.n AS cont21_bp
@@ -628,7 +658,7 @@ object Dedup {
     * all-pairs) plus two broadcast-size joins of the source dimension.
     */
   val dedupCrossSource: Q = Q("dedup_cross_source", (s, dir) => {
-    val sigArr = graft.ops.Lsh.signatures(sparkShingles(s, dir), "doc_id").persist()
+    val sigArr = graft.ops.Lsh.signaturesHashed(hashedShingles(s, dir), "doc_id").persist()
     val sig = sigArr.select(col("doc_id") +:
       (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     val cand = graft.ops.Lsh.candidatePairs(sigArr, "doc_id")
@@ -908,7 +938,7 @@ object Dedup {
     // the registered .fn's re-derived the index twice — the eval shares
     // the raw shingle relation and runs the IDENTICAL pair builders the
     // registered detectors bind, so nothing can drift)
-    val shRaw = sparkShingles(s, dir).persist()
+    val shRaw = hashedShingles(s, dir).persist()
     val est = estPairsFrom(shRaw).select("d1", "d2").persist()
     val ex = exactPairsFrom(
       graft.ops.Scale.capGroups(shRaw, "sh", DfCap).persist()).select("d1", "d2").persist()
@@ -925,7 +955,10 @@ object Dedup {
   }, Some(s"""WITH $minhashCtes,
     estp AS (SELECT d1, d2 FROM cand JOIN sig x ON x.doc_id = d1
       JOIN sig y ON y.doc_id = d2 WHERE $minhashEstExpr >= 0.5),
-    shc AS (SELECT doc_id, sh FROM sh
+    shh AS (SELECT doc_id,
+        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh
+      FROM sh),
+    shc AS (SELECT doc_id, sh FROM shh
       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
     cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     shp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
@@ -957,8 +990,8 @@ object Dedup {
     */
   val lshBands: Q = Q("dedup_lsh_bands", (s, dir) => {
     import s.implicits._
-    val shRaw = sparkShingles(s, dir).persist()
-    val sigArr = graft.ops.Lsh.signatures(shRaw, "doc_id").persist()
+    val shRaw = hashedShingles(s, dir).persist()
+    val sigArr = graft.ops.Lsh.signaturesHashed(shRaw, "doc_id").persist()
     val ex = exactPairsFrom(
       graft.ops.Scale.capGroups(shRaw, "sh", DfCap).persist())
       .select("d1", "d2").persist()
@@ -1017,7 +1050,10 @@ object Dedup {
       (SELECT count(*) FROM cand_$bands JOIN exp_ USING (d1, d2))::BIGINT AS n_hit"""
     }.mkString(" UNION ALL ")
     s"""WITH $minhashCtes$bandCtes,
-    shc AS (SELECT doc_id, sh FROM sh
+    shh AS (SELECT doc_id,
+        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh
+      FROM sh),
+    shc AS (SELECT doc_id, sh FROM shh
       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
     cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
     shp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared

@@ -24,6 +24,9 @@ class MinHashAggregatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("udaf signatures == column-expression signatures on real documents") {
     spark.sparkContext.setLogLevel("ERROR")
     spark.udf.register("minhash_sig", udaf(MinHashAggregator))
+    // hashExpr's registerActive() fires once at Dedup object init, which
+    // may happen under ANOTHER suite's session — register on ours
+    graft.expressions.Md5Hash60.register(spark)
     val sh = Dedup.sparkShingles(spark, "/root/testdata/sf0.001")
       .withColumn("hm", expr(Dedup.hashExpr))
     val viaUdaf = sh.groupBy("doc_id").agg(expr("minhash_sig(hm)").as("sig"))
