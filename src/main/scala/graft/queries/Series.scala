@@ -25,7 +25,7 @@ object Series {
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
     tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
     tsLjungBox, tsPageHinkley, tsSeasonalEsd, tsGrangerLite,
-    tsExtremalIndex, tsAdfLite, tsCointLite)
+    tsExtremalIndex, tsAdfLite, tsCointLite, tsCointEval)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3284,6 +3284,183 @@ object Series {
     SELECT ta, tb, CAST(m AS BIGINT) AS m, beta_e6, rho_e4, t2_e4,
       (t2_e4 > 111556 AND rho_e4 < 0) AS cointegrated_5pct
     FROM t ORDER BY ta, tb"""))
+
+  /** Planted common-trend VALIDATION of the unit-root / cointegration
+    * machinery (the [[graft.queries.Dedup]] lshEval pattern applied to
+    * econometrics): the raw hourly means are already stationary (the
+    * [[tsAdfLite]] verdict), so [[tsCointLite]] never exercises its
+    * non-trivial branch on this corpus. This harness PLANTS integrated
+    * trends with known ground truth — a deterministic ±200-unit random
+    * walk w1 (md5-hash steps, cumsum over the hourly spine) shared by
+    * za = (y_click + w1)÷10 and zb = (y_view + 2·w1)÷10, and an
+    * INDEPENDENT walk w2 under zc = (y_purchase + w2)÷10 — then runs
+    * four Dickey–Fuller screens through ONE shared lag+moments
+    * pipeline. The walk must DOMINATE the stationary hourly noise
+    * (steps 10× the noise sd, ÷10 quantization restoring the integer
+    * scale): noise riding on a weak walk makes Δz an MA(1) and the
+    * unaugmented DF over-rejects (Schwert, JBES 1989 — public), which
+    * is exactly what the first cut of this harness reproduced. Tests:
+    * `adf_level` (za itself: must NOT reject — the walk dominates),
+    * `adf_diff` (Δza via second differences in the same window: must
+    * reject), `eg_shared` (EG residual of zb on za: the shared trend
+    * cancels, must reject ⇒ cointegrated) and `eg_indep` (residual of
+    * zc on za keeps w2 − β̂·w1: must NOT reject ⇒ spurious regression
+    * detected). Fixed-point discipline identical to [[tsCointLite]]:
+    * m·D·e residuals quantized to deci-units by ONE shared division,
+    * centered moments through ÷2²⁰ then ÷10⁴ before the t² ratio; ADF
+    * rows are scaled ×10 onto the same deci grid. Critical values per
+    * family: τ²=2.86² (e4 81796) for ADF, EG 2-var −3.34 (111556).
+    * Headroom: walk sd ≈ 20·√(T/12) units keeps m·D·|y| ≈ 10¹⁷ at
+    * 10³ hours — rescale the step before the span grows 10×. Shapes:
+    * one hourly pre-agg, a provably-small cumsum window on the
+    * distinct-hour spine, hour-keyed joins between Aggregate
+    * boundaries, one 4-partition lag window, one keyed agg; 4 rows.
+    * TsCointEvalSpec pins all four ground-truth verdicts.
+    */
+  val tsCointEval: Q = Q("ts_cointegration_eval", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("(sum(cents) DIV count(1)) DIV 100").as("y"))
+      .persist()
+    val spine = hourly.select("h").distinct()
+      .withColumn("d1", expr(
+        s"${graft.ops.Sketch.h60("'cw1'", "CAST(h AS STRING)")} % 401 - 200"))
+      .withColumn("d2", expr(
+        s"${graft.ops.Sketch.h60("'cw2'", "CAST(h AS STRING)")} % 401 - 200"))
+    val cum = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = spine.select(col("h"),
+      sum("d1").over(cum).as("w1"), sum("d2").over(cum).as("w2"))
+    def series(t: String) =
+      hourly.filter(col("event_type") === t).select(col("h"), col("y"))
+    val za = series("click").join(walk, "h")
+      .select(col("h"), expr("(y + w1) DIV 10").as("za"))
+    val zb = series("view").join(walk, "h")
+      .select(col("h"), expr("(y + 2 * w1) DIV 10").as("zb"))
+    val zc = series("purchase").join(walk, "h")
+      .select(col("h"), expr("(y + w2) DIV 10").as("zc"))
+    // EG step 1: per-pair OLS moments on the hour-aligned levels, then
+    // the division-free m·D·e residual quantized to deci-units (the
+    // tsCointLite discipline, keyed by test instead of type pair)
+    val pairRel = za.join(zb, "h")
+      .select(lit("eg_shared").as("test"), col("h"), col("zb").as("yy"), col("za").as("xx"))
+      .unionByName(za.join(zc, "h")
+        .select(lit("eg_indep").as("test"), col("h"), col("zc").as("yy"), col("za").as("xx")))
+    val s1 = pairRel.groupBy("test").agg(
+        count(lit(1)).as("m"),
+        sum("xx").as("sx"), sum("yy").as("sy"),
+        sum(expr("xx * xx")).as("sxx"), sum(expr("xx * yy")).as("sxy"))
+      .withColumn("dd", expr("m * sxx - sx * sx"))
+      .withColumn("num", expr("m * sxy - sx * sy"))
+    val egSer = pairRel.join(broadcast(s1), "test")
+      .select(col("test"), col("h"), expr(
+        """(m * dd * yy - (dd * sy - num * sx) - m * num * xx)
+           DIV nullif((m * dd) DIV 10, 0)""").as("v"))
+    val ser = za.select(lit("adf_level").as("test"), col("h"), (col("za") * 10).as("v"))
+      .unionByName(za.select(lit("adf_diff").as("test"), col("h"), (col("za") * 10).as("v")))
+      .unionByName(egSer)
+    // ONE lag window: x/dv are first differences for the level tests,
+    // SECOND differences (x = v1−v2, dv = v−2v1+v2) for adf_diff
+    val w = Window.partitionBy("test").orderBy("h")
+    val d = ser
+      .withColumn("v1", lag("v", 1).over(w))
+      .withColumn("v2", lag("v", 2).over(w))
+      .withColumn("x", expr(
+        "CASE WHEN test = 'adf_diff' THEN v1 - v2 ELSE v1 END"))
+      .withColumn("dv", expr(
+        "CASE WHEN test = 'adf_diff' THEN v - 2 * v1 + v2 ELSE v - v1 END"))
+      .filter(col("x").isNotNull && col("dv").isNotNull)
+    d.groupBy("test").agg(
+        count(lit(1)).as("m2"),
+        sum("x").as("s2x"), sum("dv").as("s2y"),
+        sum(expr("x * x")).as("s2xx"), sum(expr("x * dv")).as("s2xy"),
+        sum(expr("dv * dv")).as("s2yy"))
+      .withColumn("cxx", expr("(m2 * s2xx - s2x * s2x) DIV 4096"))
+      .withColumn("cxy", expr("(m2 * s2xy - s2x * s2y) DIV 4096"))
+      .withColumn("cyy", expr("(m2 * s2yy - s2y * s2y) DIV 4096"))
+      .withColumn("rho_e4",
+        expr("10000 * (m2 * s2xy - s2x * s2y) DIV nullif(m2 * s2xx - s2x * s2x, 0)"))
+      .withColumn("t2_e4", expr(
+        """CASE WHEN (cxx * cyy - cxy * cxy) DIV 10000 = 0
+           THEN CASE WHEN cxy <> 0 THEN 1073741824L ELSE 0L END
+           ELSE (cxy * cxy DIV ((cxx * cyy - cxy * cxy) DIV 10000)) * (m2 - 2) END"""))
+      .withColumn("crit_e4", expr(
+        "CASE WHEN test LIKE 'eg%' THEN 111556L ELSE 81796L END"))
+      .withColumn("rejected", expr("t2_e4 > crit_e4 AND rho_e4 < 0"))
+      .select("test", "m2", "rho_e4", "t2_e4", "crit_e4", "rejected")
+      .orderBy("test")
+  }, Some("""WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) // count(*)) // 100 AS y
+      FROM events GROUP BY 1, 2),
+    spine AS (SELECT h,
+        CAST('0x' || substr(md5('cw1' || ':' || CAST(h AS VARCHAR)), 1, 15) AS BIGINT) % 401 - 200 AS d1,
+        CAST('0x' || substr(md5('cw2' || ':' || CAST(h AS VARCHAR)), 1, 15) AS BIGINT) % 401 - 200 AS d2
+      FROM (SELECT DISTINCT h FROM hourly)),
+    walk AS MATERIALIZED (SELECT h,
+        sum(d1) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w1,
+        sum(d2) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w2
+      FROM spine),
+    za AS MATERIALIZED (SELECT hourly.h, (y + w1) // 10 AS za
+      FROM hourly JOIN walk ON walk.h = hourly.h WHERE event_type = 'click'),
+    zb AS (SELECT hourly.h, (y + 2 * w1) // 10 AS zb
+      FROM hourly JOIN walk ON walk.h = hourly.h WHERE event_type = 'view'),
+    zc AS (SELECT hourly.h, (y + w2) // 10 AS zc
+      FROM hourly JOIN walk ON walk.h = hourly.h WHERE event_type = 'purchase'),
+    pr AS MATERIALIZED (
+      SELECT 'eg_shared' AS test, za.h, zb AS yy, za AS xx FROM za JOIN zb ON zb.h = za.h
+      UNION ALL
+      SELECT 'eg_indep' AS test, za.h, zc AS yy, za AS xx FROM za JOIN zc ON zc.h = za.h),
+    s1 AS (SELECT test, count(*)::BIGINT AS m,
+        CAST(sum(xx) AS BIGINT) AS sx, CAST(sum(yy) AS BIGINT) AS sy,
+        CAST(sum(xx * xx) AS BIGINT) AS sxx, CAST(sum(xx * yy) AS BIGINT) AS sxy
+      FROM pr GROUP BY test),
+    s1b AS (SELECT test, m, sx, sy,
+        m * sxx - sx * sx AS dd, m * sxy - sx * sy AS num
+      FROM s1),
+    eg AS (SELECT pr.test, pr.h,
+        (s1b.m * s1b.dd * pr.yy - (s1b.dd * s1b.sy - s1b.num * s1b.sx)
+          - s1b.m * s1b.num * pr.xx)
+          // nullif((s1b.m * s1b.dd) // 10, 0) AS v
+      FROM pr JOIN s1b ON s1b.test = pr.test),
+    ser AS (
+      SELECT 'adf_level' AS test, h, za * 10 AS v FROM za
+      UNION ALL
+      SELECT 'adf_diff' AS test, h, za * 10 AS v FROM za
+      UNION ALL
+      SELECT test, h, v FROM eg),
+    lg AS (SELECT test, v,
+        lag(v, 1) OVER (PARTITION BY test ORDER BY h) AS v1,
+        lag(v, 2) OVER (PARTITION BY test ORDER BY h) AS v2
+      FROM ser),
+    d AS (SELECT test,
+        CASE WHEN test = 'adf_diff' THEN v1 - v2 ELSE v1 END AS x,
+        CASE WHEN test = 'adf_diff' THEN v - 2 * v1 + v2 ELSE v - v1 END AS dv
+      FROM lg),
+    d2 AS (SELECT * FROM d WHERE x IS NOT NULL AND dv IS NOT NULL),
+    ag AS (SELECT test, count(*)::BIGINT AS m2,
+        CAST(sum(x) AS BIGINT) AS s2x, CAST(sum(dv) AS BIGINT) AS s2y,
+        CAST(sum(x * x) AS BIGINT) AS s2xx, CAST(sum(x * dv) AS BIGINT) AS s2xy,
+        CAST(sum(dv * dv) AS BIGINT) AS s2yy
+      FROM d2 GROUP BY test),
+    fin AS (SELECT test, m2,
+        (m2 * s2xx - s2x * s2x) // 4096 AS cxx,
+        (m2 * s2xy - s2x * s2y) // 4096 AS cxy,
+        (m2 * s2yy - s2y * s2y) // 4096 AS cyy,
+        CAST(10000 * (m2 * s2xy - s2x * s2y)
+          // nullif(m2 * s2xx - s2x * s2x, 0) AS BIGINT) AS rho_e4
+      FROM ag),
+    t AS (SELECT test, m2, rho_e4,
+        CAST(CASE WHEN (cxx * cyy - cxy * cxy) // 10000 = 0
+          THEN CASE WHEN cxy <> 0 THEN 1073741824 ELSE 0 END
+          ELSE (cxy * cxy // ((cxx * cyy - cxy * cxy) // 10000)) * (m2 - 2) END AS BIGINT) AS t2_e4,
+        CAST(CASE WHEN test LIKE 'eg%' THEN 111556 ELSE 81796 END AS BIGINT) AS crit_e4
+      FROM fin)
+    SELECT test, m2, rho_e4, t2_e4, crit_e4,
+      (t2_e4 > crit_e4 AND rho_e4 < 0) AS rejected
+    FROM t ORDER BY test"""))
 
   /** Extremal index θ — the tail-clustering diagnostic that completes
     * the POT family around [[tsMeanExcess]]: θ ≈ 1 means threshold
