@@ -52,7 +52,7 @@ object Analytics {
     q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
-    qHbosOutliers)
+    qHbosOutliers, qCompactionPlan)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -784,6 +784,68 @@ object Analytics {
       (max(p_q) - min(p_q))::BIGINT AS p_span,
       (max(s_q) - min(s_q))::BIGINT AS s_span
     FROM z GROUP BY bucket ORDER BY bucket"""))
+
+  /** Small-file compaction PLANNER — the lakehouse `OPTIMIZE` sibling of
+    * [[qZorderLayout]]: given a file listing (here each document stands
+    * in as one file of `n_chars` bytes inside its `source` partition),
+    * assign files to target-size output bins by cumulative-quota
+    * binning — files size-DESC within their partition, bin =
+    * (running bytes of the files packed before me) DIV target. The
+    * quota rule guarantees the plan NEVER exceeds the ideal bin count:
+    * the last file starts below total_bytes, so max bin ≤
+    * ⌈total/T⌉ − 1 and n_bins ≤ ideal_bins always — a bin only
+    * overshoots T by the one file that straddles its boundary (size-
+    * DESC ordering puts the big straddlers first, where overshoot is
+    * unavoidable anyway). Output per partition: file/bin counts, the
+    * ideal, the fattest bin, files individually larger than T, and the
+    * file-count reduction in basis points — the table a table-service
+    * scheduler reads to decide which partitions to compact first.
+    * Scale shape: ONE window partitioned on `source` (the same key the
+    * downstream write groups by — no extra shuffle) and two keyed
+    * aggregations; never a global sort. At 100 TB the listing is
+    * metadata (one row per FILE, not per record) — millions of rows,
+    * not billions.
+    */
+  val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val T = 2048L
+    val f = Tables.t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars").as("bytes"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("bytes").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = f.withColumn("c", coalesce(sum("bytes").over(w), lit(0L)))
+      .withColumn("bin", expr(s"c DIV $T"))
+    val perBin = binned.groupBy("source", "bin")
+      .agg(count(lit(1)).as("nf"), sum("bytes").as("bb"),
+        sum(expr(s"CASE WHEN bytes > $T THEN 1L ELSE 0L END")).as("nf_over"))
+    perBin.groupBy("source")
+      .agg(sum("nf").as("n_files"), sum("bb").as("total_bytes"),
+        count(lit(1)).as("n_bins"), max("bb").as("max_bin_bytes"),
+        sum("nf_over").as("oversize_files"))
+      .withColumn("ideal_bins", expr(s"(total_bytes + ${T - 1}) DIV $T"))
+      .withColumn("reduction_bp", expr("10000 * (n_files - n_bins) DIV n_files"))
+      .select("source", "n_files", "total_bytes", "n_bins", "ideal_bins",
+        "max_bin_bytes", "oversize_files", "reduction_bp")
+      .orderBy("source")
+  }, Some("""WITH f AS (SELECT source, doc_id, n_chars AS bytes FROM documents),
+    c AS (SELECT source, bytes,
+        coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY bytes DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM f),
+    b AS (SELECT source, bytes, c // 2048 AS bin FROM c),
+    pb AS (SELECT source, bin, count(*)::BIGINT AS nf,
+        CAST(sum(bytes) AS BIGINT) AS bb,
+        CAST(sum(CASE WHEN bytes > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS nf_over
+      FROM b GROUP BY source, bin)
+    SELECT source, CAST(sum(nf) AS BIGINT) AS n_files,
+      CAST(sum(bb) AS BIGINT) AS total_bytes,
+      count(*)::BIGINT AS n_bins,
+      CAST((sum(bb) + 2047) // 2048 AS BIGINT) AS ideal_bins,
+      CAST(max(bb) AS BIGINT) AS max_bin_bytes,
+      CAST(sum(nf_over) AS BIGINT) AS oversize_files,
+      CAST(10000 * (sum(nf) - count(*)) // sum(nf) AS BIGINT) AS reduction_bp
+    FROM pb GROUP BY source ORDER BY source"""))
 
   /** Pivot: event counts per user bucket × event_type as columns. */
   val qPivot: Q = Q("q_pivot", (s, dir) => {
