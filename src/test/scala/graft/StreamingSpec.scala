@@ -2636,6 +2636,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("KAnonymityProcessor: MapState per-group (ksize, ldiv) == quality_k_anonymity, any split") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_kanon").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        expr("concat(event_type, '|', (ts_us DIV 3600000000) % 24, '|', " +
+          "CAST(round(value * 100) AS BIGINT) DIV 1000)").as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(Long, String, Long)]): Array[Byte] =
+      rs.map(r => s"${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" ", 2); (p(0), p(1).toLong) }
+    val q = graft.streaming.KAnonymityProcessor(spark, src)
+      .toDF("quasi", "ksize", "ldiv")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_kanon").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final running row per group (counts only grow), then the batch
+      // query's identical k-threshold report over the bounded group table
+      val got = spark.sql(
+        """SELECT kt, count(*) AS n_groups,
+             sum(CASE WHEN ksize < kt THEN 1L ELSE 0L END) AS groups_below,
+             sum(CASE WHEN ksize < kt THEN ksize ELSE 0L END) AS rows_below,
+             10000 * sum(CASE WHEN ksize < kt THEN ksize ELSE 0L END)
+               DIV sum(ksize) AS exposure_bp,
+             min(ksize) AS min_k, min(ldiv) AS min_l
+           FROM (
+             SELECT ksize, ldiv FROM (
+               SELECT *, row_number() OVER (PARTITION BY quasi ORDER BY ksize DESC) AS rn
+               FROM graft_kanon) WHERE rn = 1)
+           LATERAL VIEW explode(array(2L, 5L, 10L)) t AS kt
+           GROUP BY kt ORDER BY kt""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      val want = graft.queries.Quality.qualityKAnonymity.fn(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      assert(want.nonEmpty, "batch k-anonymity unexpectedly empty")
+      assert(got == want, s"streamed vs batch k-anonymity: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("AdfProcessor recovers its moment state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
