@@ -591,6 +591,37 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("round-7 hashed-gram miners join on 8-byte long keys, never gram strings") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // gram strings must leave every dedup pipeline AT THE EXPLODE: the
+    // exchanges and join comparisons below run on the canonical
+    // md5-derived 60-bit long (8-byte fixed-width rows instead of
+    // ~20-byte strings on the gram-keyed shuffles) — a regression to
+    // string keys re-inflates the hottest dedup shuffles by ~2.5x bytes
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.LongType
+    for (q <- Seq(graft.queries.Dedup.ngramJaccard, graft.queries.Dedup.rougePairs,
+        graft.queries.Dedup.lshEval, graft.queries.Dedup.prefixFilter,
+        graft.queries.Dedup.minhashContainment)) {
+      val plan = q.fn(spark, "/root/testdata/sf0.001").queryExecution.analyzed
+      var checked = 0
+      plan.foreach {
+        case j: Join =>
+          j.condition.foreach(_.foreach {
+            case a: AttributeReference if a.name == "sh" || a.name == "sh2" =>
+              assert(a.dataType == LongType,
+                s"${q.name}: gram join key ${a.name} is ${a.dataType}, not LongType")
+              checked += 1
+            case _ => ()
+          })
+        case _ => ()
+      }
+      assert(checked > 0, s"${q.name}: no gram join key found to check")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
