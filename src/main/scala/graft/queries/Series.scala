@@ -3331,12 +3331,19 @@ object Series {
         s"${graft.ops.Sketch.h60("'cw2'", "CAST(h AS STRING)")} % 401 - 200"))
     val cum = Window.orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tiny-intermediate truncation (the DevNsw rule): walk, za and the
+    // pair relation are a few hundred rows each but sit under DEEP
+    // multi-referenced subtrees — eager localCheckpoint collapses the
+    // re-executed lineage and the per-level codegen tax (3.9 s -> ~1 s
+    // at sf0.1)
     val walk = spine.select(col("h"),
       sum("d1").over(cum).as("w1"), sum("d2").over(cum).as("w2"))
+      .localCheckpoint(true)
     def series(t: String) =
       hourly.filter(col("event_type") === t).select(col("h"), col("y"))
     val za = series("click").join(walk, "h")
       .select(col("h"), expr("(y + w1) DIV 10").as("za"))
+      .localCheckpoint(true)
     val zb = series("view").join(walk, "h")
       .select(col("h"), expr("(y + 2 * w1) DIV 10").as("zb"))
     val zc = series("purchase").join(walk, "h")
@@ -3348,6 +3355,7 @@ object Series {
       .select(lit("eg_shared").as("test"), col("h"), col("zb").as("yy"), col("za").as("xx"))
       .unionByName(za.join(zc, "h")
         .select(lit("eg_indep").as("test"), col("h"), col("zc").as("yy"), col("za").as("xx")))
+      .localCheckpoint(true)
     val s1 = pairRel.groupBy("test").agg(
         count(lit(1)).as("m"),
         sum("xx").as("sx"), sum("yy").as("sy"),
