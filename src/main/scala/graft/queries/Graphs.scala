@@ -140,7 +140,7 @@ object Graphs {
     * one label-equi pair join and two tiny aggregates.
     */
   val modularity: Q = Q("graph_modularity", (s, dir) => {
-    val je = simEdges(s, dir).persist()
+    val je = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val labels = graft.ops.Graph.labelPropagation(je, iters = 4).persist()
     val m = je.agg(count(lit(1)).as("m"))
     val deg = je.select(col("src").as("v")).union(je.select(col("dst").as("v")))
@@ -385,7 +385,7 @@ object Graphs {
     * state bigger than (walk, position).
     */
   val randomWalks: Q = Q("graph_random_walks", (s, dir) => {
-    val e = simEdges(s, dir).persist()
+    val e = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val und = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val w0 = und.select(col("u").as("walk")).distinct()
@@ -524,8 +524,11 @@ object Graphs {
     */
   val closenessSeeds: Q = Q("graph_closeness_seeds", (s, dir) => {
     // the similarity-graph subtree feeds the seed scan, the product
-    // graph, and bfsHops' count gate — persist it once
-    val e = simEdges(s, dir).persist()
+    // graph, and bfsHops' count gate — and the graph is TINY (<=C(60,2)
+    // edges) under a deep scan+join plan, so eager localCheckpoint
+    // truncates the lineage every downstream job re-walks (DevSeeds:
+    // persist left ~1.5 s of small-job overhead on the table)
+    val e = simEdges(s, dir).localCheckpoint(true)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct()
     // loud domain gate for the 2^20 seed offset: a vertex id outside
@@ -700,7 +703,8 @@ object Graphs {
     * sets ⇒ distance 0) would otherwise drop real vertices.
     */
   val ssspSeeds: Q = Q("graph_sssp_seeds", (s, dir) => {
-    val e = simEdgesDist(s, dir).persist()
+    // tiny weighted graph, deep plan: truncate (see closenessSeeds)
+    val e = simEdgesDist(s, dir).localCheckpoint(true)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct()
     val domainGate = verts.agg(max("v").as("mx"), min("v").as("mn"))
@@ -771,17 +775,20 @@ object Graphs {
     val bk = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val bc = graft.ops.Scale.capGroups(bk, "o", 128)
+    // eg feeds BOTH union directions and ac feeds BOTH wedge-join sides
+    // — persist each or the order-pair join / degree-cap window re-run
+    // per consumer (the dedup_lsh_eval shared-subtree rule)
     val eg = bc.select(col("o"), col("p").as("pa"))
       .join(bc.select(col("o"), col("p").as("pb")), "o")
       .filter(col("pa") < col("pb"))
-      .select("pa", "pb").distinct()
+      .select("pa", "pb").distinct().persist()
     val ad = eg.select(col("pa").as("m"), col("pb").as("n"))
       .union(eg.select(col("pb").as("m"), col("pa").as("n")))
     val ac = ad.withColumn("rn",
         row_number().over(Window.partitionBy("m").orderBy("n")))
-      .filter(col("rn") <= 32).drop("rn")
+      .filter(col("rn") <= 32).drop("rn").persist()
     val cod = ac.select(col("m"), col("n").as("u"))
-      .join(ac.select(col("m"), col("n").as("w")), "m")
+      .join(ac.select(col("m"), col("n").as("w")).hint("shuffle_hash"), "m")
       .filter(col("u") < col("w"))
       .groupBy("u", "w").agg(count(lit(1)).as("q"))
       .filter(col("q") >= 2)
@@ -888,7 +895,7 @@ object Graphs {
     * and every δ term is integer arithmetic shared by both engines.
     */
   val betweennessSeedsQ: Q = Q("graph_betweenness_seeds", (s, dir) => {
-    val e = simEdges(s, dir).persist()
+    val e = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct()
     val domainGate = verts.agg(max("v").as("mx"), min("v").as("mn"))
@@ -1154,7 +1161,7 @@ object Graphs {
     * second sweep's reach count.
     */
   val diameterSweep: Q = Q("graph_diameter_sweep", (s, dir) => {
-    val e = simEdges(s, dir).persist()
+    val e = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
     val s0 = verts.agg(min("v").as("v"))
     val h1 = graft.ops.Graph.bfsHops(e, s0, maxDepth = 8)
