@@ -1793,7 +1793,7 @@ object Analytics {
   val qKcore: Q = Q("graph_kcore", (s, dir) => {
     val li = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val base = li.as("x").join(li.as("y"), "o")
+    val base = li.as("x").join(li.as("y").hint("shuffle_hash"), "o")
       .filter(col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("lo"), col("y.p").as("hi"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
