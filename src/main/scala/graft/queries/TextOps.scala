@@ -735,13 +735,16 @@ object TextOps {
     * per-doc array fold, zero shuffles before the presentation sort.
     */
   val docChunkSentences: Q = Q("doc_chunk_sentences", (s, dir) => {
+    // the lambda runs interpreted either way (HOF), but graft_h60 is one
+    // digest with no hex-string round-trip vs the md5→substr→conv chain
+    graft.expressions.Md5Hash60.register(s)
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), filter(split(col("text"), " "), w => w =!= "").as("w"))
       .filter(size(col("w")) >= 1)
       .withColumn("txt", expr(
         """array_join(transform(w, (x, i) -> CASE
-             WHEN CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',
-               CAST(i + 1 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 5 = 0
+             WHEN graft_h60(concat(CAST(doc_id AS STRING), ':',
+               CAST(i + 1 AS STRING))) % 5 = 0
              THEN concat(x, '.') ELSE x END), ' ')"""))
     graft.ops.Text.chunkSentences(d, "doc_id", "txt", maxTokens = 25)
       .orderBy("doc_id", "chunk_idx")
