@@ -325,14 +325,25 @@ object Dedup {
       .join(pre.select(col("doc_id").as("d2"), col("sh").as("sh2")),
         col("sh") === col("sh2") && col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    // unsorted arrays: the intersect SIZE is order-independent, and the
-    // per-doc sort was measurable at sf0.1 (DevPrefix)
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_list("sh").as("g"), count(lit(1)).as("n"))
-    cand
-      .join(sets.select(col("doc_id").as("d1"), col("g").as("g1"), col("n").as("n1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("g").as("g2"), col("n").as("n2")), "d2")
-      .withColumn("shared", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+    // candidate-keyed EXACT verification (the rougePairs overlap shape):
+    // |g1 ∩ g2| as a posting join probed by the bounded candidate list —
+    // no per-doc gram arrays at all, so nothing corpus-sized ever
+    // collects (the collect_list form built every document's set to
+    // verify a handful of pairs, and a candidate-restricted set build
+    // serialized the previously parallel stages — A/B'd worse both
+    // ways). Every candidate shares ≥1 gram by construction (the
+    // colliding prefix gram is in both FULL sets), so the inner joins
+    // drop nothing.
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shr = cand
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("shb")),
+        Seq("d2"), "inner")
+      .filter(col("sh") === col("shb"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    shr
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.5)
       .select(col("d1"), col("d2"),
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 4).as("jaccard"))
@@ -350,14 +361,15 @@ object Dedup {
       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, list(sh) AS g, count(*) AS n
-      FROM shh GROUP BY doc_id)
+    cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+    shr AS (SELECT c.d1, c.d2, count(*)::BIGINT AS shared
+      FROM cand c JOIN shh a ON a.doc_id = c.d1
+        JOIN shh b ON b.doc_id = c.d2 AND b.sh = a.sh
+      GROUP BY c.d1, c.d2)
     SELECT d1, d2,
-      round(len(list_intersect(x.g, y.g)) * 1.0
-        / (x.n + y.n - len(list_intersect(x.g, y.g))), 4) AS jaccard
-    FROM cand JOIN sets x ON x.doc_id = d1 JOIN sets y ON y.doc_id = d2
-    WHERE len(list_intersect(x.g, y.g)) * 1.0
-      / (x.n + y.n - len(list_intersect(x.g, y.g))) >= 0.5
+      round(shared * 1.0 / (x.n + y.n - shared), 4) AS jaccard
+    FROM shr JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
+    WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
     ORDER BY d1, d2"""))
 
   val minhashLsh: Q = Q("dedup_minhash_lsh", (s, dir) =>
