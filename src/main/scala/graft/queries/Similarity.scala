@@ -729,7 +729,9 @@ object Similarity {
       .withColumn("sim", dotD(col("ae"), col("be")) / (col("an") * col("bn")))
       .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= 2)
       .select(col("src"), col("dst"))
-    val edges = local.union(hub).distinct().persist()
+    // small edge list under a deep window+crossJoin plan: truncate so the
+    // per-hop joins stop re-walking the build lineage (DevSeeds rule)
+    val edges = local.union(hub).distinct().localCheckpoint(true)
     val q = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val c = n.select(col("vec_id").as("c_id"), col("emb").as("ce"), col("nrm").as("cn"))
