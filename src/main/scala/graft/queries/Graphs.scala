@@ -216,7 +216,7 @@ object Graphs {
     * moment agg.
     */
   val assortativity: Q = Q("graph_assortativity", (s, dir) => {
-    val je = simEdges(s, dir)
+    val je = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst")))
     val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val pairs = ed
@@ -664,7 +664,7 @@ object Graphs {
     * playbook, unneeded on this bounded (≤60-vertex) similarity graph.
     */
   val squares: Q = Q("graph_squares", (s, dir) => {
-    val je = simEdges(s, dir)
+    val je = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst"))).persist()
     val a = ed.select(col("dst").as("m"), col("src").as("u"))
     val b = ed.select(col("dst").as("m2"), col("src").as("w"))
@@ -971,7 +971,7 @@ object Graphs {
     */
   val richClub: Q = Q("graph_rich_club", (s, dir) => {
     import s.implicits._
-    val je = simEdges(s, dir)
+    val je = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst")))
     val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val em = je
@@ -1070,7 +1070,7 @@ object Graphs {
     * (k)-group agg — every shuffle on bounded keys.
     */
   val knnDegree: Q = Q("graph_knn_degree", (s, dir) => {
-    val je = simEdges(s, dir)
+    val je = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val ed = je.union(je.select(col("dst").as("src"), col("src").as("dst")))
     val deg = ed.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     ed.join(deg.select(col("v").as("src"), col("d").as("da")), "src")
@@ -1105,7 +1105,7 @@ object Graphs {
     * integer — counts and one truncating DIV — so bit-exact.
     */
   val clusteringLocal: Q = Q("graph_clustering_local", (s, dir) => {
-    val e = simEdges(s, dir)
+    val e = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val tri = graft.ops.Graph.triangles(e)
     val deg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
