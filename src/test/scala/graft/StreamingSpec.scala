@@ -2688,6 +2688,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("KAnonymityProcessor recovers its MapState across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // the Adf restart spec proves ValueState recovery; this proves the
+    // MAP state (value->count per quasi group) restores — a lost map
+    // would under-count ldiv for every value re-seen after the restart
+    val sfDir = "/root/testdata/sf0.001"
+    val dirA = Files.createTempDirectory("graft_kanon_ck_in").toFile
+    val ckptA = Files.createTempDirectory("graft_kanon_ck").toString
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        expr("concat(event_type, '|', (ts_us DIV 3600000000) % 24, '|', " +
+          "CAST(round(value * 100) AS BIGINT) DIV 1000)").as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(Long, String, Long)]): Array[Byte] =
+      rs.map(r => s"${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dirA.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" ", 2); (p(0), p(1).toLong) }
+      graft.streaming.KAnonymityProcessor(spark, src)
+        .toDF("quasi", "ksize", "ldiv")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add((r.getString(0), r.getLong(1), r.getLong(2))))
+        }
+        .option("checkpointLocation", ckptA).start()
+    }
+    Files.write(new java.io.File(dirA, "b1.txt").toPath, fmt(b1))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dirA, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(String, Long, Long)])
+      .groupBy(_._1).map { case (k, rs) => k -> { val m = rs.maxBy(_._2); (m._2, m._3) } }
+    val want = rows.groupBy(_._2).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.map(_._3).distinct.length.toLong) }
+    assert(want.nonEmpty && got == want,
+      s"k-anonymity state after restart: got=${got.toSeq.sortBy(_._1).take(5)}… " +
+        s"want=${want.toSeq.sortBy(_._1).take(5)}…")
+  }
+
   test("AdfProcessor recovers its moment state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
