@@ -930,8 +930,26 @@ object Similarity {
     def top3(df: DataFrame, out: String): DataFrame = df.groupBy("q_id")
       .agg(expr("transform(array_sort(collect_list(struct(rnk, c_id))), x -> x.c_id)")
         .as(out))
-    val b4 = top3(nswBeam(edges, q, c, beam0, hops = 3, simName = "s", width = 4), "l4")
-    val b8 = top3(nswBeam(edges, q, c, beam0, hops = 3, simName = "s", width = 8), "l8")
+    // hop 1 is IDENTICAL for both widths (same entry, same expansion,
+    // same scores) and keep-4 is a rank-prefix of keep-8 — expand and
+    // score once, slice the kept rank twice, then let the searches
+    // diverge from hop 2 (one expansion+scoring pass saved)
+    val wQ0 = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
+    val nbrs0 = beam0.join(edges, beam0("c_id") === edges("src"))
+      .select(col("q_id"), col("dst").as("c_id"))
+    val hop1 = beam0.union(nbrs0).distinct().filter(col("c_id") =!= col("q_id"))
+      .join(c, "c_id").join(q, "q_id")
+      .withColumn("sim", dotD(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wQ0)).filter(col("rn") <= 8)
+      .select(col("q_id"), col("c_id"), col("rn"))
+      .localCheckpoint(true)
+    val b4 = top3(nswBeam(edges, q, c,
+      hop1.filter(col("rn") <= 4).select("q_id", "c_id"),
+      hops = 2, simName = "s", width = 4), "l4")
+    val b8 = top3(nswBeam(edges, q, c,
+      hop1.select("q_id", "c_id"),
+      hops = 2, simName = "s", width = 8), "l8")
     val wQ = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
     val exact = top3(q.join(c, col("q_id") =!= col("c_id"))
