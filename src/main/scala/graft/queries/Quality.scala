@@ -922,8 +922,18 @@ object Quality {
     * fork beyond the STRING/VARCHAR cast); per-row work is linear in
     * text bytes and the only shuffle is the per-source aggregation.
     */
-  val qualityPiiCensus: Q = Q("quality_pii_census", (s, dir) => {
-    val det = Tables.t(s, dir, "documents")
+  /** Per-document PII detections on the planted-PII corpus — the ONE
+    * detection pipeline under the batch census AND the streaming
+    * [[graft.streaming.PiiProcessor]] apply (the dedup_lsh_eval no-drift
+    * rule: the stream gate can never diverge from the batch detector it
+    * mirrors because they run the identical expressions). Detection is
+    * STATELESS — regexes + the unrolled Luhn checksum — so the stream
+    * side runs it per micro-batch row and keeps only bounded per-source
+    * counters as state.
+    */
+  private[graft] def piiDetections(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.t(s, dir, "documents")
       .withColumn("ccb", expr("'4' || lpad(CAST(doc_id % 100000000 AS STRING), 14, '0')"))
       .withColumn("c0", expr(s"(10 - (${luhnSumSql("ccb", 16, 15)} % 10)) % 10"))
       .withColumn("cd", expr("CASE WHEN doc_id % 2 = 0 THEN c0 ELSE (c0 + 3) % 10 END"))
@@ -940,6 +950,9 @@ object Quality {
       .withColumn("cc_luhn", expr(s"""CASE WHEN length(cc) = 16 THEN
           (CASE WHEN ${luhnSumSql("cc", 16, 16)} % 10 = 0 THEN 1L ELSE 0L END)
         ELSE 0L END"""))
+
+  val qualityPiiCensus: Q = Q("quality_pii_census", (s, dir) => {
+    val det = piiDetections(s, dir)
     det.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("n_email").as("n_email"),

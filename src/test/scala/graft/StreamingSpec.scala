@@ -2688,6 +2688,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("PiiProcessor: running per-source census == quality_pii_census, any split") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_pii").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // the IDENTICAL per-doc detection rows the batch census aggregates
+    // (shared builder — the stream gate cannot drift from the detector)
+    val rows = graft.queries.Quality.piiDetections(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_email"), col("n_phone"),
+        col("n_ipv4"), expr("CASE WHEN length(cc) = 16 THEN 1L ELSE 0L END").as("has_cc"),
+        col("cc_luhn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(Long, String, Long, Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._2} ${r._3} ${r._4} ${r._5} ${r._6} ${r._7}")
+        .mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" ")
+        (p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong) }
+    val q = graft.streaming.PiiProcessor(spark, src)
+      .toDF("source", "n_docs", "n_email", "n_phone", "n_ipv4", "n_cc",
+        "n_cc_luhn", "n_pii_docs", "pii_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_pii").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT source, n_docs, n_email, n_phone, n_ipv4, n_cc, n_cc_luhn,
+             n_pii_docs, pii_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_docs DESC) AS rn
+            FROM graft_pii) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+      val want = graft.queries.Quality.qualityPiiCensus.fn(spark, sfDir)
+        .collect().map(r => r.getString(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+      assert(want.nonEmpty, "batch pii census unexpectedly empty")
+      assert(got == want, s"streamed vs batch pii census: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("KAnonymityProcessor recovers its MapState across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
