@@ -25,7 +25,8 @@ object Series {
     tsStlAnomaly, qHoppingWindow, tsRunsTest, tsRecordStats,
     tsVarianceRatio, tsSeasonalStrength, tsDfa, tsMeanExcess,
     tsLjungBox, tsPageHinkley, tsSeasonalEsd, tsGrangerLite,
-    tsExtremalIndex, tsAdfLite, tsCointLite, tsCointEval)
+    tsExtremalIndex, tsAdfLite, tsCointLite, tsCointEval,
+    tsForecastEnsemble)
 
   /** PromQL `histogram_quantile` semantics over cumulative le-buckets —
     * the quantile a Prometheus stack computes from bucketed COUNTERS
@@ -3469,6 +3470,139 @@ object Series {
     SELECT test, m2, rho_e4, t2_e4, crit_e4,
       (t2_e4 > crit_e4 AND rho_e4 < 0) AS rejected
     FROM t ORDER BY test"""))
+
+  /** Forecast COMBINATION (Bates & Granger, "The Combination of
+    * Forecasts", OR Quarterly 1969 — public): per event type, three
+    * cheap forecasters over the hourly-mean series — naive (last),
+    * drift (last + h·mean-slope) and mean-4 (window mean) — are
+    * weighted by inverse error measured on a VALIDATION window (the 3
+    * hours before the holdout), then the weighted ensemble and every
+    * individual method are graded on the 3-hour HOLDOUT. The classic
+    * claim (the combination is rarely worse than its members, often
+    * better than the best) is reported as a per-type boolean. All
+    * exact integers: inverse-error weights avoid division entirely by
+    * the product trick — w_i ∝ Π_{j≠i}(ê_j + 1), ensemble =
+    * Σ num_i·f_i DIV Σ num_i (ONE shared truncating division per
+    * step), weights reported in bp by the same rationals. Headroom:
+    * ê ≤ 3·|Δy|_max keeps num·f ≲ 10¹⁷ at cent scale. Shapes: one
+    * hourly pre-agg, one per-type sorted fold, per-type scalar
+    * arithmetic — no joins, no windows over data.
+    */
+  val tsForecastEnsemble: Q = Q("ts_forecast_ensemble", (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("h"))
+      .agg(expr("sum(cents) DIV count(1)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("transform(array_sort(collect_list(struct(h, y))), s -> s.y)").as("ys"))
+      .filter(col("n") >= 12)
+      // validation window: forecast ys[m1+1..m1+3] from the prefix of m1
+      .withColumn("m1", expr("n - 6"))
+      .withColumn("l1", expr("element_at(ys, CAST(m1 AS INT))"))
+      .withColumn("d1", expr("(l1 - element_at(ys, 1)) DIV (m1 - 1)"))
+      .withColumn("mw1", expr(
+        """(element_at(ys, CAST(m1 - 3 AS INT)) + element_at(ys, CAST(m1 - 2 AS INT))
+          + element_at(ys, CAST(m1 - 1 AS INT)) + element_at(ys, CAST(m1 AS INT))) DIV 4"""))
+      .withColumn("ew_naive", expr(
+        """abs(l1 - element_at(ys, CAST(m1 + 1 AS INT)))
+         + abs(l1 - element_at(ys, CAST(m1 + 2 AS INT)))
+         + abs(l1 - element_at(ys, CAST(m1 + 3 AS INT)))"""))
+      .withColumn("ew_drift", expr(
+        """abs(l1 + 1 * d1 - element_at(ys, CAST(m1 + 1 AS INT)))
+         + abs(l1 + 2 * d1 - element_at(ys, CAST(m1 + 2 AS INT)))
+         + abs(l1 + 3 * d1 - element_at(ys, CAST(m1 + 3 AS INT)))"""))
+      .withColumn("ew_mean", expr(
+        """abs(mw1 - element_at(ys, CAST(m1 + 1 AS INT)))
+         + abs(mw1 - element_at(ys, CAST(m1 + 2 AS INT)))
+         + abs(mw1 - element_at(ys, CAST(m1 + 3 AS INT)))"""))
+      .withColumn("num_naive", expr("(ew_drift + 1) * (ew_mean + 1)"))
+      .withColumn("num_drift", expr("(ew_naive + 1) * (ew_mean + 1)"))
+      .withColumn("num_mean", expr("(ew_naive + 1) * (ew_drift + 1)"))
+      .withColumn("ws", expr("num_naive + num_drift + num_mean"))
+      // holdout: forecast ys[m2+1..m2+3] from the prefix of m2 = n - 3
+      .withColumn("m2", expr("n - 3"))
+      .withColumn("l2", expr("element_at(ys, CAST(m2 AS INT))"))
+      .withColumn("d2", expr("(l2 - element_at(ys, 1)) DIV (m2 - 1)"))
+      .withColumn("mw2", expr(
+        """(element_at(ys, CAST(m2 - 3 AS INT)) + element_at(ys, CAST(m2 - 2 AS INT))
+          + element_at(ys, CAST(m2 - 1 AS INT)) + element_at(ys, CAST(m2 AS INT))) DIV 4"""))
+      .withColumn("a1", expr("element_at(ys, CAST(m2 + 1 AS INT))"))
+      .withColumn("a2", expr("element_at(ys, CAST(m2 + 2 AS INT))"))
+      .withColumn("a3", expr("element_at(ys, CAST(m2 + 3 AS INT))"))
+      .withColumn("mae_naive", expr("(abs(l2 - a1) + abs(l2 - a2) + abs(l2 - a3)) DIV 3"))
+      .withColumn("mae_drift", expr(
+        "(abs(l2 + 1 * d2 - a1) + abs(l2 + 2 * d2 - a2) + abs(l2 + 3 * d2 - a3)) DIV 3"))
+      .withColumn("mae_mean", expr("(abs(mw2 - a1) + abs(mw2 - a2) + abs(mw2 - a3)) DIV 3"))
+      .withColumn("mae_ens", expr(
+        """(abs((num_naive * l2 + num_drift * (l2 + 1 * d2) + num_mean * mw2) DIV ws - a1)
+         + abs((num_naive * l2 + num_drift * (l2 + 2 * d2) + num_mean * mw2) DIV ws - a2)
+         + abs((num_naive * l2 + num_drift * (l2 + 3 * d2) + num_mean * mw2) DIV ws - a3)) DIV 3"""))
+      .withColumn("w_naive_bp", expr("10000 * num_naive DIV ws"))
+      .withColumn("w_drift_bp", expr("10000 * num_drift DIV ws"))
+      .withColumn("w_mean_bp", expr("10000 * num_mean DIV ws"))
+      .withColumn("ens_beats_worst",
+        expr("mae_ens <= greatest(mae_naive, mae_drift, mae_mean)"))
+      .select("event_type", "n", "w_naive_bp", "w_drift_bp", "w_mean_bp",
+        "mae_naive", "mae_drift", "mae_mean", "mae_ens", "ens_beats_worst")
+      .orderBy("event_type")
+  }, Some("""WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) // count(*) AS y
+      FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, count(*)::BIGINT AS n,
+        list(y ORDER BY h) AS ys
+      FROM hourly GROUP BY event_type),
+    q AS (SELECT * FROM g WHERE n >= 12),
+    v AS (SELECT event_type, n, ys,
+        n - 6 AS m1,
+        ys[CAST(n - 6 AS INT)] AS l1,
+        (ys[CAST(n - 6 AS INT)] - ys[1]) // (n - 7) AS d1,
+        (ys[CAST(n - 9 AS INT)] + ys[CAST(n - 8 AS INT)]
+          + ys[CAST(n - 7 AS INT)] + ys[CAST(n - 6 AS INT)]) // 4 AS mw1
+      FROM q),
+    w AS (SELECT event_type, n, ys,
+        abs(l1 - ys[CAST(m1 + 1 AS INT)]) + abs(l1 - ys[CAST(m1 + 2 AS INT)])
+          + abs(l1 - ys[CAST(m1 + 3 AS INT)]) AS ew_naive,
+        abs(l1 + 1 * d1 - ys[CAST(m1 + 1 AS INT)])
+          + abs(l1 + 2 * d1 - ys[CAST(m1 + 2 AS INT)])
+          + abs(l1 + 3 * d1 - ys[CAST(m1 + 3 AS INT)]) AS ew_drift,
+        abs(mw1 - ys[CAST(m1 + 1 AS INT)]) + abs(mw1 - ys[CAST(m1 + 2 AS INT)])
+          + abs(mw1 - ys[CAST(m1 + 3 AS INT)]) AS ew_mean
+      FROM v),
+    x AS (SELECT event_type, n, ys,
+        (ew_drift + 1) * (ew_mean + 1) AS num_naive,
+        (ew_naive + 1) * (ew_mean + 1) AS num_drift,
+        (ew_naive + 1) * (ew_drift + 1) AS num_mean
+      FROM w),
+    y2 AS (SELECT event_type, n, ys, num_naive, num_drift, num_mean,
+        num_naive + num_drift + num_mean AS ws,
+        n - 3 AS m2,
+        ys[CAST(n - 3 AS INT)] AS l2,
+        (ys[CAST(n - 3 AS INT)] - ys[1]) // (n - 4) AS d2,
+        (ys[CAST(n - 6 AS INT)] + ys[CAST(n - 5 AS INT)]
+          + ys[CAST(n - 4 AS INT)] + ys[CAST(n - 3 AS INT)]) // 4 AS mw2,
+        ys[CAST(n - 2 AS INT)] AS a1,
+        ys[CAST(n - 1 AS INT)] AS a2,
+        ys[CAST(n AS INT)] AS a3
+      FROM x),
+    fin AS (SELECT event_type, n,
+        CAST(10000 * num_naive // ws AS BIGINT) AS w_naive_bp,
+        CAST(10000 * num_drift // ws AS BIGINT) AS w_drift_bp,
+        CAST(10000 * num_mean // ws AS BIGINT) AS w_mean_bp,
+        CAST((abs(l2 - a1) + abs(l2 - a2) + abs(l2 - a3)) // 3 AS BIGINT) AS mae_naive,
+        CAST((abs(l2 + 1 * d2 - a1) + abs(l2 + 2 * d2 - a2)
+          + abs(l2 + 3 * d2 - a3)) // 3 AS BIGINT) AS mae_drift,
+        CAST((abs(mw2 - a1) + abs(mw2 - a2) + abs(mw2 - a3)) // 3 AS BIGINT) AS mae_mean,
+        CAST((abs((num_naive * l2 + num_drift * (l2 + 1 * d2) + num_mean * mw2) // ws - a1)
+          + abs((num_naive * l2 + num_drift * (l2 + 2 * d2) + num_mean * mw2) // ws - a2)
+          + abs((num_naive * l2 + num_drift * (l2 + 3 * d2) + num_mean * mw2) // ws - a3))
+          // 3 AS BIGINT) AS mae_ens
+      FROM y2)
+    SELECT event_type, n, w_naive_bp, w_drift_bp, w_mean_bp,
+      mae_naive, mae_drift, mae_mean, mae_ens,
+      (mae_ens <= greatest(mae_naive, mae_drift, mae_mean)) AS ens_beats_worst
+    FROM fin ORDER BY event_type"""))
 
   /** Extremal index θ — the tail-clustering diagnostic that completes
     * the POT family around [[tsMeanExcess]]: θ ≈ 1 means threshold
