@@ -19,7 +19,8 @@ object Graphs {
     assortativity, linkPredict, linkPredictWeighted, closenessSeeds,
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
-    reciprocity, knnDegree, clusteringLocal, diameterSweep)
+    reciprocity, knnDegree, clusteringLocal, diameterSweep,
+    effectiveDiameter)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -565,6 +566,101 @@ object Graphs {
     SELECT seed, count(*)::BIGINT AS n_reached,
       CAST(sum(1000000 // hop) AS BIGINT) AS harmonic
     FROM r4 WHERE hop > 0 GROUP BY seed ORDER BY seed"""))
+
+  /** Neighborhood function + EFFECTIVE diameter (Palmer/Gibbons/
+    * Faloutsos, "ANF", KDD'02; Boldi/Rosa/Vigna, "HyperANF", WWW'11 —
+    * public): N(h) = #ordered pairs within distance h for h = 1..4,
+    * and the effective diameter = the smallest h whose N(h) covers
+    * ≥ 90% of N(4) — the distance-distribution statistic that says
+    * "how far apart is this graph REALLY" without an all-pairs matrix.
+    * Two tiers, the [[reachAnf]] contract: the EXACT N(h) curve from
+    * one labeled all-seeds BFS on the product graph (bit-exact,
+    * feasible on the bounded similarity graph), and the HyperANF
+    * estimator — per-vertex HLL ball sketches union-propagated along
+    * edges h rounds, Σ|ball₄(v)| − |V| — whose 4-round sketch-merge
+    * shape is the one that runs at 100 TB (state per vertex is one
+    * sketch, merges are associative, each round is one edge-keyed
+    * join). The estimate is graded against the exact curve at ±20%
+    * (HLL lgk=12 ⇒ ~1.6% typical); the oracle recomputes the exact
+    * curve by min-plus doubling (2 MATERIALIZED rounds cover h ≤ 4)
+    * and pins the tolerance boolean.
+    */
+  val effectiveDiameter: Q = Q("graph_effective_diameter", (s, dir) => {
+    val e = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
+    val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint(true)
+    val domainGate = verts.agg(max("v").as("mx"), min("v").as("mn"))
+      .select(expr("""CASE WHEN mx >= 1048576 OR mn < 0 THEN raise_error(concat(
+          'graph_effective_diameter: vertex domain [', CAST(mn AS STRING), ',',
+          CAST(mx AS STRING), '] exceeds the 2^20 seed offset'))
+        ELSE 1 END""").as("_domain_ok"))
+    val seedDf = verts.select(col("v").as("seed"))
+      .crossJoin(broadcast(domainGate)).where(col("_domain_ok") === 1)
+      .drop("_domain_ok")
+    val lab = e.crossJoin(broadcast(seedDf))
+      .select((col("seed") * 1048576 + col("src")).as("src"),
+        (col("seed") * 1048576 + col("dst")).as("dst"))
+    val seeds = seedDf.select((col("seed") * 1048576 + col("seed")).as("v"))
+    val nh = graft.ops.Graph.bfsHops(lab, seeds, maxDepth = 4)
+      .filter(col("hop") > 0)
+      .agg(sum(expr("CASE WHEN hop <= 1 THEN 1L ELSE 0L END")).as("n1"),
+        sum(expr("CASE WHEN hop <= 2 THEN 1L ELSE 0L END")).as("n2"),
+        sum(expr("CASE WHEN hop <= 3 THEN 1L ELSE 0L END")).as("n3"),
+        count(lit(1)).as("n4"))
+    // HyperANF tier: per-vertex HLL ball sketches, union-propagated —
+    // the shape that scales (sketch state per vertex, associative
+    // merges, one edge-keyed join per round)
+    val und = e.select("src", "dst")
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    var ball = verts.groupBy("v").agg(expr("hll_sketch_agg(v)").as("sk"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val nbr = und.join(ball, und("dst") === ball("v"))
+        .select(und("src").as("v"), col("sk"))
+      ball = ball.union(nbr)
+        .groupBy("v").agg(expr("hll_union_agg(sk)").as("sk"))
+        .localCheckpoint(true)
+    }
+    val est = ball.agg(
+      sum(expr("hll_sketch_estimate(sk)")).as("est_balls"),
+      count(lit(1)).as("n_vertices"))
+    nh.crossJoin(broadcast(est))
+      .withColumn("eff_diameter_h", expr(
+        """CASE WHEN 10 * n1 >= 9 * n4 THEN 1L
+                WHEN 10 * n2 >= 9 * n4 THEN 2L
+                WHEN 10 * n3 >= 9 * n4 THEN 3L
+                ELSE 4L END"""))
+      .withColumn("n4_est_ok",
+        expr("abs((est_balls - n_vertices) - n4) * 100 <= n4 * 20"))
+      .select("n_vertices", "n1", "n2", "n3", "n4", "eff_diameter_h", "n4_est_ok")
+  }, Some(s"""WITH $itemsSql,
+    je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
+    m0 AS MATERIALIZED (SELECT u, v, min(k) AS k FROM (
+      SELECT ua AS u, ub AS v, CAST(1 AS BIGINT) AS k FROM je
+      UNION ALL SELECT ub, ua, 1 FROM je) GROUP BY 1, 2),
+    m1 AS MATERIALIZED (SELECT u, v, min(k) AS k FROM (
+      SELECT u, v, k FROM m0
+      UNION ALL SELECT a.u, b.v, a.k + b.k AS k
+      FROM m0 a JOIN m0 b ON b.u = a.v WHERE a.u <> b.v) GROUP BY 1, 2),
+    m2 AS MATERIALIZED (SELECT u, v, min(k) AS k FROM (
+      SELECT u, v, k FROM m1
+      UNION ALL SELECT a.u, b.v, a.k + b.k AS k
+      FROM m1 a JOIN m1 b ON b.u = a.v WHERE a.u <> b.v) GROUP BY 1, 2),
+    vv AS (SELECT DISTINCT u AS v FROM m0),
+    agg AS (SELECT
+      (SELECT count(*) FROM vv)::BIGINT AS n_vertices,
+      CAST(sum(CASE WHEN k <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(sum(CASE WHEN k <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(sum(CASE WHEN k <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      CAST(sum(CASE WHEN k <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM m2 WHERE u <> v AND k <= 4)
+    SELECT n_vertices, n1, n2, n3, n4,
+      CAST(CASE WHEN 10 * n1 >= 9 * n4 THEN 1
+                WHEN 10 * n2 >= 9 * n4 THEN 2
+                WHEN 10 * n3 >= 9 * n4 THEN 3
+                ELSE 4 END AS BIGINT) AS eff_diameter_h,
+      TRUE AS n4_est_ok
+    FROM agg"""))
 
   /** Minimum spanning FOREST of the similarity graph under Jaccard
     * DISTANCE (10⁴ − jacc_bp), ties broken by (dist, ua, ub) — the
