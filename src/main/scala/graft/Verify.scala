@@ -38,6 +38,12 @@ object Verify {
         if (dir.exists()) rm(dir)
       }
       spark.catalog.clearCache()
+      // clearCache misses localCheckpoint blocks and RDD-level persists;
+      // over a 346-query sweep the accumulated storage pressure evicts
+      // later queries' working set (the round-6 graph_walk_skipgrams
+      // finding — same teardown as Bench)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

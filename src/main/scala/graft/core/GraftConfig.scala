@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 final case class GraftConfig(
     warpEndpoint: String,
+    warpEndpointDelete: String,     // warp_endpoint_delete (same host default)
     connectionTimeoutMs: Int,   // warp.connection.timeout (300 s)
     dialTimeoutMs: Int,         // warp.connection.dial.timeout (10 s)
     keepAliveTimeoutMs: Int,    // warp.connection.keep-alive.timeout (30 s)
@@ -28,6 +29,7 @@ object GraftConfig {
   /** Resolve with the reference's defaults (cmd/root.go:46-56). */
   def load(spark: Option[SparkSession] = None): GraftConfig = GraftConfig(
     warpEndpoint = layered(spark, "warp.endpoint", "http://127.0.0.1:8080/api/v0/update"),
+    warpEndpointDelete = layered(spark, "warp_endpoint_delete", "http://127.0.0.1:8080"),
     connectionTimeoutMs = layered(spark, "warp.connection.timeout", "300000").toInt,
     dialTimeoutMs = layered(spark, "warp.connection.dial.timeout", "10000").toInt,
     keepAliveTimeoutMs = layered(spark, "warp.connection.keep-alive.timeout", "30000").toInt,

@@ -326,27 +326,46 @@ object Text {
     * sequences. Returns (merges, finalSeqs): `merges` is the ordered
     * rule table (round, w1, w2, cnt — the tokenizer's merges.txt), and
     * `finalSeqs` the rewritten corpus for inspection or further rounds.
-    * Each round is one pair-count aggregation plus a broadcast 1-row
-    * rule join; sequences are persisted per round (each round's counts
-    * would otherwise recompute the whole rewrite chain). A production
-    * tokenizer runs exactly this loop ~30k times.
+    * DRIVER-COORDINATED (round 8): each round's winning merge is ONE
+    * row — bounded state, so it is collected to the driver (the same
+    * counted-small discipline as the graph fast paths; merges.txt lives
+    * on the driver in every real tokenizer trainer). Round r's input is
+    * then rebuilt as base-corpus scan + r-1 accumulated LITERAL
+    * `replace`es collapsed into a single codegen'd projection — no
+    * per-round persist of the rewritten corpus, no crossJoin chain, no
+    * per-level whole-stage-codegen compile tax (the DevBpe 16-22 s cold
+    * signature). Only the raw framed corpus is persisted, once; each
+    * round is one shallow pair-count aggregation job. Bit-exactness is
+    * unchanged: the literal replace applies the identical framed
+    * greedy-leftmost rewrite the broadcast-column variant did.
     */
   def bpeTrain(
       seqs: DataFrame,
       seqCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1)
-    import org.apache.spark.sql.functions.lit
-    var cur = seqs.persist()
-    var merges: DataFrame = null
-    for (r <- 1 to rounds) {
-      val rule = bpeTopMerge(bpePairCounts(cur, seqCol))
-      val labeled = rule.select(lit(r.toLong).as("round"),
-        col("w1"), col("w2"), col("cnt"))
-      merges = if (merges == null) labeled else merges.union(labeled)
-      cur = bpeApplyMerge(cur, seqCol, rule).persist()
+    import org.apache.spark.sql.functions.{lit, replace => sqlReplace}
+    val spark = seqs.sparkSession
+    val base = seqs.persist()
+    var adopted = Vector.empty[(Long, String, String, Long)]
+    def applied: DataFrame = adopted.foldLeft(base) { case (df, (_, w1, w2, _)) =>
+      df.withColumn(seqCol, sqlReplace(col(seqCol),
+        lit(s" $w1  $w2 "), lit(s" $w1$w2 ")))
     }
-    (merges, cur)
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = bpeTopMerge(bpePairCounts(applied, seqCol)).collect()
+      if (top.isEmpty) exhausted = true // corpus has no adjacent pair left
+      else {
+        val row = top(0)
+        adopted :+= ((r.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    val merges = adopted.toDF("round", "w1", "w2", "cnt")
+    (merges, applied)
   }
 
   /** DuckDB twin of [[bpeInitSeq]]. */

@@ -3312,7 +3312,9 @@ object Series {
     * rows are scaled ×10 onto the same deci grid. Critical values per
     * family: τ²=2.86² (e4 81796) for ADF, EG 2-var −3.34 (111556).
     * Headroom: walk sd ≈ 20·√(T/12) units keeps m·D·|y| ≈ 10¹⁷ at
-    * 10³ hours — rescale the step before the span grows 10×. Shapes:
+    * 10³ hours — rescale the step before the span grows 10×; a
+    * broadcast raise_error gate (T > 2000 or |walk| > 5·10⁴) fails
+    * loudly and self-describingly before any ANSI overflow could. Shapes:
     * one hourly pre-agg, a provably-small cumsum window on the
     * distinct-hour spine, hour-keyed joins between Aggregate
     * boundaries, one 4-partition lag window, one keyed agg; 4 rows.
@@ -3337,8 +3339,24 @@ object Series {
     // multi-referenced subtrees — eager localCheckpoint collapses the
     // re-executed lineage and the per-level codegen tax (3.9 s -> ~1 s
     // at sf0.1)
-    val walk = spine.select(col("h"),
+    val walkRaw = spine.select(col("h"),
       sum("d1").over(cum).as("w1"), sum("d2").over(cum).as("w2"))
+    // loud domain gate (the graph 2^20 pattern): the fixed-point
+    // pipeline sits at ~1e17 of the 9.2e18 BIGINT ceiling at ~1e3
+    // hours, and under ANSI both engines THROW on overflow — fail
+    // self-describingly BEFORE the moments if a testdata regen ever
+    // stretches the hour span / walk magnitude past the headroom.
+    // One-row aggregate, broadcast, zero effect on valid domains.
+    val domainGate = walkRaw.agg(count(lit(1)).as("nh"),
+        max(abs(col("w1"))).as("aw1"), max(abs(col("w2"))).as("aw2"))
+      .select(expr("""CASE WHEN nh > 2000 OR greatest(aw1, aw2) > 50000
+          THEN raise_error(concat('ts_cointegration_eval: domain outgrew ',
+            'the fixed-point headroom (hours=', CAST(nh AS STRING),
+            ', max|walk|=', CAST(greatest(aw1, aw2) AS STRING),
+            ') - rescale the walk step (see scaladoc headroom note)'))
+          ELSE 1 END""").as("_domain_ok"))
+    val walk = walkRaw.crossJoin(broadcast(domainGate))
+      .where(col("_domain_ok") === 1).drop("_domain_ok")
       .localCheckpoint(true)
     def series(t: String) =
       hourly.filter(col("event_type") === t).select(col("h"), col("y"))
@@ -3479,7 +3497,11 @@ object Series {
     * hours before the holdout), then the weighted ensemble and every
     * individual method are graded on the 3-hour HOLDOUT. The classic
     * claim (the combination is rarely worse than its members, often
-    * better than the best) is reported as a per-type boolean. All
+    * better than the best) is reported as a per-type boolean — a
+    * DESCRIPTIVE column, not an invariant: convexity guarantees
+    * mae_ens ≤ worst only in exact arithmetic; the per-step DIV ws
+    * floor plus the final DIV 3 make the provable bound
+    * mae_ens ≤ worst + 1 (ForecastEnsembleSpec pins that bound). All
     * exact integers: inverse-error weights avoid division entirely by
     * the product trick — w_i ∝ Π_{j≠i}(ê_j + 1), ensemble =
     * Σ num_i·f_i DIV Σ num_i (ONE shared truncating division per
@@ -3900,9 +3922,12 @@ object Series {
     // each round references pts 3x and dev 3x; without truncation the
     // subtrees duplicate MULTIPLICATIVELY across rounds (the NSW/coreset
     // lesson) — eager localCheckpoint per round keeps every reference a
-    // cached-block read (measured 5.8 s -> sub-second at sf0.1)
+    // cached-block read. MEASURED r8 (--reps 4, sf0.1): persist 2.51 s,
+    // localCheckpoint 2.40 s — the remaining cost is the 6 data-sized
+    // sorted window passes (2 per round), not plan re-walk; the earlier
+    // "sub-second" note in this file's history did not reproduce
     var pts = Tables.events(s, dir).select(col("event_type"), col("event_id"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("c")).persist()
+      expr("CAST(round(value * 100) AS BIGINT)").as("c")).localCheckpoint(true)
     val rounds = esdThresholds.zipWithIndex.map { case (th, i) =>
       val med = median(pts, "c")
       // ONE sorted window pass serves both the MAD median (rank values
@@ -3914,7 +3939,7 @@ object Series {
         .withColumn("rv", row_number().over(Window.partitionBy("event_type")
           .orderBy(col("dev"), col("event_id").desc)).cast("bigint"))
         .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
-        .persist()
+        .localCheckpoint(true)
       val mad = wd.filter(expr("rv = (nn + 1) DIV 2"))
         .select(col("event_type"), col("dev").as("mad"))
       val top = wd.filter(expr("rv = nn"))
@@ -3925,7 +3950,7 @@ object Series {
           expr(s"dev * 10000 > mad * $th").as("passed"))
       if (i + 1 < esdThresholds.size)
         pts = pts.join(top.select("event_type", "event_id"),
-          Seq("event_type", "event_id"), "left_anti").persist()
+          Seq("event_type", "event_id"), "left_anti").localCheckpoint(true)
       out
     }
     rounds.reduce(_ union _).orderBy("event_type", "round")

@@ -1409,19 +1409,15 @@ object TextOps {
     */
   val bpePairStats: Q = Q("bpe_pair_stats", (s, dir) => {
     import graft.ops.Text
-    // persist each round's sequences: every pair-count pass re-reads its
-    // input twice-removed otherwise (the regexp tokenization is the
-    // expensive part, and it would run once per downstream round)
+    // driver-coordinated trainer (ops/Text.bpeTrain): only the raw
+    // framed corpus is persisted; each round re-reads it with the
+    // accumulated LITERAL merges folded into one codegen'd projection
     val seq0 = Tables.t(s, dir, "documents").select(Text.bpeInitSeq(col("text")).as("seq"))
-      .persist()
-    val m1 = Text.bpeTopMerge(Text.bpePairCounts(seq0, "seq"))
-    val seq1 = Text.bpeApplyMerge(seq0, "seq", m1).persist()
-    val m2 = Text.bpeTopMerge(Text.bpePairCounts(seq1, "seq"))
-    val seq2 = Text.bpeApplyMerge(seq1, "seq", m2)
+    val (merges, seq2) = Text.bpeTrain(seq0, "seq", 2)
     val fin = Text.bpePairCounts(seq2, "seq")
       .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(20)
-    m1.select(lit("merge_1").as("stage"), col("w1"), col("w2"), col("cnt"))
-      .union(m2.select(lit("merge_2").as("stage"), col("w1"), col("w2"), col("cnt")))
+    merges.select(concat(lit("merge_"), col("round")).as("stage"),
+        col("w1"), col("w2"), col("cnt"))
       .union(fin.select(lit("final").as("stage"), col("w1"), col("w2"), col("cnt")))
       .orderBy(asc("stage"), desc("cnt"), asc("w1"), asc("w2"))
   }, Some {

@@ -93,7 +93,8 @@ class QueriesSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val defaults = graft.core.GraftConfig.load(None)
     assert(defaults.connectionTimeoutMs == 300000 && defaults.dialTimeoutMs == 10000 &&
       defaults.keepAliveTimeoutMs == 30000 && defaults.bannishmentMs == 3000L &&
-      defaults.graphiteParse && !defaults.dryRun)
+      defaults.graphiteParse && !defaults.dryRun &&
+      defaults.warpEndpointDelete == "http://127.0.0.1:8080")
     spark.conf.set("graft.warp.connection.timeout", "1234")
     spark.conf.set("graft.dryrun", "true")
     val layered = graft.core.GraftConfig.load(Some(spark))
