@@ -28,7 +28,7 @@ object Similarity {
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
     embedCoresetGreedy, embedCoresetKcenter, embedRrfFusion, embedMmrRerank,
-    embedCoresetLazy, embedRnnPairs)
+    embedCoresetLazy, embedRnnPairs, annRecallEval)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -2238,4 +2238,162 @@ object Similarity {
       SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
     ORDER BY q_id, round"""
   })
+  /** Planted-cluster RECALL evaluation of the ANN family — the
+    * measured-quality harness the isotropic synthetic corpus cannot
+    * provide (AnnRecallSpec's calibration note): per-(label, dim)
+    * md5-derived centroid offsets (±2.0, 10× the raw components) are
+    * ADDED to every vector — both engines computing the identical
+    * planted field — so true neighbors concentrate inside label
+    * clusters and recall vs the exact baseline becomes a real quality
+    * curve instead of probed-fraction. Grades three index tiers
+    * against the exact planted-cosine top-3 (10 fixed queries):
+    * IVF nprobe=1, IVF nprobe=2 (computed mean-vector centroids, the
+    * ann_ivf_centroids machinery) and banded sign-LSH (16 sign bits of
+    * the first 16 dims in 4 bands of 4 — OR-of-ANDs candidate
+    * generation). Output is exact integers: hits, total, recall in
+    * basis points, and the ≥0.8 verdict the spec pins. Scale shape:
+    * offsets are a #labels×64 broadcast; candidates stay cell-/band-
+    * keyed; the exact tier is the 10-query verifier, never all-pairs.
+    */
+  val annRecallEval: Q = Q("ann_recall_eval", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(s, dir)
+    val offs = n.select(col("label")).distinct()
+      .select(col("label"), explode(expr("sequence(0, 63)")).as("j"))
+      .withColumn("off", expr(
+        s"(${graft.ops.Sketch.h60("'plant'",
+          "concat(CAST(label AS STRING), ':', CAST(j AS STRING))")} % 2001 - 1000) / 500.0"))
+      .groupBy("label").agg(transform(
+        array_sort(collect_list(struct(col("j"), col("off")))),
+        x => x.getField("off")).as("ovec"))
+    val p = n.join(broadcast(offs), "label")
+      .withColumn("pe", zip_with(col("emb"), col("ovec"), (a, b) => a + b))
+      .withColumn("pn", sqrt(dotD(col("pe"), col("pe"))))
+      .select(col("vec_id"), col("label"), col("pe"), col("pn"))
+      .persist()
+    val qs = p.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("pe").as("qe"), col("pn").as("qn"))
+    val corpus = p.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("pe").as("ce"), col("pn").as("cn"))
+    def top3(cands: DataFrame): DataFrame = {
+      val scored = cands
+        .withColumn("_simr", round(dotD(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      graft.ops.Scale.topKPerGroup(scored, Seq("q_id"),
+        Seq(("_simr", false), ("c_id", true)), 3)
+        .select(col("q_id"), col("c_id"))
+    }
+    // tiny (30-row) multi-referenced relations under deep subtrees:
+    // truncate, don't persist (the DevNsw rule)
+    val exact = top3(qs.join(corpus, col("q_id") =!= col("c_id")))
+      .localCheckpoint(true)
+    val cent = p.select(col("label"), posexplode(col("pe")))
+      .groupBy("label", "pos").agg(avg("col").as("cv"))
+      .groupBy("label").agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => round(x.getField("cv"), 6)).as("cvec"))
+      .withColumn("cnrm", sqrt(dotD(col("cvec"), col("cvec"))))
+    def ivfTop(nprobe: Int): DataFrame = {
+      val probed = qs.crossJoin(broadcast(cent))
+        .withColumn("csim", dotD(col("qe"), col("cvec")) / (col("qn") * col("cnrm")))
+        .withColumn("crn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(round(col("csim"), 6).desc, col("label").asc)))
+        .filter(col("crn") <= nprobe)
+        .select(col("q_id"), col("qe"), col("qn"), col("label").as("cell"))
+      top3(probed.join(corpus,
+        col("cell") === col("c_label") && col("q_id") =!= col("c_id")))
+    }
+    def bandBits(vec: String): Column = expr(
+      s"""CAST(element_at($vec, 4 * b + 1) >= 0 AS INT) * 8 +
+          CAST(element_at($vec, 4 * b + 2) >= 0 AS INT) * 4 +
+          CAST(element_at($vec, 4 * b + 3) >= 0 AS INT) * 2 +
+          CAST(element_at($vec, 4 * b + 4) >= 0 AS INT)""")
+    val qb = qs.select(col("q_id"), explode(expr("sequence(0, 3)")).as("b"), col("qe"))
+      .withColumn("bv", bandBits("qe")).select("q_id", "b", "bv")
+    val cb = corpus.select(col("c_id"), explode(expr("sequence(0, 3)")).as("b"), col("ce"))
+      .withColumn("bv", bandBits("ce")).select("c_id", "b", "bv")
+    val candIds = qb.join(cb, Seq("b", "bv")).filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val lshTop = top3(candIds.join(qs, "q_id").join(corpus, "c_id"))
+    def score(method: String, approx: DataFrame): DataFrame =
+      approx.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), col("hits"))
+    val tot = exact.agg(count(lit(1)).as("total"))
+    score("ivf_nprobe1", ivfTop(1))
+      .union(score("ivf_nprobe2", ivfTop(2)))
+      .union(score("lsh_banded", lshTop))
+      .crossJoin(broadcast(tot))
+      .withColumn("recall_bp", expr("10000 * hits DIV total"))
+      .withColumn("ok", col("recall_bp") >= 8000)
+      .orderBy("method")
+  }, Some("""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    offs AS (SELECT label, list_transform(range(0, 64), j ->
+        (CAST('0x' || substr(md5('plant:' || CAST(label AS VARCHAR) || ':'
+          || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) / 500.0) AS ovec
+      FROM (SELECT DISTINCT label FROM embeddings)),
+    pn AS MATERIALIZED (SELECT vec_id, e.label,
+        list_transform(range(1, 65), i -> emb[i] + ovec[i]) AS pe,
+        sqrt(list_dot_product(list_transform(range(1, 65), i -> emb[i] + ovec[i]),
+          list_transform(range(1, 65), i -> emb[i] + ovec[i]))) AS pn
+      FROM e JOIN offs ON e.label = offs.label),
+    q AS MATERIALIZED (SELECT vec_id AS q_id, pe AS qe, pn AS qn
+      FROM pn WHERE vec_id < 10),
+    exact AS MATERIALIZED (SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id, row_number() OVER (PARTITION BY q.q_id
+            ORDER BY round(list_dot_product(q.qe, c.pe) / (q.qn * c.pn), 6) DESC,
+              c.vec_id) AS rn
+        FROM q JOIN pn c ON c.vec_id <> q.q_id) WHERE rn <= 3),
+    dims AS (SELECT label, i AS pos, avg(pe[i]) AS cv
+      FROM pn, range(1, 65) r(i) GROUP BY label, i),
+    cent AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS cvec
+      FROM dims GROUP BY label),
+    centn AS MATERIALIZED (SELECT label, cvec,
+        sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cent),
+    assign AS MATERIALIZED (SELECT q_id, cell, crn FROM (
+        SELECT q.q_id, c.label AS cell, row_number() OVER (PARTITION BY q.q_id
+            ORDER BY round(list_dot_product(q.qe, c.cvec) / (q.qn * c.cnrm), 6) DESC,
+              c.label) AS crn
+        FROM q, centn c)),
+    ivf1 AS (SELECT q_id, c_id FROM (
+        SELECT a.q_id, c.vec_id AS c_id, row_number() OVER (PARTITION BY a.q_id
+            ORDER BY round(list_dot_product(q.qe, c.pe) / (q.qn * c.pn), 6) DESC,
+              c.vec_id) AS rn
+        FROM (SELECT q_id, cell FROM assign WHERE crn <= 1) a
+        JOIN q ON q.q_id = a.q_id
+        JOIN pn c ON c.label = a.cell AND c.vec_id <> a.q_id) WHERE rn <= 3),
+    ivf2 AS (SELECT q_id, c_id FROM (
+        SELECT a.q_id, c.vec_id AS c_id, row_number() OVER (PARTITION BY a.q_id
+            ORDER BY round(list_dot_product(q.qe, c.pe) / (q.qn * c.pn), 6) DESC,
+              c.vec_id) AS rn
+        FROM (SELECT q_id, cell FROM assign WHERE crn <= 2) a
+        JOIN q ON q.q_id = a.q_id
+        JOIN pn c ON c.label = a.cell AND c.vec_id <> a.q_id) WHERE rn <= 3),
+    qb AS (SELECT q_id, b,
+        CAST(qe[4 * b + 1] >= 0 AS INT) * 8 + CAST(qe[4 * b + 2] >= 0 AS INT) * 4 +
+        CAST(qe[4 * b + 3] >= 0 AS INT) * 2 + CAST(qe[4 * b + 4] >= 0 AS INT) AS bv
+      FROM q, range(0, 4) r(b)),
+    cb AS (SELECT vec_id AS c_id, b,
+        CAST(pe[4 * b + 1] >= 0 AS INT) * 8 + CAST(pe[4 * b + 2] >= 0 AS INT) * 4 +
+        CAST(pe[4 * b + 3] >= 0 AS INT) * 2 + CAST(pe[4 * b + 4] >= 0 AS INT) AS bv
+      FROM pn, range(0, 4) r(b)),
+    cand AS MATERIALIZED (SELECT DISTINCT q_id, c_id
+      FROM qb JOIN cb USING (b, bv) WHERE c_id <> q_id),
+    lsh AS (SELECT q_id, c_id FROM (
+        SELECT cand.q_id, cand.c_id, row_number() OVER (PARTITION BY cand.q_id
+            ORDER BY round(list_dot_product(q.qe, c.pe) / (q.qn * c.pn), 6) DESC,
+              cand.c_id) AS rn
+        FROM cand JOIN q USING (q_id) JOIN pn c ON c.vec_id = cand.c_id)
+      WHERE rn <= 3),
+    tot AS (SELECT count(*)::BIGINT AS total FROM exact),
+    sc AS (SELECT 'ivf_nprobe1' AS method,
+        (SELECT count(*) FROM ivf1 JOIN exact USING (q_id, c_id))::BIGINT AS hits
+      UNION ALL SELECT 'ivf_nprobe2',
+        (SELECT count(*) FROM ivf2 JOIN exact USING (q_id, c_id))::BIGINT
+      UNION ALL SELECT 'lsh_banded',
+        (SELECT count(*) FROM lsh JOIN exact USING (q_id, c_id))::BIGINT)
+    SELECT method, hits, total,
+      CAST(10000 * hits // total AS BIGINT) AS recall_bp,
+      (10000 * hits // total) >= 8000 AS ok
+    FROM sc, tot ORDER BY method"""))
 }

