@@ -224,4 +224,52 @@ object Series {
       .withColumn("mad_score", col("dev") / (col("mad") * 1.4826))
       .filter(round(col("mad_score"), 6) > k)
   }
+
+  /** Two-pass EXACT per-group median over integer values — the
+    * 100-TB-safe replacement for the one-rank-window-per-group form:
+    * with a handful of group values (event types), a single
+    * `row_number() OVER (PARTITION BY g ORDER BY v)` sorts each group's
+    * ENTIRE data in one task. Here pass 1 is a map-side-combining
+    * count per (group, value-bucket) — a relation bounded by the value
+    * DOMAIN (range/width), not by the data — the cumulative scan and
+    * target-rank location run on that bounded relation, and pass 2
+    * ranks ONLY each group's median bucket (a ~1/#buckets slice of the
+    * rows, partitioned by (group, bucket) so the exchange spreads
+    * across the cluster).
+    *
+    * Result is IDENTICAL to the window form's value at rank
+    * `(n + 1) DIV 2` under `(value, id)` ordering: truncating DIV
+    * bucketing is monotone in the value (negatives included — both
+    * trunc-toward-zero halves are monotone and meet at 0), so
+    * bucket-prefix counts + in-bucket rank reproduce the global rank
+    * exactly; ties on the value resolve by `idCol` inside one bucket,
+    * never across buckets. Returns one row per group: (groupCol, m).
+    */
+  def bucketedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      idCol: String,
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth >= 1L)
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(groupCol).as("_g"), col(valCol).as("_v"), col(idCol).as("_id"))
+      .withColumn("_b", expr(s"_v DIV $bucketWidth"))
+    val bc = b.groupBy("_g", "_b").agg(count(lit(1)).as("_c"))
+    // both windows run over the BOUNDED bucket-count relation (child is
+    // the Aggregate above — domain-sized, never data-sized)
+    val wc = Window.partitionBy("_g").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("_g")
+    val medBucket = bc.withColumn("_cum", sum("_c").over(wc))
+      .withColumn("_n", sum("_c").over(wn))
+      .withColumn("_tgt", expr("(_n + 1) DIV 2"))
+      .filter(expr("_cum >= _tgt AND _cum - _c < _tgt"))
+      .select(col("_g"), col("_b"), expr("_tgt - (_cum - _c)").as("_off"))
+    val wr = Window.partitionBy("_g", "_b").orderBy(col("_v"), col("_id"))
+    b.join(medBucket, Seq("_g", "_b"))
+      .withColumn("_rv", row_number().over(wr).cast("bigint"))
+      .filter(col("_rv") === col("_off"))
+      .select(col("_g").as(groupCol), col("_v").as("m"))
+  }
 }

@@ -3910,41 +3910,56 @@ object Series {
     * round count is a constant of the query.
     */
   val tsSeasonalEsd: Q = Q("ts_seasonal_esd", (s, dir) => {
+    // SCALE SHAPE (round 8): every median runs through the two-pass
+    // bucketed form (ops/Series.bucketedMedian for the c-median; the
+    // MAD median shares ONE fused bucket-count + per-bucket-argmax
+    // aggregation) — so no task ever sorts a whole event_type (the
+    // pre-r8 form's per-type rank window made each of ~5 types one
+    // sorted task at 100 TB). The argmax row folds out of the same
+    // fused aggregate (ties -> min event_id via the negated id sort
+    // key). MEASURED at sf0.1 --reps 4, matched noise: window form
+    // 2.40-2.51 s, bucketed variants 3.5-4.5 s — the extra ~1.5 s is
+    // per-round small-stage overhead at this 5-type local cardinality,
+    // accepted as the price of the plan that scales out (the r7
+    // verdict's single-task caveat); identical results, oracle
+    // unchanged. pts stays eagerly localCheckpointed per round (the
+    // NSW/coreset lesson: the peel chain would otherwise duplicate
+    // MULTIPLICATIVELY).
     import org.apache.spark.sql.expressions.Window
-    def median(df: org.apache.spark.sql.DataFrame, vc: String) = {
-      val w1 = Window.partitionBy("event_type").orderBy(col(vc), col("event_id"))
-      val w2 = Window.partitionBy("event_type")
-      df.withColumn("rv", row_number().over(w1).cast("bigint"))
-        .withColumn("nn", count(lit(1)).over(w2))
-        .filter(expr("rv = (nn + 1) DIV 2"))
-        .select(col("event_type"), col(vc).as("m"))
-    }
-    // each round references pts 3x and dev 3x; without truncation the
-    // subtrees duplicate MULTIPLICATIVELY across rounds (the NSW/coreset
-    // lesson) — eager localCheckpoint per round keeps every reference a
-    // cached-block read. MEASURED r8 (--reps 4, sf0.1): persist 2.51 s,
-    // localCheckpoint 2.40 s — the remaining cost is the 6 data-sized
-    // sorted window passes (2 per round), not plan re-walk; the earlier
-    // "sub-second" note in this file's history did not reproduce
+    def median(df: org.apache.spark.sql.DataFrame, vc: String) =
+      graft.ops.Series.bucketedMedian(df, "event_type", vc, "event_id")
     var pts = Tables.events(s, dir).select(col("event_type"), col("event_id"),
       expr("CAST(round(value * 100) AS BIGINT)").as("c")).localCheckpoint(true)
     val rounds = esdThresholds.zipWithIndex.map { case (th, i) =>
-      val med = median(pts, "c")
-      // ONE sorted window pass serves both the MAD median (rank values
-      // are tie-order-insensitive) and the argmax row: ascending (dev,
-      // event_id DESC) puts the max-dev / min-event_id row at rank nn —
-      // the same row the oracle's DESC row_number()=1 picks
-      val wd = pts.join(med, "event_type")
+      val dev = pts.join(broadcast(median(pts, "c")), "event_type")
         .withColumn("dev", expr("abs(c - m)")).drop("m")
-        .withColumn("rv", row_number().over(Window.partitionBy("event_type")
-          .orderBy(col("dev"), col("event_id").desc)).cast("bigint"))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
-        .localCheckpoint(true)
-      val mad = wd.filter(expr("rv = (nn + 1) DIV 2"))
+        .withColumn("_b", expr("dev DIV 1024"))
+        .localCheckpoint(true) // read 2x (fused agg + median-bucket rank)
+      // ONE fused map-side-combining pass serves BOTH the MAD median's
+      // bucket counts AND the argmax row (per-bucket struct-max, folded
+      // to the per-type max on the tiny bucket relation)
+      val agg1 = dev.groupBy(col("event_type"), col("_b"))
+        .agg(count(lit(1)).as("_c"),
+          max(struct(col("dev"), (-col("event_id")).as("_nid"),
+            col("event_id"), col("c"))).as("t"))
+        .localCheckpoint(true) // #types x #buckets rows, read 2x
+      val wc = Window.partitionBy("event_type").orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val medBucket = agg1
+        .withColumn("_cum", sum("_c").over(wc))
+        .withColumn("_n", sum("_c").over(Window.partitionBy("event_type")))
+        .withColumn("_tgt", expr("(_n + 1) DIV 2"))
+        .filter(expr("_cum >= _tgt AND _cum - _c < _tgt"))
+        .select(col("event_type"), col("_b"), expr("_tgt - (_cum - _c)").as("_off"))
+      val mad = dev.join(broadcast(medBucket), Seq("event_type", "_b"))
+        .withColumn("_rv", row_number().over(Window.partitionBy("event_type", "_b")
+          .orderBy(col("dev"), col("event_id"))).cast("bigint"))
+        .filter(col("_rv") === col("_off"))
         .select(col("event_type"), col("dev").as("mad"))
-      val top = wd.filter(expr("rv = nn"))
-        .select(col("event_type"), col("event_id"), col("c"), col("dev"))
-      val out = top.join(mad, "event_type")
+      val top = agg1.groupBy("event_type").agg(max("t").as("t"))
+        .select(col("event_type"), col("t.event_id").as("event_id"),
+          col("t.c").as("c"), col("t.dev").as("dev"))
+      val out = top.join(broadcast(mad), "event_type")
         .select(lit((i + 1).toLong).as("round"), col("event_type"),
           col("event_id"), col("c"), col("dev"), col("mad"),
           expr(s"dev * 10000 > mad * $th").as("passed"))

@@ -734,6 +734,43 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("round-8 bucketed medians: no whole-group rank window anywhere in ts_seasonal_esd") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+    val sf = "/root/testdata/sf0.001"
+    // the generic op itself: its ONLY row_number window is keyed by
+    // (group, value-bucket) — the median-bucket slice — never by the
+    // group alone (the pre-r8 one-task-per-group sort)
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val bm = graft.ops.Series.bucketedMedian(ev, "event_type", "c", "event_id")
+    var rankKeys = Seq.empty[Int]
+    bm.queryExecution.analyzed.foreach {
+      case w: LWindow if w.windowExpressions.exists(_.exists {
+          case WindowExpression(_: RowNumber, _) => true; case _ => false
+        }) => rankKeys :+= w.partitionSpec.size
+      case _ => ()
+    }
+    assert(rankKeys == Seq(2), s"bucketedMedian rank windows keyed by: $rankKeys")
+    // the shipped query: every rank window is (type, bucket)-keyed; the
+    // single-key windows that remain are the cumulative scans over the
+    // checkpointed bucket-count aggregate (domain-sized, not data-sized)
+    val esd = graft.queries.Series.tsSeasonalEsd.fn(spark, sf)
+    var singleKeyRank = 0; var bucketRank = 0
+    esd.queryExecution.analyzed.foreach {
+      case w: LWindow if w.windowExpressions.exists(_.exists {
+          case WindowExpression(_: RowNumber, _) => true; case _ => false
+        }) =>
+        if (w.partitionSpec.size >= 2) bucketRank += 1 else singleKeyRank += 1
+      case _ => ()
+    }
+    assert(singleKeyRank == 0,
+      s"ts_seasonal_esd re-grew a whole-type rank window ($singleKeyRank)")
+    assert(bucketRank >= 3, s"expected one bucketed rank per round, got $bucketRank")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("round-6 TPC-H additions plan scale-shaped: q6 pushdown, q19 envelope, no cartesians") {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"

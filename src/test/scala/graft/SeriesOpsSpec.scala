@@ -194,4 +194,30 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(k) == direct(ys), s"series $k: ${got(k)} vs ${direct(ys)}")
     }
   }
+  test("Series.bucketedMedian == window-form median at any bucket width") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(91)
+    // negatives, heavy ties, even AND odd group sizes, a 1-row group
+    val rows = (1 to 7).flatMap { g =>
+      val n = Seq(1, 2, 31, 64, 101, 1000, 4097)(g - 1)
+      (1 to n).map(i => (g.toLong, i.toLong, rnd.nextInt(9001).toLong - 4500L))
+    }
+    val df = rows.toDF("g", "id", "v")
+    val w1 = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val w2 = Window.partitionBy("g")
+    val windowForm = df.withColumn("rv", row_number().over(w1).cast("bigint"))
+      .withColumn("nn", count(lit(1)).over(w2))
+      .filter(expr("rv = (nn + 1) DIV 2"))
+      .select(col("g"), col("v").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // width 1 (exact histogram), a prime width, the default, and one so
+    // wide every group collapses into <= 2 buckets around zero
+    for (width <- Seq(1L, 7L, 1024L, 1L << 40)) {
+      val got = graft.ops.Series.bucketedMedian(df, "g", "v", "id", width)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == windowForm, s"width=$width: $got vs $windowForm")
+    }
+  }
 }
