@@ -2880,6 +2880,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("ConformalProcessor: coverage census vs frozen (med, qhat) == quality_conformal_bounds") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_conformal").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // the batch query freezes the calibration split's (med, qhat); the
+    // stream monitors the TEST split's realized coverage against them
+    val frozen = graft.queries.Quality.qualityConformal.fn(spark, sfDir)
+      .select("event_type", "med", "qhat", "n_test", "covered", "coverage_bp")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = Tables.events(spark, sfDir)
+      .filter(expr("event_id % 2 = 1"))
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map { r =>
+        val k = r.getString(0); val (med, qhat, _, _, _) = frozen(k)
+        (k, r.getLong(1), r.getLong(2), med, qhat)
+      }
+    // three arbitrary micro-batches: the census is order-insensitive sums
+    val b1 = rows.filter(_._2 % 3 == 0); val b2 = rows.filter(_._2 % 3 == 1)
+    val b3 = rows.filter(_._2 % 3 == 2)
+    def fmt(rs: Array[(String, Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._3} ${r._4} ${r._5}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.ConformalProcessor(spark, src)
+      .toDF("k", "n_test", "covered", "coverage_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_conformal").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b3.txt").toPath, fmt(b3))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n_test, covered, coverage_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n_test DESC) AS rn
+            FROM graft_conformal) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = frozen.map { case (k, (_, _, nt, cov, bp)) => k -> (nt, cov, bp) }
+      assert(want.nonEmpty, "batch conformal unexpectedly empty")
+      assert(got == want, s"streamed vs batch conformal: got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("Utf8GateProcessor: running per-source byte-class census == batch encodingMetrics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
