@@ -500,4 +500,55 @@ object Text {
     ch AS (SELECT $idCol, ck, count(*)::BIGINT AS n_w,
         CAST('0x' || substr(md5('ck:' || string_agg(w, ' ' ORDER BY p)), 1, 15) AS BIGINT) AS chash
       FROM cx GROUP BY 1, 2)"""
+
+  // ---- URL canonicalization (the crawl-dedup normalizer) ----
+  //
+  // The canonical form a web-scale dedup pipeline keys on BEFORE any
+  // content hashing: lowercase scheme+host, default port stripped
+  // (:443 for https, :80 for http), fragment dropped, trailing
+  // path-slash run stripped, tracking params (utm_*) dropped, the
+  // remaining query params SORTED (param order is transport noise).
+  // Both dialects implement the IDENTICAL step list with the engines'
+  // shared string semantics (instr/substr/lower, regexp '$' anchor,
+  // binary-collation sorts, substr-prefix test instead of LIKE so no
+  // wildcard divergence), so canonical keys are bit-equal cross-engine.
+  // Pure per-row column work — zero shuffle; the dedup groupBy
+  // downstream is the only exchange, keyed on the canonical string
+  // (hash it with Md5Hash60 at corpus scale, like the gram miners).
+  // Built by textual substitution into ONE flat expression per engine;
+  // Spark's subexpression elimination dedups the repeated fragments in
+  // codegen.
+
+  /** Spark-dialect canonicalizer over a URL string expression. */
+  def canonicalUrlExpr(url: String): String = {
+    val nofrag = s"substring_index($url, '#', 1)"
+    val base = s"substring_index($nofrag, '?', 1)"
+    val qs = s"(CASE WHEN instr($nofrag, '?') > 0 THEN substr($nofrag, instr($nofrag, '?') + 1) ELSE '' END)"
+    val scheme = s"lower(substring_index($base, '://', 1))"
+    val rest = s"substr($base, instr($base, '://') + 3)"
+    val hostport = s"lower(CASE WHEN instr($rest, '/') > 0 THEN substr($rest, 1, instr($rest, '/') - 1) ELSE $rest END)"
+    val host = s"(CASE WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '')" +
+      s" WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '') ELSE $hostport END)"
+    val path = s"regexp_replace(CASE WHEN instr($rest, '/') > 0 THEN substr($rest, instr($rest, '/')) ELSE '' END, '/+$$', '')"
+    val params = s"array_join(array_sort(filter(split($qs, '&'), p -> p != '' AND substr(p, 1, 4) != 'utm_')), '&')"
+    s"concat($scheme, '://', $host, $path, CASE WHEN $params = '' THEN '' ELSE concat('?', $params) END)"
+  }
+
+  /** DuckDB twin of [[canonicalUrlExpr]] — the identical step list in
+    * DuckDB's dialect (split_part/instr/list_* + string_agg; the empty
+    * list aggregates to NULL, coalesced to '').
+    */
+  def canonicalUrlSql(url: String): String = {
+    val nofrag = s"split_part($url, '#', 1)"
+    val base = s"split_part($nofrag, '?', 1)"
+    val qs = s"(CASE WHEN instr($nofrag, '?') > 0 THEN substr($nofrag, instr($nofrag, '?') + 1) ELSE '' END)"
+    val scheme = s"lower(split_part($base, '://', 1))"
+    val rest = s"substr($base, instr($base, '://') + 3)"
+    val hostport = s"lower(CASE WHEN instr($rest, '/') > 0 THEN substr($rest, 1, instr($rest, '/') - 1) ELSE $rest END)"
+    val host = s"(CASE WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '')" +
+      s" WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '') ELSE $hostport END)"
+    val path = s"regexp_replace(CASE WHEN instr($rest, '/') > 0 THEN substr($rest, instr($rest, '/')) ELSE '' END, '/+$$', '')"
+    val params = s"coalesce(list_aggregate(list_sort(list_filter(string_split($qs, '&'), p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), 'string_agg', '&'), '')"
+    s"($scheme || '://' || $host || $path || CASE WHEN $params = '' THEN '' ELSE '?' || $params END)"
+  }
 }

@@ -29,7 +29,7 @@ object Dedup {
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
-    lshBands, prefixFilter)
+    lshBands, prefixFilter, urlCanonical)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -1228,4 +1228,58 @@ object Dedup {
       CAST(10000 * (sum(n_w) - sum(CASE WHEN kept THEN n_w ELSE 0 END))
         // sum(n_w) AS BIGINT) AS removed_bp
     FROM rk GROUP BY doc_id ORDER BY doc_id"""))
+  /** URL canonicalization dedup (the crawl-layer normalizer every
+    * web-corpus pipeline runs BEFORE content hashing): deterministic
+    * synthetic raw URLs are derived per document (one target URL per
+    * doc_id quartet) — mixed-case hosts,
+    * explicit default :443 ports, shuffled query-param orders, utm_*
+    * tracking params, fragments, trailing slashes (the transport noise
+    * real crawls carry) — and collapsed through the shared
+    * [[graft.ops.Text.canonicalUrlExpr]] normalizer (lowercase
+    * scheme+host, default-port strip, fragment drop, trailing-slash
+    * strip, tracking-param drop, param sort; the DuckDB twin is the
+    * identical step list). Four raw variants per target URL
+    * canonicalize 3:1, so the duplicate groups have known structure.
+    * Scale shape: pure per-row canonicalization, ONE groupBy on the
+    * canonical key (hash with Md5Hash60 at corpus scale), ordered
+    * limit output.
+    */
+  val urlCanonical: Q = Q("dedup_url_canonical", (s, dir) => {
+    import graft.ops.Text
+    val raw = """concat('https://',
+        CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END,
+        CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+        '/d/', CAST(doc_id DIV 4 AS STRING),
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+          WHEN 1 THEN '?a=1&b=2'
+          WHEN 2 THEN '?b=2&utm_campaign=x&a=1#frag'
+          ELSE '/' END)"""
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(raw).as("_u"))
+      .select(col("doc_id"), expr(Text.canonicalUrlExpr("_u")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .filter(col("n_dups") >= 2)
+      .orderBy(desc("n_dups"), asc("canonical_url")).limit(50)
+  }, Some {
+    import graft.ops.Text
+    s"""WITH r AS (SELECT doc_id,
+        'https://'
+        || CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END
+        || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        || '/d/' || CAST(doc_id // 4 AS VARCHAR)
+        || CASE doc_id % 4
+          WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+          WHEN 1 THEN '?a=1&b=2'
+          WHEN 2 THEN '?b=2&utm_campaign=x&a=1#frag'
+          ELSE '/' END AS u
+      FROM documents),
+    c AS (SELECT doc_id, ${Text.canonicalUrlSql("u")} AS canonical_url FROM r)
+    SELECT canonical_url, count(*)::BIGINT AS n_dups,
+      CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM c GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY n_dups DESC, canonical_url LIMIT 50"""
+  })
 }

@@ -14,7 +14,8 @@ object Quality {
     qualitySurprisal, qualityDriftChi2, qualityDriftKs, qualityGopherRules,
     langidEval, qualityReadability, datasetMerkle, qualityBenford,
     qualityConformal, qualityEncoding, qualityKlSource, qualityPiiCensus,
-    qualityZipfFit, qualityKAnonymity, qualityDiversityIndex)
+    qualityZipfFit, qualityKAnonymity, qualityDiversityIndex,
+    qualityTCloseness)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -835,6 +836,108 @@ object Quality {
       CAST(min(ksize) AS BIGINT) AS min_k,
       CAST(min(ldiv) AS BIGINT) AS min_l
     FROM x GROUP BY kt ORDER BY kt"""))
+
+  /** t-closeness census (Li, Li & Venkatasubramanian, "t-Closeness:
+    * Privacy Beyond k-Anonymity and l-Diversity", ICDE 2007 — public):
+    * completes the governance family around [[qualityKAnonymity]]
+    * (same quasi-identifier groups: event_type × hour-of-day × value
+    * kilo-bucket). For each quasi-group, the ordered-distance Earth
+    * Mover's Distance between the group's sensitive-value distribution
+    * (cents binned at 200) and the GLOBAL distribution:
+    * EMD = (1/(m−1))·Σᵢ |CumP(i) − CumQ(i)| over the m global bins.
+    * Fixed-point and cross-engine exact: cumulative fractions are
+    * ×10⁶-scaled truncating rationals (safe to ~9·10¹² rows per group
+    * before the ×10⁶ product nears the BIGINT ceiling — same headroom
+    * class as the cointegration gate), |diffs| summed as integers,
+    * one shared DIV (m−1). Reported like the k-anonymity census: for
+    * each disclosure threshold t, how many groups (and rows) exceed it,
+    * plus the worst group's EMD — "this release tells an attacker more
+    * than t about the sensitive attribute" in one row per t.
+    *
+    * Scale shape: group×bin and global-bin relations are DOMAIN-sized
+    * aggregates (quasi-groups × ≤ value-range/200 bins), the spine
+    * join is domain², never data²; cumulative windows run partitioned
+    * on those bounded relations; the raw data is touched by exactly
+    * two map-side-combining aggregations.
+    */
+  val qualityTCloseness: Q = Q("quality_t_closeness", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir).select(col("event_type"),
+      expr("(ts_us DIV 3600000000) % 24").as("hod"),
+      expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("vb"),
+      expr("CAST(round(value * 100) AS BIGINT) DIV 200").as("sb"))
+    val gg = base.groupBy("event_type", "hod", "vb", "sb").agg(count(lit(1)).as("cnt"))
+    val gl = base.groupBy("sb").agg(count(lit(1)).as("gcnt"))
+      .withColumn("cumN", sum("gcnt").over(
+        Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = gl.agg(sum("gcnt").as("nTot"), count(lit(1)).as("m"))
+    val groups = gg.groupBy("event_type", "hod", "vb").agg(sum("cnt").as("ksize"))
+    // spine: every quasi-group × every GLOBAL bin (absent bins still
+    // contribute |CumP − CumQ| — the flat-segment terms)
+    val spine = groups.crossJoin(broadcast(gl.select("sb", "cumN")))
+      .join(gg, Seq("event_type", "hod", "vb", "sb"), "left")
+      .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+    val wg = Window.partitionBy("event_type", "hod", "vb").orderBy("sb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val emd = spine
+      .withColumn("cumg", sum("cnt0").over(wg))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", expr(
+        "abs((cumg * 1000000) DIV ksize - (cumN * 1000000) DIV nTot)"))
+      .groupBy("event_type", "hod", "vb")
+      .agg(first("ksize").as("ksize"),
+        expr("sum(d) DIV nullif(max(m) - 1, 0)").as("emd_e6"))
+    emd.select(col("ksize"), col("emd_e6"),
+        explode(expr("array(50000L, 100000L, 200000L)")).as("t_e6"))
+      .groupBy("t_e6").agg(
+        count(lit(1)).as("n_groups"),
+        sum(expr("CASE WHEN emd_e6 > t_e6 THEN 1L ELSE 0L END")).as("groups_above"),
+        sum("ksize").as("n_rows"),
+        sum(expr("CASE WHEN emd_e6 > t_e6 THEN ksize ELSE 0L END")).as("rows_above"),
+        max("emd_e6").as("max_emd_e6"))
+      .withColumn("exposure_bp", expr("10000 * rows_above DIV n_rows"))
+      .select("t_e6", "n_groups", "groups_above", "rows_above", "exposure_bp",
+        "max_emd_e6")
+      .orderBy("t_e6")
+  }, Some("""WITH base AS (
+      SELECT event_type,
+        (epoch_us(ts) // 3600000000) % 24 AS hod,
+        CAST(round(value * 100) AS BIGINT) // 1000 AS vb,
+        CAST(round(value * 100) AS BIGINT) // 200 AS sb
+      FROM events),
+    gg AS (SELECT event_type, hod, vb, sb, count(*)::BIGINT AS cnt
+      FROM base GROUP BY 1, 2, 3, 4),
+    gl AS (SELECT sb, count(*)::BIGINT AS gcnt,
+        CAST(sum(count(*)) OVER (ORDER BY sb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumN
+      FROM base GROUP BY sb),
+    tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS nTot, count(*)::BIGINT AS m FROM gl),
+    groups AS (SELECT event_type, hod, vb, CAST(sum(cnt) AS BIGINT) AS ksize
+      FROM gg GROUP BY 1, 2, 3),
+    spine AS (SELECT g.event_type, g.hod, g.vb, g.ksize, gl.sb, gl.cumN,
+        coalesce(gg.cnt, 0)::BIGINT AS cnt0
+      FROM groups g CROSS JOIN gl
+      LEFT JOIN gg ON gg.event_type = g.event_type AND gg.hod = g.hod
+        AND gg.vb = g.vb AND gg.sb = gl.sb),
+    cums AS (SELECT event_type, hod, vb, ksize, cumN,
+        CAST(sum(cnt0) OVER (PARTITION BY event_type, hod, vb ORDER BY sb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg
+      FROM spine),
+    emd AS (SELECT c.event_type, c.hod, c.vb,
+        CAST(max(c.ksize) AS BIGINT) AS ksize,
+        CAST(sum(abs((c.cumg * 1000000) // c.ksize
+          - (c.cumN * 1000000) // t.nTot)) // nullif(max(t.m) - 1, 0) AS BIGINT) AS emd_e6
+      FROM cums c CROSS JOIN tot t GROUP BY 1, 2, 3),
+    x AS (SELECT ksize, emd_e6,
+        unnest([50000::BIGINT, 100000::BIGINT, 200000::BIGINT]) AS t_e6 FROM emd)
+    SELECT t_e6,
+      count(*)::BIGINT AS n_groups,
+      CAST(sum(CASE WHEN emd_e6 > t_e6 THEN 1 ELSE 0 END) AS BIGINT) AS groups_above,
+      CAST(sum(CASE WHEN emd_e6 > t_e6 THEN ksize ELSE 0 END) AS BIGINT) AS rows_above,
+      CAST(10000 * sum(CASE WHEN emd_e6 > t_e6 THEN ksize ELSE 0 END)
+        // sum(ksize) AS BIGINT) AS exposure_bp,
+      CAST(max(emd_e6) AS BIGINT) AS max_emd_e6
+    FROM x GROUP BY t_e6 ORDER BY t_e6"""))
 
   /** Zipf rank-frequency fit — the vocabulary-naturalness health check
     * (Zipf's law: natural language word frequencies follow f ∝ r^−s
