@@ -52,7 +52,7 @@ object Analytics {
     q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
-    qHbosOutliers, qCompactionPlan)
+    qHbosOutliers, qCompactionPlan, qZonemapSkip)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -755,6 +755,90 @@ object Analytics {
          + (length(bin(m3)) - length(bin(n3))) AS BIGINT) AS score_bits
     FROM e2 JOIN h1 USING (vb) JOIN h2 USING (hod) JOIN h3 USING (event_type), m
     ORDER BY score_bits DESC, event_id ASC LIMIT 20"""))
+
+  /** Zone-map data-skipping EVALUATION — the measurement that justifies
+    * [[qZorderLayout]]: assign every lineitem row to a synthetic "file"
+    * under two layouts (natural = contiguous orderkey ranges, i.e.
+    * insertion order; z-order = Morton-interleaved (partkey, suppkey)
+    * tiles), compute each file's min/max zone map on the two predicate
+    * columns, then replay a fixed 4×4 grid of rectangle predicates
+    * (quarter-width per dimension in quantized space) against the zone
+    * maps and count the files a scanner could SKIP. This is exactly the
+    * number a lakehouse table service reads to decide whether an
+    * `OPTIMIZE ZORDER` rewrite pays for itself: natural order clusters
+    * the write key only, so 2-D zone maps are ~full-range and nothing
+    * skips; z-order gives every dimension ~2^(bits/2) locality and the
+    * same rectangles skip most files. Scale shape: one 1-row range
+    * aggregate, one per-file zone-map aggregate per layout (64 rows
+    * each — metadata-sized, like the real file statistics), and a
+    * 64×16 broadcast cross of zone maps × rectangles. No window, no
+    * sort, no data-sized join.
+    */
+  val qZonemapSkip: Q = Q("layout_zonemap_skip", (s, dir) => {
+    import graft.ops.Layout
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val rng = li.agg(
+      min("l_orderkey").as("mn_o"), max("l_orderkey").as("mx_o"),
+      min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"),
+      min("l_suppkey").as("mn_s"), max("l_suppkey").as("mx_s"))
+    val q = li.crossJoin(broadcast(rng))
+      .withColumn("p_q", expr(Layout.quantizeSql("DIV", "l_partkey", "mn_p", "mx_p", 10)))
+      .withColumn("s_q", expr(Layout.quantizeSql("DIV", "l_suppkey", "mn_s", "mx_s", 10)))
+      .withColumn("file_nat", expr(Layout.quantizeSql("DIV", "l_orderkey", "mn_o", "mx_o", 6)))
+      .withColumn("file_z", expr(s"(${Layout.zorderSql(Seq("p_q", "s_q"), 10)}) DIV 16384"))
+    def zones(fcol: String) = q.groupBy(col(fcol).as("f")).agg(
+      min("p_q").as("zp0"), max("p_q").as("zp1"),
+      min("s_q").as("zs0"), max("s_q").as("zs1"))
+    val rects = s.range(16).select(col("id").as("rect_id"),
+      expr("(id DIV 4) * 256").as("lo_p"), expr("(id DIV 4) * 256 + 127").as("hi_p"),
+      expr("(id % 4) * 256").as("lo_s"), expr("(id % 4) * 256 + 127").as("hi_s"))
+    def scans(fcol: String, n: String, sc: String) =
+      zones(fcol).crossJoin(broadcast(rects))
+        .groupBy("rect_id")
+        .agg(count(lit(1)).as(n),
+          sum(when(expr("zp0 <= hi_p AND zp1 >= lo_p AND zs0 <= hi_s AND zs1 >= lo_s"),
+            1L).otherwise(0L)).as(sc))
+    scans("file_nat", "n_files_nat", "scan_nat")
+      .join(scans("file_z", "n_files_z", "scan_z"), "rect_id")
+      .withColumn("skip_nat_bp", expr("(n_files_nat - scan_nat) * 10000 DIV n_files_nat"))
+      .withColumn("skip_z_bp", expr("(n_files_z - scan_z) * 10000 DIV n_files_z"))
+      .select("rect_id", "n_files_nat", "scan_nat", "skip_nat_bp",
+        "n_files_z", "scan_z", "skip_z_bp")
+      .orderBy("rect_id")
+  }, Some {
+    import graft.ops.Layout
+    s"""WITH rng AS (SELECT min(l_orderkey) AS mn_o, max(l_orderkey) AS mx_o,
+        min(l_partkey) AS mn_p, max(l_partkey) AS mx_p,
+        min(l_suppkey) AS mn_s, max(l_suppkey) AS mx_s FROM lineitem),
+    q AS (SELECT
+        ${Layout.quantizeSql("//", "l_partkey", "mn_p", "mx_p", 10)} AS p_q,
+        ${Layout.quantizeSql("//", "l_suppkey", "mn_s", "mx_s", 10)} AS s_q,
+        ${Layout.quantizeSql("//", "l_orderkey", "mn_o", "mx_o", 6)} AS file_nat
+      FROM lineitem, rng),
+    z AS (SELECT p_q, s_q, file_nat,
+        (${Layout.zorderSql(Seq("p_q", "s_q"), 10)}) // 16384 AS file_z FROM q),
+    zn AS (SELECT file_nat AS f, min(p_q) AS zp0, max(p_q) AS zp1,
+        min(s_q) AS zs0, max(s_q) AS zs1 FROM z GROUP BY 1),
+    zz AS (SELECT file_z AS f, min(p_q) AS zp0, max(p_q) AS zp1,
+        min(s_q) AS zs0, max(s_q) AS zs1 FROM z GROUP BY 1),
+    r AS (SELECT range AS rect_id, (range // 4) * 256 AS lo_p,
+        (range // 4) * 256 + 127 AS hi_p, (range % 4) * 256 AS lo_s,
+        (range % 4) * 256 + 127 AS hi_s FROM range(16)),
+    sn AS (SELECT rect_id, count(*)::BIGINT AS n_files_nat,
+        sum(CASE WHEN zp0 <= hi_p AND zp1 >= lo_p AND zs0 <= hi_s AND zs1 >= lo_s
+          THEN 1 ELSE 0 END)::BIGINT AS scan_nat
+      FROM zn, r GROUP BY rect_id),
+    sz AS (SELECT rect_id, count(*)::BIGINT AS n_files_z,
+        sum(CASE WHEN zp0 <= hi_p AND zp1 >= lo_p AND zs0 <= hi_s AND zs1 >= lo_s
+          THEN 1 ELSE 0 END)::BIGINT AS scan_z
+      FROM zz, r GROUP BY rect_id)
+    SELECT rect_id, n_files_nat, scan_nat,
+      (n_files_nat - scan_nat) * 10000 // n_files_nat AS skip_nat_bp,
+      n_files_z, scan_z,
+      (n_files_z - scan_z) * 10000 // n_files_z AS skip_z_bp
+    FROM sn JOIN sz USING (rect_id) ORDER BY rect_id"""
+  })
 
   val qZorderLayout: Q = Q("layout_zorder", (s, dir) => {
     import graft.ops.Layout

@@ -20,7 +20,7 @@ object Graphs {
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
     reciprocity, knnDegree, clusteringLocal, diameterSweep,
-    effectiveDiameter)
+    effectiveDiameter, fflCensus)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -905,6 +905,76 @@ object Graphs {
       GROUP BY 1, 2 HAVING count(*) >= 2)
     SELECT u, w, q, CAST(q * (q - 1) // 2 AS BIGINT) AS c4_pairs
     FROM cod ORDER BY c4_pairs DESC, u, w LIMIT 30"""))
+
+  /** Feed-forward-loop motif census on the directed part-transition
+    * graph (Milo et al., "Network Motifs: Simple Building Blocks of
+    * Complex Networks", Science 298, 2002 — public; the FFL is THE
+    * over-represented 3-node motif in directed real-world networks):
+    * edges are consecutive distinct parts within an order's linenumber
+    * sequence; for every directed wedge a→b→c (a≠c) the census asks
+    * whether the shortcut a→c exists (feed-forward) or the back edge
+    * c→a (3-cycle). Per middle vertex b: wedge volume, FFL count,
+    * cycle count, and the FFL rate in basis points — the motif profile
+    * that separates hierarchy (FFL-rich) from feedback (cycle-rich).
+    * Scale shape: out-degree then in-degree capped at 32 (row_number
+    * windows the TopKRewrite routes to the bounded operator; QUALIFY
+    * twins in the oracle), so wedge volume is ≤ 32² per mid vertex —
+    * never hub-quadratic; the closure probes are keyed (a,c) joins
+    * against the SAME capped edge list, bounded by construction.
+    */
+  val fflCensus: Q = Q("graph_ffl_census", (s, dir) => {
+    // linenumber is NOT unique per order in the testdata — collapse each
+    // (order, line) slot to its MIN part first so the lead() sequence is
+    // a total order (identical in both engines)
+    val e0 = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("lnum"),
+        col("l_partkey").as("p"))
+      .groupBy("o", "lnum").agg(min("p").as("p"))
+      .withColumn("nxt", lead("p", 1).over(
+        Window.partitionBy("o").orderBy("lnum")))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("p"))
+      .select(col("p").as("src"), col("nxt").as("dst")).distinct()
+    val eo = e0.withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy("dst")))
+      .filter(col("rn") <= 32).drop("rn")
+    val ec = eo.withColumn("rn", row_number().over(
+        Window.partitionBy("dst").orderBy("src")))
+      .filter(col("rn") <= 32).drop("rn").persist()
+    val wdg = ec.select(col("src").as("a"), col("dst").as("b"))
+      .join(ec.select(col("src").as("b"), col("dst").as("c"))
+        .hint("shuffle_hash"), "b")
+      .filter(col("a") =!= col("c"))
+    val fwd = ec.select(col("src").as("a"), col("dst").as("c"), lit(1L).as("ffl"))
+    val bwd = ec.select(col("dst").as("a"), col("src").as("c"), lit(1L).as("cyc"))
+    wdg.join(fwd, Seq("a", "c"), "left").join(bwd, Seq("a", "c"), "left")
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum("ffl"), lit(0L)).as("n_ffl"),
+        coalesce(sum("cyc"), lit(0L)).as("n_cycle"))
+      .withColumn("ffl_bp", expr("(n_ffl * 10000) DIV n_wedges"))
+      .orderBy(desc("n_wedges"), asc("b")).limit(100)
+  }, Some("""WITH lnm AS (SELECT l_orderkey AS o, l_linenumber AS lnum,
+      min(l_partkey) AS p FROM lineitem GROUP BY 1, 2),
+    sq AS (SELECT p AS src, lead(p) OVER (PARTITION BY o ORDER BY lnum) AS dst
+      FROM lnm),
+    e0 AS (SELECT DISTINCT src, dst FROM sq
+      WHERE dst IS NOT NULL AND dst <> src),
+    eo AS (SELECT src, dst FROM e0
+      QUALIFY row_number() OVER (PARTITION BY src ORDER BY dst) <= 32),
+    ec AS (SELECT src, dst FROM eo
+      QUALIFY row_number() OVER (PARTITION BY dst ORDER BY src) <= 32),
+    wdg AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM ec e1 JOIN ec e2 ON e2.src = e1.dst WHERE e1.src <> e2.dst),
+    j AS (SELECT w.b,
+        CASE WHEN f.src IS NOT NULL THEN 1 ELSE 0 END AS ffl,
+        CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS cyc
+      FROM wdg w
+      LEFT JOIN ec f ON f.src = w.a AND f.dst = w.c
+      LEFT JOIN ec r ON r.src = w.c AND r.dst = w.a)
+    SELECT b, count(*)::BIGINT AS n_wedges, sum(ffl)::BIGINT AS n_ffl,
+      sum(cyc)::BIGINT AS n_cycle,
+      (sum(ffl)::BIGINT * 10000) // count(*) AS ffl_bp
+    FROM j GROUP BY b ORDER BY n_wedges DESC, b LIMIT 100"""))
 
   /** Time-respecting reachability (earliest-arrival) over the
     * co-activity CONTACT graph — the temporal dimension every static

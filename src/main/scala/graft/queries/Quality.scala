@@ -15,7 +15,7 @@ object Quality {
     langidEval, qualityReadability, datasetMerkle, qualityBenford,
     qualityConformal, qualityEncoding, qualityKlSource, qualityPiiCensus,
     qualityZipfFit, qualityKAnonymity, qualityDiversityIndex,
-    qualityTCloseness)
+    qualityTCloseness, qualitySurprisalBuckets)
 
   /** Classifier evaluation of the lang_id operator against the labeled
     * `lang` column: the full confusion matrix with per-cell recall and
@@ -346,6 +346,86 @@ object Quality {
       (sum(surprise)::BIGINT * 10000) // count(*)::BIGINT AS surprise_bp
     FROM sc GROUP BY doc_id
     ORDER BY surprise_bp DESC, doc_id LIMIT 25"""))
+
+  /** CCNet-style head/middle/tail corpus partitioning (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", arXiv:1911.00359 — public; their §4.3 splits each
+    * language's crawl into perplexity terciles and trains on the
+    * head): per language, bucket every document's unigram surprisal
+    * (the [[qualitySurprisal]] score, full corpus) into a ~150-bucket
+    * integer histogram, derive the tercile THRESHOLDS from the
+    * histogram's cumulative counts, and tier docs by threshold
+    * comparison. Thresholds-from-histogram rather than per-doc ntile
+    * is the scale-correct form: the only window runs over the
+    * aggregate-bounded (lang × bucket) histogram — never a data-sized
+    * rank per language — exactly how CCNet itself ships fixed cutoffs.
+    * Output: per (lang, tier) doc/token masses and the share each tier
+    * holds of its language in basis points.
+    */
+  val qualitySurprisalBuckets: Q = Q("quality_surprisal_buckets", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      explode(graft.ops.Text.words(col("text"))).as("word"))
+    val c = w.groupBy("word").agg(count(lit(1)).as("c"))
+    val n = c.agg(sum("c").as("n_corpus"))
+    val perDoc = w.join(broadcast(c.crossJoin(n)), "word")
+      .withColumn("surprise", expr("length(bin((n_corpus * 1024) DIV c)) - 1"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_words"), sum("surprise").as("surprise_sum"))
+      .withColumn("surprise_bp", expr("(surprise_sum * 10000) DIV n_words"))
+      .withColumn("hb", expr("surprise_bp DIV 1000"))
+      .persist()
+    val hist = perDoc.groupBy("lang", "hb").agg(count(lit(1)).as("cnt"))
+    val wl = Window.partitionBy("lang").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = hist
+      .withColumn("cum", sum("cnt").over(wl))
+      .withColumn("nl", sum("cnt").over(Window.partitionBy("lang")))
+      .groupBy("lang").agg(
+        min(when(expr("cum * 3 >= nl"), col("hb"))).as("t1"),
+        min(when(expr("cum * 3 >= nl * 2"), col("hb"))).as("t2"),
+        max("nl").as("n_lang"))
+    perDoc.join(broadcast(th), "lang")
+      .withColumn("tier", expr(
+        "CASE WHEN hb <= t1 THEN 'head' WHEN hb <= t2 THEN 'middle' ELSE 'tail' END"))
+      .groupBy("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("tokens"),
+        min("surprise_bp").as("lo_bp"), max("surprise_bp").as("hi_bp"),
+        expr("(count(1) * 10000) DIV max(n_lang)").as("share_bp"))
+      .orderBy("lang", "tier")
+  }, Some("""
+    WITH w AS (
+      SELECT doc_id, lang,
+        unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+      FROM documents),
+    c AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word),
+    n AS (SELECT sum(c)::BIGINT AS n_corpus FROM c),
+    pd AS (
+      SELECT doc_id, lang, count(*)::BIGINT AS n_words,
+        sum(length(bin((n_corpus * 1024) // c)) - 1)::BIGINT AS surprise_sum
+      FROM w JOIN c USING (word), n GROUP BY doc_id, lang),
+    pb AS (SELECT doc_id, lang, n_words,
+        (surprise_sum * 10000) // n_words AS surprise_bp,
+        (surprise_sum * 10000) // n_words // 1000 AS hb
+      FROM pd),
+    hist AS (SELECT lang, hb, count(*)::BIGINT AS cnt FROM pb GROUP BY lang, hb),
+    cu AS (SELECT lang, hb, cnt,
+        sum(cnt) OVER (PARTITION BY lang ORDER BY hb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(cnt) OVER (PARTITION BY lang) AS nl
+      FROM hist),
+    th AS (SELECT lang,
+        min(CASE WHEN cum * 3 >= nl THEN hb END) AS t1,
+        min(CASE WHEN cum * 3 >= nl * 2 THEN hb END) AS t2,
+        max(nl)::BIGINT AS n_lang
+      FROM cu GROUP BY lang)
+    SELECT pb.lang,
+      CASE WHEN hb <= t1 THEN 'head' WHEN hb <= t2 THEN 'middle' ELSE 'tail' END AS tier,
+      count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS tokens,
+      min(surprise_bp) AS lo_bp, max(surprise_bp) AS hi_bp,
+      (count(*)::BIGINT * 10000) // max(n_lang) AS share_bp
+    FROM pb JOIN th USING (lang)
+    GROUP BY pb.lang, tier ORDER BY lang, tier"""))
 
   /** Distribution-drift score per event type between the first and
     * second half of the time range — the PSI-style monitor a pipeline

@@ -25,7 +25,7 @@ object TextOps {
     multimodalPhashClusters, multimodalDctPhash, sampleNeymanAlloc, multimodalAudioFingerprint,
     pipelineDatasetCard, pipelineDomainMixture, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
-    multimodalIntegrity, textKneserNey)
+    multimodalIntegrity, textKneserNey, mixEpochUpsample)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -267,6 +267,54 @@ object TextOps {
     * broadcast, rate join back, per-doc hash test — no global ordering
     * anywhere.
     */
+  /** Epoch-upsampling PLAN for a target mixture — the other direction
+    * from [[mixSample]] (which downsamples to the smallest source):
+    * to hit a uniform token share per source, small sources must be
+    * REPEATED. The plan says exactly how: per source, the full-epoch
+    * count ⌈target/tokens⌉ (capped at 16 — the repeat ceiling real
+    * pretraining mixes enforce before quality degrades; Muennighoff et
+    * al., "Scaling Data-Constrained Language Models", NeurIPS 2023
+    * finds ~4 epochs near-lossless and diminishing returns past it —
+    * the cap is where a pipeline flags "get more data"), the fraction
+    * of the final partial pass in basis points, and the oversampling
+    * ratio. All integer math: ceil division as (t + n − 1) DIV n,
+    * truncating bp fractions, so the plan is bit-stable cross-engine.
+    * Scale shape: ONE per-source aggregate + a 1-row total broadcast —
+    * the plan is #sources rows of metadata; the 100-TB repeat itself
+    * is then a per-source `explode(sequence(1, epochs))` at write time,
+    * embarrassingly parallel, no shuffle beyond the agg here.
+    */
+  val mixEpochUpsample: Q = Q("mix_epoch_upsample", (s, dir) => {
+    val per = Tables.t(s, dir, "documents")
+      .select(col("source"),
+        expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)").as("nw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+    val tot = per.agg(sum("tokens").as("t_total"), count(lit(1)).as("n_src"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target", expr("t_total DIV n_src"))
+      .withColumn("epochs_raw", expr("(target + tokens - 1) DIV nullif(tokens, 0)"))
+      .withColumn("epochs", expr("least(epochs_raw, CAST(16 AS BIGINT))"))
+      .withColumn("capped", expr("epochs_raw > 16"))
+      .withColumn("final_pass_bp", expr("""CASE WHEN epochs_raw > 16 THEN 10000
+        ELSE ((target - (epochs_raw - 1) * tokens) * 10000) DIV nullif(tokens, 0) END"""))
+      .withColumn("oversample_e2", expr("(target * 100) DIV nullif(tokens, 0)"))
+      .select("source", "n_docs", "tokens", "target", "epochs", "capped",
+        "final_pass_bp", "oversample_e2")
+      .orderBy("source")
+  }, Some("""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+      CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS tokens
+    FROM documents GROUP BY source),
+    tot AS (SELECT sum(tokens)::BIGINT AS t_total, count(*)::BIGINT AS n_src FROM per)
+    SELECT source, n_docs, tokens, t_total // n_src AS target,
+      CAST(least((t_total // n_src + tokens - 1) // nullif(tokens, 0), 16) AS BIGINT) AS epochs,
+      ((t_total // n_src + tokens - 1) // nullif(tokens, 0)) > 16 AS capped,
+      CASE WHEN (t_total // n_src + tokens - 1) // nullif(tokens, 0) > 16 THEN 10000
+        ELSE ((t_total // n_src - ((t_total // n_src + tokens - 1) // nullif(tokens, 0) - 1) * tokens)
+          * 10000) // nullif(tokens, 0) END AS final_pass_bp,
+      (t_total // n_src * 100) // nullif(tokens, 0) AS oversample_e2
+    FROM per, tot ORDER BY source"""))
+
   val mixSample: Q = Q("mix_sample", (s, dir) => {
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
