@@ -940,7 +940,13 @@ object Quality {
     * on those bounded relations; the raw data is touched by exactly
     * two map-side-combining aggregations.
     */
-  val qualityTCloseness: Q = Q("quality_t_closeness", (s, dir) => {
+  /** Per-quasi-group t-closeness rows (event_type, hod, vb, ksize,
+    * emd_e6) — the intermediate the census aggregates and the
+    * [[graft.streaming.TClosenessProcessor]] parity spec compares
+    * against: shared builder, so the streaming twin cannot drift from
+    * the batch query (the piiDetections discipline).
+    */
+  def tClosenessGroups(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.events(s, dir).select(col("event_type"),
       expr("(ts_us DIV 3600000000) % 24").as("hod"),
@@ -959,7 +965,7 @@ object Quality {
       .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
     val wg = Window.partitionBy("event_type", "hod", "vb").orderBy("sb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val emd = spine
+    spine
       .withColumn("cumg", sum("cnt0").over(wg))
       .crossJoin(broadcast(tot))
       .withColumn("d", expr(
@@ -967,6 +973,10 @@ object Quality {
       .groupBy("event_type", "hod", "vb")
       .agg(first("ksize").as("ksize"),
         expr("sum(d) DIV nullif(max(m) - 1, 0)").as("emd_e6"))
+  }
+
+  val qualityTCloseness: Q = Q("quality_t_closeness", (s, dir) => {
+    val emd = tClosenessGroups(s, dir)
     emd.select(col("ksize"), col("emd_e6"),
         explode(expr("array(50000L, 100000L, 200000L)")).as("t_e6"))
       .groupBy("t_e6").agg(

@@ -2930,6 +2930,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("TClosenessProcessor: per-group EMD vs frozen global == tClosenessGroups") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val dir = Files.createTempDirectory("graft_tclose").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val base = Tables.events(spark, sfDir).select(col("event_id"),
+      col("event_type"),
+      expr("(ts_us DIV 3600000000) % 24").as("hod"),
+      expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("vb"),
+      expr("CAST(round(value * 100) AS BIGINT) DIV 200").as("sb"))
+    // freeze the global distribution from the published release (the
+    // SAME data the batch query aggregates — so parity is exact)
+    val gl = base.groupBy("sb").agg(count(lit(1)).as("gcnt"))
+      .orderBy("sb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nTot = gl.map(_._2).sum
+    val m = gl.length.toLong
+    var cum = 0L
+    val globalCum = gl.map { case (sb, g) => cum += g; (sb, cum) }
+    val rows = base.collect().map { r =>
+      (s"${r.getString(1)}|${r.getLong(2)}|${r.getLong(3)}", r.getLong(0), r.getLong(4))
+    }
+    val b1 = rows.filter(_._2 % 3 == 0); val b2 = rows.filter(_._2 % 3 == 1)
+    val b3 = rows.filter(_._2 % 3 == 2)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong) }
+    val q = graft.streaming.TClosenessProcessor(spark, src, globalCum, nTot, m)
+      .toDF("k", "ksize", "emd_e6")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_tclose").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b3.txt").toPath, fmt(b3))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, ksize, emd_e6 FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY ksize DESC) AS rn
+            FROM graft_tclose) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = graft.queries.Quality.tClosenessGroups(spark, sfDir)
+        .collect().map(r => s"${r.getString(0)}|${r.getLong(1)}|${r.getLong(2)}" ->
+          (r.getLong(3), r.getLong(4))).toMap
+      assert(want.nonEmpty, "batch t-closeness unexpectedly empty")
+      assert(got == want, s"streamed vs batch t-closeness per-group rows differ: " +
+        s"onlyGot=${(got.keySet -- want.keySet).take(3)} " +
+        s"onlyWant=${(want.keySet -- got.keySet).take(3)} " +
+        s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(3)}")
+    } finally q.stop()
+  }
+
   test("Utf8GateProcessor: running per-source byte-class census == batch encodingMetrics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
