@@ -29,7 +29,7 @@ object Dedup {
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
-    lshBands, prefixFilter, urlCanonical)
+    lshBands, prefixFilter, urlCanonical, dedupRateBySource)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -224,6 +224,39 @@ object Dedup {
       .orderBy("content_hash")
   }, Some("""SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
     FROM documents GROUP BY 1 ORDER BY content_hash"""))
+
+  /** Per-source duplication health report — the corpus-quality number
+    * every crawl snapshot publishes before mixing (a source whose
+    * exact-dup rate spikes is re-crawling itself): per source, doc
+    * count, distinct exact content hashes, distinct canonical word-set
+    * fingerprints (the template/boilerplate collision key — catches
+    * near-dups that differ only in word order or repetition), and both
+    * duplication rates in basis points. Two exact count-distincts in
+    * ONE aggregate pass (Spark expands them into a grouping-id
+    * two-phase plan — partial aggregation per distinct column, never a
+    * row-level self-join); output is #sources rows.
+    */
+  val dedupRateBySource: Q = Q("dedup_rate_by_source", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("source"), md5(col("text")).as("ch"),
+        graft.ops.Text.fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("ch").as("n_exact"),
+        countDistinct("fp").as("n_fingerprint"))
+      .withColumn("exact_dup_bp", expr("((n_docs - n_exact) * 10000) DIV n_docs"))
+      .withColumn("template_dup_bp", expr("((n_docs - n_fingerprint) * 10000) DIV n_docs"))
+      .orderBy("source")
+  }, Some("""WITH d AS (SELECT source, md5(text) AS ch,
+      md5(array_to_string(list_sort(list_distinct(
+        list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fp
+    FROM documents)
+    SELECT source, count(*)::BIGINT AS n_docs,
+      count(DISTINCT ch)::BIGINT AS n_exact,
+      count(DISTINCT fp)::BIGINT AS n_fingerprint,
+      ((count(*) - count(DISTINCT ch)) * 10000) // count(*) AS exact_dup_bp,
+      ((count(*) - count(DISTINCT fp)) * 10000) // count(*) AS template_dup_bp
+    FROM d GROUP BY source ORDER BY source"""))
 
   /** Exact word-3-gram Jaccard ≥ 0.5 via inverted-index self-join,
     * df-capped at [[DfCap]] so no gram key can blow up the join.

@@ -20,7 +20,7 @@ object Graphs {
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
     reciprocity, knnDegree, clusteringLocal, diameterSweep,
-    effectiveDiameter, fflCensus)
+    effectiveDiameter, fflCensus, sccSeeds)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -922,10 +922,14 @@ object Graphs {
     * never hub-quadratic; the closure probes are keyed (a,c) joins
     * against the SAME capped edge list, bounded by construction.
     */
-  val fflCensus: Q = Q("graph_ffl_census", (s, dir) => {
-    // linenumber is NOT unique per order in the testdata — collapse each
-    // (order, line) slot to its MIN part first so the lead() sequence is
-    // a total order (identical in both engines)
+  /** Directed part-transition edges: consecutive distinct parts within
+    * an order's linenumber sequence, out-degree then in-degree capped
+    * at 32. linenumber is NOT unique per order in the testdata — each
+    * (order, line) slot collapses to its MIN part first so the lead()
+    * sequence is a total order (identical in both engines). Shared by
+    * [[fflCensus]] and [[sccSeeds]].
+    */
+  private def partTransitions(s: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_linenumber").as("lnum"),
         col("l_partkey").as("p"))
@@ -937,9 +941,26 @@ object Graphs {
     val eo = e0.withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy("dst")))
       .filter(col("rn") <= 32).drop("rn")
-    val ec = eo.withColumn("rn", row_number().over(
+    eo.withColumn("rn", row_number().over(
         Window.partitionBy("dst").orderBy("src")))
-      .filter(col("rn") <= 32).drop("rn").persist()
+      .filter(col("rn") <= 32).drop("rn")
+  }
+
+  /** The oracle CTE twin of [[partTransitions]]: defines `ec(src, dst)`. */
+  private val partTransitionsSql: String =
+    """lnm AS (SELECT l_orderkey AS o, l_linenumber AS lnum,
+      min(l_partkey) AS p FROM lineitem GROUP BY 1, 2),
+    sq AS (SELECT p AS src, lead(p) OVER (PARTITION BY o ORDER BY lnum) AS dst
+      FROM lnm),
+    e0 AS (SELECT DISTINCT src, dst FROM sq
+      WHERE dst IS NOT NULL AND dst <> src),
+    eo AS (SELECT src, dst FROM e0
+      QUALIFY row_number() OVER (PARTITION BY src ORDER BY dst) <= 32),
+    ec AS MATERIALIZED (SELECT src, dst FROM eo
+      QUALIFY row_number() OVER (PARTITION BY dst ORDER BY src) <= 32)"""
+
+  val fflCensus: Q = Q("graph_ffl_census", (s, dir) => {
+    val ec = partTransitions(s, dir).persist()
     val wdg = ec.select(col("src").as("a"), col("dst").as("b"))
       .join(ec.select(col("src").as("b"), col("dst").as("c"))
         .hint("shuffle_hash"), "b")
@@ -953,16 +974,7 @@ object Graphs {
         coalesce(sum("cyc"), lit(0L)).as("n_cycle"))
       .withColumn("ffl_bp", expr("(n_ffl * 10000) DIV n_wedges"))
       .orderBy(desc("n_wedges"), asc("b")).limit(100)
-  }, Some("""WITH lnm AS (SELECT l_orderkey AS o, l_linenumber AS lnum,
-      min(l_partkey) AS p FROM lineitem GROUP BY 1, 2),
-    sq AS (SELECT p AS src, lead(p) OVER (PARTITION BY o ORDER BY lnum) AS dst
-      FROM lnm),
-    e0 AS (SELECT DISTINCT src, dst FROM sq
-      WHERE dst IS NOT NULL AND dst <> src),
-    eo AS (SELECT src, dst FROM e0
-      QUALIFY row_number() OVER (PARTITION BY src ORDER BY dst) <= 32),
-    ec AS (SELECT src, dst FROM eo
-      QUALIFY row_number() OVER (PARTITION BY dst ORDER BY src) <= 32),
+  }, Some(s"""WITH $partTransitionsSql,
     wdg AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       FROM ec e1 JOIN ec e2 ON e2.src = e1.dst WHERE e1.src <> e2.dst),
     j AS (SELECT w.b,
@@ -975,6 +987,68 @@ object Graphs {
       sum(cyc)::BIGINT AS n_cycle,
       (sum(ffl)::BIGINT * 10000) // count(*) AS ffl_bp
     FROM j GROUP BY b ORDER BY n_wedges DESC, b LIMIT 100"""))
+
+  /** Forward-backward mutual reachability from seeds — the FW-BW
+    * primitive of divide-and-conquer strongly-connected-components
+    * (Fleischer, Hendrickson &amp; Pınar, "On Identifying Strongly
+    * Connected Components in Parallel", IPDPS 2000 — public; the
+    * algorithm GraphX/Pregel SCC implementations recurse on): from
+    * each of 3 deterministic seeds, 4 rounds of frontier expansion
+    * along edges (forward) and against them (backward); the
+    * intersection of the two reach sets is the seed's mutual-reach
+    * cluster — exactly its SCC whenever the SCC's internal diameter is
+    * ≤ 4 hops, and a certified subset otherwise (membership only ever
+    * grows with rounds). Per seed: cluster size, forward/backward
+    * reach sizes, and the min/max member — the census a partitioner
+    * reads before carving a web graph into per-SCC shards. Scale
+    * shape: same discipline as [[bfsHops]]/[[temporalReach]] — degree-
+    * capped edges, per-round keyed joins on the (tiny) frontier,
+    * per-round localCheckpoint truncation (the DevNsw rule); the
+    * oracle unrolls both chains as MATERIALIZED CTEs.
+    */
+  val sccSeeds: Q = Q("graph_scc_seeds", (s, dir) => {
+    val ec = partTransitions(s, dir).persist()
+    val seeds = ec.select(col("src").as("v")).distinct().orderBy("v").limit(3)
+    val s0 = seeds.select(col("v").as("seed"), col("v")).localCheckpoint(true)
+    val fwd = (1 to 4).foldLeft(s0) { (r, _) =>
+      r.unionByName(r.join(ec, r("v") === ec("src"))
+          .select(r("seed"), ec("dst").as("v")))
+        .distinct().localCheckpoint(true)
+    }
+    val bwd = (1 to 4).foldLeft(s0) { (r, _) =>
+      r.unionByName(r.join(ec, r("v") === ec("dst"))
+          .select(r("seed"), ec("src").as("v")))
+        .distinct().localCheckpoint(true)
+    }
+    val fs = fwd.groupBy("seed").agg(count(lit(1)).as("n_fwd"))
+    val bs = bwd.groupBy("seed").agg(count(lit(1)).as("n_bwd"))
+    fwd.join(bwd, Seq("seed", "v"))
+      .groupBy("seed").agg(count(lit(1)).as("scc_size"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .join(fs, "seed").join(bs, "seed")
+      .select("seed", "scc_size", "n_fwd", "n_bwd", "min_v", "max_v")
+      .orderBy("seed")
+  }, Some {
+    def chain(p: String, joinOn: String, pick: String): String =
+      (1 to 4).map { k =>
+        s""",
+    $p$k AS MATERIALIZED (SELECT DISTINCT seed, v FROM (
+      SELECT seed, v FROM $p${k - 1}
+      UNION ALL SELECT f.seed, e.$pick AS v
+      FROM $p${k - 1} f JOIN ec e ON e.$joinOn = f.v))"""
+      }.mkString
+    s"""WITH $partTransitionsSql,
+    seeds AS MATERIALIZED (SELECT DISTINCT src AS v FROM ec ORDER BY v LIMIT 3),
+    f0 AS MATERIALIZED (SELECT v AS seed, v FROM seeds),
+    b0 AS MATERIALIZED (SELECT v AS seed, v FROM seeds)${chain("f", "src", "dst")}${chain("b", "dst", "src")},
+    fs AS (SELECT seed, count(*)::BIGINT AS n_fwd FROM f4 GROUP BY seed),
+    bs AS (SELECT seed, count(*)::BIGINT AS n_bwd FROM b4 GROUP BY seed)
+    SELECT f.seed, count(*)::BIGINT AS scc_size, max(fs.n_fwd) AS n_fwd,
+      max(bs.n_bwd) AS n_bwd, min(f.v) AS min_v, max(f.v) AS max_v
+    FROM f4 f JOIN b4 b ON b.seed = f.seed AND b.v = f.v
+      JOIN fs ON fs.seed = f.seed JOIN bs ON bs.seed = f.seed
+    GROUP BY f.seed ORDER BY f.seed"""
+  })
 
   /** Time-respecting reachability (earliest-arrival) over the
     * co-activity CONTACT graph — the temporal dimension every static

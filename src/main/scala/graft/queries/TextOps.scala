@@ -25,7 +25,8 @@ object TextOps {
     multimodalPhashClusters, multimodalDctPhash, sampleNeymanAlloc, multimodalAudioFingerprint,
     pipelineDatasetCard, pipelineDomainMixture, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
-    multimodalIntegrity, textKneserNey, mixEpochUpsample)
+    multimodalIntegrity, textKneserNey, mixEpochUpsample,
+    tokenizerFertility)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -284,6 +285,44 @@ object TextOps {
     * is then a per-source `explode(sequence(1, epochs))` at write time,
     * embarrassingly parallel, no shuffle beyond the agg here.
     */
+  /** Tokenizer-fertility eval per (lang, source) — the multilingual
+    * tokenizer-quality metric (Rust et al., "How Good is Your
+    * Tokenizer? On the Monolingual Performance of Multilingual
+    * Language Models", ACL 2021 — public: fertility = subword tokens
+    * per word; high fertility means the tokenizer fragments that
+    * language and its docs cost more context budget per sentence):
+    * corpus-mass fertility (tokens·100/words) and compression
+    * (chars·100/tokens) as exact integer centi-ratios over the BPE-ish
+    * regex token count. The table a pipeline reads before setting
+    * per-language sampling weights — a language with 2× fertility
+    * needs 2× the token budget for the same document mass. One
+    * map-side-combining aggregate over per-row column math: no joins,
+    * no windows, #lang×#source output rows.
+    */
+  val tokenizerFertility: Q = Q("pipeline_tokenizer_fertility", (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        graft.ops.Text.bpeTokens(col("text")).as("tok"),
+        expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)").as("nw"),
+        length(col("text")).cast("bigint").as("nc"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+        sum("nw").as("words"), sum("nc").as("chars"))
+      .withColumn("fertility_e2", expr("(tokens * 100) DIV nullif(words, 0)"))
+      .withColumn("chars_per_tok_e2", expr("(chars * 100) DIV nullif(tokens, 0)"))
+      .orderBy("lang", "source")
+  }, Some("""SELECT lang, source, count(*)::BIGINT AS n_docs,
+      CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens,
+      CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS words,
+      CAST(sum(length(text)) AS BIGINT) AS chars,
+      (CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) * 100)
+        // nullif(CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT), 0)
+        AS fertility_e2,
+      (CAST(sum(length(text)) AS BIGINT) * 100)
+        // nullif(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT), 0)
+        AS chars_per_tok_e2
+    FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
   val mixEpochUpsample: Q = Q("mix_epoch_upsample", (s, dir) => {
     val per = Tables.t(s, dir, "documents")
       .select(col("source"),
