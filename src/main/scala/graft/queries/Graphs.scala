@@ -965,9 +965,15 @@ object Graphs {
       .join(ec.select(col("src").as("b"), col("dst").as("c"))
         .hint("shuffle_hash"), "b")
       .filter(col("a") =!= col("c"))
-    val fwd = ec.select(col("src").as("a"), col("dst").as("c"), lit(1L).as("ffl"))
-    val bwd = ec.select(col("dst").as("a"), col("src").as("c"), lit(1L).as("cyc"))
-    wdg.join(fwd, Seq("a", "c"), "left").join(bwd, Seq("a", "c"), "left")
+    // ONE closure-probe table (edge a→c tagged ffl, edge c→a tagged
+    // cyc, merged per (a,c)) — probing it once shuffles the wedge set
+    // once instead of twice
+    val cl = ec.select(col("src").as("a"), col("dst").as("c"),
+        lit(1L).as("ffl"), lit(0L).as("cyc"))
+      .unionByName(ec.select(col("dst").as("a"), col("src").as("c"),
+        lit(0L).as("ffl"), lit(1L).as("cyc")))
+      .groupBy("a", "c").agg(max("ffl").as("ffl"), max("cyc").as("cyc"))
+    wdg.join(cl, Seq("a", "c"), "left")
       .groupBy("b")
       .agg(count(lit(1)).as("n_wedges"),
         coalesce(sum("ffl"), lit(0L)).as("n_ffl"),
@@ -1010,6 +1016,11 @@ object Graphs {
     val ec = partTransitions(s, dir).persist()
     val seeds = ec.select(col("src").as("v")).distinct().orderBy("v").limit(3)
     val s0 = seeds.select(col("v").as("seed"), col("v")).localCheckpoint(true)
+    // two plain keyed-join chains; three variants were A/B'd WORSE at
+    // sf0.1 (plain 5.3 s): broadcast-frontier 6.5 (per-round broadcast
+    // materialization beat the shuffle it saved), fused dir-tagged
+    // single chain 9.2 (doubled edge relation + wider distinct state),
+    // shuffle_hash-hinted edge side 8.5 (AQE's own pick was better)
     val fwd = (1 to 4).foldLeft(s0) { (r, _) =>
       r.unionByName(r.join(ec, r("v") === ec("src"))
           .select(r("seed"), ec("dst").as("v")))
