@@ -74,6 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotProductLong.info, DotProductLong.builder))
     ext.injectFunction((FunctionIdentifier(AudioFingerprint.fnName),
       AudioFingerprint.info, AudioFingerprint.builder))
+    ext.injectFunction((FunctionIdentifier(VideoHeaderDecode.fnName),
+      VideoHeaderDecode.info, VideoHeaderDecode.builder))
     ext.injectPostHocResolutionRule(graft.plans.GlobalWindowGuard.apply)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     // row_number()<=k filters route to the bounded TopKPerGroup operator

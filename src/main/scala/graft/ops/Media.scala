@@ -130,6 +130,51 @@ object Media {
         AND substr($h, 75, 8) = '6163544C' THEN ${duckBe32(h, 41)}
       ELSE 1 END"""
 
+  // ---- AVI (RIFF) video container: canonical 88-byte header ----
+
+  /** µs-per-frame for the synthetic fps ∈ {24, 25, 30} — written as
+    * CASE literals (41666/40000/33333) so the builder stays in the
+    * division-free shared dialect.
+    */
+  def usecPerFrameExpr(docId: String): String =
+    s"(CASE WHEN $docId % 3 = 0 THEN 41666 WHEN $docId % 3 = 1 THEN 40000 ELSE 33333 END)"
+  def videoFramesExpr(docId: String): String = s"(24 + $docId % 240)"
+  def videoWidthExpr(docId: String): String = s"(160 + 16 * ($docId % 20))"
+  def videoHeightExpr(docId: String): String = s"(120 + 8 * ($docId % 30))"
+  def videoStreamsExpr(docId: String): String = s"(1 + $docId % 2)"
+
+  /** Hex of a canonical 88-byte AVI header (header-only asset, like the
+    * other containers): RIFF size 80 / `AVI ` / LIST 68 `hdrl` / `avih`
+    * 56, then the MainAVIHeader at byte 32 — µs-per-frame, max-bytes 0,
+    * padding 0, flags 0x10 (HASINDEX), total frames, initial 0,
+    * streams, buffer 0, width, height, 16 reserved zero bytes.
+    */
+  def aviHexExpr(docId: String): String = {
+    val usec = usecPerFrameExpr(docId)
+    val tf = videoFramesExpr(docId)
+    val st = videoStreamsExpr(docId)
+    val w = videoWidthExpr(docId)
+    val hh = videoHeightExpr(docId)
+    "'52494646' || " + le32("80") + " || '41564920' || '4C495354' || " +
+      le32("68") + " || '6864726C' || '61766968' || " + le32("56") + " || " +
+      le32(usec) + " || '00000000' || '00000000' || '10000000' || " +
+      le32(tf) + " || '00000000' || " + le32(st) + " || '00000000' || " +
+      le32(w) + " || " + le32(hh) + " || '00000000000000000000000000000000'"
+  }
+
+  // ---- AVI decode twins (offsets per the canonical layout) ----
+
+  /** RIFF/`AVI `/`avih` magic check over hex(blob) `h`. */
+  def duckAviOk(h: String): String =
+    s"""(substr($h, 1, 8) = '52494646' AND substr($h, 17, 8) = '41564920'
+      AND substr($h, 49, 8) = '61766968')"""
+
+  def duckAviUsec(h: String): String = duckLe32(h, 32)
+  def duckAviFrames(h: String): String = duckLe32(h, 48)
+  def duckAviStreams(h: String): String = duckLe32(h, 56)
+  def duckAviWidth(h: String): String = duckLe32(h, 64)
+  def duckAviHeight(h: String): String = duckLe32(h, 68)
+
   // ---- WAV decode twins (offsets per the canonical RIFF layout) ----
 
   /** RIFF/WAVE/fmt_/data magic check over hex(blob) `h`. */

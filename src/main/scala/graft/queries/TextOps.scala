@@ -26,7 +26,7 @@ object TextOps {
     pipelineDatasetCard, pipelineDomainMixture, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
-    tokenizerFertility)
+    tokenizerFertility, multimodalVideoMeta)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1397,6 +1397,47 @@ object TextOps {
       FROM hx)
     SELECT doc_id, format, channels, sample_rate, bits, n_samples,
       CAST(1000 * n_samples // sample_rate AS BIGINT) AS duration_ms
+    FROM d ORDER BY doc_id"""
+  })
+
+  /** Video-container metadata scan — completes the multimodal container
+    * family (BMP/APNG/GIF images, WAV audio) with the AVI (RIFF) sibling:
+    * REAL byte decode through the codegen'd
+    * [[graft.expressions.VideoHeaderDecode]] (canonical 88-byte header
+    * built by [[graft.ops.Media.aviHexExpr]] in the shared hex dialect;
+    * the oracle re-decodes the same bytes via hex-offset arithmetic).
+    * Derives the two numbers a frame-sampling pipeline schedules by:
+    * duration (frames × µs-per-frame, exact integer ms) and fps in
+    * centi-fps (10⁸ DIV µs-per-frame — 2400/2500/3000). Pure per-row
+    * column math inside whole-stage codegen, no joins.
+    */
+  val multimodalVideoMeta: Q = Q("multimodal_video_meta", (s, dir) => {
+    graft.expressions.VideoHeaderDecode.register(s)
+    val aviHex = graft.ops.Media.aviHexExpr("doc_id")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"video_header_decode(unhex($aviHex))").as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.usec_per_frame").as("usec_per_frame"),
+        col("m.n_frames").as("n_frames"), col("m.streams").as("streams"),
+        col("m.width").as("width"), col("m.height").as("height"))
+      .withColumn("duration_ms", expr("(n_frames * usec_per_frame) DIV 1000"))
+      .withColumn("fps_e2", expr("100000000 DIV usec_per_frame"))
+      .orderBy("doc_id")
+  }, Some {
+    import graft.ops.Media
+    val aviHex = Media.aviHexExpr("doc_id")
+    s"""WITH hx AS (SELECT doc_id, hex(unhex($aviHex)) AS h FROM documents),
+    d AS (SELECT doc_id,
+        CASE WHEN ${Media.duckAviOk("h")} THEN 'avi' END AS format,
+        CAST(${Media.duckAviUsec("h")} AS BIGINT) AS usec_per_frame,
+        CAST(${Media.duckAviFrames("h")} AS BIGINT) AS n_frames,
+        CAST(${Media.duckAviStreams("h")} AS BIGINT) AS streams,
+        CAST(${Media.duckAviWidth("h")} AS BIGINT) AS width,
+        CAST(${Media.duckAviHeight("h")} AS BIGINT) AS height
+      FROM hx)
+    SELECT doc_id, format, usec_per_frame, n_frames, streams, width, height,
+      CAST((n_frames * usec_per_frame) // 1000 AS BIGINT) AS duration_ms,
+      CAST(100000000 // usec_per_frame AS BIGINT) AS fps_e2
     FROM d ORDER BY doc_id"""
   })
 

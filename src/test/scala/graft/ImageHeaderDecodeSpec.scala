@@ -101,6 +101,39 @@ class ImageHeaderDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.forall(_.isNullAt(0)))
   }
 
+  private def decodeAvi(hex: String) = {
+    graft.expressions.VideoHeaderDecode.register(spark)
+    import spark.implicits._
+    Seq(hex).toDF("hx").repartition(1)
+      .selectExpr("video_header_decode(unhex(hx)) AS m")
+      .selectExpr("m.format", "m.usec_per_frame", "m.n_frames", "m.streams",
+        "m.width", "m.height")
+      .collect()(0)
+  }
+
+  test("AVI: RIFF/AVI /avih magics, MainAVIHeader le fields at 32/48/56/64/68") {
+    // 25 fps (40000 µs = 9C40 -> le '409C0000'), 120 frames, 2 streams, 640×480
+    val hex = "52494646" + "50000000" + "41564920" + "4C495354" + "44000000" +
+      "6864726C" + "61766968" + "38000000" +
+      "409C0000" + "00000000" + "00000000" + "10000000" +
+      "78000000" + "00000000" + "02000000" + "00000000" +
+      "80020000" + "E0010000" + "00" * 16
+    val r = decodeAvi(hex)
+    assert(r.getString(0) == "avi" && r.getLong(1) == 40000L && r.getLong(2) == 120L &&
+      r.getLong(3) == 2L && r.getLong(4) == 640L && r.getLong(5) == 480L)
+    // wrong form type (WAVE bytes), missing avih, truncated, zero µs -> NULL
+    graft.expressions.VideoHeaderDecode.register(spark)
+    import spark.implicits._
+    val bad = Seq(
+      hex.patch(16, "57415645", 8),                 // 'WAVE' form
+      hex.patch(48, "4C495354", 8),                 // avih magic wrong
+      hex.take(100),                                // truncated
+      hex.patch(64, "00000000", 8)                  // µs-per-frame 0
+    ).toDF("hx").repartition(1)
+      .selectExpr("video_header_decode(unhex(hx)) AS m").collect()
+    assert(bad.forall(_.isNullAt(0)), s"expected all NULL, got ${bad.toSeq}")
+  }
+
   // ---- image_ahash over the 8×8 thumbnail container ----
 
   /** Header hex for the canonical 8×8 24bpp thumbnail (Media layout). */
