@@ -2985,6 +2985,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("ZonemapProcessor: running per-file (min,max,count) == batch zone-map aggregate") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_zonemap").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // the layout_zonemap_skip file assignment: 64 natural orderkey-range files
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val mx = li.agg(org.apache.spark.sql.functions.max("l_orderkey")).collect()(0).getLong(0)
+    val data = li.collect().map { r =>
+      (s"f${r.getLong(0) * 63 / mx}", r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val b1 = data.filter(_._2 % 3 == 0); val b2 = data.filter(_._2 % 3 == 1)
+    val b3 = data.filter(_._2 % 3 == 2)
+    def fmt(rs: Array[(String, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.ZonemapProcessor(spark, src)
+      .toDF("f", "n", "p_min", "p_max", "s_min", "s_max")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_zonemap").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b3.txt").toPath, fmt(b3))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT f, n, p_min, p_max, s_min, s_max FROM (
+            SELECT *, row_number() OVER (PARTITION BY f ORDER BY n DESC) AS rn
+            FROM graft_zonemap) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val want = data.groupBy(_._1).map { case (f, rs) =>
+        f -> (rs.length.toLong, rs.map(_._3).min, rs.map(_._3).max,
+          rs.map(_._4).min, rs.map(_._4).max)
+      }
+      assert(want.nonEmpty && got == want,
+        s"streamed vs batch zone maps differ: got=${got.size} want=${want.size}")
+    } finally q.stop()
+  }
+
   test("Utf8GateProcessor: running per-source byte-class census == batch encodingMetrics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
