@@ -52,7 +52,8 @@ object Analytics {
     q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
-    qHbosOutliers, qCompactionPlan, qZonemapSkip)
+    qHbosOutliers, qCompactionPlan, qZonemapSkip, qGeoKnnCells,
+    qGeohashGrid)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -890,6 +891,123 @@ object Analytics {
     * metadata (one row per FILE, not per record) — millions of rows,
     * not billions.
     */
+  /** Grid-bucketed spatial kNN census — the cell-partitioned SPATIAL
+    * JOIN pattern every distributed geo engine runs (points land in
+    * fixed-size grid cells; a point only meets candidates in its own
+    * and the 8 neighboring cells — never all-pairs; exact distance
+    * verifies): per user point (deterministic md5-derived planar
+    * micro-degree coordinates — the portable stand-in for a real
+    * lat/lon column), the count of other points within a 20° radius
+    * and the squared distance to the nearest one. Pure integer math:
+    * e6-scaled coordinates, squared planar distances (max ~2.6·10¹⁷,
+    * inside BIGINT), truncating cell quantizers. Cells are df-capped
+    * at 64 on the build side (`capGroups`, QUALIFY twin) so one dense
+    * city block cannot detonate the probe; edge cells do not wrap (a
+    * documented planar approximation — a production variant wraps
+    * longitude with one modular term). Scale shape: one distinct-user
+    * aggregate, a 9× probe explode, one keyed cell join, one per-point
+    * aggregate — shuffle volume is 9·points, independent of the pair
+    * count.
+    */
+  /** One deterministic planar point per user (md5-derived e6
+    * micro-degrees) — the portable stand-in for a real lat/lon column,
+    * shared by [[qGeoKnnCells]] and [[qGeohashGrid]].
+    */
+  private def geoPoints(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("lat", expr("CAST(conv(substr(md5(concat('lat', " +
+        "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 180000000 - 90000000"))
+      .withColumn("lon", expr("CAST(conv(substr(md5(concat('lon', " +
+        "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000"))
+
+  /** Oracle CTE twin of [[geoPoints]]: defines `p(user_id, lat, lon)`. */
+  private val geoPointsSql: String =
+    """u AS (SELECT DISTINCT user_id FROM events),
+    p AS (SELECT user_id,
+        CAST('0x' || substr(md5('lat' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 180000000 - 90000000 AS lat,
+        CAST('0x' || substr(md5('lon' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 360000000 - 180000000 AS lon
+      FROM u)"""
+
+  val qGeoKnnCells: Q = Q("geo_knn_cells", (s, dir) => {
+    val pts = geoPoints(s, dir)
+      .withColumn("cx", expr("(lon + 180000000) DIV 20000000"))
+      .withColumn("cy", expr("(lat + 90000000) DIV 20000000"))
+      .persist()
+    val build = graft.ops.Scale.capGroups(
+      pts.select(col("user_id").as("ub"), col("lat").as("latb"),
+        col("lon").as("lonb"), expr("cx * 100 + cy").as("cell")),
+      "cell", 64)
+    val probe = pts.select(col("user_id").as("ua"), col("lat"), col("lon"),
+        col("cx"), col("cy"))
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(col("ua"), col("lat"), col("lon"),
+        expr("(cx + dx) * 100 + (cy + dy)").as("cell"))
+    val nbrs = probe.join(build, "cell")
+      .filter(col("ua") =!= col("ub"))
+      .withColumn("d2", expr(
+        "(lat - latb) * (lat - latb) + (lon - lonb) * (lon - lonb)"))
+      .filter(col("d2") <= 400000000000000L)
+      .groupBy("ua")
+      .agg(count(lit(1)).as("n_nbrs"), min("d2").as("nn_d2"))
+    pts.join(nbrs, pts("user_id") === nbrs("ua"), "left_outer")
+      .select(col("user_id"), col("lat"), col("lon"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"), col("nn_d2"))
+      .orderBy("user_id")
+  }, Some(s"""WITH $geoPointsSql,
+    c AS (SELECT *, (lon + 180000000) // 20000000 AS cx,
+        (lat + 90000000) // 20000000 AS cy FROM p),
+    b AS (SELECT user_id AS ub, lat AS latb, lon AS lonb,
+        cx * 100 + cy AS cell FROM c
+      QUALIFY count(*) OVER (PARTITION BY cx * 100 + cy) <= 64),
+    pr AS (SELECT c.user_id AS ua, c.lat, c.lon,
+        (c.cx + dx.x) * 100 + (c.cy + dy.x) AS cell
+      FROM c, (SELECT unnest([-1, 0, 1]) AS x) dx,
+        (SELECT unnest([-1, 0, 1]) AS x) dy),
+    m AS (SELECT ua, count(*)::BIGINT AS n_nbrs,
+        min((lat - latb) * (lat - latb) + (lon - lonb) * (lon - lonb)) AS nn_d2
+      FROM pr JOIN b USING (cell)
+      WHERE ua <> ub
+        AND (lat - latb) * (lat - latb) + (lon - lonb) * (lon - lonb)
+          <= 400000000000000
+      GROUP BY ua)
+    SELECT user_id, lat, lon, coalesce(n_nbrs, 0)::BIGINT AS n_nbrs,
+      CAST(nn_d2 AS BIGINT) AS nn_d2
+    FROM c LEFT JOIN m ON m.ua = c.user_id ORDER BY user_id"""))
+
+  /** Canonical-geohash spatial rollup — the partition-key pyramid every
+    * spatial lakehouse table buckets by: each point encodes to its
+    * 6-character geohash per the PUBLIC spec ([[graft.ops.Geo]] —
+    * MSB-first lon-leading interleave, base-32 without a/i/l/o; GeoSpec
+    * pins the Wikipedia reference vectors), then rolls up to the 4-char
+    * prefix cell (~39 km × 19.5 km). Prefix-truncation as the cell
+    * pyramid is the whole point of geohash at scale: the same string
+    * column serves every zoom level with substr, no re-encode. One
+    * per-row codegen'd encode + one aggregate; never a pair join.
+    */
+  val qGeohashGrid: Q = Q("geo_geohash_grid", (s, dir) => {
+    import graft.ops.Geo
+    geoPoints(s, dir)
+      .withColumn("ghb", expr(Geo.geohashBitsSql("DIV", "lat", "lon")))
+      .withColumn("gh6", expr(Geo.geohash6FromBitsSql("ghb")))
+      .withColumn("gh4", expr("substr(gh6, 1, 4)"))
+      .groupBy("gh4")
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct("gh6").as("n_cells"),
+        min("user_id").as("first_user"))
+      .orderBy(desc("n_points"), asc("gh4")).limit(50)
+  }, Some {
+    import graft.ops.Geo
+    s"""WITH $geoPointsSql,
+    g AS (SELECT user_id, ${Geo.geohashBitsSql("//", "lat", "lon")} AS ghb FROM p),
+    h AS (SELECT user_id, ${Geo.geohash6FromBitsSql("ghb")} AS gh6 FROM g)
+    SELECT substr(gh6, 1, 4) AS gh4, count(*)::BIGINT AS n_points,
+      count(DISTINCT gh6)::BIGINT AS n_cells, min(user_id) AS first_user
+    FROM h GROUP BY 1 ORDER BY n_points DESC, gh4 LIMIT 50"""
+  })
+
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val T = 2048L
