@@ -53,7 +53,7 @@ object Analytics {
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qGeoKnnCells,
-    qGeohashGrid)
+    qGeohashGrid, qGeoBboxJoin)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -976,6 +976,75 @@ object Analytics {
     SELECT user_id, lat, lon, coalesce(n_nbrs, 0)::BIGINT AS n_nbrs,
       CAST(nn_d2 AS BIGINT) AS nn_d2
     FROM c LEFT JOIN m ON m.ua = c.user_id ORDER BY user_id"""))
+
+  /** Point-in-rectangle containment join — the OTHER standard spatial
+    * join next to [[qGeoKnnCells]]' kNN shape (geofences, delivery
+    * zones, admin regions): 24 deterministic query rectangles each
+    * EXPLODE to the grid cells they cover (bounded — a bbox spans ≤
+    * 4×4 of the 20° cells by construction), points land in exactly one
+    * cell, the join is a keyed equi-join on the cell id, and the exact
+    * BETWEEN containment verifies — the grid-index substitute for an
+    * R-tree that distributed engines actually ship. Output: per
+    * rectangle, the contained-point census (never empty — rectangles
+    * LEFT-join their hits). Shuffle volume is points + Σ covered
+    * cells, independent of the candidate-pair count.
+    */
+  val qGeoBboxJoin: Q = Q("geo_bbox_join", (s, dir) => {
+    val pts = geoPoints(s, dir)
+      .withColumn("cell", expr(
+        "((lon + 180000000) DIV 20000000) * 100 + (lat + 90000000) DIV 20000000"))
+    val boxes = s.range(24).select(col("id").as("box_id"))
+      .withColumn("clat", expr("CAST(conv(substr(md5(concat('blat', " +
+        "CAST(box_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 140000000 - 70000000"))
+      .withColumn("clon", expr("CAST(conv(substr(md5(concat('blon', " +
+        "CAST(box_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 320000000 - 160000000"))
+      .withColumn("hw", expr("(5 + box_id % 11) * 1000000"))
+      .withColumn("lat0", expr("clat - hw")).withColumn("lat1", expr("clat + hw"))
+      .withColumn("lon0", expr("clon - hw")).withColumn("lon1", expr("clon + hw"))
+    val cells = boxes
+      .withColumn("cx", explode(expr(
+        "sequence((lon0 + 180000000) DIV 20000000, (lon1 + 180000000) DIV 20000000)")))
+      .withColumn("cy", explode(expr(
+        "sequence((lat0 + 90000000) DIV 20000000, (lat1 + 90000000) DIV 20000000)")))
+      .withColumn("cell", expr("cx * 100 + cy"))
+      .select("box_id", "lat0", "lat1", "lon0", "lon1", "cell")
+    val hits = cells.join(pts, "cell")
+      .filter(expr("lat BETWEEN lat0 AND lat1 AND lon BETWEEN lon0 AND lon1"))
+      .groupBy("box_id")
+      .agg(count(lit(1)).as("n_points"), min("user_id").as("first_user"),
+        max("user_id").as("last_user"))
+    boxes.join(hits, Seq("box_id"), "left_outer")
+      .select(col("box_id"), col("lat0"), col("lat1"), col("lon0"), col("lon1"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        col("first_user"), col("last_user"))
+      .orderBy("box_id")
+  }, Some(s"""WITH $geoPointsSql,
+    pt AS (SELECT user_id, lat, lon,
+        ((lon + 180000000) // 20000000) * 100 + (lat + 90000000) // 20000000 AS cell
+      FROM p),
+    bx AS (SELECT range AS box_id,
+        CAST('0x' || substr(md5('blat' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 140000000 - 70000000 AS clat,
+        CAST('0x' || substr(md5('blon' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 320000000 - 160000000 AS clon,
+        (5 + range % 11) * 1000000 AS hw
+      FROM range(24)),
+    bb AS (SELECT box_id, clat - hw AS lat0, clat + hw AS lat1,
+        clon - hw AS lon0, clon + hw AS lon1 FROM bx),
+    cl AS (SELECT box_id, lat0, lat1, lon0, lon1, cx.x * 100 + cy.x AS cell
+      FROM bb,
+        LATERAL (SELECT unnest(range((lon0 + 180000000) // 20000000,
+          (lon1 + 180000000) // 20000000 + 1)) AS x) cx,
+        LATERAL (SELECT unnest(range((lat0 + 90000000) // 20000000,
+          (lat1 + 90000000) // 20000000 + 1)) AS x) cy),
+    m AS (SELECT box_id, count(*)::BIGINT AS n_points,
+        min(user_id) AS first_user, max(user_id) AS last_user
+      FROM cl JOIN pt USING (cell)
+      WHERE lat BETWEEN lat0 AND lat1 AND lon BETWEEN lon0 AND lon1
+      GROUP BY box_id)
+    SELECT bb.box_id, lat0, lat1, lon0, lon1,
+      coalesce(n_points, 0)::BIGINT AS n_points, first_user, last_user
+    FROM bb LEFT JOIN m USING (box_id) ORDER BY box_id"""))
 
   /** Canonical-geohash spatial rollup — the partition-key pyramid every
     * spatial lakehouse table buckets by: each point encodes to its
