@@ -29,7 +29,7 @@ object Dedup {
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
-    lshBands, prefixFilter, urlCanonical, dedupRateBySource)
+    lshBands, prefixFilter, urlCanonical, dedupRateBySource, symspell)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -1315,4 +1315,117 @@ object Dedup {
     FROM c GROUP BY 1 HAVING count(*) >= 2
     ORDER BY n_dups DESC, canonical_url LIMIT 50"""
   })
+
+  /** SymSpell-style deletion-neighborhood fuzzy dedup (Garbe's public
+    * symmetric-delete algorithm, lifted from characters to TOKENS): two
+    * docs whose 8-token prefixes are within token-edit-distance 1 are
+    * found WITHOUT an all-pairs scan by joining single-deletion
+    * variants — `del_p(a) = full(b)` proves an insert/delete edit, and
+    * `del_p(a) = del_p(b)` at the SAME position p with different full
+    * strings proves exactly one substitution. Both tests are pure
+    * equi-joins on the md5-derived 60-bit key, so candidate volume is
+    * Σ bucket², df-capped at 128 per variant bucket (QUALIFY twin) —
+    * the blocking scheme that replaces O(n²) edit-distance at corpus
+    * scale. Ground truth is PLANTED (the ann_recall_eval pattern): each
+    * doc_id % 5 = 0 doc gets a substitution variant (+1,000,000, token
+    * at doc_id%8+1 replaced with out-of-vocab 'xq'), each doc_id % 7 = 0
+    * doc a deletion variant (+2,000,000), derived identically in both
+    * engines, so the pair list is non-trivial and self-verifying.
+    * Pair kinds collapse per (a,b) to the strongest claim
+    * (dup < del < sub).
+    */
+  val symspell: Q = Q("dedup_symspell", (s, dir) => {
+    graft.expressions.Md5Hash60.register(s)
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("slice(filter(split(text, ' '), x -> x <> ''), 1, 8)").as("t"))
+      .filter(size(col("t")) === 8)
+    val subVar = toks.filter(expr("doc_id % 5 = 0"))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(slice(t, 1, CAST(doc_id % 8 AS INT)), array('xq'), " +
+          "slice(t, CAST(doc_id % 8 AS INT) + 2, 7 - CAST(doc_id % 8 AS INT)))").as("t"))
+    val delVar = toks.filter(expr("doc_id % 7 = 0"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("concat(slice(t, 1, CAST(doc_id % 8 AS INT)), " +
+          "slice(t, CAST(doc_id % 8 AS INT) + 2, 7 - CAST(doc_id % 8 AS INT)))").as("t"))
+    val corpus = toks.unionAll(subVar).unionAll(delVar)
+    val posts = corpus
+      .select(col("doc_id").as("id"), col("t"),
+        explode(expr("sequence(0, size(t))")).as("p"))
+      .select(col("id"), col("p"),
+        expr("CASE WHEN p = 0 THEN array_join(t, ' ') ELSE array_join(" +
+          "concat(slice(t, 1, p - 1), slice(t, p + 1, size(t) - p)), ' ') END").as("v"),
+        expr("array_join(t, ' ')").as("f"))
+      .select(col("id"), col("p"),
+        expr("graft_h60(v)").as("vh"), expr("graft_h60(f)").as("fh"))
+    val capped = graft.ops.Scale.capGroups(posts, "vh", 128)
+    val lhs = capped.select(col("id").as("ia"), col("p").as("pa"),
+      col("vh"), col("fh").as("fa"))
+    val rhs = capped.select(col("id").as("ib"), col("p").as("pb"),
+      col("vh").as("vhb"), col("fh").as("fb"))
+    val dup = lhs.filter(col("pa") === 0)
+      .join(rhs.filter(col("pb") === 0), col("vh") === col("vhb"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), lit(0).as("r"))
+    val del = lhs.filter(col("pa") > 0)
+      .join(rhs.filter(col("pb") === 0), col("vh") === col("vhb"))
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"), lit(1).as("r"))
+    val sub = lhs.filter(col("pa") > 0)
+      .join(rhs.filter(col("pb") > 0),
+        col("vh") === col("vhb") && col("pa") === col("pb"))
+      .filter(col("ia") < col("ib") && col("fa") =!= col("fb"))
+      .select(col("ia"), col("ib"), lit(2).as("r"))
+    dup.unionAll(del).unionAll(sub)
+      .groupBy("ia", "ib").agg(min("r").as("r"))
+      .select(col("ia").as("a"), col("ib").as("b"),
+        expr("CASE r WHEN 0 THEN 'dup' WHEN 1 THEN 'del' ELSE 'sub' END").as("kind"))
+      .orderBy("a", "b")
+  }, Some("""WITH toks AS (
+      SELECT doc_id, tf[1:8] AS t
+      FROM (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS tf
+        FROM documents)
+      WHERE len(tf) >= 8),
+    corp AS (
+      SELECT doc_id, t FROM toks
+      UNION ALL
+      SELECT doc_id + 1000000,
+        list_concat(list_concat(t[1:CAST(doc_id % 8 AS INT)], ['xq']),
+          t[CAST(doc_id % 8 AS INT) + 2:8])
+      FROM toks WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000,
+        list_concat(t[1:CAST(doc_id % 8 AS INT)], t[CAST(doc_id % 8 AS INT) + 2:8])
+      FROM toks WHERE doc_id % 7 = 0),
+    pos0 AS (SELECT doc_id AS id, t,
+        unnest(list_transform(range(0, len(t) + 1), i -> CAST(i AS INT))) AS p
+      FROM corp),
+    postsv AS (SELECT id, p,
+        CASE WHEN p = 0 THEN array_to_string(t, ' ')
+             ELSE array_to_string(list_concat(t[1:p - 1], t[p + 1:len(t)]), ' ')
+        END AS v,
+        array_to_string(t, ' ') AS f
+      FROM pos0),
+    posts AS (SELECT id, p,
+        CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS vh,
+        CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) AS fh
+      FROM postsv),
+    capped AS (SELECT * FROM posts
+      QUALIFY count(*) OVER (PARTITION BY vh) <= 128),
+    dup AS (SELECT a.id AS ia, b.id AS ib, 0 AS r
+      FROM capped a JOIN capped b ON a.vh = b.vh
+      WHERE a.p = 0 AND b.p = 0 AND a.id < b.id),
+    del AS (SELECT least(a.id, b.id) AS ia, greatest(a.id, b.id) AS ib, 1 AS r
+      FROM capped a JOIN capped b ON a.vh = b.vh
+      WHERE a.p > 0 AND b.p = 0 AND a.id <> b.id),
+    sub AS (SELECT a.id AS ia, b.id AS ib, 2 AS r
+      FROM capped a JOIN capped b ON a.vh = b.vh AND a.p = b.p
+      WHERE a.p > 0 AND a.id < b.id AND a.fh <> b.fh),
+    u AS (SELECT * FROM dup UNION ALL SELECT * FROM del
+      UNION ALL SELECT * FROM sub)
+    SELECT ia AS a, ib AS b,
+      CASE min(r) WHEN 0 THEN 'dup' WHEN 1 THEN 'del' ELSE 'sub' END AS kind
+    FROM u GROUP BY ia, ib ORDER BY a, b"""))
 }
