@@ -53,7 +53,7 @@ object Analytics {
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qGeoKnnCells,
-    qGeohashGrid, qGeoBboxJoin)
+    qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1075,6 +1075,115 @@ object Analytics {
     SELECT substr(gh6, 1, 4) AS gh4, count(*)::BIGINT AS n_points,
       count(DISTINCT gh6)::BIGINT AS n_cells, min(user_id) AS first_user
     FROM h GROUP BY 1 ORDER BY n_points DESC, gh4 LIMIT 50"""
+  })
+
+  /** Point-in-POLYGON containment join — the general-shape geofence
+    * operator one step up from [[qGeoBboxJoin]]'s rectangles: 16
+    * deterministic CONCAVE star polygons (12 vertices, alternating
+    * outer/inner radii — concavity is what separates ray casting from
+    * a bbox test), candidate points found through the same covered-cell
+    * grid index, containment decided by exact integer ray casting
+    * (pnpoly crossing parity with the division cleared by
+    * cross-multiplication, sign-split on the edge direction — zero
+    * float ops, so both engines agree on every boundary). Scale shape:
+    * cells explode is bounded (≤ 4×4 per polygon), the candidate join
+    * is keyed on the cell id, the edge join fans each candidate out
+    * ×12 (a constant), and the parity vote is one keyed aggregate —
+    * shuffle volume is candidates·|edges|, never points·polygons.
+    */
+  val qGeoPolygonTag: Q = Q("geo_polygon_tag", (s, dir) => {
+    val ox = "array(100, 35, 50, 0, -50, -35, -100, -35, -50, 0, 50, 35)"
+    val oy = "array(0, 20, 87, 40, 87, 20, 0, -20, -87, -40, -87, -20)"
+    val pts = geoPoints(s, dir)
+      .select(col("user_id"), col("lat").as("py"), col("lon").as("px"),
+        expr("((lon + 180000000) DIV 20000000) * 100 + (lat + 90000000) DIV 20000000")
+          .as("cell"))
+    val polys = s.range(16).select(col("id").as("poly_id"))
+      .withColumn("clat", expr("CAST(conv(substr(md5(concat('plat', " +
+        "CAST(poly_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100000000 - 50000000"))
+      .withColumn("clon", expr("CAST(conv(substr(md5(concat('plon', " +
+        "CAST(poly_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 240000000 - 120000000"))
+      .withColumn("sc", expr("(1 + poly_id % 3) * 100000"))
+    val bb = polys
+      .withColumn("lon0", expr("clon - 100 * sc")).withColumn("lon1", expr("clon + 100 * sc"))
+      .withColumn("lat0", expr("clat - 87 * sc")).withColumn("lat1", expr("clat + 87 * sc"))
+    val cells = bb
+      .withColumn("cx", explode(expr(
+        "sequence((lon0 + 180000000) DIV 20000000, (lon1 + 180000000) DIV 20000000)")))
+      .withColumn("cy", explode(expr(
+        "sequence((lat0 + 90000000) DIV 20000000, (lat1 + 90000000) DIV 20000000)")))
+      .select(col("poly_id"), col("lat0"), col("lat1"), col("lon0"), col("lon1"),
+        expr("cx * 100 + cy").as("cell"))
+    val cand = cells.join(pts, "cell")
+      .filter(expr("px BETWEEN lon0 AND lon1 AND py BETWEEN lat0 AND lat1"))
+      .select("poly_id", "user_id", "px", "py")
+    val edges = polys
+      .withColumn("i", explode(expr("sequence(0, 11)")))
+      .select(col("poly_id"),
+        expr(s"clon + element_at($ox, i + 1) * sc").as("x1"),
+        expr(s"clat + element_at($oy, i + 1) * sc").as("y1"),
+        expr(s"clon + element_at($ox, CAST((i + 1) % 12 AS INT) + 1) * sc").as("x2"),
+        expr(s"clat + element_at($oy, CAST((i + 1) % 12 AS INT) + 1) * sc").as("y2"))
+    val parity = cand.join(edges, "poly_id")
+      .groupBy("poly_id", "user_id")
+      .agg(sum(expr("""CASE WHEN (y1 > py) != (y2 > py)
+          AND ((y2 > y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0)
+            OR (y2 < y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0))
+        THEN 1 ELSE 0 END""")).as("nc"))
+    val inside = parity.filter(expr("nc % 2 = 1"))
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_inside"), min("user_id").as("first_user"),
+        max("user_id").as("last_user"))
+    polys.join(inside, Seq("poly_id"), "left_outer")
+      .select(col("poly_id"), col("clat"), col("clon"), col("sc"),
+        coalesce(col("n_inside"), lit(0L)).as("n_inside"),
+        col("first_user"), col("last_user"))
+      .orderBy("poly_id")
+  }, Some {
+    val ox = "[100, 35, 50, 0, -50, -35, -100, -35, -50, 0, 50, 35]"
+    val oy = "[0, 20, 87, 40, 87, 20, 0, -20, -87, -40, -87, -20]"
+    s"""WITH $geoPointsSql,
+    pt AS (SELECT user_id, lat AS py, lon AS px,
+        ((lon + 180000000) // 20000000) * 100 + (lat + 90000000) // 20000000 AS cell
+      FROM p),
+    pg AS (SELECT range AS poly_id,
+        CAST('0x' || substr(md5('plat' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 100000000 - 50000000 AS clat,
+        CAST('0x' || substr(md5('plon' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 240000000 - 120000000 AS clon,
+        (1 + range % 3) * 100000 AS sc
+      FROM range(16)),
+    bb AS (SELECT *, clon - 100 * sc AS lon0, clon + 100 * sc AS lon1,
+        clat - 87 * sc AS lat0, clat + 87 * sc AS lat1 FROM pg),
+    cl AS (SELECT poly_id, lat0, lat1, lon0, lon1, cx.x * 100 + cy.x AS cell
+      FROM bb,
+        LATERAL (SELECT unnest(range((lon0 + 180000000) // 20000000,
+          (lon1 + 180000000) // 20000000 + 1)) AS x) cx,
+        LATERAL (SELECT unnest(range((lat0 + 90000000) // 20000000,
+          (lat1 + 90000000) // 20000000 + 1)) AS x) cy),
+    cand AS (SELECT poly_id, user_id, px, py
+      FROM cl JOIN pt USING (cell)
+      WHERE px BETWEEN lon0 AND lon1 AND py BETWEEN lat0 AND lat1),
+    eg AS (SELECT poly_id, clat, clon, sc,
+        unnest(list_transform(range(0, 12), i -> CAST(i AS INT))) AS i FROM pg),
+    ed AS (SELECT poly_id,
+        clon + $ox[i + 1] * sc AS x1, clat + $oy[i + 1] * sc AS y1,
+        clon + $ox[CAST((i + 1) % 12 AS INT) + 1] * sc AS x2,
+        clat + $oy[CAST((i + 1) % 12 AS INT) + 1] * sc AS y2
+      FROM eg),
+    ct AS (SELECT c.poly_id, c.user_id,
+        sum(CASE WHEN (y1 > py) <> (y2 > py)
+            AND ((y2 > y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0)
+              OR (y2 < y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0))
+          THEN 1 ELSE 0 END) AS nc
+      FROM cand c JOIN ed USING (poly_id)
+      GROUP BY c.poly_id, c.user_id),
+    ins AS (SELECT poly_id, count(*)::BIGINT AS n_inside,
+        min(user_id) AS first_user, max(user_id) AS last_user
+      FROM ct WHERE nc % 2 = 1 GROUP BY poly_id)
+    SELECT pg.poly_id, clat, clon, sc,
+      coalesce(n_inside, 0)::BIGINT AS n_inside, first_user, last_user
+    FROM pg LEFT JOIN ins USING (poly_id) ORDER BY poly_id"""
   })
 
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {
