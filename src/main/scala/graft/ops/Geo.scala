@@ -49,4 +49,123 @@ object Geo {
     (0 to 5).map { j =>
       s"substr('$Alphabet', CAST((($bits) >> ${25 - 5 * j}) & 31 AS INT) + 1, 1)"
     }.mkString(" || ")
+
+  // --- Fixed-point CORDIC trigonometry (great-circle support) ---------
+  //
+  // The public CORDIC rotation-mode algorithm (Volder 1959) unrolled in
+  // pure BIGINT arithmetic shared by both engines: conditional
+  // add/subtract with arithmetic right-shifts (cross-engine identical —
+  // both Spark and DuckDB shift arithmetically) and an arctan literal
+  // table in NANO-degrees. No libm call ever runs inside a query, so
+  // Spark and the DuckDB oracle produce bit-identical sin/cos — float
+  // trig could never promise that. Scale 2^29 keeps the 3-term chord²
+  // sum at ≤ 3·(2·2^29)² ≈ 3.5e18, inside ANSI BIGINT.
+
+  /** Fixed-point scale exponent for CORDIC outputs (values in
+    * [-2^29, 2^29] represent [-1.0, 1.0]).
+    */
+  val CordicScaleBits = 29
+  val CordicIters = 30
+
+  /** atan(2^-i) in nano-degrees, the per-iteration rotation angles.
+    * Computed once with StrictMath (platform-pinned) and interpolated
+    * as LITERALS into both dialects — the engines never run atan.
+    */
+  val AtanNano: IndexedSeq[Long] = (0 until CordicIters).map { i =>
+    Math.round(StrictMath.atan(StrictMath.pow(2.0, -i)) * 180.0 / StrictMath.PI * 1e9)
+  }.toIndexedSeq
+
+  /** x0 = K·2^29 where K = Π 1/sqrt(1+2^-2i) is the CORDIC gain — the
+    * pre-scaled start vector so the rotated result lands at scale 2^29.
+    */
+  val CordicX0: Long = {
+    val k = (0 until CordicIters)
+      .map(i => 1.0 / StrictMath.sqrt(1.0 + StrictMath.pow(2.0, -2 * i))).product
+    Math.round(k * (1L << CordicScaleBits))
+  }
+
+  /** Staged (colName → common-dialect SQL) steps computing cos/sin of
+    * the MICRO-degree BIGINT angle column `aCol` into `<px>c` / `<px>s`
+    * at scale 2^29. Stage boundaries are reference boundaries: each
+    * stage's expressions only read columns from earlier stages, so the
+    * stages map 1:1 onto Spark `withColumn` order and DuckDB CTE links.
+    * Quadrant pre-reduction folds |a| > 90° into the CORDIC convergence
+    * range (Σ atan ≈ 99.88°): cos(a) = -cos(180°−|a|)·sign-split,
+    * sin unchanged — exact for the full ±180° input range.
+    *
+    * `aCol` must be a NON-FOLDABLE column (a scan/range attribute). A
+    * literal input makes every stage expression foldable, which
+    * CollapseProject counts as "cheap" and inlines through all ~36
+    * stages — the substituted tree is exponential and the optimizer
+    * spins for minutes (measured in GeoSpec). Wrap constants in a
+    * one-row LocalRelation (`Seq(x).toDF`) instead.
+    */
+  def cordicStages(px: String, aCol: String): Seq[Seq[(String, String)]] = {
+    val pre = Seq(
+      Seq(s"${px}an" -> s"($aCol) * 1000"),
+      Seq(
+        s"${px}r" -> (s"CASE WHEN ${px}an > 90000000000 THEN 180000000000 - ${px}an " +
+          s"WHEN ${px}an < -90000000000 THEN -180000000000 - ${px}an ELSE ${px}an END"),
+        s"${px}g" -> (s"CASE WHEN ${px}an > 90000000000 OR ${px}an < -90000000000 " +
+          "THEN -1 ELSE 1 END")),
+      Seq(
+        s"${px}x0" -> s"CAST($CordicX0 AS BIGINT)",
+        s"${px}y0" -> s"CAST(0 AS BIGINT)",
+        s"${px}z0" -> s"${px}r"))
+    val iters = (0 until CordicIters).map { i =>
+      Seq(
+        s"${px}x${i + 1}" -> (s"CASE WHEN ${px}z$i >= 0 THEN ${px}x$i - (${px}y$i >> $i) " +
+          s"ELSE ${px}x$i + (${px}y$i >> $i) END"),
+        s"${px}y${i + 1}" -> (s"CASE WHEN ${px}z$i >= 0 THEN ${px}y$i + (${px}x$i >> $i) " +
+          s"ELSE ${px}y$i - (${px}x$i >> $i) END"),
+        s"${px}z${i + 1}" -> (s"CASE WHEN ${px}z$i >= 0 THEN ${px}z$i - ${AtanNano(i)} " +
+          s"ELSE ${px}z$i + ${AtanNano(i)} END"))
+    }
+    val fin = Seq(Seq(
+      s"${px}c" -> s"${px}g * ${px}x$CordicIters",
+      s"${px}s" -> s"${px}y$CordicIters"))
+    pre ++ iters ++ fin
+  }
+
+  /** Staged steps for the 2^29-scaled unit 3-vector of (`latCol`,
+    * `lonCol`) micro-degree columns into `<px>ux/<px>uy/<px>uz`
+    * (x toward lon 0, z toward the pole). The two angle chains advance
+    * in the SAME stages so the DuckDB CTE chain stays ~36 links.
+    * Chord² between two such vectors is monotone in great-circle
+    * distance (chord = 2·sin(angle/2)) — nearest-site ranking needs no
+    * inverse trig.
+    */
+  def unitVectorStages(px: String, latCol: String, lonCol: String): Seq[Seq[(String, String)]] = {
+    val a = cordicStages(px + "t", latCol)
+    val b = cordicStages(px + "n", lonCol)
+    a.zip(b).map { case (s1, s2) => s1 ++ s2 } :+ Seq(
+      s"${px}ux" -> s"(${px}tc * ${px}nc) >> $CordicScaleBits",
+      s"${px}uy" -> s"(${px}tc * ${px}ns) >> $CordicScaleBits",
+      s"${px}uz" -> s"${px}ts")
+  }
+
+  /** Apply staged steps to a DataFrame, ONE `selectExpr("*", …)` per
+    * stage — never one `withColumn` per column: each withColumn
+    * re-analyzes the whole accumulated plan, and ~200 of them over a
+    * ~200-column schema costs MINUTES of driver-side analysis (measured
+    * on the first GeoSpec run); 36 stage-batched selects are instant.
+    */
+  def applyStages(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[Seq[(String, String)]]): org.apache.spark.sql.DataFrame =
+    stages.foldLeft(df) { (d, st) =>
+      d.selectExpr("*" +: st.map { case (n, e) => s"$e AS $n" }: _*)
+    }
+
+  /** DuckDB CTE chain applying `stages` over the CTE `src`: returns the
+    * comma-joined CTE definitions and the final CTE's name.
+    */
+  def duckStageChain(prefix: String, src: String,
+      stages: Seq[Seq[(String, String)]]): (String, String) = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      val from = if (i == 0) src else s"$prefix${i - 1}"
+      s"$prefix$i AS (SELECT *, " +
+        st.map { case (n, e) => s"$e AS $n" }.mkString(", ") + s" FROM $from)"
+    }
+    (ctes.mkString(",\n    "), s"$prefix${stages.length - 1}")
+  }
 }

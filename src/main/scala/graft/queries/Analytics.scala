@@ -53,7 +53,7 @@ object Analytics {
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qGeoKnnCells,
-    qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag)
+    qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1184,6 +1184,80 @@ object Analytics {
     SELECT pg.poly_id, clat, clon, sc,
       coalesce(n_inside, 0)::BIGINT AS n_inside, first_user, last_user
     FROM pg LEFT JOIN ins USING (poly_id) ORDER BY poly_id"""
+  })
+
+  /** GREAT-CIRCLE nearest-site assignment — the spherical upgrade of
+    * [[qGeoKnnCells]]' planar distances, with the trig done in
+    * fixed-point CORDIC ([[graft.ops.Geo.cordicStages]]): every point
+    * and each of 8 reference sites becomes a 2^29-scaled unit 3-vector
+    * through the SAME unrolled integer rotation chain in both engines
+    * (the arctan table rides as literals — no libm call ever runs in a
+    * query), and the chord² between unit vectors ranks nearest sites
+    * exactly (chord is monotone in central angle, so no inverse trig is
+    * needed). Output: per site, the census of points it is nearest to.
+    * Scale shape: the CORDIC chain is ~190 pure per-row BIGINT
+    * expressions inside one codegen pipeline (zero shuffle), the site
+    * table broadcasts (8 rows), the argmin is one keyed aggregate —
+    * at 100 TB this is a map-only pass plus one small shuffle.
+    */
+  val qGeoGreatCircle: Q = Q("geo_greatcircle", (s, dir) => {
+    import graft.ops.Geo
+    val pts = Geo.applyStages(geoPoints(s, dir),
+        Geo.unitVectorStages("p", "lat", "lon"))
+      .select(col("user_id"), col("pux"), col("puy"), col("puz"))
+    val refs0 = s.range(8).select(col("id").as("ref_id"))
+      .withColumn("rlat", expr("CAST(conv(substr(md5(concat('rlat', " +
+        "CAST(ref_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 160000000 - 80000000"))
+      .withColumn("rlon", expr("CAST(conv(substr(md5(concat('rlon', " +
+        "CAST(ref_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000"))
+    val refs = Geo.applyStages(refs0, Geo.unitVectorStages("r", "rlat", "rlon"))
+      .select(col("ref_id"), col("rlat"), col("rlon"),
+        col("rux"), col("ruy"), col("ruz"))
+    val nearest = pts.crossJoin(broadcast(refs))
+      .withColumn("chord2", expr("(pux - rux) * (pux - rux) + " +
+        "(puy - ruy) * (puy - ruy) + (puz - ruz) * (puz - ruz)"))
+      .groupBy("user_id")
+      .agg(min(struct(col("chord2"), col("ref_id"))).as("mn"))
+      .select(col("mn.ref_id").as("ref_id"), col("mn.chord2").as("chord2"))
+    val census = nearest.groupBy("ref_id")
+      .agg(count(lit(1)).as("n_points"), min("chord2").as("min_chord2"),
+        max("chord2").as("max_chord2"))
+    refs.select("ref_id", "rlat", "rlon")
+      .join(census, Seq("ref_id"), "left_outer")
+      .select(col("ref_id"), col("rlat"), col("rlon"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"),
+        col("min_chord2"), col("max_chord2"))
+      .orderBy("ref_id")
+  }, Some {
+    import graft.ops.Geo
+    val (ptChain, ptLast) = Geo.duckStageChain("gp", "p",
+      Geo.unitVectorStages("p", "lat", "lon"))
+    val (rfChain, rfLast) = Geo.duckStageChain("gr", "rr",
+      Geo.unitVectorStages("r", "rlat", "rlon"))
+    s"""WITH $geoPointsSql,
+    $ptChain,
+    rr AS (SELECT range AS ref_id,
+        CAST('0x' || substr(md5('rlat' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 160000000 - 80000000 AS rlat,
+        CAST('0x' || substr(md5('rlon' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 360000000 - 180000000 AS rlon
+      FROM range(8)),
+    $rfChain,
+    pv AS (SELECT user_id, pux, puy, puz FROM $ptLast),
+    rv AS (SELECT ref_id, rlat, rlon, rux, ruy, ruz FROM $rfLast),
+    nr AS (SELECT ref_id, chord2 FROM (
+        SELECT user_id, ref_id,
+          (pux - rux) * (pux - rux) + (puy - ruy) * (puy - ruy)
+            + (puz - ruz) * (puz - ruz) AS chord2
+        FROM pv, rv)
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY chord2, ref_id) = 1),
+    cs AS (SELECT ref_id, count(*)::BIGINT AS n_points,
+        min(chord2) AS min_chord2, max(chord2) AS max_chord2
+      FROM nr GROUP BY ref_id)
+    SELECT rv.ref_id, rlat, rlon, coalesce(n_points, 0)::BIGINT AS n_points,
+      min_chord2, max_chord2
+    FROM rv LEFT JOIN cs USING (ref_id) ORDER BY rv.ref_id"""
   })
 
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {

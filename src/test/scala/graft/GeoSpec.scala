@@ -52,4 +52,69 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Geo.Alphabet == "0123456789bcdefghjkmnpqrstuvwxyz")
     assert(!"ailo".exists(graft.ops.Geo.Alphabet.contains(_: Char)))
   }
+
+  // --- fixed-point CORDIC: grade against REAL trig, not just parity ---
+
+  /** (cos, sin) at scale 2^29 for a micro-degree angle, through the
+    * same staged SQL the queries use.
+    */
+  /** The angle arrives as a LocalRelation ATTRIBUTE, never a literal: a
+    * foldable input makes CollapseProject treat every stage expression
+    * as "cheap", inline the whole 36-stage chain, and walk the
+    * exponentially substituted tree — the optimizer spins for minutes
+    * (observed: 13+ min on one literal input). Query inputs are always
+    * scan/range attributes, so only tests can hit this.
+    */
+  private def cordic(microDeg: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = graft.ops.Geo.applyStages(
+        Seq(microDeg).toDF("a"),
+        graft.ops.Geo.cordicStages("q", "a"))
+      .select(col("qc"), col("qs")).collect()(0)
+    (df.getLong(0), df.getLong(1))
+  }
+
+  test("CORDIC cos/sin track StrictMath within 1e-6 across the full ±180° range") {
+    import org.apache.spark.sql.functions.col
+    val S = (1L << graft.ops.Geo.CordicScaleBits).toDouble
+    // includes both quadrant-reduction branches and the convergence edge
+    val degs = Seq(0.0, 30.0, 45.0, 60.0, 89.9, 90.0, 120.0, 179.9,
+      -30.0, -90.0, -120.0, -179.9, 57.64911, -25.382708)
+    import spark.implicits._
+    val in = degs.map(d => Math.round(d * 1e6)).toDF("a")
+    val out = graft.ops.Geo.applyStages(in, graft.ops.Geo.cordicStages("q", "a"))
+      .select(col("a"), col("qc"), col("qs")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    degs.foreach { d =>
+      val (c, s) = out(Math.round(d * 1e6))
+      val rad = StrictMath.toRadians(d)
+      assert(Math.abs(c / S - StrictMath.cos(rad)) < 1e-6, s"cos($d): $c")
+      assert(Math.abs(s / S - StrictMath.sin(rad)) < 1e-6, s"sin($d): $s")
+    }
+  }
+
+  test("CORDIC exact anchors: cos(60°)=1/2 and sin(90°)=1 to fixed-point noise") {
+    val S = 1L << graft.ops.Geo.CordicScaleBits
+    val (c60, _) = cordic(60000000L)
+    assert(Math.abs(c60 - S / 2) < 600, s"cos60=$c60 vs ${S / 2}")
+    val (_, s90) = cordic(90000000L)
+    assert(Math.abs(s90 - S) < 600, s"sin90=$s90 vs $S")
+  }
+
+  test("unit vectors have unit norm at scale 2^29 (great-circle precondition)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val S = (1L << graft.ops.Geo.CordicScaleBits).toDouble
+    val pts = spark.range(40).selectExpr("id",
+      "CAST(conv(substr(md5(concat('lat', CAST(id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 180000000 - 90000000 AS lat",
+      "CAST(conv(substr(md5(concat('lon', CAST(id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000 AS lon")
+    val uv = graft.ops.Geo.applyStages(pts,
+        graft.ops.Geo.unitVectorStages("p", "lat", "lon"))
+      .select(col("pux"), col("puy"), col("puz")).collect()
+    uv.foreach { r =>
+      val n2 = (r.getLong(0) * r.getLong(0) + r.getLong(1) * r.getLong(1)
+        + r.getLong(2) * r.getLong(2)) / (S * S)
+      assert(Math.abs(n2 - 1.0) < 1e-5, s"norm²=$n2 for $r")
+    }
+  }
 }
