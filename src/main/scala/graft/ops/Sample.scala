@@ -120,12 +120,23 @@ object Sample {
       idCol: String,
       weightCol: String,
       k: Int,
-      salt: String = "prio"): DataFrame = {
+      salt: String = "prio"): DataFrame =
+    prioritized(df, idCol, weightCol, salt)
+      .orderBy(desc("priority"), asc(idCol)).limit(k)
+
+  /** The scoring half of [[priorityWeighted]] without the top-k cut —
+    * adds `h` and `priority`. Shared with the streaming
+    * [[graft.streaming.BottomKProcessor]] twin so the stream and the
+    * batch sample score through the SAME expression and cannot drift.
+    */
+  def prioritized(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      salt: String = "prio"): DataFrame =
     df.withColumn("h", hashOrder(col(idCol), salt) % PriorityModulus)
       .withColumn("priority",
         expr(s"CAST($weightCol AS BIGINT) * ${PriorityScale}L DIV (h + 1)"))
-      .orderBy(desc("priority"), asc(idCol)).limit(k)
-  }
 
   /** Prime modulus of the uniform draw and the reciprocal scale —
     * shared with the emitted oracle twins. */

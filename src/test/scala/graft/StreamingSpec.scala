@@ -2271,6 +2271,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("BottomKProcessor equals the batch priority sample bit-for-bit across micro-batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_bk").toFile
+    val k = 100
+    // score through the SHARED expression, then stream the scored rows
+    val docs = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val scored = graft.ops.Sample.prioritized(docs, "doc_id", "n_chars")
+      .select(col("doc_id"), col("priority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val (b1, b2) = scored.splitAt(scored.length / 3)
+    def fmt(rs: Array[(Long, Long)]): Array[Byte] =
+      rs.map(r => s"all|${r._1}|${r._2}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split('|'); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.BottomKProcessor(spark, src, k)
+      .toDF("key", "doc_id", "priority", "rank")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_bk_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // the LAST emitted generation: re-emits overwrite ranks, so take
+      // each rank's final doc — memory sink keeps all batches, dedupe
+      // by keeping the last occurrence per rank
+      val rowsOut = spark.sql("SELECT doc_id, priority, rank FROM graft_bk_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lastGen = rowsOut.zipWithIndex
+        .groupBy(_._1._3).map { case (rank, xs) => rank -> xs.maxBy(_._2)._1 }
+        .toSeq.sortBy(_._1).map { case (_, (id, p, _)) => (id, p) }
+      val want = graft.ops.Sample.priorityWeighted(docs, "doc_id", "n_chars", k)
+        .select(col("doc_id"), col("priority"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(lastGen == want, s"stream sample diverged: ${lastGen.take(5)} vs ${want.take(5)}")
+    } finally q.stop()
+  }
+
   test("KmvProcessor matches the batch sketch_kmv estimate EXACTLY across micro-batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
