@@ -1929,7 +1929,7 @@ object Analytics {
     val tot = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
     val a = li.select(col("ok"), col("pk").as("pa"))
     val b = li.select(col("ok"), col("pk").as("pb"))
-    a.join(b, "ok").filter(col("pa") < col("pb"))
+    a.hint("shuffle_hash").join(b, "ok").filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
       .join(broadcast(supp.select(col("pk").as("pa"), col("n_p").as("n_a"))), "pa")
       .join(broadcast(supp.select(col("pk").as("pb"), col("n_p").as("n_b"))), "pb")

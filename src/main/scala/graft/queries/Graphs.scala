@@ -874,7 +874,7 @@ object Graphs {
     // eg feeds BOTH union directions and ac feeds BOTH wedge-join sides
     // — persist each or the order-pair join / degree-cap window re-run
     // per consumer (the dedup_lsh_eval shared-subtree rule)
-    val eg = bc.select(col("o"), col("p").as("pa"))
+    val eg = bc.select(col("o"), col("p").as("pa")).hint("shuffle_hash")
       .join(bc.select(col("o"), col("p").as("pb")), "o")
       .filter(col("pa") < col("pb"))
       .select("pa", "pb").distinct().persist()
