@@ -52,7 +52,7 @@ object Analytics {
     q8MarketShare, q21WaitingShape, qAbWelch, qAbCuped,
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
-    qHbosOutliers, qCompactionPlan, qZonemapSkip, qGeoKnnCells,
+    qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
     qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle)
 
   /** Ordered funnel — users progressing signup → click → purchase with
@@ -839,6 +839,105 @@ object Analytics {
       n_files_z, scan_z,
       (n_files_z - scan_z) * 10000 // n_files_z AS skip_z_bp
     FROM sn JOIN sz USING (rect_id) ORDER BY rect_id"""
+  })
+
+  /** BLOOM-filter data-skipping evaluation — the POINT-LOOKUP companion
+    * to [[qZonemapSkip]]'s range rectangles: zone maps skip nothing for
+    * a point probe on an un-clustered column (every file's [min,max]
+    * straddles most keys), which is exactly why lakehouse formats add
+    * per-file bloom filters. Each synthetic file (contiguous orderkey
+    * ranges) folds its partkeys into a 256-bit bloom (k=3 md5-derived
+    * positions, bit words OR-aggregated into 4 BIGINTs — the same
+    * metadata a parquet bloom stores); 32 deterministic probe keys then
+    * replay against (a) the zone map, (b) the bloom, (c) the exact
+    * membership, giving per-probe skip rates and the bloom's actual
+    * false-positive count. Pure integer bit arithmetic both engines
+    * (BIGINT shifts are arithmetic in both; the OR-fold is bit_or).
+    * Scale shape: one per-file aggregate (metadata-sized), a bounded
+    * #files×32 broadcast cross, one semi-aggregate for exact truth.
+    */
+  val qBloomSkip: Q = Q("layout_bloom_skip", (s, dir) => {
+    def posE(salt: String, key: String): String =
+      s"CAST(conv(substr(md5(concat('$salt', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT) % 252"
+    def wordE(salt: String, key: String, w: Int): String = {
+      val p = posE(salt, key)
+      s"CASE WHEN $p DIV 63 = $w THEN CAST(1 AS BIGINT) << ($p % 63) ELSE CAST(0 AS BIGINT) END"
+    }
+    def hitE(salt: String, key: String): String = {
+      val p = posE(salt, key)
+      s"((CASE $p DIV 63 WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END >> ($p % 63)) & 1) = 1"
+    }
+    val li = Tables.t(s, dir, "lineitem")
+      .select(expr("l_orderkey DIV 8").as("f"), col("l_partkey").as("pk"))
+    val blooms = li.groupBy("f").agg(
+      expr(s"bit_or(${wordE("bl1", "pk", 0)} | ${wordE("bl2", "pk", 0)} | ${wordE("bl3", "pk", 0)})").as("b0"),
+      expr(s"bit_or(${wordE("bl1", "pk", 1)} | ${wordE("bl2", "pk", 1)} | ${wordE("bl3", "pk", 1)})").as("b1"),
+      expr(s"bit_or(${wordE("bl1", "pk", 2)} | ${wordE("bl2", "pk", 2)} | ${wordE("bl3", "pk", 2)})").as("b2"),
+      expr(s"bit_or(${wordE("bl1", "pk", 3)} | ${wordE("bl2", "pk", 3)} | ${wordE("bl3", "pk", 3)})").as("b3"),
+      min("pk").as("mn"), max("pk").as("mx"))
+    val probes = s.range(32).select(col("id").as("probe_id"))
+      .withColumn("qk", expr("CAST(conv(substr(md5(concat('probe', " +
+        "CAST(probe_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2500 + 1"))
+    val tested = blooms.crossJoin(broadcast(probes))
+      .withColumn("zm_maybe", expr("qk BETWEEN mn AND mx"))
+      .withColumn("bloom_maybe", expr(
+        s"${hitE("bl1", "qk")} AND ${hitE("bl2", "qk")} AND ${hitE("bl3", "qk")}"))
+    val actual = li.join(broadcast(probes), col("pk") === col("qk"))
+      .select("f", "probe_id").distinct()
+      .groupBy("probe_id").agg(count(lit(1)).as("n_actual"))
+    tested.groupBy("probe_id", "qk").agg(
+        count(lit(1)).as("n_files"),
+        sum(expr("CASE WHEN zm_maybe THEN 1L ELSE 0L END")).as("zm_scan"),
+        sum(expr("CASE WHEN bloom_maybe THEN 1L ELSE 0L END")).as("bloom_scan"))
+      .join(actual, Seq("probe_id"), "left_outer")
+      .withColumn("n_actual", coalesce(col("n_actual"), lit(0L)))
+      .withColumn("bloom_fp", expr("bloom_scan - n_actual"))
+      .withColumn("zm_skip_bp", expr("(n_files - zm_scan) * 10000 DIV n_files"))
+      .withColumn("bloom_skip_bp", expr("(n_files - bloom_scan) * 10000 DIV n_files"))
+      .select("probe_id", "qk", "n_files", "zm_scan", "bloom_scan",
+        "n_actual", "bloom_fp", "zm_skip_bp", "bloom_skip_bp")
+      .orderBy("probe_id")
+  }, Some {
+    def posE(salt: String, key: String): String =
+      s"CAST('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % 252"
+    def wordE(salt: String, key: String, w: Int): String = {
+      val p = posE(salt, key)
+      s"CASE WHEN $p // 63 = $w THEN CAST(1 AS BIGINT) << ($p % 63) ELSE CAST(0 AS BIGINT) END"
+    }
+    def hitE(salt: String, key: String): String = {
+      val p = posE(salt, key)
+      s"((CASE $p // 63 WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END >> ($p % 63)) & 1) = 1"
+    }
+    s"""WITH li AS (SELECT l_orderkey // 8 AS f, l_partkey AS pk FROM lineitem),
+    bl AS (SELECT f,
+        bit_or(${wordE("bl1", "pk", 0)} | ${wordE("bl2", "pk", 0)} | ${wordE("bl3", "pk", 0)}) AS b0,
+        bit_or(${wordE("bl1", "pk", 1)} | ${wordE("bl2", "pk", 1)} | ${wordE("bl3", "pk", 1)}) AS b1,
+        bit_or(${wordE("bl1", "pk", 2)} | ${wordE("bl2", "pk", 2)} | ${wordE("bl3", "pk", 2)}) AS b2,
+        bit_or(${wordE("bl1", "pk", 3)} | ${wordE("bl2", "pk", 3)} | ${wordE("bl3", "pk", 3)}) AS b3,
+        min(pk) AS mn, max(pk) AS mx
+      FROM li GROUP BY f),
+    pr AS (SELECT range AS probe_id,
+        CAST('0x' || substr(md5('probe' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 2500 + 1 AS qk
+      FROM range(32)),
+    t AS (SELECT probe_id, qk,
+        CASE WHEN qk BETWEEN mn AND mx THEN 1 ELSE 0 END AS zm_maybe,
+        CASE WHEN ${hitE("bl1", "qk")} AND ${hitE("bl2", "qk")}
+          AND ${hitE("bl3", "qk")} THEN 1 ELSE 0 END AS bloom_maybe
+      FROM bl, pr),
+    ac AS (SELECT probe_id, count(*)::BIGINT AS n_actual
+      FROM (SELECT DISTINCT f, probe_id FROM li JOIN pr ON pk = qk)
+      GROUP BY probe_id),
+    ag AS (SELECT probe_id, qk, count(*)::BIGINT AS n_files,
+        CAST(sum(zm_maybe) AS BIGINT) AS zm_scan,
+        CAST(sum(bloom_maybe) AS BIGINT) AS bloom_scan
+      FROM t GROUP BY probe_id, qk)
+    SELECT probe_id, qk, n_files, zm_scan, bloom_scan,
+      coalesce(n_actual, 0)::BIGINT AS n_actual,
+      CAST(bloom_scan - coalesce(n_actual, 0) AS BIGINT) AS bloom_fp,
+      (n_files - zm_scan) * 10000 // n_files AS zm_skip_bp,
+      (n_files - bloom_scan) * 10000 // n_files AS bloom_skip_bp
+    FROM ag LEFT JOIN ac USING (probe_id) ORDER BY probe_id"""
   })
 
   val qZorderLayout: Q = Q("layout_zorder", (s, dir) => {
