@@ -1334,8 +1334,11 @@ object Dedup {
     * Pair kinds collapse per (a,b) to the strongest claim
     * (dup < del < sub).
     */
-  val symspell: Q = Q("dedup_symspell", (s, dir) => {
-    graft.expressions.Md5Hash60.register(s)
+  /** The symspell corpus: 8-token doc prefixes plus the PLANTED
+    * substitution (+1e6) and deletion (+2e6) variants — shared with the
+    * StreamingSpec gate-reuse test so stream and batch cannot drift.
+    */
+  private[graft] def symspellCorpus(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.t(s, dir, "documents")
       .select(col("doc_id"),
         expr("slice(filter(split(text, ' '), x -> x <> ''), 1, 8)").as("t"))
@@ -1348,8 +1351,12 @@ object Dedup {
       .select((col("doc_id") + 2000000L).as("doc_id"),
         expr("concat(slice(t, 1, CAST(doc_id % 8 AS INT)), " +
           "slice(t, CAST(doc_id % 8 AS INT) + 2, 7 - CAST(doc_id % 8 AS INT)))").as("t"))
-    val corpus = toks.unionAll(subVar).unionAll(delVar)
-    val posts = corpus
+    toks.unionAll(subVar).unionAll(delVar)
+  }
+
+  val symspell: Q = Q("dedup_symspell", (s, dir) => {
+    graft.expressions.Md5Hash60.register(s)
+    val posts = symspellCorpus(s, dir)
       .select(col("doc_id").as("id"), col("t"),
         explode(expr("sequence(0, size(t))")).as("p"))
       .select(col("id"), col("p"),

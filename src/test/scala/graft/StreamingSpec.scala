@@ -1120,6 +1120,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("symspell gate: streamed deletion-variant buckets == dedup_symspell pairs") {
+    // the token-edit-distance miner is the SAME gate again: deletion
+    // variants (the full prefix plus each single-token deletion) stream
+    // through LshGateProcessor keyed on the variant STRING, the exact
+    // edit-distance-<=1 checker filters the candidates, and the result
+    // must equal the batch dedup_symspell pair set (whose df-cap at 128
+    // is vacuous at this SF)
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_symgate").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val corpus = graft.queries.Dedup.symspellCorpus(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector))
+    val tok = corpus.toMap
+    val rows = corpus.flatMap { case (id, t) =>
+      val full = t.mkString(" ")
+      val dels = t.indices.map(p => (t.take(p) ++ t.drop(p + 1)).mkString(" "))
+      (full +: dels).map(v => (id, v))
+    }.sortBy(_._1)
+    val cut = { val ids = rows.map(_._1).distinct; ids(ids.length / 2) }
+    val (b1, b2) = rows.partition(_._1 < cut)
+    def fmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"${r._2}\t${r._1}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split('\t'); (p(0), p(1).toLong) }
+    val q = graft.streaming.LshGateProcessor(spark, src).toDF("d1", "d2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_sym_gate").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // exact verify: the batch query's kind taxonomy, recomputed
+      def kind(a: Vector[String], b: Vector[String]): Option[String] = {
+        if (a == b) Some("dup")
+        else if (a.length == b.length) {
+          if (a.indices.count(i => a(i) != b(i)) == 1) Some("sub") else None
+        } else {
+          val (lo, hi) = if (a.length < b.length) (a, b) else (b, a)
+          if (hi.length == lo.length + 1 &&
+            hi.indices.exists(p => hi.take(p) ++ hi.drop(p + 1) == lo)) Some("del")
+          else None
+        }
+      }
+      val got = spark.sql("SELECT DISTINCT d1, d2 FROM graft_sym_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .flatMap { case (a, b) => kind(tok(a), tok(b)).map(k => (a, b, k)) }.toSet
+      val want = graft.queries.Dedup.symspell.fn(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(want.nonEmpty, "batch symspell pair set unexpectedly empty")
+      assert(got == want, s"streamed vs batch symspell pairs: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("OrdinalProcessor: streamed pattern counts == ts_ordinal_patterns histogram") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
