@@ -2369,6 +2369,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("CountMinProcessor table equals the batch CM counters bit-for-bit (linear sketch)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, explode}
+    val dir = Files.createTempDirectory("graft_cm").toFile
+    val (d, w) = (4, 128)
+    val sfDir = "/root/testdata/sf0.001"
+    // (event_type, j, bucket) through the SHARED h60 bucket expression
+    val cellRows = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("concat(CAST(user_id AS STRING), '|', event_type)").as("key"),
+        col("event_id"))
+      .withColumn("j", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("bucket", expr(s"${graft.ops.Sketch.h60("j", "key")} % $w"))
+      .select(col("event_type"), col("j").cast("int"), col("bucket").cast("int"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._4)
+    val (b1, b2) = cellRows.splitAt(cellRows.length / 2)
+    def fmt(rs: Array[(String, Int, Int, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1}|${r._2}|${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split('|'); (p(0), p(1).toInt, p(2).toInt) }
+    val q = graft.streaming.CountMinProcessor(spark, src, d, w)
+      .toDF("key", "j", "bucket", "c")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_cm_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final table = max count per cell (counts only grow)
+      val got = spark.sql(
+          "SELECT key, j, bucket, max(c) AS c FROM graft_cm_out GROUP BY 1, 2, 3")
+        .collect().map(r => ((r.getString(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+        .toMap
+      val want = cellRows.groupBy(r => (r._1, r._2, r._3))
+        .map { case (cell, xs) => cell -> xs.length.toLong }
+      assert(want.nonEmpty && got == want,
+        s"CM tables diverge: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("KmvProcessor matches the batch sketch_kmv estimate EXACTLY across micro-batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
