@@ -1369,4 +1369,133 @@ object Graph {
     out.filter(col("hop") >= 1)
       .select(col("v"), col("hop"), col("sigma"), col("delta").as("delta_e6"))
   }
+  /** Luby-style MAXIMAL INDEPENDENT SET (Luby, "A simple parallel
+    * algorithm for the maximal independent set problem", SIAM J.
+    * Comput. 15(4), 1986 — public), local-minima variant with
+    * md5-derived priorities: each parallel round, every ACTIVE vertex
+    * whose priority is strictly below all active neighbors' joins the
+    * MIS and deactivates itself plus its neighborhood. Deterministic
+    * given the priorities (60-bit md5 of the vertex id — ties are
+    * md5-collision improbable; on a tie NEITHER side wins, identically
+    * in every implementation). The global minimum always wins, so every
+    * round shrinks the active set and a bounded-round unrolled oracle
+    * twin is exact.
+    *
+    * Returns the driver-side convergence trace
+    * `(round, n_winners, cum_mis, active_after)` plus the invariant
+    * pair (independence verified against the edge set; maximality ≡
+    * final active set empty). Throws LOUDLY if `maxRounds` rounds do
+    * not converge (the cointegration domain-gate discipline).
+    *
+    * Adaptive execution (the [[connectedComponents]] contract): a
+    * COUNTED-small integral-typed graph collects once and loops on the
+    * driver — per-round scheduled jobs on tiny state are pure overhead —
+    * with the SAME strict-priority rule in plain Long arithmetic; larger
+    * graphs run the distributed per-round loop with eager truncation
+    * between rounds (`smallCutoff = 0` pins the distributed path in
+    * tests).
+    */
+  def lubyMis(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxRounds: Int = 24,
+      smallCutoff: Long = 200000L): (Seq[(Int, Long, Long, Long)], Boolean, Boolean) = {
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val und = edgeList
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    val adj0 = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    val prDf = adj0.select(col("v")).distinct()
+      .withColumn("pr", expr(
+        "CAST(conv(substr(md5(concat('mis', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, ShortType, ByteType)
+    val vt = edgeList.schema(srcCol).dataType
+    val integral = intTypes.contains(vt) &&
+      vt == edgeList.schema(dstCol).dataType
+
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var cum = 0L
+
+    if (smallCutoff > 0 && integral && und.count() <= smallCutoff) {
+      // counted-small: collect once, loop in IDENTICAL Long arithmetic
+      val edges = und.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pr = prDf.select(col("v").cast("long"), col("pr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      und.unpersist()
+      val nbrs = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      edges.foreach { case (a, b) =>
+        nbrs.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        nbrs.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val active = scala.collection.mutable.HashSet[Long](pr.keySet.toSeq: _*)
+      val mis = scala.collection.mutable.HashSet.empty[Long]
+      var r = 1
+      while (r <= maxRounds && active.nonEmpty) {
+        val winners = active.toArray.filter { v =>
+          val actNbr = nbrs(v).iterator.filter(active.contains)
+          // strict: a priority tie blocks BOTH sides (matches the SQL)
+          actNbr.isEmpty || {
+            val mn = nbrs(v).iterator.filter(active.contains).map(pr).min
+            pr(v) < mn
+          }
+        }
+        winners.foreach { v =>
+          mis += v; active -= v
+          nbrs(v).foreach(active -= _)
+        }
+        cum += winners.length
+        trace += ((r, winners.length.toLong, cum, active.size.toLong))
+        r += 1
+      }
+      if (active.nonEmpty) throw new IllegalStateException(
+        s"lubyMis: ${active.size} vertices still active after $maxRounds rounds " +
+          "- raise maxRounds (see scaladoc convergence note)")
+      val independent = !edges.exists { case (a, b) => mis(a) && mis(b) }
+      (trace.toSeq, independent, true)
+    } else {
+      val adjDf = break(adj0)
+      und.unpersist()
+      var active = break(prDf)
+      var misParts = List.empty[DataFrame]
+      var r = 1
+      var remaining = active.count()
+      while (r <= maxRounds && remaining > 0) {
+        val nbrMin = adjDf
+          .join(active.select(col("v").as("u"), col("pr").as("pru")), "u")
+          .groupBy("v").agg(min("pru").as("mn"))
+        val w = break(active.join(nbrMin, Seq("v"), "left_outer")
+          .filter(col("mn").isNull || col("pr") < col("mn"))
+          .select("v"))
+        val nW = w.count()
+        misParts = w :: misParts
+        val kill = w.unionAll(adjDf.join(w, "v").select(col("u").as("v"))).distinct()
+        active = break(active.join(kill, Seq("v"), "left_anti"))
+        remaining = active.count()
+        cum += nW
+        trace += ((r, nW, cum, remaining))
+        r += 1
+      }
+      if (remaining > 0) throw new IllegalStateException(
+        s"lubyMis: $remaining vertices still active after $maxRounds rounds " +
+          "- raise maxRounds (see scaladoc convergence note)")
+      val mis = misParts.reduce(_ unionAll _)
+      val bad = adjDf.join(mis, "v")
+        .join(mis.select(col("v").as("u")), "u").count()
+      (trace.toSeq, bad == 0L, true)
+    }
+  }
 }
+

@@ -20,7 +20,7 @@ object Graphs {
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
     reciprocity, knnDegree, clusteringLocal, diameterSweep,
-    effectiveDiameter, fflCensus, sccSeeds)
+    effectiveDiameter, fflCensus, sccSeeds, misGreedy)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -1441,4 +1441,73 @@ object Graphs {
       CAST((SELECT v FROM fv) AS BIGINT) AS far_vertex,
       (SELECT max(hop) FROM b8) AS diameter_lb,
       (SELECT count(*)::BIGINT FROM b8) AS n_reached"""))
+
+  /** Luby maximal-independent-set convergence trace over the
+    * part-transition graph ([[graft.ops.Graph.lubyMis]] — local-minima
+    * variant, md5 priorities): per parallel round, how many vertices
+    * enter the MIS and how many stay active, plus the self-evident
+    * invariant columns (independence re-verified against the edge set;
+    * maximality ≡ the active set drained). MIS is the classic parallel
+    * symmetry-breaking primitive (scheduling non-conflicting work,
+    * picking near-dup cluster exemplars no two of which conflict); the
+    * trace is what an operator dashboards — geometric decay means the
+    * round budget holds at any scale. Spark runs the adaptive
+    * counted-small/distributed loop; the oracle unrolls 24 MATERIALIZED
+    * rounds of the identical strict-priority rule and emits only rounds
+    * that executed.
+    */
+  lazy val misGreedy: Q = Q("graph_mis_greedy", (s, dir) => {
+    // the degree caps bound edges at 64·V (V = #parts), so the counted
+    // gate can sit at 2M (~30 MB driver state max) — at sf0.1 the 309k
+    // collected edges loop in milliseconds where the 7-round distributed
+    // loop paid 16.7 s of per-round job scheduling (DevMis measurement)
+    val (trace, indep, maximal) = graft.ops.Graph.lubyMis(
+      partTransitions(s, dir), "src", "dst", maxRounds = 24,
+      smallCutoff = 2000000L)
+    import s.implicits._
+    trace.map { case (r, w, c, a) => (r.toLong, w, c, a, indep, maximal) }
+      .toDF("round", "n_winners", "cum_mis", "active_after",
+        "independent_ok", "maximal_ok")
+      .orderBy("round")
+  }, Some {
+    val R = 24
+    val rounds = (1 to R).map { r =>
+      s"""w$r AS MATERIALIZED (
+      SELECT t.v FROM a$r t LEFT JOIN (
+        SELECT e.v, min(b.pr) AS mn FROM ad e JOIN a$r b ON b.v = e.u
+        GROUP BY e.v) m ON m.v = t.v
+      WHERE m.mn IS NULL OR t.pr < m.mn),
+    a${r + 1} AS MATERIALIZED (
+      SELECT t.v, t.pr FROM a$r t
+      WHERE t.v NOT IN (SELECT v FROM w$r)
+        AND t.v NOT IN (SELECT e.u FROM ad e JOIN w$r x ON x.v = e.v))"""
+    }.mkString(",\n    ")
+    val traceRows = (1 to R).map { r =>
+      s"""SELECT $r AS round, (SELECT count(*) FROM w$r) AS n_winners,
+        (SELECT count(*) FROM a${r + 1}) AS active_after,
+        (SELECT count(*) FROM a$r) AS n_active"""
+    }.mkString("\n      UNION ALL ")
+    val misUnion = (1 to R).map(r => s"SELECT v FROM w$r").mkString(" UNION ALL ")
+    s"""WITH $partTransitionsSql,
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        greatest(src, dst) AS b FROM ec WHERE src <> dst),
+    ad AS MATERIALIZED (SELECT a AS v, b AS u FROM und
+      UNION ALL SELECT b, a FROM und),
+    a1 AS MATERIALIZED (SELECT v,
+        CAST('0x' || substr(md5('mis' || CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS pr
+      FROM (SELECT DISTINCT v FROM ad)),
+    $rounds,
+    mis AS MATERIALIZED ($misUnion),
+    tr AS ($traceRows),
+    fin AS (SELECT
+      NOT EXISTS (SELECT 1 FROM und e JOIN mis m1 ON m1.v = e.a
+        JOIN mis m2 ON m2.v = e.b) AS independent_ok,
+      (SELECT count(*) FROM a${R + 1}) = 0 AS maximal_ok)
+    SELECT CAST(round AS BIGINT) AS round,
+      CAST(n_winners AS BIGINT) AS n_winners,
+      CAST(sum(n_winners) OVER (ORDER BY round) AS BIGINT) AS cum_mis,
+      CAST(active_after AS BIGINT) AS active_after,
+      independent_ok, maximal_ok
+    FROM tr, fin WHERE n_active > 0 ORDER BY round"""
+  })
 }

@@ -966,4 +966,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(mixed == Map(2L -> 1L, 3L -> 1L), s"mixed-width seeds: $mixed")
   }
+
+  test("lubyMis: fast path == distributed loop, invariants hold, trace is geometric") {
+    import spark.implicits._
+    // a path graph (the slow case for local-minima MIS) plus a clique
+    // and an isolated edge — exercises multi-round convergence
+    val path = (1L to 12L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val clique = Seq((21L, 22L), (21L, 23L), (22L, 23L))
+    val edges = (path ++ clique :+ ((31L, 32L))).toDF("src", "dst")
+    val (tFast, iFast, mFast) = graft.ops.Graph.lubyMis(edges)
+    val (tDist, iDist, mDist) = graft.ops.Graph.lubyMis(edges, smallCutoff = 0)
+    assert(tFast == tDist, s"trace diverged: $tFast vs $tDist")
+    assert(iFast && mFast && iDist && mDist)
+    // geometric decay: active_after strictly decreases to zero
+    val actives = tFast.map(_._4)
+    assert(actives.last == 0L && actives == actives.sorted.reverse)
+    // the MIS size: path of 12 yields >= 4, clique exactly 1, edge 1
+    assert(tFast.last._3 >= 6L, s"MIS too small: ${tFast.last._3}")
+  }
 }
