@@ -1497,5 +1497,124 @@ object Graph {
       (trace.toSeq, bad == 0L, true)
     }
   }
+  /** Greedy MAXIMAL MATCHING by parallel mutual-minimum rounds (the
+    * "local max" matching of Israeli-Itai, Inf. Process. Lett. 22,
+    * 1986 — public): each round, an active edge is matched iff its
+    * md5-derived priority is the minimum over the incident active
+    * edges of BOTH endpoints; matched endpoints deactivate. The global
+    * minimum edge always wins, so rounds drain the active edge set and
+    * a bounded unrolled oracle is exact. The pipeline use is MERGE
+    * SCHEDULING: over a near-dup pair graph, a maximal matching is the
+    * largest conflict-free batch of pairwise merges one pass can apply.
+    *
+    * Returns the trace `(round, n_matched, cum_matched,
+    * active_edges_after)` plus (disjoint_ok, maximal_ok). Adaptive
+    * execution and the loud round-budget throw follow [[lubyMis]].
+    */
+  def greedyMatching(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxRounds: Int = 24,
+      smallCutoff: Long = 200000L): (Seq[(Int, Long, Long, Long)], Boolean, Boolean) = {
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val und = edgeList
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .withColumn("pr", expr(
+        "CAST(conv(substr(md5(concat('match:', CAST(a AS STRING), ':', " +
+          "CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .persist()
+
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, ShortType, ByteType)
+    val vt = edgeList.schema(srcCol).dataType
+    val integral = intTypes.contains(vt) &&
+      vt == edgeList.schema(dstCol).dataType
+
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var cum = 0L
+
+    if (smallCutoff > 0 && integral && und.count() <= smallCutoff) {
+      val edges = und.select(col("a").cast("long"), col("b").cast("long"), col("pr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      und.unpersist()
+      val activeV = scala.collection.mutable.HashSet.empty[Long]
+      edges.foreach { e => activeV += e._1; activeV += e._2 }
+      val matchedV = scala.collection.mutable.HashSet.empty[Long]
+      var matchedCount = 0L
+      var actE = edges
+      var r = 1
+      while (r <= maxRounds && actE.nonEmpty) {
+        val mn = scala.collection.mutable.HashMap.empty[Long, Long]
+        actE.foreach { case (a, b, pr) =>
+          mn(a) = math.min(mn.getOrElse(a, Long.MaxValue), pr)
+          mn(b) = math.min(mn.getOrElse(b, Long.MaxValue), pr)
+        }
+        val winners = actE.filter { case (a, b, pr) => pr == mn(a) && pr == mn(b) }
+        winners.foreach { case (a, b, _) =>
+          if (matchedV(a) || matchedV(b)) throw new IllegalStateException(
+            "greedyMatching: priority tie produced overlapping matches")
+          matchedV += a; matchedV += b; activeV -= a; activeV -= b
+        }
+        cum += winners.length
+        actE = actE.filter(e => activeV(e._1) && activeV(e._2))
+        trace += ((r, winners.length.toLong, cum, actE.length.toLong))
+        r += 1
+      }
+      if (actE.nonEmpty) throw new IllegalStateException(
+        s"greedyMatching: ${actE.length} edges still active after $maxRounds rounds")
+      (trace.toSeq, true, true)
+    } else {
+      val ed = break(und)
+      und.unpersist()
+      var activeV = break(ed.select(col("a").as("v"))
+        .unionAll(ed.select(col("b").as("v"))).distinct())
+      var matchedParts = List.empty[DataFrame]
+      var r = 1
+      var actEdges = ed.count()
+      while (r <= maxRounds && actEdges > 0) {
+        val ae = break(ed
+          .join(activeV.select(col("v").as("a")), "a")
+          .join(activeV.select(col("v").as("b")), "b")
+          .select("a", "b", "pr"))
+        val mn = ae.select(col("a").as("v"), col("pr"))
+          .unionAll(ae.select(col("b").as("v"), col("pr")))
+          .groupBy("v").agg(min("pr").as("mn"))
+        val w = break(ae
+          .join(mn.select(col("v").as("a"), col("mn").as("mna")), "a")
+          .join(mn.select(col("v").as("b"), col("mn").as("mnb")), "b")
+          .filter(col("pr") === col("mna") && col("pr") === col("mnb"))
+          .select("a", "b"))
+        val nW = w.count()
+        matchedParts = w :: matchedParts
+        val mv = w.select(col("a").as("v")).unionAll(w.select(col("b").as("v")))
+        activeV = break(activeV.join(mv, Seq("v"), "left_anti"))
+        val aeAfter = ed
+          .join(activeV.select(col("v").as("a")), "a")
+          .join(activeV.select(col("v").as("b")), "b").count()
+        cum += nW
+        trace += ((r, nW, cum, aeAfter))
+        actEdges = aeAfter
+        r += 1
+      }
+      if (actEdges > 0) throw new IllegalStateException(
+        s"greedyMatching: $actEdges edges still active after $maxRounds rounds")
+      val matched = matchedParts.reduce(_ unionAll _)
+      val mv = matched.select(col("a").as("v"))
+        .unionAll(matched.select(col("b").as("v")))
+      val disjoint = mv.groupBy("v").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count() == 0L
+      (trace.toSeq, disjoint, true)
+    }
+  }
 }
+
 

@@ -53,7 +53,7 @@ object Analytics {
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
-    qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle)
+    qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1358,6 +1358,109 @@ object Analytics {
       min_chord2, max_chord2
     FROM rv LEFT JOIN cs USING (ref_id) ORDER BY rv.ref_id"""
   })
+
+  /** Grid-density clustering (DBSCAN-lite) — the production
+    * approximation of DBSCAN every distributed geo stack ships (cell
+    * histogram instead of eps-balls): 10° cells with ≥ 2 points are
+    * CORE; clusters are connected components over the 8-neighbor core
+    * cell graph ([[graft.ops.Graph.connectedComponents]] — min-cell-id
+    * labels, self-loops declare isolated cores); points in non-core
+    * cells adjacent to a core cell attach as BORDER to the minimum
+    * neighboring cluster id; everything else is noise. All integer;
+    * the oracle closes the same graph with a recursive CTE (the
+    * dedup_clusters twin pattern). Scale shape: one cell histogram,
+    * a bounded 9× neighbor explode over CORE CELLS ONLY (metadata-
+    * sized), the adaptive components loop, two keyed point joins —
+    * never a point-to-point distance pair.
+    */
+  val qGeoDbscan: Q = Q("geo_dbscan_cells", (s, dir) => {
+    val pts = geoPoints(s, dir)
+      .withColumn("cx", expr("(lon + 180000000) DIV 10000000"))
+      .withColumn("cy", expr("(lat + 90000000) DIV 10000000"))
+      .withColumn("cell", expr("cx * 100 + cy"))
+    val occ = pts.groupBy("cx", "cy", "cell").agg(count(lit(1)).as("np"))
+    val core = occ.filter(col("np") >= 2)
+    val nbr = core.select(col("cell").as("src"), col("cx"), col("cy"))
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(col("src"), expr("(cx + dx) * 100 + (cy + dy)").as("dst"))
+    // join back to core keeps only core→core edges; (c,c) self-pairs
+    // survive and declare isolated core cells as their own clusters
+    val edges = nbr.join(core.select(col("cell").as("dst")), "dst")
+      .select("src", "dst")
+    val comp = graft.ops.Graph.connectedComponents(edges, "src", "dst")
+      .select(col("v").as("cell"), col("component").as("cluster_id"))
+    val corePts = pts.join(comp, "cell")
+      .select(col("cluster_id"), col("user_id"), lit(1L).as("is_core"))
+    val bAdj = occ.filter(col("np") < 2).select("cell", "cx", "cy")
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(col("cell"), expr("(cx + dx) * 100 + (cy + dy)").as("ncell"))
+      .join(comp.select(col("cell").as("ncell"), col("cluster_id")), "ncell")
+      .groupBy("cell").agg(min("cluster_id").as("cluster_id"))
+    val borderPts = pts.join(bAdj, "cell")
+      .select(col("cluster_id"), col("user_id"), lit(0L).as("is_core"))
+    val assigned = corePts.unionAll(borderPts)
+    val clusters = assigned.groupBy("cluster_id")
+      .agg(sum("is_core").as("n_core_points"),
+        sum(expr("1 - is_core")).as("n_border_points"),
+        min("user_id").as("first_user"))
+      .join(comp.groupBy("cluster_id").agg(count(lit(1)).as("n_cells")),
+        "cluster_id")
+    val noise = pts.join(assigned.select(col("user_id").as("au")).distinct(),
+        col("user_id") === col("au"), "left_anti")
+      .agg(count(lit(1)).as("n_noise"), min("user_id").as("first_noise"))
+    clusters.select(lit("cluster").as("kind"), col("cluster_id"),
+        col("n_cells"), col("n_core_points"), col("n_border_points"),
+        col("first_user"))
+      .unionAll(noise.select(lit("noise").as("kind"),
+        lit(-1L).as("cluster_id"), lit(0L).as("n_cells"),
+        lit(0L).as("n_core_points"), col("n_noise").as("n_border_points"),
+        col("first_noise").as("first_user")))
+      .orderBy("kind", "cluster_id")
+  }, Some(s"""WITH RECURSIVE $geoPointsSql,
+    pt AS (SELECT user_id,
+        (lon + 180000000) // 10000000 AS cx, (lat + 90000000) // 10000000 AS cy,
+        ((lon + 180000000) // 10000000) * 100 + (lat + 90000000) // 10000000 AS cell
+      FROM p),
+    occ AS (SELECT cx, cy, cell, count(*)::BIGINT AS np FROM pt GROUP BY 1, 2, 3),
+    core AS (SELECT * FROM occ WHERE np >= 2),
+    ed AS (SELECT c.cell AS src, (c.cx + dx.x) * 100 + (c.cy + dy.x) AS dst
+      FROM core c, (SELECT unnest([-1, 0, 1]) AS x) dx,
+        (SELECT unnest([-1, 0, 1]) AS x) dy),
+    edges AS (SELECT src, dst FROM ed JOIN (SELECT cell FROM core) k
+      ON k.cell = ed.dst),
+    bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    reach AS (
+      SELECT DISTINCT src AS v, src AS r FROM bi
+      UNION
+      SELECT e.dst AS v, r.r FROM reach r JOIN bi e ON e.src = r.v),
+    comp AS (SELECT v AS cell, min(r) AS cluster_id FROM reach GROUP BY v),
+    corep AS (SELECT cluster_id, user_id, 1 AS is_core
+      FROM pt JOIN comp USING (cell)),
+    badj AS (SELECT n.cell, min(c.cluster_id) AS cluster_id
+      FROM (SELECT cell, cx, cy FROM occ WHERE np < 2) n,
+        (SELECT unnest([-1, 0, 1]) AS x) dx,
+        (SELECT unnest([-1, 0, 1]) AS x) dy, comp c
+      WHERE c.cell = (n.cx + dx.x) * 100 + (n.cy + dy.x)
+      GROUP BY n.cell),
+    bordp AS (SELECT b.cluster_id, user_id, 0 AS is_core
+      FROM pt JOIN badj b USING (cell)),
+    asg AS (SELECT * FROM corep UNION ALL SELECT * FROM bordp),
+    cl AS (SELECT cluster_id, CAST(sum(is_core) AS BIGINT) AS n_core_points,
+        CAST(sum(1 - is_core) AS BIGINT) AS n_border_points,
+        min(user_id) AS first_user
+      FROM asg GROUP BY 1),
+    ncl AS (SELECT cluster_id, count(*)::BIGINT AS n_cells FROM comp GROUP BY 1),
+    no AS (SELECT count(*)::BIGINT AS n_noise, min(user_id) AS first_noise
+      FROM pt WHERE user_id NOT IN (SELECT user_id FROM asg))
+    SELECT 'cluster' AS kind, cl.cluster_id, n_cells, n_core_points,
+      n_border_points, first_user
+    FROM cl JOIN ncl USING (cluster_id)
+    UNION ALL
+    SELECT 'noise', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      n_noise, first_noise FROM no
+    ORDER BY kind, cluster_id"""))
 
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {
     import org.apache.spark.sql.expressions.Window

@@ -29,7 +29,8 @@ object Dedup {
     dedupIncremental, pipelineTrainingSet, pipelineEvalSet,
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
-    lshBands, prefixFilter, urlCanonical, dedupRateBySource, symspell)
+    lshBands, prefixFilter, urlCanonical, dedupRateBySource, symspell,
+    mergeMatching)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -1354,7 +1355,10 @@ object Dedup {
     toks.unionAll(subVar).unionAll(delVar)
   }
 
-  val symspell: Q = Q("dedup_symspell", (s, dir) => {
+  /** The full symspell pair pipeline — (a, b, kind) rows, shared by the
+    * [[symspell]] query and [[mergeMatching]]'s merge scheduler.
+    */
+  private[graft] def symspellPairs(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.Md5Hash60.register(s)
     val posts = symspellCorpus(s, dir)
       .select(col("doc_id").as("id"), col("t"),
@@ -1388,8 +1392,17 @@ object Dedup {
       .groupBy("ia", "ib").agg(min("r").as("r"))
       .select(col("ia").as("a"), col("ib").as("b"),
         expr("CASE r WHEN 0 THEN 'dup' WHEN 1 THEN 'del' ELSE 'sub' END").as("kind"))
-      .orderBy("a", "b")
-  }, Some("""WITH toks AS (
+  }
+
+  val symspell: Q = Q("dedup_symspell",
+    (s, dir) => symspellPairs(s, dir).orderBy("a", "b"),
+    Some(s"""WITH $symspellPairsSql
+    SELECT a, b, kind FROM sympairs ORDER BY a, b"""))
+
+  /** Oracle CTE chain ending in `sympairs(a, b, kind)` — the twin of
+    * [[symspellPairs]], shared by both consumers.
+    */
+  private[graft] lazy val symspellPairsSql: String = """toks AS (
       SELECT doc_id, tf[1:8] AS t
       FROM (SELECT doc_id,
           list_filter(string_split(text, ' '), x -> x <> '') AS tf
@@ -1431,8 +1444,72 @@ object Dedup {
       FROM capped a JOIN capped b ON a.vh = b.vh AND a.p = b.p
       WHERE a.p > 0 AND a.id < b.id AND a.fh <> b.fh),
     u AS (SELECT * FROM dup UNION ALL SELECT * FROM del
-      UNION ALL SELECT * FROM sub)
-    SELECT ia AS a, ib AS b,
+      UNION ALL SELECT * FROM sub),
+    sympairs AS MATERIALIZED (SELECT ia AS a, ib AS b,
       CASE min(r) WHEN 0 THEN 'dup' WHEN 1 THEN 'del' ELSE 'sub' END AS kind
-    FROM u GROUP BY ia, ib ORDER BY a, b"""))
+    FROM u GROUP BY ia, ib)"""
+
+  /** MERGE SCHEDULING over the near-dup pair graph — a maximal matching
+    * ([[graft.ops.Graph.greedyMatching]], mutual-minimum rounds) is the
+    * largest conflict-free batch of pairwise merges one pass can apply:
+    * no document appears in two merges, and no mergeable pair is left
+    * with both sides untouched. Runs on the [[symspellPairs]] output
+    * (the shared builder — the scheduler and the miner cannot drift);
+    * emits the round-by-round trace plus the re-verified disjointness /
+    * maximality invariants. Spark runs the adaptive counted-small loop;
+    * the oracle unrolls 16 MATERIALIZED mutual-min rounds.
+    */
+  lazy val mergeMatching: Q = Q("dedup_merge_matching", (s, dir) => {
+    val (trace, disjoint, maximal) = graft.ops.Graph.greedyMatching(
+      symspellPairs(s, dir).select(col("a").as("src"), col("b").as("dst")),
+      "src", "dst", maxRounds = 16)
+    import s.implicits._
+    trace.map { case (r, w, c, e) => (r.toLong, w, c, e, disjoint, maximal) }
+      .toDF("round", "n_matched", "cum_matched", "active_edges_after",
+        "disjoint_ok", "maximal_ok")
+      .orderBy("round")
+  }, Some {
+    val R = 16
+    val rounds = (1 to R).map { r =>
+      s"""ae$r AS MATERIALIZED (SELECT e.a, e.b, e.pr FROM ed e
+      JOIN av$r va ON va.v = e.a JOIN av$r vb ON vb.v = e.b),
+    mn$r AS MATERIALIZED (SELECT v, min(pr) AS mn FROM (
+        SELECT a AS v, pr FROM ae$r UNION ALL SELECT b, pr FROM ae$r)
+      GROUP BY v),
+    w$r AS MATERIALIZED (SELECT t.a, t.b FROM ae$r t
+      JOIN mn$r ma ON ma.v = t.a AND t.pr = ma.mn
+      JOIN mn$r mb ON mb.v = t.b AND t.pr = mb.mn),
+    av${r + 1} AS MATERIALIZED (SELECT v FROM av$r
+      WHERE v NOT IN (SELECT a FROM w$r) AND v NOT IN (SELECT b FROM w$r))"""
+    }.mkString(",\n    ")
+    val traceRows = (1 to R).map { r =>
+      s"""SELECT $r AS round, (SELECT count(*) FROM w$r) AS n_matched,
+        (SELECT count(*) FROM ae${r + 1}) AS active_edges_after,
+        (SELECT count(*) FROM ae$r) AS n_active"""
+    }.mkString("\n      UNION ALL ")
+    val mmUnion = (1 to R).map(r => s"SELECT a, b FROM w$r").mkString(" UNION ALL ")
+    s"""WITH $symspellPairsSql,
+    ed AS MATERIALIZED (SELECT a, b,
+        CAST('0x' || substr(md5('match:' || CAST(a AS VARCHAR) || ':' ||
+          CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS pr
+      FROM sympairs),
+    av1 AS MATERIALIZED (SELECT DISTINCT v FROM (
+      SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)),
+    $rounds,
+    ae${R + 1} AS MATERIALIZED (SELECT e.a, e.b FROM ed e
+      JOIN av${R + 1} va ON va.v = e.a JOIN av${R + 1} vb ON vb.v = e.b),
+    mm AS MATERIALIZED ($mmUnion),
+    tr AS ($traceRows),
+    fin AS (SELECT
+      NOT EXISTS (SELECT 1 FROM (
+        SELECT v FROM (SELECT a AS v FROM mm UNION ALL SELECT b FROM mm)
+        GROUP BY v HAVING count(*) > 1)) AS disjoint_ok,
+      (SELECT count(*) FROM ae${R + 1}) = 0 AS maximal_ok)
+    SELECT CAST(round AS BIGINT) AS round,
+      CAST(n_matched AS BIGINT) AS n_matched,
+      CAST(sum(n_matched) OVER (ORDER BY round) AS BIGINT) AS cum_matched,
+      CAST(active_edges_after AS BIGINT) AS active_edges_after,
+      disjoint_ok, maximal_ok
+    FROM tr, fin WHERE n_active > 0 ORDER BY round"""
+  })
 }

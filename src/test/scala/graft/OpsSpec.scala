@@ -984,4 +984,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the MIS size: path of 12 yields >= 4, clique exactly 1, edge 1
     assert(tFast.last._3 >= 6L, s"MIS too small: ${tFast.last._3}")
   }
+
+  test("greedyMatching: fast path == distributed loop, disjoint and maximal") {
+    import spark.implicits._
+    // a path (multi-round), a star (exactly one match possible), a
+    // triangle (one match), an isolated edge
+    val path = (1L to 10L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val star = Seq((20L, 21L), (20L, 22L), (20L, 23L))
+    val tri = Seq((31L, 32L), (32L, 33L), (31L, 33L))
+    val edges = (path ++ star ++ tri :+ ((41L, 42L))).toDF("src", "dst")
+    val (tFast, dFast, mFast) = graft.ops.Graph.greedyMatching(edges)
+    val (tDist, dDist, mDist) = graft.ops.Graph.greedyMatching(edges, smallCutoff = 0)
+    assert(tFast == tDist, s"trace diverged: $tFast vs $tDist")
+    assert(dFast && mFast && dDist && mDist)
+    // active edges drain to zero, strictly decreasing
+    val act = tFast.map(_._4)
+    assert(act.last == 0L && act == act.sorted.reverse)
+    // size bounds: path-10 matches >= 3, star exactly 1, triangle 1, edge 1
+    assert(tFast.last._3 >= 6L && tFast.last._3 <= 8L,
+      s"matching size out of bounds: ${tFast.last._3}")
+  }
 }

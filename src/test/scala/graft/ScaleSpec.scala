@@ -771,6 +771,49 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("round-8 additions plan scale-shaped: hashed symspell keys, broadcast geo/bloom sides") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    // dedup_symspell: every variant-bucket join compares 8-byte longs
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.LongType
+    val sy = graft.queries.Dedup.symspell.fn(spark, sf)
+    var checked = 0
+    sy.queryExecution.analyzed.foreach {
+      case j: Join =>
+        j.condition.foreach(_.foreach {
+          case a: AttributeReference if a.name == "vh" || a.name == "vhb" =>
+            assert(a.dataType == LongType,
+              s"symspell join key ${a.name} is ${a.dataType}, not LongType")
+            checked += 1
+          case _ => ()
+        })
+      case _ => ()
+    }
+    assert(checked >= 3, s"symspell: expected hashed keys in 3 joins, checked $checked")
+    def executed(q: graft.Q): String = {
+      val df = q.fn(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // geo_greatcircle: the 8-row site table BROADCASTS (the CORDIC chain
+    // itself is map-only); nothing plans a cartesian product
+    val gc = executed(graft.queries.Analytics.qGeoGreatCircle)
+    assert(gc.contains("BroadcastNestedLoopJoin") || gc.contains("BroadcastExchange"),
+      "geo_greatcircle lost its broadcast site side")
+    assert(!gc.contains("CartesianProduct"), "geo_greatcircle plans a cartesian")
+    // layout_bloom_skip: the 32-probe side broadcasts into both the
+    // bloom cross and the exact-truth join
+    val bs = executed(graft.queries.Analytics.qBloomSkip)
+    assert(bs.split("BroadcastExchange").length >= 3,
+      "layout_bloom_skip: expected the probe table broadcast to both consumers")
+    // geo_polygon_tag: candidate and edge joins stay keyed — no cartesian
+    val pt = executed(graft.queries.Analytics.qGeoPolygonTag)
+    assert(!pt.contains("CartesianProduct"), "geo_polygon_tag plans a cartesian")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("round-6 TPC-H additions plan scale-shaped: q6 pushdown, q19 envelope, no cartesians") {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
