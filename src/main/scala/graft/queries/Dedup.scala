@@ -30,7 +30,7 @@ object Dedup {
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
     lshBands, prefixFilter, urlCanonical, dedupRateBySource, symspell,
-    mergeMatching)
+    mergeMatching, lshTuning)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -1448,6 +1448,82 @@ object Dedup {
     sympairs AS MATERIALIZED (SELECT ia AS a, ib AS b,
       CASE min(r) WHEN 0 THEN 'dup' WHEN 1 THEN 'del' ELSE 'sub' END AS kind
     FROM u GROUP BY ia, ib)"""
+
+  /** LSH band-shape TUNING table — the S-curve trade every MinHash
+    * deployment decides empirically: the SAME 16-slot signature banded
+    * three ways (8×2 / 4×4 / 2×8; collision threshold s* ≈ (1/b)^(1/r)
+    * ≈ 0.35 / 0.71 / 0.92) against the exact Jaccard ≥ 0.5 ground
+    * truth, reporting candidate volume, recall and precision in exact
+    * integer basis points. More rows per band = sharper curve = fewer
+    * candidates but missed borderline pairs; this is the table that
+    * picks (b, r) before a 100-TB dedup run. One shingle explode and
+    * ONE signature aggregation feed all three configs (the shared-
+    * subtree rule); ground truth reuses the df-capped exact pair miner.
+    */
+  lazy val lshTuning: Q = Q("dedup_lsh_tuning", (s, dir) => {
+    val shingles = hashedShingles(s, dir).persist()
+    val sig = graft.ops.Lsh.signaturesHashed(shingles, "doc_id").persist()
+    val truth = exactPairsFrom(
+        graft.ops.Scale.capGroups(shingles, "sh", DfCap).persist())
+      .select("d1", "d2").persist()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+      val cand = graft.ops.Lsh.candidatePairs(sig, "doc_id", b, r).persist()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("d1", "d2"))
+          .agg(count(lit(1)).as("true_pos")))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("true_pos"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall_bp", expr("true_pos * 10000 DIV greatest(n_truth, 1)"))
+      .withColumn("precision_bp",
+        expr("true_pos * 10000 DIV greatest(n_candidates, 1)"))
+      .select("bands", "rows_per_band", "n_candidates", "n_truth",
+        "true_pos", "recall_bp", "precision_bp")
+      .orderBy(desc("bands"))
+  }, Some {
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hm + $b) % $P) AS m$i"
+    }.mkString(", ")
+    def bandCtes(tag: String, b: Int, r: Int): String = {
+      val sel = (0 until b).map { bi =>
+        val key = (0 until r).map(j => s"CAST(m${r * bi + j} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $bi AS band, $key AS bsig FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""bands_$tag AS ($sel),
+    cand_$tag AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands_$tag a JOIN bands_$tag b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+    }
+    def cfgRow(tag: String, b: Int, r: Int): String =
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+        (SELECT count(*)::BIGINT FROM cand_$tag) AS n_candidates,
+        (SELECT count(*)::BIGINT FROM truth) AS n_truth,
+        (SELECT count(*)::BIGINT FROM cand_$tag c
+          JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2) AS true_pos"""
+    s"""WITH $duckCappedShingles,
+    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS MATERIALIZED (SELECT d1, d2 FROM tp
+      JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
+      WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5),
+    h AS (SELECT doc_id, sh % $P AS hm FROM shh),
+    sig AS MATERIALIZED (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+    ${bandCtes("a", 8, 2)},
+    ${bandCtes("b", 4, 4)},
+    ${bandCtes("c", 2, 8)},
+    rows_out AS (${cfgRow("a", 8, 2)}
+      UNION ALL ${cfgRow("b", 4, 4)}
+      UNION ALL ${cfgRow("c", 2, 8)})
+    SELECT bands, rows_per_band, n_candidates, n_truth, true_pos,
+      true_pos * 10000 // greatest(n_truth, 1) AS recall_bp,
+      true_pos * 10000 // greatest(n_candidates, 1) AS precision_bp
+    FROM rows_out ORDER BY bands DESC"""
+  })
 
   /** MERGE SCHEDULING over the near-dup pair graph — a maximal matching
     * ([[graft.ops.Graph.greedyMatching]], mutual-minimum rounds) is the

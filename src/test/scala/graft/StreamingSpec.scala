@@ -2369,6 +2369,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("BottomKProcessor recovers the reservoir across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_bk_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_bk_ck").toString
+    val k = 50
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val scored = graft.ops.Sample.prioritized(docs, "doc_id", "n_chars")
+      .select(col("doc_id"), col("priority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (b1, b2) = scored.splitAt(scored.length / 2)
+    def fmt(rs: Array[(Long, Long)]): Array[Byte] =
+      rs.map(r => s"all|${r._1}|${r._2}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map { l => val p = l.split('|'); (p(0), p(1).toLong, p(2).toLong) }
+      graft.streaming.BottomKProcessor(spark, src, k)
+        .toDF("key", "doc_id", "priority", "rank")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          b.collect().foreach(r => out.add((r.getLong(1), r.getLong(2), bid)))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the reservoir after restart must equal the batch sample over BOTH halves
+    val rows = out.toArray(Array.empty[(Long, Long, Long)])
+    val lastBatch = rows.map(_._3).max
+    val got = rows.filter(_._3 == lastBatch).map(r => (r._1, r._2))
+      .sortBy { case (id, p) => (-p, id) }.toSeq
+    val want = graft.ops.Sample.priorityWeighted(docs, "doc_id", "n_chars", k)
+      .select(col("doc_id"), col("priority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"post-restart reservoir diverged: " +
+      s"${got.take(3)} vs ${want.take(3)}")
+  }
+
   test("CountMinProcessor table equals the batch CM counters bit-for-bit (linear sketch)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
