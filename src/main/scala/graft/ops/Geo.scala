@@ -50,6 +50,22 @@ object Geo {
       s"substr('$Alphabet', CAST((($bits) >> ${25 - 5 * j}) & 31 AS INT) + 1, 1)"
     }.mkString(" || ")
 
+  /** Ray-casting crossing indicator (pnpoly, Franklin's public
+    * algorithm) in the shared integer dialect: 1 when the horizontal
+    * +x ray from (px, py) crosses the edge (x1,y1)→(x2,y2), else 0.
+    * The division is cleared by cross-multiplication with the sign
+    * split on the edge direction, so the test is exact BIGINT
+    * arithmetic — both engines agree on every boundary. Sum over a
+    * ring's edges and take parity for containment. Shared by
+    * `geo_polygon_tag` and GeoSpec's hand-laid ground-truth shapes.
+    */
+  def rayCrossSql(px: String, py: String,
+      x1: String, y1: String, x2: String, y2: String): String =
+    s"""CASE WHEN ($y1 > $py) != ($y2 > $py)
+          AND (($y2 > $y1 AND ($x2 - $x1) * ($py - $y1) - ($px - $x1) * ($y2 - $y1) > 0)
+            OR ($y2 < $y1 AND ($x2 - $x1) * ($py - $y1) - ($px - $x1) * ($y2 - $y1) < 0))
+        THEN 1 ELSE 0 END"""
+
   // --- Fixed-point CORDIC trigonometry (great-circle support) ---------
   //
   // The public CORDIC rotation-mode algorithm (Volder 1959) unrolled in

@@ -1225,10 +1225,8 @@ object Analytics {
         expr(s"clat + element_at($oy, CAST((i + 1) % 12 AS INT) + 1) * sc").as("y2"))
     val parity = cand.join(edges, "poly_id")
       .groupBy("poly_id", "user_id")
-      .agg(sum(expr("""CASE WHEN (y1 > py) != (y2 > py)
-          AND ((y2 > y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0)
-            OR (y2 < y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0))
-        THEN 1 ELSE 0 END""")).as("nc"))
+      .agg(sum(expr(graft.ops.Geo.rayCrossSql(
+        "px", "py", "x1", "y1", "x2", "y2"))).as("nc"))
     val inside = parity.filter(expr("nc % 2 = 1"))
       .groupBy("poly_id")
       .agg(count(lit(1)).as("n_inside"), min("user_id").as("first_user"),
@@ -1271,10 +1269,7 @@ object Analytics {
         clat + $oy[CAST((i + 1) % 12 AS INT) + 1] * sc AS y2
       FROM eg),
     ct AS (SELECT c.poly_id, c.user_id,
-        sum(CASE WHEN (y1 > py) <> (y2 > py)
-            AND ((y2 > y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0)
-              OR (y2 < y1 AND (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0))
-          THEN 1 ELSE 0 END) AS nc
+        sum(${graft.ops.Geo.rayCrossSql("px", "py", "x1", "y1", "x2", "y2")}) AS nc
       FROM cand c JOIN ed USING (poly_id)
       GROUP BY c.poly_id, c.user_id),
     ins AS (SELECT poly_id, count(*)::BIGINT AS n_inside,

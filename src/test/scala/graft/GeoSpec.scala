@@ -102,6 +102,49 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Math.abs(s90 - S) < 600, s"sin90=$s90 vs $S")
   }
 
+  test("ray casting grades against hand-laid ground truth: square, L-shape, star") {
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    import spark.implicits._
+    // (shape, ring vertices ccw) — closed by wrap-around
+    val shapes: Map[String, Seq[(Long, Long)]] = Map(
+      "square" -> Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L)),
+      // L-shape: the notch (7,7) is OUTSIDE
+      "lshape" -> Seq((0L, 0L), (10L, 0L), (10L, 5L), (5L, 5L), (5L, 10L), (0L, 10L)),
+      // the query's star fixture at scale 1 around the origin
+      "star" -> Seq((100L, 0L), (35L, 20L), (50L, 87L), (0L, 40L), (-50L, 87L),
+        (-35L, 20L), (-100L, 0L), (-35L, -20L), (-50L, -87L), (0L, -40L),
+        (50L, -87L), (35L, -20L)))
+    val truth = Seq(
+      ("square", 5L, 5L, true), ("square", 15L, 5L, false),
+      ("square", 5L, -1L, false), ("square", 9L, 9L, true),
+      ("lshape", 2L, 2L, true), ("lshape", 2L, 9L, true),
+      ("lshape", 7L, 7L, false), ("lshape", 7L, 3L, true),
+      ("star", 0L, 0L, true), ("star", 90L, 1L, true),
+      ("star", 60L, 60L, false), ("star", 0L, 39L, true),
+      ("star", 0L, 60L, false), ("star", -40L, 10L, true),
+      ("star", 0L, -39L, true), ("star", 70L, -70L, false))
+    val edges = shapes.toSeq.flatMap { case (name, ring) =>
+      ring.indices.map { i =>
+        val (ax, ay) = ring(i); val (bx, by) = ring((i + 1) % ring.length)
+        (name, ax, ay, bx, by)
+      }
+    }.toDF("shape", "x1", "y1", "x2", "y2")
+    val pts = truth.map { case (s, x, y, in) => (s, x, y, in) }
+      .toDF("shape", "px", "py", "want")
+    val got = pts.join(edges, "shape")
+      .groupBy("shape", "px", "py", "want")
+      .agg(sum(expr(graft.ops.Geo.rayCrossSql(
+        "px", "py", "x1", "y1", "x2", "y2"))).as("nc"))
+      .withColumn("inside", expr("nc % 2 = 1"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("inside") == r.getAs[Boolean]("want"),
+        s"${r.getString(0)} (${r.getLong(1)},${r.getLong(2)}): " +
+          s"got ${r.getAs[Boolean]("inside")}")
+    }
+    assert(got.length == truth.length)
+  }
+
   test("unit vectors have unit norm at scale 2^29 (great-circle precondition)") {
     import org.apache.spark.sql.functions.{col, expr}
     val S = (1L << graft.ops.Geo.CordicScaleBits).toDouble
