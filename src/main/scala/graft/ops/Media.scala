@@ -68,6 +68,61 @@ object Media {
     s"(CASE WHEN $docId % 3 = 0 THEN $bmp WHEN $docId % 3 = 1 THEN $png ELSE $gif END)"
   }
 
+  /** Big-endian hex of a 16-bit value (JPEG segment integers). */
+  private def be16(x: String): String = s"lpad(hex($x), 4, '0')"
+
+  /** Hex of a canonical JFIF JPEG header whose SOF position is only
+    * reachable by a real MARKER WALK: SOI, the fixed 16-byte APP0, a
+    * VARIABLE-length COM segment (3–31 bytes of payload derived from
+    * the doc), a second COM for every doc_id % 4 = 3 (so the segment
+    * COUNT varies too), then SOF0/SOF2 rotating on doc parity with
+    * precision 8, height/width be16, 3 component specs. Segment
+    * lengths include their own two bytes, per spec.
+    */
+  def jpegHexExpr(docId: String, blen: String): String = {
+    val w = widthExpr(blen)
+    val h = heightExpr(blen)
+    val n1 = s"(3 + $blen % 29)"
+    val n2 = s"(2 + $docId % 13)"
+    val app0 = "'FFE0' || '0010' || '4A46494600' || '0101' || '00' || " +
+      "'0048' || '0048' || '00' || '00'"
+    val com1 = s"'FFFE' || ${be16(s"(2 + $n1)")} || repeat('41', $n1)"
+    val com2 = s"(CASE WHEN $docId % 4 = 3 THEN 'FFFE' || " +
+      s"${be16(s"(2 + $n2)")} || repeat('42', $n2) ELSE '' END)"
+    val sofm = s"(CASE WHEN $docId % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END)"
+    val sof = s"$sofm || '0011' || '08' || ${be16(h)} || ${be16(w)} || " +
+      "'03' || '012200' || '021101' || '031101'"
+    s"('FFD8' || $app0 || $com1 || $com2 || $sof)"
+  }
+
+  /** The DuckDB twin of [[graft.expressions.JpegHeaderDecode]]'s marker
+    * walk: an unrolled hex-offset CTE chain over `hcol` (uppercase hex)
+    * in `src`, one stage per segment up to the expression's
+    * `MaxSegments` bound (the two walks are identical by construction).
+    * Emits `o{K}` (cursor), `f{K}` (segments skipped before SOF, NULL
+    * if not found) and `s{K}` (SOF byte offset). Returns (CTE text,
+    * last CTE name).
+    */
+  def duckJpegWalkCtes(src: String, hcol: String,
+      prefix: String = "jw"): (String, String) = {
+    val k = graft.expressions.JpegHeaderDecode.MaxSegments
+    val c0 = s"${prefix}0 AS (SELECT *, CAST(2 AS BIGINT) AS o0, " +
+      s"CAST(NULL AS BIGINT) AS f0, CAST(NULL AS BIGINT) AS s0 FROM $src)"
+    val cs = (1 to k).map { i =>
+      val (po, pf, ps) = (s"o${i - 1}", s"f${i - 1}", s"s${i - 1}")
+      val m = s"substr($hcol, $po * 2 + 1, 4)"
+      s"""${prefix}$i AS (SELECT *,
+      CASE WHEN $pf IS NULL AND $m IN ('FFC0', 'FFC2')
+        THEN CAST(${i - 1} AS BIGINT) ELSE $pf END AS f$i,
+      CASE WHEN $pf IS NULL AND $m IN ('FFC0', 'FFC2') THEN $po ELSE $ps END AS s$i,
+      CASE WHEN $pf IS NULL AND NOT ($m IN ('FFC0', 'FFC2'))
+        THEN $po + 2 + CAST('0x' || substr($hcol, $po * 2 + 5, 4) AS BIGINT)
+        ELSE $po END AS o$i
+      FROM ${prefix}${i - 1})"""
+    }
+    ((c0 +: cs).mkString(",\n    "), s"$prefix$k")
+  }
+
   /** Audio asset parameters: PCM-16 WAV, sample-rate rotation, mono/
     * stereo alternation, declared data size derived from byte length.
     */

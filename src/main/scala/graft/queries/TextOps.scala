@@ -26,7 +26,7 @@ object TextOps {
     pipelineDatasetCard, pipelineDomainMixture, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
-    tokenizerFertility, multimodalVideoMeta)
+    tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1439,6 +1439,49 @@ object TextOps {
       CAST((n_frames * usec_per_frame) // 1000 AS BIGINT) AS duration_ms,
       CAST(100000000 // usec_per_frame AS BIGINT) AS fps_e2
     FROM d ORDER BY doc_id"""
+  })
+
+  /** JPEG (JFIF) frame-header metadata — the one container in the
+    * multimodal family whose fields are NOT at fixed offsets: SOF sits
+    * behind a marker walk over variable-length segments
+    * ([[graft.expressions.JpegHeaderDecode]], bounded at MaxSegments;
+    * the oracle unrolls the IDENTICAL walk as a hex-offset CTE chain —
+    * [[graft.ops.Media.duckJpegWalkCtes]]). The synthetic headers vary
+    * both segment LENGTH (doc-derived COM payload) and segment COUNT
+    * (a second COM on every 4th doc), and rotate baseline/progressive
+    * SOF markers, so the walk is exercised, not decorative. Pure
+    * per-row codegen'd decode — zero shuffle beyond the output sort.
+    */
+  val multimodalJpegMeta: Q = Q("multimodal_jpeg_meta", (s, dir) => {
+    graft.expressions.JpegHeaderDecode.register(s)
+    val jh = graft.ops.Media.jpegHexExpr("doc_id", "n_chars")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"jpeg_header_decode(unhex($jh))").as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.precision").as("bit_depth"), col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.n_components").as("n_components"),
+        col("m.n_skipped").as("n_skipped"))
+      .withColumn("pixels", expr("width * height"))
+      .orderBy("doc_id")
+  }, Some {
+    import graft.ops.Media
+    val jh = Media.jpegHexExpr("doc_id", "n_chars")
+    val (walk, last) = Media.duckJpegWalkCtes("hx", "h")
+    val k = graft.expressions.JpegHeaderDecode.MaxSegments
+    s"""WITH hx AS (SELECT doc_id, hex(unhex($jh)) AS h FROM documents),
+    $walk
+    SELECT doc_id,
+      CASE substr(h, s$k * 2 + 1, 4) WHEN 'FFC0' THEN 'jpeg_baseline'
+        ELSE 'jpeg_progressive' END AS format,
+      CAST('0x' || substr(h, (s$k + 4) * 2 + 1, 2) AS BIGINT) AS bit_depth,
+      CAST('0x' || substr(h, (s$k + 7) * 2 + 1, 4) AS BIGINT) AS width,
+      CAST('0x' || substr(h, (s$k + 5) * 2 + 1, 4) AS BIGINT) AS height,
+      CAST('0x' || substr(h, (s$k + 9) * 2 + 1, 2) AS BIGINT) AS n_components,
+      f$k AS n_skipped,
+      CAST('0x' || substr(h, (s$k + 7) * 2 + 1, 4) AS BIGINT)
+        * CAST('0x' || substr(h, (s$k + 5) * 2 + 1, 4) AS BIGINT) AS pixels
+    FROM $last ORDER BY doc_id"""
   })
 
   val multimodalResize: Q = Q("multimodal_resize", (s, dir) => {
