@@ -143,6 +143,42 @@ object Geo {
     pre ++ iters ++ fin
   }
 
+  /** Staged steps for CORDIC VECTORING mode — fixed-point atan2: the
+    * angle of (`yCol`, `xCol`) lands in `<px>az` in NANO-degrees,
+    * (-180e9, 180e9]. The core walk drives |y| to zero over the
+    * positive quadrant (convergence needs x ≥ 0, and Σ atan ≈ 99.88°
+    * covers the 0–90° range), accumulating the rotation in z; the
+    * full-circle answer comes from the classic quadrant fold. The
+    * vectoring gain multiplies only the magnitude, never the angle, so
+    * no K compensation is needed. Inputs at any integer scale ≤ ~2^31
+    * (micro-degree deltas qualify); same non-foldable-input caveat as
+    * [[cordicStages]].
+    */
+  def cordicAtan2Stages(px: String, yCol: String, xCol: String): Seq[Seq[(String, String)]] = {
+    val pre = Seq(
+      Seq(
+        s"${px}x0" -> s"abs($xCol)",
+        s"${px}y0" -> s"abs($yCol)",
+        s"${px}z0" -> "CAST(0 AS BIGINT)"))
+    val iters = (0 until CordicIters).map { i =>
+      Seq(
+        s"${px}x${i + 1}" -> (s"CASE WHEN ${px}y$i > 0 THEN ${px}x$i + (${px}y$i >> $i) " +
+          s"ELSE ${px}x$i - (${px}y$i >> $i) END"),
+        s"${px}y${i + 1}" -> (s"CASE WHEN ${px}y$i > 0 THEN ${px}y$i - (${px}x$i >> $i) " +
+          s"ELSE ${px}y$i + (${px}x$i >> $i) END"),
+        s"${px}z${i + 1}" -> (s"CASE WHEN ${px}y$i > 0 THEN ${px}z$i + ${AtanNano(i)} " +
+          s"ELSE ${px}z$i - ${AtanNano(i)} END"))
+    }
+    val core = s"${px}z$CordicIters"
+    val fin = Seq(Seq(
+      s"${px}az" -> (s"CASE WHEN ($xCol) = 0 AND ($yCol) = 0 THEN CAST(0 AS BIGINT) " +
+        s"WHEN ($xCol) >= 0 AND ($yCol) >= 0 THEN $core " +
+        s"WHEN ($xCol) < 0 AND ($yCol) >= 0 THEN 180000000000 - $core " +
+        s"WHEN ($xCol) < 0 AND ($yCol) < 0 THEN $core - 180000000000 " +
+        s"ELSE -$core END")))
+    pre ++ iters ++ fin
+  }
+
   /** Staged steps for the 2^29-scaled unit 3-vector of (`latCol`,
     * `lonCol`) micro-degree columns into `<px>ux/<px>uy/<px>uz`
     * (x toward lon 0, z toward the pole). The two angle chains advance

@@ -53,7 +53,8 @@ object Analytics {
     q6ForecastRevenue, q11ImportantStock, q19DisjunctiveRevenue,
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
-    qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan)
+    qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan,
+    qGeoBearing)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1456,6 +1457,41 @@ object Analytics {
     SELECT 'noise', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
       n_noise, first_noise FROM no
     ORDER BY kind, cluster_id"""))
+
+  /** Compass-sector census — CORDIC's SECOND mode (vectoring = exact
+    * fixed-point atan2) next to [[qGeoGreatCircle]]'s rotation mode:
+    * each point's bearing from the origin (atan2(lon, lat) — north 0°,
+    * clockwise, the planar approximation the kNN grid already
+    * documents) lands in nano-degrees through the same unrolled
+    * integer walk in both engines, then bins into the 8 compass
+    * sectors. The histogram every movement/antenna-coverage dashboard
+    * draws. Map-only until one 8-group aggregate.
+    */
+  val qGeoBearing: Q = Q("geo_bearing_sectors", (s, dir) => {
+    import graft.ops.Geo
+    Geo.applyStages(geoPoints(s, dir), Geo.cordicAtan2Stages("b", "lon", "lat"))
+      .select(col("user_id"), col("baz"))
+      .withColumn("azn", expr(
+        "((baz % 360000000000) + 360000000000) % 360000000000"))
+      .withColumn("sector", expr("azn DIV 45000000000"))
+      .groupBy("sector")
+      .agg(count(lit(1)).as("n_points"), min("azn").as("min_az_nano"),
+        max("azn").as("max_az_nano"), min("user_id").as("first_user"))
+      .orderBy("sector")
+  }, Some {
+    import graft.ops.Geo
+    val (chain, last) = Geo.duckStageChain("ga", "p",
+      Geo.cordicAtan2Stages("b", "lon", "lat"))
+    s"""WITH $geoPointsSql,
+    $chain,
+    bz AS (SELECT user_id,
+        ((baz % 360000000000) + 360000000000) % 360000000000 AS azn
+      FROM $last)
+    SELECT azn // 45000000000 AS sector, count(*)::BIGINT AS n_points,
+      min(azn) AS min_az_nano, max(azn) AS max_az_nano,
+      min(user_id) AS first_user
+    FROM bz GROUP BY 1 ORDER BY sector"""
+  })
 
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {
     import org.apache.spark.sql.expressions.Window

@@ -145,6 +145,31 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == truth.length)
   }
 
+  test("CORDIC vectoring (atan2) tracks StrictMath across all quadrants and axes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // micro-degree-scale magnitudes (the query's input class); covers
+    // all four quadrants, both axes, and the origin's defined-zero
+    val pairs: Seq[(Long, Long)] = Seq(
+      (10000000L, 10000000L), (10000000L, -10000000L),
+      (-10000000L, -10000000L), (-10000000L, 10000000L),
+      (10000000L, 0L), (-10000000L, 0L), (0L, 10000000L), (0L, -10000000L),
+      (3000000L, 40000000L), (-123456789L, 98765432L), (1000000L, -179000000L),
+      (0L, 0L))
+    val in = pairs.toDF("y", "x")
+    val out = graft.ops.Geo.applyStages(in,
+        graft.ops.Geo.cordicAtan2Stages("q", "y", "x"))
+      .select(col("y"), col("x"), col("qaz")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (y, x) =>
+      val want =
+        if (x == 0 && y == 0) 0.0
+        else StrictMath.toDegrees(StrictMath.atan2(y.toDouble, x.toDouble))
+      val got = out((y, x)) / 1e9
+      assert(Math.abs(got - want) < 1e-5, s"atan2($y,$x): got $got want $want")
+    }
+  }
+
   test("unit vectors have unit norm at scale 2^29 (great-circle precondition)") {
     import org.apache.spark.sql.functions.{col, expr}
     val S = (1L << graft.ops.Geo.CordicScaleBits).toDouble
