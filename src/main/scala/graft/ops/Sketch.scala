@@ -34,6 +34,24 @@ object Sketch {
     s"graft_h60(concat(CAST($saltExpr AS STRING), ':', $keyExpr))"
   }
 
+  /** Word-packed per-file bloom primitives (the `layout_bloom_skip`
+    * shape): positions in [0, words·63) — 63 usable bits per BIGINT
+    * word because DuckDB range-checks a left shift into the sign bit.
+    * Spark dialect (`conv`); the oracle mirrors with the '0x' cast.
+    * Shared with [[graft.streaming.BloomManifestProcessor]] so the
+    * stream and the batch manifest hash identically by construction.
+    */
+  def bloomPosSql(salt: String, key: String, words: Int): String =
+    s"CAST(conv(substr(md5(concat('$salt', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT) % ${words * 63}"
+
+  /** The single-word contribution of one (salt, key) position to word
+    * `w` — OR these per salt, then bit_or-aggregate per file.
+    */
+  def bloomWordSql(salt: String, key: String, w: Int, words: Int): String = {
+    val p = bloomPosSql(salt, key, words)
+    s"CASE WHEN $p DIV 63 = $w THEN CAST(1 AS BIGINT) << ($p % 63) ELSE CAST(0 AS BIGINT) END"
+  }
+
   /** Count-Min counters for (key, n) rows pre-aggregated to exact
     * per-key counts: `depth` independent hash rows, `width` buckets.
     * Returns (j, bucket, c). Counter table size = depth×width, constant.

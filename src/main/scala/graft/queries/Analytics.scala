@@ -858,14 +858,11 @@ object Analytics {
     * #files×32 broadcast cross, one semi-aggregate for exact truth.
     */
   val qBloomSkip: Q = Q("layout_bloom_skip", (s, dir) => {
-    def posE(salt: String, key: String): String =
-      s"CAST(conv(substr(md5(concat('$salt', CAST($key AS STRING))), 1, 15), 16, 10) AS BIGINT) % 252"
-    def wordE(salt: String, key: String, w: Int): String = {
-      val p = posE(salt, key)
-      s"CASE WHEN $p DIV 63 = $w THEN CAST(1 AS BIGINT) << ($p % 63) ELSE CAST(0 AS BIGINT) END"
-    }
+    import graft.ops.Sketch.{bloomPosSql, bloomWordSql}
+    def wordE(salt: String, key: String, w: Int): String =
+      bloomWordSql(salt, key, w, words = 4)
     def hitE(salt: String, key: String): String = {
-      val p = posE(salt, key)
+      val p = bloomPosSql(salt, key, words = 4)
       s"((CASE $p DIV 63 WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END >> ($p % 63)) & 1) = 1"
     }
     val li = Tables.t(s, dir, "lineitem")

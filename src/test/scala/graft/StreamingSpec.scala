@@ -2413,6 +2413,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("BloomManifestProcessor equals the batch per-file bloom manifest bit-for-bit") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("graft_bloomman").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    def wordOr(w: Int): String =
+      (1 to 3).map(j => graft.ops.Sketch.bloomWordSql(s"bl$j", "pk", w, words = 4))
+        .mkString("(", " | ", ")")
+    // rows with the word contributions pre-OR'd through the SHARED expr
+    val rows = Tables.t(spark, sfDir, "lineitem")
+      .select(expr("CAST(l_orderkey DIV 8 AS STRING)").as("f"),
+        col("l_partkey").as("pk"))
+      .select(col("f"), expr(wordOr(0)).as("w0"), expr(wordOr(1)).as("w1"),
+        expr(wordOr(2)).as("w2"), expr(wordOr(3)).as("w3"), col("pk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(r => (r._6, r._1))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(String, Long, Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}|${r._6}")
+        .mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l =>
+        val p = l.split('|')
+        (p(0), p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong, p(5).toLong)
+      }
+    val q = graft.streaming.BloomManifestProcessor(spark, src)
+      .toDF("f", "b0", "b1", "b2", "b3", "mn", "mx", "n")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_bloomman_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // final manifest per file = the row with that file's max n
+      val got = spark.sql("""SELECT f, b0, b1, b2, b3, mn, mx, n FROM (
+            SELECT *, row_number() OVER (PARTITION BY f ORDER BY n DESC) AS rn
+            FROM graft_bloomman_out) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (f, rs) =>
+        f -> ((rs.map(_._2).reduce(_ | _), rs.map(_._3).reduce(_ | _),
+          rs.map(_._4).reduce(_ | _), rs.map(_._5).reduce(_ | _),
+          rs.map(_._6).min, rs.map(_._6).max, rs.length.toLong))
+      }
+      assert(want.nonEmpty && got == want,
+        s"manifest diverged on ${(want.keySet -- got.keySet).take(3)} / value drift")
+    } finally q.stop()
+  }
+
   test("CountMinProcessor table equals the batch CM counters bit-for-bit (linear sketch)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
