@@ -54,7 +54,7 @@ object Analytics {
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
     qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan,
-    qGeoBearing)
+    qGeoBearing, qGeoSpeedGate)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1489,6 +1489,65 @@ object Analytics {
       min(user_id) AS first_user
     FROM bz GROUP BY 1 ORDER BY sector"""
   })
+
+  /** Trajectory SPEED GATE (teleportation / GPS-spoof detection — the
+    * fraud check every location pipeline runs): consecutive events per
+    * user get deterministic per-EVENT positions, and a hop is flagged
+    * when the planar squared distance exceeds what the speed limit
+    * allows in the elapsed time — the comparison is pure integer
+    * cross-multiplication (d² > v²·dt², dt clamped at 1000 s so the
+    * right side stays far inside BIGINT; longer gaps cannot violate
+    * any plausible limit). One lag window PER USER (high-cardinality
+    * partition — WindowAudit-clean), one aggregate; at cluster scale
+    * this is the sessionize shuffle shape.
+    */
+  val qGeoSpeedGate: Q = Q("geo_speed_gate", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val hops = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("lat", expr("CAST(conv(substr(md5(concat('elat', " +
+        "CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 180000000 - 90000000"))
+      .withColumn("lon", expr("CAST(conv(substr(md5(concat('elon', " +
+        "CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000"))
+      .withColumn("plat", lag("lat", 1).over(w))
+      .withColumn("plon", lag("lon", 1).over(w))
+      .withColumn("pts", lag("ts_us", 1).over(w))
+      .filter(col("pts").isNotNull)
+      .withColumn("d2", expr(
+        "(lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)"))
+      .withColumn("dt_s", expr("greatest((ts_us - pts) DIV 1000000, 1)"))
+      .withColumn("teleport", expr(
+        "dt_s <= 1000 AND d2 > 1000000000000 * least(dt_s, 1001) * least(dt_s, 1001)"))
+    hops.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hops"),
+        sum(expr("CASE WHEN teleport THEN 1L ELSE 0L END")).as("n_teleports"),
+        max(expr("CASE WHEN teleport THEN d2 ELSE 0L END")).as("max_teleport_d2"))
+      .filter(col("n_teleports") > 0)
+      .orderBy(desc("n_teleports"), asc("user_id")).limit(50)
+  }, Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        CAST('0x' || substr(md5('elat' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 180000000 - 90000000 AS lat,
+        CAST('0x' || substr(md5('elon' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 360000000 - 180000000 AS lon
+      FROM events),
+    h AS (SELECT user_id, lat, lon, ts_us, event_id,
+        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+        lag(ts_us) OVER w AS pts
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    d AS (SELECT user_id,
+        (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon) AS d2,
+        greatest((ts_us - pts) // 1000000, 1) AS dt_s
+      FROM h WHERE pts IS NOT NULL),
+    t AS (SELECT user_id, d2,
+        dt_s <= 1000 AND d2 > 1000000000000 * least(dt_s, 1001) * least(dt_s, 1001) AS teleport
+      FROM d)
+    SELECT user_id, count(*)::BIGINT AS n_hops,
+      CAST(sum(CASE WHEN teleport THEN 1 ELSE 0 END) AS BIGINT) AS n_teleports,
+      CAST(max(CASE WHEN teleport THEN d2 ELSE 0 END) AS BIGINT) AS max_teleport_d2
+    FROM t GROUP BY user_id
+    HAVING sum(CASE WHEN teleport THEN 1 ELSE 0 END) > 0
+    ORDER BY n_teleports DESC, user_id LIMIT 50"""))
 
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {
     import org.apache.spark.sql.expressions.Window
