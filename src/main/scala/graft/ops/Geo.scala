@@ -143,6 +143,21 @@ object Geo {
     pre ++ iters ++ fin
   }
 
+  /** Exact integer sqrt in the shared dialect (the
+    * [[Sample.temperatureAlloc]] move): floor(sqrt(double)) then ±1
+    * correction by SQUARING — never trust the float at perfect-square
+    * boundaries. `x` must be a non-negative BIGINT expression.
+    */
+  def isqrtSql(x: String): String =
+    s"""(CASE
+      WHEN (CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT) + 1)
+        * (CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT) + 1) <= ($x)
+        THEN CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT) + 1
+      WHEN CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)
+        * CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT) > ($x)
+        THEN CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT) - 1
+      ELSE CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT) END)"""
+
   /** Staged steps for CORDIC VECTORING mode — fixed-point atan2: the
     * angle of (`yCol`, `xCol`) lands in `<px>az` in NANO-degrees,
     * (-180e9, 180e9]. The core walk drives |y| to zero over the
@@ -207,6 +222,26 @@ object Geo {
     stages.foldLeft(df) { (d, st) =>
       d.selectExpr("*" +: st.map { case (n, e) => s"$e AS $n" }: _*)
     }
+
+  /** GREAT-CIRCLE DISTANCE IN METERS from a chord² column (scale
+    * 2^(2·29), i.e. between two [[unitVectorStages]] outputs) — the
+    * full haversine surface with ZERO libm: half-chord = sin(θ/2)
+    * comes from the exact integer sqrt, its complement leg from the
+    * same, and θ/2 = atan2(half-chord, leg) from the vectoring walk
+    * (asin(x) ≡ atan2(x, √(1−x²))). Meters use the integer constant
+    * 111,195 m/degree (π·6371000/180 = 111194.93 — a 0.7 ppm bias, an
+    * order below the fixed-point noise). `div` is "DIV" (Spark) or
+    * "//" (DuckDB); everything else is dialect-common.
+    */
+  def greatCircleMetersStages(px: String, c2Col: String,
+      div: String): Seq[Seq[(String, String)]] = {
+    val s2 = 1L << (2 * CordicScaleBits)
+    Seq(Seq(
+      s"${px}h" -> isqrtSql(s"(($c2Col) >> 2)"),
+      s"${px}hx" -> isqrtSql(s"$s2 - (($c2Col) >> 2)"))) ++
+      cordicAtan2Stages(px + "v", s"${px}h", s"${px}hx") :+
+      Seq(s"${px}m" -> s"(2 * ${px}vaz * 111195) $div 1000000000")
+  }
 
   /** DuckDB CTE chain applying `stages` over the CTE `src`: returns the
     * comma-joined CTE definitions and the final CTE's name.

@@ -54,7 +54,7 @@ object Analytics {
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
     qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan,
-    qGeoBearing, qGeoSpeedGate)
+    qGeoBearing, qGeoSpeedGate, qGeoHaversine)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1548,6 +1548,67 @@ object Analytics {
     FROM t GROUP BY user_id
     HAVING sum(CASE WHEN teleport THEN 1 ELSE 0 END) > 0
     ORDER BY n_teleports DESC, user_id LIMIT 50"""))
+
+  /** Full great-circle distance IN METERS — the numeric surface
+    * [[qGeoGreatCircle]]'s chord ranking deliberately avoided, now
+    * reachable with ZERO libm by composing the three fixed-point
+    * pieces: rotation CORDIC (unit vectors) → exact integer sqrt
+    * (half-chord and its complement leg) → vectoring CORDIC
+    * (asin via atan2). Distance from every point to reference site 0,
+    * rolled into 1000-km bands — the distance-distribution histogram a
+    * latency/coverage planner reads. Integer end to end, so both
+    * engines produce the SAME meter values; GeoSpec grades the meters
+    * against StrictMath haversine on reference city pairs.
+    */
+  val qGeoHaversine: Q = Q("geo_haversine_ref", (s, dir) => {
+    import graft.ops.Geo
+    val pts = Geo.applyStages(geoPoints(s, dir),
+        Geo.unitVectorStages("p", "lat", "lon"))
+      .select(col("user_id"), col("pux"), col("puy"), col("puz"))
+    val ref = Geo.applyStages(
+        s.range(1).select(col("id").as("ref_id"))
+          .withColumn("rlat", expr("CAST(conv(substr(md5(concat('rlat', " +
+            "CAST(ref_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 160000000 - 80000000"))
+          .withColumn("rlon", expr("CAST(conv(substr(md5(concat('rlon', " +
+            "CAST(ref_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000")),
+        Geo.unitVectorStages("r", "rlat", "rlon"))
+      .select(col("rux"), col("ruy"), col("ruz"))
+    val d = pts.crossJoin(broadcast(ref))
+      .withColumn("c2", expr("(pux - rux) * (pux - rux) + " +
+        "(puy - ruy) * (puy - ruy) + (puz - ruz) * (puz - ruz)"))
+    Geo.applyStages(d, Geo.greatCircleMetersStages("g", "c2", "DIV"))
+      .withColumn("band_1000km", expr("gm DIV 1000000"))
+      .groupBy("band_1000km")
+      .agg(count(lit(1)).as("n_points"), min("gm").as("min_m"),
+        max("gm").as("max_m"), min("user_id").as("first_user"))
+      .orderBy("band_1000km")
+  }, Some {
+    import graft.ops.Geo
+    val (ptChain, ptLast) = Geo.duckStageChain("hp", "p",
+      Geo.unitVectorStages("p", "lat", "lon"))
+    val (rfChain, rfLast) = Geo.duckStageChain("hr", "rr",
+      Geo.unitVectorStages("r", "rlat", "rlon"))
+    val (mChain, mLast) = Geo.duckStageChain("hm", "dd",
+      Geo.greatCircleMetersStages("g", "c2", "//"))
+    s"""WITH $geoPointsSql,
+    $ptChain,
+    rr AS (SELECT range AS ref_id,
+        CAST('0x' || substr(md5('rlat' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 160000000 - 80000000 AS rlat,
+        CAST('0x' || substr(md5('rlon' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 360000000 - 180000000 AS rlon
+      FROM range(1)),
+    $rfChain,
+    dd AS (SELECT user_id,
+        (pux - rux) * (pux - rux) + (puy - ruy) * (puy - ruy)
+          + (puz - ruz) * (puz - ruz) AS c2
+      FROM (SELECT user_id, pux, puy, puz FROM $ptLast),
+        (SELECT rux, ruy, ruz FROM $rfLast)),
+    $mChain
+    SELECT gm // 1000000 AS band_1000km, count(*)::BIGINT AS n_points,
+      min(gm) AS min_m, max(gm) AS max_m, min(user_id) AS first_user
+    FROM $mLast GROUP BY 1 ORDER BY band_1000km"""
+  })
 
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {
     import org.apache.spark.sql.expressions.Window

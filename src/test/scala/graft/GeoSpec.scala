@@ -170,6 +170,49 @@ class GeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("integer great-circle meters track StrictMath haversine on reference pairs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // (lat1, lon1, lat2, lon2) micro-degrees
+    val pairs: Seq[(Long, Long, Long, Long)] = Seq(
+      // Jutland -> Curitiba (the geohash reference cities): ~10,100 km
+      (57649110L, 10407440L, -25382708L, -49265506L),
+      // short hop (~111 km meridian), quarter-circle, antipodal-ish
+      (0L, 0L, 1000000L, 0L),
+      (0L, 0L, 0L, 90000000L),
+      (45000000L, 0L, -45000000L, 179000000L),
+      // same point: zero
+      (10000000L, 20000000L, 10000000L, 20000000L))
+    val in = pairs.toDF("lat1", "lon1", "lat2", "lon2")
+    val g = graft.ops.Geo
+    val uv = g.applyStages(g.applyStages(in,
+        g.unitVectorStages("a", "lat1", "lon1")),
+        g.unitVectorStages("b", "lat2", "lon2"))
+      .selectExpr("lat1", "lon1", "lat2", "lon2",
+        "(aux - bux) * (aux - bux) + (auy - buy) * (auy - buy) + " +
+          "(auz - buz) * (auz - buz) AS c2")
+    val out = g.applyStages(uv, g.greatCircleMetersStages("g", "c2", "DIV"))
+      .select(col("lat1"), col("lon1"), col("lat2"), col("lon2"), col("gm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+      .toMap
+    def hav(p: (Long, Long, Long, Long)): Double = {
+      val (la1, lo1, la2, lo2) =
+        (StrictMath.toRadians(p._1 / 1e6), StrictMath.toRadians(p._2 / 1e6),
+          StrictMath.toRadians(p._3 / 1e6), StrictMath.toRadians(p._4 / 1e6))
+      val s1 = StrictMath.sin((la2 - la1) / 2)
+      val s2 = StrictMath.sin((lo2 - lo1) / 2)
+      val a = s1 * s1 + StrictMath.cos(la1) * StrictMath.cos(la2) * s2 * s2
+      2 * 6371000.0 * StrictMath.asin(StrictMath.sqrt(a))
+    }
+    pairs.foreach { p =>
+      val want = hav(p)
+      val got = out(p).toDouble
+      assert(Math.abs(got - want) <= Math.max(100.0, want * 0.001),
+        s"$p: got $got m want $want m")
+    }
+  }
+
   test("unit vectors have unit norm at scale 2^29 (great-circle precondition)") {
     import org.apache.spark.sql.functions.{col, expr}
     val S = (1L << graft.ops.Geo.CordicScaleBits).toDouble
