@@ -2511,6 +2511,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("CountMinProcessor recovers its counter table across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, explode}
+    val dir = Files.createTempDirectory("graft_cm_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_cm_ck").toString
+    val (d, w) = (4, 128)
+    val cellRows = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"),
+        expr("concat(CAST(user_id AS STRING), '|', event_type)").as("key"),
+        col("event_id"))
+      .withColumn("j", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("bucket", expr(s"${graft.ops.Sketch.h60("j", "key")} % $w"))
+      .select(col("event_type"), col("j").cast("int"), col("bucket").cast("int"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._4)
+    val (b1, b2) = cellRows.splitAt(cellRows.length / 2)
+    def fmt(rs: Array[(String, Int, Int, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1};${r._2};${r._3}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[((String, Int, Int), Long)]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map { l => val p = l.split(';'); (p(0), p(1).toInt, p(2).toInt) }
+      graft.streaming.CountMinProcessor(spark, src, d, w)
+        .toDF("key", "j", "bucket", "c")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add(
+            ((r.getString(0), r.getInt(1), r.getInt(2)), r.getLong(3))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // counts only grow: the max per cell is the post-restart table
+    val got = out.toArray(Array.empty[((String, Int, Int), Long)])
+      .groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2).max }
+    val want = cellRows.groupBy(r => (r._1, r._2, r._3))
+      .map { case (cell, xs) => cell -> xs.length.toLong }
+    assert(want.nonEmpty && got == want,
+      s"post-restart CM diverged: ${(want.toSet -- got.toSet).take(3)}")
+  }
+
   test("KmvProcessor matches the batch sketch_kmv estimate EXACTLY across micro-batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
