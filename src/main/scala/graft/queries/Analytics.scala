@@ -1501,15 +1501,22 @@ object Analytics {
     * partition — WindowAudit-clean), one aggregate; at cluster scale
     * this is the sessionize shuffle shape.
     */
-  val qGeoSpeedGate: Q = Q("geo_speed_gate", (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val hops = Tables.events(s, dir)
+  /** Per-EVENT deterministic positions — shared by [[qGeoSpeedGate]]
+    * and the [[graft.streaming.SpeedGateProcessor]] parity spec so the
+    * stream and the batch gate derive locations identically.
+    */
+  private[graft] def eventPoints(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"))
       .withColumn("lat", expr("CAST(conv(substr(md5(concat('elat', " +
         "CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 180000000 - 90000000"))
       .withColumn("lon", expr("CAST(conv(substr(md5(concat('elon', " +
         "CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000"))
+
+  val qGeoSpeedGate: Q = Q("geo_speed_gate", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val hops = eventPoints(s, dir)
       .withColumn("plat", lag("lat", 1).over(w))
       .withColumn("plon", lag("lon", 1).over(w))
       .withColumn("pts", lag("ts_us", 1).over(w))

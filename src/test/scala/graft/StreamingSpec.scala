@@ -2413,6 +2413,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${got.take(3)} vs ${want.take(3)}")
   }
 
+  test("SpeedGateProcessor counters equal the batch geo_speed_gate lag window") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_speedgate").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    // positions through the SHARED builder; stream split at a time cut
+    val rows = graft.queries.Analytics.eventPoints(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("lat"), col("lon"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._2, r._3))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(Long, Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4} ${r._5}")
+        .mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l =>
+        val p = l.split(' ')
+        (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
+      }
+    val q = graft.streaming.SpeedGateProcessor(spark, src)
+      .toDF("user_id", "n_hops", "n_teleports", "max_d2")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_speedgate_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // last emit per user (n_hops only grows)
+      val got = spark.sql("""SELECT user_id, n_hops, n_teleports, max_d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY n_hops DESC) AS rn FROM graft_speedgate_out)
+          WHERE rn = 1""")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // driver-side batch reference: the same fold per user in Long math
+      val want = rows.groupBy(_._1).map { case (u, rs) =>
+        val ord = rs.sortBy(r => (r._2, r._3))
+        var (nh, nt, mx) = (0L, 0L, 0L)
+        ord.sliding(2).foreach {
+          case Array(a, b) =>
+            val d2 = (b._4 - a._4) * (b._4 - a._4) + (b._5 - a._5) * (b._5 - a._5)
+            val dt = math.max((b._2 - a._2) / 1000000L, 1L)
+            val cl = math.min(dt, 1001L)
+            val tel = dt <= 1000L && d2 > 1000000000000L * cl * cl
+            nh += 1; if (tel) { nt += 1; mx = math.max(mx, d2) }
+          case _ => ()
+        }
+        u -> ((nh, nt, mx))
+      }
+      assert(want.nonEmpty && got == want,
+        s"speed-gate diverged: ${(want.toSet -- got.toSet).take(3)}")
+      // and the flagged subset matches the batch query's rows
+      val batch = graft.queries.Analytics.qGeoSpeedGate.fn(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      batch.foreach { case (u, v) =>
+        assert(got(u) == v, s"user $u: stream ${got(u)} vs batch $v")
+      }
+    } finally q.stop()
+  }
+
   test("BloomManifestProcessor equals the batch per-file bloom manifest bit-for-bit") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
