@@ -54,7 +54,8 @@ object JpegHeaderDecode {
     StructField("height", LongType, nullable = false),
     StructField("width", LongType, nullable = false),
     StructField("n_components", LongType, nullable = false),
-    StructField("n_skipped", LongType, nullable = false)))
+    StructField("n_skipped", LongType, nullable = false),
+    StructField("has_exif", BooleanType, nullable = false)))
 
   /** Marker-walk bound — mirrored verbatim by the oracle's unrolled
     * hex-offset CTE chain.
@@ -78,6 +79,7 @@ object JpegHeaderDecode {
     if (!(u8(b, 0) == 0xFF && u8(b, 1) == 0xD8)) return null // SOI
     var o = 2
     var step = 0
+    var exif = false
     while (step < MaxSegments) {
       if (o + 4 > b.length || u8(b, o) != 0xFF) return null
       val m = u8(b, o + 1)
@@ -86,8 +88,12 @@ object JpegHeaderDecode {
         return new GenericInternalRow(Array[Any](
           if (m == 0xC0) FmtBaseline else FmtProgressive,
           u8(b, o + 4), be16(b, o + 5), be16(b, o + 7), u8(b, o + 9),
-          step.toLong))
+          step.toLong, exif))
       }
+      // APP1 carrying the 'Exif' identifier right after its length
+      if (m == 0xE1 && o + 8 <= b.length && u8(b, o + 4) == 0x45 &&
+        u8(b, o + 5) == 0x78 && u8(b, o + 6) == 0x69 && u8(b, o + 7) == 0x66)
+        exif = true
       o += 2 + be16(b, o + 2).toInt
       step += 1
     }

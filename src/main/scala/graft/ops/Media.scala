@@ -86,13 +86,18 @@ object Media {
     val n2 = s"(2 + $docId % 13)"
     val app0 = "'FFE0' || '0010' || '4A46494600' || '0101' || '00' || " +
       "'0048' || '0048' || '00' || '00'"
+    // APP1/EXIF for every 5th doc: 'Exif\0\0' identifier + 8 filler
+    // bytes (len 16 including the length field itself)
+    val app1 = s"(CASE WHEN $docId % 5 = 0 THEN " +
+      "'FFE1' || '0010' || '45786966' || '0000' || '1122334455667788' " +
+      "ELSE '' END)"
     val com1 = s"'FFFE' || ${be16(s"(2 + $n1)")} || repeat('41', $n1)"
     val com2 = s"(CASE WHEN $docId % 4 = 3 THEN 'FFFE' || " +
       s"${be16(s"(2 + $n2)")} || repeat('42', $n2) ELSE '' END)"
     val sofm = s"(CASE WHEN $docId % 2 = 0 THEN 'FFC0' ELSE 'FFC2' END)"
     val sof = s"$sofm || '0011' || '08' || ${be16(h)} || ${be16(w)} || " +
       "'03' || '012200' || '021101' || '031101'"
-    s"('FFD8' || $app0 || $com1 || $com2 || $sof)"
+    s"('FFD8' || $app0 || $app1 || $com1 || $com2 || $sof)"
   }
 
   /** The DuckDB twin of [[graft.expressions.JpegHeaderDecode]]'s marker
@@ -107,7 +112,7 @@ object Media {
       prefix: String = "jw"): (String, String) = {
     val k = graft.expressions.JpegHeaderDecode.MaxSegments
     val c0 = s"${prefix}0 AS (SELECT *, CAST(2 AS BIGINT) AS o0, " +
-      s"CAST(NULL AS BIGINT) AS f0, CAST(NULL AS BIGINT) AS s0 FROM $src)"
+      s"CAST(NULL AS BIGINT) AS f0, CAST(NULL AS BIGINT) AS s0, FALSE AS e0 FROM $src)"
     val cs = (1 to k).map { i =>
       val (po, pf, ps) = (s"o${i - 1}", s"f${i - 1}", s"s${i - 1}")
       val m = s"substr($hcol, $po * 2 + 1, 4)"
@@ -115,6 +120,9 @@ object Media {
       CASE WHEN $pf IS NULL AND $m IN ('FFC0', 'FFC2')
         THEN CAST(${i - 1} AS BIGINT) ELSE $pf END AS f$i,
       CASE WHEN $pf IS NULL AND $m IN ('FFC0', 'FFC2') THEN $po ELSE $ps END AS s$i,
+      CASE WHEN $pf IS NULL AND $m = 'FFE1'
+          AND substr($hcol, ($po + 4) * 2 + 1, 8) = '45786966'
+        THEN TRUE ELSE e${i - 1} END AS e$i,
       CASE WHEN $pf IS NULL AND NOT ($m IN ('FFC0', 'FFC2'))
         THEN $po + 2 + CAST('0x' || substr($hcol, $po * 2 + 5, 4) AS BIGINT)
         ELSE $po END AS o$i

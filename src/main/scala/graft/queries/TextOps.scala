@@ -1461,7 +1461,7 @@ object TextOps {
         col("m.precision").as("bit_depth"), col("m.width").as("width"),
         col("m.height").as("height"),
         col("m.n_components").as("n_components"),
-        col("m.n_skipped").as("n_skipped"))
+        col("m.n_skipped").as("n_skipped"), col("m.has_exif").as("has_exif"))
       .withColumn("pixels", expr("width * height"))
       .orderBy("doc_id")
   }, Some {
@@ -1478,7 +1478,7 @@ object TextOps {
       CAST('0x' || substr(h, (s$k + 7) * 2 + 1, 4) AS BIGINT) AS width,
       CAST('0x' || substr(h, (s$k + 5) * 2 + 1, 4) AS BIGINT) AS height,
       CAST('0x' || substr(h, (s$k + 9) * 2 + 1, 2) AS BIGINT) AS n_components,
-      f$k AS n_skipped,
+      f$k AS n_skipped, e$k AS has_exif,
       CAST('0x' || substr(h, (s$k + 7) * 2 + 1, 4) AS BIGINT)
         * CAST('0x' || substr(h, (s$k + 5) * 2 + 1, 4) AS BIGINT) AS pixels
     FROM $last ORDER BY doc_id"""
