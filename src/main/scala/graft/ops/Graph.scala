@@ -1615,6 +1615,131 @@ object Graph {
       (trace.toSeq, disjoint, true)
     }
   }
+  /** Iterated-MIS GREEDY COLORING (the classic parallel scheduling
+    * construction: repeatedly run [[lubyMis]]'s local-minima rule and
+    * peel the class off — every class is independent by construction,
+    * so each color is a batch of mutually non-conflicting work). Runs
+    * `colors` iterations and reports, per color, the class size and
+    * the remaining-vertex count — the remainder after k colors is the
+    * vertices a k-wave schedule cannot place (the graph's cliques can
+    * exceed k). Isolated remaining vertices all join the next class
+    * (no active neighbor → winner), so remaining strictly shrinks.
+    *
+    * Returns (per-color trace (color, n_colored, n_remaining),
+    * independent_ok re-verified against the edge set). Adaptive
+    * counted-small / distributed execution and the loud per-color
+    * round-budget throw follow [[lubyMis]].
+    */
+  def greedyColoring(
+      edgeList: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      colors: Int = 3,
+      maxRounds: Int = 12,
+      smallCutoff: Long = 200000L): (Seq[(Int, Long, Long)], Boolean) = {
+    val s = edgeList.sparkSession
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def break(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val und = edgeList
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    val adj0 = und.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u")))
+    val prDf = adj0.select(col("v")).distinct()
+      .withColumn("pr", expr(
+        "CAST(conv(substr(md5(concat('mis', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, ShortType, ByteType)
+    val vt = edgeList.schema(srcCol).dataType
+    val integral = intTypes.contains(vt) &&
+      vt == edgeList.schema(dstCol).dataType
+
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+
+    if (smallCutoff > 0 && integral && und.count() <= smallCutoff) {
+      val edges = und.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pr = prDf.select(col("v").cast("long"), col("pr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      und.unpersist()
+      val nbrs = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      edges.foreach { case (a, b) =>
+        nbrs.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        nbrs.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val remaining = scala.collection.mutable.HashSet[Long](pr.keySet.toSeq: _*)
+      val classes = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      (1 to colors).foreach { c =>
+        val active = scala.collection.mutable.HashSet[Long](remaining.toSeq: _*)
+        val mis = scala.collection.mutable.HashSet.empty[Long]
+        var r = 1
+        while (r <= maxRounds && active.nonEmpty) {
+          val winners = active.toArray.filter { v =>
+            val act = nbrs(v).iterator.filter(active.contains)
+            act.isEmpty || pr(v) < nbrs(v).iterator.filter(active.contains).map(pr).min
+          }
+          winners.foreach { v =>
+            mis += v; active -= v
+            nbrs(v).foreach(active -= _)
+          }
+          r += 1
+        }
+        if (active.nonEmpty) throw new IllegalStateException(
+          s"greedyColoring: color $c not drained after $maxRounds rounds")
+        remaining --= mis
+        classes += mis.toSet
+        trace += ((c, mis.size.toLong, remaining.size.toLong))
+      }
+      val independent = classes.forall { cls =>
+        !edges.exists { case (a, b) => cls(a) && cls(b) }
+      }
+      (trace.toSeq, independent)
+    } else {
+      val adjDf = break(adj0)
+      und.unpersist()
+      var remaining = break(prDf)
+      var classParts = List.empty[DataFrame]
+      (1 to colors).foreach { c =>
+        var active = remaining
+        var misParts = List.empty[DataFrame]
+        var r = 1
+        var nActive = active.count()
+        while (r <= maxRounds && nActive > 0) {
+          val nbrMin = adjDf
+            .join(active.select(col("v").as("u"), col("pr").as("pru")), "u")
+            .groupBy("v").agg(min("pru").as("mn"))
+          val w = break(active.join(nbrMin, Seq("v"), "left_outer")
+            .filter(col("mn").isNull || col("pr") < col("mn"))
+            .select("v"))
+          misParts = w :: misParts
+          val kill = w.unionAll(adjDf.join(w, "v").select(col("u").as("v"))).distinct()
+          active = break(active.join(kill, Seq("v"), "left_anti"))
+          nActive = active.count()
+          r += 1
+        }
+        if (nActive > 0) throw new IllegalStateException(
+          s"greedyColoring: color $c not drained after $maxRounds rounds")
+        val mis = break(misParts.reduce(_ unionAll _))
+        classParts = mis.withColumn("color", lit(c)) :: classParts
+        remaining = break(remaining.join(mis, Seq("v"), "left_anti"))
+        trace += ((c, mis.count(), remaining.count()))
+      }
+      val allClasses = classParts.reduce(_ unionByName _)
+      val bad = adjDf
+        .join(allClasses, "v")
+        .join(allClasses.select(col("v").as("u"), col("color").as("color2")), "u")
+        .filter(col("color") === col("color2")).count()
+      (trace.toSeq, bad == 0L)
+    }
+  }
 }
+
 
 

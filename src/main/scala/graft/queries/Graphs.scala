@@ -20,7 +20,7 @@ object Graphs {
     reachAnf, randomWalks, walkSkipgrams, ktruss, squares, mstBoruvka,
     squaresCopurchase, ssspSeeds, betweennessSeedsQ, temporalReach, richClub,
     reciprocity, knnDegree, clusteringLocal, diameterSweep,
-    effectiveDiameter, fflCensus, sccSeeds, misGreedy)
+    effectiveDiameter, fflCensus, sccSeeds, misGreedy, coloringMis)
 
   /** Items for the user-similarity graph: the distinct
     * (event type, hour-of-day) cells a user was active in — the
@@ -1509,5 +1509,75 @@ object Graphs {
       CAST(active_after AS BIGINT) AS active_after,
       independent_ok, maximal_ok
     FROM tr, fin WHERE n_active > 0 ORDER BY round"""
+  })
+
+  /** Iterated-MIS greedy coloring over the part-transition graph
+    * ([[graft.ops.Graph.greedyColoring]]): three color classes peeled
+    * off by the Luby rule, each an independent set = one batch of
+    * mutually non-conflicting work (the classic parallel scheduling
+    * construction); the remainder after 3 waves is what a 3-wave
+    * schedule cannot place. Oracle: three chained 12-round MATERIALIZED
+    * MIS blocks over the shrinking vertex set — the winner rule needs
+    * no edge filtering per block because the neighbor minimum is taken
+    * over ACTIVE vertices only.
+    */
+  lazy val coloringMis: Q = Q("graph_coloring_mis", (s, dir) => {
+    // counted gate justified as in graph_mis_greedy (edges ≤ 64·V)
+    val (trace, indep) = graft.ops.Graph.greedyColoring(
+      partTransitions(s, dir), "src", "dst", colors = 3, maxRounds = 12,
+      smallCutoff = 2000000L)
+    import s.implicits._
+    trace.map { case (c, n, r) => (c.toLong, n, r, indep) }
+      .toDF("color", "n_colored", "n_remaining", "independent_ok")
+      .orderBy("color")
+  }, Some {
+    val R = 12
+    val blocks = (1 to 3).map { c =>
+      val rounds = (1 to R).map { r =>
+        s"""w$c$r AS MATERIALIZED (
+        SELECT t.v FROM a$c$r t LEFT JOIN (
+          SELECT e.v, min(b.pr) AS mn FROM ad e JOIN a$c$r b ON b.v = e.u
+          GROUP BY e.v) m ON m.v = t.v
+        WHERE m.mn IS NULL OR t.pr < m.mn),
+      a$c${r + 1} AS MATERIALIZED (
+        SELECT t.v, t.pr FROM a$c$r t
+        WHERE t.v NOT IN (SELECT v FROM w$c$r)
+          AND t.v NOT IN (SELECT e.u FROM ad e JOIN w$c$r x ON x.v = e.v))"""
+      }.mkString(",\n      ")
+      val misUnion = (1 to R).map(r => s"SELECT v FROM w$c$r").mkString(" UNION ALL ")
+      s"""$rounds,
+      mis$c AS MATERIALIZED ($misUnion),
+      rem$c AS MATERIALIZED (SELECT t.v, t.pr FROM rem${c - 1} t
+        WHERE t.v NOT IN (SELECT v FROM mis$c)),
+      a${c + 1}1 AS MATERIALIZED (SELECT v, pr FROM rem$c)"""
+    }.mkString(",\n    ")
+    s"""WITH $partTransitionsSql,
+    und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        greatest(src, dst) AS b FROM ec WHERE src <> dst),
+    ad AS MATERIALIZED (SELECT a AS v, b AS u FROM und
+      UNION ALL SELECT b, a FROM und),
+    rem0 AS MATERIALIZED (SELECT v,
+        CAST('0x' || substr(md5('mis' || CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS pr
+      FROM (SELECT DISTINCT v FROM ad)),
+    a11 AS MATERIALIZED (SELECT v, pr FROM rem0),
+    $blocks,
+    fin AS (SELECT NOT EXISTS (
+        SELECT 1 FROM und e
+        JOIN (SELECT v, 1 AS c FROM mis1 UNION ALL SELECT v, 2 FROM mis2
+          UNION ALL SELECT v, 3 FROM mis3) m1 ON m1.v = e.a
+        JOIN (SELECT v, 1 AS c FROM mis1 UNION ALL SELECT v, 2 FROM mis2
+          UNION ALL SELECT v, 3 FROM mis3) m2 ON m2.v = e.b
+        WHERE m1.c = m2.c) AS independent_ok)
+    SELECT CAST(color AS BIGINT) AS color,
+      CAST(n_colored AS BIGINT) AS n_colored,
+      CAST(n_remaining AS BIGINT) AS n_remaining, independent_ok
+    FROM (
+      SELECT 1 AS color, (SELECT count(*) FROM mis1) AS n_colored,
+        (SELECT count(*) FROM rem1) AS n_remaining
+      UNION ALL SELECT 2, (SELECT count(*) FROM mis2),
+        (SELECT count(*) FROM rem2)
+      UNION ALL SELECT 3, (SELECT count(*) FROM mis3),
+        (SELECT count(*) FROM rem3)), fin
+    ORDER BY color"""
   })
 }

@@ -1004,4 +1004,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tFast.last._3 >= 6L && tFast.last._3 <= 8L,
       s"matching size out of bounds: ${tFast.last._3}")
   }
+
+  test("greedyColoring: fast path == distributed loop; 2 colors finish a path, triangle needs 3") {
+    import spark.implicits._
+    val path = (1L to 9L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val tri = Seq((21L, 22L), (22L, 23L), (21L, 23L))
+    val edges = (path ++ tri).toDF("src", "dst")
+    val (tFast, iFast) = graft.ops.Graph.greedyColoring(edges, colors = 3)
+    val (tDist, iDist) = graft.ops.Graph.greedyColoring(edges, colors = 3, smallCutoff = 0)
+    assert(tFast == tDist, s"trace diverged: $tFast vs $tDist")
+    assert(iFast && iDist)
+    // under these FIXED md5 priorities the path finishes in 2 waves
+    // (iterated MIS can need 3 on a path under adversarial orders — this
+    // pins the deterministic outcome, not a general theorem) and the
+    // triangle forces a third class: exactly 1 vertex remains after 2
+    assert(tFast(1)._3 == 1L, s"after 2 colors: $tFast")
+    assert(tFast(2)._3 == 0L, s"after 3 colors: $tFast")
+    // classes are disjoint and cover: sizes sum to the vertex count
+    assert(tFast.map(_._2).sum == 12L, s"coverage: $tFast")
+  }
 }
