@@ -238,7 +238,11 @@ object Geo {
     val s2 = 1L << (2 * CordicScaleBits)
     Seq(Seq(
       s"${px}h" -> isqrtSql(s"(($c2Col) >> 2)"),
-      s"${px}hx" -> isqrtSql(s"$s2 - (($c2Col) >> 2)"))) ++
+      // greatest(0, …) clamps the complement leg: near-antipodal pairs with
+      // fixed-point norm error can push c2>>2 past s2, and an unclamped
+      // negative operand would NaN the sqrt → ANSI cast failure. greatest
+      // exists in both dialects and is a no-op for all certified inputs.
+      s"${px}hx" -> isqrtSql(s"greatest(0, $s2 - (($c2Col) >> 2))"))) ++
       cordicAtan2Stages(px + "v", s"${px}h", s"${px}hx") :+
       Seq(s"${px}m" -> s"(2 * ${px}vaz * 111195) $div 1000000000")
   }

@@ -888,9 +888,19 @@ object Graphs {
       .filter(col("u") < col("w"))
       .groupBy("u", "w").agg(count(lit(1)).as("q"))
       .filter(col("q") >= 2)
-    cod.select(col("u"), col("w"), col("q"),
+    // Eagerly materialize the 30-row result, then drop both persisted
+    // intermediates: a composed long-lived session must not keep eg/ac
+    // pinned in the CacheManager after the query finishes (Verify/Bench
+    // clean between queries; SessionHygieneSpec pins the in-query
+    // discipline). The surviving checkpoint RDD is the 30-row output,
+    // GC-managed by the ContextCleaner, never CacheManager-pinned.
+    val out = cod.select(col("u"), col("w"), col("q"),
         expr("q * (q - 1) DIV 2").as("c4_pairs"))
       .orderBy(desc("c4_pairs"), asc("u"), asc("w")).limit(30)
+      .localCheckpoint(true)
+    eg.unpersist(true)
+    ac.unpersist(true)
+    out
   }, Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
       FROM lineitem),
     bc AS (SELECT o, p FROM bk
@@ -929,7 +939,7 @@ object Graphs {
     * sequence is a total order (identical in both engines). Shared by
     * [[fflCensus]] and [[sccSeeds]].
     */
-  private def partTransitions(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def partTransitions(s: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_linenumber").as("lnum"),
         col("l_partkey").as("p"))

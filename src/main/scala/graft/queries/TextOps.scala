@@ -1472,13 +1472,15 @@ object TextOps {
     s"""WITH hx AS (SELECT doc_id, hex(unhex($jh)) AS h FROM documents),
     $walk
     SELECT doc_id,
-      CASE substr(h, s$k * 2 + 1, 4) WHEN 'FFC0' THEN 'jpeg_baseline'
+      CASE WHEN s$k IS NULL THEN NULL
+        WHEN substr(h, s$k * 2 + 1, 4) = 'FFC0' THEN 'jpeg_baseline'
         ELSE 'jpeg_progressive' END AS format,
       CAST('0x' || substr(h, (s$k + 4) * 2 + 1, 2) AS BIGINT) AS bit_depth,
       CAST('0x' || substr(h, (s$k + 7) * 2 + 1, 4) AS BIGINT) AS width,
       CAST('0x' || substr(h, (s$k + 5) * 2 + 1, 4) AS BIGINT) AS height,
       CAST('0x' || substr(h, (s$k + 9) * 2 + 1, 2) AS BIGINT) AS n_components,
-      f$k AS n_skipped, e$k AS has_exif,
+      CASE WHEN s$k IS NULL THEN NULL ELSE f$k END AS n_skipped,
+      CASE WHEN s$k IS NULL THEN NULL ELSE e$k END AS has_exif,
       CAST('0x' || substr(h, (s$k + 7) * 2 + 1, 4) AS BIGINT)
         * CAST('0x' || substr(h, (s$k + 5) * 2 + 1, 4) AS BIGINT) AS pixels
     FROM $last ORDER BY doc_id"""

@@ -13,7 +13,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * streaming state equals the batch `ORDER BY priority DESC, id LIMIT k`
   * EXACTLY under ANY micro-batch split: top-k under a total order is
   * associative, commutative and idempotent ((id, priority) pairs are
-  * deduplicated on merge, so replays are absorbed too). State is O(k)
+  * deduplicated on merge, so replays are absorbed too). PRECONDITION:
+  * ids must be UNIQUE per key (true for every doc_id source here) —
+  * the merge-dedup that absorbs replays would also collapse a key
+  * legitimately receiving the same (id, priority) twice into one slot,
+  * while the batch ORDER BY/LIMIT reference would count it twice; with
+  * non-unique sources, dedup the batch reference on id too. State is O(k)
   * per key forever — the bounded-memory reservoir every streaming
   * ingestion layer keeps for "sample N docs per source as they arrive".
   */
