@@ -58,6 +58,10 @@ object Bench {
       if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val probes = scala.collection.mutable.ArrayBuffer[Double](probe())
+    // per-pass sums: pass 1 is the SINGLE-PASS COLD total (codegen compile
+    // included) — reported as total_cold beside the min-of-passes total so
+    // the baseline comparison isn't methodology-flattered (r8 verdict #6)
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
     val samples = (1 to passes).flatMap { _ =>
       val pass = selected.map { case (name, fn) =>
         // previous query's persisted intermediates: teardown OUTSIDE the
@@ -77,6 +81,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      passTotals += pass.map(_._2).sum
       probes += probe()
       pass
     }
@@ -90,14 +95,16 @@ object Bench {
       val ratio = if (lo > 0) probes.max / lo else 1.0
       s"""{"probe_sec":${probes.map(p => f"$p%.3f").mkString("[", ",", "]")},"ratio":${f"$ratio%.2f"}}"""
     }
+    val coldMin =
+      s""""total_cold":${passTotals.head},"total_min":$total"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"host_noise":$noise,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$coldMin,"queries":$qs,"passes":$passes,"host_noise":$noise,"sf":"$sfDir"}"""
     // Full line first (it is long and sbt prefixes [info]; a tail window
     // can truncate it — round-3 BENCH files all had parsed:null), then a
     // short bare totals line that truncation can't eat, and the full JSON
     // to a fixed path for out-of-band pickup.
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"host_noise":$noise,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$coldMin,"n_queries":${results.size},"passes":$passes,"host_noise":$noise,"sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: the 100×-scale evidence harness (r8 verdict #1 — "prove the
+  * 100× story with data, not plan shape"). Tiles the sf0.1 inputs ×8 and
+  * ×32 as SALTED replicas — every key column is shifted by a per-replica
+  * offset so key cardinality grows with data volume (an honest scale-up:
+  * more orders, more parts, more users, more docs — not hotter keys),
+  * document text gets a per-replica suffix token so near-dup structure
+  * doesn't degenerate into 32-way exact clones, and embeddings get a
+  * per-replica first-component nudge for the same reason. Dimension
+  * tables that are fixed in any real deployment (region, nation) are
+  * copied unchanged; FK integrity is preserved by shifting both sides
+  * of every key (l_partkey with p_partkey, o_custkey with c_custkey, …).
+  *
+  * For each of the heaviest registry queries it then records seconds at
+  * ×1/×8/×32 and the per-step TIME RATIOS vs the 8× and 4× data ratios —
+  * sublinear-or-linear curvature is the pass; a ratio persistently above
+  * the data ratio is superlinear and needs a plan fix or an in-code
+  * intrinsic-bound note. Results land as one JSON line (also written to
+  * /tmp/graft_devscale.json) and are transcribed into SCALE.md.
+  *
+  * Usage: runMain graft.DevScale [buildOnly|queryName...]
+  * Tiled inputs are built once under /tmp/graft_devscale/x{8,32} and
+  * reused (delete the dir to force a rebuild).
+  */
+object DevScale {
+  private val Off = 1000000000L // replica key offset: above every id range
+
+  private def tile(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE")
+    if (done.exists()) { println(s"[devscale] reusing $outDir"); return }
+    new java.io.File(outDir).mkdirs()
+    // per-table shifted key columns; text/embedding perturbations below
+    val keyShifts: Map[String, Seq[String]] = Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "nation" -> Seq.empty, // fixed dims: copied unchanged
+      "region" -> Seq.empty)
+    keyShifts.foreach { case (name, keys) =>
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      val reps = if (keys.isEmpty) Seq(base) else (0 until replicas).map { i =>
+        val shifted = keys.foldLeft(base) { (d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * Off))
+        }
+        name match {
+          case "documents" if i > 0 =>
+            // keep near-dup structure honest: replicas are not exact clones
+            shifted.withColumn("text", concat(col("text"), lit(s" qz$i")))
+              .withColumn("n_chars", col("n_chars") + lit(3L + s"$i".length))
+          case "embeddings" if i > 0 =>
+            shifted.withColumn("embedding", expr(
+              s"transform(embedding, (x, j) -> CASE WHEN j = 0 " +
+                s"THEN float(x + ${i * 0.001}) ELSE x END)"))
+          case _ => shifted
+        }
+      }
+      reps.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[devscale] tiled $name x$replicas -> $outDir")
+    }
+    done.createNewFile()
+  }
+
+  /** The heaviest registry queries per BENCH_r08 (top-10 + three
+    * family-representative extras that exercise events/geo/series).
+    */
+  val Heavies: Seq[String] = Seq(
+    "graph_triangles", "dedup_prefix_filter", "graph_scc_seeds",
+    "graph_coloring_mis", "graph_squares_copurchase", "graph_mis_greedy",
+    "dedup_lsh_eval", "dedup_lsh_tuning", "dedup_lsh_bands",
+    "ann_beam_sensitivity", "basket_pairs", "geo_haversine_ref",
+    "ts_seasonal_esd")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.graft.guard.globalWindow", "error")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = "/root/testdata/sf0.1"
+    val base = "/tmp/graft_devscale"
+    tile(spark, src, s"$base/x8", 8)
+    tile(spark, src, s"$base/x32", 32)
+    if (args.headOption.contains("buildOnly")) { spark.stop(); return }
+
+    val names = if (args.nonEmpty) args.toSeq else Heavies
+    def clean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    val scales = Seq(("x1", src, 1L), ("x8", s"$base/x8", 8L),
+      ("x32", s"$base/x32", 32L))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"[devscale] unknown query $name")
+        case Some(fn) =>
+          val ts = scales.map { case (label, dir, _) =>
+            clean()
+            val t0 = System.nanoTime()
+            val n = try fn(spark, dir).count() catch {
+              case e: Throwable =>
+                println(s"[devscale] $name@$label FAILED: ${e.getMessage.take(200)}")
+                -1L
+            }
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[devscale] $name%-28s $label%-4s $sec%8.2f s  rows=$n")
+            sec
+          }
+          // curvature: time ratio over data ratio, per ladder step
+          val r8 = ts(1) / ts(0) / 8.0
+          val r32 = ts(2) / ts(1) / 4.0
+          println(f"[devscale] $name%-28s curvature x1->x8=${r8}%.2f x8->x32=${r32}%.2f (1.0 = linear)")
+          rows += f"""\"$name\":{\"x1\":${ts(0)}%.2f,\"x8\":${ts(1)}%.2f,\"x32\":${ts(2)}%.2f,\"c8\":$r8%.3f,\"c32\":$r32%.3f}"""
+      }
+    }
+    val json = rows.mkString("{\"metric\":\"devscale\",\"queries\":{", ",", "}}")
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_devscale.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

@@ -10,20 +10,22 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
   * that survive WITH a literal rank bound in a filter above them — the
   * sites [[graft.plans.TopKRewrite]] conservatively skipped.
   *
-  * SWEEP RESULT (sf0.001, recorded round 8): 39 TopKPerGroup nodes
-  * adopted across 24 queries. 22 queries keep a literal-bounded
-  * row_number window — ALL of the same class: the rank column is part
-  * of the query OUTPUT (`rnk` emitted in every ann_* top-k result,
-  * q_window_rank, text_tfidf, stratified_sample, ts_mann_kendall's two
-  * rank tiers), so the window is semantically required and the rule's
-  * drop-the-rank precondition correctly refuses. Verified on five
-  * representative sites: every one already carries Spark's
-  * InferWindowGroupLimit bound below the window (windows==
-  * windowGroupLimits in the optimized plan), so the exchange is
-  * already <= k rows per (group, partition) and the only cost the
-  * operator could remove is the reduce-side rank projection these
-  * queries NEED. Disposition: not routed, by design — DevTopk showed
-  * the remaining edge is parity-level once WGL bounds the input.
+  * SWEEP RESULT (sf0.001, round 8): 39 TopKPerGroup nodes adopted
+  * across 24 queries; 22 queries kept a literal-bounded row_number
+  * window because the rank column is part of the query OUTPUT and the
+  * rule's drop-the-rank precondition refused.
+  *
+  * SWEEP RESULT (sf0.001, round 9, rank-EMITTING rewrite per r8
+  * verdict #5): **61 TopKPerGroup nodes across 38 queries** — the
+  * operator now emits the per-group rank under the original alias's
+  * exprId, so the 22 rank-keeping sites route too (full 373-query
+  * oracle sweep re-verified bit-exact with the extended rule active).
+  * Exactly TWO literal-bounded rank windows survive, both in queries
+  * that rank the same pairs under TWO DIFFERENT orders and filter on
+  * the DISJUNCTION (`rf <= 3 OR rt <= 3`): embed_matryoshka and
+  * embed_sign_hamming — a union of two top-ks, outside any single
+  * top-k operator's contract, and both already carry Spark's
+  * InferWindowGroupLimit bound. Disposition: correctly not routed.
   *
   * The other two shapes from the r7 verdict list never reach this
   * audit because their bounds are COLUMNS, not literals: the capGroups

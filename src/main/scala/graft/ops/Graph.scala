@@ -1391,9 +1391,11 @@ object Graph {
     * COUNTED-small integral-typed graph collects once and loops on the
     * driver — per-round scheduled jobs on tiny state are pure overhead —
     * with the SAME strict-priority rule in plain Long arithmetic; larger
-    * graphs run the distributed per-round loop with eager truncation
-    * between rounds (`smallCutoff = 0` pins the distributed path in
-    * tests).
+    * graphs run the distributed per-round loop at TWO scheduled jobs per
+    * round (each round's relation is lazily persisted and materialized
+    * by the count the trace needs anyway — r8 verdict #3 cut this from
+    * four; `smallCutoff = 0` pins the distributed path in tests, DevMis
+    * records the job-count measurement).
     */
   def lubyMis(
       edgeList: DataFrame,
@@ -1466,24 +1468,52 @@ object Graph {
       val independent = !edges.exists { case (a, b) => mis(a) && mis(b) }
       (trace.toSeq, independent, true)
     } else {
-      val adjDf = break(adj0)
+      // Two scheduled jobs per round, down from four (r8 verdict #3):
+      // each round materializes exactly two checkpointed relations — the
+      // win-labeled active set and the survivor set — and the counts the
+      // trace needs ride those SAME actions as `observe` metrics
+      // (CollectMetrics fires during the checkpoint job; proven for both
+      // localCheckpoint and reliable checkpoint), so the standalone
+      // count jobs are gone. Checkpoint (not persist) is load-bearing:
+      // the survivor plan references the label plan TWICE (directly and
+      // through the winners' neighborhoods), so an untruncated lineage
+      // doubles per round — an exponential plan DAG that OOMs anything
+      // walking it as a tree (explain string, canonicalization).
+      //
+      // The adjacency is checkpointed PRE-PARTITIONED on each join key
+      // it serves (u for the neighbor-min pass, v for the kill pass) —
+      // LogicalRDD preserves the hash partitioning, so across ALL
+      // rounds only the shrinking active set moves; the data-sized edge
+      // relation never re-exchanges. That is the per-round shuffle
+      // story that survives a graph 100× this size (where the active
+      // side stops being broadcastable and both sides of an unprepared
+      // join would re-shuffle every round).
+      val adjByU = break(adj0.repartition(col("u")))
+      val adjByV = break(adj0.repartition(col("v")))
       und.unpersist()
       var active = break(prDf)
       var misParts = List.empty[DataFrame]
       var r = 1
       var remaining = active.count()
       while (r <= maxRounds && remaining > 0) {
-        val nbrMin = adjDf
+        val nbrMin = adjByU
           .join(active.select(col("v").as("u"), col("pr").as("pru")), "u")
           .groupBy("v").agg(min("pru").as("mn"))
-        val w = break(active.join(nbrMin, Seq("v"), "left_outer")
-          .filter(col("mn").isNull || col("pr") < col("mn"))
-          .select("v"))
-        val nW = w.count()
-        misParts = w :: misParts
-        val kill = w.unionAll(adjDf.join(w, "v").select(col("u").as("v"))).distinct()
-        active = break(active.join(kill, Seq("v"), "left_anti"))
-        remaining = active.count()
+        val obsW = org.apache.spark.sql.Observation()
+        val lab = break(active.join(nbrMin, Seq("v"), "left_outer")
+          .withColumn("win", col("mn").isNull || col("pr") < col("mn"))
+          .select("v", "pr", "win")
+          .observe(obsW, count(when(col("win"), 1)).as("nw")))
+        val nW = obsW.get("nw").asInstanceOf[Long]
+        misParts = lab.filter(col("win")).select("v") :: misParts
+        val w = lab.filter(col("win")).select("v")
+        val killed = adjByV.join(w, "v").select(col("u").as("v")) // dup keys are free under anti-join semantics: no distinct shuffle
+        val obsA = org.apache.spark.sql.Observation()
+        active = break(lab.filter(!col("win"))
+          .join(killed, Seq("v"), "left_anti")
+          .select("v", "pr")
+          .observe(obsA, count(lit(1)).as("n")))
+        remaining = obsA.get("n").asInstanceOf[Long]
         cum += nW
         trace += ((r, nW, cum, remaining))
         r += 1
@@ -1492,7 +1522,7 @@ object Graph {
         s"lubyMis: $remaining vertices still active after $maxRounds rounds " +
           "- raise maxRounds (see scaladoc convergence note)")
       val mis = misParts.reduce(_ unionAll _)
-      val bad = adjDf.join(mis, "v")
+      val bad = adjByV.join(mis, "v")
         .join(mis.select(col("v").as("u")), "u").count()
       (trace.toSeq, bad == 0L, true)
     }
@@ -1573,44 +1603,53 @@ object Graph {
         s"greedyMatching: ${actE.length} edges still active after $maxRounds rounds")
       (trace.toSeq, true, true)
     } else {
-      val ed = break(und)
+      // Two scheduled jobs per round, down from five (the lubyMis r9
+      // checkpoint+observe discipline): each round checkpoints the
+      // win-labeled edge relation and the survivor relation, with the
+      // trace counts riding the same actions as observe metrics. The
+      // explicit active-VERTEX relation is gone: an edge survives iff it
+      // survived every prior round and touches no newly matched
+      // endpoint, so the next round's active edges are a slice of this
+      // round's labeled relation (identical set to the old
+      // ed ⋈ activeV ⋈ activeV form). Checkpoint truncation is
+      // load-bearing — see lubyMis (exponential plan DAG otherwise).
+      var ae = break(und.select("a", "b", "pr"))
       und.unpersist()
-      var activeV = break(ed.select(col("a").as("v"))
-        .unionAll(ed.select(col("b").as("v"))).distinct())
       var matchedParts = List.empty[DataFrame]
       var r = 1
-      var actEdges = ed.count()
+      var actEdges = ae.count()
       while (r <= maxRounds && actEdges > 0) {
-        val ae = break(ed
-          .join(activeV.select(col("v").as("a")), "a")
-          .join(activeV.select(col("v").as("b")), "b")
-          .select("a", "b", "pr"))
         val mn = ae.select(col("a").as("v"), col("pr"))
           .unionAll(ae.select(col("b").as("v"), col("pr")))
           .groupBy("v").agg(min("pr").as("mn"))
-        val w = break(ae
+        val obsW = org.apache.spark.sql.Observation()
+        val lab = break(ae
           .join(mn.select(col("v").as("a"), col("mn").as("mna")), "a")
           .join(mn.select(col("v").as("b"), col("mn").as("mnb")), "b")
-          .filter(col("pr") === col("mna") && col("pr") === col("mnb"))
-          .select("a", "b"))
-        val nW = w.count()
-        matchedParts = w :: matchedParts
+          .withColumn("win", col("pr") === col("mna") && col("pr") === col("mnb"))
+          .select("a", "b", "pr", "win")
+          .observe(obsW, count(when(col("win"), 1)).as("nw")))
+        val nW = obsW.get("nw").asInstanceOf[Long]
+        matchedParts = lab.filter(col("win")).select("a", "b") :: matchedParts
+        val w = lab.filter(col("win"))
         val mv = w.select(col("a").as("v")).unionAll(w.select(col("b").as("v")))
-        activeV = break(activeV.join(mv, Seq("v"), "left_anti"))
-        val aeAfter = ed
-          .join(activeV.select(col("v").as("a")), "a")
-          .join(activeV.select(col("v").as("b")), "b").count()
+        val obsA = org.apache.spark.sql.Observation()
+        ae = break(lab.filter(!col("win"))
+          .join(mv.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(mv.select(col("v").as("b")), Seq("b"), "left_anti")
+          .select("a", "b", "pr")
+          .observe(obsA, count(lit(1)).as("n")))
+        actEdges = obsA.get("n").asInstanceOf[Long]
         cum += nW
-        trace += ((r, nW, cum, aeAfter))
-        actEdges = aeAfter
+        trace += ((r, nW, cum, actEdges))
         r += 1
       }
       if (actEdges > 0) throw new IllegalStateException(
         s"greedyMatching: $actEdges edges still active after $maxRounds rounds")
       val matched = matchedParts.reduce(_ unionAll _)
-      val mv = matched.select(col("a").as("v"))
+      val mvAll = matched.select(col("a").as("v"))
         .unionAll(matched.select(col("b").as("v")))
-      val disjoint = mv.groupBy("v").agg(count(lit(1)).as("n"))
+      val disjoint = mvAll.groupBy("v").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).count() == 0L
       (trace.toSeq, disjoint, true)
     }
@@ -1702,7 +1741,14 @@ object Graph {
       }
       (trace.toSeq, independent)
     } else {
-      val adjDf = break(adj0)
+      // Inner Luby loop at two scheduled jobs per round (the lubyMis r9
+      // checkpoint+observe discipline): the win-labeled relation and the
+      // survivor relation are the only materializations; the survivor
+      // count rides its checkpoint as an observe metric. The adjacency
+      // is checkpointed pre-partitioned per join key (see lubyMis) so it
+      // never re-exchanges across rounds OR colors.
+      val adjByU = break(adj0.repartition(col("u")))
+      val adjByV = break(adj0.repartition(col("v")))
       und.unpersist()
       var remaining = break(prDf)
       var classParts = List.empty[DataFrame]
@@ -1712,16 +1758,21 @@ object Graph {
         var r = 1
         var nActive = active.count()
         while (r <= maxRounds && nActive > 0) {
-          val nbrMin = adjDf
+          val nbrMin = adjByU
             .join(active.select(col("v").as("u"), col("pr").as("pru")), "u")
             .groupBy("v").agg(min("pru").as("mn"))
-          val w = break(active.join(nbrMin, Seq("v"), "left_outer")
-            .filter(col("mn").isNull || col("pr") < col("mn"))
-            .select("v"))
-          misParts = w :: misParts
-          val kill = w.unionAll(adjDf.join(w, "v").select(col("u").as("v"))).distinct()
-          active = break(active.join(kill, Seq("v"), "left_anti"))
-          nActive = active.count()
+          val lab = break(active.join(nbrMin, Seq("v"), "left_outer")
+            .withColumn("win", col("mn").isNull || col("pr") < col("mn"))
+            .select("v", "pr", "win"))
+          misParts = lab.filter(col("win")).select("v") :: misParts
+          val w = lab.filter(col("win")).select("v")
+          val killed = adjByV.join(w, "v").select(col("u").as("v")) // dup keys are free under anti-join semantics: no distinct shuffle
+          val obsA = org.apache.spark.sql.Observation()
+          active = break(lab.filter(!col("win"))
+            .join(killed, Seq("v"), "left_anti")
+            .select("v", "pr")
+            .observe(obsA, count(lit(1)).as("n")))
+          nActive = obsA.get("n").asInstanceOf[Long]
           r += 1
         }
         if (nActive > 0) throw new IllegalStateException(
@@ -1732,7 +1783,7 @@ object Graph {
         trace += ((c, mis.count(), remaining.count()))
       }
       val allClasses = classParts.reduce(_ unionByName _)
-      val bad = adjDf
+      val bad = adjByV
         .join(allClasses, "v")
         .join(allClasses.select(col("v").as("u"), col("color").as("color2")), "u")
         .filter(col("color") === col("color2")).count()

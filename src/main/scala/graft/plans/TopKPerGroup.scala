@@ -48,9 +48,18 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, s"topKPerGroup: k must be positive, got $k")
-  override def output: Seq[Attribute] = child.output
+  // `rankAttr` (r8 verdict #5): optionally EMIT the per-group 1-based
+  // rank as a produced column — the final stage's streaming selection
+  // counts it for free, so `row_number()` consumers that keep the rank
+  // still get the bounded-exchange plan instead of a WindowExec. The
+  // attribute carries the ORIGINAL window alias's exprId, so projections
+  // above the rewritten filter resolve unchanged.
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -63,9 +72,12 @@ case class TopKPerGroup(
   */
 object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
-      val partialStage = TopKPerGroupExec(g, o, k, planLater(child), partial = true)
-      TopKPerGroupExec(g, o, k, partialStage, partial = false) :: Nil
+    case TopKPerGroup(g, o, k, child, rank) =>
+      // only the final stage can know the true rank: partial selections
+      // are per-map-partition and get re-selected after the exchange
+      val partialStage =
+        TopKPerGroupExec(g, o, k, planLater(child), partial = true, rankAttr = None)
+      TopKPerGroupExec(g, o, k, partialStage, partial = false, rankAttr = rank) :: Nil
     case _ => Nil
   }
 }
@@ -86,9 +98,12 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean) extends UnaryExecNode {
+    partial: Boolean,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
@@ -176,14 +191,23 @@ case class TopKPerGroupExec(
 
   /** Reduce-side streaming selection over (group, order)-sorted input:
     * the first k rows of each group ARE the top-k, so memory per task is
-    * one key copy + the in-flight row.
+    * one key copy + the in-flight row. When `rankAttr` is set, the
+    * selection counter IS the per-group row_number — appended via one
+    * bounded unsafe projection per emitted row (≤ k·|groups| total).
     */
   private def doExecuteFinal(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupProjExprs = groupExprs
     val kk = k
+    val outAttrs = output
+    val emitRank = rankAttr.isDefined
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupProjExprs, childOutput)
+      val rankProj =
+        if (emitRank) UnsafeProjection.create(outAttrs, outAttrs) else null
+      val rankRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       new Iterator[InternalRow] {
         private var curKey: UnsafeRow = null
         private var emitted = 0
@@ -199,7 +223,11 @@ case class TopKPerGroupExec(
             }
             if (emitted < kk) {
               emitted += 1
-              pending = row.copy() // the source buffer is reused by the sorter
+              // the source buffer is reused by the sorter: copy either way
+              pending = if (emitRank) {
+                rankRow.update(0, emitted)
+                rankProj(joined(row, rankRow)).copy()
+              } else row.copy()
             }
           }
         }

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType,
   *    the standard (UNBOUNDED PRECEDING, CURRENT ROW) row frame;
   *  - the filter's rank conjuncts are `rn <= k` / `rn < k` / `rn = 1`
   *    (either literal side) with an integral literal, k ≥ 1;
-  *  - the projection above DROPS the rank column (the common
-  *    `.filter(...).drop("rn")` shape) — if rn survives, the window
-  *    stays;
+  *  - the projection above either DROPS the rank column (the common
+  *    `.filter(...).drop("rn")` shape) or KEEPS/derives from it — in
+  *    the latter case the operator EMITS the per-group rank under the
+  *    original alias's exprId (its final-stage selection counter is
+  *    exactly row_number), so rank-consuming projections resolve
+  *    unchanged (r8 verdict #5);
   *  - partition keys are deterministic and not raw floats (byte
   *    equality vs sort equality — the [[TopKPerGroup]] scaladoc
   *    contract), the order spec is non-empty and deterministic, and
@@ -89,9 +92,21 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.getOption(ConfKey).contains("false")) return plan
-    plan.transformUp {
+    // pass 1: the projected shape — when the projection drops the rank,
+    // the operator skips rank emission entirely
+    val p1 = plan.transformUp {
       case p @ Project(projList, Filter(cond, w: Window)) =>
         rewrite(projList, cond, w).getOrElse(p)
+    }
+    // pass 2: the bare `Filter(rn <= k, Window)` shape (no projection
+    // above — the filter output IS the result): the rank is part of the
+    // output by construction, so rewrite with the emitted rank. Run as a
+    // second pass so pass 1's projected sites keep their drop-rank
+    // optimization (a bottom-up bare-Filter case would hijack them).
+    p1.transformUp {
+      case f @ Filter(cond, w: Window) =>
+        rewrite(w.output.map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression),
+          cond, w).getOrElse(f)
     }
   }
 
@@ -111,10 +126,16 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         })
       }
       val orderOk = w.orderSpec.nonEmpty && w.orderSpec.forall(_.child.deterministic)
+      // r8 verdict #5: a projection that KEEPS the rank no longer blocks
+      // the rewrite — the operator emits the per-group rank under the
+      // original alias's exprId, so rank-consuming projections resolve
+      // unchanged (the final stage's selection counter IS row_number)
+      val keepsRank = projList.exists(_.references.contains(rn))
+      val allowed = w.child.outputSet ++
+        org.apache.spark.sql.catalyst.expressions.AttributeSet(rn :: Nil)
       val shapeOk = rnParts.nonEmpty && bounds.forall(_.isDefined) &&
         groupOk && orderOk &&
-        projList.forall(e => e.deterministic &&
-          e.references.subsetOf(w.child.outputSet)) &&
+        projList.forall(e => e.deterministic && e.references.subsetOf(allowed)) &&
         rest.forall(_.references.subsetOf(w.child.outputSet))
       if (!shapeOk) None
       else {
@@ -129,7 +150,8 @@ case class TopKRewrite(spark: SparkSession) extends Rule[LogicalPlan]
                 wgl.orderSpec == w.orderSpec => wgl.child
             case c => c
           }
-          val topk = TopKPerGroup(w.partitionSpec, w.orderSpec, k.toInt, base)
+          val topk = TopKPerGroup(w.partitionSpec, w.orderSpec, k.toInt, base,
+            rankAttr = if (keepsRank) Some(rn) else None)
           val filtered =
             if (rest.isEmpty) topk
             else Filter(rest.reduce(And), topk)

@@ -1567,11 +1567,28 @@ object Analytics {
     * engines produce the SAME meter values; GeoSpec grades the meters
     * against StrictMath haversine on reference city pairs.
     */
-  val qGeoHaversine: Q = Q("geo_haversine_ref", (s, dir) => {
+  /** [[qGeoHaversine]]'s plan, parameterized for the DevGeo A/B (r8
+    * verdict #2): `ckptUnit` truncates after the rotation-CORDIC unit
+    * vectors, `ckptC2` after the chord² join — each cut splits the
+    * ~90-stage fused projection chain so whole-stage codegen compiles
+    * two shallower trees instead of one deep one, at the cost of
+    * materializing a (user_id + 3·bigint) relation.
+    *
+    * MEASURED (DevGeo, sf0.1, local[32], 3 interleaved reps, quiet,
+    * 2026-08-15): fused cold 11.93 s / warm-min 2.61; ckpt-unit 4.13 /
+    * 2.33; ckpt-c2 2.69 / 2.05; ckpt-both 2.25 / 2.02. The deep fused
+    * chain pays a brutal first-execution codegen-compile tax (the
+    * DevNsw signature) and still loses warm. ADOPTED: ckpt-both (house
+    * rule: win on both axes). The checkpointed relations are tiny —
+    * distinct users × 4 longs and × 2 longs.
+    */
+  private[graft] def geoHaversineBuild(s: SparkSession, dir: String,
+      ckptUnit: Boolean, ckptC2: Boolean): org.apache.spark.sql.DataFrame = {
     import graft.ops.Geo
-    val pts = Geo.applyStages(geoPoints(s, dir),
+    val pts0 = Geo.applyStages(geoPoints(s, dir),
         Geo.unitVectorStages("p", "lat", "lon"))
       .select(col("user_id"), col("pux"), col("puy"), col("puz"))
+    val pts = if (ckptUnit) pts0.localCheckpoint(true) else pts0
     val ref = Geo.applyStages(
         s.range(1).select(col("id").as("ref_id"))
           .withColumn("rlat", expr("CAST(conv(substr(md5(concat('rlat', " +
@@ -1580,16 +1597,20 @@ object Analytics {
             "CAST(ref_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000")),
         Geo.unitVectorStages("r", "rlat", "rlon"))
       .select(col("rux"), col("ruy"), col("ruz"))
-    val d = pts.crossJoin(broadcast(ref))
+    val d0 = pts.crossJoin(broadcast(ref))
       .withColumn("c2", expr("(pux - rux) * (pux - rux) + " +
         "(puy - ruy) * (puy - ruy) + (puz - ruz) * (puz - ruz)"))
+    val d = if (ckptC2) d0.select("user_id", "c2").localCheckpoint(true) else d0
     Geo.applyStages(d, Geo.greatCircleMetersStages("g", "c2", "DIV"))
       .withColumn("band_1000km", expr("gm DIV 1000000"))
       .groupBy("band_1000km")
       .agg(count(lit(1)).as("n_points"), min("gm").as("min_m"),
         max("gm").as("max_m"), min("user_id").as("first_user"))
       .orderBy("band_1000km")
-  }, Some {
+  }
+
+  val qGeoHaversine: Q = Q("geo_haversine_ref", (s, dir) =>
+    geoHaversineBuild(s, dir, ckptUnit = true, ckptC2 = true), Some {
     import graft.ops.Geo
     val (ptChain, ptLast) = Geo.duckStageChain("hp", "p",
       Geo.unitVectorStages("p", "lat", "lon"))

@@ -585,7 +585,12 @@ object Graphs {
     * curve by min-plus doubling (2 MATERIALIZED rounds cover h ≤ 4)
     * and pins the tolerance boolean.
     */
-  val effectiveDiameter: Q = Q("graph_effective_diameter", (s, dir) => {
+  /** The exact-ANF × HyperANF core of [[effectiveDiameter]], exposed
+    * with the RAW estimate columns (n_vertices, n1..n4, est_balls) —
+    * the query derives its graded booleans/buckets from this; DevHll
+    * measures the HLL error per SF off it.
+    */
+  private[graft] def effectiveDiameterDiag(s: SparkSession, dir: String): DataFrame = {
     val e = simEdges(s, dir).localCheckpoint(true) // tiny graph, deep plan (DevSeeds)
     val verts = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
       .distinct().localCheckpoint(true)
@@ -625,6 +630,10 @@ object Graphs {
       sum(expr("hll_sketch_estimate(sk)")).as("est_balls"),
       count(lit(1)).as("n_vertices"))
     nh.crossJoin(broadcast(est))
+  }
+
+  val effectiveDiameter: Q = Q("graph_effective_diameter", (s, dir) => {
+    effectiveDiameterDiag(s, dir)
       .withColumn("eff_diameter_h", expr(
         """CASE WHEN 10 * n1 >= 9 * n4 THEN 1L
                 WHEN 10 * n2 >= 9 * n4 THEN 2L
@@ -632,7 +641,18 @@ object Graphs {
                 ELSE 4L END"""))
       .withColumn("n4_est_ok",
         expr("abs((est_balls - n_vertices) - n4) * 100 <= n4 * 20"))
-      .select("n_vertices", "n1", "n2", "n3", "n4", "eff_diameter_h", "n4_est_ok")
+      // r8 verdict #9: the estimate surfaced as a COARSE bucket — the
+      // integer percent error decile (0 = within 10%, 1 = 10-20%, ...).
+      // An HLL drift now reads as "est_err_decile 0 -> 1" in the dumped
+      // parquet instead of an opaque hash failure. DevHll measured the
+      // error at 0.000% at ALL of sf0.001/0.01/0.1 (ball cardinalities
+      // sit below the lgk=12 sketch's sparse-mode threshold, where HLL
+      // is exact), so the pinned decile 0 has the full 10% headroom; at
+      // dense-mode scale the ~1.6% typical rsd still lands in decile 0.
+      .withColumn("n4_est_err_decile",
+        expr("abs((est_balls - n_vertices) - n4) * 10 DIV greatest(n4, 1)"))
+      .select("n_vertices", "n1", "n2", "n3", "n4", "eff_diameter_h",
+        "n4_est_ok", "n4_est_err_decile")
   }, Some(s"""WITH $itemsSql,
     je AS MATERIALIZED (SELECT ua, ub FROM jac WHERE jacc_bp >= 3000),
     m0 AS MATERIALIZED (SELECT u, v, min(k) AS k FROM (
@@ -659,7 +679,8 @@ object Graphs {
                 WHEN 10 * n2 >= 9 * n4 THEN 2
                 WHEN 10 * n3 >= 9 * n4 THEN 3
                 ELSE 4 END AS BIGINT) AS eff_diameter_h,
-      TRUE AS n4_est_ok
+      TRUE AS n4_est_ok,
+      CAST(0 AS BIGINT) AS n4_est_err_decile
     FROM agg"""))
 
   /** Minimum spanning FOREST of the similarity graph under Jaccard

@@ -3382,6 +3382,129 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("CompactionPlanProcessor: running bin ledger == the batch window fold") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, sum}
+    val dir = Files.createTempDirectory("graft_compaction").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val T = 2048L
+    val rows = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2) // arrival order: doc_id asc (the house contract)
+    // three arrival-ordered micro-batches cut at arbitrary points — the
+    // cuts land MID-BIN, so the open-bin carry is exercised
+    val b1 = rows.take(rows.length / 3)
+    val b2 = rows.slice(rows.length / 3, 2 * rows.length / 3)
+    val b3 = rows.drop(2 * rows.length / 3)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+    val q = graft.streaming.CompactionPlanProcessor(spark, src, T)
+      .toDF("source", "n_files", "total_bytes", "n_bins", "ideal_bins",
+        "max_bin_bytes", "oversize_files", "reduction_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_compaction").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b3.txt").toPath, fmt(b3))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_files DESC) AS rn
+            FROM graft_compaction) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+      // batch reference: the layout_compaction_plan window fold, in the
+      // SAME arrival order (doc_id asc) the stream sees
+      val f = rows.toSeq.toDF("source", "doc_id", "bytes")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val binned = f.withColumn("c", coalesce(sum("bytes").over(w), lit(0L)))
+        .withColumn("bin", expr(s"c DIV $T"))
+      val perBin = binned.groupBy("source", "bin")
+        .agg(count(lit(1)).as("nf"), sum("bytes").as("bb"),
+          sum(expr(s"CASE WHEN bytes > $T THEN 1L ELSE 0L END")).as("nf_over"))
+      val want = perBin.groupBy("source")
+        .agg(sum("nf").as("n_files"), sum("bb").as("total_bytes"),
+          count(lit(1)).as("n_bins"), max("bb").as("max_bin_bytes"),
+          sum("nf_over").as("oversize_files"))
+        .withColumn("ideal_bins", expr(s"(total_bytes + ${T - 1}) DIV $T"))
+        .withColumn("reduction_bp", expr("10000 * (n_files - n_bins) DIV n_files"))
+        .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_files"),
+          r.getAs[Long]("total_bytes"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("ideal_bins"), r.getAs[Long]("max_bin_bytes"),
+          r.getAs[Long]("oversize_files"), r.getAs[Long]("reduction_bp"))).toMap
+      assert(want.nonEmpty, "batch compaction reference unexpectedly empty")
+      assert(got == want, s"streamed vs batch compaction ledger differ: " +
+        s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(3)}")
+    } finally q.stop()
+  }
+
+  test("CompactionPlanProcessor recovers the open bin across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_compaction_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_compaction_ck").toString
+    val T = 2048L
+    val rows = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    // cut MID-STREAM (and therefore mid-bin for every active source): the
+    // restart must recover the open bin's index and fill exactly
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(String, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, (Long, Long, Long, Long, Long))]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+      graft.streaming.CompactionPlanProcessor(spark, src, T)
+        .toDF("source", "n_files", "total_bytes", "n_bins", "ideal_bins",
+          "max_bin_bytes", "oversize_files", "reduction_bp")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add((r.getString(0), (r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6)))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // ledger counters only grow: keep the max-n_files row per source
+    val got = out.toArray(Array.empty[(String, (Long, Long, Long, Long, Long))])
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).maxBy(_._1) }
+    // independent single-pass fold over the full arrival order
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      var (n, total, nBins, curBin, curBytes, maxDone, over) =
+        (0L, 0L, 0L, -1L, 0L, 0L, 0L)
+      rs.sortBy(_._2).foreach { case (_, _, bytes) =>
+        val bin = total / T
+        if (bin != curBin) {
+          if (curBin >= 0L && curBytes > maxDone) maxDone = curBytes
+          curBin = bin; curBytes = 0L; nBins += 1L
+        }
+        n += 1L; total += bytes; curBytes += bytes
+        if (bytes > T) over += 1L
+      }
+      k -> (n, total, nBins, math.max(maxDone, curBytes), over)
+    }
+    assert(want.nonEmpty && got == want,
+      s"post-restart compaction ledger diverged: " +
+        s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(3)}")
+  }
+
   test("Utf8GateProcessor: running per-source byte-class census == batch encodingMetrics") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -200,16 +200,12 @@ class TopKPerGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotB == wantB, "BETWEEN rewrite diverged")
   }
 
-  test("TopKRewrite: conservative non-fires — rn kept, rank(), float group keys") {
+  test("TopKRewrite: conservative non-fires — rank(), float group keys") {
     import org.apache.spark.sql.expressions.Window
     val sp = spark; import sp.implicits._
     val df = (1 to 100).map(i => (i % 5, i / 7.0, i.toLong)).toDF("g", "f", "v")
     val w = Window.partitionBy("g").orderBy(col("v").asc)
     withRewrite {
-      // rn survives the projection -> the window must stay
-      val kept = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
-      assert(!finalPlan(kept).contains("TopKPerGroupExec"),
-        "rewrote a plan that still needs the rank column")
       // rank() has different semantics under ties -> no rewrite
       val rk = df.withColumn("rn", rank().over(w)).filter(col("rn") <= 2).drop("rn")
       assert(!finalPlan(rk).contains("TopKPerGroupExec"), "rewrote rank()")
@@ -218,5 +214,34 @@ class TopKPerGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
       val fl = df.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 2).drop("rn")
       assert(!finalPlan(fl).contains("TopKPerGroupExec"), "rewrote float group keys")
     }
+  }
+
+  test("TopKRewrite: rank-keeping projections rewrite with the EMITTED rank (r8 #5)") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark; import sp.implicits._
+    val df = (1 to 400).map(i => (i % 7, i.toLong)).toDF("g", "v")
+      .repartition(4)
+    val w = Window.partitionBy("g").orderBy(col("v").desc) // v unique per g: total
+
+    def kept = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val want = kept.collect().map(_.toSeq).toSet // rule off: window plan
+    val (got, plan) = withRewrite {
+      val d = kept
+      (d.collect().map(_.toSeq).toSet, finalPlan(d))
+    }
+    assert(plan.contains("TopKPerGroup"), s"rank-keeping rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"WindowExec survived:\n$plan")
+    assert(want.nonEmpty && got == want,
+      "emitted rank diverged from row_number under the window form")
+    // rank DERIVED in the projection (rn used in an expression) also routes
+    def derived = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("g"), (col("rn") * 10).as("r10"))
+    val wantD = derived.collect().map(_.toSeq).toSet
+    val (gotD, planD) = withRewrite {
+      val d = derived
+      (d.collect().map(_.toSeq).toSet, finalPlan(d))
+    }
+    assert(planD.contains("TopKPerGroup"), s"derived-rank rewrite did not fire:\n$planD")
+    assert(gotD == wantD, "derived-rank results diverged")
   }
 }
