@@ -54,13 +54,24 @@ object DevScale {
         }
         name match {
           case "documents" if i > 0 =>
-            // keep near-dup structure honest: replicas are not exact clones
-            shifted.withColumn("text", concat(col("text"), lit(s" qz$i")))
-              .withColumn("n_chars", col("n_chars") + lit(3L + s"$i".length))
+            // Keep near-dup structure honest: a real 32x corpus does not
+            // contain every document 32 times. A trailing suffix is NOT
+            // enough (v1 lesson: shingle sets stayed ~identical, so the
+            // near-dup miners correctly found C(R,2) planted pairs per
+            // doc — quadratic output BY CONSTRUCTION, not a plan flaw).
+            // Replace two frequent letters per replica instead: length-
+            // preserving, deterministic, and shingle sets become near-
+            // disjoint across replicas.
+            shifted.withColumn("text", expr(
+              s"translate(text, 'et', concat(" +
+                s"substr('0123456789', ${i % 10} + 1, 1), " +
+                s"substr('abcdefghijklmnopqrstuvwxyz', ${i / 10} + 1, 1)))"))
           case "embeddings" if i > 0 =>
+            // nudge EVERY component per replica (a single-dim nudge left
+            // 31 near-clones of each vector at cosine ~1)
             shifted.withColumn("embedding", expr(
-              s"transform(embedding, (x, j) -> CASE WHEN j = 0 " +
-                s"THEN float(x + ${i * 0.001}) ELSE x END)"))
+              s"transform(embedding, (x, j) -> " +
+                s"float(x + (pmod(hash(j * 37 + $i), 97) - 48) / 400.0))"))
           case _ => shifted
         }
       }
@@ -91,7 +102,7 @@ object DevScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     val src = "/root/testdata/sf0.1"
-    val base = "/tmp/graft_devscale"
+    val base = "/tmp/graft_devscale/v2" // bump on any tiling-rule change
     tile(spark, src, s"$base/x8", 8)
     tile(spark, src, s"$base/x32", 32)
     if (args.headOption.contains("buildOnly")) { spark.stop(); return }
@@ -109,6 +120,12 @@ object DevScale {
       SparkEntry.queries.get(name) match {
         case None => println(s"[devscale] unknown query $name")
         case Some(fn) =>
+          // uncounted x1 warm-up: strips first-execution codegen compile
+          // so the ladder compares execution, not compilation (without
+          // it the x1 sample is cold and curvature reads artificially
+          // sublinear)
+          clean()
+          try fn(spark, src).count() catch { case _: Throwable => () }
           val ts = scales.map { case (label, dir, _) =>
             clean()
             val t0 = System.nanoTime()

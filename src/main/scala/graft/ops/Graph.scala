@@ -520,15 +520,17 @@ object Graph {
     // shuffle-HASH, not sort-merge: the streamed side is the wedge set
     // (out-deg² rows — orders of magnitude bigger than the edge set) and
     // SMJ would sort it; hashing builds on the small edge side instead.
-    // The (b,c) pair is packed into ONE long key — halves the shuffle
-    // key width and hashing work of the biggest exchange. Vertex ids
-    // must fit unsigned 32 bits — guarded below.
-    // assert_true yields NULL on success (throws otherwise); folding it
-    // into the value keeps the guard from being pruned as unused
-    val packedEdges = oriented.select(expr(
-      """u * 4294967296L + w + ifnull(assert_true(
-          u >= 0 AND u < 4294967296L AND w >= 0 AND w < 4294967296L,
-          'Graph.triangles: vertex ids must fit in unsigned 32 bits'), 0L)""").as("bc"))
+    // The (b,c) pair is packed into ONE long key when every vertex id
+    // fits unsigned 32 bits — halves the shuffle key width and hashing
+    // work of the biggest exchange. Wider id domains (found by the
+    // DevScale ×32 salted tiling: ids near 3×10¹⁰ ANSI-overflowed the
+    // multiply before the old assert_true guard could even evaluate)
+    // fall back to the two-column (b, c) key — same join, 16-byte key.
+    val bounds = und.agg(
+      min(least(col("lo"), col("hi"))).as("mn"),
+      max(greatest(col("lo"), col("hi"))).as("mx")).collect()(0)
+    val packable = !bounds.isNullAt(0) &&
+      bounds.getLong(0) >= 0L && bounds.getLong(1) < 4294967296L
     // closure: BROADCAST the packed edge set when it plausibly fits
     // (longs are 8B + hash-set overhead; 20M edges ≈ low hundreds of MB
     // on the build side) — the wedge set (out-deg² rows, here 34× the
@@ -536,12 +538,16 @@ object Graph {
     // threshold fall back to shuffle-hash (NOT sort-merge: SMJ would
     // sort the huge wedge side; hashing builds on the small edge side).
     val m = und.count() // und is persisted above — this is a cached count
-    val closure =
-      if (m <= 20000000L) broadcast(packedEdges) else packedEdges.hint("shuffle_hash")
-    wedges
-      .withColumn("bc", expr("b * 4294967296L + c"))
-      .join(closure, Seq("bc"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
+    def closed(keyed: DataFrame, keys: Seq[String], w: DataFrame): DataFrame = {
+      val closure = if (m <= 20000000L) broadcast(keyed) else keyed.hint("shuffle_hash")
+      w.join(closure, keys, "left_semi").select(col("a"), col("b"), col("c"))
+    }
+    if (packable)
+      closed(oriented.select(expr("u * 4294967296L + w").as("bc")), Seq("bc"),
+        wedges.withColumn("bc", expr("b * 4294967296L + c")))
+    else
+      closed(oriented.select(col("u").as("b"), col("w").as("c")), Seq("b", "c"),
+        wedges)
   }
 
   /** Per-edge triangle support over a persisted canonical (lo, hi) edge

@@ -54,7 +54,7 @@ object Analytics {
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
     qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan,
-    qGeoBearing, qGeoSpeedGate, qGeoHaversine)
+    qGeoBearing, qGeoSpeedGate, qGeoHaversine, qGeoNearestSiteM)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -1636,6 +1636,79 @@ object Analytics {
     SELECT gm // 1000000 AS band_1000km, count(*)::BIGINT AS n_points,
       min(gm) AS min_m, max(gm) AS max_m, min(user_id) AS first_user
     FROM $mLast GROUP BY 1 ORDER BY band_1000km"""
+  })
+
+  /** Nearest-site DISTANCE census (the ROADMAP round-8 candidate):
+    * every point is assigned to its nearest of 8 md5-derived reference
+    * sites by EXACT integer chord² (the [[qGeoGreatCircle]] argmin —
+    * monotone in central angle, no inverse trig needed to rank), and
+    * the distance to that winning site is then materialized IN METERS
+    * via the zero-libm CORDIC pipeline ([[graft.ops.Geo
+    * .greatCircleMetersStages]]) — per site: assigned points and the
+    * min/max/mean meters, the capacity-planning table ("how far is
+    * this site's catchment really"). Mean is sum DIV n — exact integer
+    * both engines. Plan shape per the DevGeo A/B: localCheckpoint at
+    * both chain joints (unit vectors; post-argmin chord²) — the argmin
+    * aggregation already bounds the meters chain's input to one row
+    * per point, and the deep projection chains codegen separately.
+    */
+  val qGeoNearestSiteM: Q = Q("geo_nearest_site_m", (s, dir) => {
+    import graft.ops.Geo
+    val pts = Geo.applyStages(geoPoints(s, dir),
+        Geo.unitVectorStages("p", "lat", "lon"))
+      .select(col("user_id"), col("pux"), col("puy"), col("puz"))
+      .localCheckpoint(true)
+    val refs = Geo.applyStages(
+        s.range(8).select(col("id").as("ref_id"))
+          .withColumn("rlat", expr("CAST(conv(substr(md5(concat('rlat', " +
+            "CAST(ref_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 160000000 - 80000000"))
+          .withColumn("rlon", expr("CAST(conv(substr(md5(concat('rlon', " +
+            "CAST(ref_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 360000000 - 180000000")),
+        Geo.unitVectorStages("r", "rlat", "rlon"))
+      .select(col("ref_id"), col("rux"), col("ruy"), col("ruz"))
+    val nearest = pts.crossJoin(broadcast(refs))
+      .withColumn("c2", expr("(pux - rux) * (pux - rux) + " +
+        "(puy - ruy) * (puy - ruy) + (puz - ruz) * (puz - ruz)"))
+      .groupBy("user_id")
+      .agg(min(struct(col("c2"), col("ref_id"))).as("mn"))
+      .select(col("user_id"), col("mn.ref_id").as("ref_id"),
+        col("mn.c2").as("c2"))
+      .localCheckpoint(true)
+    Geo.applyStages(nearest, Geo.greatCircleMetersStages("g", "c2", "DIV"))
+      .groupBy("ref_id")
+      .agg(count(lit(1)).as("n_points"), min("gm").as("min_m"),
+        max("gm").as("max_m"),
+        expr("CAST(sum(gm) AS BIGINT) DIV count(1)").as("mean_m"))
+      .orderBy("ref_id")
+  }, Some {
+    import graft.ops.Geo
+    val (ptChain, ptLast) = Geo.duckStageChain("np", "p",
+      Geo.unitVectorStages("p", "lat", "lon"))
+    val (rfChain, rfLast) = Geo.duckStageChain("nf", "rr",
+      Geo.unitVectorStages("r", "rlat", "rlon"))
+    val (mChain, mLast) = Geo.duckStageChain("nm", "nr",
+      Geo.greatCircleMetersStages("g", "c2", "//"))
+    s"""WITH $geoPointsSql,
+    $ptChain,
+    rr AS (SELECT range AS ref_id,
+        CAST('0x' || substr(md5('rlat' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 160000000 - 80000000 AS rlat,
+        CAST('0x' || substr(md5('rlon' || CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+          % 360000000 - 180000000 AS rlon
+      FROM range(8)),
+    $rfChain,
+    nr AS MATERIALIZED (SELECT user_id, ref_id, c2 FROM (
+        SELECT user_id, ref_id,
+          (pux - rux) * (pux - rux) + (puy - ruy) * (puy - ruy)
+            + (puz - ruz) * (puz - ruz) AS c2
+        FROM (SELECT user_id, pux, puy, puz FROM $ptLast),
+          (SELECT ref_id, rux, ruy, ruz FROM $rfLast))
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY c2, ref_id) = 1),
+    $mChain
+    SELECT ref_id, count(*)::BIGINT AS n_points, min(gm) AS min_m,
+      max(gm) AS max_m, CAST(sum(gm) // count(*) AS BIGINT) AS mean_m
+    FROM $mLast GROUP BY ref_id ORDER BY ref_id"""
   })
 
   val qCompactionPlan: Q = Q("layout_compaction_plan", (s, dir) => {

@@ -714,15 +714,33 @@ object Similarity {
     val n = normed(s, dir).persist()
     val wSrc = Window.partitionBy("src")
       .orderBy(round(col("sim"), 6).desc, col("dst").asc)
-    val aSide = n.select(col("vec_id").as("src"), col("label"),
+    // BOUNDED kNN-graph build (DevScale ×32 catch: the raw per-label
+    // all-pairs join is QUADRATIC in corpus size — 84.9 s at ×32 vs
+    // 6.5 at ×8). Each label splits into ceil(|label|/512) md5-hashed
+    // sub-buckets and the 6-NN build runs bucket-locally: pair volume
+    // is ≤ 512·|rows| — linear. A NO-OP at every certified SF (label
+    // groups ≈ 200 → n_sub = 1, outputs bit-identical; the oracle
+    // mirrors the same formula), and an approximation the NSW tier is
+    // entitled to at scale (the neighbor graph is itself approximate).
+    val sizes = n.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .select(col("label"), expr("(cnt + 511) DIV 512").as("n_sub"))
+    val nb = n.join(broadcast(sizes), "label")
+      .withColumn("sb", expr("CAST(conv(substr(md5(concat('nswsub', " +
+        "CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % n_sub"))
+    val aSide = nb.select(col("vec_id").as("src"), col("label"), col("sb"),
       col("emb").as("ae"), col("nrm").as("an"))
-    val bSide = n.select(col("vec_id").as("dst"), col("label"),
+    val bSide = nb.select(col("vec_id").as("dst"), col("label"), col("sb"),
       col("emb").as("be"), col("nrm").as("bn"))
-    val local = aSide.join(bSide, "label").filter(col("src") =!= col("dst"))
+    val local = aSide.join(bSide, Seq("label", "sb"))
+      .filter(col("src") =!= col("dst"))
       .withColumn("sim", dotD(col("ae"), col("be")) / (col("an") * col("bn")))
       .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= 6)
       .select(col("src"), col("dst"))
+    // hub tier capped at a FIXED 128 long-range hubs (vec_id % 50 grows
+    // with the corpus — ×32 made the hub crossJoin quadratic too); ≤ 40
+    // hubs exist at every certified SF, so the cap is a no-op there
     val hubSet = n.filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").limit(128)
       .select(col("vec_id").as("dst"), col("emb").as("be"), col("nrm").as("bn"))
     val hub = n.select(col("vec_id").as("src"), col("emb").as("ae"), col("nrm").as("an"))
       .crossJoin(broadcast(hubSet)).filter(col("src") =!= col("dst"))
@@ -793,18 +811,25 @@ object Similarity {
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings),
+    sz AS (SELECT label, (count(*) + 511) // 512 AS n_sub FROM e GROUP BY 1),
+    eb AS (SELECT e.*, CAST('0x' || substr(md5('nswsub' ||
+        CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % n_sub AS sb
+      FROM e JOIN sz USING (label)),
     loc AS (SELECT src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
           row_number() OVER (PARTITION BY a.vec_id
             ORDER BY round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) DESC,
               b.vec_id ASC) AS rn
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id) WHERE rn <= 6),
+        FROM eb a JOIN eb b ON a.label = b.label AND a.sb = b.sb
+          AND a.vec_id <> b.vec_id) WHERE rn <= 6),
+    hs AS (SELECT vec_id, emb, nrm FROM e WHERE vec_id % 50 = 0
+      ORDER BY vec_id LIMIT 128),
     hub AS (SELECT src, dst FROM (
         SELECT a.vec_id AS src, h.vec_id AS dst,
           row_number() OVER (PARTITION BY a.vec_id
             ORDER BY round(list_dot_product(a.emb, h.emb) / (a.nrm * h.nrm), 6) DESC,
               h.vec_id ASC) AS rn
-        FROM e a JOIN e h ON h.vec_id % 50 = 0 AND a.vec_id <> h.vec_id) WHERE rn <= 2),
+        FROM e a JOIN hs h ON a.vec_id <> h.vec_id) WHERE rn <= 2),
     edges AS MATERIALIZED (SELECT src, dst FROM loc UNION SELECT src, dst FROM hub),
     q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM e WHERE vec_id < 10)"""
 
