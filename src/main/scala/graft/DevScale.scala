@@ -103,18 +103,28 @@ object DevScale {
 
     val src = "/root/testdata/sf0.1"
     val base = "/tmp/graft_devscale/v2" // bump on any tiling-rule change
+    // "deep" mode: add the ×128 rung (≈77M lineitem rows ≈ sf12.8) and
+    // ladder ×8→×32→×128 for the named queries — the two warm steps are
+    // the cleanest curvature signal (×1 carries codegen-compile noise)
+    val deep = args.headOption.contains("deep")
     tile(spark, src, s"$base/x8", 8)
     tile(spark, src, s"$base/x32", 32)
+    if (deep) tile(spark, src, s"$base/x128", 128)
     if (args.headOption.contains("buildOnly")) { spark.stop(); return }
 
-    val names = if (args.nonEmpty) args.toSeq else Heavies
+    val names =
+      if (deep) (if (args.size > 1) args.drop(1).toSeq else Heavies)
+      else if (args.nonEmpty) args.toSeq else Heavies
     def clean(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
-    val scales = Seq(("x1", src, 1L), ("x8", s"$base/x8", 8L),
-      ("x32", s"$base/x32", 32L))
+    val scales =
+      if (deep) Seq(("x8", s"$base/x8", 8L), ("x32", s"$base/x32", 32L),
+        ("x128", s"$base/x128", 128L))
+      else Seq(("x1", src, 1L), ("x8", s"$base/x8", 8L),
+        ("x32", s"$base/x32", 32L))
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
@@ -139,10 +149,18 @@ object DevScale {
             sec
           }
           // curvature: time ratio over data ratio, per ladder step
-          val r8 = ts(1) / ts(0) / 8.0
-          val r32 = ts(2) / ts(1) / 4.0
-          println(f"[devscale] $name%-28s curvature x1->x8=${r8}%.2f x8->x32=${r32}%.2f (1.0 = linear)")
-          rows += f"""\"$name\":{\"x1\":${ts(0)}%.2f,\"x8\":${ts(1)}%.2f,\"x32\":${ts(2)}%.2f,\"c8\":$r8%.3f,\"c32\":$r32%.3f}"""
+          val steps = scales.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+            val c = ts(i + 1) / ts(i) / (b._3.toDouble / a._3)
+            (s"${a._1}->${b._1}", c)
+          }.toSeq
+          println(f"[devscale] $name%-28s curvature " +
+            steps.map { case (l, c) => f"$l=$c%.2f" }.mkString(" ") +
+            " (1.0 = linear)")
+          val tsJson = scales.zip(ts).map { case ((l, _, _), t) =>
+            f"""\"$l\":$t%.2f""" }.mkString(",")
+          val cJson = steps.map { case (l, c) =>
+            f"""\"c[$l]\":$c%.3f""" }.mkString(",")
+          rows += s""""$name":{$tsJson,$cJson}"""
       }
     }
     val json = rows.mkString("{\"metric\":\"devscale\",\"queries\":{", ",", "}}")

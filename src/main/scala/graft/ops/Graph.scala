@@ -526,18 +526,20 @@ object Graph {
     // DevScale ×32 salted tiling: ids near 3×10¹⁰ ANSI-overflowed the
     // multiply before the old assert_true guard could even evaluate)
     // fall back to the two-column (b, c) key — same join, 16-byte key.
-    val bounds = und.agg(
+    // one setup job over the persisted edge set yields the edge count
+    // (broadcast decision) AND the id bounds (pack decision)
+    val bounds = und.agg(count(lit(1)).as("m"),
       min(least(col("lo"), col("hi"))).as("mn"),
       max(greatest(col("lo"), col("hi"))).as("mx")).collect()(0)
-    val packable = !bounds.isNullAt(0) &&
-      bounds.getLong(0) >= 0L && bounds.getLong(1) < 4294967296L
+    val packable = !bounds.isNullAt(1) &&
+      bounds.getLong(1) >= 0L && bounds.getLong(2) < 4294967296L
     // closure: BROADCAST the packed edge set when it plausibly fits
     // (longs are 8B + hash-set overhead; 20M edges ≈ low hundreds of MB
     // on the build side) — the wedge set (out-deg² rows, here 34× the
     // edge count) then never crosses an exchange at all. Past the
     // threshold fall back to shuffle-hash (NOT sort-merge: SMJ would
     // sort the huge wedge side; hashing builds on the small edge side).
-    val m = und.count() // und is persisted above — this is a cached count
+    val m = bounds.getLong(0)
     def closed(keyed: DataFrame, keys: Seq[String], w: DataFrame): DataFrame = {
       val closure = if (m <= 20000000L) broadcast(keyed) else keyed.hint("shuffle_hash")
       w.join(closure, keys, "left_semi").select(col("a"), col("b"), col("c"))

@@ -3382,6 +3382,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("DedupRateProcessor: running dup rates == batch countDistinct, across a restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, conv, substring}
+    val dir = Files.createTempDirectory("graft_duprate_in").toFile
+    val ckpt = Files.createTempDirectory("graft_duprate_ck").toString
+    // the batch query family's md5-60 keys: exact text + word-set template
+    val rows = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"),
+        conv(substring(org.apache.spark.sql.functions.md5(col("text")), 1, 15), 16, 10)
+          .cast("long").as("ch"),
+        conv(substring(graft.ops.Text.fingerprint(col("text")), 1, 15), 16, 10)
+          .cast("long").as("fp"),
+        col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // arbitrary split (distinct counting is order-insensitive); the cut
+    // doubles as the checkpoint-restart boundary, so the MapState
+    // first-arrival registries must recover exactly
+    val (b1, b2) = rows.partition(_._4 % 2 == 0)
+    def fmt(rs: Array[(String, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, (Long, Long, Long, Long, Long))]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+      graft.streaming.DedupRateProcessor(spark, src)
+        .toDF("source", "n_docs", "n_exact", "n_fingerprint",
+          "exact_dup_bp", "template_dup_bp")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add((r.getString(0), (r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(String, (Long, Long, Long, Long, Long))])
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).maxBy(_._1) }
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      val n = rs.length.toLong
+      val nc = rs.map(_._2).distinct.length.toLong
+      val nf = rs.map(_._3).distinct.length.toLong
+      k -> (n, nc, nf, (n - nc) * 10000L / n, (n - nf) * 10000L / n)
+    }
+    assert(want.nonEmpty && want.exists(_._2._5 > 0L),
+      "fixture has no template dups - the parity claim would be vacuous")
+    assert(got == want, s"post-restart dup rates diverged: " +
+      s"diff=${got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(3)}")
+  }
+
   test("CompactionPlanProcessor: running bin ledger == the batch window fold") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
