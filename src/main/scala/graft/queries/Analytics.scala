@@ -54,7 +54,7 @@ object Analytics {
     q20ExcessSuppliers, qTopkNative, qSaltedJoin, qZorderLayout,
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
     qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan,
-    qGeoBearing, qGeoSpeedGate, qGeoHaversine, qGeoNearestSiteM)
+    qGeoBearing, qGeoSpeedGate, qGeoHaversine, qGeoNearestSiteM, qRidgeFit)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -3930,4 +3930,52 @@ object Analytics {
     WHERE n_name = 'NATION_9'
       AND s_suppkey IN (SELECT l_suppkey FROM pairs)
     ORDER BY s_suppkey"""))
+
+  /** Closed-form ridge regression from ONE-PASS distributed sufficient
+    * statistics (the linear-probe / quality-regressor fit a training
+    * pipeline runs at corpus scale): per returnflag, fit
+    * price_cents ≈ b0 + b1·quantity + b2·discount_bp from nine exact
+    * BIGINT moments — n, Σx, Σx², Σxy — aggregated map-side in a
+    * single scan, then solved on metadata-sized state in the quantized
+    * integer dialect of [[graft.ops.Fit]] (truncating-mean centered
+    * moments via the exact cross-moment identity, per-row quantization
+    * before any product, ridge λ on the quantized diagonal). Scale
+    * shape: one shuffle on a 3-value key, zero joins, zero windows;
+    * the same nine sums stream (RidgeProcessor twin — associative
+    * state, bit-exact emission). Slopes are in milli-cents per unit;
+    * intercept in milli-cents.
+    */
+  val qRidgeFit: Q = Q("q_ridge_fit", (s, dir) => {
+    import graft.ops.Fit
+    val m = Tables.t(s, dir, "lineitem")
+      .selectExpr("l_returnflag",
+        "CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(round(l_discount * 10000) AS BIGINT) AS x2",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum("y").as("sy"), sum(expr("x1 * x1")).as("s11"),
+        sum(expr("x1 * x2")).as("s12"), sum(expr("x2 * x2")).as("s22"),
+        sum(expr("x1 * y")).as("s1y"), sum(expr("x2 * y")).as("s2y"))
+    Fit.ridgeSolve(m)
+      .select("l_returnflag", "n", "a1", "a2", "det_q",
+        "b1_milli", "b2_milli", "b0_milli")
+      .orderBy("l_returnflag")
+  }, Some {
+    import graft.ops.Fit
+    s"""WITH r AS (SELECT l_returnflag,
+        CAST(l_quantity AS BIGINT) AS x1,
+        CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    m AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        CAST(sum(x1 * x2) AS BIGINT) AS s12, CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM r GROUP BY l_returnflag),
+    ${Fit.ridgeSolveSqlFrom("m")}
+    SELECT l_returnflag, n, a1, a2, det_q, b1_milli, b2_milli, b0_milli
+    FROM ${Fit.ridgeFinalRef} ORDER BY l_returnflag"""
+  })
 }

@@ -1023,4 +1023,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // classes are disjoint and cover: sizes sum to the vertex count
     assert(tFast.map(_._2).sum == 12L, s"coverage: $tFast")
   }
+
+  test("Fit.ridgeSolveLong recovers a planted linear model within quantization error") {
+    // y = 40000 + 250·x1 − 30·x2 + deterministic md5 noise in [−500, 500)
+    def h(i: Int): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ridge$i".getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
+    val pts = (0 until 4000).map { i =>
+      val x1 = h(i) % 50 + 1
+      val x2 = (h(i + 100000) % 11) * 100
+      val y = 40000L + 250L * x1 - 30L * x2 + (h(i + 200000) % 1000 - 500)
+      (x1, x2, y)
+    }
+    val n = pts.size.toLong
+    val (b1, b2, b0, det) = graft.ops.Fit.ridgeSolveLong(
+      n, pts.map(_._1).sum, pts.map(_._2).sum, pts.map(_._3).sum,
+      pts.map(p => p._1 * p._1).sum, pts.map(p => p._1 * p._2).sum,
+      pts.map(p => p._2 * p._2).sum, pts.map(p => p._1 * p._3).sum,
+      pts.map(p => p._2 * p._3).sum)
+    assert(det > 0, s"degenerate design: det=$det")
+    // slopes in milli-units: 250 -> 250000, -30 -> -30000; noise sd ~290
+    // over 4000 points keeps the OLS slope within ~1% of truth, and the
+    // ridge/quantization bias is far below that
+    assert(math.abs(b1 - 250000L) < 5000L, s"b1_milli=$b1")
+    assert(math.abs(b2 - (-30000L)) < 1500L, s"b2_milli=$b2")
+    assert(math.abs(b0 - 40000000L) < 2000000L, s"b0_milli=$b0")
+  }
+
+  test("Fit.ridgeSolve (SQL stages) == ridgeSolveLong on the same moments") {
+    import spark.implicits._
+    // realistic moments: derive them from the same planted generator
+    def h(i: Int): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ridge$i".getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
+    val pts = (0 until 1000).map { i =>
+      val x1 = h(i) % 50 + 1
+      val x2 = (h(i + 100000) % 11) * 100
+      (x1, x2, 40000L + 250L * x1 - 30L * x2 + (h(i + 200000) % 1000 - 500))
+    }
+    val ms = (pts.size.toLong, pts.map(_._1).sum, pts.map(_._2).sum,
+      pts.map(_._3).sum, pts.map(p => p._1 * p._1).sum,
+      pts.map(p => p._1 * p._2).sum, pts.map(p => p._2 * p._2).sum,
+      pts.map(p => p._1 * p._3).sum, pts.map(p => p._2 * p._3).sum)
+    val moments = Seq(("g", ms._1, ms._2, ms._3, ms._4, ms._5, ms._6, ms._7, ms._8, ms._9))
+      .toDF("k", "n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")
+    val row = graft.ops.Fit.ridgeSolve(moments)
+      .selectExpr("b1_milli", "b2_milli", "b0_milli", "det_q").collect()(0)
+    val (b1, b2, b0, det) = (graft.ops.Fit.ridgeSolveLong _).tupled(ms)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      (b1, b2, b0, det), s"SQL stages vs Long mirror diverged: $row vs ($b1,$b2,$b0,$det)")
+  }
 }

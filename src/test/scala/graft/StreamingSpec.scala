@@ -3601,4 +3601,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"streamed vs batch utf8 census: got=$got want=$want")
     } finally q.stop()
   }
+
+  test("RidgeProcessor: running ridge fit == q_ridge_fit after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_ridge").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_discount * 10000) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)", "l_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the moment sums are associative + commutative: ANY split works
+    val (b1, b2) = rows.partition(_._5 % 2 == 0)
+    def fmt(rs: Array[(String, Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.RidgeProcessor(spark, src)
+      .toDF("k", "n", "b1_milli", "b2_milli", "b0_milli", "det_q")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_ridge").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n, b1_milli, b2_milli, b0_milli, det_q FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n DESC) AS rn
+            FROM graft_ridge) WHERE rn = 1""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val want = graft.queries.Analytics.qRidgeFit.fn(spark, sfDir)
+        .select("l_returnflag", "n", "b1_milli", "b2_milli", "b0_milli", "det_q")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(want.nonEmpty, "batch ridge fit unexpectedly empty")
+      assert(got == want, s"streamed vs batch ridge fit: got=$got want=$want")
+    } finally q.stop()
+  }
 }
