@@ -45,4 +45,44 @@ object Layout {
         yield s"((($c) >> $i) & 1) * CAST(${1L << (i * k + j)} AS BIGINT)"
     terms.mkString("(", " + ", ")")
   }
+
+  /** Hilbert-curve index (xy→d) of two already-quantized BIGINT columns
+    * in [0, 2^bits) — the unrolled classic loop (one projection stage
+    * per bit, high to low): quadrant q = rx=0 ? ry : 3−ry (the (3·rx)
+    * XOR ry identity written as CASE — DuckDB's `^` is POWER, never
+    * use XOR operators cross-engine), d += s²·q, then the ry=0
+    * rotation (swap, with the rx=1 reflection about N−1). Hilbert
+    * beats Morton for zone-map locality because the curve is
+    * CONTINUOUS — consecutive cells are always grid-adjacent, so equal
+    * d-ranges tile compact blobs with no Z-shaped jumps across the
+    * grid; [[hilbertStages]] output feeds the same file-bucketing DIV
+    * as [[zorderSql]]. Stage exprs reference only prior-stage
+    * ATTRIBUTES (the Geo CollapseProject discipline — never feed
+    * foldable literals through a deep chain).
+    *
+    * Returns stages for [[graft.ops.Geo.applyStages]] /
+    * [[graft.ops.Geo.duckStageChain]]; final columns `${px}d` (the
+    * index, in [0, 4^bits)) plus working `${px}x/${px}y`.
+    */
+  def hilbertStages(px: String, xCol: String, yCol: String,
+      bits: Int): Seq[Seq[(String, String)]] = {
+    require(bits >= 1 && bits <= 30, s"hilbert bits in [1,30], got $bits")
+    val n = 1L << bits
+    val init = Seq(
+      s"${px}x$bits" -> s"($xCol)", s"${px}y$bits" -> s"($yCol)",
+      s"${px}d$bits" -> "CAST(0 AS BIGINT)")
+    val steps = (bits - 1 to 0 by -1).map { k =>
+      val s = 1L << k
+      val (xp, yp, dp) = (s"${px}x${k + 1}", s"${px}y${k + 1}", s"${px}d${k + 1}")
+      val rx = s"(($xp & $s) > 0)"
+      val ry = s"(($yp & $s) > 0)"
+      Seq(
+        s"${px}d$k" -> (s"$dp + ${s * s} * (CASE WHEN $rx AND $ry THEN 2 " +
+          s"WHEN $rx THEN 3 WHEN $ry THEN 1 ELSE 0 END)"),
+        s"${px}x$k" -> s"(CASE WHEN $ry THEN $xp WHEN $rx THEN ${n - 1} - $yp ELSE $yp END)",
+        s"${px}y$k" -> s"(CASE WHEN $ry THEN $yp WHEN $rx THEN ${n - 1} - $xp ELSE $xp END)")
+    }
+    val fin = Seq(s"${px}d" -> s"${px}d0")
+    Seq(init) ++ steps ++ Seq(fin)
+  }
 }

@@ -1050,6 +1050,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(b0 - 40000000L) < 2000000L, s"b0_milli=$b0")
   }
 
+  test("Layout.hilbertStages: known base case, bijective on the grid, curve is continuous") {
+    import spark.implicits._
+    import graft.ops.{Geo, Layout}
+    // bits=1 canonical quadrant order: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    val b1 = Geo.applyStages(
+      Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y"),
+      Layout.hilbertStages("h_", "x", "y", 1))
+      .select("x", "y", "h_d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(b1 == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L), s"$b1")
+    // bits=4: bijective over the full 16x16 grid AND continuous —
+    // consecutive d are manhattan-adjacent cells (the property Morton
+    // lacks, and the reason equal d-ranges tile compact blobs)
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong)).toDF("x", "y")
+    val cells = Geo.applyStages(grid, Layout.hilbertStages("h_", "x", "y", 4))
+      .select("x", "y", "h_d").collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L).toSeq, "not a bijection onto [0,256)")
+    cells.sliding(2).foreach { case Array((_, x0, y0), (d, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1L,
+        s"discontinuity at d=$d: ($x0,$y0)->($x1,$y1)")
+    }
+  }
+
   test("Fit.ridgeSolve (SQL stages) == ridgeSolveLong on the same moments") {
     import spark.implicits._
     // realistic moments: derive them from the same planted generator
