@@ -54,6 +54,71 @@ class SpeedGateProcessor
   }
 }
 
+/** Per-HOP event twin of [[SpeedGateProcessor]] — the alerting shape:
+  * instead of running counters, emit ONE ROW PER TELEPORTING HOP the
+  * moment it arrives — (user_id, ts_us, event_id, d2, dt_s) — so a
+  * downstream sink can page on the event itself. Same state (last
+  * position), same pure-integer gate, same (ts, event_id) intra-batch
+  * fold order; the union of all emitted rows over any batch split
+  * equals the batch lag-window's teleport hop set exactly (each hop is
+  * evaluated exactly once, when its arrival closes the pair). Emitted
+  * alerts are append-only by construction — a hop never re-emits,
+  * because the carried state advances past it.
+  */
+class SpeedGateHopsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long, Long, Long),
+      (Long, Long, Long, Long, Long)] {
+
+  @transient private var st: ValueState[SpeedGateProcessor.S] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SpeedGateProcessor.S](
+      "speedgate_hops", Encoders.product[SpeedGateProcessor.S], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+    val pts = rows.toArray.sortBy(r => (r._2, r._3))
+    if (pts.isEmpty) Iterator.empty
+    else {
+      var s = if (st.exists()) st.get()
+        else SpeedGateProcessor.S(first = true, 0L, 0L, 0L, 0L, 0L, 0L)
+      val alerts = Array.newBuilder[(Long, Long, Long, Long, Long)]
+      pts.foreach { case (_, ts, eid, lat, lon) =>
+        if (!s.first) {
+          val d2 = (lat - s.lat) * (lat - s.lat) + (lon - s.lon) * (lon - s.lon)
+          val dt = math.max((ts - s.ts) / 1000000L, 1L)
+          val cl = math.min(dt, 1001L)
+          if (dt <= 1000L && d2 > 1000000000000L * cl * cl)
+            alerts += ((key, ts, eid, d2, dt))
+          s = s.copy(ts = ts, lat = lat, lon = lon, nHops = s.nHops + 1)
+        } else {
+          s = s.copy(first = false, ts = ts, lat = lat, lon = lon)
+        }
+      }
+      st.update(s)
+      alerts.result().iterator
+    }
+  }
+}
+
+object SpeedGateHopsProcessor {
+  /** Rows as [[SpeedGateProcessor.apply]]; output one row per teleport
+    * hop: (user_id, ts_us, event_id, d2, dt_s).
+    */
+  def apply(
+      spark: SparkSession,
+      rows: Dataset[(Long, Long, Long, Long, Long)])
+    : Dataset[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    SeriesStatsProcessor.configure(spark)
+    rows.groupByKey(_._1)
+      .transformWithState(new SpeedGateHopsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
 object SpeedGateProcessor {
   /** Last position + running counters. */
   final case class S(first: Boolean, ts: Long, lat: Long, lon: Long,

@@ -3602,6 +3602,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("SpeedGateHopsProcessor emits exactly the batch teleport hop set, once each") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_speedgate_hops").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Analytics.eventPoints(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("lat"), col("lon"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._2, r._3))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def fmt(rs: Array[(Long, Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4} ${r._5}")
+        .mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l =>
+        val p = l.split(' ')
+        (p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong, p(4).toLong)
+      }
+    val q = graft.streaming.SpeedGateHopsProcessor(spark, src)
+      .toDF("user_id", "ts_us", "event_id", "d2", "dt_s")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_speedgate_hops").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      // every emitted row is an alert; collect ALL of them (no dedup:
+      // once-each is part of the contract)
+      val got = spark.sql(
+        "SELECT user_id, ts_us, event_id, d2, dt_s FROM graft_speedgate_hops")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+      // driver-side batch reference: per-hop teleports in the same fold
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        rs.sortBy(r => (r._2, r._3)).sliding(2).flatMap {
+          case Array(a, b) =>
+            val d2 = (b._4 - a._4) * (b._4 - a._4) + (b._5 - a._5) * (b._5 - a._5)
+            val dt = math.max((b._2 - a._2) / 1000000L, 1L)
+            val cl = math.min(dt, 1001L)
+            if (dt <= 1000L && d2 > 1000000000000L * cl * cl)
+              Some((u, b._2, b._3, d2, dt)) else None
+          case _ => None
+        }
+      }.sorted
+      assert(want.nonEmpty, "no teleports in the reference — test data too tame")
+      assert(got == want, s"streamed alerts vs batch hop set: " +
+        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("RidgeProcessor: running ridge fit == q_ridge_fit after the full stream") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
