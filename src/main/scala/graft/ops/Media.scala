@@ -131,6 +131,77 @@ object Media {
     ((c0 +: cs).mkString(",\n    "), s"$prefix$k")
   }
 
+  /** MP4 timescale rotation (movie units per second). */
+  def mp4TimescaleExpr(docId: String): String =
+    s"(CASE WHEN $docId % 3 = 0 THEN 600 WHEN $docId % 3 = 1 THEN 1000 ELSE 90000 END)"
+
+  /** MP4 duration in timescale units, derived from the doc. */
+  def mp4DurationExpr(docId: String, blen: String): String =
+    s"($blen * 3 + $docId % 101 + 1)"
+
+  /** Hex of a canonical ISO-BMFF (MP4) header whose `mvhd` position is
+    * only reachable by a real BOX WALK: `ftyp` (brand rotating
+    * isom/mp42/avc1), a VARIABLE-length `free` box on every 4th doc, a
+    * `skip` box on every doc_id % 5 = 2 (box COUNT varies too), then
+    * `moov` holding a full spec-shaped version-0 `mvhd` (108 bytes:
+    * version/flags, times, timescale, duration, rate 1.0, volume 1.0,
+    * identity matrix, next-track). Box sizes include their own 8-byte
+    * header, per spec.
+    */
+  def mp4HexExpr(docId: String, blen: String): String = {
+    val ts = mp4TimescaleExpr(docId)
+    val dur = mp4DurationExpr(docId, blen)
+    val nFree = s"($blen % 23 + 1)"
+    val nSkip = s"($docId % 17 + 2)"
+    val brand = s"(CASE WHEN $docId % 3 = 0 THEN '69736F6D' " +
+      s"WHEN $docId % 3 = 1 THEN '6D703432' ELSE '61766331' END)"
+    val ftyp = s"'00000014' || '66747970' || $brand || '00000200' || '69736F6D'"
+    val free = s"(CASE WHEN $docId % 4 = 3 THEN ${be32(s"(8 + $nFree)")} || " +
+      s"'66726565' || repeat('00', $nFree) ELSE '' END)"
+    val skip = s"(CASE WHEN $docId % 5 = 2 THEN ${be32(s"(8 + $nSkip)")} || " +
+      s"'736B6970' || repeat('AB', $nSkip) ELSE '' END)"
+    val mvhd = s"'0000006C' || '6D766864' || '00000000' || ${be32("3600")} || " +
+      s"${be32("7200")} || ${be32(ts)} || ${be32(dur)} || '00010000' || " +
+      "'0100' || '0000' || repeat('00', 8) || " +
+      "'00010000' || repeat('00', 12) || '00010000' || repeat('00', 12) || " +
+      "'40000000' || repeat('00', 24) || '00000002'"
+    val moov = s"'00000074' || '6D6F6F76' || $mvhd"
+    s"($ftyp || $free || $skip || $moov)"
+  }
+
+  /** The DuckDB twin of [[graft.expressions.Mp4HeaderDecode]]'s box
+    * walk: an unrolled hex-offset CTE chain over `hcol` (uppercase hex)
+    * in `src`, one stage per box up to the expression's `MaxBoxes`
+    * bound (the two walks are identical by construction). Emits `o{K}`
+    * (cursor), `m{K}` (moov byte offset, NULL if not found), `n{K}`
+    * (boxes skipped before moov), `br{K}` (major-brand hex), `fr{K}`
+    * (free box seen). Returns (CTE text, last CTE name).
+    */
+  def duckMp4WalkCtes(src: String, hcol: String,
+      prefix: String = "bw"): (String, String) = {
+    val k = graft.expressions.Mp4HeaderDecode.MaxBoxes
+    val c0 = s"${prefix}0 AS (SELECT *, CAST(0 AS BIGINT) AS o0, " +
+      s"CAST(NULL AS BIGINT) AS m0, CAST(NULL AS BIGINT) AS n0, " +
+      s"CAST(NULL AS VARCHAR) AS br0, FALSE AS fr0 FROM $src)"
+    val cs = (1 to k).map { i =>
+      val (po, pm, pn, pbr, pfr) =
+        (s"o${i - 1}", s"m${i - 1}", s"n${i - 1}", s"br${i - 1}", s"fr${i - 1}")
+      val ty = s"substr($hcol, $po * 2 + 9, 8)"
+      val sz = s"CAST('0x' || substr($hcol, $po * 2 + 1, 8) AS BIGINT)"
+      s"""${prefix}$i AS (SELECT *,
+      CASE WHEN $pm IS NULL AND $ty = '6D6F6F76' THEN $po ELSE $pm END AS m$i,
+      CASE WHEN $pm IS NULL AND $ty = '6D6F6F76'
+        THEN CAST(${i - 1} AS BIGINT) ELSE $pn END AS n$i,
+      CASE WHEN $pbr IS NULL AND $ty = '66747970'
+        THEN substr($hcol, $po * 2 + 17, 8) ELSE $pbr END AS br$i,
+      CASE WHEN $pm IS NULL AND $ty = '66726565' THEN TRUE ELSE $pfr END AS fr$i,
+      CASE WHEN $pm IS NULL AND NOT ($ty = '6D6F6F76')
+        THEN $po + $sz ELSE $po END AS o$i
+      FROM ${prefix}${i - 1})"""
+    }
+    ((c0 +: cs).mkString(",\n    "), s"$prefix$k")
+  }
+
   /** Audio asset parameters: PCM-16 WAV, sample-rate rotation, mono/
     * stereo alternation, declared data size derived from byte length.
     */

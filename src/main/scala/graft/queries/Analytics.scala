@@ -4014,24 +4014,29 @@ object Analytics {
       .withColumn("file_z", expr(s"(${Layout.zorderSql(Seq("p_q", "s_q"), 8)}) DIV 771"))
     val q = Geo.applyStages(q0, Layout.hilbertStages("hb_", "p_q", "s_q", 8))
       .withColumn("file_h", expr("hb_d DIV 771"))
+    // each layout's zone-map relation feeds TWO consumers (the rectangle
+    // replay and the span diagnostic): checkpoint the 64-row aggregate so
+    // lineitem is scanned once per layout, not twice (the house rule —
+    // aggregate-bounded + >=2 downstream references => checkpoint)
     def zones(fcol: String) = q.groupBy(col(fcol).as("f")).agg(
       min("p_q").as("zp0"), max("p_q").as("zp1"),
-      min("s_q").as("zs0"), max("s_q").as("zs1"))
-    def span(fcol: String, nm: String) = zones(fcol)
-      .agg(sum(expr("zp1 - zp0 + zs1 - zs0 + 2")).as(nm))
+      min("s_q").as("zs0"), max("s_q").as("zs1")).localCheckpoint(true)
+    val (zonesZ, zonesH) = (zones("file_z"), zones("file_h"))
+    def span(z: DataFrame, nm: String) =
+      z.agg(sum(expr("zp1 - zp0 + zs1 - zs0 + 2")).as(nm))
     val rects = s.range(16).select(col("id").as("rect_id"),
       expr("(id DIV 4) * 64").as("lo_p"), expr("(id DIV 4) * 64 + 31").as("hi_p"),
       expr("(id % 4) * 64").as("lo_s"), expr("(id % 4) * 64 + 31").as("hi_s"))
-    def scans(fcol: String, n: String, sc: String) =
-      zones(fcol).crossJoin(broadcast(rects))
+    def scans(z: DataFrame, n: String, sc: String) =
+      z.crossJoin(broadcast(rects))
         .groupBy("rect_id")
         .agg(count(lit(1)).as(n),
           sum(when(expr("zp0 <= hi_p AND zp1 >= lo_p AND zs0 <= hi_s AND zs1 >= lo_s"),
             1L).otherwise(0L)).as(sc))
-    scans("file_z", "n_files_z", "scan_z")
-      .join(scans("file_h", "n_files_h", "scan_h"), "rect_id")
-      .crossJoin(broadcast(span("file_z", "span_z")))
-      .crossJoin(broadcast(span("file_h", "span_h")))
+    scans(zonesZ, "n_files_z", "scan_z")
+      .join(scans(zonesH, "n_files_h", "scan_h"), "rect_id")
+      .crossJoin(broadcast(span(zonesZ, "span_z")))
+      .crossJoin(broadcast(span(zonesH, "span_h")))
       .withColumn("skip_z_bp", expr("(n_files_z - scan_z) * 10000 DIV n_files_z"))
       .withColumn("skip_h_bp", expr("(n_files_h - scan_h) * 10000 DIV n_files_h"))
       .select("rect_id", "n_files_z", "scan_z", "skip_z_bp",

@@ -26,7 +26,8 @@ object TextOps {
     pipelineDatasetCard, pipelineDomainMixture, textCdcChunks, samplePps, sampleBootstrap,
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
-    tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta)
+    tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
+    multimodalMp4Meta)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1483,6 +1484,49 @@ object TextOps {
       CASE WHEN s$k IS NULL THEN NULL ELSE e$k END AS has_exif,
       CAST('0x' || substr(h, (s$k + 7) * 2 + 1, 4) AS BIGINT)
         * CAST('0x' || substr(h, (s$k + 5) * 2 + 1, 4) AS BIGINT) AS pixels
+    FROM $last ORDER BY doc_id"""
+  })
+
+  /** MP4 / ISO-BMFF movie-header metadata — the dominant video
+    * container, and the second walk-shaped one beside JPEG: `mvhd`
+    * sits behind a BOX WALK over variable-size boxes
+    * ([[graft.expressions.Mp4HeaderDecode]], bounded at MaxBoxes; the
+    * oracle unrolls the IDENTICAL walk as a hex-offset CTE chain —
+    * [[graft.ops.Media.duckMp4WalkCtes]]). The synthetic headers vary
+    * both box LENGTH (doc-derived `free` payload) and box COUNT (a
+    * `skip` box on every 5th doc), rotate major brands and timescales,
+    * and carry a full spec-shaped 108-byte version-0 mvhd. duration_ms
+    * is exact integer math (units · 1000 DIV timescale). Pure per-row
+    * codegen'd decode — zero shuffle beyond the output sort.
+    */
+  val multimodalMp4Meta: Q = Q("multimodal_mp4_meta", (s, dir) => {
+    graft.expressions.Mp4HeaderDecode.register(s)
+    val mh = graft.ops.Media.mp4HexExpr("doc_id", "n_chars")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(s"mp4_header_decode(unhex($mh))").as("m"))
+      .select(col("doc_id"), col("m.major_brand").as("major_brand"),
+        col("m.n_skipped").as("n_skipped"), col("m.has_free").as("has_free"),
+        col("m.timescale").as("timescale"), col("m.duration").as("duration"))
+      .withColumn("duration_ms", expr("duration * 1000 DIV timescale"))
+      .orderBy("doc_id")
+  }, Some {
+    import graft.ops.Media
+    val mh = Media.mp4HexExpr("doc_id", "n_chars")
+    val (walk, last) = Media.duckMp4WalkCtes("hx", "h")
+    val k = graft.expressions.Mp4HeaderDecode.MaxBoxes
+    s"""WITH hx AS (SELECT doc_id, hex(unhex($mh)) AS h FROM documents),
+    $walk
+    SELECT doc_id,
+      CASE WHEN m$k IS NULL THEN NULL
+        WHEN br$k = '69736F6D' THEN 'isom'
+        WHEN br$k = '6D703432' THEN 'mp42'
+        WHEN br$k = '61766331' THEN 'avc1' END AS major_brand,
+      CASE WHEN m$k IS NULL THEN NULL ELSE n$k END AS n_skipped,
+      CASE WHEN m$k IS NULL THEN NULL ELSE fr$k END AS has_free,
+      CAST('0x' || substr(h, m$k * 2 + 57, 8) AS BIGINT) AS timescale,
+      CAST('0x' || substr(h, m$k * 2 + 65, 8) AS BIGINT) AS duration,
+      CAST('0x' || substr(h, m$k * 2 + 65, 8) AS BIGINT) * 1000
+        // CAST('0x' || substr(h, m$k * 2 + 57, 8) AS BIGINT) AS duration_ms
     FROM $last ORDER BY doc_id"""
   })
 

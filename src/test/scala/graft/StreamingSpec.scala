@@ -3656,6 +3656,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("RidgeProcessor recovers its moment state across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val dirA = Files.createTempDirectory("graft_ridge_ck_in").toFile
+    val ckptA = Files.createTempDirectory("graft_ridge_ck").toString
+    val rows = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT)",
+        "CAST(round(l_discount * 10000) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)", "l_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (b1, b2) = rows.partition(_._5 % 2 == 0)
+    def fmt(rs: Array[(String, Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"${r._1} ${r._2} ${r._3} ${r._4}").mkString("\n").getBytes("UTF-8")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long, Long, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dirA.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+      graft.streaming.RidgeProcessor(spark, src)
+        .toDF("k", "n", "b1_milli", "b2_milli", "b0_milli", "det_q")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add((r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        }
+        .option("checkpointLocation", ckptA).start()
+    }
+    Files.write(new java.io.File(dirA, "b1.txt").toPath, fmt(b1))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dirA, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(String, Long, Long, Long, Long, Long)])
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      .map { case (k, r) => k -> (r._2, r._3, r._4, r._5, r._6) }
+    val want = graft.queries.Analytics.qRidgeFit.fn(spark, sfDir)
+      .select("l_returnflag", "n", "b1_milli", "b2_milli", "b0_milli", "det_q")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(want.nonEmpty && got == want,
+      s"ridge after restart: got=$got want=$want")
+  }
+
   test("RidgeProcessor: running ridge fit == q_ridge_fit after the full stream") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
