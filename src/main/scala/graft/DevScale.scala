@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * ×32 as SALTED replicas — every key column is shifted by a per-replica
   * offset so key cardinality grows with data volume (an honest scale-up:
   * more orders, more parts, more users, more docs — not hotter keys),
-  * document text gets a per-replica suffix token so near-dup structure
-  * doesn't degenerate into 32-way exact clones, and embeddings get a
-  * per-replica first-component nudge for the same reason. Dimension
+  * document text goes through a per-replica affine alphabet permutation
+  * so near-dup structure doesn't degenerate into R-way clones or
+  * J≈0.25 sibling families (the v1/v2 lessons, in the tile() comment),
+  * and embeddings get a per-(replica, dim) nudge for the same reason.
+  * Dimension
   * tables that are fixed in any real deployment (region, nation) are
   * copied unchanged; FK integrity is preserved by shifting both sides
   * of every key (l_partkey with p_partkey, o_custkey with c_custkey, …).
@@ -54,18 +56,26 @@ object DevScale {
         }
         name match {
           case "documents" if i > 0 =>
-            // Keep near-dup structure honest: a real 32x corpus does not
-            // contain every document 32 times. A trailing suffix is NOT
-            // enough (v1 lesson: shingle sets stayed ~identical, so the
-            // near-dup miners correctly found C(R,2) planted pairs per
-            // doc — quadratic output BY CONSTRUCTION, not a plan flaw).
-            // Replace two frequent letters per replica instead: length-
-            // preserving, deterministic, and shingle sets become near-
-            // disjoint across replicas.
+            // Keep near-dup structure honest: a real 128x corpus does not
+            // contain every document 128 times. v1 (trailing suffix) left
+            // shingle sets ~identical; v2 (translate two letters) left
+            // every e/t-FREE shingle identical, so each doc kept 127
+            // siblings at J ~ 0.25 — the exact truth set (J >= 0.5)
+            // stayed clean but the LSH candidate volume was quadratic BY
+            // CONSTRUCTION (caught by the x128 rung: every banding's
+            // candidates grew ~2x per data doubling). v3: a
+            // replica-specific AFFINE PERMUTATION of the whole alphabet
+            // sigma(x) = a*x + b mod 26 — every letter changes (up to
+            // the <=2 fixed points), cross-replica shingle overlap is
+            // only the rare all-fixed/non-letter grams, J ~ 0.
+            val aCo = Seq(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1)
+            val a0 = aCo(i % 12)
+            val b0raw = (5 * i + 7) % 26
+            val b0 = if (a0 == 1 && b0raw == 0) 13 else b0raw // never identity
+            val perm = (0 until 26)
+              .map(x => ('a' + (a0 * x + b0) % 26).toChar).mkString
             shifted.withColumn("text", expr(
-              s"translate(text, 'et', concat(" +
-                s"substr('0123456789', ${i % 10} + 1, 1), " +
-                s"substr('abcdefghijklmnopqrstuvwxyz', ${i / 10} + 1, 1)))"))
+              s"translate(text, 'abcdefghijklmnopqrstuvwxyz', '$perm')"))
           case "embeddings" if i > 0 =>
             // nudge EVERY component per replica (a single-dim nudge left
             // 31 near-clones of each vector at cosine ~1)
@@ -102,7 +112,7 @@ object DevScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     val src = "/root/testdata/sf0.1"
-    val base = "/tmp/graft_devscale/v2" // bump on any tiling-rule change
+    val base = "/tmp/graft_devscale/v3" // bump on any tiling-rule change
     // "deep" mode: add the ×128 rung (≈77M lineitem rows ≈ sf12.8) and
     // ladder ×8→×32→×128 for the named queries — the two warm steps are
     // the cleanest curvature signal (×1 carries codegen-compile noise)
@@ -119,6 +129,13 @@ object DevScale {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // shuffle-file cleanup is GC-driven (ContextCleaner weak refs): a
+      // big heap barely GCs, so spill files from EVERY prior rung pile up
+      // on disk — the first 48g deep run filled /tmp and died mid-ladder,
+      // with disk pressure contaminating the timings before that. Force
+      // the collection so each rung starts with a clean spill dir.
+      System.gc()
+      Thread.sleep(2000)
     }
     val scales =
       if (deep) Seq(("x8", s"$base/x8", 8L), ("x32", s"$base/x32", 32L),
@@ -127,6 +144,13 @@ object DevScale {
         ("x32", s"$base/x32", 32L))
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
+      // a heap-OOM'd executor thread kills the local SparkContext; the
+      // remaining ladder would emit garbage 0.01 s "failures" — bail loudly
+      if (spark.sparkContext.isStopped) {
+        println(s"[devscale] SparkContext stopped — aborting ladder at $name " +
+          "(raise SPARK_DRIVER_MEM and re-run)")
+        return
+      }
       SparkEntry.queries.get(name) match {
         case None => println(s"[devscale] unknown query $name")
         case Some(fn) =>
@@ -136,8 +160,15 @@ object DevScale {
           // sublinear)
           clean()
           try fn(spark, src).count() catch { case _: Throwable => () }
-          val ts = scales.map { case (label, dir, _) =>
+          val ts = scales.map { case (label, dir, mult) =>
             clean()
+            // fixed partition SIZE, not fixed count: a real deployment at
+            // 128x data runs ~128x tasks, and SHJ build sides shrink with
+            // partition count (the x128-at-32-partitions build OOM'd an
+            // 8g heap). x8/x32 keep 32 for comparability with the
+            // recorded ladder.
+            spark.conf.set("spark.sql.shuffle.partitions",
+              math.max(32L, mult).toString)
             val t0 = System.nanoTime()
             val n = try fn(spark, dir).count() catch {
               case e: Throwable =>

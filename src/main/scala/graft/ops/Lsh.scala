@@ -81,6 +81,28 @@ object Lsh {
       .groupBy(idCol).agg(expr("minhash_sig(hm)").as("sig"))
   }
 
+  /** WIDE-RANGE single-slot minhash family over a pre-hashed 60-bit
+    * shingle column — for r = 1 (single-row) band keys, where the mod-P
+    * slots are a SCALE BUG: the min of n values in [0, P) concentrates
+    * in [0, ~P/n], so two UNRELATED docs share a slot value at rate
+    * ~n̄/P and a corpus accumulates N²·n̄/2P accidental candidate pairs
+    * — quadratic in corpus size (caught by the ×128 DevScale rung:
+    * c[x32→x128] = 1.7-3.1 on dedup_lsh_bands however the buckets were
+    * capped, because the accidental pairs sit in myriad 2-doc buckets).
+    * Over the 61-bit Mersenne-prime range the same term is N²·n̄/2⁶² ≈
+    * never. Family: (a·low30 + b·high30 + c) mod (2⁶¹−1) with 30-bit
+    * literal coefficients — every product < 2⁶⁰, overflow-safe, and the
+    * string is dialect-common except the `div` token. P(min-collision)
+    * = Jaccard exactly as for any minhash permutation; r ≥ 2 configs
+    * don't need this (their accidental rate is squared away).
+    */
+  def wideSlotSql(i: Int, hCol: String, div: String): String = {
+    val a = ((1103515245L * (i + 1) + 12345L) % (1L << 30)) | 1L
+    val b = ((69069L * (i + 7) + 1013904223L) % (1L << 30)) | 1L
+    val c = (2654435761L * (i + 1)) % (1L << 30)
+    s"(($a * ($hCol % 1073741824) + $b * ($hCol $div 1073741824) + $c) % 2305843009213693951)"
+  }
+
   /** Banded LSH candidate pairs (d1 < d2, distinct) from a signature
     * relation: `bands` bands of `rowsPerBand` signature slots each;
     * a pair is a candidate iff some band's slots all collide.

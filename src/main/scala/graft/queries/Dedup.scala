@@ -1033,6 +1033,18 @@ object Dedup {
     * either way costs. Shares ONE shingle explode and ONE signature
     * aggregation across all three configs (the dedup_lsh_eval
     * composition rule); candidates stay bucket-keyed per config.
+    *
+    * Two scale guards, both caught by the ×128 DevScale rung
+    * (c[x32→x128] = 1.7-3.1 before them, invisible at certified SFs):
+    * (1) the r = 1 config bands the 61-BIT single-slot family
+    * ([[graft.ops.Lsh.wideSlotSql]]) instead of the mod-P signature
+    * slots — a mod-P min concentrates in [0, ~P/n], so unrelated docs
+    * collide at rate ~n̄/P and the corpus accumulates N²·n̄/2P
+    * accidental pairs, QUADRATIC in corpus size and un-cappable (they
+    * sit in myriad 2-doc buckets); (2) band buckets are additionally
+    * df-capped at [[DfCap]] (QUALIFY twin) — an over-full bucket is a
+    * degenerate band key, not duplication evidence. rows ≥ 2 configs
+    * square the accidental rate away and keep the shared signature.
     */
   val lshBands: Q = Q("dedup_lsh_bands", (s, dir) => {
     import s.implicits._
@@ -1047,15 +1059,31 @@ object Dedup {
     // count trios for identical sig input (the dedup_lsh_eval
     // shared-explode rule applied across CONFIGS)
     val configs = Seq((16, 1), (8, 2), (4, 4))
-    val bandsAll = configs.map { case (bands, rows) =>
+    // r >= 2 configs band the shared mod-P signature; the r = 1 config
+    // bands the 61-bit single-slot family instead (see wideSlotSql —
+    // mod-P single slots accumulate quadratic accidental pairs)
+    val bandsMulti = configs.filter(_._2 >= 2).map { case (bands, rows) =>
       graft.ops.Lsh.bandRows(sigArr, "doc_id", bands, rows)
         .select(lit(rows).as("cfg_rows"), lit(bands).as("cfg_bands"),
           col("band"), col("bsig"), col("doc_id"))
-    }.reduce(_ unionByName _)
-    val cand = bandsAll
+    }
+    val wideMins = (0 until 16).map(i =>
+      min(expr(graft.ops.Lsh.wideSlotSql(i, "sh", "DIV"))).as(s"w$i"))
+    val bands16 = shRaw.groupBy("doc_id")
+      .agg(wideMins.head, wideMins.tail: _*)
+      .select(col("doc_id"), explode(array((0 until 16).map(b =>
+        struct(lit(b).as("band"), col(s"w$b").cast("string").as("bsig"))): _*)).as("bs"))
+      .select(lit(1).as("cfg_rows"), lit(16).as("cfg_bands"),
+        col("bs.band").as("band"), col("bs.bsig").as("bsig"), col("doc_id"))
+    val bandsAll = (bandsMulti :+ bands16).reduce(_ unionByName _)
+    val bandsCapped = graft.ops.Scale.capGroups(
+      bandsAll.withColumn("bkey",
+        concat_ws("|", col("cfg_rows"), col("band"), col("bsig"))),
+      "bkey", DfCap).drop("bkey")
+    val cand = bandsCapped
       .select(col("cfg_rows"), col("cfg_bands"), col("band"), col("bsig"),
         col("doc_id").as("d1"))
-      .join(bandsAll.select(col("cfg_rows").as("cr2"), col("band").as("band2"),
+      .join(bandsCapped.select(col("cfg_rows").as("cr2"), col("band").as("band2"),
           col("bsig").as("bsig2"), col("doc_id").as("d2")),
         col("cfg_rows") === col("cr2") && col("band") === col("band2") &&
           col("bsig") === col("bsig2") && col("d1") < col("d2"))
@@ -1078,27 +1106,37 @@ object Dedup {
   }, Some {
     val configs = Seq((16, 1), (8, 2), (4, 4))
     val bandCtes = configs.map { case (bands, rows) =>
-      val selects = (0 until bands).map { b =>
-        val slots = (0 until rows)
-          .map(r => s"CAST(m${b * rows + r} AS VARCHAR)").mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, $slots AS bsig FROM sig"
-      }.mkString(" UNION ALL ")
+      val selects =
+        if (rows == 1)
+          (0 until bands).map { b =>
+            s"SELECT doc_id, $b AS band, CAST(w$b AS VARCHAR) AS bsig FROM sigw"
+          }.mkString(" UNION ALL ")
+        else (0 until bands).map { b =>
+          val slots = (0 until rows)
+            .map(r => s"CAST(m${b * rows + r} AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $slots AS bsig FROM sig"
+        }.mkString(" UNION ALL ")
       s""",
     bands_$bands AS ($selects),
+    bandsc_$bands AS (SELECT doc_id, band, bsig FROM bands_$bands
+      QUALIFY count(*) OVER (PARTITION BY band, bsig) <= $DfCap),
     cand_$bands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands_$bands a JOIN bands_$bands b
+      FROM bandsc_$bands a JOIN bandsc_$bands b
       ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
     }.mkString
+    val wideMins = (0 until 16).map(i =>
+      s"min(${graft.ops.Lsh.wideSlotSql(i, "sh", "//")}) AS w$i").mkString(", ")
     val rowsSql = configs.map { case (bands, rows) =>
       s"""SELECT $bands AS bands, $rows AS rows_per_band,
       (SELECT count(*) FROM cand_$bands)::BIGINT AS n_candidates,
       (SELECT count(*) FROM exp_)::BIGINT AS n_truth,
       (SELECT count(*) FROM cand_$bands JOIN exp_ USING (d1, d2))::BIGINT AS n_hit"""
     }.mkString(" UNION ALL ")
-    s"""WITH $minhashCtes$bandCtes,
+    s"""WITH $minhashCtes,
     shh AS (SELECT doc_id,
         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh
       FROM sh),
+    sigw AS (SELECT doc_id, $wideMins FROM shh GROUP BY doc_id)$bandCtes,
     shc AS (SELECT doc_id, sh FROM shh
       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
     cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
