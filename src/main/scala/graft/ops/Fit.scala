@@ -96,6 +96,93 @@ object Fit {
   /** Last stage name for the DuckDB chain built by [[ridgeSolveSqlFrom]]. */
   def ridgeFinalRef: String = s"f${ridgeStages("//").size - 1}"
 
+  /** Fisher LDA from per-class one-pass moments — same machinery as
+    * [[ridgeStages]] but the scatter is the POOLED within-class one and
+    * the right-hand side is the class-mean difference: w ∝ S_w⁻¹(μ₁−μ₀).
+    * Inputs: per-class moment columns `n0, s1_0, s2_0, s11_0, s12_0,
+    * s22_0` and the `_1` set (from ONE conditional aggregate). Outputs:
+    * `w1_milli, w2_milli` (the discriminant direction), `thr` (integer
+    * threshold at the midpoint of the projected class means, in
+    * score units = milli·feature), `flip` (true when class 1 projects
+    * BELOW class 0 — the prediction comparison direction), `det_q`.
+    * All magnitudes stage-quantized: projected means go through
+    * milli-means (≤ 10³·max-feature) before meeting the weights, so
+    * nothing grows with n.
+    */
+  def ldaStages(div: String): Seq[Seq[(String, String)]] = Seq(
+    Seq(
+      "a1_0" -> s"s1_0 $div n0", "a2_0" -> s"s2_0 $div n0",
+      "a1_1" -> s"s1_1 $div n1", "a2_1" -> s"s2_1 $div n1"),
+    Seq(
+      "c11p" -> ("(s11_0 - 2 * a1_0 * s1_0 + n0 * a1_0 * a1_0)" +
+        " + (s11_1 - 2 * a1_1 * s1_1 + n1 * a1_1 * a1_1)"),
+      "c22p" -> ("(s22_0 - 2 * a2_0 * s2_0 + n0 * a2_0 * a2_0)" +
+        " + (s22_1 - 2 * a2_1 * s2_1 + n1 * a2_1 * a2_1)"),
+      "c12p" -> ("(s12_0 - a1_0 * s2_0 - a2_0 * s1_0 + n0 * a1_0 * a2_0)" +
+        " + (s12_1 - a1_1 * s2_1 - a2_1 * s1_1 + n1 * a1_1 * a2_1)")),
+    Seq(
+      "v11" -> s"c11p $div (n0 + n1)",
+      "v22" -> s"c22p $div (n0 + n1)",
+      "v12" -> s"c12p $div (n0 + n1)",
+      "m1_0" -> s"(s1_0 * 1000) $div n0", "m2_0" -> s"(s2_0 * 1000) $div n0",
+      "m1_1" -> s"(s1_1 * 1000) $div n1", "m2_1" -> s"(s2_1 * 1000) $div n1"),
+    Seq(
+      "det_q" -> s"(v11 + $Lambda) * (v22 + $Lambda) - v12 * v12",
+      "d1" -> "m1_1 - m1_0",
+      "d2" -> "m2_1 - m2_0"),
+    Seq(
+      "w1_milli" -> (s"CASE WHEN det_q > 0 THEN " +
+        s"(((v22 + $Lambda) * d1 - v12 * d2) * 1000) $div det_q ELSE 0 END"),
+      "w2_milli" -> (s"CASE WHEN det_q > 0 THEN " +
+        s"(((v11 + $Lambda) * d2 - v12 * d1) * 1000) $div det_q ELSE 0 END")),
+    Seq(
+      "p0" -> s"(w1_milli * m1_0) $div 1000 + (w2_milli * m2_0) $div 1000",
+      "p1" -> s"(w1_milli * m1_1) $div 1000 + (w2_milli * m2_1) $div 1000"),
+    Seq(
+      "thr" -> s"(p0 + p1) $div 2",
+      "flip" -> "p1 < p0"))
+
+  def ldaSolve(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ldaStages("DIV").foldLeft(df) { (d, st) =>
+      d.selectExpr("*" +: st.map { case (nm, e) => s"($e) AS $nm" }: _*)
+    }
+
+  /** DuckDB CTE chain mirroring [[ldaSolve]] (prefix `g`). */
+  def ldaSolveSqlFrom(momentsRef: String): String = {
+    val stages = ldaStages("//")
+    stages.zipWithIndex.map { case (st, i) =>
+      val from = if (i == 0) momentsRef else s"g${i - 1}"
+      val cols = st.map { case (nm, e) => s"($e) AS $nm" }.mkString(", ")
+      s"g$i AS (SELECT *, $cols FROM $from)"
+    }.mkString(",\n    ")
+  }
+
+  def ldaFinalRef: String = s"g${ldaStages("//").size - 1}"
+
+  /** Long mirror of [[ldaStages]] — (w1_milli, w2_milli, thr, flip, det_q). */
+  def ldaSolveLong(n0: Long, s10: Long, s20: Long, s110: Long, s120: Long,
+      s220: Long, n1: Long, s11: Long, s21: Long, s111: Long, s121: Long,
+      s221: Long): (Long, Long, Long, Boolean, Long) = {
+    require(n0 > 0 && n1 > 0, "ldaSolveLong needs both classes non-empty")
+    val a10 = s10 / n0; val a20 = s20 / n0; val a11 = s11 / n1; val a21 = s21 / n1
+    val c11p = (s110 - 2 * a10 * s10 + n0 * a10 * a10) +
+      (s111 - 2 * a11 * s11 + n1 * a11 * a11)
+    val c22p = (s220 - 2 * a20 * s20 + n0 * a20 * a20) +
+      (s221 - 2 * a21 * s21 + n1 * a21 * a21)
+    val c12p = (s120 - a10 * s20 - a20 * s10 + n0 * a10 * a20) +
+      (s121 - a11 * s21 - a21 * s11 + n1 * a11 * a21)
+    val v11 = c11p / (n0 + n1); val v22 = c22p / (n0 + n1); val v12 = c12p / (n0 + n1)
+    val m10 = (s10 * 1000) / n0; val m20 = (s20 * 1000) / n0
+    val m11 = (s11 * 1000) / n1; val m21 = (s21 * 1000) / n1
+    val det = (v11 + Lambda) * (v22 + Lambda) - v12 * v12
+    val d1 = m11 - m10; val d2 = m21 - m20
+    val w1 = if (det > 0) (((v22 + Lambda) * d1 - v12 * d2) * 1000) / det else 0L
+    val w2 = if (det > 0) (((v11 + Lambda) * d2 - v12 * d1) * 1000) / det else 0L
+    val p0 = (w1 * m10) / 1000 + (w2 * m20) / 1000
+    val p1 = (w1 * m11) / 1000 + (w2 * m21) / 1000
+    ((w1, w2, (p0 + p1) / 2, p1 < p0, det))
+  }
+
   /** Driver/processor Long mirror of the identical arithmetic (Java /
     * and % truncate toward zero exactly like DIV — pinned in OpsSpec
     * precedents). Input: the nine exact sums; output

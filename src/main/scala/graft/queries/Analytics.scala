@@ -55,7 +55,7 @@ object Analytics {
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
     qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan,
     qGeoBearing, qGeoSpeedGate, qGeoHaversine, qGeoNearestSiteM, qRidgeFit,
-    qHilbertSkip)
+    qHilbertSkip, qLdaClassifier)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -3978,6 +3978,75 @@ object Analytics {
     ${Fit.ridgeSolveSqlFrom("m")}
     SELECT l_returnflag, n, a1, a2, det_q, b1_milli, b2_milli, b0_milli
     FROM ${Fit.ridgeFinalRef} ORDER BY l_returnflag"""
+  })
+
+  /** Fisher LDA classifier, trained AND evaluated in two scans (the
+    * linear-probe companion to [[qRidgeFit]]): one conditional
+    * aggregate collects both classes' 6 moments (map-side combined, 12
+    * longs cross the wire), the pooled-scatter 2×2 solve runs on that
+    * metadata-sized row in the quantized integer dialect
+    * ([[graft.ops.Fit.ldaStages]]: w ∝ S_w⁻¹(μ₁−μ₀), threshold at the
+    * projected-mean midpoint, `flip` carrying the comparison
+    * direction), and a second scan joins the broadcast 1-row model
+    * back for the exact integer confusion matrix. Deterministic
+    * cross-engine end to end; planted-separation accuracy is pinned in
+    * OpsSpec (the lineitem label here is class-prior-dominated — the
+    * query certifies the MACHINERY, the spec certifies the math).
+    */
+  val qLdaClassifier: Q = Q("q_lda_classifier", (s, dir) => {
+    import graft.ops.Fit
+    val f = Tables.t(s, dir, "lineitem").selectExpr(
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+      "CAST(l_quantity AS BIGINT) AS x1",
+      "CAST(round(l_discount * 10000) AS BIGINT) AS x2")
+    def cm(cls: Int, e: String, nm: String) =
+      sum(expr(s"CASE WHEN y = $cls THEN $e ELSE 0L END")).as(nm)
+    val m = f.agg(
+      cm(0, "1L", "n0"), cm(0, "x1", "s1_0"), cm(0, "x2", "s2_0"),
+      cm(0, "x1 * x1", "s11_0"), cm(0, "x1 * x2", "s12_0"), cm(0, "x2 * x2", "s22_0"),
+      cm(1, "1L", "n1"), cm(1, "x1", "s1_1"), cm(1, "x2", "s2_1"),
+      cm(1, "x1 * x1", "s11_1"), cm(1, "x1 * x2", "s12_1"), cm(1, "x2 * x2", "s22_1"))
+    val model = Fit.ldaSolve(m)
+      .select("w1_milli", "w2_milli", "thr", "flip", "det_q")
+    f.crossJoin(broadcast(model))
+      .withColumn("score", expr("w1_milli * x1 + w2_milli * x2"))
+      .withColumn("pred", expr("CASE WHEN flip THEN score < thr ELSE score > thr END"))
+      .groupBy("w1_milli", "w2_milli", "thr", "det_q")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN pred AND y = 1 THEN 1L ELSE 0L END")).as("tp"),
+        sum(expr("CASE WHEN pred AND y = 0 THEN 1L ELSE 0L END")).as("fp"),
+        sum(expr("CASE WHEN NOT pred AND y = 1 THEN 1L ELSE 0L END")).as("fn"),
+        sum(expr("CASE WHEN NOT pred AND y = 0 THEN 1L ELSE 0L END")).as("tn"))
+      .withColumn("acc_bp", expr("(tp + tn) * 10000 DIV n"))
+      .select("w1_milli", "w2_milli", "thr", "det_q", "n", "tp", "fp", "fn", "tn", "acc_bp")
+  }, Some {
+    import graft.ops.Fit
+    def cm(cls: Int, e: String, nm: String) =
+      s"CAST(sum(CASE WHEN y = $cls THEN $e ELSE 0 END) AS BIGINT) AS $nm"
+    s"""WITH f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        CAST(l_quantity AS BIGINT) AS x1,
+        CAST(round(l_discount * 10000) AS BIGINT) AS x2
+      FROM lineitem),
+    m AS (SELECT ${cm(0, "1", "n0")}, ${cm(0, "x1", "s1_0")}, ${cm(0, "x2", "s2_0")},
+        ${cm(0, "x1 * x1", "s11_0")}, ${cm(0, "x1 * x2", "s12_0")}, ${cm(0, "x2 * x2", "s22_0")},
+        ${cm(1, "1", "n1")}, ${cm(1, "x1", "s1_1")}, ${cm(1, "x2", "s2_1")},
+        ${cm(1, "x1 * x1", "s11_1")}, ${cm(1, "x1 * x2", "s12_1")}, ${cm(1, "x2 * x2", "s22_1")}
+      FROM f),
+    ${Fit.ldaSolveSqlFrom("m")},
+    model AS (SELECT w1_milli, w2_milli, thr, flip, det_q FROM ${Fit.ldaFinalRef}),
+    sc AS (SELECT y, w1_milli, w2_milli, thr, det_q,
+        CASE WHEN flip THEN w1_milli * x1 + w2_milli * x2 < thr
+          ELSE w1_milli * x1 + w2_milli * x2 > thr END AS pred
+      FROM f, model)
+    SELECT w1_milli, w2_milli, thr, det_q, count(*)::BIGINT AS n,
+      CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      (CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        + CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT))
+        * 10000 // count(*) AS acc_bp
+    FROM sc GROUP BY 1, 2, 3, 4"""
   })
 
   /** HILBERT vs Z-ORDER data-skipping comparison — the second half of

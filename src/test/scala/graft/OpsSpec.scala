@@ -1074,6 +1074,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Fit.ldaSolveLong separates planted classes; SQL stages match the Long mirror") {
+    import spark.implicits._
+    def h(i: Int): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lda$i".getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString, 16)
+    // class 0 centered at (20, 300), class 1 at (35, 700): separable
+    // along both axes with noise sd ~ 6 / ~110
+    val pts = (0 until 3000).map { i =>
+      val y = (h(i) % 2).toInt
+      val x1 = (if (y == 0) 20 else 35) + (h(i + 50000) % 13 - 6)
+      val x2 = (if (y == 0) 300 else 700) + (h(i + 90000) % 221 - 110)
+      (y, x1, x2)
+    }
+    def mom(cls: Int) = {
+      val c = pts.filter(_._1 == cls)
+      (c.size.toLong, c.map(_._2).sum, c.map(_._3).sum,
+        c.map(p => p._2 * p._2).sum, c.map(p => p._2 * p._3).sum,
+        c.map(p => p._3 * p._3).sum)
+    }
+    val (m0, m1) = (mom(0), mom(1))
+    val (w1, w2, thr, flip, det) = graft.ops.Fit.ldaSolveLong(
+      m0._1, m0._2, m0._3, m0._4, m0._5, m0._6,
+      m1._1, m1._2, m1._3, m1._4, m1._5, m1._6)
+    assert(det > 0, s"degenerate pooled scatter: $det")
+    // the discriminant must classify the planted data near-perfectly
+    val correct = pts.count { case (y, x1, x2) =>
+      val s = w1 * x1 + w2 * x2
+      val p = if (flip) s < thr else s > thr
+      p == (y == 1)
+    }
+    assert(correct >= 2900, s"planted separation broke: $correct/3000 (w=$w1,$w2 thr=$thr)")
+    // SQL stage fold == the Long mirror, field for field
+    val df = Seq((m0._1, m0._2, m0._3, m0._4, m0._5, m0._6,
+      m1._1, m1._2, m1._3, m1._4, m1._5, m1._6))
+      .toDF("n0", "s1_0", "s2_0", "s11_0", "s12_0", "s22_0",
+        "n1", "s1_1", "s2_1", "s11_1", "s12_1", "s22_1")
+    val r = graft.ops.Fit.ldaSolve(df)
+      .selectExpr("w1_milli", "w2_milli", "thr", "flip", "det_q").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)) ==
+      (w1, w2, thr, flip, det), s"SQL vs Long mirror: $r vs ($w1,$w2,$thr,$flip,$det)")
+  }
+
   test("Fit.ridgeSolve (SQL stages) == ridgeSolveLong on the same moments") {
     import spark.implicits._
     // realistic moments: derive them from the same planted generator

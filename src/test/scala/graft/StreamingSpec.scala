@@ -3656,6 +3656,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("LdaProcessor: running LDA model == q_lda_classifier's model after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lda").toFile
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END",
+        "CAST(l_quantity AS BIGINT)", "CAST(round(l_discount * 10000) AS BIGINT)",
+        "l_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (b1, b2) = rows.partition(_._4 % 2 == 0) // any split: sums are associative
+    def fmt(rs: Array[(Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"li ${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val q = graft.streaming.LdaProcessor(spark, src)
+      .toDF("k", "n", "w1_milli", "w2_milli", "thr", "flip", "det_q")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_lda").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT w1_milli, w2_milli, thr, det_q FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY n DESC) AS rn
+            FROM graft_lda) WHERE rn = 1""").collect()(0)
+      val want = graft.queries.Analytics.qLdaClassifier.fn(spark, sfDir)
+        .select("w1_milli", "w2_milli", "thr", "det_q").collect()(0)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+        (want.getLong(0), want.getLong(1), want.getLong(2), want.getLong(3)),
+        s"streamed vs batch LDA model: $got vs $want")
+    } finally q.stop()
+  }
+
   test("RidgeProcessor recovers its moment state across a checkpoint restart") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
