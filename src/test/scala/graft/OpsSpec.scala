@@ -1074,6 +1074,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Lsh.wideSlotSql: 61-bit range, slot-distinct transforms, SQL == Long mirror") {
+    import spark.implicits._
+    def longMirror(i: Int, h: Long): Long = {
+      val a = ((1103515245L * (i + 1) + 12345L) % (1L << 30)) | 1L
+      val b = ((69069L * (i + 7) + 1013904223L) % (1L << 30)) | 1L
+      val c = (2654435761L * (i + 1)) % (1L << 30)
+      (a * (h % 1073741824L) + b * (h / 1073741824L) + c) % 2305843009213693951L
+    }
+    val hs = Seq(0L, 1L, 1073741823L, 1073741824L, (1L << 60) - 1,
+      987654321012345L, 59604644783353249L)
+    val df = hs.toDF("h")
+    (0 until 16).foreach { i =>
+      val got = df.selectExpr(s"h", graft.ops.Lsh.wideSlotSql(i, "h", "DIV") + " AS w")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hs.foreach { h =>
+        val w = got(h)
+        assert(w >= 0L && w < 2305843009213693951L, s"slot $i h=$h out of range: $w")
+        assert(w == longMirror(i, h), s"slot $i h=$h: SQL $w != mirror ${longMirror(i, h)}")
+      }
+    }
+    // distinct slots give distinct values for a generic input (the
+    // banding needs 16 different hash functions, not 16 copies)
+    val vals = (0 until 16).map(i => longMirror(i, 987654321012345L))
+    assert(vals.distinct.size == 16, s"slot transforms collide: $vals")
+  }
+
   test("Fit.ldaSolveLong separates planted classes; SQL stages match the Long mirror") {
     import spark.implicits._
     def h(i: Int): Long = java.lang.Long.parseLong(
