@@ -68,29 +68,33 @@ object Mp4HeaderDecode {
 
   def decode(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16) return null
-    var o = 0
+    // Cursor stays a LONG: a be32 size can reach 2^32-1, so `o += size`
+    // on an Int would go negative (malformed bytes → AIOOBE instead of
+    // the documented NULL). 6 max-size boxes fit a Long with room.
+    var o = 0L
     var step = 0
     var brand: UTF8String = null
     var free = false
     while (step < MaxBoxes) {
       if (o + 8 > b.length) return null
-      val size = be32(b, o)
+      val oi = o.toInt // safe: o + 8 <= b.length <= Int.MaxValue
+      val size = be32(b, oi)
       if (size < 8) return null // degenerate size would loop forever
-      if (step == 0 && !is4cc(b, o + 4, "ftyp")) return null // ftyp first, per spec
-      if (is4cc(b, o + 4, "ftyp")) {
+      if (step == 0 && !is4cc(b, oi + 4, "ftyp")) return null // ftyp first, per spec
+      if (is4cc(b, oi + 4, "ftyp")) {
         if (o + 12 > b.length) return null
-        brand = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, o + 8, o + 12))
-      } else if (is4cc(b, o + 4, "free")) {
+        brand = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, oi + 8, oi + 12))
+      } else if (is4cc(b, oi + 4, "free")) {
         free = true
-      } else if (is4cc(b, o + 4, "moov")) {
+      } else if (is4cc(b, oi + 4, "moov")) {
         // first child must be a version-0 mvhd; timescale/duration at
         // payload offsets +12/+16 (after version/flags + 2 u32 times)
-        if (o + 36 > b.length || !is4cc(b, o + 12, "mvhd")) return null
-        if (u8(b, o + 16) != 0L) return null // v1 carries 64-bit times
+        if (o + 36 > b.length || !is4cc(b, oi + 12, "mvhd")) return null
+        if (u8(b, oi + 16) != 0L) return null // v1 carries 64-bit times
         return new GenericInternalRow(Array[Any](
-          brand, step.toLong, free, be32(b, o + 28), be32(b, o + 32)))
+          brand, step.toLong, free, be32(b, oi + 28), be32(b, oi + 32)))
       }
-      o += size.toInt
+      o += size
       step += 1
     }
     null

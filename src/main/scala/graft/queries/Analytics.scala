@@ -4051,7 +4051,8 @@ object Analytics {
 
   /** HILBERT vs Z-ORDER data-skipping comparison — the second half of
     * the OPTIMIZE decision ledger beside [[qZonemapSkip]]: bucket the
-    * same quantized (partkey, suppkey) grid into 64 files under (a) a
+    * same quantized (partkey, suppkey) grid into ~85 771-cell files
+    * (65536 DIV 771 + 1) under (a) a
     * Morton interleave and (b) a Hilbert index
     * ([[graft.ops.Layout.hilbertStages]] — the continuous space-filling
     * curve: consecutive cells are always grid-adjacent, so equal

@@ -61,6 +61,12 @@ class Mp4HeaderDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decode(v1).isEmpty, "version-1 mvhd (64-bit times) is out of contract")
     val sevenFree = (1 to 7).map(_ => freeBox(2)).mkString
     assert(decode(Ftyp + sevenFree + moov()).isEmpty, "moov beyond MaxBoxes bound")
+    // a be32 size >= 2^31 must be a clean NULL, not an Int-overflow AIOOBE:
+    // the cursor advance is Long arithmetic and the next o+8 check rejects
+    assert(decode(Ftyp + "FFFFFFF0" + "66726565" + moov()).isEmpty,
+      "huge (>=2^31) box size walks past the buffer -> NULL")
+    assert(decode(Ftyp + "7FFFFFF0" + "66726565" + moov()).isEmpty,
+      "near-Int.MaxValue box size -> NULL (no repeated-add overflow)")
   }
 
   test("Spark decoder == the oracle's unrolled hex walk on the synthetic corpus") {
