@@ -108,6 +108,20 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // Full-registry runs also archive to bench_history/ (committed), so
+    // tools/bench_compare.py has per-query records across rounds — the
+    // driver's BENCH_rN.json wrapper keeps only a 2000-char tail and the
+    // r9 "8.94 s text_edit_pairs" phantom cost a manual investigation
+    // that a normalized per-query diff dismisses in seconds.
+    if (names.isEmpty) try {
+      val dir = java.nio.file.Paths.get("/root/repo/bench_history")
+      java.nio.file.Files.createDirectories(dir)
+      val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+      val sfTag = sfDir.replaceAll(".*sf", "sf").replaceAll("[^a-zA-Z0-9.]", "")
+      java.nio.file.Files.write(dir.resolve(s"bench_${stamp}_$sfTag.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
