@@ -27,7 +27,7 @@ object TextOps {
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
-    multimodalMp4Meta)
+    multimodalMp4Meta, unigramVocab, unigramFertility)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -2685,4 +2685,58 @@ object TextOps {
         AS BIGINT) AS pkn_e6
     FROM c2 JOIN ctx USING (w1) JOIN cont USING (w2), nt
     ORDER BY c2 DESC, w1, w2 LIMIT 50"""))
+
+  // ---- unigram-LM tokenizer (SentencePiece-style EM + prune) ----
+
+  /** UNIGRAM-LM tokenizer TRAINING — the second tokenizer-training
+    * family beside BPE ([[graft.ops.Unigram]] holds the full design
+    * note). The distributed part is ONE word-count aggregate bounded
+    * by the top-1024 cap; the EM-prune rounds run on the driver in
+    * exact fixed-point Long arithmetic (the bpeTrain counted-small
+    * pattern), and the DuckDB oracle replays seed → 3×(16-stage
+    * integer-log₂ cost chain + relational Viterbi DP with arg_min
+    * path backtrack + usage recount + prune) → final costs as one
+    * unrolled MATERIALIZED-CTE chain. Output: the final vocabulary
+    * with usage mass and −log₂ cost (2^-16 units).
+    */
+  val unigramVocab: Q = Q("pipeline_unigram_vocab", (s, dir) => {
+    import s.implicits._
+    graft.ops.Unigram.train(Tables.t(s, dir, "documents"))
+      .map(p => (p.piece, p.isChar, p.usage, p.cost))
+      .toDF("piece", "is_char", "usage", "cost_fix")
+      .orderBy("piece")
+  }, Some(s"""WITH ${graft.ops.Unigram.emOracleCtes()}
+    SELECT piece, is_char, usage, cost AS cost_fix FROM c_fin ORDER BY piece"""))
+
+  /** UNIGRAM-LM tokenizer APPLY: encode the corpus with the trained
+    * vocabulary and report per-(lang, source) fertility (pieces per
+    * word, basis points) — the unigram twin of bpe_encode /
+    * pipeline_tokenizer_fertility. Scale shape: the corpus-sized work
+    * is one (lang, source, word) count aggregate; the Viterbi DP runs
+    * once per DISTINCT word as a 12-position unrolled chain of
+    * codegen'd projections (packed cost|start|count states, vocab as
+    * a literal map, out-of-vocab chars at the UNK cost) and the
+    * per-word piece counts broadcast back onto the counts — no
+    * data-sized join, window, or collect anywhere in the encode path.
+    */
+  val unigramFertility: Q = Q("pipeline_unigram_fertility", (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val vocab = graft.ops.Unigram.train(docs)
+    val wls = docs.select(col("lang"), col("source"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+      .groupBy("lang", "source", "word").agg(count(lit(1)).as("n"))
+    val np = graft.ops.Unigram.pieceCounts(wls.select("word").distinct(), vocab)
+    wls.join(broadcast(np), Seq("word"))
+      .groupBy("lang", "source")
+      .agg(sum("n").as("words"), sum(expr("n * np")).as("pieces"))
+      .withColumn("fertility_bp", expr("(pieces * 10000) DIV words"))
+      .orderBy("lang", "source")
+  }, Some(s"""WITH ${graft.ops.Unigram.emOracleCtes()},
+    ${graft.ops.Unigram.fertilityOracleCtes()}
+    SELECT w.lang, w.source,
+      CAST(sum(w.n) AS BIGINT) AS words,
+      CAST(sum(w.n * p.np) AS BIGINT) AS pieces,
+      (CAST(sum(w.n * p.np) AS BIGINT) * 10000) // CAST(sum(w.n) AS BIGINT) AS fertility_bp
+    FROM wls w JOIN np p USING (word)
+    GROUP BY 1, 2 ORDER BY 1, 2"""))
 }
