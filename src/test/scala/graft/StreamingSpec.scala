@@ -3775,4 +3775,95 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"streamed vs batch ridge fit: got=$got want=$want")
     } finally q.stop()
   }
+
+  test("LdaServe: online train->serve loop — evolving model registry, frozen-snapshot scoring, exact batch parity under any split") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.streaming.LdaServe
+    val sfDir = "/root/testdata/sf0.001"
+    val trainDir = Files.createTempDirectory("graft_ldaserve_train").toFile
+    val rows = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END",
+        "CAST(l_quantity AS BIGINT)", "CAST(round(l_discount * 10000) AS BIGINT)",
+        "l_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (epochA, epochB) = rows.partition(_._4 % 2 == 0)
+    def fmt(rs: Array[(Long, Long, Long, Long)]): Array[Byte] =
+      rs.map(r => s"li ${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8")
+
+    // --- model stream: LdaProcessor -> foreachBatch -> registry ---
+    val reg = new LdaServe.ModelRegistry
+    Files.write(new java.io.File(trainDir, "a.txt").toPath, fmt(epochA))
+    val trainSrc = spark.readStream.text(trainDir.getAbsolutePath).as[String]
+      .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong, p(3).toLong) }
+    val mq = graft.streaming.LdaProcessor(spark, trainSrc)
+      .toDF("k", "n", "w1_milli", "w2_milli", "thr", "flip", "det_q")
+      .writeStream.outputMode("update")
+      .foreachBatch(LdaServe.modelSink(reg) _).start()
+    try {
+      mq.processAllAvailable()
+      val snapA = reg.snapshot
+      // registry after epoch A == the exact batch solve on epoch A's sums
+      def sums(rs: Array[(Long, Long, Long, Long)]) = {
+        val (c0, c1) = rs.partition(_._1 == 0L)
+        graft.ops.Fit.ldaSolveLong(
+          c0.length.toLong, c0.map(_._2).sum, c0.map(_._3).sum,
+          c0.map(r => r._2 * r._2).sum, c0.map(r => r._2 * r._3).sum, c0.map(r => r._3 * r._3).sum,
+          c1.length.toLong, c1.map(_._2).sum, c1.map(_._3).sum,
+          c1.map(r => r._2 * r._2).sum, c1.map(r => r._2 * r._3).sum, c1.map(r => r._3 * r._3).sum)
+      }
+      val wantA = sums(epochA)
+      assert(snapA("li") == LdaServe.Model(epochA.length.toLong, wantA._1, wantA._2,
+        wantA._3, wantA._4, wantA._5), s"epoch-A registry vs batch solve: ${snapA("li")}")
+
+      // --- scoring stream against the FROZEN epoch-A snapshot ---
+      val scoreRows = epochB.take(200).map(r => ("li", r._2, r._3))
+      import scala.jdk.CollectionConverters._
+      def runScoring(nFiles: Int): Seq[(String, Long, Long, Long, Boolean, Long)] = {
+        val d = Files.createTempDirectory(s"graft_ldaserve_score$nFiles").toFile
+        val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long, Boolean, Long)]()
+        val src = spark.readStream.text(d.getAbsolutePath).as[String]
+          .map { l => val p = l.split(" "); (p(0), p(1).toLong, p(2).toLong) }
+          .toDF("k", "x1", "x2")
+        val q = src.writeStream.outputMode("append")
+          .foreachBatch(LdaServe.scoringSink(reg)(it => it.foreach(out.add)) _)
+          .start()
+        try {
+          scoreRows.grouped(math.max(1, scoreRows.length / nFiles)).zipWithIndex.foreach {
+            case (chunk, i) =>
+              Files.write(new java.io.File(d, s"s$i.txt").toPath,
+                chunk.map(r => s"${r._1} ${r._2} ${r._3}").mkString("\n").getBytes("UTF-8"))
+              q.processAllAvailable() // one micro-batch per file: forces the split
+          }
+        } finally q.stop()
+        out.iterator().asScala.toSeq.sorted
+      }
+      val oneBatch = runScoring(1)
+      val threeBatches = runScoring(3)
+      assert(oneBatch.nonEmpty)
+      // frozen-model discipline: the scored set is split-invariant
+      assert(oneBatch == threeBatches,
+        "scored stream must be bit-identical under any batch split")
+      // and equals the stateless batch score with the same snapshot
+      val batchScored = LdaServe.score(
+        scoreRows.toSeq.toDF("k", "x1", "x2"), snapA)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getLong(5))).toSeq.sorted
+      assert(oneBatch == batchScored, "scored stream vs frozen-snapshot batch score")
+      assert(oneBatch.forall(_._6 == epochA.length.toLong),
+        "every scored event must carry the epoch-A model mass")
+
+      // --- model EVOLVES: epoch B arrives, registry advances to full-data model ---
+      Files.write(new java.io.File(trainDir, "b.txt").toPath, fmt(epochB))
+      mq.processAllAvailable()
+      val snapB = reg.snapshot
+      val wantAll = sums(rows)
+      assert(snapB("li") == LdaServe.Model(rows.length.toLong, wantAll._1, wantAll._2,
+        wantAll._3, wantAll._4, wantAll._5), s"evolved registry vs full batch solve: ${snapB("li")}")
+      assert(snapB("li") != snapA("li"), "model must actually evolve between epochs")
+      // a stale (lower-mass) replay is an idempotent no-op
+      reg.upsert("li", snapA("li"))
+      assert(reg.snapshot("li") == snapB("li"), "monotone-mass upsert must ignore replays")
+    } finally mq.stop()
+  }
 }
