@@ -2544,8 +2544,14 @@ object Series {
   val tsKalman: Q = Q("ts_kalman", (s, dir) => {
     val step = graft.ops.Series.kalmanStepSql("DIV", "acc", "z")
     val (aSql, xSql, pSql) = graft.ops.Series.kalmanDecodeSql("DIV", "_acc")
+    // cents FLOORED at 1: the packed fold's raw-vs-packed discriminator
+    // needs level >= 1 (a packed state with level 0 would read back as a
+    // raw seed), and sub-cent readings sit below the fold's resolution
+    // anyway — the r10 tri-SF sweep caught 6 zero-cent events at sf0.1
+    // tripping the loud gate. The TOP of the domain stays loud (a value
+    // regime change should fail, not clamp). Oracle mirrors the floor.
     Tables.events(s, dir)
-      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("cents", expr("greatest(CAST(round(value * 100) AS BIGINT), 1L)"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_points"),
         array_sort(collect_list(struct(col("ts_us"), col("event_id"),
@@ -2564,7 +2570,7 @@ object Series {
     val (aSql, xSql, pSql) = graft.ops.Series.kalmanDecodeSql("//", "acc")
     s"""WITH e AS (
       SELECT event_type, event_id, epoch_us(ts) AS ts_us,
-        CAST(round(value * 100) AS BIGINT) AS cents
+        greatest(CAST(round(value * 100) AS BIGINT), 1) AS cents
       FROM events),
     f AS (SELECT event_type, count(*)::BIGINT AS n_points,
         list_reduce(list(cents ORDER BY ts_us, event_id),
