@@ -463,10 +463,65 @@ object Graph {
   def triangles(
       edgeList: DataFrame,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame =
-    triangleTriples(canonicalUndirected(edgeList, srcCol, dstCol))
-      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      dstCol: String = "dst",
+      blocks: Int = 1): DataFrame =
+    if (blocks <= 1)
+      triangleTriples(canonicalUndirected(edgeList, srcCol, dstCol))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    else trianglesBlocked(canonicalUndirected(edgeList, srcCol, dstCol), blocks)
+
+  /** DISK-BOUNDED per-vertex triangle counts: the wedge→closure
+    * exchange is the one data-sized shuffle of [[triangles]] (wedge
+    * volume = Σ C(d_out, 2) — measured exactly linear through ×128 in
+    * DevGraphVol, but 5.26 B wedges × 16 B ≈ 84 GB at ×128, more than
+    * one box's scratch). Splitting the CLOSING-EDGE key space into
+    * `blocks` slices — wedges AND the closure build side both filtered
+    * to pmod(b + c, blocks) = k BEFORE the exchange — caps the live
+    * shuffle footprint at ~1/blocks of the wedge set; each block's
+    * per-vertex partial counts (vertex-sized) merge into a running
+    * checkpointed accumulator, and the forced GC between blocks
+    * releases the finished block's shuffle files (cleanup is GC-driven
+    * — the DevScale ×128 lesson). The trade: wedge GENERATION (the
+    * cheap compute-only u-join, no exchange) re-runs per block. Every
+    * triangle lands in exactly one block (its closing edge has one
+    * (b, c)), so the summed counts are bit-identical to the one-pass
+    * plan for ANY block count — pinned in SeriesOpsSpec.
+    */
+  private def trianglesBlocked(und: DataFrame, blocks: Int): DataFrame = {
+    val (oriented, m, packable) = orientedWithBounds(und)
+    val x = oriented.select(col("u"), col("w").as("b"), col("dw").as("db"))
+    val y = oriented.select(col("u"), col("w").as("c"), col("dw").as("dc"))
+    val spark = und.sparkSession
+    var acc: DataFrame = null
+    for (k <- 0 until blocks) {
+      val wedgesK = x.join(y.hint("shuffle_hash"), "u")
+        .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c")))
+        .filter(pmod(col("b") + col("c"), lit(blocks.toLong)) === k)
+        .select(col("u").as("a"), col("b"), col("c"))
+      val edgesK = oriented
+        .filter(pmod(col("u") + col("w"), lit(blocks.toLong)) === k)
+      val closure: DataFrame => DataFrame =
+        if (m / blocks <= 20000000L) d => broadcast(d)
+        else d => d.hint("shuffle_hash")
+      val triK =
+        (if (packable)
+          wedgesK.withColumn("bc", expr("b * 4294967296L + c"))
+            .join(closure(edgesK.select(expr("u * 4294967296L + w").as("bc"))),
+              Seq("bc"), "left_semi")
+        else
+          wedgesK.join(closure(edgesK.select(col("u").as("b"), col("w").as("c"))),
+            Seq("b", "c"), "left_semi"))
+          .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      val merged =
+        if (acc == null) triK
+        else acc.unionByName(triK).groupBy("v").agg(sum("n_tri").as("n_tri"))
+      acc = merged.localCheckpoint(eager = true)
+      System.gc() // release the finished block's shuffle files
+    }
+    acc
+  }
 
   /** Canonical undirected edge set (lo, hi), self-loops dropped,
     * PERSISTED: every consumer walks it several times (degree
@@ -487,7 +542,12 @@ object Graph {
     * [[trussPeel]] (per-edge support): `a` is the wedge apex, b/c its
     * oriented out-neighbors with (b, c) in orientation order.
     */
-  private def triangleTriples(und: DataFrame): DataFrame = {
+  /** Degree-oriented persisted edge set + the setup-probe results the
+    * closure join's plan choices read: (oriented(u, w, dw), edge count,
+    * ids-fit-unsigned-32 packability). Shared by [[triangleTriples]]
+    * and [[trianglesBlocked]].
+    */
+  private def orientedWithBounds(und: DataFrame): (DataFrame, Long, Boolean) = {
     val deg = und.select(col("lo").as("v")).union(und.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -510,6 +570,18 @@ object Graph {
         .as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
       .persist()
+    // one setup job over the persisted edge set yields the edge count
+    // (broadcast decision) AND the id bounds (pack decision)
+    val bounds = und.agg(count(lit(1)).as("m"),
+      min(least(col("lo"), col("hi"))).as("mn"),
+      max(greatest(col("lo"), col("hi"))).as("mx")).collect()(0)
+    val packable = !bounds.isNullAt(1) &&
+      bounds.getLong(1) >= 0L && bounds.getLong(2) < 4294967296L
+    (oriented, bounds.getLong(0), packable)
+  }
+
+  private def triangleTriples(und: DataFrame): DataFrame = {
+    val (oriented, m, packable) = orientedWithBounds(und)
     // wedges (u; b, c) with b before c in orientation order — the closing
     // edge, if present, is then oriented exactly b -> c
     val x = oriented.select(col("u"), col("w").as("b"), col("dw").as("db"))
@@ -526,20 +598,12 @@ object Graph {
     // DevScale ×32 salted tiling: ids near 3×10¹⁰ ANSI-overflowed the
     // multiply before the old assert_true guard could even evaluate)
     // fall back to the two-column (b, c) key — same join, 16-byte key.
-    // one setup job over the persisted edge set yields the edge count
-    // (broadcast decision) AND the id bounds (pack decision)
-    val bounds = und.agg(count(lit(1)).as("m"),
-      min(least(col("lo"), col("hi"))).as("mn"),
-      max(greatest(col("lo"), col("hi"))).as("mx")).collect()(0)
-    val packable = !bounds.isNullAt(1) &&
-      bounds.getLong(1) >= 0L && bounds.getLong(2) < 4294967296L
     // closure: BROADCAST the packed edge set when it plausibly fits
     // (longs are 8B + hash-set overhead; 20M edges ≈ low hundreds of MB
     // on the build side) — the wedge set (out-deg² rows, here 34× the
     // edge count) then never crosses an exchange at all. Past the
     // threshold fall back to shuffle-hash (NOT sort-merge: SMJ would
     // sort the huge wedge side; hashing builds on the small edge side).
-    val m = bounds.getLong(0)
     def closed(keyed: DataFrame, keys: Seq[String], w: DataFrame): DataFrame = {
       val closure = if (m <= 20000000L) broadcast(keyed) else keyed.hint("shuffle_hash")
       w.join(closure, keys, "left_semi").select(col("a"), col("b"), col("c"))

@@ -103,6 +103,13 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = graft.ops.Graph.triangles(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the disk-bounded blocked wedge closure is bit-identical for any
+    // block count (every triangle lands in exactly one (b+c)-block)
+    for (blocks <- Seq(2, 3, 7)) {
+      val blk = graft.ops.Graph.triangles(edges, blocks = blocks)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(blk == got, s"blocked($blocks) vs one-pass: $blk")
+    }
   }
 
   test("Ann.hardNegatives returns nearest DIFFERENT-label rows only") {
