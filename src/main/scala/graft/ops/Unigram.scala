@@ -198,26 +198,34 @@ object Unigram {
     init ++ steps
   }
 
-  /** Piece count of the best segmentation, read from the packed state
-    * at the word's final position; loud past the unroll bound.
+  /** The packed state at the word's final position; loud past the
+    * unroll bound. np = low 4 bits, total best-path cost = bits ≥ 8.
     */
-  def npExpr: String =
+  def stFinalExpr: String =
     s"""CASE WHEN wl > $DpUnroll THEN raise_error(concat(
           'pipeline_unigram: word longer than the $DpUnroll-position DP unroll: ', word))
-        ELSE element_at(array(${(1 to DpUnroll).map(i => s"st$i").mkString(", ")}), wl) & 15 END"""
+        ELSE element_at(array(${(1 to DpUnroll).map(i => s"st$i").mkString(", ")}), wl) END"""
 
-  /** Per-word piece counts for every distinct word of `wordCol` rows,
-    * with `vocab` as a literal cost map — the broadcastable (word, np)
-    * side of the fertility join.
+  /** Per-word DP results for every distinct word of a `word` relation,
+    * with `vocab` as a literal cost map: (word, np, wcost) — the
+    * broadcastable side of the fertility / surprisal joins (np =
+    * best-path piece count, wcost = best-path total cost in 2^-FracBits
+    * bits units).
     */
-  def pieceCounts(distinctWords: DataFrame, vocab: Seq[Piece]): DataFrame = {
+  def pieceStats(distinctWords: DataFrame, vocab: Seq[Piece]): DataFrame = {
     val vm = map(vocab.flatMap(p => Seq(lit(p.piece), lit(p.cost))): _*)
     val base = distinctWords
       .withColumn("wl", length(col("word")).cast("int"))
       .withColumn("vm", vm)
     Geo.applyStages(base, dpStages)
-      .selectExpr("word", s"CAST(($npExpr) AS BIGINT) AS np")
+      .selectExpr("word", s"($stFinalExpr) AS stf")
+      .selectExpr("word", "CAST((stf & 15) AS BIGINT) AS np",
+        "CAST((stf >> 8) AS BIGINT) AS wcost")
   }
+
+  /** (word, np) projection of [[pieceStats]]. */
+  def pieceCounts(distinctWords: DataFrame, vocab: Seq[Piece]): DataFrame =
+    pieceStats(distinctWords, vocab).select("word", "np")
 
   // ---- DuckDB oracle: the whole pipeline as one unrolled CTE chain ----
 
@@ -385,6 +393,7 @@ cf AS MATERIALIZED (
   WHERE cost IS NOT NULL),
 e0 AS (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS st FROM wd),
 $steps,
-np AS MATERIALIZED (SELECT word, st & 15 AS np FROM e$DpUnroll WHERE pos = length(word))"""
+np AS MATERIALIZED (SELECT word, st & 15 AS np, st >> 8 AS wcost
+  FROM e$DpUnroll WHERE pos = length(word))"""
   }
 }

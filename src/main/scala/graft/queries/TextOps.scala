@@ -27,7 +27,7 @@ object TextOps {
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
-    multimodalMp4Meta, unigramVocab, unigramFertility)
+    multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -2739,4 +2739,49 @@ object TextOps {
       (CAST(sum(w.n * p.np) AS BIGINT) * 10000) // CAST(sum(w.n) AS BIGINT) AS fertility_bp
     FROM wls w JOIN np p USING (word)
     GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** UNIGRAM-LM DOCUMENT PERPLEXITY — CCNet's "does this read like the
+    * corpus" filter (Wenzek et al. 1911.00359) scored by the engine's
+    * OWN trained tokenizer instead of an external LM: a document's
+    * surprisal is the total best-path cost (−log₂ P in 2^-16 units) of
+    * its words under the corpus-trained unigram vocabulary, and the 25
+    * highest bits-per-word documents are the out-of-model tail a
+    * pipeline reviews or down-weights. Everything is exact integer
+    * (the DP's packed state carries the cost in bits ≥ 8); ranking is
+    * total-ordered by (bits_per_word_e3 DESC, doc_id). Scale shape:
+    * per-(doc, word) counts (one corpus-sized aggregate), the
+    * distinct-word DP (vocabulary-sized, codegen'd), broadcast join
+    * back, TakeOrdered 25 — no data-sized window or collect.
+    */
+  val unigramSurprisal: Q = Q("quality_unigram_surprisal", (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val vocab = graft.ops.Unigram.train(docs)
+    val wdc = docs.select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("n"))
+    val st = graft.ops.Unigram.pieceStats(wdc.select("word").distinct(), vocab)
+    wdc.join(broadcast(st), Seq("word"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("n").as("n_words"), sum(expr("n * np")).as("pieces"),
+        sum(expr("n * wcost")).as("cost_fix"))
+      .withColumn("bits_per_word_e3", expr("(cost_fix * 1000) DIV (n_words * 65536)"))
+      .orderBy(desc("bits_per_word_e3"), asc("doc_id")).limit(25)
+      .select("doc_id", "lang", "n_words", "pieces", "cost_fix", "bits_per_word_e3")
+  }, Some(s"""WITH ${graft.ops.Unigram.emOracleCtes()},
+    ${graft.ops.Unigram.fertilityOracleCtes()},
+    wdc AS MATERIALIZED (
+      SELECT doc_id, lang, w AS word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, lang,
+              unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY 1, 2, 3)
+    SELECT d.doc_id, d.lang,
+      CAST(sum(d.n) AS BIGINT) AS n_words,
+      CAST(sum(d.n * p.np) AS BIGINT) AS pieces,
+      CAST(sum(d.n * p.wcost) AS BIGINT) AS cost_fix,
+      (CAST(sum(d.n * p.wcost) AS BIGINT) * 1000)
+        // (CAST(sum(d.n) AS BIGINT) * 65536) AS bits_per_word_e3
+    FROM wdc d JOIN np p USING (word)
+    GROUP BY 1, 2
+    ORDER BY bits_per_word_e3 DESC, doc_id LIMIT 25"""))
 }

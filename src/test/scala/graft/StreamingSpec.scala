@@ -3776,6 +3776,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("UnigramProcessor: streamed word stats -> re-trained vocab == batch trainer, across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfDir, "documents")
+    val want = graft.streaming.UnigramProcessor.render(graft.ops.Unigram.train(docs))
+    val rows = docs
+      .selectExpr("doc_id", "explode(filter(split(lower(text), ' '), x -> x != '')) AS word")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft_unigram_in").toFile
+    val ckpt = Files.createTempDirectory("graft_unigram_ck").toString
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    def fmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"corpus ${r._2}").mkString("\n").getBytes("UTF-8")
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map { l => val p = l.split(" "); (p(0), p(1), 1L) }
+      graft.streaming.UnigramProcessor(spark, src)
+        .toDF("k", "nw", "tot", "vocab")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.collect().foreach(r =>
+            out.put(id, (r.getLong(1), r.getLong(2), r.getString(3))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    // batch 1, then KILL the query and restart from the checkpoint
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val fin = out.values().toArray.map(_.asInstanceOf[(Long, Long, String)])
+        .maxBy(_._2) // the emission with the largest total = the final prefix
+      assert(fin._2 == rows.length.toLong, s"total words ${fin._2} vs ${rows.length}")
+      assert(fin._3 == want,
+        s"restarted streamed vocab must equal the batch trainer:\n got ${fin._3}\nwant $want")
+      // and the intermediate (prefix) emission is the exact prefix vocab
+      val prefixWant = graft.streaming.UnigramProcessor.render(
+        graft.ops.Unigram.trainFromStats(
+          b1.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+            .sortBy { case (w, c) => (-c, w) }.take(graft.ops.Unigram.TopWords)))
+      assert(out.values().toArray.map(_.asInstanceOf[(Long, Long, String)])
+        .exists(_._3 == prefixWant), "prefix emission must be the exact prefix vocabulary")
+    } finally q2.stop()
+  }
+
   test("LdaServe: online train->serve loop — evolving model registry, frozen-snapshot scoring, exact batch parity under any split") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
