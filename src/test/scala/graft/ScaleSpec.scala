@@ -902,4 +902,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stale.isEmpty, s"stale exemptions (join no longer flags — remove): $stale")
     spark.catalog.clearCache()
   }
+
+  test("round-10 unigram encode plans scale-shaped: zero windows, broadcast DP side, no cartesian") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val sf = "/root/testdata/sf0.001"
+    // the corpus-sized path of both encode queries is ONE (…, word)
+    // count aggregate; the Viterbi DP runs per DISTINCT word as pure
+    // projections and its (word, np[, wcost]) result BROADCASTS back —
+    // no window or cartesian anywhere, at any SF
+    Seq(graft.queries.TextOps.unigramFertility,
+      graft.queries.TextOps.unigramSurprisal).foreach { q =>
+      val df = q.fn(spark, sf)
+      var windows = 0
+      df.queryExecution.analyzed.foreach {
+        case _: LWindow => windows += 1
+        case _ => ()
+      }
+      assert(windows == 0, s"${q.name}: expected a window-free plan, found $windows")
+      df.collect() // AQE: finalize before reading the physical plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"${q.name}: the per-word DP side must broadcast back onto the corpus")
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian")
+      assert(plan.contains("*("), // AQE shows WholeStageCodegen as *(n) spans
+        s"${q.name}: the DP projection chain fell out of codegen")
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
 }

@@ -95,7 +95,6 @@ def main(argv):
     args = [a for a in argv if not a.startswith("--")]
     flag_bar = 1.3
     out_path = None
-    it = iter(range(len(argv)))
     for i, a in enumerate(argv):
         if a == "--flag":
             flag_bar = float(argv[i + 1])
