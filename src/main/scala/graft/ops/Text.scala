@@ -368,6 +368,83 @@ object Text {
     (merges, applied)
   }
 
+  /** WORDPIECE training loop (Schuster &amp; Nakajima 2012; the BERT
+    * tokenizer) — the third trainer beside BPE and unigram-LM: same
+    * framed-sequence machinery as [[bpeTrain]], but each round's merge
+    * maximizes the LIKELIHOOD GAIN score p(ab)/(p(a)p(b)) =
+    * cnt_ab·N/(n_a·n_b) instead of raw pair count, so rare-but-
+    * exclusive pairs beat frequent-but-independent ones. The score is
+    * exact quantized integer: score_e6 = (cnt_ab·10⁶) DIV
+    * ((n_a·n_b DIV N) + 1) — denominator quantized FIRST (the
+    * quantized-econometrics discipline; +1 clears div-zero), total
+    * order (score DESC, cnt DESC, w1, w2). Driver-coordinated like
+    * bpeTrain: one collected 1-row winner per round, literal replaces
+    * folded into one projection. Overflow headroom: n_a·n_b ≤ N² needs
+    * N &lt; 3·10⁹ symbols — pre-scale counts past that (ANSI throws,
+    * never wraps).
+    *
+    * Returns (merges, finalSeqs); merges = (round, w1, w2, cnt_pair,
+    * n_a, n_b, score_e6).
+    */
+  def wordpieceTrain(
+      seqs: DataFrame,
+      seqCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.functions.{lit, replace => sqlReplace}
+    val spark = seqs.sparkSession
+    val base = seqs.persist()
+    var adopted = Vector.empty[(Long, String, String, Long, Long, Long, Long)]
+    def applied: DataFrame = adopted.foldLeft(base) { case (df, (_, w1, w2, _, _, _, _)) =>
+      df.withColumn(seqCol, sqlReplace(col(seqCol),
+        lit(s" $w1  $w2 "), lit(s" $w1$w2 ")))
+    }
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val cur = applied
+      val syms = cur.select(explode(split(trim(col(seqCol)), "  ")).as("sym"))
+        .filter(col("sym") =!= "").groupBy("sym").agg(count(lit(1)).as("n"))
+      val tot = syms.agg(sum("n").as("nt"))
+      val top = bpePairCounts(cur, seqCol)
+        .join(syms.select(col("sym").as("w1"), col("n").as("na")), "w1")
+        .join(syms.select(col("sym").as("w2"), col("n").as("nb")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("score_e6", expr("(cnt * 1000000) DIV (((na * nb) DIV nt) + 1)"))
+        .orderBy(desc("score_e6"), desc("cnt"), asc("w1"), asc("w2")).limit(1)
+        .select("w1", "w2", "cnt", "na", "nb", "score_e6")
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top(0)
+        adopted :+= ((r.toLong, t.getString(0), t.getString(1), t.getLong(2),
+          t.getLong(3), t.getLong(4), t.getLong(5)))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    (adopted.toDF("round", "w1", "w2", "cnt_pair", "n_a", "n_b", "score_e6"),
+      applied)
+  }
+
+  /** DuckDB twin of one [[wordpieceTrain]] round's scoring pick over a
+    * framed CTE `srcCte` — a 1-row (w1, w2, cnt, na, nb, score_e6)
+    * relation; `uCte` must be the round's symbol-count CTE.
+    */
+  def wordpiecePickSql(srcCte: String, uCte: String): String =
+    s"""SELECT p.w1, p.w2, p.cnt, a.n AS na, b.n AS nb,
+          (p.cnt * 1000000) // (((a.n * b.n)
+             // (SELECT CAST(sum(n) AS BIGINT) FROM $uCte)) + 1) AS score_e6
+        FROM (${bpePairCountsSql(srcCte, "seq")}) p
+        JOIN $uCte a ON a.sym = p.w1 JOIN $uCte b ON b.sym = p.w2
+        ORDER BY score_e6 DESC, cnt DESC, w1, w2 LIMIT 1"""
+
+  /** DuckDB twin of a round's symbol counts over `srcCte`. */
+  def wordpieceSymsSql(srcCte: String): String =
+    s"""SELECT sym, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(string_split(trim(seq), '  ')) AS sym FROM $srcCte)
+        WHERE sym <> '' GROUP BY 1"""
+
   /** DuckDB twin of [[bpeInitSeq]]. */
   def bpeInitSeqSql(textExpr: String): String =
     s"""' ' || list_aggregate(regexp_extract_all(lower($textExpr),

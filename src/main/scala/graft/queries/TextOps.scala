@@ -27,7 +27,8 @@ object TextOps {
     multimodalScenecut, pipelineShardBalance, sampleHtEstimate,
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
-    multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal)
+    multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal,
+    wordpieceMerges)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -2685,6 +2686,42 @@ object TextOps {
         AS BIGINT) AS pkn_e6
     FROM c2 JOIN ctx USING (w1) JOIN cont USING (w2), nt
     ORDER BY c2 DESC, w1, w2 LIMIT 50"""))
+
+  private val wordpieceRounds = 3
+
+  /** WORDPIECE tokenizer training — the third trainer of the family
+    * (BPE = count-greedy, unigram-LM = EM-prune, WordPiece =
+    * likelihood-gain greedy; Schuster &amp; Nakajima 2012, the BERT
+    * tokenizer). Emits the ordered merge table with the exact
+    * quantized-integer evidence behind each pick (pair count, both
+    * unigram counts, score_e6) — [[graft.ops.Text.wordpieceTrain]]
+    * holds the scoring note. Scale shape identical to bpe_pair_stats:
+    * per round one pair-count aggregate + one symbol-count aggregate
+    * over the framed corpus, a broadcast 1-row total, and a collected
+    * 1-row winner; the oracle unrolls the rounds as MATERIALIZED CTEs.
+    */
+  val wordpieceMerges: Q = Q("pipeline_wordpiece_merges", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(graft.ops.Text.bpeInitSeq(col("text")).as("seq"))
+    val (merges, _) = graft.ops.Text.wordpieceTrain(d, "seq", wordpieceRounds)
+    merges.orderBy("round")
+  }, Some {
+    import graft.ops.Text
+    val chain = (1 to wordpieceRounds).map { r =>
+      s""",
+      u$r AS MATERIALIZED (${Text.wordpieceSymsSql(s"s${r - 1}")}),
+      m$r AS MATERIALIZED (${Text.wordpiecePickSql(s"s${r - 1}", s"u$r")}),
+      s$r AS MATERIALIZED (SELECT ${Text.bpeApplyMergeSql("seq", s"m$r")} AS seq
+        FROM s${r - 1})"""
+    }.mkString
+    val out = (1 to wordpieceRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, w1, w2, cnt AS cnt_pair,
+          na AS n_a, nb AS n_b, score_e6 FROM m$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH s0 AS MATERIALIZED (
+      SELECT ${Text.bpeInitSeqSql("text")} AS seq FROM documents)$chain
+    SELECT * FROM ($out) ORDER BY round"""
+  })
 
   // ---- unigram-LM tokenizer (SentencePiece-style EM + prune) ----
 

@@ -164,6 +164,35 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sameElements(Array(" xyxyz ")), out.mkString("|"))
   }
 
+  test("Text.wordpieceTrain picks the EXCLUSIVE rare pair BPE would skip (likelihood gain vs raw count)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // (a, b) is FREQUENT but independent: a and b each also occur alone
+    // everywhere, so p(ab)/(p(a)p(b)) is small. (x, y) is RARE but
+    // EXCLUSIVE: x and y only ever occur as the pair — the WordPiece
+    // score maximizer, while count-greedy BPE picks (a, b).
+    val docs =
+      Seq.fill(50)("a b") ++ // frequent pair
+        // independent mass: single-symbol docs add unigram count but no
+        // pairs, so (a, b) stays the raw-count winner while its
+        // likelihood gain collapses
+        Seq.fill(100)("a") ++ Seq.fill(100)("b") ++
+        Seq.fill(5)("x y") // exclusive rare pair
+    val seqs = docs.toDF("text")
+      .select(graft.ops.Text.bpeInitSeq(col("text")).as("seq"))
+    val bpePick = graft.ops.Text.bpeTopMerge(
+      graft.ops.Text.bpePairCounts(seqs, "seq")).collect()(0)
+    assert((bpePick.getString(0), bpePick.getString(1)) == (("a", "b")),
+      s"BPE must pick the raw-count winner: $bpePick")
+    val (merges, _) = graft.ops.Text.wordpieceTrain(seqs, "seq", rounds = 1)
+    val wp = merges.collect()(0)
+    assert((wp.getString(1), wp.getString(2)) == (("x", "y")),
+      s"WordPiece must pick the exclusive pair: ${wp.mkString(",")}")
+    // evidence columns carry the exact integers behind the pick
+    assert(wp.getLong(3) == 5L && wp.getLong(4) == 5L && wp.getLong(5) == 5L,
+      s"cnt_pair/n_a/n_b evidence: ${wp.mkString(",")}")
+  }
+
   test("holtStepSql packed fold == direct Scala recurrence on random series (incl. negatives)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
