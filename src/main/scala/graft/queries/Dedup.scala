@@ -30,7 +30,7 @@ object Dedup {
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
     lshBands, prefixFilter, urlCanonical, dedupRateBySource, symspell,
-    mergeMatching, lshTuning)
+    mergeMatching, lshTuning, minhashBbit)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -1021,6 +1021,93 @@ object Dedup {
       CAST(CASE WHEN tp + fp > 0 THEN 10000 * tp // (tp + fp) END AS BIGINT) AS precision_bp,
       CAST(CASE WHEN tp + fn > 0 THEN 10000 * tp // (tp + fn) END AS BIGINT) AS recall_bp
     FROM m"""))
+
+  /** b-BIT MINWISE HASHING calibration (Li & König, "b-Bit Minwise
+    * Hashing", WWW 2010 — public): storing only the lowest b bits of
+    * each minhash slot cuts signature storage 64/b× at the price of
+    * accidental collisions (probability ≈ 2⁻ᵇ for unrelated sets), and
+    * the paper's unbiased correction recovers Jaccard from the b-bit
+    * agreement rate: Ĵ = (A·2ᵇ − 1)/(2ᵇ − 1). This query measures that
+    * trade EMPIRICALLY on the corpus — for b ∈ {1, 2, 4, 8}, the exact
+    * integer mean |Ĵ − J| over the exact-Jaccard (≥ 0.5, integer test:
+    * 2·shared ≥ union) ground-truth pairs, everything in basis points
+    * (est clamped at 0; DIV truncation both engines). The table an
+    * operator reads before shrinking a petabyte-scale signature store.
+    * Shares the ONE hashed shingle explode with the signature
+    * aggregation (the lsh_eval composition rule); pair volume is the
+    * df-capped exact miner's, never all-pairs.
+    */
+  val minhashBbit: Q = Q("dedup_minhash_bbit", (s, dir) => {
+    val shRaw = hashedShingles(s, dir).persist()
+    val shc = graft.ops.Scale.capGroups(shRaw, "sh", DfCap).persist()
+    val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shc.select(col("doc_id").as("d1"), col("sh"))
+    val b = shc.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val pairs = a.join(b, col("sh") === col("sh2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(expr("2 * shared >= n1 + n2 - shared"))
+      .withColumn("jbp", expr("(shared * 10000) DIV (n1 + n2 - shared)"))
+      .select("d1", "d2", "jbp")
+    val sig = graft.ops.Lsh.signaturesHashed(shRaw, "doc_id")
+      .select(col("doc_id") +:
+        (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    val j = pairs
+      .join(sig.select(col("doc_id").as("d1") +:
+        (0 until 16).map(i => col(s"m$i").as(s"x$i")): _*), "d1")
+      .join(sig.select(col("doc_id").as("d2") +:
+        (0 until 16).map(i => col(s"m$i").as(s"y$i")): _*), "d2")
+      .persist()
+    Seq(1, 2, 4, 8).map { bb =>
+      val mask = (1L << bb) - 1
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN (x$i & $mask) = (y$i & $mask) THEN 1L ELSE 0L END)")
+        .mkString("(", " + ", ")")
+      val est = s"greatest(0L, (($agree * ${1L << bb} - 16) * 10000) DIV (16 * $mask))"
+      j.agg(count(lit(1)).as("n_pairs"),
+          expr(s"sum(abs(($est) - jbp))").as("sum_err"),
+          expr(s"sum($est)").as("sum_est"),
+          sum("jbp").as("sum_exact"))
+        .select(lit(bb.toLong).as("b"), col("n_pairs"),
+          expr("sum_err DIV nullif(n_pairs, 0)").as("mae_bp"),
+          expr("sum_est DIV nullif(n_pairs, 0)").as("mean_est_bp"),
+          expr("sum_exact DIV nullif(n_pairs, 0)").as("mean_exact_bp"))
+    }.reduce(_ unionByName _).orderBy("b")
+  }, Some {
+    val jj = (0 until 16).map(i => s"x.m$i AS x$i, y.m$i AS y$i").mkString(", ")
+    val perB = Seq(1, 2, 4, 8).map { bb =>
+      val mask = (1L << bb) - 1
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN (x$i & $mask) = (y$i & $mask) THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      val est = s"greatest(0, (($agree * ${1L << bb} - 16) * 10000) // (16 * $mask))"
+      s"""SELECT CAST($bb AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(abs(($est) - jbp)) AS BIGINT)
+            // nullif(CAST(count(*) AS BIGINT), 0) AS mae_bp,
+          CAST(sum($est) AS BIGINT)
+            // nullif(CAST(count(*) AS BIGINT), 0) AS mean_est_bp,
+          CAST(sum(jbp) AS BIGINT)
+            // nullif(CAST(count(*) AS BIGINT), 0) AS mean_exact_bp
+        FROM jj"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $minhashCtes,
+    shh AS (SELECT doc_id,
+        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh
+      FROM sh),
+    shc AS (SELECT doc_id, sh FROM shh
+      QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    shp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exp_ AS (SELECT d1, d2, (shared * 10000) // (x.n + y.n - shared) AS jbp
+      FROM shp JOIN cnt x ON x.doc_id = d1 JOIN cnt y ON y.doc_id = d2
+      WHERE 2 * shared >= x.n + y.n - shared),
+    jj AS MATERIALIZED (SELECT e.jbp, $jj
+      FROM exp_ e JOIN sig x ON x.doc_id = e.d1 JOIN sig y ON y.doc_id = e.d2)
+    SELECT * FROM ($perB) ORDER BY b"""
+  })
 
   /** LSH band-shape sensitivity sweep — the S-curve tuning table
     * (Leskovec/Rajaraman/Ullman, MMDS ch.3, public: b bands × r rows
