@@ -193,6 +193,21 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cnt_pair/n_a/n_b evidence: ${wp.mkString(",")}")
   }
 
+  test("dedup_minhash_bbit: provable invariants — truth pairs >= 5000 bp, estimates clamped, constant pair set") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = graft.queries.Dedup.minhashBbit.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.map(_._2).distinct.size == 1 && rows.head._2 > 0,
+      s"the ground-truth pair set is b-independent: ${rows.map(_._2).toSeq}")
+    rows.foreach { case (b, _, mae, est, exact) =>
+      assert(exact >= 5000L, s"b=$b: truth pairs are >= 0.5 Jaccard by construction ($exact)")
+      assert(est >= 0L && est <= 10000L, s"b=$b: clamped estimator out of range ($est)")
+      assert(mae >= 0L && mae <= 10000L, s"b=$b: MAE out of range ($mae)")
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("holtStepSql packed fold == direct Scala recurrence on random series (incl. negatives)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
