@@ -55,7 +55,7 @@ object Analytics {
     qHbosOutliers, qCompactionPlan, qZonemapSkip, qBloomSkip, qGeoKnnCells,
     qGeohashGrid, qGeoBboxJoin, qGeoPolygonTag, qGeoGreatCircle, qGeoDbscan,
     qGeoBearing, qGeoSpeedGate, qGeoHaversine, qGeoNearestSiteM, qRidgeFit,
-    qHilbertSkip, qLdaClassifier)
+    qHilbertSkip, qLdaClassifier, qLdaCalibration)
 
   /** Ordered funnel — users progressing signup → click → purchase with
     * each stage STRICTLY after the previous one (the product-analytics
@@ -4047,6 +4047,75 @@ object Analytics {
         + CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT))
         * 10000 // count(*) AS acc_bp
     FROM sc GROUP BY 1, 2, 3, 4"""
+  })
+
+  /** CLASSIFIER CALIBRATION (reliability diagram) for the LDA model —
+    * the eval primitive between a trained score and a deployed
+    * threshold (DeGroot &amp; Fienberg 1983; Niculescu-Mizil &amp;
+    * Caruana 2005 — public): bucket the signed decision margin into 8
+    * equal-width bins over its observed range and report the POSITIVE
+    * RATE per bin — a well-calibrated monotone score shows the rate
+    * rising with the margin, and the bin table says which margin band
+    * is trustworthy enough to auto-route. Everything exact integer:
+    * margin = ±(w·x − thr) in the model's milli units, bucket =
+    * ((margin − mn)·8) DIV (mx − mn + 1) ∈ [0, 7], rates in bp. Scale
+    * shape: the q_lda_classifier one-aggregate train pass, a broadcast
+    * model + broadcast 2-long range row, one final 8-group aggregate —
+    * zero windows, zero data-sized joins.
+    */
+  val qLdaCalibration: Q = Q("q_lda_calibration", (s, dir) => {
+    import graft.ops.Fit
+    val f = Tables.t(s, dir, "lineitem").selectExpr(
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+      "CAST(l_quantity AS BIGINT) AS x1",
+      "CAST(round(l_discount * 10000) AS BIGINT) AS x2")
+    def cm(cls: Int, e: String, nm: String) =
+      sum(expr(s"CASE WHEN y = $cls THEN $e ELSE 0L END")).as(nm)
+    val m = f.agg(
+      cm(0, "1L", "n0"), cm(0, "x1", "s1_0"), cm(0, "x2", "s2_0"),
+      cm(0, "x1 * x1", "s11_0"), cm(0, "x1 * x2", "s12_0"), cm(0, "x2 * x2", "s22_0"),
+      cm(1, "1L", "n1"), cm(1, "x1", "s1_1"), cm(1, "x2", "s2_1"),
+      cm(1, "x1 * x1", "s11_1"), cm(1, "x1 * x2", "s12_1"), cm(1, "x2 * x2", "s22_1"))
+    val model = Fit.ldaSolve(m).select("w1_milli", "w2_milli", "thr", "flip")
+    val scored = f.crossJoin(broadcast(model))
+      .withColumn("margin", expr(
+        """CASE WHEN flip THEN thr - (w1_milli * x1 + w2_milli * x2)
+           ELSE (w1_milli * x1 + w2_milli * x2) - thr END"""))
+    val rng = scored.agg(min("margin").as("mn"), max("margin").as("mx"))
+    scored.crossJoin(broadcast(rng))
+      .withColumn("bucket", expr("((margin - mn) * 8) DIV (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(y AS BIGINT)")).as("n_pos"),
+        min("margin").as("margin_lo"), max("margin").as("margin_hi"))
+      .withColumn("pos_rate_bp", expr("(n_pos * 10000) DIV n"))
+      .orderBy("bucket")
+  }, Some {
+    import graft.ops.Fit
+    def cm(cls: Int, e: String, nm: String) =
+      s"CAST(sum(CASE WHEN y = $cls THEN $e ELSE 0 END) AS BIGINT) AS $nm"
+    s"""WITH f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        CAST(l_quantity AS BIGINT) AS x1,
+        CAST(round(l_discount * 10000) AS BIGINT) AS x2
+      FROM lineitem),
+    m AS (SELECT ${cm(0, "1", "n0")}, ${cm(0, "x1", "s1_0")}, ${cm(0, "x2", "s2_0")},
+        ${cm(0, "x1 * x1", "s11_0")}, ${cm(0, "x1 * x2", "s12_0")}, ${cm(0, "x2 * x2", "s22_0")},
+        ${cm(1, "1", "n1")}, ${cm(1, "x1", "s1_1")}, ${cm(1, "x2", "s2_1")},
+        ${cm(1, "x1 * x1", "s11_1")}, ${cm(1, "x1 * x2", "s12_1")}, ${cm(1, "x2 * x2", "s22_1")}
+      FROM f),
+    ${Fit.ldaSolveSqlFrom("m")},
+    model AS (SELECT w1_milli, w2_milli, thr, flip FROM ${Fit.ldaFinalRef}),
+    sc AS (SELECT y,
+        CASE WHEN flip THEN thr - (w1_milli * x1 + w2_milli * x2)
+          ELSE (w1_milli * x1 + w2_milli * x2) - thr END AS margin
+      FROM f, model),
+    rg AS (SELECT min(margin) AS mn, max(margin) AS mx FROM sc),
+    bk AS (SELECT y, margin, ((margin - mn) * 8) // (mx - mn + 1) AS bucket
+      FROM sc, rg)
+    SELECT bucket, count(*)::BIGINT AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      CAST(min(margin) AS BIGINT) AS margin_lo,
+      CAST(max(margin) AS BIGINT) AS margin_hi,
+      (CAST(sum(y) AS BIGINT) * 10000) // count(*) AS pos_rate_bp
+    FROM bk GROUP BY 1 ORDER BY 1"""
   })
 
   /** HILBERT vs Z-ORDER data-skipping comparison — the second half of

@@ -193,6 +193,55 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cnt_pair/n_a/n_b evidence: ${wp.mkString(",")}")
   }
 
+  test("q_lda_calibration machinery: planted separable data yields a MONOTONE reliability diagram") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // the corpus query's table is prior-dominated (documented: the flat
+    // diagram IS its honest diagnostic); the math is certified here on
+    // planted separable classes — same expressions, same bucket rule
+    val rows = (0 until 4000).map { i =>
+      val y = i % 2
+      // class-1 features sit higher with md5-free deterministic jitter
+      val x1 = 100L + 200L * y + (i * 37 % 97)
+      val x2 = 50L + 100L * y + (i * 53 % 89)
+      (y.toLong, x1, x2)
+    }
+    val f = rows.toDF("y", "x1", "x2")
+    val m = f.agg(
+      sum(expr("CASE WHEN y = 0 THEN 1L ELSE 0L END")).as("n0"),
+      sum(expr("CASE WHEN y = 0 THEN x1 ELSE 0L END")).as("s1_0"),
+      sum(expr("CASE WHEN y = 0 THEN x2 ELSE 0L END")).as("s2_0"),
+      sum(expr("CASE WHEN y = 0 THEN x1 * x1 ELSE 0L END")).as("s11_0"),
+      sum(expr("CASE WHEN y = 0 THEN x1 * x2 ELSE 0L END")).as("s12_0"),
+      sum(expr("CASE WHEN y = 0 THEN x2 * x2 ELSE 0L END")).as("s22_0"),
+      sum(expr("CASE WHEN y = 1 THEN 1L ELSE 0L END")).as("n1"),
+      sum(expr("CASE WHEN y = 1 THEN x1 ELSE 0L END")).as("s1_1"),
+      sum(expr("CASE WHEN y = 1 THEN x2 ELSE 0L END")).as("s2_1"),
+      sum(expr("CASE WHEN y = 1 THEN x1 * x1 ELSE 0L END")).as("s11_1"),
+      sum(expr("CASE WHEN y = 1 THEN x1 * x2 ELSE 0L END")).as("s12_1"),
+      sum(expr("CASE WHEN y = 1 THEN x2 * x2 ELSE 0L END")).as("s22_1"))
+    val model = graft.ops.Fit.ldaSolve(m).select("w1_milli", "w2_milli", "thr", "flip")
+    val scored = f.crossJoin(broadcast(model))
+      .withColumn("margin", expr(
+        """CASE WHEN flip THEN thr - (w1_milli * x1 + w2_milli * x2)
+           ELSE (w1_milli * x1 + w2_milli * x2) - thr END"""))
+    val rng = scored.agg(min("margin").as("mn"), max("margin").as("mx"))
+    val tab = scored.crossJoin(broadcast(rng))
+      .withColumn("bucket", expr("((margin - mn) * 8) DIV (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .withColumn("pos_rate_bp", expr("(n_pos * 10000) DIV n"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(tab.map(_._1).forall(b => b >= 0 && b <= 7))
+    assert(tab.map(_._2).sum == 4000L, "every row lands in exactly one bucket")
+    // separable classes: the lowest bucket is (near-)pure class 0, the
+    // highest (near-)pure class 1, and the diagram rises end to end
+    assert(tab.head._3 <= 1000L, s"low-margin bucket should be class-0: ${tab.toSeq}")
+    assert(tab.last._3 >= 9000L, s"high-margin bucket should be class-1: ${tab.toSeq}")
+    assert(tab.last._3 - tab.head._3 >= 8000L, s"diagram must rise: ${tab.toSeq}")
+  }
+
   test("dedup_minhash_bbit: provable invariants — truth pairs >= 5000 bp, estimates clamped, constant pair set") {
     spark.sparkContext.setLogLevel("ERROR")
     val rows = graft.queries.Dedup.minhashBbit.fn(spark, "/root/testdata/sf0.001")
