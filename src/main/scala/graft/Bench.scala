@@ -114,14 +114,23 @@ object Bench {
     // r9 "8.94 s text_edit_pairs" phantom cost a manual investigation
     // that a normalized per-query diff dismisses in seconds.
     if (names.isEmpty) try {
-      val dir = java.nio.file.Paths.get("/root/repo/bench_history")
+      // repo-root-relative (GRAFT_BENCH_HISTORY overrides; else the
+      // launch cwd — sbt runs from the checkout), never a hardcoded
+      // absolute path: a moved checkout must not archive into a stale
+      // tree, and a failed write must WARN, not vanish.
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_HISTORY",
+          s"${System.getProperty("user.dir")}/bench_history"))
       java.nio.file.Files.createDirectories(dir)
       val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
         .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
       val sfTag = sfDir.replaceAll(".*sf", "sf").replaceAll("[^a-zA-Z0-9.]", "")
       java.nio.file.Files.write(dir.resolve(s"bench_${stamp}_$sfTag.json"),
         (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"WARNING: bench_history archive write failed: $e")
+    }
     spark.stop()
   }
 }

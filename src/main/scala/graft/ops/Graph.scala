@@ -489,10 +489,9 @@ object Graph {
     * plan for ANY block count — pinned in SeriesOpsSpec.
     */
   private def trianglesBlocked(und: DataFrame, blocks: Int): DataFrame = {
-    val (oriented, m, packable) = orientedWithBounds(und)
+    val (oriented, _, packable) = orientedWithBounds(und)
     val x = oriented.select(col("u"), col("w").as("b"), col("dw").as("db"))
     val y = oriented.select(col("u"), col("w").as("c"), col("dw").as("dc"))
-    val spark = und.sparkSession
     var acc: DataFrame = null
     for (k <- 0 until blocks) {
       val wedgesK = x.join(y.hint("shuffle_hash"), "u")
@@ -501,8 +500,13 @@ object Graph {
         .select(col("u").as("a"), col("b"), col("c"))
       val edgesK = oriented
         .filter(pmod(col("u") + col("w"), lit(blocks.toLong)) === k)
+      // broadcast gate on the MEASURED block size, not m/blocks by
+      // expectation — a skewed pmod(u + w) distribution could otherwise
+      // broadcast a block several times the cap. One count per block
+      // over the persisted oriented set: trivial beside the block join.
+      val mK = edgesK.count()
       val closure: DataFrame => DataFrame =
-        if (m / blocks <= 20000000L) d => broadcast(d)
+        if (mK <= 20000000L) d => broadcast(d)
         else d => d.hint("shuffle_hash")
       val triK =
         (if (packable)

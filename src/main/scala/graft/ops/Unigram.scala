@@ -57,6 +57,30 @@ object Unigram {
 
   final case class Piece(piece: String, isChar: Boolean, usage: Long, cost: Long)
 
+  /** UTF-8 byte-order string comparison — the collation Spark's
+    * UTF8String binary ordering AND DuckDB's default varchar sort use.
+    * Every driver-side tie-break in this trainer (and its streaming
+    * twin) goes through this, NOT Scala's UTF-16 code-unit `compareTo`,
+    * so tied counts at a selection boundary pick the SAME word on the
+    * driver, in Spark SQL, and in the DuckDB oracle even for
+    * supplementary-plane characters.
+    */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  val utf8Ordering: Ordering[String] =
+    new Ordering[String] { def compare(a: String, b: String): Int = utf8Compare(a, b) }
+
   /** Exact integer log₂(n/d) in [[FracBits]]-bit fixed point, n ≥ d > 0:
     * integer part k from the quotient's bit length, mantissa in [1,2)
     * as a truncating `FracBits`-bit ratio, fractional bits by the
@@ -136,6 +160,15 @@ object Unigram {
   def trainFromStats(words: Seq[(String, Long)]): Seq[Piece] = {
     require(words.nonEmpty, "unigram: empty word stats")
     require(words.size <= TopWords, s"unigram: word stats exceed TopWords cap (${words.size})")
+    // the encode oracle's wd CTE errors loudly past the unroll bound;
+    // the TRAINING side must too, or a long top-1024 word would be
+    // segmented by the driver but silently dropped from the oracle's
+    // 12-position usage recount (query-vs-oracle divergence with no
+    // domain signal — the loud-failure rule).
+    words.find(_._1.length > DpUnroll).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"unigram: training word longer than the $DpUnroll-position DP unroll: $w")
+    }
     val charF = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val multiF = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     for ((w, c) <- words; l <- 1 to MaxPiece; i <- 0 to w.length - l) {
@@ -143,7 +176,11 @@ object Unigram {
       if (l == 1) charF(p) += c else multiF(p) += c
     }
     val chars = charF.toSeq.map { case (p, u) => (p, true, u) }
-    val seeds = multiF.toSeq.sortBy { case (p, u) => (-u, p) }.take(SeedMulti)
+    // (usage DESC, piece) ties resolved in UTF-8 byte order — the
+    // collation the Spark/DuckDB twins of this selection sort by
+    val byUsageDescPiece: Ordering[(String, Long)] =
+      Ordering.by[(String, Long), Long](-_._2).orElse(Ordering.by[(String, Long), String](_._1)(utf8Ordering))
+    val seeds = multiF.toSeq.sorted(byUsageDescPiece).take(SeedMulti)
       .map { case (p, u) => (p, false, u) }
     var vocab: Seq[(String, Boolean, Long)] = chars ++ seeds
     for (_ <- 1 to Rounds) {
@@ -153,13 +190,13 @@ object Unigram {
       for ((w, c) <- words; p <- viterbi(w, cost)) usage(p) += c
       val chars2 = vocab.filter(_._2).map(v => (v._1, true, usage(v._1)))
       val multi2 = usage.toSeq.filter(_._1.length >= 2)
-        .sortBy { case (p, u) => (-u, p) }.take(KeepMulti)
+        .sorted(byUsageDescPiece).take(KeepMulti)
         .map { case (p, u) => (p, false, u) }
       vocab = chars2 ++ multi2
     }
     val total = vocab.map(_._3 + 1).sum
     vocab.map(v => Piece(v._1, v._2, v._3, log2Fix(total, v._3 + 1)))
-      .sortBy(_.piece)
+      .sortBy(_.piece)(utf8Ordering)
   }
 
   /** Train on the documents table: one bounded collect, driver EM. */

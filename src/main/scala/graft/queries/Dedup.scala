@@ -1037,7 +1037,14 @@ object Dedup {
     * aggregation (the lsh_eval composition rule); pair volume is the
     * df-capped exact miner's, never all-pairs.
     */
-  val minhashBbit: Q = Q("dedup_minhash_bbit", (s, dir) => {
+  /** Shared (jbp, x0..x15, y0..y15) relation of the b-bit calibration:
+    * exact-Jaccard (≥ 0.5) ground-truth pairs joined to both documents'
+    * 16-slot minhash signatures. The query, its streaming twin
+    * ([[graft.streaming.BbitProcessor]]) and their specs all compose
+    * from THIS builder (the lsh_eval composition rule) so batch/stream
+    * parity is structural, not re-derived.
+    */
+  def bbitPairSignatures(s: SparkSession, dir: String): DataFrame = {
     val shRaw = hashedShingles(s, dir).persist()
     val shc = graft.ops.Scale.capGroups(shRaw, "sh", DfCap).persist()
     val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -1053,12 +1060,15 @@ object Dedup {
     val sig = graft.ops.Lsh.signaturesHashed(shRaw, "doc_id")
       .select(col("doc_id") +:
         (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-    val j = pairs
+    pairs
       .join(sig.select(col("doc_id").as("d1") +:
         (0 until 16).map(i => col(s"m$i").as(s"x$i")): _*), "d1")
       .join(sig.select(col("doc_id").as("d2") +:
         (0 until 16).map(i => col(s"m$i").as(s"y$i")): _*), "d2")
-      .persist()
+  }
+
+  val minhashBbit: Q = Q("dedup_minhash_bbit", (s, dir) => {
+    val j = bbitPairSignatures(s, dir).persist()
     Seq(1, 2, 4, 8).map { bb =>
       val mask = (1L << bb) - 1
       val agree = (0 until 16)

@@ -28,7 +28,7 @@ object Similarity {
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
     embedCoresetGreedy, embedCoresetKcenter, embedRrfFusion, embedMmrRerank,
-    embedCoresetLazy, embedRnnPairs, annRecallEval)
+    embedCoresetLazy, embedRnnPairs, annRecallEval, annShardManifest)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -565,6 +565,98 @@ object Similarity {
       FROM pairs)
     SELECT q_id, CAST(cell AS BIGINT) AS cell, rnk, c_id, round(sim, 4) AS cosine
     FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
+  /** IVF SHARD-ROUTING MANIFEST — the deployment step between a trained
+    * IVF index and a 100-TB serving layout (the FAISS IVF-on-shards
+    * pattern the ann_ivfpq_residual docstring cites): assign the coarse
+    * cells to `ShardCount` serving shards by LOAD, where a cell's load
+    * = pop² (its population × the candidate volume a query probing it
+    * scans, under self-similar query traffic), and report per shard the
+    * cell list, population, load share, and the probe fan-out the
+    * nprobe=2 query routing actually produces against it.
+    *
+    * Apportionment is the exact cumulative-quota discipline
+    * ([[graft.ops.Sample.temperatureAlloc]] / layout_compaction_plan):
+    * cells ordered (load DESC, label), shard = load-before × S DIV
+    * total — floors telescope, so every shard's load is within one
+    * max-cell of ideal and shard ids are structurally < S. Zero rand(),
+    * zero float.
+    *
+    * Scale shape: the only data-sized work is ONE population aggregate
+    * over the embeddings scan (+ the shared centroid aggregate); the
+    * manifest is #cells rows, its window sits on that aggregate
+    * (sanctioned), and query routing is a BROADCAST join of the tiny
+    * manifest onto the assignments — no data-sized shuffle anywhere
+    * (pinned in ScaleSpec). Headroom: pop² needs pop < 3·10⁹ per cell;
+    * ANSI throws loudly past it.
+    */
+  val annShardManifest: Q = Q("ann_shard_manifest", (s, dir) => {
+    val S = 4
+    val n = normed(s, dir)
+    val pop = n.groupBy("label").agg(count(lit(1)).as("pop"))
+      .withColumn("cell_load", expr("pop * pop"))
+    val tot = pop.agg(sum("cell_load").as("tload"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cell_load").desc, col("label").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val manifest = pop.withColumn("cum", sum("cell_load").over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("shard", expr(s"((cum - cell_load) * $S) DIV tload"))
+    val assigned = assignCells(n, centroids(n), nprobe = 2)
+    val route = assigned.select(col("q_id"), col("cell"))
+      .join(broadcast(manifest.select(col("label").as("cell"), col("shard"))),
+        Seq("cell"))
+    val hits = route.groupBy("shard").agg(count(lit(1)).as("probe_hits"),
+      countDistinct("q_id").as("probe_queries"))
+    manifest.groupBy("shard")
+      .agg(count(lit(1)).as("n_cells"),
+        expr("array_join(transform(array_sort(collect_list(label)), x -> CAST(x AS STRING)), ',')")
+          .as("cells"),
+        sum("pop").as("pop"), sum("cell_load").as("cell_load"))
+      .crossJoin(broadcast(tot))
+      .withColumn("load_share_bp", expr("cell_load * 10000 DIV tload"))
+      .join(broadcast(hits), Seq("shard"), "left")
+      .select(col("shard"), col("n_cells"), col("cells"), col("pop"),
+        col("cell_load"), col("load_share_bp"),
+        coalesce(col("probe_hits"), lit(0L)).as("probe_hits"),
+        coalesce(col("probe_queries"), lit(0L)).as("probe_queries"))
+      .orderBy("shard")
+  }, Some("""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    pop AS (SELECT label, CAST(count(*) AS BIGINT) AS pop FROM e GROUP BY 1),
+    ld AS (SELECT label, pop, pop * pop AS cell_load FROM pop),
+    tot AS (SELECT CAST(sum(cell_load) AS BIGINT) AS tload FROM ld),
+    man AS (SELECT label, pop, cell_load,
+        CAST(sum(cell_load) OVER (ORDER BY cell_load DESC, label) AS BIGINT) AS cum
+      FROM ld),
+    sh AS (SELECT label, pop, cell_load,
+        ((cum - cell_load) * 4) // t.tload AS shard FROM man, tot t),
+    dims AS (SELECT label, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) GROUP BY label, i),
+    cent AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS cvec FROM dims GROUP BY label),
+    centn AS (SELECT label, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cent),
+    assigned AS (SELECT q_id, cell FROM (
+      SELECT q.vec_id AS q_id, c.label AS cell,
+        row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY round(list_dot_product(q.emb, c.cvec) / (q.nrm * c.cnrm), 6) DESC,
+                   c.label ASC) AS crn
+      FROM e q, centn c WHERE q.vec_id < 10) WHERE crn <= 2),
+    hits AS (SELECT s.shard, CAST(count(*) AS BIGINT) AS probe_hits,
+        CAST(count(DISTINCT a.q_id) AS BIGINT) AS probe_queries
+      FROM assigned a JOIN sh s ON s.label = a.cell GROUP BY 1),
+    agg AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_cells,
+        string_agg(label::VARCHAR, ',' ORDER BY label) AS cells,
+        CAST(sum(pop) AS BIGINT) AS pop, CAST(sum(cell_load) AS BIGINT) AS cell_load
+      FROM sh GROUP BY 1)
+    SELECT a.shard, a.n_cells, a.cells, a.pop, a.cell_load,
+      a.cell_load * 10000 // t.tload AS load_share_bp,
+      COALESCE(h.probe_hits, 0) AS probe_hits,
+      COALESCE(h.probe_queries, 0) AS probe_queries
+    FROM agg a CROSS JOIN tot t LEFT JOIN hits h ON h.shard = a.shard
+    ORDER BY a.shard"""))
 
   /** Fused native dot product ([[graft.expressions.DotProductDouble]]) —
     * bit-identical to the previous aggregate(zip_with) fold (same

@@ -28,7 +28,7 @@ object TextOps {
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
     multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal,
-    wordpieceMerges)
+    wordpieceMerges, trainerCoverage)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -2821,4 +2821,107 @@ object TextOps {
     FROM wdc d JOIN np p USING (word)
     GROUP BY 1, 2
     ORDER BY bits_per_word_e3 DESC, doc_id LIMIT 25"""))
+
+  /** TRAINER COVERAGE diagnostIC — un-silences every quality bound the
+    * tokenizer trainers carry (the repo's no-silent-caps rule): a cap
+    * that bounds trainer STATE is fine at 100 TB, but nothing upstream
+    * reported what fraction of the corpus the capped trainer actually
+    * saw. One row per bound, exact integers:
+    *
+    *  - `unigram_top_words_mass` / `_types`: token mass and word types
+    *    inside [[graft.ops.Unigram.TopWords]] top-1024 word stats — THE
+    *    silent quality bound of the unigram trainer (the tail outside
+    *    the cap grows with corpus size; the spec pins the monotone
+    *    degradation across SFs).
+    *  - `unigram_dp_unroll`: token mass of words within the 12-position
+    *    DP unroll (the encode path raise_errors past it — this row says
+    *    how close the corpus sits to that edge).
+    *  - `wordpiece_merge_mass`: adjacent-pair mass captured by the
+    *    adopted likelihood-gain merges vs the round-0 pair total (the
+    *    rounds hyperparameter's coverage; wordpiece has NO stats cap —
+    *    it scans the full corpus each round).
+    *
+    * Scale shape: one word-count aggregate (persisted, three bounded
+    * reads), a TakeOrdered-1024 re-aggregate, and the same per-round
+    * aggregates pipeline_wordpiece_merges already runs — every output
+    * relation is 1 row; no data-sized window/collect.
+    */
+  val trainerCoverage: Q = Q("pipeline_trainer_coverage", (s, dir) => {
+    import graft.ops.{Text, Unigram}
+    val docs = Tables.t(s, dir, "documents")
+    val wc = docs
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt")).persist()
+    val tot = wc.agg(
+      sum("cnt").as("mass_total"), count(lit(1)).as("types_total"),
+      sum(expr(s"CASE WHEN length(word) <= ${Unigram.DpUnroll} THEN cnt ELSE 0L END"))
+        .as("mass_unroll"))
+    val top = wc.orderBy(col("cnt").desc, col("word")).limit(Unigram.TopWords)
+      .agg(sum("cnt").as("mass_top"), count(lit(1)).as("types_top"))
+    val base = docs.select(Text.bpeInitSeq(col("text")).as("seq"))
+    val (merges, _) = Text.wordpieceTrain(base, "seq", wordpieceRounds)
+    val pairTot = Text.bpePairCounts(base, "seq")
+      .agg(sum("cnt").as("pair_total"))
+    val mergeMass = merges.agg(coalesce(sum("cnt_pair"), lit(0L)).as("merge_mass"))
+    val uni = tot.crossJoin(broadcast(top))
+    val r1 = uni.select(lit("unigram_dp_unroll").as("trainer"),
+      lit(Unigram.DpUnroll.toLong).as("cap"), lit("token_mass").as("units"),
+      col("mass_unroll").as("seen"), col("mass_total").as("total"))
+    val r2 = uni.select(lit("unigram_top_words_mass").as("trainer"),
+      lit(Unigram.TopWords.toLong).as("cap"), lit("token_mass").as("units"),
+      col("mass_top").as("seen"), col("mass_total").as("total"))
+    val r3 = uni.select(lit("unigram_top_words_types").as("trainer"),
+      lit(Unigram.TopWords.toLong).as("cap"), lit("word_types").as("units"),
+      col("types_top").as("seen"), col("types_total").as("total"))
+    val r4 = mergeMass.crossJoin(broadcast(pairTot))
+      .select(lit("wordpiece_merge_mass").as("trainer"),
+        lit(wordpieceRounds.toLong).as("cap"), lit("pair_mass").as("units"),
+        col("merge_mass").as("seen"), col("pair_total").as("total"))
+    r1.unionByName(r2).unionByName(r3).unionByName(r4)
+      .withColumn("coverage_bp", expr("seen * 10000 DIV total"))
+      .orderBy("trainer")
+  }, Some {
+    import graft.ops.{Text, Unigram}
+    val chain = (1 to wordpieceRounds).map { r =>
+      s""",
+      u$r AS MATERIALIZED (${Text.wordpieceSymsSql(s"s${r - 1}")}),
+      m$r AS MATERIALIZED (${Text.wordpiecePickSql(s"s${r - 1}", s"u$r")}),
+      s$r AS MATERIALIZED (SELECT ${Text.bpeApplyMergeSql("seq", s"m$r")} AS seq
+        FROM s${r - 1})"""
+    }.mkString
+    val mergeCnts = (1 to wordpieceRounds)
+      .map(r => s"SELECT cnt FROM m$r").mkString(" UNION ALL ")
+    s"""WITH wc AS MATERIALIZED (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS mass_total,
+        CAST(count(*) AS BIGINT) AS types_total,
+        CAST(sum(CASE WHEN length(word) <= ${Unigram.DpUnroll} THEN cnt ELSE 0 END) AS BIGINT) AS mass_unroll
+      FROM wc),
+    top AS (SELECT CAST(sum(cnt) AS BIGINT) AS mass_top,
+        CAST(count(*) AS BIGINT) AS types_top
+      FROM (SELECT cnt FROM wc ORDER BY cnt DESC, word LIMIT ${Unigram.TopWords})),
+    s0 AS MATERIALIZED (
+      SELECT ${Text.bpeInitSeqSql("text")} AS seq FROM documents)$chain,
+    pt AS (SELECT CAST(sum(cnt) AS BIGINT) AS pair_total
+      FROM (${Text.bpePairCountsSql("s0", "seq")})),
+    mm AS (SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS merge_mass
+      FROM ($mergeCnts))
+    SELECT trainer, cap, units, seen, total, seen * 10000 // total AS coverage_bp
+    FROM (
+      SELECT 'unigram_dp_unroll' AS trainer, CAST(${Unigram.DpUnroll} AS BIGINT) AS cap,
+        'token_mass' AS units, mass_unroll AS seen, mass_total AS total FROM tot
+      UNION ALL
+      SELECT 'unigram_top_words_mass', CAST(${Unigram.TopWords} AS BIGINT),
+        'token_mass', mass_top, mass_total FROM tot, top
+      UNION ALL
+      SELECT 'unigram_top_words_types', CAST(${Unigram.TopWords} AS BIGINT),
+        'word_types', types_top, types_total FROM tot, top
+      UNION ALL
+      SELECT 'wordpiece_merge_mass', CAST($wordpieceRounds AS BIGINT),
+        'pair_mass', merge_mass, pair_total FROM mm, pt)
+    ORDER BY trainer"""
+  })
 }

@@ -54,9 +54,13 @@ class UnigramProcessor
     }
     if (stats.isEmpty) Iterator.empty
     else {
-      // the batch trainer's top-V selection: (cnt DESC, word) is total
-      val top = stats.sortBy { case (w, c) => (-c, w) }
-        .take(graft.ops.Unigram.TopWords)
+      // the batch trainer's top-V selection: (cnt DESC, word) is total;
+      // ties in UTF-8 BYTE order — Spark's UTF8String binary sort, not
+      // Scala's UTF-16 compareTo — so the boundary word matches batch
+      // wordStats even for supplementary-plane characters
+      val top = stats.sortWith { case ((w1, c1), (w2, c2)) =>
+        c1 > c2 || (c1 == c2 && graft.ops.Unigram.utf8Compare(w1, w2) < 0)
+      }.take(graft.ops.Unigram.TopWords)
       val vocab = graft.ops.Unigram.trainFromStats(top)
       Iterator((key, stats.size.toLong, stats.map(_._2).sum,
         UnigramProcessor.render(vocab)))
@@ -70,7 +74,7 @@ object UnigramProcessor {
     * both the processor and the batch-parity assert compare.
     */
   def render(vocab: Seq[graft.ops.Unigram.Piece]): String =
-    vocab.sortBy(_.piece)
+    vocab.sortBy(_.piece)(graft.ops.Unigram.utf8Ordering)
       .map(p => s"${p.piece}:${p.usage}:${p.cost}").mkString(" ")
 
   /** Rows: (corpusKey, word, cnt) → after each batch one running

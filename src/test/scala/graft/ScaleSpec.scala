@@ -930,4 +930,22 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
+
+  test("round-11 ann_shard_manifest: routing is broadcast-only — no shuffled join anywhere") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // the manifest is #cells rows and every join in the query carries an
+    // explicit broadcast() (query→shard routing, totals, probe census):
+    // with autoBroadcastJoinThreshold=-1 in this session, ANY shuffled
+    // join in the plan means a data-sized exchange crept into what must
+    // stay a broadcast-route at 100 TB
+    val df = graft.queries.Similarity.annShardManifest
+      .fn(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE: finalize before reading the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shard routing must not shuffle a join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast routing joins:\n$plan")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
 }

@@ -9,6 +9,14 @@ import java.nio.file.Files
 object StreamingSpec {
   // executor-side sink capture (local mode: same JVM)
   val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  // top-level (not a suite method): the closure must not capture the
+  // non-serializable scalatest engine
+  def bbitParse(l: String): (String, Long, Seq[Long], Seq[Long]) = {
+    val p = l.split(';')
+    ("c", p(0).toLong, p(1).split(',').toSeq.map(_.toLong),
+      p(2).split(',').toSeq.map(_.toLong))
+  }
 }
 
 /** End-to-end Structured Streaming slice: file source → graphite parse →
@@ -3915,5 +3923,93 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       reg.upsert("li", snapA("li"))
       assert(reg.snapshot("li") == snapB("li"), "monotone-mass upsert must ignore replays")
     } finally mq.stop()
+  }
+
+  /** The shared bbit pair feed: (jbp, x[16], y[16]) rows of
+    * [[graft.queries.Dedup.bbitPairSignatures]] at sf0.001, formatted
+    * one per line for a file-source stream, plus the batch calibration
+    * table they must reproduce.
+    */
+  private def bbitFixture(): (Array[String], Map[Long, (Long, Long, Long, Long)]) = {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Dedup.bbitPairSignatures(spark, sfDir)
+      .orderBy("d1", "d2").collect().map { r =>
+        val jbp = r.getLong(r.fieldIndex("jbp"))
+        val xs = (0 until 16).map(i => r.getLong(r.fieldIndex(s"x$i"))).mkString(",")
+        val ys = (0 until 16).map(i => r.getLong(r.fieldIndex(s"y$i"))).mkString(",")
+        s"$jbp;$xs;$ys"
+      }
+    spark.catalog.clearCache()
+    val want = graft.queries.Dedup.minhashBbit.fn(spark, sfDir).collect().map { r =>
+      r.getLong(r.fieldIndex("b")) ->
+        ((r.getLong(r.fieldIndex("n_pairs")), r.getLong(r.fieldIndex("mae_bp")),
+          r.getLong(r.fieldIndex("mean_est_bp")), r.getLong(r.fieldIndex("mean_exact_bp"))))
+    }.toMap
+    spark.catalog.clearCache()
+    (rows, want)
+  }
+
+  test("BbitProcessor: running b-bit calibration == dedup_minhash_bbit after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = bbitFixture()
+    assert(lines.length >= 4, "fixture must carry ground-truth pairs")
+    val dir = Files.createTempDirectory("graft_bbit_in").toFile
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String].map(StreamingSpec.bbitParse)
+    val q = graft.streaming.BbitProcessor(spark, src)
+      .toDF("key", "b", "n_pairs", "mae_bp", "mean_est_bp", "mean_exact_bp")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_bbit_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        b2.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      // n_pairs only grows: the max-n row per b is the final census
+      val got = spark.sql(
+          """SELECT b, max_by(mae_bp, n_pairs), max_by(mean_est_bp, n_pairs),
+               max_by(mean_exact_bp, n_pairs), max(n_pairs)
+             FROM graft_bbit_out GROUP BY b""")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(4), r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want, s"streamed calibration diverged: $got vs $want")
+    } finally q.stop()
+  }
+
+  test("BbitProcessor recovers its census across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = bbitFixture()
+    val dir = Files.createTempDirectory("graft_bbit_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_bbit_ck").toString
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String].map(StreamingSpec.bbitParse)
+      graft.streaming.BbitProcessor(spark, src)
+        .toDF("key", "b", "n_pairs", "mae_bp", "mean_est_bp", "mean_exact_bp")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => out.add(
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath,
+      b2.mkString("\n").getBytes("UTF-8"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(Long, Long, Long, Long, Long)])
+      .groupBy(_._1).map { case (b, xs) =>
+        val last = xs.maxBy(_._2)
+        b -> ((last._2, last._3, last._4, last._5))
+      }
+    assert(got == want, s"post-restart calibration diverged: $got vs $want")
   }
 }

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Per-round bench diff with host-shift normalization (r9 verdict task #3).
+"""Per-round bench diff with host-shift normalization (r9 verdict task #3;
+pooled-min mode added per r10 verdict task #4).
 
 Full-run totals at sf0.1 swing +/-5% run-to-run and individual queries
 +/-2x on this host, with the in-run noise probe unable to see CROSS-run
@@ -15,20 +16,30 @@ Inputs are bench records in any of three shapes:
     rounds still contribute their alphabetical tail as the shared set,
   * a bare {"queries": {...}} object.
 
+Each side may be a GLOB (or comma-separated list) matching several
+archives: the side is then POOLED -- per-query MIN across all matched
+records -- so one noise-inflated final snapshot cannot raise phantom
+flags (the r10 lesson: the driver's BENCH_r10.json was the worst of four
+same-day runs and flagged two queries the judge had to reps-4 dismiss).
+Pool a round's record with e.g.:
+
+  tools/bench_compare.py 'bench_history/bench_2026081[0-5]*' NEW.json
+
 Usage:
-  tools/bench_compare.py OLD.json NEW.json [--flag 1.3] [--out report.json]
+  tools/bench_compare.py OLD NEW [--flag 1.3] [--out report.json]
 
 Exit code is 0 even with flags (it is a report, not a gate); the reps-4
 re-check list is the actionable output:
   tools/run_main.sh graft.Bench --reps 4 <flagged...>
 """
+import argparse
+import glob
 import json
 import re
 import statistics
-import sys
 
 
-def load_queries(path):
+def load_one(path):
     """Return (queries: dict name->sec, meta: dict) from any known shape."""
     raw = open(path).read()
     try:
@@ -68,6 +79,38 @@ def load_queries(path):
     raise SystemExit(f"{path}: unrecognized bench record shape")
 
 
+def expand(spec):
+    """A side spec -> list of paths: comma-separated parts, each globbed
+    (a literal path is its own 1-element glob)."""
+    paths = []
+    for part in spec.split(","):
+        hits = sorted(glob.glob(part))
+        if not hits:
+            raise SystemExit(f"{part}: no such file (glob matched nothing)")
+        paths.extend(hits)
+    return paths
+
+
+def load_queries(spec):
+    """Load one side. Multiple matched records pool by per-query MIN --
+    a query's best observed time is its record; single files load as-is."""
+    paths = expand(spec)
+    if len(paths) == 1:
+        return load_one(paths[0])
+    pooled, metas = {}, []
+    for p in paths:
+        qs, meta = load_one(p)
+        meta["path"] = p
+        metas.append(meta)
+        for q, sec in qs.items():
+            if q not in pooled or sec < pooled[q]:
+                pooled[q] = sec
+    return pooled, {"pooled_from": [m.get("path") for m in metas],
+                    "n_records": len(paths),
+                    "total_min_pooled": round(sum(pooled.values()), 3),
+                    "records": metas}
+
+
 def compare(old_qs, new_qs, flag_bar):
     shared = sorted(set(old_qs) & set(new_qs))
     if not shared:
@@ -91,31 +134,27 @@ def compare(old_qs, new_qs, flag_bar):
     return shift, rows
 
 
-def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    flag_bar = 1.3
-    out_path = None
-    for i, a in enumerate(argv):
-        if a == "--flag":
-            flag_bar = float(argv[i + 1])
-            args.remove(argv[i + 1])
-        if a == "--out":
-            out_path = argv[i + 1]
-            args.remove(out_path)
-    if len(args) != 2:
-        raise SystemExit(__doc__)
-    old_path, new_path = args
-    old_qs, old_meta = load_queries(old_path)
-    new_qs, new_meta = load_queries(new_path)
-    shift, rows = compare(old_qs, new_qs, flag_bar)
+def main():
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("old", help="old record: path, glob, or comma list "
+                               "(multiple matches pool by per-query min)")
+    ap.add_argument("new", help="new record: same forms as OLD")
+    ap.add_argument("--flag", type=float, default=1.3,
+                    help="residual ratio above which a query flags (default 1.3)")
+    ap.add_argument("--out", help="write the full JSON report here")
+    args = ap.parse_args()
+    old_qs, old_meta = load_queries(args.old)
+    new_qs, new_meta = load_queries(args.new)
+    shift, rows = compare(old_qs, new_qs, args.flag)
     flagged = [r for r in rows if r["flag"]]
     only_new = sorted(set(new_qs) - set(old_qs))
     only_old = sorted(set(old_qs) - set(new_qs))
     report = {
-        "old": old_path, "new": new_path,
+        "old": args.old, "new": args.new,
         "old_meta": old_meta, "new_meta": new_meta,
         "n_shared": len(rows), "host_shift_median_ratio": round(shift, 3),
-        "flag_bar_residual": flag_bar,
+        "flag_bar_residual": args.flag,
         "flagged": flagged,
         "queries_only_in_new": only_new, "queries_only_in_old": only_old,
         "top10_residual": rows[:10],
@@ -124,8 +163,8 @@ def main(argv):
             " ".join(r["query"] for r in flagged)) if flagged else None,
     }
     text = json.dumps(report, indent=1)
-    if out_path:
-        open(out_path, "w").write(text + "\n")
+    if args.out:
+        open(args.out, "w").write(text + "\n")
     print(f"shared={len(rows)} host_shift={shift:.3f} "
           f"flagged={len(flagged)} new_only={len(only_new)}")
     for r in flagged:
@@ -133,9 +172,9 @@ def main(argv):
               f"(ratio {r['ratio']}, residual {r['residual']})")
     if report["recheck_cmd"]:
         print("re-check: " + report["recheck_cmd"])
-    if not out_path:
+    if not args.out:
         print(text)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    main()
