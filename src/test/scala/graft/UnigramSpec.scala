@@ -104,4 +104,29 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage != null)
   }
+
+  test("trainFromStats fails LOUDLY on a training word past the DP unroll (oracle wd-guard twin)") {
+    val long = Seq.fill(Unigram.DpUnroll + 1)("a").mkString
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.trainFromStats(Seq("ab" -> 5L, long -> 3L))
+    }
+    assert(ex.getMessage.contains("DP unroll"), ex.getMessage)
+  }
+
+  test("utf8Compare orders like UTF-8 bytes, not UTF-16 code units (supplementary plane)") {
+    // U+10000 is UTF-16 surrogate pair (D800 DC00) but UTF-8 F0 90 80 80;
+    // U+E000 is UTF-16 E000 but UTF-8 EE 80 80 — Scala's compareTo puts
+    // the surrogate FIRST, UTF-8 byte order (Spark UTF8String / DuckDB
+    // binary collation) puts it LAST. The trainer's tie-breaks must use
+    // the latter.
+    val supp = new String(Character.toChars(0x10000))
+    val priv = "\uE000"
+    assert(supp.compareTo(priv) < 0, "precondition: UTF-16 order differs")
+    assert(Unigram.utf8Compare(supp, priv) > 0, "utf8Compare must follow byte order")
+    // prefix rule and equality
+    assert(Unigram.utf8Compare("ab", "abc") < 0)
+    assert(Unigram.utf8Compare("abc", "abc") == 0)
+    // ASCII agrees with String order
+    assert(Unigram.utf8Compare("abc", "abd") < 0)
+  }
 }
