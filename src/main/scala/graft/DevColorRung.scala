@@ -30,10 +30,14 @@ object DevColorRung {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }
-    def dropCaches(): Unit = {
+    // returns true iff the page cache was actually dropped — a failed
+    // write (no root, read-only /proc) would otherwise silently turn
+    // the "cold" rung into a warm run, the exact cache-state ambiguity
+    // this harness exists to remove
+    def dropCaches(): Boolean = {
       new ProcessBuilder("sync").inheritIO().start().waitFor()
       val p = new ProcessBuilder("sh", "-c", "echo 3 > /proc/sys/vm/drop_caches")
-      p.start().waitFor()
+      p.start().waitFor() == 0
     }
     def probe(dir: String): Double = {
       val t0 = System.nanoTime()
@@ -45,7 +49,9 @@ object DevColorRung {
       .map(n => n -> SparkEntry.queries(n))
     dirs.foreach { dir =>
       qs.foreach { case (name, fn) =>
-        teardown(); dropCaches()
+        teardown()
+        val dropped = dropCaches()
+        val coldLabel = if (dropped) "cache_cold" else "cache_cold_UNVERIFIED"
         val p0 = probe(dir)
         val t0 = System.nanoTime()
         fn(spark, dir).count()
@@ -57,7 +63,7 @@ object DevColorRung {
         val warm = (System.nanoTime() - t1) / 1e9
         teardown()
         val p2 = probe(dir)
-        println(f"COLORRUNG $dir $name cache_cold=$cold%.1f warm=$warm%.1f " +
+        println(f"COLORRUNG $dir $name $coldLabel=$cold%.1f warm=$warm%.1f " +
           f"probes=[$p0%.2f,$p1%.2f,$p2%.2f]")
       }
     }

@@ -29,10 +29,12 @@ object DevLshRung {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }
-    def dropCaches(): Unit = {
+    // true iff the cache drop actually happened (same guard as
+    // DevColorRung — a silent failure would label a warm run "cold")
+    def dropCaches(): Boolean = {
       new ProcessBuilder("sync").inheritIO().start().waitFor()
       val p = new ProcessBuilder("sh", "-c", "echo 3 > /proc/sys/vm/drop_caches")
-      p.start().waitFor()
+      p.start().waitFor() == 0
     }
     def probe(dir: String): Double = {
       val t0 = System.nanoTime()
@@ -44,7 +46,9 @@ object DevLshRung {
       .map(n => n -> SparkEntry.queries(n))
     dirs.foreach { dir =>
       qs.foreach { case (name, fn) =>
-        teardown(); dropCaches()
+        teardown()
+        val dropped = dropCaches()
+        val coldLabel = if (dropped) "cache_cold" else "cache_cold_UNVERIFIED"
         val p0 = probe(dir)
         val t0 = System.nanoTime()
         fn(spark, dir).count()
@@ -56,7 +60,7 @@ object DevLshRung {
         val warm = (System.nanoTime() - t1) / 1e9
         teardown()
         val p2 = probe(dir)
-        println(f"LSHRUNG $dir $name cache_cold=$cold%.1f warm=$warm%.1f " +
+        println(f"LSHRUNG $dir $name $coldLabel=$cold%.1f warm=$warm%.1f " +
           f"probes=[$p0%.2f,$p1%.2f,$p2%.2f]")
       }
     }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * on a synthetic 5M-row / 50k-group / k=3 selection — the shape where
   * the window form must shuffle and SORT all 5M rows to keep 150k.
   * Run: sbt "runMain graft.DevTopk". Findings recorded in the adopting
-  * commit and CLAUDE.md.
+  * commit and the build notes.
   */
 object DevTopk {
   def main(args: Array[String]): Unit = {

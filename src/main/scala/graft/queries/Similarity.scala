@@ -590,8 +590,15 @@ object Similarity {
     * (pinned in ScaleSpec). Headroom: pop² needs pop < 3·10⁹ per cell;
     * ANSI throws loudly past it.
     */
+  /** Serving shard count for ann_shard_manifest / ann_shard_rebalance —
+    * ONE constant interpolated into BOTH the Spark plan and the oracle
+    * SQL (a literal on only one side would silently diverge them until
+    * the next Verify run).
+    */
+  private val ShardCount = 4
+
   val annShardManifest: Q = Q("ann_shard_manifest", (s, dir) => {
-    val S = 4
+    val S = ShardCount
     val n = normed(s, dir)
     val pop = n.groupBy("label").agg(count(lit(1)).as("pop"))
       .withColumn("cell_load", expr("pop * pop"))
@@ -622,7 +629,7 @@ object Similarity {
         coalesce(col("probe_hits"), lit(0L)).as("probe_hits"),
         coalesce(col("probe_queries"), lit(0L)).as("probe_queries"))
       .orderBy("shard")
-  }, Some("""WITH e AS (
+  }, Some(s"""WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS emb,
         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings),
@@ -633,7 +640,7 @@ object Similarity {
         CAST(sum(cell_load) OVER (ORDER BY cell_load DESC, label) AS BIGINT) AS cum
       FROM ld),
     sh AS (SELECT label, pop, cell_load,
-        ((cum - cell_load) * 4) // t.tload AS shard FROM man, tot t),
+        ((cum - cell_load) * $ShardCount) // t.tload AS shard FROM man, tot t),
     dims AS (SELECT label, i AS pos, avg(emb[i]) AS cv
       FROM e, range(1, 65) r(i) GROUP BY label, i),
     cent AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS cvec FROM dims GROUP BY label),
