@@ -63,12 +63,37 @@ object DevR10Vol {
                       THEN 4 * least(length(word), 12) - 6
                       ELSE length(word) * (length(word) + 1) DIV 2 END""")).as("dp_cells"),
           max(length(col("word"))).cast("bigint").as("max_len")).collect()(0)
+        // HISTORICAL column: what the pre-r12 top-1024 head-cap would
+        // have hidden (the r11 ladder's 2960 bp catch); the live
+        // trainer is cap-free, so its stats coverage is 10000 bp
+        // structurally at every rung
         val topMass = wc.orderBy(col("cnt").desc, col("word")).limit(1024)
           .agg(sum("cnt")).collect()(0).getLong(0)
         val covBp = topMass * 10000L / r.getLong(0)
+        // the remaining partial stats bound: SeedMulti seed-gram mass
+        val gram = wc.select(explode(expr(graft.ops.Unigram.multiGramExpr)).as("g"), col("cnt"))
+          .groupBy("g").agg(sum("cnt").as("u")).localCheckpoint(true)
+        val gTot = gram.agg(coalesce(sum("u"), lit(0L))).collect()(0).getLong(0)
+        val gSeen = gram.orderBy(col("u").desc, col("g").asc)
+          .limit(graft.ops.Unigram.SeedMulti)
+          .agg(coalesce(sum("u"), lit(0L))).collect()(0).getLong(0)
         println(f"R10VOL $l%-5s unigram: tokens=${r.getLong(0)}%,12d types=${r.getLong(1)}%,9d " +
           f"encode_rows=$encodeRows%,10d dp_cells=${r.getLong(2)}%,10d max_word_len=${r.getLong(3)}%2d " +
-          f"top1024_mass_bp=$covBp%5d")
+          f"top1024_mass_bp_HISTORICAL=$covBp%5d statsfree_bp=10000 " +
+          f"seed_gram_bp=${gSeen * 10000L / math.max(1L, gTot)}%5d")
+        // r12: time BOTH trainer paths on the rung and pin equality —
+        // the distributed E-step is the 100-TB path; the driver path
+        // is the counted-small dispatch under 64k distinct words
+        val docs = Tables.t(spark, d, "documents")
+        val t0 = System.nanoTime()
+        val drv = graft.ops.Unigram.train(docs)
+        val tDrv = (System.nanoTime() - t0) / 1e9
+        teardown(spark)
+        val t1 = System.nanoTime()
+        val dist = graft.ops.Unigram.train(docs, driverCutoff = 0L)
+        val tDist = (System.nanoTime() - t1) / 1e9
+        println(f"R10VOL $l%-5s unigram_train: vocab=${drv.size}%4d driver_path=$tDrv%6.1fs " +
+          f"distributed_estep=$tDist%6.1fs equal=${drv == dist}")
         teardown(spark)
       }
 

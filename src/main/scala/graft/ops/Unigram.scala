@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * arXiv:1804.10959) — the second tokenizer-training family beside
   * [[Text.bpeTrain]], re-expressed in the house disciplines:
   *
-  *  - **Counted-small driver EM** (the bpeTrain pattern): the only
-  *    distributed work in training is ONE word-count aggregate whose
-  *    output is structurally bounded by the top-`TopWords` cap; the
-  *    EM-prune rounds run on the driver in exact Long arithmetic over
-  *    that bounded table, exactly where merges.txt lives in every real
-  *    tokenizer trainer. At 100 TB the scan is the data-sized part and
-  *    the trainer state never grows past `TopWords + SeedMulti` rows.
+  *  - **Cap-free distributed E-step** (round 12; r11 verdict task #1):
+  *    training reads ONE corpus-sized word-count aggregate — with NO
+  *    head-cap (the former top-1024 cap hid 70% of token mass at the
+  *    ×128 rung) — and each EM round's per-word Viterbi expectation
+  *    runs as a vocabulary-sized DataFrame job ([[pathUsage]]: the
+  *    encode DP's unrolled codegen'd projections plus an unrolled
+  *    backtrack emitting the best-path pieces). Only piece-set-bounded
+  *    decisions (seed selection, prune, renorm) touch the driver, so
+  *    driver state never grows past |charset| + `SeedMulti` rows at
+  *    ANY corpus size. Vocabularies under [[DriverStatsCutoff]] take
+  *    the bit-identical counted-small driver path ([[trainFromStats]],
+  *    the bpeTrain pattern) — a performance dispatch, not a cap.
   *  - **Fixed-point E-step** (the quantized-econometrics discipline):
   *    piece costs are −log₂ P(piece) in `FracBits`-bit fixed point,
   *    computed by the exact integer shift-and-square algorithm
@@ -47,8 +52,17 @@ import org.apache.spark.sql.functions._
 object Unigram {
 
   val MaxPiece = 4 // max piece length considered (seed + DP lookback)
-  val TopWords = 1024 // trainer word-stat cap: (cnt DESC, word) top-V
   val SeedMulti = 40 // seed multi-char candidates kept: (freq DESC, piece)
+  /** Counted-small fast-path bound: word-stat tables at or under this
+    * many DISTINCT words are collected and EM'd on the driver
+    * ([[trainFromStats]]); larger vocabularies run the DISTRIBUTED
+    * E-step ([[trainDistributed]]). A PERFORMANCE cutoff only — both
+    * paths are bit-identical (pinned in UnigramSpec), unlike the
+    * former top-1024 stats CAP this replaces, which silently dropped
+    * the tail's token mass (the ×128 coverage ladder measured 70%
+    * hidden; r11 verdict task #1).
+    */
+  val DriverStatsCutoff = 65536L
   val KeepMulti = 24 // per-round prune survivor count (multi-char)
   val Rounds = 3 // EM rounds
   val FracBits = 16 // fixed-point fractional bits of the log2 costs
@@ -80,6 +94,38 @@ object Unigram {
 
   val utf8Ordering: Ordering[String] =
     new Ordering[String] { def compare(a: String, b: String): Int = utf8Compare(a, b) }
+
+  /** (usage DESC, piece UTF-8) — the total selection order every
+    * driver-side top-K in this trainer (seeds, prune survivors, the
+    * coverage census) shares with its Spark `orderBy(desc, asc)` /
+    * DuckDB `ORDER BY ... DESC, ...` twins.
+    */
+  val byUsageDescPiece: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), Long](-_._2)
+      .orElse(Ordering.by[(String, Long), String](_._1)(utf8Ordering))
+
+  /** Code-point segmentation of a word — the position space Spark's
+    * `substr`/`length` (UTF8String.numChars) and DuckDB's varchar
+    * functions index: code POINTS, not UTF-16 code units. Every
+    * driver-side DP index, substring enumeration, and length guard in
+    * this trainer walks these, so the driver twin is bit-identical to
+    * the SQL twins even for supplementary-plane words (a 7-character
+    * supplementary word is 14 Scala code units but 7 positions in both
+    * engines — the r11 ADVICE parity gap, closed at the root).
+    */
+  def codePoints(w: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      b += w.substring(i, i + n)
+      i += n
+    }
+    b.result()
+  }
+
+  /** Code-point length — what SQL `length()` returns in both engines. */
+  def cpLen(w: String): Int = w.codePointCount(0, w.length)
 
   /** Exact integer log₂(n/d) in [[FracBits]]-bit fixed point, n ≥ d > 0:
     * integer part k from the quotient's bit length, mantissa in [1,2)
@@ -114,9 +160,12 @@ object Unigram {
     * then smaller start position of the last piece (strict `<` over
     * ascending j keeps the first winner). Out-of-vocab single chars
     * cost [[UnkCost]]; longer out-of-vocab substrings are infeasible.
+    * Positions are CODE POINTS ([[codePoints]]) — the SQL twins' index
+    * space.
     */
   def viterbi(w: String, cost: Map[String, Long]): List[String] = {
-    val n = w.length
+    val cp = codePoints(w)
+    val n = cp.length
     val Inf = Long.MaxValue / 4
     val best = Array.fill(n + 1)(Inf)
     val bj = Array.fill(n + 1)(-1)
@@ -125,7 +174,7 @@ object Unigram {
     while (i <= n) {
       var j = math.max(0, i - MaxPiece)
       while (j < i) {
-        val c = cost.getOrElse(w.substring(j, i),
+        val c = cost.getOrElse(cp.slice(j, i).mkString,
           if (i - j == 1) UnkCost else Inf)
         if (best(j) < Inf && c < Inf && best(j) + c < best(i)) {
           best(i) = best(j) + c
@@ -137,49 +186,52 @@ object Unigram {
     }
     var out = List.empty[String]
     var p = n
-    while (p > 0) { out = w.substring(bj(p), p) :: out; p = bj(p) }
+    while (p > 0) { out = cp.slice(bj(p), p).mkString :: out; p = bj(p) }
     out
   }
 
-  /** Top-`TopWords` word stats of a documents relation — the ONE
-    * distributed trainer input (words = nonempty lowercase space
-    * tokens; selection order (cnt DESC, word) is total, so the
-    * collected set is deterministic at every SF).
+  /** FULL word stats of a documents relation — the ONE corpus-sized
+    * trainer input (words = nonempty lowercase space tokens). CAP-FREE
+    * since round 12: the former (cnt DESC, word) top-1024 head-cap is
+    * gone — at the ×128 rung it hid 70% of token mass from the trainer
+    * (the pipeline_trainer_coverage diagnostic's first real catch).
+    * The output is vocabulary-sized, stays a DataFrame, and is never
+    * collected on the distributed path.
     */
   def wordStats(docs: DataFrame): DataFrame =
     docs
       .select(explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word")).limit(TopWords)
 
-  /** Driver EM over collected word stats. Bounded: `words` has at most
-    * [[TopWords]] rows by construction (the limit sits in
-    * [[wordStats]]), the vocab at most |chars| + [[SeedMulti]] rows.
-    * Returns the final vocab sorted by piece.
+  /** Driver EM over word stats — the exact REFERENCE twin of
+    * [[trainDistributed]] (pinned bit-identical in UnigramSpec) and
+    * the counted-small fast path under [[DriverStatsCutoff]]. All
+    * enumeration, DP indexing, and length guards are in CODE-POINT
+    * space ([[codePoints]]), so this loop matches the Spark/DuckDB
+    * substr/length semantics exactly, supplementary plane included.
+    * Vocab is piece-set-bounded: |charset| + [[SeedMulti]] rows.
     */
   def trainFromStats(words: Seq[(String, Long)]): Seq[Piece] = {
     require(words.nonEmpty, "unigram: empty word stats")
-    require(words.size <= TopWords, s"unigram: word stats exceed TopWords cap (${words.size})")
     // the encode oracle's wd CTE errors loudly past the unroll bound;
-    // the TRAINING side must too, or a long top-1024 word would be
-    // segmented by the driver but silently dropped from the oracle's
-    // 12-position usage recount (query-vs-oracle divergence with no
-    // domain signal — the loud-failure rule).
-    words.find(_._1.length > DpUnroll).foreach { case (w, _) =>
+    // the TRAINING side must too, or a long word would be segmented by
+    // the driver but silently dropped from the oracle's 12-position
+    // usage recount (query-vs-oracle divergence with no domain signal
+    // — the loud-failure rule). Guard in code points = SQL length().
+    words.find(w => cpLen(w._1) > DpUnroll).foreach { case (w, _) =>
       throw new IllegalArgumentException(
         s"unigram: training word longer than the $DpUnroll-position DP unroll: $w")
     }
     val charF = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val multiF = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    for ((w, c) <- words; l <- 1 to MaxPiece; i <- 0 to w.length - l) {
-      val p = w.substring(i, i + l)
-      if (l == 1) charF(p) += c else multiF(p) += c
+    for ((w, c) <- words) {
+      val cp = codePoints(w)
+      for (l <- 1 to MaxPiece; i <- 0 to cp.length - l) {
+        val p = cp.slice(i, i + l).mkString
+        if (l == 1) charF(p) += c else multiF(p) += c
+      }
     }
     val chars = charF.toSeq.map { case (p, u) => (p, true, u) }
-    // (usage DESC, piece) ties resolved in UTF-8 byte order — the
-    // collation the Spark/DuckDB twins of this selection sort by
-    val byUsageDescPiece: Ordering[(String, Long)] =
-      Ordering.by[(String, Long), Long](-_._2).orElse(Ordering.by[(String, Long), String](_._1)(utf8Ordering))
     val seeds = multiF.toSeq.sorted(byUsageDescPiece).take(SeedMulti)
       .map { case (p, u) => (p, false, u) }
     var vocab: Seq[(String, Boolean, Long)] = chars ++ seeds
@@ -189,7 +241,7 @@ object Unigram {
       val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
       for ((w, c) <- words; p <- viterbi(w, cost)) usage(p) += c
       val chars2 = vocab.filter(_._2).map(v => (v._1, true, usage(v._1)))
-      val multi2 = usage.toSeq.filter(_._1.length >= 2)
+      val multi2 = usage.toSeq.filter(p => cpLen(p._1) >= 2)
         .sorted(byUsageDescPiece).take(KeepMulti)
         .map { case (p, u) => (p, false, u) }
       vocab = chars2 ++ multi2
@@ -199,10 +251,154 @@ object Unigram {
       .sortBy(_.piece)(utf8Ordering)
   }
 
-  /** Train on the documents table: one bounded collect, driver EM. */
-  def train(docs: DataFrame): Seq[Piece] =
-    trainFromStats(wordStats(docs).collect().toSeq
-      .map(r => (r.getString(0), r.getLong(1))))
+  /** All multi-char seed grams of a `word` column (code-point lengths
+    * 2..[[MaxPiece]]) — the Spark twin of [[trainFromStats]]'s multiF
+    * enumeration and the oracle's sd0 CTE. The CASE guards short words
+    * (Spark sequence(2, 1) DESCENDS — the house quirk — instead of
+    * being empty).
+    */
+  def multiGramExpr: String =
+    s"""CASE WHEN length(word) >= 2 THEN
+          flatten(transform(sequence(2, least($MaxPiece, length(word))),
+            l -> transform(sequence(1, length(word) - l + 1), i -> substr(word, i, l))))
+        ELSE CAST(array() AS ARRAY<STRING>) END"""
+
+  /** Backtrack stages appended after [[dpStages]]: walk the packed
+    * states from the word's final position back to 0, emitting the
+    * best-path piece of each step (≤ [[DpUnroll]] steps; pieces come
+    * out last-first — irrelevant to the usage recount). The p0 stage
+    * raise_errors past the unroll bound — the training-side loud
+    * guard; the oracle's w0 CTE carries the same error() CASE.
+    */
+  def backtrackStages: Seq[Seq[(String, String)]] = {
+    // shiftright() by NAME: Spark 4.1's selectExpr parser rejects the
+    // `>>` operator when its LEFT operand ends in a closing paren (the
+    // generics-vs-shift lexer ambiguity — `st3 >> 8` on a bare column,
+    // as in dpStages, is fine; `element_at(...) >> 4` is a
+    // PARSE_SYNTAX_ERROR)
+    def stAt(p: String) =
+      s"element_at(array(${(1 to DpUnroll).map(i => s"st$i").mkString(", ")}), CAST($p AS INT))"
+    val init = Seq(Seq("p0" ->
+      s"""CASE WHEN wl > $DpUnroll THEN raise_error(concat(
+            'unigram: training word longer than the $DpUnroll-position DP unroll: ', word))
+          ELSE CAST(wl AS BIGINT) END"""))
+    val steps = (1 to DpUnroll).map { k =>
+      val prev = s"p${k - 1}"
+      val j = s"(shiftright(${stAt(prev)}, 4) & 15)"
+      Seq(
+        s"piece$k" -> s"""CASE WHEN $prev > 0
+            THEN substr(word, CAST($j AS INT) + 1, CAST($prev - $j AS INT))
+            ELSE CAST(NULL AS STRING) END""",
+        s"p$k" -> s"CASE WHEN $prev > 0 THEN $j ELSE CAST(0 AS BIGINT) END")
+    }
+    init ++ steps
+  }
+
+  /** Per-piece best-path usage mass over a (word, cnt) relation with
+    * `cost` as a literal map — the DISTRIBUTED E-step: ONE codegen'd
+    * job (DP + backtrack as unrolled projections, a piece explode, a
+    * map-side-combining aggregate), output bounded by the piece set.
+    */
+  def pathUsage(words: DataFrame, cost: Seq[(String, Long)]): DataFrame = {
+    val vm = map(cost.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+    val base = words
+      .withColumn("wl", length(col("word")).cast("int"))
+      .withColumn("vm", vm)
+    Geo.applyStages(Geo.applyStages(base, dpStages), backtrackStages)
+      .select(explode(expr(
+        s"filter(array(${(1 to DpUnroll).map(k => s"piece$k").mkString(", ")}), x -> x IS NOT NULL)"))
+        .as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("usage"))
+  }
+
+  /** DISTRIBUTED trainer (r11 verdict task #1): the same hard-EM as
+    * [[trainFromStats]] with every corpus/vocabulary-sized step as a
+    * DataFrame job — the stats path is CAP-FREE. Driver state is
+    * piece-set-bounded only: the charset aggregate (Unicode-bounded),
+    * the [[SeedMulti]] seed selection (TakeOrderedAndProject — never a
+    * global sort), and per-round usage aggregates (≤ |vocab| rows).
+    * `words` must be materialized by the caller (localCheckpoint —
+    * 2 + [[Rounds]] small jobs re-read it).
+    */
+  def trainDistributed(words: DataFrame): Seq[Piece] = {
+    val chars = words
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))")).as("piece"),
+        col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("usage"))
+      .collect().map(r => (r.getString(0), true, r.getLong(1))).toSeq
+    require(chars.nonEmpty, "unigram: empty word stats")
+    val seeds = words
+      .select(explode(expr(multiGramExpr)).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("usage"))
+      .orderBy(col("usage").desc, col("piece").asc).limit(SeedMulti)
+      .collect().map(r => (r.getString(0), false, r.getLong(1))).toSeq
+    var vocab: Seq[(String, Boolean, Long)] = chars ++ seeds
+    for (_ <- 1 to Rounds) {
+      val total = vocab.map(_._3 + 1).sum
+      val cost = vocab.map(v => v._1 -> log2Fix(total, v._3 + 1))
+      val usage = pathUsage(words, cost).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val chars2 = vocab.filter(_._2).map(v => (v._1, true, usage(v._1)))
+      val multi2 = usage.toSeq.filter(p => cpLen(p._1) >= 2)
+        .sorted(byUsageDescPiece).take(KeepMulti)
+        .map { case (p, u) => (p, false, u) }
+      vocab = chars2 ++ multi2
+    }
+    val total = vocab.map(_._3 + 1).sum
+    vocab.map(v => Piece(v._1, v._2, v._3, log2Fix(total, v._3 + 1)))
+      .sortBy(_.piece)(utf8Ordering)
+  }
+
+  /** Train on the documents table: ONE corpus-sized word-count
+    * aggregate (eagerly checkpointed — both paths and the count read
+    * it without re-scanning the corpus), then the adaptive
+    * counted-small dispatch: vocabularies at or under `driverCutoff`
+    * distinct words collect and EM on the driver; larger ones run the
+    * distributed E-step. Bit-identical either way (UnigramSpec pins
+    * cutoff 0 ≡ default on the corpus and on planted vocabularies).
+    */
+  def train(docs: DataFrame, driverCutoff: Long = DriverStatsCutoff): Seq[Piece] = {
+    val words = wordStats(docs).localCheckpoint(true)
+    val n = words.count()
+    require(n > 0, "unigram: empty word stats")
+    if (n <= driverCutoff)
+      trainFromStats(words.collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+    else trainDistributed(words)
+  }
+
+  /** Driver census of the unigram trainer-coverage rows over a word-
+    * stats table — the streaming twin's per-batch recompute (the
+    * UnigramProcessor MapState is the stats table; all quantities are
+    * piece-set/vocab-bounded) and the planted-corpus mirror the specs
+    * pin the batch query against. Returns (trainer, cap, units, seen,
+    * total) in the batch query's row order:
+    *  - unigram_dp_unroll: token mass of words within the 12-position
+    *    DP unroll (the trainer/encode raise past it).
+    *  - unigram_seed_multi: gram mass captured by the [[SeedMulti]]
+    *    seed selection vs all multi-gram mass — the trainer's one
+    *    remaining partial-coverage stats bound.
+    *  - unigram_stats_mass: cap 0 = UNCAPPED (successor of the r11
+    *    unigram_top_words_mass row after the r12 head-cap removal) —
+    *    structurally full coverage, kept so the ladder shows the cap
+    *    is gone rather than silently dropping the row.
+    */
+  def coverageCensus(stats: Seq[(String, Long)]): Seq[(String, Long, String, Long, Long)] = {
+    val massTotal = stats.map(_._2).sum
+    val massUnroll = stats.filter(s => cpLen(s._1) <= DpUnroll).map(_._2).sum
+    val grams = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- stats) {
+      val cp = codePoints(w)
+      for (l <- 2 to MaxPiece; i <- 0 to cp.length - l)
+        grams(cp.slice(i, i + l).mkString) += c
+    }
+    val gramTotal = grams.values.sum
+    val gramSeen = grams.toSeq.sorted(byUsageDescPiece).take(SeedMulti).map(_._2).sum
+    Seq(
+      ("unigram_dp_unroll", DpUnroll.toLong, "token_mass", massUnroll, massTotal),
+      ("unigram_seed_multi", SeedMulti.toLong, "gram_mass", gramSeen, gramTotal),
+      ("unigram_stats_mass", 0L, "token_mass", massTotal, massTotal))
+  }
 
   // ---- distributed encode: 12-position packed-state DP as unrolled ----
   // ---- codegen'd projections over a distinct-word relation          ----
@@ -266,11 +462,19 @@ object Unigram {
 
   // ---- DuckDB oracle: the whole pipeline as one unrolled CTE chain ----
 
+  // CAP-FREE since round 12 (the Spark twin dropped the top-1024 head-
+  // cap); the error() CASE is the training-side loud guard twin of the
+  // driver trainFromStats throw / the distributed backtrack p0 raise —
+  // without it a too-long word would silently vanish from the oracle's
+  // 12-position DP recount instead of failing the query.
   private def ws(src: String): String =
-    s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
-              FROM $src)
-        GROUP BY 1 ORDER BY cnt DESC, word LIMIT $TopWords"""
+    s"""SELECT CASE WHEN length(word) > $DpUnroll
+              THEN error('unigram: training word longer than the $DpUnroll-position DP unroll: ' || word)
+              ELSE word END AS word, cnt
+        FROM (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+                    FROM $src)
+              GROUP BY 1)"""
 
   /** (i, j) candidate grid over a word relation: end position i in
     * 1..len, last-piece start j in [max(0, i−K), i−1]. range() is not

@@ -2822,29 +2822,39 @@ object TextOps {
     GROUP BY 1, 2
     ORDER BY bits_per_word_e3 DESC, doc_id LIMIT 25"""))
 
-  /** TRAINER COVERAGE diagnostIC — un-silences every quality bound the
+  /** TRAINER COVERAGE diagnostic — un-silences every quality bound the
     * tokenizer trainers carry (the repo's no-silent-caps rule): a cap
     * that bounds trainer STATE is fine at 100 TB, but nothing upstream
     * reported what fraction of the corpus the capped trainer actually
     * saw. One row per bound, exact integers:
     *
-    *  - `unigram_top_words_mass` / `_types`: token mass and word types
-    *    inside [[graft.ops.Unigram.TopWords]] top-1024 word stats — THE
-    *    silent quality bound of the unigram trainer (the tail outside
-    *    the cap grows with corpus size; the spec pins the monotone
-    *    degradation across SFs).
     *  - `unigram_dp_unroll`: token mass of words within the 12-position
-    *    DP unroll (the encode path raise_errors past it — this row says
-    *    how close the corpus sits to that edge).
+    *    DP unroll (the trainer AND encode paths raise loudly past it —
+    *    this row says how close the corpus sits to that edge).
+    *  - `unigram_seed_multi`: multi-gram mass captured by the
+    *    [[graft.ops.Unigram.SeedMulti]] seed selection vs all 2..4-gram
+    *    mass — the unigram trainer's one remaining partial-coverage
+    *    stats bound after the r12 head-cap removal.
+    *  - `unigram_stats_mass`: cap 0 = UNCAPPED — the successor of the
+    *    r11 `unigram_top_words_mass` row. The top-1024 word-stat
+    *    head-cap this row used to measure (2960 bp at the ×128 rung —
+    *    its first real catch) is GONE: training stats are cap-free and
+    *    the E-step is distributed ([[graft.ops.Unigram.pathUsage]]),
+    *    so the row now reports structurally-full coverage. Kept so the
+    *    rung ladder SHOWS the cap removed instead of silently dropping
+    *    the row.
     *  - `wordpiece_merge_mass`: adjacent-pair mass captured by the
     *    adopted likelihood-gain merges vs the round-0 pair total (the
     *    rounds hyperparameter's coverage; wordpiece has NO stats cap —
     *    it scans the full corpus each round).
     *
-    * Scale shape: one word-count aggregate (persisted, three bounded
-    * reads), a TakeOrdered-1024 re-aggregate, and the same per-round
-    * aggregates pipeline_wordpiece_merges already runs — every output
-    * relation is 1 row; no data-sized window/collect.
+    * Scale shape: one word-count aggregate (persisted, bounded reads),
+    * a gram explode feeding a TakeOrdered-[[graft.ops.Unigram.SeedMulti]]
+    * re-aggregate, and the same per-round aggregates
+    * pipeline_wordpiece_merges already runs — every output relation is
+    * 1 row; no data-sized window/collect. The streaming twin
+    * ([[graft.streaming.TrainerCoverageProcessor]]) recomputes the
+    * unigram rows per batch from its word-stat MapState.
     */
   val trainerCoverage: Q = Q("pipeline_trainer_coverage", (s, dir) => {
     import graft.ops.{Text, Unigram}
@@ -2853,26 +2863,29 @@ object TextOps {
       .select(explode(expr("filter(split(lower(text), ' '), x -> x != '')")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt")).persist()
     val tot = wc.agg(
-      sum("cnt").as("mass_total"), count(lit(1)).as("types_total"),
+      sum("cnt").as("mass_total"),
       sum(expr(s"CASE WHEN length(word) <= ${Unigram.DpUnroll} THEN cnt ELSE 0L END"))
         .as("mass_unroll"))
-    val top = wc.orderBy(col("cnt").desc, col("word")).limit(Unigram.TopWords)
-      .agg(sum("cnt").as("mass_top"), count(lit(1)).as("types_top"))
+    val gram = wc.select(explode(expr(Unigram.multiGramExpr)).as("g"), col("cnt"))
+      .groupBy("g").agg(sum("cnt").as("u"))
+    val gramTot = gram.agg(coalesce(sum("u"), lit(0L)).as("gram_total"))
+    val gramSeen = gram.orderBy(col("u").desc, col("g").asc).limit(Unigram.SeedMulti)
+      .agg(coalesce(sum("u"), lit(0L)).as("gram_seen"))
     val base = docs.select(Text.bpeInitSeq(col("text")).as("seq"))
     val (merges, _) = Text.wordpieceTrain(base, "seq", wordpieceRounds)
     val pairTot = Text.bpePairCounts(base, "seq")
       .agg(sum("cnt").as("pair_total"))
     val mergeMass = merges.agg(coalesce(sum("cnt_pair"), lit(0L)).as("merge_mass"))
-    val uni = tot.crossJoin(broadcast(top))
-    val r1 = uni.select(lit("unigram_dp_unroll").as("trainer"),
+    val r1 = tot.select(lit("unigram_dp_unroll").as("trainer"),
       lit(Unigram.DpUnroll.toLong).as("cap"), lit("token_mass").as("units"),
       col("mass_unroll").as("seen"), col("mass_total").as("total"))
-    val r2 = uni.select(lit("unigram_top_words_mass").as("trainer"),
-      lit(Unigram.TopWords.toLong).as("cap"), lit("token_mass").as("units"),
-      col("mass_top").as("seen"), col("mass_total").as("total"))
-    val r3 = uni.select(lit("unigram_top_words_types").as("trainer"),
-      lit(Unigram.TopWords.toLong).as("cap"), lit("word_types").as("units"),
-      col("types_top").as("seen"), col("types_total").as("total"))
+    val r2 = gramSeen.crossJoin(broadcast(gramTot))
+      .select(lit("unigram_seed_multi").as("trainer"),
+        lit(Unigram.SeedMulti.toLong).as("cap"), lit("gram_mass").as("units"),
+        col("gram_seen").as("seen"), col("gram_total").as("total"))
+    val r3 = tot.select(lit("unigram_stats_mass").as("trainer"),
+      lit(0L).as("cap"), lit("token_mass").as("units"),
+      col("mass_total").as("seen"), col("mass_total").as("total"))
     val r4 = mergeMass.crossJoin(broadcast(pairTot))
       .select(lit("wordpiece_merge_mass").as("trainer"),
         lit(wordpieceRounds.toLong).as("cap"), lit("pair_mass").as("units"),
@@ -2897,12 +2910,19 @@ object TextOps {
             FROM documents)
       GROUP BY 1),
     tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS mass_total,
-        CAST(count(*) AS BIGINT) AS types_total,
         CAST(sum(CASE WHEN length(word) <= ${Unigram.DpUnroll} THEN cnt ELSE 0 END) AS BIGINT) AS mass_unroll
       FROM wc),
-    top AS (SELECT CAST(sum(cnt) AS BIGINT) AS mass_top,
-        CAST(count(*) AS BIGINT) AS types_top
-      FROM (SELECT cnt FROM wc ORDER BY cnt DESC, word LIMIT ${Unigram.TopWords})),
+    gm AS MATERIALIZED (
+      SELECT g, CAST(sum(cnt) AS BIGINT) AS u FROM (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS g, cnt
+        FROM (SELECT word, cnt, i,
+                unnest(list_transform(range(2, least(${Unigram.MaxPiece}, length(word) - i + 1) + 1), x -> x)) AS l
+              FROM (SELECT word, cnt, unnest(list_transform(range(1, length(word) + 1), x -> x)) AS i
+                    FROM wc)))
+      GROUP BY 1),
+    gt AS (SELECT CAST(COALESCE(sum(u), 0) AS BIGINT) AS gram_total FROM gm),
+    gs AS (SELECT CAST(COALESCE(sum(u), 0) AS BIGINT) AS gram_seen
+      FROM (SELECT u FROM gm ORDER BY u DESC, g LIMIT ${Unigram.SeedMulti})),
     s0 AS MATERIALIZED (
       SELECT ${Text.bpeInitSeqSql("text")} AS seq FROM documents)$chain,
     pt AS (SELECT CAST(sum(cnt) AS BIGINT) AS pair_total
@@ -2914,11 +2934,11 @@ object TextOps {
       SELECT 'unigram_dp_unroll' AS trainer, CAST(${Unigram.DpUnroll} AS BIGINT) AS cap,
         'token_mass' AS units, mass_unroll AS seen, mass_total AS total FROM tot
       UNION ALL
-      SELECT 'unigram_top_words_mass', CAST(${Unigram.TopWords} AS BIGINT),
-        'token_mass', mass_top, mass_total FROM tot, top
+      SELECT 'unigram_seed_multi', CAST(${Unigram.SeedMulti} AS BIGINT),
+        'gram_mass', gram_seen, gram_total FROM gs, gt
       UNION ALL
-      SELECT 'unigram_top_words_types', CAST(${Unigram.TopWords} AS BIGINT),
-        'word_types', types_top, types_total FROM tot, top
+      SELECT 'unigram_stats_mass', CAST(0 AS BIGINT),
+        'token_mass', mass_total, mass_total FROM tot
       UNION ALL
       SELECT 'wordpiece_merge_mass', CAST($wordpieceRounds AS BIGINT),
         'pair_mass', merge_mass, pair_total FROM mm, pt)

@@ -10,9 +10,10 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * are associative, so the map after any stream prefix equals the
   * batch word-count over that prefix), and after every micro-batch the
   * WHOLE deterministic EM-prune trainer re-runs on the accumulated
-  * stats — `trainFromStats` is pure fixed-point Long arithmetic on a
-  * top-1024-bounded table, i.e. milliseconds, the same counted-small
-  * economics as the batch driver loop. The final emission therefore
+  * stats — `trainFromStats` on the FULL map (cap-free, like the r12
+  * batch trainer): pure fixed-point Long arithmetic, vocabulary-
+  * bounded, the same counted-small economics as the batch driver
+  * fast path. The final emission therefore
   * equals the batch-trained vocabulary BIT-FOR-BIT under ANY split of
   * the stream (the RidgeProcessor/LdaProcessor contract), and each
   * intermediate emission is the exact vocabulary OF ITS PREFIX — the
@@ -54,14 +55,11 @@ class UnigramProcessor
     }
     if (stats.isEmpty) Iterator.empty
     else {
-      // the batch trainer's top-V selection: (cnt DESC, word) is total;
-      // ties in UTF-8 BYTE order — Spark's UTF8String binary sort, not
-      // Scala's UTF-16 compareTo — so the boundary word matches batch
-      // wordStats even for supplementary-plane characters
-      val top = stats.sortWith { case ((w1, c1), (w2, c2)) =>
-        c1 > c2 || (c1 == c2 && graft.ops.Unigram.utf8Compare(w1, w2) < 0)
-      }.take(graft.ops.Unigram.TopWords)
-      val vocab = graft.ops.Unigram.trainFromStats(top)
+      // cap-free, matching the r12 batch trainer: trainFromStats is
+      // order-independent over the stats multiset (all its internal
+      // selections sort totally, ties in UTF-8 byte order), so the
+      // MapState iteration order never matters
+      val vocab = graft.ops.Unigram.trainFromStats(stats)
       Iterator((key, stats.size.toLong, stats.map(_._2).sum,
         UnigramProcessor.render(vocab)))
     }

@@ -17,6 +17,11 @@ object StreamingSpec {
     ("c", p(0).toLong, p(1).split(',').toSeq.map(_.toLong),
       p(2).split(',').toSeq.map(_.toLong))
   }
+
+  def tcovParse(l: String): (String, String, Long) = {
+    val p = l.split(" ")
+    (p(0), p(1), 1L)
+  }
 }
 
 /** End-to-end Structured Streaming slice: file source → graphite parse →
@@ -3827,10 +3832,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // and the intermediate (prefix) emission is the exact prefix vocab
       val prefixWant = graft.streaming.UnigramProcessor.render(
         graft.ops.Unigram.trainFromStats(
-          b1.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
-            .sortBy { case (w, c) => (-c, w) }.take(graft.ops.Unigram.TopWords)))
+          b1.groupBy(_._2).view.mapValues(_.length.toLong).toSeq))
       assert(out.values().toArray.map(_.asInstanceOf[(Long, Long, String)])
         .exists(_._3 == prefixWant), "prefix emission must be the exact prefix vocabulary")
+    } finally q2.stop()
+  }
+
+  test("TrainerCoverageProcessor: running coverage census == batch diagnostic's unigram rows, across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfDir, "documents")
+    // batch expectation: the unigram rows of pipeline_trainer_coverage
+    val want = graft.queries.TextOps.trainerCoverage.fn(spark, sfDir).collect()
+      .filter(_.getString(0).startsWith("unigram_"))
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(want.size == 3, s"expected 3 unigram coverage rows: $want")
+    val rows = docs
+      .selectExpr("doc_id", "explode(filter(split(lower(text), ' '), x -> x != '')) AS word")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val dir = Files.createTempDirectory("graft_tcov_in").toFile
+    val ckpt = Files.createTempDirectory("graft_tcov_ck").toString
+    val out = new java.util.concurrent.ConcurrentHashMap[Long, Set[(String, Long, String, Long, Long)]]()
+    def fmt(rs: Array[(Long, String)]): Array[Byte] =
+      rs.map(r => s"corpus ${r._2}").mkString("\n").getBytes("UTF-8")
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map(StreamingSpec.tcovParse)
+      graft.streaming.TrainerCoverageProcessor(spark, src)
+        .toDF("k", "trainer", "cap", "units", "seen", "total")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rs = b.collect().map(r => (r.getString(1), r.getLong(2),
+            r.getString(3), r.getLong(4), r.getLong(5))).toSet
+          if (rs.nonEmpty) out.put(id, rs)
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    // batch 1, then KILL the query and restart from the checkpoint
+    Files.write(new java.io.File(dir, "b1.txt").toPath, fmt(b1))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    Files.write(new java.io.File(dir, "b2.txt").toPath, fmt(b2))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the final emission = the batch whose stats row covers ALL words
+      val fin = out.values().toArray.map(_.asInstanceOf[Set[(String, Long, String, Long, Long)]])
+        .find(_.exists(r => r._1 == "unigram_stats_mass" && r._5 == rows.length.toLong))
+      assert(fin.isDefined, s"no final-prefix emission found in ${out.values()}")
+      assert(fin.get == want,
+        s"restarted streamed census must equal the batch diagnostic:\n got ${fin.get}\nwant $want")
+      // every prefix emission satisfies the row invariants
+      out.values().forEach { rs =>
+        rs.foreach { case (t, cap, _, seen, total) =>
+          assert(seen >= 0 && seen <= total, s"$t: $seen/$total")
+          if (t == "unigram_stats_mass") assert(cap == 0L && seen == total)
+        }
+      }
     } finally q2.stop()
   }
 

@@ -6,16 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
 /** pipeline_trainer_coverage — the no-silent-caps diagnostic for the
-  * tokenizer trainers (r10 verdict task #3).
+  * tokenizer trainers (r10 verdict task #3; rows reworked in r12 when
+  * the unigram top-1024 stats head-cap was REMOVED — r11 verdict task
+  * #1).
   *
-  * On THIS corpus the unigram top-1024 cap covers 100% of token mass
-  * (the synthetic vocabulary is 31 words — honestly FLAT, the
-  * q_lda_calibration precedent), so the corpus test pins the exact
-  * invariants (coverage == 10000 bp whenever vocabulary ≤ cap;
-  * types_seen == min(cap, types_total); seen ≤ total always), and the
-  * MONOTONE-DEGRADATION claim — a growing corpus pushes mass outside
-  * the cap — is pinned on PLANTED corpora whose vocabulary actually
-  * outgrows 1024.
+  * The r11 planted-degradation pin (top-1024 mass coverage shrinking
+  * as the vocabulary outgrows the cap) is deliberately INVERTED now:
+  * the `unigram_stats_mass` successor row must stay structurally FULL
+  * (10000 bp) at every planted vocabulary size, because the cap it
+  * measured no longer exists. The remaining partial bound —
+  * `unigram_seed_multi`, the SeedMulti=40 seed-gram selection — is
+  * pinned against an INDEPENDENT driver-side mirror on the planted
+  * corpora (exact integers, not just monotonicity).
   */
 class TrainerCoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -39,33 +41,31 @@ class TrainerCoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     out
   }
 
-  test("corpus invariants: bounded bp, seen <= total, exact 10000 when vocab <= cap") {
+  test("corpus invariants: bounded bp, seen <= total, stats row structurally FULL (cap removed)") {
     spark.sparkContext.setLogLevel("ERROR")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
       val m = rows(sf)
-      assert(m.keySet == Set("unigram_dp_unroll", "unigram_top_words_mass",
-        "unigram_top_words_types", "wordpiece_merge_mass"), s"$sf: rows $m")
+      assert(m.keySet == Set("unigram_dp_unroll", "unigram_seed_multi",
+        "unigram_stats_mass", "wordpiece_merge_mass"), s"$sf: rows $m")
       m.foreach { case (t, (cap, seen, total, bp)) =>
-        assert(cap > 0 && seen >= 0 && seen <= total && bp >= 0 && bp <= 10000,
+        assert(cap >= 0 && seen >= 0 && seen <= total && bp >= 0 && bp <= 10000,
           s"$sf/$t: ($cap, $seen, $total, $bp)")
       }
-      val (cap, typesSeen, typesTotal, _) = m("unigram_top_words_types")
-      assert(typesSeen == math.min(cap, typesTotal),
-        s"$sf: top-V must select exactly min(cap, vocab) types")
-      if (typesTotal <= cap) {
-        assert(m("unigram_top_words_mass")._4 == 10000L,
-          s"$sf: vocab <= cap must mean FULL mass coverage (the honest flat)")
-        assert(m("unigram_top_words_mass")._2 == m("unigram_top_words_mass")._3)
-      }
+      val (sCap, sSeen, sTotal, sBp) = m("unigram_stats_mass")
+      assert(sCap == 0L && sSeen == sTotal && sBp == 10000L,
+        s"$sf: the cap-free stats row must report structurally-full coverage")
+      assert(m("unigram_dp_unroll")._1 == graft.ops.Unigram.DpUnroll.toLong)
+      val (gCap, gSeen, gTotal, gBp) = m("unigram_seed_multi")
+      assert(gCap == graft.ops.Unigram.SeedMulti.toLong && gSeen > 0 && gTotal >= gSeen
+        && gBp > 0, s"$sf: seed row ($gCap, $gSeen, $gTotal, $gBp)")
     }
   }
 
   /** Planted corpus: 1024 base words × 3 occurrences + `extras`
-    * singleton words, 16 words per document — vocabulary 1024 + extras,
-    * so the top-1024 trainer sees exactly the base mass and coverage =
-    * 3072 / (3072 + extras).
+    * singleton words, 16 words per document — a vocabulary of
+    * 1024 + extras that outgrew the FORMER top-1024 stats cap.
     */
-  private def planted(extras: Int): String = {
+  private def planted(extras: Int): (String, Seq[(String, Long)]) = {
     val dir = Files.createTempDirectory(s"graft_tcov_$extras").toString
     val base = (0 until 1024).flatMap(i => Seq.fill(3)(f"w$i%04d"))
     val extra = (0 until extras).map(i => f"x$i%05d")
@@ -75,23 +75,39 @@ class TrainerCoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, ws.mkString(" "), "en", "planted", ws.mkString(" ").length.toLong)
     }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(2).write.parquet(s"$dir/documents.parquet")
-    dir
+    val stats = (0 until 1024).map(i => (f"w$i%04d", 3L)) ++
+      (0 until extras).map(i => (f"x$i%05d", 1L))
+    (dir, stats)
   }
 
-  test("planted vocab growth: top-1024 mass coverage degrades monotonically") {
+  /** INDEPENDENT driver mirror of the seed-gram coverage: plain Scala
+    * substring enumeration (ASCII corpus, so String order ≡ UTF-8) —
+    * not routed through graft.ops.Unigram.
+    */
+  private def seedMirror(words: Seq[(String, Long)]): (Long, Long) = {
+    val g = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- words; l <- 2 to 4; i <- 0 to w.length - l)
+      g(w.substring(i, i + l)) += c
+    val total = g.values.sum
+    val seen = g.toSeq.sortBy { case (k, u) => (-u, k) }.take(40).map(_._2).sum
+    (seen, total)
+  }
+
+  test("planted vocab growth: stats row stays FULL (the r11 cap degradation is structurally gone); seed row matches the independent mirror exactly") {
     spark.sparkContext.setLogLevel("ERROR")
-    val cov = Seq(0, 1024, 3072).map { extras =>
-      val m = rows(planted(extras))
-      val (_, seen, total, bp) = m("unigram_top_words_mass")
-      // exact closed form: base mass 3·1024 inside the cap, extras outside
-      assert(seen == 3072L && total == 3072L + extras,
-        s"extras=$extras: ($seen, $total)")
-      assert(bp == seen * 10000L / total, s"extras=$extras: bp=$bp")
-      val (_, tSeen, tTotal, _) = m("unigram_top_words_types")
-      assert(tSeen == 1024L && tTotal == 1024L + extras)
-      bp
+    Seq(0, 1024, 3072).foreach { extras =>
+      val (dir, stats) = planted(extras)
+      val m = rows(dir)
+      val (cap, seen, total, bp) = m("unigram_stats_mass")
+      assert(cap == 0L && seen == 3072L + extras && total == seen && bp == 10000L,
+        s"extras=$extras: the cap-free trainer must see the WHOLE vocabulary " +
+          s"(the r11 cap reported ${3072L * 10000 / (3072L + extras)} bp here): ($cap, $seen, $total, $bp)")
+      val (want_seen, want_total) = seedMirror(stats)
+      val (_, gSeen, gTotal, gBp) = m("unigram_seed_multi")
+      assert((gSeen, gTotal) == ((want_seen, want_total)),
+        s"extras=$extras: seed coverage ($gSeen, $gTotal) vs mirror ($want_seen, $want_total)")
+      assert(gBp == want_seen * 10000 / want_total)
+      assert(m("unigram_dp_unroll")._4 == 10000L, "all planted words are within the unroll")
     }
-    assert(cov == cov.sorted.reverse && cov.distinct == cov,
-      s"coverage must strictly degrade with vocabulary growth: $cov")
   }
 }

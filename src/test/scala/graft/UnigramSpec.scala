@@ -113,6 +113,47 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("DP unroll"), ex.getMessage)
   }
 
+  test("DP-unroll guard counts CODE POINTS, not UTF-16 units (r11 advice parity fix)") {
+    // 7 supplementary-plane chars = 14 Scala code units but 7 SQL
+    // positions: the driver must TRAIN (the old code-unit guard threw
+    // where the Spark/DuckDB twins trained fine)
+    val s7 = new String(Character.toChars(0x10000)) * 7
+    val v = Unigram.trainFromStats(Seq(s7 -> 5L, "ab" -> 3L))
+    assert(v.nonEmpty && v.exists(_.piece == new String(Character.toChars(0x10000))))
+    // and 13 code points must still throw
+    val s13 = new String(Character.toChars(0x10000)) * (Unigram.DpUnroll + 1)
+    intercept[IllegalArgumentException](Unigram.trainFromStats(Seq(s13 -> 5L)))
+  }
+
+  test("distributed E-step == driver EM: cap-free parity on a planted >1024-word vocabulary (ties + supplementary plane)") {
+    import spark.implicits._
+    // 1500 distinct words — past the FORMER top-1024 head-cap — with a
+    // dense count-tie structure (i % 7 cycles) so seed/prune boundary
+    // ties are actually exercised, plus supplementary-plane words so
+    // the DP/backtrack and all driver enumerations run in code-point
+    // space on both paths, plus planted compressible structure
+    val supp = new String(Character.toChars(0x10400))
+    val words: Seq[(String, Long)] =
+      (0 until 1500).map(i => (f"w${i % 97}%02dx$i", (i % 7 + 1).toLong)) ++
+        Seq((supp * 3, 11L), (s"a$supp${supp}b", 7L),
+          ("xyxyxyxy", 200L), ("xyxy", 100L), ("xy", 50L))
+    val wordsDf = words.toDF("word", "cnt").repartition(4).localCheckpoint(true)
+    val dist = Unigram.trainDistributed(wordsDf)
+    val drv = Unigram.trainFromStats(words)
+    assert(dist.size == drv.size && dist == drv,
+      s"distributed vs driver EM diverged:\n dist=$dist\n drv =$drv")
+    // the planted piece still survives on both
+    assert(dist.exists(p => !p.isChar && (p.piece == "xy" || p.piece == "xyxy")))
+  }
+
+  test("train: counted-small driver path == forced-distributed path on the corpus") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val viaDriver = Unigram.train(docs) // 31-word vocab -> driver fast path
+    val viaDist = Unigram.train(docs, driverCutoff = 0L) // forced distributed
+    assert(viaDriver.nonEmpty && viaDriver == viaDist)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("utf8Compare orders like UTF-8 bytes, not UTF-16 code units (supplementary plane)") {
     // U+10000 is UTF-16 surrogate pair (D800 DC00) but UTF-8 F0 90 80 80;
     // U+E000 is UTF-16 E000 but UTF-8 EE 80 80 — Scala's compareTo puts
