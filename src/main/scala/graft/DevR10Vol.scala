@@ -133,6 +133,16 @@ object DevR10Vol {
         teardown(spark)
       }
 
+      if (want("capcov")) {
+        // r11 verdict task #2: where each dedup cap first bites, per rung
+        graft.queries.Dedup.capCoverage.fn(spark, d).collect().foreach { r =>
+          println(f"R10VOL $l%-5s capcov ${r.getString(0)}%-18s cap=${r.getLong(1)}%4d " +
+            f"buckets=${r.getLong(2)}%,12d dropped=${r.getLong(3)}%,9d " +
+            f"pairs_total=${r.getLong(4)}%,14d admitted_bp=${r.getLong(6)}%5d")
+        }
+        teardown(spark)
+      }
+
       if (want("shard")) {
         val m = graft.queries.Similarity.annShardManifest.fn(spark, d)
           .agg(count(lit(1)).as("shards"), sum("n_cells").as("cells"),

@@ -100,6 +100,46 @@ object Scale {
       .filter(col("_gn") <= maxRows).drop("_gn")
   }
 
+  /** CAP-BITE CENSUS of a [[capGroups]] site (the no-silent-caps rule
+    * applied to the dedup candidate caps — r11 verdict task #2): over
+    * the UNCAPPED keyed relation, one row of exact integers saying what
+    * the cap admits vs drops in CANDIDATE-PAIR mass — a bucket of n
+    * postings generates n·(n−1)/2 pairs, so pair mass (not row mass) is
+    * the honest currency of a pair-miner cap. Columns: site, cap,
+    * buckets_total, buckets_dropped (n > cap — capGroups drops the
+    * whole group), pair_mass_total, pair_mass_admitted.
+    *
+    * Scale shape: two chained aggregates (bucket count, then the 1-row
+    * census) — no window, no join, no collect; strictly cheaper than
+    * the capGroups site it audits. Headroom: per-bucket n·(n−1)/2 needs
+    * n < 4.3e9 postings in ONE bucket (ANSI throws loudly past it —
+    * and a bucket that size is exactly what the audited cap exists to
+    * stop).
+    */
+  def capCensus(df: DataFrame, keyCols: Seq[String], cap: Long, site: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("bt"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("bd"),
+        sum(expr("n * (n - 1) DIV 2")).as("pt"),
+        sum(when(col("n") <= cap, expr("n * (n - 1) DIV 2")).otherwise(lit(0L))).as("pa"))
+      .select(lit(site).as("site"), lit(cap).as("cap"),
+        coalesce(col("bt"), lit(0L)).as("buckets_total"),
+        coalesce(col("bd"), lit(0L)).as("buckets_dropped"),
+        coalesce(col("pt"), lit(0L)).as("pair_mass_total"),
+        coalesce(col("pa"), lit(0L)).as("pair_mass_admitted"))
+
+  /** DuckDB twin of [[capCensus]] over CTE `src` (same column
+    * contract; `keyCols` are expressions valid in `src`'s scope).
+    */
+  def capCensusSql(src: String, keyCols: Seq[String], cap: Long, site: String): String =
+    s"""SELECT '$site' AS site, CAST($cap AS BIGINT) AS cap,
+      CAST(count(*) AS BIGINT) AS buckets_total,
+      CAST(COALESCE(sum(CASE WHEN n > $cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS buckets_dropped,
+      CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pair_mass_total,
+      CAST(COALESCE(sum(CASE WHEN n <= $cap THEN n * (n - 1) // 2 ELSE 0 END), 0) AS BIGINT) AS pair_mass_admitted
+    FROM (SELECT ${keyCols.mkString(", ")}, CAST(count(*) AS BIGINT) AS n
+          FROM $src GROUP BY ${keyCols.indices.map(_ + 1).mkString(", ")})"""
+
   /** Top-k rows per group through the NATIVE [[graft.plans.TopKPerGroup]]
     * operator instead of `row_number() OVER (...) <= k`: a bounded
     * per-partition selection runs BEFORE the exchange (≤ k rows per

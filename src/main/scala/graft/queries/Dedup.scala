@@ -30,7 +30,7 @@ object Dedup {
     dedupCrossSource, minhashContainment, dedupMaxSpan, dedupSpanApply,
     dedupSpanApplyBest, rougePairs, lshEval, groupKfold, cdcRewrite,
     lshBands, prefixFilter, urlCanonical, dedupRateBySource, symspell,
-    mergeMatching, lshTuning, minhashBbit)
+    mergeMatching, lshTuning, minhashBbit, capCoverage)
 
   /** Composed EVAL-set pipeline — the round-3 ops chained end-to-end the
     * way an eval-curation job runs them: (1) reproducible test split
@@ -1493,9 +1493,13 @@ object Dedup {
   /** The full symspell pair pipeline — (a, b, kind) rows, shared by the
     * [[symspell]] query and [[mergeMatching]]'s merge scheduler.
     */
-  private[graft] def symspellPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The UNCAPPED deletion-neighborhood posting relation (id, p, vh,
+    * fh) — exposed so the cap-bite census (dedup_cap_coverage) audits
+    * the same relation the pair miner caps.
+    */
+  private[graft] def symspellPosts(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.Md5Hash60.register(s)
-    val posts = symspellCorpus(s, dir)
+    symspellCorpus(s, dir)
       .select(col("doc_id").as("id"), col("t"),
         explode(expr("sequence(0, size(t))")).as("p"))
       .select(col("id"), col("p"),
@@ -1504,7 +1508,16 @@ object Dedup {
         expr("array_join(t, ' ')").as("f"))
       .select(col("id"), col("p"),
         expr("graft_h60(v)").as("vh"), expr("graft_h60(f)").as("fh"))
-    val capped = graft.ops.Scale.capGroups(posts, "vh", 128)
+  }
+
+  /** The symspell variant-bucket cap ([[graft.ops.Scale.capGroups]] on
+    * the deletion-key hash).
+    */
+  private[graft] val SymspellCap = 128L
+
+  private[graft] def symspellPairs(s: SparkSession, dir: String): DataFrame = {
+    val posts = symspellPosts(s, dir)
+    val capped = graft.ops.Scale.capGroups(posts, "vh", SymspellCap)
     val lhs = capped.select(col("id").as("ia"), col("p").as("pa"),
       col("vh"), col("fh").as("fa"))
     val rhs = capped.select(col("id").as("ib"), col("p").as("pb"),
@@ -1537,7 +1550,11 @@ object Dedup {
   /** Oracle CTE chain ending in `sympairs(a, b, kind)` — the twin of
     * [[symspellPairs]], shared by both consumers.
     */
-  private[graft] lazy val symspellPairsSql: String = """toks AS (
+  /** DuckDB twin of [[symspellPosts]]: CTE chain ending in
+    * `posts(id, p, vh, fh)` — shared by the pair-miner oracle and the
+    * cap-census oracle.
+    */
+  private[graft] lazy val symspellPostsSql: String = """toks AS (
       SELECT doc_id, tf[1:8] AS t
       FROM (SELECT doc_id,
           list_filter(string_split(text, ' '), x -> x <> '') AS tf
@@ -1566,9 +1583,11 @@ object Dedup {
     posts AS (SELECT id, p,
         CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS vh,
         CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) AS fh
-      FROM postsv),
+      FROM postsv)"""
+
+  private[graft] lazy val symspellPairsSql: String = s"""$symspellPostsSql,
     capped AS (SELECT * FROM posts
-      QUALIFY count(*) OVER (PARTITION BY vh) <= 128),
+      QUALIFY count(*) OVER (PARTITION BY vh) <= $SymspellCap),
     dup AS (SELECT a.id AS ia, b.id AS ib, 0 AS r
       FROM capped a JOIN capped b ON a.vh = b.vh
       WHERE a.p = 0 AND b.p = 0 AND a.id < b.id),
@@ -1722,5 +1741,87 @@ object Dedup {
       CAST(active_edges_after AS BIGINT) AS active_edges_after,
       disjoint_ok, maximal_ok
     FROM tr, fin WHERE n_active > 0 ORDER BY round"""
+  })
+
+  /** CAP-BITE COVERAGE census over the dedup family's candidate caps
+    * (r11 verdict task #2 — the no-silent-caps rule the r11 trainer
+    * diagnostic established, extended to the dedup miners): every
+    * [[graft.ops.Scale.capGroups]] site in the family, audited on its
+    * UNCAPPED posting relation via the SHARED builders the miners
+    * themselves consume, reporting in exact integers how much
+    * candidate-PAIR mass the cap admits vs drops (a bucket of n
+    * postings is n·(n−1)/2 pairs — pair mass, not row mass, is a pair-
+    * miner cap's honest currency). Sites:
+    *
+    *  - `shingle_df`: [[hashedShingles]] gram buckets, [[DfCap]] (the
+    *    exact pair-miners' shared inverted index).
+    *  - `prefix_postings`: [[graft.ops.Lsh.prefixPostings]] buckets
+    *    (post-prefix-selection), [[DfCap]] (dedup_prefix_filter's belt).
+    *  - `lsh_wide_bands`: the r = 1 wide-slot band buckets
+    *    ([[graft.ops.Lsh.wideSlotSql]] 61-bit family), [[DfCap]] — the
+    *    r9 quadratic-fix family the verdict names.
+    *  - `symspell_variants`: [[symspellPosts]] deletion-key buckets,
+    *    [[SymspellCap]].
+    *  - `phash_bands`: the pigeonhole image-band buckets
+    *    ([[graft.queries.TextOps.phashBands]]),
+    *    [[graft.queries.TextOps.PhashBandCap]].
+    *
+    * At certified SFs every cap is non-binding (buckets_dropped = 0,
+    * admitted_bp = 10000 — max observed 3-gram df is 25); the row
+    * exists so a corpus where a cap DOES bite says so in a dashboard
+    * instead of silently shedding recall (the DevR10Vol capcov rungs
+    * show the ladder). Scale shape: each census is two chained
+    * aggregates on the key the miner already shuffles on — no window,
+    * no join, no collect; strictly cheaper than the miner it audits.
+    */
+  val capCoverage: Q = Q("dedup_cap_coverage", (s, dir) => {
+    import graft.ops.{Lsh, Scale}
+    val sh = hashedShingles(s, dir).persist()
+    val wideMins = (0 until 16).map(i =>
+      min(expr(Lsh.wideSlotSql(i, "sh", "DIV"))).as(s"w$i"))
+    val wide = sh.groupBy("doc_id")
+      .agg(wideMins.head, wideMins.tail: _*)
+      .select(col("doc_id"), explode(array((0 until 16).map(b =>
+        struct(lit(b).as("band"), col(s"w$b").as("v"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.v").as("v"))
+    Scale.capCensus(sh, Seq("sh"), DfCap, "shingle_df")
+      .unionByName(Scale.capCensus(
+        Lsh.prefixPostings(sh, "doc_id"), Seq("sh"), DfCap, "prefix_postings"))
+      .unionByName(Scale.capCensus(wide, Seq("band", "v"), DfCap, "lsh_wide_bands"))
+      .unionByName(Scale.capCensus(
+        symspellPosts(s, dir), Seq("vh"), SymspellCap, "symspell_variants"))
+      .unionByName(Scale.capCensus(
+        graft.queries.TextOps.phashBands(s, dir), Seq("bk"),
+        graft.queries.TextOps.PhashBandCap, "phash_bands"))
+      .withColumn("admitted_bp", expr(
+        "CASE WHEN pair_mass_total > 0 THEN pair_mass_admitted * 10000 DIV pair_mass_total ELSE 10000 END"))
+      .orderBy("site")
+  }, Some {
+    import graft.ops.Scale
+    val wideMinsSql = (0 until 16)
+      .map(i => s"min(${graft.ops.Lsh.wideSlotSql(i, "sh", "//")}) AS w$i").mkString(", ")
+    val wbandSelects = (0 until 16)
+      .map(b => s"SELECT doc_id, $b AS band, w$b AS v FROM sigw16").mkString(" UNION ALL ")
+    s"""WITH $duckHashedShingles,
+    gdf AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    rk AS (SELECT s.doc_id, s.sh,
+        row_number() OVER (PARTITION BY s.doc_id ORDER BY g.df, s.sh) AS rk,
+        count(*) OVER (PARTITION BY s.doc_id) AS n
+      FROM shh s JOIN gdf g USING (sh)),
+    pp AS (SELECT doc_id, sh FROM rk WHERE rk <= n - ((n + 1) // 2) + 1),
+    sigw16 AS (SELECT doc_id, $wideMinsSql FROM shh GROUP BY doc_id),
+    wbands AS ($wbandSelects),
+    $symspellPostsSql,
+    ${graft.queries.TextOps.phashBandsOracleCtes},
+    census AS (
+      ${Scale.capCensusSql("shh", Seq("sh"), DfCap, "shingle_df")}
+      UNION ALL ${Scale.capCensusSql("pp", Seq("sh"), DfCap, "prefix_postings")}
+      UNION ALL ${Scale.capCensusSql("wbands", Seq("band", "v"), DfCap, "lsh_wide_bands")}
+      UNION ALL ${Scale.capCensusSql("posts", Seq("vh"), SymspellCap, "symspell_variants")}
+      UNION ALL ${Scale.capCensusSql("pbands", Seq("bk"), graft.queries.TextOps.PhashBandCap, "phash_bands")})
+    SELECT site, cap, buckets_total, buckets_dropped, pair_mass_total, pair_mass_admitted,
+      CAST(CASE WHEN pair_mass_total > 0
+           THEN pair_mass_admitted * 10000 // pair_mass_total ELSE 10000 END AS BIGINT) AS admitted_bp
+    FROM census ORDER BY site"""
   })
 }

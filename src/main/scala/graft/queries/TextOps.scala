@@ -1966,12 +1966,30 @@ object TextOps {
     * pair-miners — so one degenerate band value cannot emit df² pairs;
     * the oracle applies the identical QUALIFY cut.
     */
-  val multimodalPhashPairs: Q = Q("multimodal_phash_pairs", (s, dir) => {
-    val hs = phashDf(s, dir)
-    val bands = hs.select(col("doc_id"), col("ahash"),
+  /** The phash band-bucket cap — ONE constant interpolated into the
+    * miner, its oracle, and the cap-census (the shared-constant rule).
+    */
+  private[graft] val PhashBandCap = 128L
+
+  /** The UNCAPPED pigeonhole band relation (doc_id, ahash, bi, bk) of
+    * the phash pair miner — exposed (with its SQL twin
+    * [[phashBandsOracleCtes]]) so the cap-bite census audits the same
+    * relation the miner caps.
+    */
+  private[graft] def phashBands(s: org.apache.spark.sql.SparkSession, dir: String) =
+    phashDf(s, dir).select(col("doc_id"), col("ahash"),
       explode(expr("array(0, 1, 2, 3)")).as("bi"))
       .withColumn("bk", expr("bi * 65536 + (shiftright(ahash, 16 * bi) & 65535)"))
-    val capped = graft.ops.Scale.capGroups(bands, "bk", 128)
+
+  /** DuckDB twin of [[phashBands]]: [[phashOracleCtes]] + `pbands`. */
+  private[graft] def phashBandsOracleCtes: String =
+    s"""$phashOracleCtes,
+    pbands AS (SELECT doc_id, ahash, bi,
+        bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
+      FROM hh, (VALUES (0), (1), (2), (3)) b(bi))"""
+
+  val multimodalPhashPairs: Q = Q("multimodal_phash_pairs", (s, dir) => {
+    val capped = graft.ops.Scale.capGroups(phashBands(s, dir), "bk", PhashBandCap)
     val a = capped.select(col("bk"), col("doc_id").as("da"), col("ahash").as("ha"))
     val b = capped.select(col("bk"), col("doc_id").as("db"), col("ahash").as("hb"))
     a.join(b, "bk").filter(col("da") < col("db"))
@@ -1985,7 +2003,7 @@ object TextOps {
         bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
       FROM hh, (VALUES (0), (1), (2), (3)) b(bi)),
     capped AS (SELECT * FROM bands
-      QUALIFY count(*) OVER (PARTITION BY bk) <= 128),
+      QUALIFY count(*) OVER (PARTITION BY bk) <= $PhashBandCap),
     p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         a.ahash AS ha, b.ahash AS hb
       FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id)

@@ -1165,4 +1165,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
       (b1, b2, b0, det), s"SQL stages vs Long mirror diverged: $row vs ($b1,$b2,$b0,$det)")
   }
+
+  test("capCensus: exact pair-mass accounting on planted bucket sizes, incl. the empty relation") {
+    import spark.implicits._
+    // buckets: key 1 -> 3 rows, key 2 -> 1 row, key 3 -> 5 rows (over cap 4)
+    val df = (Seq.fill(3)(1) ++ Seq(2) ++ Seq.fill(5)(3)).zipWithIndex
+      .map { case (k, i) => (k.toLong, i.toLong) }.toDF("k", "id")
+    val r = graft.ops.Scale.capCensus(df, Seq("k"), 4L, "planted").collect()(0)
+    assert(r.getString(0) == "planted" && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 3L, "buckets_total")
+    assert(r.getLong(3) == 1L, "buckets_dropped: only the 5-row bucket exceeds cap 4")
+    assert(r.getLong(4) == 3L + 0L + 10L, "pair_mass_total = C(3,2)+C(1,2)+C(5,2)")
+    assert(r.getLong(5) == 3L, "pair_mass_admitted = the within-cap buckets only")
+    // composite key: same rows keyed (k, id % 2) — all buckets within cap
+    val c = graft.ops.Scale.capCensus(
+      df.withColumn("b", col("id") % 2), Seq("k", "b"), 4L, "composite").collect()(0)
+    assert(c.getLong(3) == 0L && c.getLong(4) == c.getLong(5),
+      s"composite-key split must bring every bucket under the cap: $c")
+    // empty relation: one all-zero row, never an empty result
+    val e = graft.ops.Scale.capCensus(
+      df.filter(col("k") < 0), Seq("k"), 4L, "empty").collect()(0)
+    assert(e.getLong(2) == 0L && e.getLong(4) == 0L && e.getLong(5) == 0L)
+  }
 }
