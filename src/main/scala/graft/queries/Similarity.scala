@@ -28,7 +28,8 @@ object Similarity {
     embedRotateSq8, hybridRrf, annNswBeam, annHnswLayers, embedMatryoshka,
     annBeamSensitivity, pipelineSemDedup, embedOodKnn, embedSignHamming,
     embedCoresetGreedy, embedCoresetKcenter, embedRrfFusion, embedMmrRerank,
-    embedCoresetLazy, embedRnnPairs, annRecallEval, annShardManifest)
+    embedCoresetLazy, embedRnnPairs, annRecallEval, annShardManifest,
+    annShardRebalance)
 
   /** PQ with TRAINED codebooks: ann_pq_adc's label-mean codebooks are
     * only the k-means init; this runs ONE Lloyd step per subspace
@@ -664,6 +665,128 @@ object Similarity {
       COALESCE(h.probe_queries, 0) AS probe_queries
     FROM agg a CROSS JOIN tot t LEFT JOIN hits h ON h.shard = a.shard
     ORDER BY a.shard"""))
+
+  /** SHARD-MANIFEST DRIFT RE-BALANCE — the second half of the serving-
+    * layout story (r11 verdict task #4): when the coarse quantizer is
+    * retrained on drifted data, which cells change shard and how much
+    * population moves?  Old epoch = centroids trained on the vec_id-even
+    * half (the embed_centroid_drift "last week" stand-in), new epoch =
+    * the vec_id-odd half.  EVERY corpus vector is assigned to its
+    * nearest epoch centroid (full-corpus nprobe=1 routing, not just the
+    * 10 probe queries), cell loads = pop² are re-apportioned with the
+    * exact cumulative-quota discipline of [[annShardManifest]] on each
+    * side, and the move list reports per cell: old/new population,
+    * old/new shard, moved flag, and the population a mover drags to its
+    * new shard.
+    *
+    * Scale shape: two broadcast-NLJ centroid assignments (tiny centroid
+    * set against the corpus scan — linear, no data-sized shuffled join)
+    * feeding per-vector argmax as ONE partial-aggregated struct-max
+    * (each vector's candidate rows never leave their input partition
+    * before the combine), then #cells-sized apportionment windows on
+    * aggregates (sanctioned) and broadcast-only spine joins.  Pinned
+    * broadcast-only in ScaleSpec next to the manifest pin.  Headroom:
+    * pop² needs pop < 3·10⁹ per cell per epoch; ANSI throws loudly.
+    */
+  val annShardRebalance: Q = Q("ann_shard_rebalance", (s, dir) => {
+    val S = ShardCount
+    val n = normed(s, dir)
+    def halfCent(m: Int): DataFrame = n.filter(col("vec_id") % 2 === m)
+      .select(col("label"), posexplode(col("emb")))
+      .groupBy("label", "pos").agg(avg("col").as("cv"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => round(x.getField("cv"), 6)).as("cvec"))
+      .withColumn("cnrm", sqrt(dotD(col("cvec"), col("cvec"))))
+    // full-corpus nearest-centroid routing -> pop -> pop² loads ->
+    // cumulative-quota shards (the annShardManifest discipline)
+    def shards(cent: DataFrame): DataFrame = {
+      val asg = n.crossJoin(broadcast(cent.select(
+          col("label").cast("bigint").as("cl"), col("cvec"), col("cnrm"))))
+        .withColumn("csim", dotD(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")))
+        .groupBy("vec_id")
+        .agg(max(struct(round(col("csim"), 6).as("sk"),
+          (-col("cl")).as("nl"))).as("m"))
+        .select((-col("m.nl")).as("cell"))
+      val ld = asg.groupBy("cell").agg(count(lit(1)).as("pop"))
+        .withColumn("cell_load", expr("pop * pop"))
+      val tot = ld.agg(sum("cell_load").as("tload"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cell_load").desc, col("cell").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      ld.withColumn("cum", sum("cell_load").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("pop"),
+          expr(s"((cum - cell_load) * $S) DIV tload").as("shard"))
+    }
+    val a = shards(halfCent(0)).select(col("cell"),
+      col("pop").as("pop_old"), col("shard").as("old_shard"))
+    val b = shards(halfCent(1)).select(col("cell"),
+      col("pop").as("pop_new"), col("shard").as("new_shard"))
+    // a cell can structurally vanish from one epoch's routing (nothing
+    // lands in it): spine = union of both manifests' cells, absent side
+    // -> pop 0 / shard -1 ("unserved that epoch")
+    val spine = a.select("cell").union(b.select("cell")).distinct()
+    spine.join(broadcast(a), Seq("cell"), "left")
+      .join(broadcast(b), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("pop_old"), lit(0L)).as("pop_old"),
+        coalesce(col("pop_new"), lit(0L)).as("pop_new"),
+        coalesce(col("old_shard"), lit(-1L)).as("old_shard"),
+        coalesce(col("new_shard"), lit(-1L)).as("new_shard"))
+      .withColumn("moved", (col("old_shard") =!= col("new_shard")).cast("bigint"))
+      .withColumn("moved_pop",
+        when(col("old_shard") =!= col("new_shard"), col("pop_new")).otherwise(lit(0L)))
+      .orderBy("cell")
+  }, Some(s"""WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    ca AS (SELECT label, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) WHERE vec_id % 2 = 0 GROUP BY label, i),
+    cav AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS cvec FROM ca GROUP BY label),
+    can AS (SELECT CAST(label AS BIGINT) AS cl, cvec,
+        sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cav),
+    cb AS (SELECT label, i AS pos, avg(emb[i]) AS cv
+      FROM e, range(1, 65) r(i) WHERE vec_id % 2 = 1 GROUP BY label, i),
+    cbv AS (SELECT label, list(round(cv, 6) ORDER BY pos) AS cvec FROM cb GROUP BY label),
+    cbn AS (SELECT CAST(label AS BIGINT) AS cl, cvec,
+        sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cbv),
+    asga AS (SELECT vec_id, cell FROM (
+      SELECT v.vec_id, c.cl AS cell, row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round(list_dot_product(v.emb, c.cvec) / (v.nrm * c.cnrm), 6) DESC,
+                   c.cl ASC) AS rn
+      FROM e v, can c) WHERE rn = 1),
+    asgb AS (SELECT vec_id, cell FROM (
+      SELECT v.vec_id, c.cl AS cell, row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY round(list_dot_product(v.emb, c.cvec) / (v.nrm * c.cnrm), 6) DESC,
+                   c.cl ASC) AS rn
+      FROM e v, cbn c) WHERE rn = 1),
+    la AS (SELECT cell, CAST(count(*) AS BIGINT) AS pop,
+        CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS cell_load
+      FROM asga GROUP BY 1),
+    ta AS (SELECT CAST(sum(cell_load) AS BIGINT) AS tload FROM la),
+    ma AS (SELECT cell, pop, cell_load,
+        CAST(sum(cell_load) OVER (ORDER BY cell_load DESC, cell) AS BIGINT) AS cum FROM la),
+    sa AS (SELECT cell, pop, ((cum - cell_load) * $ShardCount) // t.tload AS shard
+      FROM ma, ta t),
+    lb AS (SELECT cell, CAST(count(*) AS BIGINT) AS pop,
+        CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS cell_load
+      FROM asgb GROUP BY 1),
+    tb AS (SELECT CAST(sum(cell_load) AS BIGINT) AS tload FROM lb),
+    mb AS (SELECT cell, pop, cell_load,
+        CAST(sum(cell_load) OVER (ORDER BY cell_load DESC, cell) AS BIGINT) AS cum FROM lb),
+    sb AS (SELECT cell, pop, ((cum - cell_load) * $ShardCount) // t.tload AS shard
+      FROM mb, tb t),
+    spine AS (SELECT cell FROM sa UNION SELECT cell FROM sb)
+    SELECT s.cell,
+      COALESCE(a.pop, 0) AS pop_old, COALESCE(b.pop, 0) AS pop_new,
+      COALESCE(a.shard, -1) AS old_shard, COALESCE(b.shard, -1) AS new_shard,
+      CAST(CASE WHEN COALESCE(a.shard, -1) <> COALESCE(b.shard, -1) THEN 1 ELSE 0 END AS BIGINT) AS moved,
+      CASE WHEN COALESCE(a.shard, -1) <> COALESCE(b.shard, -1) THEN COALESCE(b.pop, 0) ELSE 0 END AS moved_pop
+    FROM spine s LEFT JOIN sa a ON a.cell = s.cell LEFT JOIN sb b ON b.cell = s.cell
+    ORDER BY s.cell"""))
 
   /** Fused native dot product ([[graft.expressions.DotProductDouble]]) —
     * bit-identical to the previous aggregate(zip_with) fold (same

@@ -948,4 +948,32 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast routing joins:\n$plan")
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
+
+  test("round-12 ann_shard_rebalance: move-list plan is broadcast-only — no shuffled join") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // both epoch assignments are broadcast-NLJ (tiny centroid set against
+    // the corpus scan), the apportionment windows sit on #cells
+    // aggregates, and the spine joins carry explicit broadcast(): any
+    // SMJ/shuffled-hash join in the executed plan means a data-sized
+    // exchange crept into the re-balance path
+    val df = graft.queries.Similarity.annShardRebalance
+      .fn(spark, "/root/testdata/sf0.001")
+    val rows = df.collect() // AQE: finalize before reading the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shard re-balance must not shuffle a join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast spine joins:\n$plan")
+    // apportionment invariants: shards in range on both epochs, the
+    // moved flag consistent with its populations
+    rows.foreach { r =>
+      val (os, ns) = (r.getLong(3), r.getLong(4))
+      assert(os >= -1 && os < 4 && ns >= -1 && ns < 4, s"shard out of range: $r")
+      val moved = r.getLong(5)
+      assert(moved == (if (os != ns) 1L else 0L), s"moved flag inconsistent: $r")
+      assert(r.getLong(6) == (if (os != ns) r.getLong(2) else 0L),
+        s"moved_pop inconsistent: $r")
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
 }
