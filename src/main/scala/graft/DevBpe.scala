@@ -38,7 +38,86 @@ import org.apache.spark.sql.functions._
   * unchanged DuckDB oracles.
   */
 object DevBpe {
+
+  /** ROUND 12 — merge-DEPTH turnover sweep (r11 verdict task #3).
+    *
+    * A FULL training ladder is the wrong instrument: every round pays a
+    * fixed ~2 s job + fresh-codegen tax regardless of depth (the first
+    * probe measured 146 s for 64 chained merges on a 10k-row corpus —
+    * per-round overhead, not depth cost), so a 1024-round training
+    * measures scheduler throughput, not the chain.  Instead this probes
+    * the DEPTH COST directly: a depth-k accumulated-replace projection
+    * (k non-matching literal replaces — `replace` still scans the
+    * string, corpus stays constant, so rung k isolates plan-structure
+    * cost at fixed data) is timed COLD (includes analysis + codegen
+    * compile of the k-deep chain) and WARM (same DF object — compiled
+    * code cached; the steady-state a production trainer sees, since
+    * round r+1's plan differs from round r's only by one replace).
+    * Training round r evaluates exactly such a depth-r chain once, so
+    * chained-training total = Σ_r cost(r) — integrate the curve;
+    * rematEvery=R caps every round at depth ≤ R.  A real-training
+    * equality check at modest depth rides in SeriesOpsSpec (remat
+    * bit-equality) and the historical 64-merge numbers below.
+    *
+    * MEASURED (round 12, local[32], 10k×32 hex corpus):
+    *   k=16..256: cold 0.37–0.63 s, warm 0.25–0.37 s, fresh-plan
+    *   0.23–0.32 s — depth cost nearly flat; the scan term dominates.
+    *   k=512: driver StackOverflowError inside StringReplace.doGenCode
+    *   (codegen recurses the 512-deep expression spine) — a HARD CLIFF.
+    * Hence ops/Text.MaxChainedMerges = 256 and the loud up-front guard:
+    * the failure mode past the bound is a crash (and it would fire at
+    * plan-compile time AFTER the full training spend), not a slowdown.
+    */
+  def runSweep(spark: SparkSession): Unit = {
+    def corpus(): DataFrame = {
+      val d = spark.range(10000).select(
+        concat(lit(" "), array_join(
+          regexp_extract_all(md5(col("id").cast("string")), lit("[0-9a-f]"), lit(0)),
+          "  "), lit(" ")).as("seq"))
+        .repartition(32).persist()
+      d.count(); d
+    }
+    val base = corpus()
+    for (k <- Seq(16, 64, 128, 256, 512, 1024, 2048)) {
+      // non-matching framed literals: full scan per replace, zero rewrites
+      val deep = (1 to k).foldLeft(base) { (df, i) =>
+        df.withColumn("seq", org.apache.spark.sql.functions.replace(
+          col("seq"), lit(s" zz$i  qq$i "), lit(s" zz${i}qq$i ")))
+      }
+      val probe = deep.agg(sum(length(col("seq"))))
+      val t0 = System.nanoTime()
+      val n0 = probe.head.getLong(0)
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n1 = probe.head.getLong(0)
+      val warm = (System.nanoTime() - t1) / 1e9
+      // a fresh but identical DF: codegen source identical -> compile
+      // cache hit, but analysis/optimization re-run (the per-round cost
+      // a trainer actually pays on its NEW plan each round)
+      val deep2 = (1 to k).foldLeft(base) { (df, i) =>
+        df.withColumn("seq", org.apache.spark.sql.functions.replace(
+          col("seq"), lit(s" zz$i  qq$i "), lit(s" zz${i}qq$i ")))
+      }
+      val t2 = System.nanoTime()
+      val n2 = deep2.agg(sum(length(col("seq")))).head.getLong(0)
+      val fresh = (System.nanoTime() - t2) / 1e9
+      println(f"[devbpe-depth] k=$k%4d cold=$cold%7.2f s warm=$warm%6.2f s " +
+        f"fresh-plan=$fresh%7.2f s (sum=$n0 $n1 $n2)")
+      require(n0 == n1 && n1 == n2)
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("sweep")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      runSweep(spark)
+      spark.stop()
+      return
+    }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val rounds = 4
     val spark = SparkSession.builder().master("local[32]")

@@ -339,16 +339,42 @@ object Text {
     * unchanged: the literal replace applies the identical framed
     * greedy-leftmost rewrite the broadcast-column variant did.
     */
+  /** Max merge rounds certified for ONE accumulated-replace projection
+    * without re-materialization — set from the DevBpe depth probe
+    * (round 12, SCALE.md): evaluation cost of the k-deep replace chain
+    * is nearly FLAT through k=256 (cold 0.37–0.53 s, warm 0.25–0.37 s
+    * on the 10k×32-symbol probe — the per-round scan term, not depth,
+    * dominates), but k=512 DIES with a driver StackOverflowError in
+    * Catalyst codegen (`StringReplace.doGenCode` recurses the whole
+    * expression spine) — a hard cliff, not a slowdown. Past this bound
+    * the trainer THROWS up front (the unigram DP-unroll discipline —
+    * never a mid-training crash): deep trainings pass `rematEvery` to
+    * periodically localCheckpoint the rewritten corpus, which resets
+    * the chain depth and keeps every plan inside the certified range.
+    */
+  val MaxChainedMerges = 256
+
   def bpeTrain(
       seqs: DataFrame,
       seqCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int,
+      rematEvery: Int = 0): (DataFrame, DataFrame) = {
     require(rounds >= 1)
+    require(rematEvery >= 0, "rematEvery: 0 = never, else checkpoint period")
+    if (rematEvery == 0 && rounds > MaxChainedMerges)
+      throw new IllegalArgumentException(
+        s"bpeTrain: $rounds merge rounds on a single accumulated-replace " +
+          s"projection exceeds the certified depth $MaxChainedMerges " +
+          "(DevBpe turnover measurement) — pass rematEvery (e.g. 64) to " +
+          "re-materialize the rewritten corpus periodically")
     import org.apache.spark.sql.functions.{lit, replace => sqlReplace}
     val spark = seqs.sparkSession
-    val base = seqs.persist()
+    var base = seqs.persist()
     var adopted = Vector.empty[(Long, String, String, Long)]
-    def applied: DataFrame = adopted.foldLeft(base) { case (df, (_, w1, w2, _)) =>
+    // replaces adopted since the last materialization — the only ones
+    // the next round's projection re-evaluates
+    var pending = Vector.empty[(String, String)]
+    def applied: DataFrame = pending.foldLeft(base) { case (df, (w1, w2)) =>
       df.withColumn(seqCol, sqlReplace(col(seqCol),
         lit(s" $w1  $w2 "), lit(s" $w1$w2 ")))
     }
@@ -360,6 +386,15 @@ object Text {
       else {
         val row = top(0)
         adopted :+= ((r.toLong, row.getString(0), row.getString(1), row.getLong(2)))
+        pending :+= ((row.getString(0), row.getString(1)))
+        if (rematEvery > 0 && pending.size >= rematEvery && r < rounds) {
+          // eager truncation: the checkpointed corpus is self-contained,
+          // so the previous base (persist or earlier checkpoint) can go
+          val mat = applied.localCheckpoint(true)
+          base.unpersist(blocking = false)
+          base = mat
+          pending = Vector.empty
+        }
         r += 1
       }
     }
@@ -389,13 +424,21 @@ object Text {
   def wordpieceTrain(
       seqs: DataFrame,
       seqCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int,
+      rematEvery: Int = 0): (DataFrame, DataFrame) = {
     require(rounds >= 1)
+    require(rematEvery >= 0, "rematEvery: 0 = never, else checkpoint period")
+    if (rematEvery == 0 && rounds > MaxChainedMerges)
+      throw new IllegalArgumentException(
+        s"wordpieceTrain: $rounds merge rounds on a single accumulated-" +
+          s"replace projection exceeds the certified depth $MaxChainedMerges " +
+          "(DevBpe turnover, shared shape) — pass rematEvery (e.g. 64)")
     import org.apache.spark.sql.functions.{lit, replace => sqlReplace}
     val spark = seqs.sparkSession
-    val base = seqs.persist()
+    var base = seqs.persist()
     var adopted = Vector.empty[(Long, String, String, Long, Long, Long, Long)]
-    def applied: DataFrame = adopted.foldLeft(base) { case (df, (_, w1, w2, _, _, _, _)) =>
+    var pending = Vector.empty[(String, String)]
+    def applied: DataFrame = pending.foldLeft(base) { case (df, (w1, w2)) =>
       df.withColumn(seqCol, sqlReplace(col(seqCol),
         lit(s" $w1  $w2 "), lit(s" $w1$w2 ")))
     }
@@ -419,6 +462,13 @@ object Text {
         val t = top(0)
         adopted :+= ((r.toLong, t.getString(0), t.getString(1), t.getLong(2),
           t.getLong(3), t.getLong(4), t.getLong(5)))
+        pending :+= ((t.getString(0), t.getString(1)))
+        if (rematEvery > 0 && pending.size >= rematEvery && r < rounds) {
+          val mat = applied.localCheckpoint(true)
+          base.unpersist(blocking = false)
+          base = mat
+          pending = Vector.empty
+        }
         r += 1
       }
     }

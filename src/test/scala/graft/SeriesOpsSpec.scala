@@ -164,6 +164,36 @@ class SeriesOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sameElements(Array(" xyxyz ")), out.mkString("|"))
   }
 
+  test("Text.bpeTrain round-12 depth guard + rematEvery bit-equality") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // the loud guard: past MaxChainedMerges the default (never-
+    // re-materialize) path must THROW before any job runs, naming the
+    // escape hatch — never degrade into an O(R²) plan silently
+    val seqs = Seq.fill(3)("p q r s p q").toDF("text")
+      .select(graft.ops.Text.bpeInitSeq(col("text")).as("seq"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Text.bpeTrain(seqs, "seq", graft.ops.Text.MaxChainedMerges + 1)
+    }
+    assert(ex.getMessage.contains("rematEvery"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.ops.Text.wordpieceTrain(seqs, "seq", graft.ops.Text.MaxChainedMerges + 1)
+    }
+    // re-materialization is a pure plan-shape change: merge list AND
+    // final corpus bit-identical to the single-projection form, even
+    // when the checkpoint period divides the rounds unevenly
+    val diverse = (1 to 40).map(i => f"m${i % 7} n${i % 5} m${i % 7} k${i % 3}")
+      .toDF("text").select(graft.ops.Text.bpeInitSeq(col("text")).as("seq"))
+    val (m0, e0) = graft.ops.Text.bpeTrain(diverse, "seq", rounds = 9)
+    val (m1, e1) = graft.ops.Text.bpeTrain(diverse, "seq", rounds = 9, rematEvery = 4)
+    val r0 = m0.orderBy("round").collect().map(_.toSeq).toSeq
+    val r1 = m1.orderBy("round").collect().map(_.toSeq).toSeq
+    assert(r0 == r1, s"remat changed the merge cascade:\n$r0\nvs\n$r1")
+    assert(e0.orderBy("seq").collect().map(_.getString(0)).toSeq ==
+      e1.orderBy("seq").collect().map(_.getString(0)).toSeq)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("Text.wordpieceTrain picks the EXCLUSIVE rare pair BPE would skip (likelihood gain vs raw count)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
