@@ -128,6 +128,47 @@ object DevHeavyVol {
         println(f"HVOL $l%-5s scc: edges=$nEdges%,10d fwd_reach=$nf%,8d bwd_reach=$nb%,8d")
         teardown(spark)
       }
+
+      // graph_squares_copurchase (r11 verdict task #6 — the one top-10
+      // bench heavy without a committed ×128 volume cell): every stage
+      // counter of the C4 pipeline. The tiling shifts l_orderkey and
+      // l_partkey TOGETHER, so replicas are vertex-disjoint copies —
+      // the expected ladder is exactly 8×/4×/4× at every counter; any
+      // superlinear step means a cap or join is creating CROSS-replica
+      // interaction (the r9 LSH band-concentration failure class).
+      // Wedge volume is additionally bounded by C(32,2)=496 per mid
+      // vertex by the degree cap, whatever the degree distribution.
+      if (want("squares")) {
+        import org.apache.spark.sql.expressions.Window
+        val bk = Tables.t(spark, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(true)
+        val nBk = bk.count()
+        val bc = graft.ops.Scale.capGroups(bk, "o", 128).localCheckpoint(true)
+        val nBc = bc.count()
+        val egRaw = bc.select(col("o"), col("p").as("pa")).hint("shuffle_hash")
+          .join(bc.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+        val nEgRaw = egRaw.count()
+        val eg = egRaw.select("pa", "pb").distinct().localCheckpoint(true)
+        val nEg = eg.count()
+        val ad = eg.select(col("pa").as("m"), col("pb").as("n"))
+          .union(eg.select(col("pb").as("m"), col("pa").as("n")))
+        val ac = ad.withColumn("rn",
+            row_number().over(Window.partitionBy("m").orderBy("n")))
+          .filter(col("rn") <= 32).drop("rn").localCheckpoint(true)
+        val nAc = ac.count()
+        val wedges = ac.select(col("m"), col("n").as("u"))
+          .join(ac.select(col("m"), col("n").as("w")).hint("shuffle_hash"), "m")
+          .filter(col("u") < col("w"))
+        val nW = wedges.count()
+        val nCod = wedges.groupBy("u", "w").agg(count(lit(1)).as("q"))
+          .filter(col("q") >= 2).count()
+        println(f"HVOL $l%-5s squares: baskets=$nBk%,10d capped=$nBc%,10d " +
+          f"rawpairs=$nEgRaw%,12d edges=$nEg%,11d adj32=$nAc%,11d " +
+          f"wedges=$nW%,12d codeg2=$nCod%,11d")
+        teardown(spark)
+      }
     }
     spark.stop()
   }

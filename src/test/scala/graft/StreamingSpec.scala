@@ -22,6 +22,11 @@ object StreamingSpec {
     val p = l.split(" ")
     (p(0), p(1), 1L)
   }
+
+  def capParse(l: String): (String, String) = {
+    val p = l.split(" ", 2)
+    (p(0), p(1))
+  }
 }
 
 /** End-to-end Structured Streaming slice: file source → graphite parse →
@@ -4074,5 +4079,104 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         b -> ((last._2, last._3, last._4, last._5))
       }
     assert(got == want, s"post-restart calibration diverged: $got vs $want")
+  }
+
+  /** (site, bucket) lines + the batch-census expectation per site: the
+    * REAL shingle-df site at sf0.001 (the same relation
+    * dedup_cap_coverage audits) and a PLANTED site with one over-cap
+    * bucket so the dropped/admitted split is exercised deterministically.
+    */
+  private def capFixture(): (Array[String], Map[String, (Long, Long, Long, Long)]) = {
+    import org.apache.spark.sql.functions._
+    val sh = graft.queries.Dedup.hashedShingles(spark, "/root/testdata/sf0.001")
+      .select(col("sh").cast("string").as("b")).persist()
+    val realLines = sh.collect().map(r => s"shingle_df ${r.getString(0)}")
+    // planted: bucket "hot" x5 (over cap 3), "warm" x3 (at cap), "cold" x1
+    val plantedLines = (Seq.fill(5)("planted hot") ++ Seq.fill(3)("planted warm") ++
+      Seq("planted cold")).toArray
+    def censusOf(df: org.apache.spark.sql.DataFrame, cap: Long, site: String) = {
+      val r = graft.ops.Scale.capCensus(df, Seq("b"), cap, site).collect()(0)
+      site -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+    import spark.implicits._
+    val want = Map(
+      censusOf(sh, 128L, "shingle_df"),
+      censusOf(plantedLines.toSeq.map(_.split(" ")(1)).toDF("b"), 3L, "planted"))
+    sh.unpersist()
+    (realLines ++ plantedLines, want)
+  }
+
+  test("CapCensusProcessor: running cap-bite census == Scale.capCensus after the full stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = capFixture()
+    val dir = Files.createTempDirectory("graft_capc_in").toFile
+    // adversarial split: slice the stream mid-site so every bucket's
+    // count accumulates across batches
+    val (b1, b2) = lines.splitAt(lines.length / 3)
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map(StreamingSpec.capParse)
+    val q = graft.streaming.CapCensusProcessor(spark, src,
+        Map("shingle_df" -> 128L, "planted" -> 3L))
+      .toDF("site", "buckets_total", "buckets_dropped", "pair_mass_total",
+        "pair_mass_admitted")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_capc_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        b2.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      // pair_mass_total only grows: max-pt row per site is the final census
+      val got = spark.sql(
+          """SELECT site, max_by(buckets_total, pair_mass_total),
+               max_by(buckets_dropped, pair_mass_total),
+               max(pair_mass_total), max_by(pair_mass_admitted, pair_mass_total)
+             FROM graft_capc_out GROUP BY site""")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == want, s"streamed cap census diverged: $got vs $want")
+      // the planted site's split is the designed one: 1 over-cap bucket,
+      // its C(5,2)=10 pairs dropped, C(3,2)+C(1,2)=3 admitted
+      assert(want("planted") == ((3L, 1L, 13L, 3L)), want("planted"))
+    } finally q.stop()
+  }
+
+  test("CapCensusProcessor recovers the census across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = capFixture()
+    val dir = Files.createTempDirectory("graft_capc_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_capc_ck").toString
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map(StreamingSpec.capParse)
+      graft.streaming.CapCensusProcessor(spark, src,
+          Map("shingle_df" -> 128L, "planted" -> 3L))
+        .toDF("site", "bt", "bd", "pt", "pa")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => out.add(
+            (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath,
+      b2.mkString("\n").getBytes("UTF-8"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(String, Long, Long, Long, Long)])
+      .groupBy(_._1).map { case (site, xs) =>
+        val last = xs.maxBy(_._4)
+        site -> ((last._2, last._3, last._4, last._5))
+      }
+    assert(got == want, s"post-restart cap census diverged: $got vs $want")
   }
 }
