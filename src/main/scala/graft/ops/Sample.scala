@@ -219,4 +219,43 @@ object Sample {
       .filter(col("n_hits") > 0)
       .drop("_shard", "_o_shard", "_lc", "_off", "_tt")
   }
+
+  /** Feistel id-domain bits: positions live in [0, 2^(2·[[FeistelHalfBits]])). */
+  val FeistelHalfBits = 20
+  /** 2^[[FeistelHalfBits]] — the half-domain modulus. */
+  val FeistelHalf: Long = 1L << FeistelHalfBits
+
+  /** 3-round balanced Feistel network over the 2^40 id domain — the
+    * DETERMINISTIC epoch-shuffle permutation (Black &amp; Rogaway,
+    * "Ciphers with Arbitrary Finite Domains", CT-RSA 2002 — public; the
+    * standard format-preserving-permutation construction): position =
+    * feistel(doc_id, epoch) is a BIJECTION on [0, 2^40) for every epoch
+    * key, so sorting (or range-sharding) by it is a reproducible
+    * pseudo-random training order with ZERO shuffle — one codegen'd
+    * integer expression per row, no sort-by-rand() (non-reproducible,
+    * full exchange), no materialized permutation table (a second
+    * 100-TB-scale dataset). The round function is a multiplicative hash
+    * (Knuth 2654435761) keyed by round constant + epoch; any round
+    * function yields a bijection — quality only affects dispersion,
+    * which the query's shard-balance output measures in exact bp.
+    *
+    * Emitted as SQL TEXT in both dialects (`duck`: `xor()`/`//`; Spark:
+    * `^`/`DIV`) so query and oracle interpolate the IDENTICAL
+    * arithmetic — all intermediates positive and &lt; 2^52, exact in
+    * BIGINT on both engines. Headroom: callers must gate ids into
+    * [0, 2^40) loudly (ANSI would throw far later, at the cast).
+    */
+  def feistelPosSql(id: String, epoch: String, duck: Boolean): String = {
+    val H = FeistelHalf
+    def xor(a: String, b: String) = if (duck) s"xor($a, $b)" else s"($a ^ $b)"
+    val div = if (duck) "//" else "DIV"
+    def f(r: String, k: Long) =
+      s"(((($r) * 2654435761 + ($epoch) * 7919 + $k) $div 64) % $H)"
+    val l0 = s"(($id) $div $H)"
+    val r0 = s"(($id) % $H)"
+    val r1 = xor(l0, f(r0, 40503L)); val l1 = r0
+    val r2 = xor(l1, f(r1, 52501L)); val l2 = r1
+    val r3 = xor(l2, f(r2, 63809L)); val l3 = r2
+    s"(($l3) * $H + ($r3))"
+  }
 }

@@ -28,7 +28,7 @@ object TextOps {
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
     multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal,
-    wordpieceMerges, trainerCoverage)
+    wordpieceMerges, trainerCoverage, epochShuffle)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -355,6 +355,73 @@ object TextOps {
           * 10000) // nullif(tokens, 0) END AS final_pass_bp,
       (t_total // n_src * 100) // nullif(tokens, 0) AS oversample_e2
     FROM per, tot ORDER BY source"""))
+
+  /** DETERMINISTIC EPOCH SHUFFLE — the reproducible training-order
+    * primitive for a 100-TB corpus: position = 3-round Feistel
+    * permutation of doc_id keyed by epoch
+    * ([[graft.ops.Sample.feistelPosSql]] — one codegen'd integer
+    * expression per row, bijective on [0, 2^40) by construction). The
+    * alternatives both fail at scale: ORDER BY rand() is a full
+    * data-sized sort AND non-reproducible across retries; a
+    * materialized permutation table is a second corpus-sized dataset
+    * to shuffle-join against every epoch. Here the training order is
+    * pure per-row arithmetic — a consumer seeks its range-shard
+    * [shard·2^36, (shard+1)·2^36) and streams docs sorted by pos, and
+    * a preempted job resumes from a (epoch, pos) cursor with zero
+    * recomputation.
+    *
+    * Output: per (epoch, shard) — doc count, share in bp, min/max
+    * position — for 2 epochs × 16 range-shards, plus the bijectivity
+    * certificate (count(distinct pos) == count(*) per epoch, exact).
+    * Distinct epochs produce visibly different shard loads (the
+    * reshuffle is real), while every epoch's loads stay near 625 bp
+    * (the round function disperses). Scale shape: one corpus scan per
+    * epoch, two linear aggregates (the distinct-pos census and the
+    * shard rollup) — no join, no window, no sort; the doc_id domain is
+    * gated into [0, 2^40) by a loud broadcast raise_error.
+    */
+  val epochShuffle: Q = Q("pipeline_epoch_shuffle", (s, dir) => {
+    val shardW = (1L << 40) / 16 // 16 range-shards over the position domain
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val gate = docs.agg(max("doc_id").as("mx"), min("doc_id").as("mn"))
+      .select(expr(s"""CASE WHEN mx >= ${1L << 40} OR mn < 0 THEN raise_error(
+          'pipeline_epoch_shuffle: doc_id outside the 2^40 Feistel domain')
+        ELSE 1 END""").as("_ok"))
+    val posSql = graft.ops.Sample.feistelPosSql("doc_id", "epoch", duck = false)
+    val p = docs.crossJoin(broadcast(gate)).where(col("_ok") === 1)
+      .select(col("doc_id"), explode(expr("array(0L, 1L)")).as("epoch"))
+      .withColumn("pos", expr(posSql))
+      .withColumn("shard", expr(s"pos DIV $shardW"))
+    val tot = p.groupBy("epoch").agg(count(lit(1)).as("n_total"),
+      countDistinct("pos").as("n_distinct"))
+    p.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"), min("pos").as("min_pos"),
+        max("pos").as("max_pos"))
+      .join(broadcast(tot), "epoch")
+      .withColumn("share_bp", expr("n_docs * 10000 DIV n_total"))
+      .withColumn("bijective", expr("CAST(n_distinct = n_total AS BIGINT)"))
+      .select("epoch", "shard", "n_docs", "share_bp", "min_pos", "max_pos",
+        "bijective")
+      .orderBy("epoch", "shard")
+  }, Some {
+    val posSql = graft.ops.Sample.feistelPosSql("doc_id", "epoch", duck = true)
+    s"""WITH d AS (SELECT doc_id FROM documents),
+    g AS (SELECT CASE WHEN max(doc_id) >= ${1L << 40} OR min(doc_id) < 0
+        THEN error('pipeline_epoch_shuffle: doc_id outside the 2^40 Feistel domain')
+        ELSE 1 END AS ok FROM d),
+    e AS (SELECT CAST(x AS BIGINT) AS epoch FROM (VALUES (0), (1)) t(x)),
+    p AS (SELECT doc_id, epoch, $posSql AS pos FROM d, e, g WHERE g.ok = 1),
+    ps AS (SELECT epoch, pos, pos // ${(1L << 40) / 16} AS shard FROM p),
+    tot AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_total,
+        CAST(count(DISTINCT pos) AS BIGINT) AS n_distinct FROM ps GROUP BY 1)
+    SELECT ps.epoch, ps.shard, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) * 10000 // t.n_total AS share_bp,
+      CAST(min(pos) AS BIGINT) AS min_pos, CAST(max(pos) AS BIGINT) AS max_pos,
+      CAST(t.n_distinct = t.n_total AS BIGINT) AS bijective
+    FROM ps JOIN tot t ON t.epoch = ps.epoch
+    GROUP BY ps.epoch, ps.shard, t.n_total, t.n_distinct
+    ORDER BY ps.epoch, ps.shard"""
+  })
 
   val mixSample: Q = Q("mix_sample", (s, dir) => {
     val d = Tables.t(s, dir, "documents")
