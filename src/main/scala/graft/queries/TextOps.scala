@@ -28,7 +28,7 @@ object TextOps {
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
     multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal,
-    wordpieceMerges, trainerCoverage, epochShuffle)
+    wordpieceMerges, trainerCoverage, epochShuffle, dedupImpact)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -422,6 +422,62 @@ object TextOps {
     GROUP BY ps.epoch, ps.shard, t.n_total, t.n_distinct
     ORDER BY ps.epoch, ps.shard"""
   })
+
+  /** DEDUP → MIXTURE IMPACT — the before/after report a curation run
+    * publishes beside its keep-list: apply the exact-dedup keep rule
+    * (min doc_id per md5 content hash — the dedup_exact contract) and
+    * recompute the per-source token mixture on the survivors. A source
+    * whose share SHIFTS after dedup was inflating its weight with
+    * duplicate mass (cross-source dups leave the source entirely when
+    * a smaller-id copy lives elsewhere — hence the COALESCE-to-0 arms).
+    * Scale shape: one persisted doc projection feeds the keep
+    * aggregate, the (hash, keep_id)-keyed join-back (same key as the
+    * aggregate — no extra exchange pattern; Aggregate boundary, lint-
+    * exempt) and both source rollups; totals ride a broadcast.
+    */
+  val dedupImpact: Q = Q("pipeline_dedup_impact", (s, dir) => {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)").as("nw"))
+      .persist()
+    val keep = d.groupBy("h").agg(min("doc_id").as("keep_id"))
+      .select(col("h").as("kh"), col("keep_id"))
+    val surv = d.join(keep,
+      col("h") === col("kh") && col("doc_id") === col("keep_id"))
+    val before = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("tokens"))
+    val after = surv.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("nw").as("tokens_kept"))
+    val tb = before.agg(sum("tokens").as("tb"))
+    val ta = after.agg(sum("tokens_kept").as("ta"))
+    before.join(after, Seq("source"), "left")
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(ta))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("tokens"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        expr("tokens * 10000 DIV tb").as("share_before_bp"),
+        expr("coalesce(tokens_kept, 0L) * 10000 DIV ta").as("share_after_bp"),
+        expr("coalesce(tokens_kept, 0L) * 10000 DIV ta - tokens * 10000 DIV tb")
+          .as("shift_bp"))
+      .orderBy("source")
+  }, Some("""WITH d AS (SELECT doc_id, source, md5(text) AS h,
+      CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS nw
+    FROM documents),
+    k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1),
+    sv AS (SELECT d.source, d.nw FROM d JOIN k ON k.h = d.h AND k.keep_id = d.doc_id),
+    b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nw) AS BIGINT) AS tokens FROM d GROUP BY 1),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(sum(nw) AS BIGINT) AS tokens_kept FROM sv GROUP BY 1),
+    tb AS (SELECT CAST(sum(tokens) AS BIGINT) AS tb FROM b),
+    ta AS (SELECT CAST(sum(tokens_kept) AS BIGINT) AS ta FROM a)
+    SELECT b.source, b.n_docs, COALESCE(a.n_kept, 0) AS n_kept, b.tokens,
+      COALESCE(a.tokens_kept, 0) AS tokens_kept,
+      b.tokens * 10000 // t1.tb AS share_before_bp,
+      COALESCE(a.tokens_kept, 0) * 10000 // t2.ta AS share_after_bp,
+      COALESCE(a.tokens_kept, 0) * 10000 // t2.ta - b.tokens * 10000 // t1.tb AS shift_bp
+    FROM b LEFT JOIN a USING (source) CROSS JOIN tb t1 CROSS JOIN ta t2
+    ORDER BY b.source"""))
 
   val mixSample: Q = Q("mix_sample", (s, dir) => {
     val d = Tables.t(s, dir, "documents")
