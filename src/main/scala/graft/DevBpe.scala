@@ -108,7 +108,55 @@ object DevBpe {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  /** End-to-end proof past the old cliff: train 512 REAL merges (2× the
+    * chained-form crash depth) with rematEvery=64 on the hex corpus —
+    * must adopt all 512 rules and finish without the k=512 codegen
+    * StackOverflow, with per-64-round wall printed to show the remat
+    * keeps round cost flat (the chained form's cost would compound and
+    * then crash at round ~512).
+    */
+  def runDeepTrain(spark: SparkSession): Unit = {
+    val d = spark.range(10000).select(
+      concat(lit(" "), array_join(
+        regexp_extract_all(md5(col("id").cast("string")), lit("[0-9a-f]"), lit(0)),
+        "  "), lit(" ")).as("seq"))
+      .repartition(32)
+    var done = 0
+    val t0 = System.nanoTime()
+    // train in 8 chunks of 64 so the wall clock per depth-band is visible;
+    // each chunk re-trains from scratch WOULD be O(n²) — instead run the
+    // single 512-round training and time it whole, plus a 64-round
+    // reference for the per-round baseline
+    val tRef0 = System.nanoTime()
+    val (m64, _) = graft.ops.Text.bpeTrain(d, "seq", 64, rematEvery = 64)
+    val ref = (System.nanoTime() - tRef0) / 1e9
+    println(f"[devbpe-deep] 64 merges (remat64): ${ref}%.1f s (${ref / 64}%.2f s/round)")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val t1 = System.nanoTime()
+    val (m512, enc) = graft.ops.Text.bpeTrain(d, "seq", 512, rematEvery = 64)
+    val full = (System.nanoTime() - t1) / 1e9
+    done = m512.count().toInt
+    val syms = enc.agg(sum(expr(
+      "CASE WHEN length(trim(seq)) = 0 THEN 0 ELSE size(split(trim(seq), '  ')) END")))
+      .head.getLong(0)
+    println(f"[devbpe-deep] 512 merges (remat64): adopted=$done full=${full}%.1f s " +
+      f"(${full / done}%.2f s/round vs ${ref / 64}%.2f baseline) final_syms=$syms")
+    val prefixEq = m512.orderBy("round").limit(64).collect().map(_.toSeq).toSeq ==
+      m64.orderBy("round").collect().map(_.toSeq).toSeq
+    println(s"[devbpe-deep] first-64 merge prefix identical to the 64-round run: $prefixEq")
+    require(done == 512, s"expected 512 adopted merges, got $done")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("deeptrain")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      runDeepTrain(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("sweep")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

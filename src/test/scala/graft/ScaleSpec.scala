@@ -949,6 +949,38 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("round-12 pipeline_epoch_shuffle: map-only permutation — no window, no shuffled join") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the whole point of the Feistel order is that there is NO data-
+    // sized sort/shuffle-join anywhere: positions are per-row integer
+    // arithmetic, the only exchanges are the two linear aggregates
+    val df = graft.queries.TextOps.epochShuffle.fn(spark, "/root/testdata/sf0.001")
+    var windows = 0
+    df.queryExecution.analyzed.foreach {
+      case _: LWindow => windows += 1
+      case _ => ()
+    }
+    assert(windows == 0, s"epoch shuffle must be window-free, found $windows")
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"epoch shuffle must not shuffle a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    // bijectivity certificate holds on every row; shard domain bounded
+    rows.foreach { r =>
+      assert(r.getLong(6) == 1L, s"bijective flag must be 1: $r")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 16, s"shard out of range: $r")
+    }
+    // both epochs present and their shard loads differ somewhere (the
+    // reshuffle is real, not a shared permutation)
+    val byEpoch = rows.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+    assert(byEpoch.keySet == Set(0L, 1L))
+    assert(byEpoch(0L) != byEpoch(1L), "epochs produced identical shard loads")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("round-12 ann_shard_rebalance: move-list plan is broadcast-only — no shuffled join") {
     spark.sparkContext.setLogLevel("ERROR")
     // both epoch assignments are broadcast-NLJ (tiny centroid set against
