@@ -27,6 +27,11 @@ object StreamingSpec {
     val p = l.split(" ", 2)
     (p(0), p(1))
   }
+
+  def keepParse(l: String): (String, Long, String, Long) = {
+    val p = l.split('|')
+    (p(0), p(1).toLong, p(2), p(3).toLong)
+  }
 }
 
 /** End-to-end Structured Streaming slice: file source → graphite parse →
@@ -4178,5 +4183,94 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         site -> ((last._2, last._3, last._4, last._5))
       }
     assert(got == want, s"post-restart cap census diverged: $got vs $want")
+  }
+
+  /** Input lines in DESCENDING doc_id order — the adversarial arrival
+    * for a min-winner rule (every smaller id swaps the hash's winner) —
+    * plus the batch expectation: pipeline_dedup_impact's per-source
+    * kept census at sf0.001.
+    */
+  private def keepFixture(): (Array[String], Map[String, (Long, Long)]) = {
+    import org.apache.spark.sql.functions._
+    val lines = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(md5(col("text")).as("h"), col("doc_id"), col("source"),
+        expr("CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT)").as("nw"))
+      .orderBy(col("doc_id").desc)
+      .collect().map(r =>
+        s"${r.getString(0)}|${r.getLong(1)}|${r.getString(2)}|${r.getLong(3)}")
+    val want = graft.queries.TextOps.dedupImpact.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(r.fieldIndex("n_kept")), r.getLong(r.fieldIndex("tokens_kept")))))
+      .filter(_._2._1 > 0L).toMap
+    spark.catalog.clearCache()
+    (lines, want)
+  }
+
+  test("ExactKeepProcessor: winner rows under adversarial order == the batch keep census") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = keepFixture()
+    val dir = Files.createTempDirectory("graft_keep_in").toFile
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .map(StreamingSpec.keepParse)
+    val q = graft.streaming.ExactKeepProcessor(spark, src)
+      .toDF("h", "keep_id", "source", "nw")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_keep_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        b2.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      // winner per hash = the min keep_id ever emitted for it (late
+      // smaller ids re-emit; last-write-wins by key == min by the rule)
+      val got = spark.sql(
+          """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(nw) AS BIGINT) AS tokens_kept
+             FROM (SELECT h, min_by(source, keep_id) AS source,
+                     min_by(nw, keep_id) AS nw
+                   FROM graft_keep_out GROUP BY h)
+             GROUP BY source""")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"streamed keep census diverged: $got vs $want")
+    } finally q.stop()
+  }
+
+  test("ExactKeepProcessor recovers winners across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = keepFixture()
+    val dir = Files.createTempDirectory("graft_keep_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_keep_ck").toString
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .map(StreamingSpec.keepParse)
+      graft.streaming.ExactKeepProcessor(spark, src)
+        .toDF("h", "keep_id", "source", "nw")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => out.add(
+            (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath,
+      b2.mkString("\n").getBytes("UTF-8"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val winners = out.toArray(Array.empty[(String, Long, String, Long)])
+      .groupBy(_._1).map { case (_, xs) => xs.minBy(_._2) }
+    val got = winners.groupBy(_._3).map { case (s, xs) =>
+      s -> ((xs.size.toLong, xs.map(_._4).sum))
+    }
+    assert(got == want, s"post-restart keep census diverged: $got vs $want")
   }
 }
