@@ -28,7 +28,7 @@ object TextOps {
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
     multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal,
-    wordpieceMerges, trainerCoverage, epochShuffle, dedupImpact)
+    wordpieceMerges, trainerCoverage, epochShuffle, dedupImpact, resumeCursor)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -421,6 +421,82 @@ object TextOps {
     FROM ps JOIN tot t ON t.epoch = ps.epoch
     GROUP BY ps.epoch, ps.shard, t.n_total, t.n_distinct
     ORDER BY ps.epoch, ps.shard"""
+  })
+
+  /** RESUME CURSOR over the epoch-shuffle order — the preemption-
+    * recovery primitive beside [[epochShuffle]]: a training job that
+    * consumed K documents of epoch e resumes at the K-th SMALLEST
+    * Feistel position, found here as an EXACT order statistic WITHOUT a
+    * global sort (the bucketedMedian discipline lifted to arbitrary
+    * rank): (1) one linear pass buckets positions by their high bits
+    * (4096 buckets) and counts; (2) the cumulative bucket census (a
+    * #buckets-sized window on an aggregate — sanctioned) locates the
+    * bucket each target rank falls in; (3) one bounded per-bucket
+    * row_number over ONLY the hit buckets (semi-join filtered; bucket
+    * load is hash-dispersed by the permutation) yields the exact row.
+    * Positions are a bijection image, so the order is total with no tie
+    * discipline needed anywhere. Reported for K = 25/50/75% of each
+    * epoch: the cursor position, its range-shard, and the doc at the
+    * cursor — what a resuming consumer seeks to. The oracle sorts (it
+    * may; we must not).
+    */
+  val resumeCursor: Q = Q("pipeline_resume_cursor", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bktW = 1L << 28 // 4096 buckets over the 2^40 position domain
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val gate = docs.agg(max("doc_id").as("mx"), min("doc_id").as("mn"))
+      .select(expr(s"""CASE WHEN mx >= ${1L << 40} OR mn < 0 THEN raise_error(
+          'pipeline_resume_cursor: doc_id outside the 2^40 Feistel domain')
+        ELSE 1 END""").as("_ok"))
+    val posSql = graft.ops.Sample.feistelPosSql("doc_id", "epoch", duck = false)
+    val p = docs.crossJoin(broadcast(gate)).where(col("_ok") === 1)
+      .select(col("doc_id"), explode(expr("array(0L, 1L)")).as("epoch"))
+      .withColumn("pos", expr(posSql))
+      .withColumn("bkt", expr(s"pos DIV $bktW"))
+      .persist()
+    val n = p.groupBy("epoch").agg(count(lit(1)).as("n"))
+    val targets = n.select(col("epoch"), explode(expr(
+        """array(struct(CAST(25 AS BIGINT) AS pct, n DIV 4 AS k),
+                 struct(CAST(50 AS BIGINT) AS pct, n DIV 2 AS k),
+                 struct(CAST(75 AS BIGINT) AS pct, (3 * n) DIV 4 AS k))""")).as("t"))
+      .select(col("epoch"), col("t.pct").as("pct"), col("t.k").as("k"))
+    val wB = Window.partitionBy("epoch").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = p.groupBy("epoch", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("before", coalesce(sum("c").over(wB), lit(0L)))
+    val hit = targets.join(broadcast(cum), Seq("epoch"))
+      .filter(col("k") > col("before") && col("k") <= col("before") + col("c"))
+      .select(col("epoch"), col("pct"), col("k"), col("bkt"),
+        (col("k") - col("before")).as("off"))
+    val wIn = Window.partitionBy("epoch", "bkt").orderBy("pos")
+    val inB = p.join(broadcast(hit.select("epoch", "bkt").distinct()),
+        Seq("epoch", "bkt"), "left_semi")
+      .withColumn("rn", row_number().over(wIn).cast("bigint"))
+    inB.join(broadcast(hit), Seq("epoch", "bkt"))
+      .filter(col("rn") === col("off"))
+      .select(col("epoch"), col("pct"), col("k"), col("pos").as("cursor_pos"),
+        expr(s"pos DIV ${(1L << 40) / 16}").as("cursor_shard"),
+        col("doc_id").as("cursor_doc"))
+      .orderBy("epoch", "pct")
+  }, Some {
+    val posSql = graft.ops.Sample.feistelPosSql("doc_id", "epoch", duck = true)
+    s"""WITH d AS (SELECT doc_id FROM documents),
+    g AS (SELECT CASE WHEN max(doc_id) >= ${1L << 40} OR min(doc_id) < 0
+        THEN error('pipeline_resume_cursor: doc_id outside the 2^40 Feistel domain')
+        ELSE 1 END AS ok FROM d),
+    e AS (SELECT CAST(x AS BIGINT) AS epoch FROM (VALUES (0), (1)) t(x)),
+    p AS (SELECT doc_id, epoch, $posSql AS pos FROM d, e, g WHERE g.ok = 1),
+    n AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+    t AS (SELECT epoch, CAST(25 AS BIGINT) AS pct, n // 4 AS k FROM n
+      UNION ALL SELECT epoch, 50, n // 2 FROM n
+      UNION ALL SELECT epoch, 75, (3 * n) // 4 FROM n),
+    r AS (SELECT epoch, doc_id, pos,
+        CAST(row_number() OVER (PARTITION BY epoch ORDER BY pos) AS BIGINT) AS rn
+      FROM p)
+    SELECT t.epoch, t.pct, t.k, r.pos AS cursor_pos,
+      r.pos // ${(1L << 40) / 16} AS cursor_shard, r.doc_id AS cursor_doc
+    FROM t JOIN r ON r.epoch = t.epoch AND r.rn = t.k
+    ORDER BY t.epoch, t.pct"""
   })
 
   /** DEDUP → MIXTURE IMPACT — the before/after report a curation run

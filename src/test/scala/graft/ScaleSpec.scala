@@ -981,6 +981,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("round-12 pipeline_resume_cursor: rank selection without a global sort") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // the exact order statistic must come from the bucket census + a
+    // PARTITIONED per-bucket window — a global (empty-partition) window
+    // or a shuffled join means the no-global-sort claim broke
+    val df = graft.queries.TextOps.resumeCursor.fn(spark, "/root/testdata/sf0.001")
+    df.queryExecution.analyzed.foreach {
+      case w: LWindow =>
+        assert(w.partitionSpec.nonEmpty, s"global window crept in: $w")
+      case _ => ()
+    }
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"cursor lookup must not shuffle a join:\n$plan")
+    // 2 epochs × 3 percentiles, shard consistent with the position, and
+    // cursors strictly increase with the percentile within an epoch
+    assert(rows.length == 6, rows.mkString(","))
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) / ((1L << 40) / 16), s"shard mismatch: $r")
+    }
+    Seq(0L, 1L).foreach { ep =>
+      val ps = rows.filter(_.getLong(0) == ep).sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(ps.length == 3 && ps(0) < ps(1) && ps(1) < ps(2),
+        s"cursors must increase with rank: ${ps.mkString(",")}")
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("round-12 ann_shard_rebalance: move-list plan is broadcast-only — no shuffled join") {
     spark.sparkContext.setLogLevel("ERROR")
     // both epoch assignments are broadcast-NLJ (tiny centroid set against
