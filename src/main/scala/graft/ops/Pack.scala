@@ -24,7 +24,8 @@ object Pack {
       idCol: String,
       nTokensCol: String,
       binTokens: Long,
-      shardSize: Long = 4096L): DataFrame = {
+      shardSize: Long = 4096L,
+      keepStart: Boolean = false): DataFrame = {
     val d = df.withColumn("_shard", expr(s"$idCol DIV $shardSize"))
     val wIn = Window.partitionBy("_shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -32,9 +33,12 @@ object Pack {
     val offsets = d.groupBy("_shard").agg(sum(nTokensCol).as("_shard_tot"))
       .withColumn("_off", coalesce(sum("_shard_tot").over(wSh), lit(0L)))
       .select(col("_shard").as("_o_shard"), col("_off"))
-    d.withColumn("_local_cum", sum(nTokensCol).over(wIn))
+    val withStart = d.withColumn("_local_cum", sum(nTokensCol).over(wIn))
       .join(offsets, col("_shard") === col("_o_shard"))
-      .withColumn("bin", expr(s"(_local_cum + _off - $nTokensCol) DIV $binTokens"))
+      // global token offset the row STARTS at (exclusive prefix sum)
+      .withColumn("start", expr(s"_local_cum + _off - $nTokensCol"))
+      .withColumn("bin", expr(s"start DIV $binTokens"))
       .drop("_shard", "_o_shard", "_local_cum", "_off")
+    if (keepStart) withStart else withStart.drop("start")
   }
 }

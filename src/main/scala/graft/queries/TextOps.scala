@@ -28,7 +28,8 @@ object TextOps {
     multimodalIntegrity, textKneserNey, mixEpochUpsample,
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
     multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal,
-    wordpieceMerges, trainerCoverage, epochShuffle, dedupImpact, resumeCursor)
+    wordpieceMerges, trainerCoverage, epochShuffle, dedupImpact, resumeCursor,
+    packBoundaries)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -1104,6 +1105,54 @@ object TextOps {
           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents))
     GROUP BY bin ORDER BY bin"""))
+
+  /** PACKED-CONTEXT BOUNDARY MANIFEST — the attention-mask spec that
+    * rides with [[contextPack]]'s concatenation packing: a trainer that
+    * packs documents into fixed 512-token contexts must RESET attention
+    * at every document boundary (block-diagonal masking — the
+    * sequence-packing correctness detail; Krell et al., "Efficient
+    * Sequence Packing without Cross-contamination", arXiv:2107.02027 —
+    * public). Per context: the sorted in-context start offsets of every
+    * document beginning there (the mask reset points), doc/token
+    * counts, and whether the context OPENS mid-document (a straddler
+    * spilled in — its head tokens attend back into the previous
+    * context's doc unless the consumer carries the boundary over).
+    * Same distributed prefix-sum as the packer ([[graft.ops.Pack]]
+    * `keepStart` — exclusive cumsum exposed), one aggregate on the bin
+    * key; offsets sort NUMERICALLY before string-join on both engines
+    * (the ann_shard_manifest cells discipline).
+    */
+  val packBoundaries: Q = Q("pipeline_pack_boundaries", (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_tokens"))
+    val b = graft.ops.Pack.assignBins(d, "doc_id", "n_tokens", binTokens = 512L,
+        keepStart = true)
+      .withColumn("off_in_bin", expr("start - bin * 512"))
+    b.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        expr("CAST(min(off_in_bin) > 0 AS BIGINT)").as("starts_mid"),
+        expr("""array_join(transform(array_sort(
+            collect_list(struct(off_in_bin, doc_id))),
+            x -> CAST(x.off_in_bin AS STRING)), ',')""").as("boundaries"))
+      .select(col("bin"), col("n_docs"), col("sum_tokens"), col("starts_mid"),
+        col("boundaries"))
+      .orderBy("bin")
+  }, Some("""WITH d AS (SELECT doc_id,
+      CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents),
+    p AS (SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+          AS BIGINT) AS start
+      FROM d),
+    q AS (SELECT doc_id, n_tokens, start, start // 512 AS bin,
+        start - (start // 512) * 512 AS off_in_bin FROM p)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(min(off_in_bin) > 0 AS BIGINT) AS starts_mid,
+      string_agg(CAST(off_in_bin AS VARCHAR), ',' ORDER BY off_in_bin, doc_id)
+        AS boundaries
+    FROM q GROUP BY bin ORDER BY bin"""))
 
   /** Composed CHUNK-INDEX pipeline — the embedding-index prep a RAG
     * system runs between raw corpus and encoder: (1) sliding-window
