@@ -147,7 +147,72 @@ object DevBpe {
     require(done == 512, s"expected 512 adopted merges, got $done")
   }
 
+  /** r12 verdict task #5: the production-depth rung — 4096 REAL merges
+    * end-to-end (today's evidence stopped at 512), with per-256-round
+    * band timing (the flat-cost certificate must hold across the whole
+    * run, not just in aggregate) and checkpoint storage telemetry (the
+    * localCheckpoint blocks are the only state that could grow with
+    * depth). Two corpora:
+    *  - sf0.01 documents: the REAL corpus — its 31-word vocabulary
+    *    exhausts adoptable merges early, certifying graceful
+    *    exhaustion at depth (the trainer stops, never crashes);
+    *  - the md5-hex synthetic probe (non-exhausting): the actual
+    *    4096-merge depth ladder.
+    */
+  def runDeepTrain4k(spark: SparkSession): Unit = {
+    // (a) real corpus: requested depth far past the vocabulary's
+    // adoptable-merge supply — certifies the exhaustion path
+    val real = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .select(graft.ops.Text.bpeInitSeq(col("text")).as("seq")).repartition(32)
+    val tR = System.nanoTime()
+    val (mR, _) = graft.ops.Text.bpeTrain(real, "seq", 4096, rematEvery = 128)
+    val nR = mR.count()
+    println(f"[devbpe-4k] sf0.01 corpus: adopted=$nR%d of 4096 requested " +
+      f"(vocabulary exhausted, graceful stop) in ${(System.nanoTime() - tR) / 1e9}%.1f s")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
+    // (b) synthetic probe: 4096 real merges, banded flat-cost evidence
+    val d = spark.range(10000).select(
+      concat(lit(" "), array_join(
+        regexp_extract_all(md5(col("id").cast("string")), lit("[0-9a-f]"), lit(0)),
+        "  "), lit(" ")).as("seq"))
+      .repartition(32)
+    val band = 256
+    var bandStart = System.nanoTime()
+    val t0 = System.nanoTime()
+    val onRound: Int => Unit = r =>
+      if (r % band == 0) {
+        val dt = (System.nanoTime() - bandStart) / 1e9
+        val st = spark.sparkContext.getRDDStorageInfo
+        val mem = st.map(_.memSize).sum / (1 << 20)
+        val dsk = st.map(_.diskSize).sum / (1 << 20)
+        println(f"[devbpe-4k] rounds ${r - band + 1}%4d-$r%4d: ${dt}%6.1f s " +
+          f"(${dt / band}%.3f s/round) ckpt_blocks=${st.length}%2d " +
+          f"ckpt_mem=${mem}%4d MiB ckpt_disk=${dsk}%4d MiB")
+        bandStart = System.nanoTime()
+      }
+    val (m4k, enc) = graft.ops.Text.bpeTrain(d, "seq", 4096, rematEvery = 128,
+      onRound = onRound)
+    val full = (System.nanoTime() - t0) / 1e9
+    val done = m4k.count().toInt
+    val syms = enc.agg(sum(expr(
+      "CASE WHEN length(trim(seq)) = 0 THEN 0 ELSE size(split(trim(seq), '  ')) END")))
+      .head.getLong(0)
+    println(f"[devbpe-4k] 4096 merges (remat128): adopted=$done full=${full}%.1f s " +
+      f"(${full / done}%.3f s/round) final_syms=$syms")
+    require(done == 4096, s"expected 4096 adopted merges, got $done")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("deeptrain4k")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      runDeepTrain4k(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("deeptrain")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

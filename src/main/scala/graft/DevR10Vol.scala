@@ -70,17 +70,23 @@ object DevR10Vol {
         val topMass = wc.orderBy(col("cnt").desc, col("word")).limit(1024)
           .agg(sum("cnt")).collect()(0).getLong(0)
         val covBp = topMass * 10000L / r.getLong(0)
-        // the remaining partial stats bound: SeedMulti seed-gram mass
+        // the seed bound, types-scaled since r13 (seedK); the fixed
+        // SeedMulti=40 column stays as the HISTORICAL comparison
         val gram = wc.select(explode(expr(graft.ops.Unigram.multiGramExpr)).as("g"), col("cnt"))
           .groupBy("g").agg(sum("cnt").as("u")).localCheckpoint(true)
         val gTot = gram.agg(coalesce(sum("u"), lit(0L))).collect()(0).getLong(0)
+        val seedk = graft.ops.Unigram.seedK(r.getLong(1))
         val gSeen = gram.orderBy(col("u").desc, col("g").asc)
+          .limit(seedk.toInt)
+          .agg(coalesce(sum("u"), lit(0L))).collect()(0).getLong(0)
+        val gSeen40 = gram.orderBy(col("u").desc, col("g").asc)
           .limit(graft.ops.Unigram.SeedMulti)
           .agg(coalesce(sum("u"), lit(0L))).collect()(0).getLong(0)
         println(f"R10VOL $l%-5s unigram: tokens=${r.getLong(0)}%,12d types=${r.getLong(1)}%,9d " +
           f"encode_rows=$encodeRows%,10d dp_cells=${r.getLong(2)}%,10d max_word_len=${r.getLong(3)}%2d " +
           f"top1024_mass_bp_HISTORICAL=$covBp%5d statsfree_bp=10000 " +
-          f"seed_gram_bp=${gSeen * 10000L / math.max(1L, gTot)}%5d")
+          f"seedK=$seedk%7d seed_gram_bp=${gSeen * 10000L / math.max(1L, gTot)}%5d " +
+          f"seed40_gram_bp_HISTORICAL=${gSeen40 * 10000L / math.max(1L, gTot)}%5d")
         // r12: time BOTH trainer paths on the rung and pin equality —
         // the distributed E-step is the 100-TB path; the driver path
         // is the counted-small dispatch under 64k distinct words

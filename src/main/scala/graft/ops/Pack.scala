@@ -26,6 +26,8 @@ object Pack {
       binTokens: Long,
       shardSize: Long = 4096L,
       keepStart: Boolean = false): DataFrame = {
+    require(!keepStart || !df.columns.contains("start"),
+      "assignBins(keepStart=true) emits a `start` column; input already has one")
     val d = df.withColumn("_shard", expr(s"$idCol DIV $shardSize"))
     val wIn = Window.partitionBy("_shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -35,10 +37,12 @@ object Pack {
       .select(col("_shard").as("_o_shard"), col("_off"))
     val withStart = d.withColumn("_local_cum", sum(nTokensCol).over(wIn))
       .join(offsets, col("_shard") === col("_o_shard"))
-      // global token offset the row STARTS at (exclusive prefix sum)
-      .withColumn("start", expr(s"_local_cum + _off - $nTokensCol"))
-      .withColumn("bin", expr(s"start DIV $binTokens"))
+      // global token offset the row STARTS at (exclusive prefix sum);
+      // internal underscore name so a caller's own `start` column survives
+      .withColumn("_start", expr(s"_local_cum + _off - $nTokensCol"))
+      .withColumn("bin", expr(s"_start DIV $binTokens"))
       .drop("_shard", "_o_shard", "_local_cum", "_off")
-    if (keepStart) withStart else withStart.drop("start")
+    if (keepStart) withStart.withColumnRenamed("_start", "start")
+    else withStart.drop("_start")
   }
 }

@@ -258,4 +258,28 @@ object Sample {
     val r3 = xor(l2, f(r2, 63809L)); val l3 = r2
     s"(($l3) * $H + ($r3))"
   }
+
+  /** Driver Long twin of [[feistelPosSql]] — IDENTICAL arithmetic
+    * (`DIV` ≡ Java `/` on the all-positive intermediates, `^` is XOR
+    * in both). Consumed by the streaming resume-cursor twin
+    * ([[graft.streaming.ResumeCursorProcessor]]); OpsSpec pins the SQL
+    * against its own INDEPENDENT inline mirror of the network, so this
+    * copy is covered transitively.
+    */
+  def feistelPos(id: Long, epoch: Long): Long = {
+    val H = FeistelHalf
+    def f(r: Long, k: Long) = ((r * 2654435761L + epoch * 7919L + k) / 64) % H
+    val l0 = id / H; val r0 = id % H
+    val r1 = l0 ^ f(r0, 40503L); val l1 = r0
+    val r2 = l1 ^ f(r1, 52501L); val l2 = r1
+    val r3 = l2 ^ f(r2, 63809L); val l3 = r2
+    l3 * H + r3
+  }
+
+  /** Bucket width of the resume-cursor position census: 4096 buckets
+    * over the 2^40 Feistel domain — ONE constant shared by
+    * `pipeline_resume_cursor` and its streaming twin (the
+    * shared-constant rule).
+    */
+  val CursorBucketWidth: Long = 1L << 28
 }

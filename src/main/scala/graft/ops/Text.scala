@@ -358,9 +358,16 @@ object Text {
       seqs: DataFrame,
       seqCol: String,
       rounds: Int,
-      rematEvery: Int = 0): (DataFrame, DataFrame) = {
+      rematEvery: Int = 0,
+      onRound: Int => Unit = _ => ()): (DataFrame, DataFrame) = {
     require(rounds >= 1)
     require(rematEvery >= 0, "rematEvery: 0 = never, else checkpoint period")
+    if (rematEvery > MaxChainedMerges)
+      throw new IllegalArgumentException(
+        s"bpeTrain: rematEvery=$rematEvery lets the accumulated-replace " +
+          s"chain reach uncertified depth (> $MaxChainedMerges — the " +
+          "StringReplace.doGenCode stack cliff); pass rematEvery <= " +
+          s"$MaxChainedMerges")
     if (rematEvery == 0 && rounds > MaxChainedMerges)
       throw new IllegalArgumentException(
         s"bpeTrain: $rounds merge rounds on a single accumulated-replace " +
@@ -395,6 +402,7 @@ object Text {
           base = mat
           pending = Vector.empty
         }
+        onRound(r)
         r += 1
       }
     }
@@ -428,6 +436,12 @@ object Text {
       rematEvery: Int = 0): (DataFrame, DataFrame) = {
     require(rounds >= 1)
     require(rematEvery >= 0, "rematEvery: 0 = never, else checkpoint period")
+    if (rematEvery > MaxChainedMerges)
+      throw new IllegalArgumentException(
+        s"wordpieceTrain: rematEvery=$rematEvery lets the accumulated-" +
+          s"replace chain reach uncertified depth (> $MaxChainedMerges — " +
+          "the StringReplace.doGenCode stack cliff); pass rematEvery <= " +
+          s"$MaxChainedMerges")
     if (rematEvery == 0 && rounds > MaxChainedMerges)
       throw new IllegalArgumentException(
         s"wordpieceTrain: $rounds merge rounds on a single accumulated-" +

@@ -52,7 +52,40 @@ import org.apache.spark.sql.functions._
 object Unigram {
 
   val MaxPiece = 4 // max piece length considered (seed + DP lookback)
-  val SeedMulti = 40 // seed multi-char candidates kept: (freq DESC, piece)
+  val SeedMulti = 40 // seed-inventory FLOOR: min multi-char candidates kept
+
+  /** Seed-inventory scaling (r12 verdict task #4): the former fixed
+    * SeedMulti=40 head was the trainer family's last stats bound — at
+    * the ×128 rung it captured 5% of multi-gram mass (the coverage
+    * row's self-report). The inventory now scales with the vocabulary:
+    * K = min(max([[SeedMulti]], [[SeedTypesMult]]·types), [[SeedAbsCap]])
+    * where types = distinct training words. The absolute cap mirrors
+    * SentencePiece's own bounded seed inventory (Kudo 2018 trains from
+    * a size-capped seed set) and keeps the driver-held round-1 piece
+    * table broadcastable; the coverage census reports the actual K so
+    * a corpus that saturates it says so in a dashboard.
+    */
+  val SeedTypesMult = 8L
+  val SeedAbsCap = 1L << 20
+
+  def seedK(types: Long): Long =
+    math.min(math.max(SeedMulti.toLong, SeedTypesMult * types), SeedAbsCap)
+
+  /** The [[seedK]] formula as SQL over a types-count expression —
+    * least/greatest parse identically in Spark and DuckDB.
+    */
+  def seedKSql(typesExpr: String): String =
+    s"least(greatest($SeedMulti, $SeedTypesMult * ($typesExpr)), $SeedAbsCap)"
+
+  /** Round-1 cost-table dispatch bound: piece sets at or under this
+    * size ride as a LITERAL map into the DP projections (zero joins);
+    * larger seed inventories build a per-word cost map via a candidate
+    * explode + broadcast piece-table join ([[pathUsage]]) — same
+    * `try_element_at(vm, …)` semantics, map column instead of map
+    * literal. A PERFORMANCE dispatch, not a cap (both paths pinned
+    * bit-identical in UnigramSpec).
+    */
+  val LiteralVocabCutoff = 1024
   /** Counted-small fast-path bound: word-stat tables at or under this
     * many DISTINCT words are collected and EM'd on the driver
     * ([[trainFromStats]]); larger vocabularies run the DISTRIBUTED
@@ -232,7 +265,8 @@ object Unigram {
       }
     }
     val chars = charF.toSeq.map { case (p, u) => (p, true, u) }
-    val seeds = multiF.toSeq.sorted(byUsageDescPiece).take(SeedMulti)
+    val seeds = multiF.toSeq.sorted(byUsageDescPiece)
+      .take(seedK(words.size.toLong).toInt)
       .map { case (p, u) => (p, false, u) }
     var vocab: Seq[(String, Boolean, Long)] = chars ++ seeds
     for (_ <- 1 to Rounds) {
@@ -294,16 +328,47 @@ object Unigram {
     init ++ steps
   }
 
-  /** Per-piece best-path usage mass over a (word, cnt) relation with
-    * `cost` as a literal map — the DISTRIBUTED E-step: ONE codegen'd
-    * job (DP + backtrack as unrolled projections, a piece explode, a
-    * map-side-combining aggregate), output bounded by the piece set.
+  /** Every substring of `c` with code-point length 1..[[MaxPiece]] —
+    * the DP's full candidate space (the join-path cost-map builder's
+    * explode). No short-word CASE needed: both sequence() bounds are
+    * ≥ 1 for any nonempty word.
+    */
+  def allGramExpr(c: String = "word"): String =
+    s"""flatten(transform(sequence(1, least($MaxPiece, length($c))),
+          l -> transform(sequence(1, length($c) - l + 1), i -> substr($c, i, l))))"""
+
+  /** Per-piece best-path usage mass over a (word, cnt) relation —
+    * the DISTRIBUTED E-step: ONE codegen'd job (DP + backtrack as
+    * unrolled projections, a piece explode, a map-side-combining
+    * aggregate), output bounded by the piece set. Piece sets up to
+    * [[LiteralVocabCutoff]] ride as a literal map; larger seed
+    * inventories (the [[seedK]] round-1 table) build a per-word map
+    * via candidate explode + BROADCAST piece-table join — the scale
+    * path: the piece table is seed-bounded (≤ [[SeedAbsCap]]),
+    * per-word maps are ≤ [[DpUnroll]]·[[MaxPiece]] entries.
     */
   def pathUsage(words: DataFrame, cost: Seq[(String, Long)]): DataFrame = {
-    val vm = map(cost.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
-    val base = words
-      .withColumn("wl", length(col("word")).cast("int"))
-      .withColumn("vm", vm)
+    val base0 = words.withColumn("wl", length(col("word")).cast("int"))
+    val base =
+      if (cost.size <= LiteralVocabCutoff) {
+        val vm = map(cost.flatMap { case (p, c) => Seq(lit(p), lit(c)) }: _*)
+        base0.withColumn("vm", vm)
+      } else {
+        val s = words.sparkSession
+        import s.implicits._
+        val costDf = cost.toDF("piece", "pcost")
+        val wvm = words.select(col("word"))
+          .select(col("word"), explode(expr(allGramExpr("word"))).as("piece"))
+          .distinct()
+          .join(broadcast(costDf), "piece")
+          .groupBy("word")
+          .agg(map_from_entries(collect_list(struct(col("piece"), col("pcost"))))
+            .as("wvm"))
+        base0.join(wvm, Seq("word"), "left")
+          .withColumn("vm", coalesce(col("wvm"),
+            expr("CAST(map() AS MAP<STRING, BIGINT>)")))
+          .drop("wvm")
+      }
     Geo.applyStages(Geo.applyStages(base, dpStages), backtrackStages)
       .select(explode(expr(
         s"filter(array(${(1 to DpUnroll).map(k => s"piece$k").mkString(", ")}), x -> x IS NOT NULL)"))
@@ -321,6 +386,7 @@ object Unigram {
     * 2 + [[Rounds]] small jobs re-read it).
     */
   def trainDistributed(words: DataFrame): Seq[Piece] = {
+    val types = words.count()
     val chars = words
       .select(explode(expr(
         "transform(sequence(1, length(word)), i -> substr(word, i, 1))")).as("piece"),
@@ -331,7 +397,7 @@ object Unigram {
     val seeds = words
       .select(explode(expr(multiGramExpr)).as("piece"), col("cnt"))
       .groupBy("piece").agg(sum("cnt").as("usage"))
-      .orderBy(col("usage").desc, col("piece").asc).limit(SeedMulti)
+      .orderBy(col("usage").desc, col("piece").asc).limit(seedK(types).toInt)
       .collect().map(r => (r.getString(0), false, r.getLong(1))).toSeq
     var vocab: Seq[(String, Boolean, Long)] = chars ++ seeds
     for (_ <- 1 to Rounds) {
@@ -375,9 +441,10 @@ object Unigram {
     * total) in the batch query's row order:
     *  - unigram_dp_unroll: token mass of words within the 12-position
     *    DP unroll (the trainer/encode raise past it).
-    *  - unigram_seed_multi: gram mass captured by the [[SeedMulti]]
-    *    seed selection vs all multi-gram mass — the trainer's one
-    *    remaining partial-coverage stats bound.
+    *  - unigram_seed_multi: gram mass captured by the [[seedK]]
+    *    (types-scaled, r13) seed selection vs all multi-gram mass;
+    *    cap column = the actual K. Partial only when the corpus
+    *    saturates [[SeedAbsCap]].
     *  - unigram_stats_mass: cap 0 = UNCAPPED (successor of the r11
     *    unigram_top_words_mass row after the r12 head-cap removal) —
     *    structurally full coverage, kept so the ladder shows the cap
@@ -393,10 +460,11 @@ object Unigram {
         grams(cp.slice(i, i + l).mkString) += c
     }
     val gramTotal = grams.values.sum
-    val gramSeen = grams.toSeq.sorted(byUsageDescPiece).take(SeedMulti).map(_._2).sum
+    val k = seedK(stats.size.toLong)
+    val gramSeen = grams.toSeq.sorted(byUsageDescPiece).take(k.toInt).map(_._2).sum
     Seq(
       ("unigram_dp_unroll", DpUnroll.toLong, "token_mass", massUnroll, massTotal),
-      ("unigram_seed_multi", SeedMulti.toLong, "gram_mass", gramSeen, gramTotal),
+      ("unigram_seed_multi", k, "gram_mass", gramSeen, gramTotal),
       ("unigram_stats_mass", 0L, "token_mass", massTotal, massTotal))
   }
 
@@ -580,16 +648,20 @@ ch0 AS MATERIALIZED (
     FROM (SELECT word, cnt, unnest(list_transform(range(1, length(word) + 1), x -> x)) AS i
           FROM w0))
   GROUP BY 1),
+tk0 AS (SELECT ${seedKSql("count(*)")} AS k FROM w0),
 sd0 AS MATERIALIZED (
   SELECT piece, usage FROM (
-    SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
-      SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, cnt
-      FROM (SELECT word, cnt, i,
-              unnest(list_transform(range(2, least($MaxPiece, length(word) - i + 1) + 1), x -> x)) AS l
-            FROM (SELECT word, cnt, unnest(list_transform(range(1, length(word) + 1), x -> x)) AS i
-                  FROM w0)))
-    GROUP BY 1)
-  ORDER BY usage DESC, piece LIMIT $SeedMulti),
+    SELECT piece, usage,
+      row_number() OVER (ORDER BY usage DESC, piece) AS rk
+    FROM (
+      SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, cnt
+        FROM (SELECT word, cnt, i,
+                unnest(list_transform(range(2, least($MaxPiece, length(word) - i + 1) + 1), x -> x)) AS l
+              FROM (SELECT word, cnt, unnest(list_transform(range(1, length(word) + 1), x -> x)) AS i
+                    FROM w0)))
+      GROUP BY 1))
+  WHERE rk <= (SELECT k FROM tk0)),
 v0 AS MATERIALIZED (
   SELECT piece, usage, TRUE AS is_char FROM ch0
   UNION ALL

@@ -1762,9 +1762,14 @@ object Dedup {
     *    r9 quadratic-fix family the verdict names.
     *  - `symspell_variants`: [[symspellPosts]] deletion-key buckets,
     *    [[SymspellCap]].
-    *  - `phash_bands`: the pigeonhole image-band buckets
+    *  - `phash_bands`: the pigeonhole image-band buckets over DISTINCT
+    *    hashes — the r13 representative layer
     *    ([[graft.queries.TextOps.phashBands]]),
-    *    [[graft.queries.TextOps.PhashBandCap]].
+    *    [[graft.queries.TextOps.PhashBandCap]]; pair mass here is
+    *    REPRESENTATIVE-pair mass (scales with distinct content).
+    *  - `phash_groups`: the per-hash doc groups the representative
+    *    pairs re-expand through (key = ahash, same cap) — the
+    *    expansion side of the r13 split.
     *
     * At certified SFs every cap is non-binding (buckets_dropped = 0,
     * admitted_bp = 10000 — max observed 3-gram df is 25); the row
@@ -1790,9 +1795,13 @@ object Dedup {
       .unionByName(Scale.capCensus(wide, Seq("band", "v"), DfCap, "lsh_wide_bands"))
       .unionByName(Scale.capCensus(
         symspellPosts(s, dir), Seq("vh"), SymspellCap, "symspell_variants"))
-      .unionByName(Scale.capCensus(
-        graft.queries.TextOps.phashBands(s, dir), Seq("bk"),
-        graft.queries.TextOps.PhashBandCap, "phash_bands"))
+      .unionByName {
+        val hhc = graft.queries.TextOps.phashHashes(s, dir).persist()
+        Scale.capCensus(graft.queries.TextOps.phashBandsOf(hhc), Seq("bk"),
+            graft.queries.TextOps.PhashBandCap, "phash_bands")
+          .unionByName(Scale.capCensus(hhc, Seq("ahash"),
+            graft.queries.TextOps.PhashBandCap, "phash_groups"))
+      }
       .withColumn("admitted_bp", expr(
         "CASE WHEN pair_mass_total > 0 THEN pair_mass_admitted * 10000 DIV pair_mass_total ELSE 10000 END"))
       .orderBy("site")
@@ -1818,7 +1827,8 @@ object Dedup {
       UNION ALL ${Scale.capCensusSql("pp", Seq("sh"), DfCap, "prefix_postings")}
       UNION ALL ${Scale.capCensusSql("wbands", Seq("band", "v"), DfCap, "lsh_wide_bands")}
       UNION ALL ${Scale.capCensusSql("posts", Seq("vh"), SymspellCap, "symspell_variants")}
-      UNION ALL ${Scale.capCensusSql("pbands", Seq("bk"), graft.queries.TextOps.PhashBandCap, "phash_bands")})
+      UNION ALL ${Scale.capCensusSql("pbands", Seq("bk"), graft.queries.TextOps.PhashBandCap, "phash_bands")}
+      UNION ALL ${Scale.capCensusSql("hh", Seq("ahash"), graft.queries.TextOps.PhashBandCap, "phash_groups")})
     SELECT site, cap, buckets_total, buckets_dropped, pair_mass_total, pair_mass_admitted,
       CAST(CASE WHEN pair_mass_total > 0
            THEN pair_mass_admitted * 10000 // pair_mass_total ELSE 10000 END AS BIGINT) AS admitted_bp

@@ -29,7 +29,7 @@ object TextOps {
     tokenizerFertility, multimodalVideoMeta, multimodalJpegMeta,
     multimodalMp4Meta, unigramVocab, unigramFertility, unigramSurprisal,
     wordpieceMerges, trainerCoverage, epochShuffle, dedupImpact, resumeCursor,
-    packBoundaries)
+    packBoundaries, epochPack)
 
   /** Bigram language-model perplexity scoring with add-one smoothing —
     * the CCNet-style "does this read like the corpus" filter (Wenzek et
@@ -443,7 +443,7 @@ object TextOps {
     */
   val resumeCursor: Q = Q("pipeline_resume_cursor", (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val bktW = 1L << 28 // 4096 buckets over the 2^40 position domain
+    val bktW = graft.ops.Sample.CursorBucketWidth // 4096 buckets over 2^40
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
     val gate = docs.agg(max("doc_id").as("mx"), min("doc_id").as("mn"))
       .select(expr(s"""CASE WHEN mx >= ${1L << 40} OR mn < 0 THEN raise_error(
@@ -1121,6 +1121,16 @@ object TextOps {
     * `keepStart` — exclusive cumsum exposed), one aggregate on the bin
     * key; offsets sort NUMERICALLY before string-join on both engines
     * (the ann_shard_manifest cells discipline).
+    *
+    * GAP SEMANTICS (part of the contract, both engines agree): the bin
+    * spine is SPARSE — a context bin with NO row in the manifest is one
+    * that lies entirely inside a single straddling document (no document
+    * starts there). Consumers must read a missing bin id as
+    * `n_docs = 0, boundaries = '', starts_mid = 1` — wholly
+    * mid-document, attention carries straight through. Only bins where
+    * at least one document begins get a row; a document spanning k > 1
+    * full 512-token contexts therefore leaves k-1 (or more) silent bins
+    * between its start bin and the next emitted bin.
     */
   val packBoundaries: Q = Q("pipeline_pack_boundaries", (s, dir) => {
     val d = Tables.t(s, dir, "documents")
@@ -1153,6 +1163,81 @@ object TextOps {
       string_agg(CAST(off_in_bin AS VARCHAR), ',' ORDER BY off_in_bin, doc_id)
         AS boundaries
     FROM q GROUP BY bin ORDER BY bin"""))
+
+  /** EPOCH-AWARE PACKER — the end-to-end training-loader composition
+    * (r12 verdict wishlist #2): pack fixed 512-token contexts in the
+    * SHUFFLED training order of each epoch, not in doc_id order. The
+    * position is the [[epochShuffle]] 3-round Feistel bijection (pos is
+    * a valid pack key precisely because of the bijectivity
+    * certificate), the packer is the same distributed prefix-sum
+    * ([[graft.ops.Pack.assignBins]] keyed on pos — per-shard cumsum
+    * windows, ONE sanctioned global window over the per-shard-totals
+    * aggregate), and the emitted rows are the [[packBoundaries]]
+    * attention-mask manifest per (epoch, context): sorted in-context
+    * start offsets, doc/token counts, straddler flag. Missing-bin gap
+    * semantics are identical to [[packBoundaries]] (a silent bin is
+    * wholly mid-document). Scale shape: per epoch one corpus scan +
+    * per-row Feistel arithmetic + the pack windows + one (epoch, bin)
+    * aggregate — no data-sized global sort anywhere; this is the
+    * relation a 1000-executor loader streams to read epoch e's
+    * contexts in training order. Domain gate: loud broadcast
+    * raise_error past the 2^40 Feistel domain (the epochShuffle
+    * discipline).
+    */
+  val epochPack: Q = Q("pipeline_epoch_pack", (s, dir) => {
+    val posSql = graft.ops.Sample.feistelPosSql("doc_id", "epoch", duck = false)
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint").as("n_tokens"))
+    val gate = docs.agg(max("doc_id").as("mx"), min("doc_id").as("mn"))
+      .select(expr(s"""CASE WHEN mx >= ${1L << 40} OR mn < 0 THEN raise_error(
+          'pipeline_epoch_pack: doc_id outside the 2^40 Feistel domain')
+        ELSE 1 END""").as("_ok"))
+    val gated = docs.crossJoin(broadcast(gate)).where(col("_ok") === 1)
+      .drop("_ok")
+    def packedEpoch(e: Long): org.apache.spark.sql.DataFrame = {
+      val d = gated.withColumn("epoch", lit(e)).withColumn("pos", expr(posSql))
+      // shardSize is a POSITION-DOMAIN width here, not a dense-id one:
+      // 2^28-wide shards = 4096 shards over the 2^40 Feistel domain
+      // (the resume-cursor bucket grid), each holding ~N/4096 dispersed
+      // docs — the default 4096 would leave ~every doc alone in its own
+      // shard and turn the per-shard-TOTALS window data-sized
+      graft.ops.Pack.assignBins(d, "pos", "n_tokens", binTokens = 512L,
+        shardSize = graft.ops.Sample.CursorBucketWidth, keepStart = true)
+    }
+    packedEpoch(0L).unionByName(packedEpoch(1L))
+      .withColumn("off_in_bin", expr("start - bin * 512"))
+      .groupBy("epoch", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        expr("CAST(min(off_in_bin) > 0 AS BIGINT)").as("starts_mid"),
+        expr("""array_join(transform(array_sort(
+            collect_list(struct(off_in_bin, doc_id))),
+            x -> CAST(x.off_in_bin AS STRING)), ',')""").as("boundaries"))
+      .orderBy("epoch", "bin")
+  }, Some {
+    val posSql = graft.ops.Sample.feistelPosSql("doc_id", "epoch", duck = true)
+    s"""WITH d AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    g AS (SELECT CASE WHEN max(doc_id) >= ${1L << 40} OR min(doc_id) < 0
+        THEN error('pipeline_epoch_pack: doc_id outside the 2^40 Feistel domain')
+        ELSE 1 END AS ok FROM d),
+    e AS (SELECT CAST(x AS BIGINT) AS epoch FROM (VALUES (0), (1)) t(x)),
+    p AS (SELECT doc_id, n_tokens, epoch, $posSql AS pos
+      FROM d, e, g WHERE g.ok = 1),
+    q AS (SELECT epoch, doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY epoch ORDER BY pos ROWS UNBOUNDED PRECEDING)
+          - n_tokens AS BIGINT) AS start
+      FROM p),
+    r AS (SELECT epoch, doc_id, n_tokens, start // 512 AS bin,
+        start - (start // 512) * 512 AS off_in_bin FROM q)
+    SELECT epoch, bin, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(min(off_in_bin) > 0 AS BIGINT) AS starts_mid,
+      string_agg(CAST(off_in_bin AS VARCHAR), ',' ORDER BY off_in_bin, doc_id)
+        AS boundaries
+    FROM r GROUP BY epoch, bin ORDER BY epoch, bin"""
+  })
 
   /** Composed CHUNK-INDEX pipeline — the embedding-index prep a RAG
     * system runs between raw corpus and encoder: (1) sliding-window
@@ -2205,58 +2290,119 @@ object TextOps {
     SELECT doc_id, ahash, CAST(bit_count(ahash) AS BIGINT) AS bits_set
     FROM hh ORDER BY doc_id"""))
 
-  /** Near-duplicate IMAGE pairs by banded Hamming join — the pigeonhole
-    * construction (4 bands × 16 bits: Hamming ≤ 3 ⟹ at least one band
-    * identical, so candidate generation is an exact equi-join on the
-    * band key, never all-pairs), then the exact popcount(xor) distance
-    * filter on the candidates. Scale: band buckets are df-capped at 128
-    * via ops/Scale.capGroups — the same hot-key bound as the shingle
-    * pair-miners — so one degenerate band value cannot emit df² pairs;
-    * the oracle applies the identical QUALIFY cut.
+  /** Near-duplicate IMAGE pairs by banded Hamming join over DISTINCT
+    * hashes — the pigeonhole construction (4 bands × 16 bits:
+    * Hamming ≤ 3 ⟹ at least one band identical, so candidate
+    * generation is an exact equi-join on the band key, never
+    * all-pairs), mined at the REPRESENTATIVE layer (r12 verdict #1):
+    * the 4·2¹⁶ = 262,144-value band-key space saturates once the
+    * corpus carries more hash-identical content than keys (the r12
+    * ×128 capcov ladder measured buckets at 262,109 with pair mass
+    * growing ~15× per 4× data — occupancy² inside saturated buckets,
+    * the r9 LSH mod-P concentration class). Exact-duplicate content
+    * is hash-IDENTICAL, so the band join runs over `SELECT DISTINCT
+    * ahash` — pair mass then scales with distinct perceptual content,
+    * not corpus size — and per-hash doc groups re-expand afterwards:
+    * cross-hash representative pairs fan back out through the group
+    * membership join; same-hash pairs (Hamming 0) come straight from
+    * the group self-join. Both the representative band buckets and
+    * the expansion groups pass the [[PhashBandCap]] hot-key bound
+    * (one degenerate band value / one million-copy image cannot emit
+    * df² rows past the cap), and the cap-bite census audits BOTH
+    * relations ([[graft.queries.Dedup.capCoverage]] sites
+    * `phash_bands`, `phash_groups`). The oracle applies the identical
+    * construction with QUALIFY cuts.
     */
-  /** The phash band-bucket cap — ONE constant interpolated into the
-    * miner, its oracle, and the cap-census (the shared-constant rule).
+  /** The phash band-bucket AND group-expansion cap — ONE constant
+    * interpolated into the miner, its oracle, and the cap-census (the
+    * shared-constant rule).
     */
   private[graft] val PhashBandCap = 128L
 
-  /** The UNCAPPED pigeonhole band relation (doc_id, ahash, bi, bk) of
-    * the phash pair miner — exposed (with its SQL twin
+  /** The UNCAPPED pigeonhole band relation (ahash, bi, bk) over
+    * DISTINCT hashes — exposed (with its SQL twin
     * [[phashBandsOracleCtes]]) so the cap-bite census audits the same
     * relation the miner caps.
     */
-  private[graft] def phashBands(s: org.apache.spark.sql.SparkSession, dir: String) =
-    phashDf(s, dir).select(col("doc_id"), col("ahash"),
-      explode(expr("array(0, 1, 2, 3)")).as("bi"))
+  private[graft] def phashBandsOf(
+      hh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hh.select(col("ahash")).distinct()
+      .select(col("ahash"), explode(expr("array(0, 1, 2, 3)")).as("bi"))
       .withColumn("bk", expr("bi * 65536 + (shiftright(ahash, 16 * bi) & 65535)"))
 
-  /** DuckDB twin of [[phashBands]]: [[phashOracleCtes]] + `pbands`. */
+  private[graft] def phashBands(s: org.apache.spark.sql.SparkSession, dir: String) =
+    phashBandsOf(phashDf(s, dir))
+
+  /** The (doc_id, ahash) manifest relation, exposed for the cap-bite
+    * census's `phash_groups` site (the expansion-cap audit).
+    */
+  private[graft] def phashHashes(s: org.apache.spark.sql.SparkSession, dir: String) =
+    phashDf(s, dir)
+
+  /** DuckDB twin of [[phashBandsOf]]: [[phashOracleCtes]] + `reps` +
+    * `pbands` (bands over distinct hashes).
+    */
   private[graft] def phashBandsOracleCtes: String =
     s"""$phashOracleCtes,
-    pbands AS (SELECT doc_id, ahash, bi,
+    reps AS (SELECT DISTINCT ahash FROM hh),
+    pbands AS (SELECT ahash, bi,
         bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
-      FROM hh, (VALUES (0), (1), (2), (3)) b(bi))"""
+      FROM reps, (VALUES (0), (1), (2), (3)) b(bi))"""
 
-  val multimodalPhashPairs: Q = Q("multimodal_phash_pairs", (s, dir) => {
-    val capped = graft.ops.Scale.capGroups(phashBands(s, dir), "bk", PhashBandCap)
-    val a = capped.select(col("bk"), col("doc_id").as("da"), col("ahash").as("ha"))
-    val b = capped.select(col("bk"), col("doc_id").as("db"), col("ahash").as("hb"))
-    a.join(b, "bk").filter(col("da") < col("db"))
-      .select("da", "db", "ha", "hb").distinct()
+  /** The shared representative-pair + expansion-group construction of
+    * the phash miner: (rep pairs (ha, hb, hamming), capped per-hash
+    * doc groups (ahash, doc_id)).
+    */
+  private def phashRepPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.ops.Scale
+    val hh = phashDf(s, dir).persist()
+    val grp = Scale.capGroups(hh, "ahash", PhashBandCap)
+    val capped = Scale.capGroups(phashBandsOf(hh), "bk", PhashBandCap)
+    val rp = capped.select(col("bk"), col("ahash").as("ha"))
+      .join(capped.select(col("bk"), col("ahash").as("hb")), "bk")
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= 3)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
-  }, Some(s"""WITH ${phashOracleCtes},
-    bands AS (SELECT doc_id, ahash, bi,
-        bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
-      FROM hh, (VALUES (0), (1), (2), (3)) b(bi)),
-    capped AS (SELECT * FROM bands
+    (rp, grp)
+  }
+
+  /** DuckDB twin of [[phashRepPairs]] + the expanded pair union —
+    * shared by the pairs and clusters oracles.
+    */
+  private def phashPairOracleCtes: String =
+    s"""${phashBandsOracleCtes},
+    grp AS (SELECT doc_id, ahash FROM hh
+      QUALIFY count(*) OVER (PARTITION BY ahash) <= $PhashBandCap),
+    rcapped AS (SELECT * FROM pbands
       QUALIFY count(*) OVER (PARTITION BY bk) <= $PhashBandCap),
-    p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        a.ahash AS ha, b.ahash AS hb
-      FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM p WHERE bit_count(xor(ha, hb)) <= 3
+    rp AS (SELECT DISTINCT a.ahash AS ha, b.ahash AS hb
+      FROM rcapped a JOIN rcapped b ON a.bk = b.bk AND a.ahash < b.ahash
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+    prx AS (
+      SELECT least(ga.doc_id, gb.doc_id) AS doc_a,
+        greatest(ga.doc_id, gb.doc_id) AS doc_b,
+        CAST(bit_count(xor(rp.ha, rp.hb)) AS BIGINT) AS hamming
+      FROM rp JOIN grp ga ON ga.ahash = rp.ha JOIN grp gb ON gb.ahash = rp.hb
+      UNION ALL
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+      FROM grp a JOIN grp b ON a.ahash = b.ahash AND a.doc_id < b.doc_id)"""
+
+  val multimodalPhashPairs: Q = Q("multimodal_phash_pairs", (s, dir) => {
+    val (rp, grp) = phashRepPairs(s, dir)
+    val cross = rp
+      .join(grp.select(col("ahash").as("ha"), col("doc_id").as("da")), "ha")
+      .join(grp.select(col("ahash").as("hb"), col("doc_id").as("db")), "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val same = grp.select(col("ahash"), col("doc_id").as("da"))
+      .join(grp.select(col("ahash"), col("doc_id").as("db")), "ahash")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same).orderBy("doc_a", "doc_b")
+  }, Some(s"""WITH ${phashPairOracleCtes}
+    SELECT doc_a, doc_b, hamming FROM prx
     ORDER BY doc_a, doc_b"""))
 
   /** Near-duplicate IMAGE clusters: min-label connected components over
@@ -2276,15 +2422,8 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
-  }, Some(s"""WITH RECURSIVE ${phashOracleCtes},
-    bands AS (SELECT doc_id, ahash, bi,
-        bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
-      FROM hh, (VALUES (0), (1), (2), (3)) b(bi)),
-    capped AS (SELECT * FROM bands
-      QUALIFY count(*) OVER (PARTITION BY bk) <= 128),
-    pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+  }, Some(s"""WITH RECURSIVE ${phashPairOracleCtes},
+    pr AS (SELECT doc_a, doc_b FROM prx),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
       UNION ALL SELECT doc_b, doc_a FROM pr),
     reach AS (
@@ -3098,9 +3237,11 @@ object TextOps {
     *    DP unroll (the trainer AND encode paths raise loudly past it —
     *    this row says how close the corpus sits to that edge).
     *  - `unigram_seed_multi`: multi-gram mass captured by the
-    *    [[graft.ops.Unigram.SeedMulti]] seed selection vs all 2..4-gram
-    *    mass — the unigram trainer's one remaining partial-coverage
-    *    stats bound after the r12 head-cap removal.
+    *    [[graft.ops.Unigram.seedK]] (types-scaled since r13; formerly
+    *    the fixed SeedMulti=40 head that self-reported 5% at the ×128
+    *    rung) seed selection vs all 2..4-gram mass; the cap column
+    *    carries the actual K. Partial only when the corpus saturates
+    *    [[graft.ops.Unigram.SeedAbsCap]].
     *  - `unigram_stats_mass`: cap 0 = UNCAPPED — the successor of the
     *    r11 `unigram_top_words_mass` row. The top-1024 word-stat
     *    head-cap this row used to measure (2960 bp at the ×128 rung —
@@ -3115,7 +3256,7 @@ object TextOps {
     *    it scans the full corpus each round).
     *
     * Scale shape: one word-count aggregate (persisted, bounded reads),
-    * a gram explode feeding a TakeOrdered-[[graft.ops.Unigram.SeedMulti]]
+    * a gram explode feeding a TakeOrdered-[[graft.ops.Unigram.seedK]]
     * re-aggregate, and the same per-round aggregates
     * pipeline_wordpiece_merges already runs — every output relation is
     * 1 row; no data-sized window/collect. The streaming twin
@@ -3135,7 +3276,11 @@ object TextOps {
     val gram = wc.select(explode(expr(Unigram.multiGramExpr)).as("g"), col("cnt"))
       .groupBy("g").agg(sum("cnt").as("u"))
     val gramTot = gram.agg(coalesce(sum("u"), lit(0L)).as("gram_total"))
-    val gramSeen = gram.orderBy(col("u").desc, col("g").asc).limit(Unigram.SeedMulti)
+    // types-scaled seed inventory (r13): wc is persisted, the count is
+    // one counted-small action — keeps the selection TakeOrdered (a
+    // literal-k limit), never a global rank window over the gram table
+    val seedk = Unigram.seedK(wc.count())
+    val gramSeen = gram.orderBy(col("u").desc, col("g").asc).limit(seedk.toInt)
       .agg(coalesce(sum("u"), lit(0L)).as("gram_seen"))
     val base = docs.select(Text.bpeInitSeq(col("text")).as("seq"))
     val (merges, _) = Text.wordpieceTrain(base, "seq", wordpieceRounds)
@@ -3147,7 +3292,7 @@ object TextOps {
       col("mass_unroll").as("seen"), col("mass_total").as("total"))
     val r2 = gramSeen.crossJoin(broadcast(gramTot))
       .select(lit("unigram_seed_multi").as("trainer"),
-        lit(Unigram.SeedMulti.toLong).as("cap"), lit("gram_mass").as("units"),
+        lit(seedk).as("cap"), lit("gram_mass").as("units"),
         col("gram_seen").as("seen"), col("gram_total").as("total"))
     val r3 = tot.select(lit("unigram_stats_mass").as("trainer"),
       lit(0L).as("cap"), lit("token_mass").as("units"),
@@ -3187,8 +3332,10 @@ object TextOps {
                     FROM wc)))
       GROUP BY 1),
     gt AS (SELECT CAST(COALESCE(sum(u), 0) AS BIGINT) AS gram_total FROM gm),
+    tk AS (SELECT CAST(${Unigram.seedKSql("count(*)")} AS BIGINT) AS k FROM wc),
     gs AS (SELECT CAST(COALESCE(sum(u), 0) AS BIGINT) AS gram_seen
-      FROM (SELECT u FROM gm ORDER BY u DESC, g LIMIT ${Unigram.SeedMulti})),
+      FROM (SELECT u, row_number() OVER (ORDER BY u DESC, g) AS rk FROM gm)
+      WHERE rk <= (SELECT k FROM tk)),
     s0 AS MATERIALIZED (
       SELECT ${Text.bpeInitSeqSql("text")} AS seq FROM documents)$chain,
     pt AS (SELECT CAST(sum(cnt) AS BIGINT) AS pair_total
@@ -3200,7 +3347,7 @@ object TextOps {
       SELECT 'unigram_dp_unroll' AS trainer, CAST(${Unigram.DpUnroll} AS BIGINT) AS cap,
         'token_mass' AS units, mass_unroll AS seen, mass_total AS total FROM tot
       UNION ALL
-      SELECT 'unigram_seed_multi', CAST(${Unigram.SeedMulti} AS BIGINT),
+      SELECT 'unigram_seed_multi', (SELECT k FROM tk),
         'gram_mass', gram_seen, gram_total FROM gs, gt
       UNION ALL
       SELECT 'unigram_stats_mass', CAST(0 AS BIGINT),

@@ -1011,6 +1011,43 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("round-13 pipeline_epoch_pack: shuffled-order packing keeps the pack window discipline") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // packing in Feistel order must not smuggle in a data-sized global
+    // sort: the only global windows allowed are the two per-epoch
+    // shard-TOTALS cumsums (each sits over a counted-small aggregate);
+    // every other window is partitioned (the per-shard cumsum)
+    val df = graft.queries.TextOps.epochPack.fn(spark, "/root/testdata/sf0.001")
+    var globals = 0
+    df.queryExecution.analyzed.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        globals += 1
+        var agg = false
+        w.child.foreach { case _: Aggregate => agg = true; case _ => () }
+        assert(agg, s"global window not over an aggregate: $w")
+      case _ => ()
+    }
+    assert(globals == 2, s"expected the 2 per-epoch shard-totals windows, got $globals")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    // manifest invariants: both epochs present, boundary-list length ==
+    // n_docs on every row, and the two epochs pack DIFFERENT manifests
+    // (the reshuffle is real)
+    val rows = df.collect()
+    val byEpoch = rows.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L), s"epochs: ${byEpoch.keySet}")
+    rows.foreach { r =>
+      val nb = r.getString(5).split(",").count(_.nonEmpty)
+      assert(nb == r.getLong(2), s"boundaries/n_docs mismatch: $r")
+      assert(r.getLong(4) == 0L || r.getLong(4) == 1L, s"starts_mid out of domain: $r")
+    }
+    val m0 = byEpoch(0L).map(r => r.getLong(1) -> r.getString(5)).toMap
+    val m1 = byEpoch(1L).map(r => r.getLong(1) -> r.getString(5)).toMap
+    assert(m0 != m1, "epochs packed identical manifests — the shuffle is not epoch-keyed")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("round-12 ann_shard_rebalance: move-list plan is broadcast-only — no shuffled join") {
     spark.sparkContext.setLogLevel("ERROR")
     // both epoch assignments are broadcast-NLJ (tiny centroid set against

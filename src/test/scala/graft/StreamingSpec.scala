@@ -32,6 +32,11 @@ object StreamingSpec {
     val p = l.split('|')
     (p(0), p(1).toLong, p(2), p(3).toLong)
   }
+
+  // one doc-id line → both epochs' (epoch, bucket) rows (the shared
+  // expansion lives in the processor object — serializable)
+  def cursorParse(l: String): Seq[(Long, Long)] =
+    graft.streaming.ResumeCursorProcessor.expand(l.trim.toLong)
 }
 
 /** End-to-end Structured Streaming slice: file source → graphite parse →
@@ -4134,11 +4139,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Files.write(new java.io.File(dir, "b2.txt").toPath,
         b2.mkString("\n").getBytes("UTF-8"))
       q.processAllAvailable()
-      // pair_mass_total only grows: max-pt row per site is the final census
+      // both pair_mass_total AND buckets_total only grow; a batch of pure
+      // count-1 buckets moves only the latter, so the final-row key is the
+      // monotone (pair_mass_total, buckets_total) struct, not pt alone
       val got = spark.sql(
-          """SELECT site, max_by(buckets_total, pair_mass_total),
-               max_by(buckets_dropped, pair_mass_total),
-               max(pair_mass_total), max_by(pair_mass_admitted, pair_mass_total)
+          """SELECT site,
+               max_by(buckets_total, struct(pair_mass_total, buckets_total)),
+               max_by(buckets_dropped, struct(pair_mass_total, buckets_total)),
+               max(pair_mass_total),
+               max_by(pair_mass_admitted, struct(pair_mass_total, buckets_total))
              FROM graft_capc_out GROUP BY site""")
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
@@ -4272,5 +4281,105 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s -> ((xs.size.toLong, xs.map(_._4).sum))
     }
     assert(got == want, s"post-restart keep census diverged: $got vs $want")
+  }
+
+  /** Doc ids (as text lines) plus the driver-fold expectation of the
+    * resume-cursor census: per (epoch, pct) → (k, bucket, offset, n),
+    * computed with [[graft.ops.Sample.feistelPos]] — the Long mirror
+    * OpsSpec pins against the SQL.
+    */
+  private def cursorFixture(): (Array[String], Map[(Long, Long), (Long, Long, Long, Long)]) = {
+    val ids = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = (for (e <- Seq(0L, 1L)) yield {
+      val buckets = ids.map(id =>
+          graft.ops.Sample.feistelPos(id, e) / graft.ops.Sample.CursorBucketWidth)
+        .groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      val n = ids.length.toLong
+      Seq(25L -> n / 4, 50L -> n / 2, 75L -> (3 * n) / 4).filter(_._2 > 0)
+        .map { case (pct, k) =>
+          var before = 0L; var i = 0
+          while (before + buckets(i)._2 < k) { before += buckets(i)._2; i += 1 }
+          (e, pct) -> ((k, buckets(i)._1, k - before, n))
+        }
+    }).flatten.toMap
+    spark.catalog.clearCache()
+    (ids.map(_.toString), want)
+  }
+
+  test("ResumeCursorProcessor: streamed bucket census == driver fold AND the batch cursor's bucket") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = cursorFixture()
+    // the batch query must agree on (k, bucket) per (epoch, pct) — the
+    // processor's census is its steps 1-2
+    val batch = graft.queries.TextOps.resumeCursor.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3) / graft.ops.Sample.CursorBucketWidth))).toMap
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(batch.keySet == want.keySet)
+    batch.foreach { case (key, (k, bkt)) =>
+      assert((k, bkt) == ((want(key)._1, want(key)._2)),
+        s"batch query vs driver fold at $key: ($k, $bkt) vs ${want(key)}")
+    }
+    val dir = Files.createTempDirectory("graft_cursor_in").toFile
+    val (b1, b2) = lines.splitAt(lines.length / 3) // uneven split
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+      .flatMap(StreamingSpec.cursorParse)
+    val q = graft.streaming.ResumeCursorProcessor(spark, src)
+      .toDF("epoch", "pct", "k", "bucket", "off", "n")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("graft_cursor_out").start()
+    try {
+      q.processAllAvailable()
+      Files.write(new java.io.File(dir, "b2.txt").toPath,
+        b2.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      // final row per (epoch, pct) = the one at the max n (n only grows)
+      val got = spark.sql(
+          """SELECT epoch, pct, max_by(k, n), max_by(bucket, n), max_by(off, n), max(n)
+             FROM graft_cursor_out GROUP BY epoch, pct""")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == want, s"streamed cursor census diverged: $got vs $want")
+    } finally q.stop()
+  }
+
+  test("ResumeCursorProcessor recovers the census across a checkpoint restart") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val (lines, want) = cursorFixture()
+    val dir = Files.createTempDirectory("graft_cursor_ck_in").toFile
+    val ckpt = Files.createTempDirectory("graft_cursor_ck").toString
+    val (b1, b2) = lines.splitAt(lines.length / 2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long)]()
+    def start() = {
+      val src = spark.readStream.text(dir.getAbsolutePath).as[String]
+        .flatMap(StreamingSpec.cursorParse)
+      graft.streaming.ResumeCursorProcessor(spark, src)
+        .toDF("epoch", "pct", "k", "bucket", "off", "n")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => out.add(
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4), r.getLong(5))))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+    Files.write(new java.io.File(dir, "b1.txt").toPath,
+      b1.mkString("\n").getBytes("UTF-8"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // simulated failure
+    Files.write(new java.io.File(dir, "b2.txt").toPath,
+      b2.mkString("\n").getBytes("UTF-8"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = out.toArray(Array.empty[(Long, Long, Long, Long, Long, Long)])
+      .groupBy(t => (t._1, t._2)).map { case (key, xs) =>
+        val last = xs.maxBy(_._6)
+        key -> ((last._3, last._4, last._5, last._6))
+      }
+    assert(got == want, s"post-restart cursor census diverged: $got vs $want")
   }
 }

@@ -15,9 +15,10 @@ import java.nio.file.Files
   * the `unigram_stats_mass` successor row must stay structurally FULL
   * (10000 bp) at every planted vocabulary size, because the cap it
   * measured no longer exists. The remaining partial bound —
-  * `unigram_seed_multi`, the SeedMulti=40 seed-gram selection — is
-  * pinned against an INDEPENDENT driver-side mirror on the planted
-  * corpora (exact integers, not just monotonicity).
+  * `unigram_seed_multi`, the types-scaled seedK selection since r13
+  * (formerly the fixed SeedMulti=40 head) — is pinned against an
+  * INDEPENDENT driver-side mirror on the planted corpora (exact
+  * integers, not just monotonicity).
   */
 class TrainerCoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -56,8 +57,12 @@ class TrainerCoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$sf: the cap-free stats row must report structurally-full coverage")
       assert(m("unigram_dp_unroll")._1 == graft.ops.Unigram.DpUnroll.toLong)
       val (gCap, gSeen, gTotal, gBp) = m("unigram_seed_multi")
-      assert(gCap == graft.ops.Unigram.SeedMulti.toLong && gSeen > 0 && gTotal >= gSeen
-        && gBp > 0, s"$sf: seed row ($gCap, $gSeen, $gTotal, $gBp)")
+      // cap column = the types-scaled seedK (r13) — recompute it from
+      // the corpus's distinct-word count
+      val types = graft.ops.Unigram.wordStats(
+        graft.Tables.t(spark, sf, "documents")).count()
+      assert(gCap == graft.ops.Unigram.seedK(types) && gSeen > 0 && gTotal >= gSeen
+        && gBp > 0, s"$sf: seed row ($gCap, $gSeen, $gTotal, $gBp), types=$types")
     }
   }
 
@@ -89,7 +94,10 @@ class TrainerCoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((w, c) <- words; l <- 2 to 4; i <- 0 to w.length - l)
       g(w.substring(i, i + l)) += c
     val total = g.values.sum
-    val seen = g.toSeq.sortBy { case (k, u) => (-u, k) }.take(40).map(_._2).sum
+    // the r13 types-scaled inventory, written out independently:
+    // K = min(max(40, 8·types), 2^20)
+    val k = math.min(math.max(40L, 8L * words.size), 1L << 20).toInt
+    val seen = g.toSeq.sortBy { case (k2, u) => (-u, k2) }.take(k).map(_._2).sum
     (seen, total)
   }
 
