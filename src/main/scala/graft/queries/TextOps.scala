@@ -2291,25 +2291,20 @@ object TextOps {
     FROM hh ORDER BY doc_id"""))
 
   /** Near-duplicate IMAGE pairs by banded Hamming join over DISTINCT
-    * hashes — the pigeonhole construction (4 bands × 16 bits:
-    * Hamming ≤ 3 ⟹ at least one band identical, so candidate
-    * generation is an exact equi-join on the band key, never
-    * all-pairs), mined at the REPRESENTATIVE layer (r12 verdict #1):
-    * the 4·2¹⁶ = 262,144-value band-key space saturates once the
-    * corpus carries more hash-identical content than keys (the r12
-    * ×128 capcov ladder measured buckets at 262,109 with pair mass
-    * growing ~15× per 4× data — occupancy² inside saturated buckets,
-    * the r9 LSH mod-P concentration class). Exact-duplicate content
-    * is hash-IDENTICAL, so the band join runs over `SELECT DISTINCT
-    * ahash` — pair mass then scales with distinct perceptual content,
-    * not corpus size — and per-hash doc groups re-expand afterwards:
-    * cross-hash representative pairs fan back out through the group
-    * membership join; same-hash pairs (Hamming 0) come straight from
-    * the group self-join. Both the representative band buckets and
-    * the expansion groups pass the [[PhashBandCap]] hot-key bound
-    * (one degenerate band value / one million-copy image cannot emit
-    * df² rows past the cap), and the cap-bite census audits BOTH
-    * relations ([[graft.queries.Dedup.capCoverage]] sites
+    * hashes — candidate generation is an exact equi-join on
+    * clean-triple block keys (see [[phashBandsOf]]: 6 blocks, C(6,3)
+    * triples, the Manku–Jain–Das Sarma WWW'07 construction — every
+    * Hamming ≤ 3 pair shares an exact triple, never all-pairs), mined
+    * at the REPRESENTATIVE layer (r12 verdict #1): the band join runs
+    * over `SELECT DISTINCT ahash`, so band postings scale with
+    * distinct perceptual content, and per-hash doc groups re-expand
+    * afterwards — cross-hash representative pairs fan back out
+    * through the group membership join; same-hash pairs (Hamming 0)
+    * come straight from the group self-join. Both the representative
+    * band buckets and the expansion groups pass the [[PhashBandCap]]
+    * hot-key bound (one degenerate key / one million-copy image
+    * cannot emit df² rows past the cap), and the cap-bite census
+    * audits BOTH relations ([[graft.queries.Dedup.capCoverage]] sites
     * `phash_bands`, `phash_groups`). The oracle applies the identical
     * construction with QUALIFY cuts.
     */
@@ -2319,16 +2314,49 @@ object TextOps {
     */
   private[graft] val PhashBandCap = 128L
 
-  /** The UNCAPPED pigeonhole band relation (ahash, bi, bk) over
-    * DISTINCT hashes — exposed (with its SQL twin
-    * [[phashBandsOracleCtes]]) so the cap-bite census audits the same
-    * relation the miner caps.
+  /** 6-block split of the 64-bit hash (widths 11/11/11/11/10/10) and
+    * the C(6,3) = 20 clean-triple combinations — the Manku–Jain–
+    * Das Sarma block-permutation construction ("Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007 — public): 3 bit
+    * errors dirty at most 3 of 6 blocks, so every Hamming ≤ 3 pair
+    * shares at least one EXACT triple of clean blocks. Keying the band
+    * join on (triple id, 3 block values) gives a ~33-bit key space
+    * (20·2^33 ≈ 1.7e11) instead of the former 4×16-bit pigeonhole's
+    * 262,144 keys — the r12/r13 capcov ladders measured that fixed
+    * space EXHAUSTED at ×128 (262,109 keys occupied; rep-pair mass
+    * 11.35M and quadratic, because DISTINCT content itself outgrew
+    * the key space — a representative layer cannot fix a key space
+    * smaller than the corpus). With ~33-bit keys, accidental
+    * collisions are ~D²·20/2^34 — sub-thousand at ×128 — so pair mass
+    * tracks true near-duplicate volume. (x >> s) & mask is
+    * cross-engine safe on negative BIGINTs (arithmetic shift + mask —
+    * the house rule).
+    */
+  private val PhashBlocks: Seq[(Int, Long)] =
+    Seq((0, 2047L), (11, 2047L), (22, 2047L), (33, 2047L), (44, 1023L), (54, 1023L))
+  private val PhashTriples: Seq[Seq[Int]] =
+    PhashBlocks.indices.combinations(3).map(_.toSeq).toSeq // 20, deterministic order
+
+  private def phashBlockSql(c: String, b: Int, spark: Boolean): String = {
+    val (off, mask) = PhashBlocks(b)
+    if (spark) s"(shiftright($c, $off) & $mask)" else s"(($c >> $off) & $mask)"
+  }
+
+  private def phashTripleKeySql(c: String, t: Int, spark: Boolean): String = {
+    val Seq(i, j, k) = PhashTriples(t)
+    s"((($t * 2048 + ${phashBlockSql(c, i, spark)}) * 2048 + " +
+      s"${phashBlockSql(c, j, spark)}) * 2048 + ${phashBlockSql(c, k, spark)})"
+  }
+
+  /** The UNCAPPED clean-triple band relation (ahash, bk) over DISTINCT
+    * hashes — exposed (with its SQL twin [[phashBandsOracleCtes]]) so
+    * the cap-bite census audits the same relation the miner caps.
     */
   private[graft] def phashBandsOf(
       hh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     hh.select(col("ahash")).distinct()
-      .select(col("ahash"), explode(expr("array(0, 1, 2, 3)")).as("bi"))
-      .withColumn("bk", expr("bi * 65536 + (shiftright(ahash, 16 * bi) & 65535)"))
+      .select(col("ahash"), explode(array(PhashTriples.indices.map(t =>
+        expr(phashTripleKeySql("ahash", t, spark = true))): _*)).as("bk"))
 
   private[graft] def phashBands(s: org.apache.spark.sql.SparkSession, dir: String) =
     phashBandsOf(phashDf(s, dir))
@@ -2340,14 +2368,17 @@ object TextOps {
     phashDf(s, dir)
 
   /** DuckDB twin of [[phashBandsOf]]: [[phashOracleCtes]] + `reps` +
-    * `pbands` (bands over distinct hashes).
+    * `pbands` (clean-triple keys over distinct hashes).
     */
-  private[graft] def phashBandsOracleCtes: String =
+  private[graft] def phashBandsOracleCtes: String = {
+    val keys = PhashTriples.indices.map(t =>
+      s"SELECT ahash, ${phashTripleKeySql("ahash", t, spark = false)} AS bk FROM reps")
+      .mkString("\n      UNION ALL ")
     s"""$phashOracleCtes,
     reps AS (SELECT DISTINCT ahash FROM hh),
-    pbands AS (SELECT ahash, bi,
-        bi * 65536 + ((ahash >> (16 * bi)) & 65535) AS bk
-      FROM reps, (VALUES (0), (1), (2), (3)) b(bi))"""
+    pbands AS (
+      $keys)"""
+  }
 
   /** The shared representative-pair + expansion-group construction of
     * the phash miner: (rep pairs (ha, hb, hamming), capped per-hash

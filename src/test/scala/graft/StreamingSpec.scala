@@ -1103,8 +1103,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the image near-dup miner is the SAME gate as text LSH — band keys
     // from the perceptual hash stream through LshGateProcessor, the
     // exact popcount(xor) distance filters the candidates, and the
-    // result must equal the batch pair miner (which additionally caps
-    // buckets at 128 — vacuous at this SF, every bucket is tiny)
+    // result must equal the batch pair miner. The streamed gate uses
+    // the simple 4x16 pigeonhole while the batch miner uses the r13
+    // clean-triple keys + representative layer — BOTH are complete for
+    // Hamming <= 3, and the exact distance filter equalizes the
+    // candidate supersets (caps vacuous at this SF), so set equality
+    // is the correct pin across the two constructions
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_phashgate").toFile
