@@ -1011,6 +1011,36 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
 
+  test("round-13 clean-triple phash keys: complete for Hamming <= 3, and keys collide only on block equality") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // property pin of the Manku-Jain-Das Sarma construction behind the
+    // phash pair miner: for ANY hash and ANY <=3 bit flips, the two
+    // hashes must share at least one clean-triple band key (candidate
+    // completeness — the pigeonhole the miner's recall rests on)
+    val rnd = new scala.util.Random(7L)
+    val cases = (0 until 300).map { i =>
+      val h = rnd.nextLong()
+      val nf = i % 4 // 0..3 flips, cycled so every count is covered
+      var h2 = h
+      var flipped = Set.empty[Int]
+      while (flipped.size < nf) {
+        val b = rnd.nextInt(64)
+        if (!flipped(b)) { flipped += b; h2 ^= (1L << b) }
+      }
+      (h, h2)
+    }
+    val hh = cases.flatMap(p => Seq(p._1, p._2)).distinct.toDF("ahash")
+    val keys = graft.queries.TextOps.phashBandsOf(hh).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    cases.foreach { case (a, b) =>
+      assert(keys(a).intersect(keys(b)).nonEmpty,
+        f"Hamming<=3 pair shares no clean-triple key: a=$a%016x b=$b%016x")
+    }
+    // and 20 keys per hash, all tagged with distinct triple ids
+    keys.values.foreach(ks => assert(ks.size == 20, s"expected 20 keys, got ${ks.size}"))
+  }
+
   test("round-13 pipeline_epoch_pack: shuffled-order packing keeps the pack window discipline") {
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
