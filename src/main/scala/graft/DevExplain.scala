@@ -13,6 +13,10 @@ object DevExplain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // same session posture as Verify/Bench so captured plans match the
+      // plans the driver actually measures (TopKRewrite etc. active)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.graft.guard.globalWindow", "error")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -13,6 +13,8 @@ object Smoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.graft.guard.globalWindow", "error")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)

@@ -19,6 +19,11 @@ object Verify {
       // global window fails the query HERE, not in post-hoc review
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.graft.guard.globalWindow", "error")
+      // same AQE SMJ->SHJ rewrite posture as Bench (see Bench.scala):
+      // the correctness gate must certify the SAME plans the bench
+      // measures, shuffled-hash included
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -2387,8 +2387,18 @@ object TextOps {
   private def phashRepPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import graft.ops.Scale
     val hh = phashDf(s, dir).persist()
-    val grp = Scale.capGroups(hh, "ahash", PhashBandCap)
-    val capped = Scale.capGroups(phashBandsOf(hh), "bk", PhashBandCap)
+    // grp feeds FOUR references in the pairs query (both expansion joins
+    // + both sides of the same-hash join): it is aggregate-bounded tiny
+    // state, so TRUNCATE it (the r7 checkpoint rule) — four consumers of
+    // a lazy plan each re-walk the md5-scan DAG otherwise. capped feeds
+    // BOTH sides of the band self-join: persist (not checkpoint) so the
+    // capGroups `_gn` window stays visible in the analyzed plan for the
+    // self-join lint and the ScaleSpec plan-shape pin, while the
+    // distinct+explode+window subtree materializes once instead of once
+    // per join side (the r13 quiet bench measured the unpersisted form
+    // planning 28 Exchanges).
+    val grp = Scale.capGroups(hh, "ahash", PhashBandCap).localCheckpoint(true)
+    val capped = Scale.capGroups(phashBandsOf(hh), "bk", PhashBandCap).persist()
     val rp = capped.select(col("bk"), col("ahash").as("ha"))
       .join(capped.select(col("bk"), col("ahash").as("hb")), "bk")
       .filter(col("ha") < col("hb"))
@@ -2396,6 +2406,28 @@ object TextOps {
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= 3)
     (rp, grp)
+  }
+
+  /** The UNSORTED expanded pair set (cross-hash expansion ∪ same-hash
+    * groups) — shared by [[multimodalPhashPairs]] (which adds the
+    * deterministic ORDER BY) and [[multimodalPhashClusters]] (whose
+    * component propagation does not need the sort — composing from the
+    * sorted query paid a wasted Exchange+Sort below the cache barrier).
+    */
+  private def phashExpandedPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val (rp, grp) = phashRepPairs(s, dir)
+    val cross = rp
+      .join(grp.select(col("ahash").as("ha"), col("doc_id").as("da")), "ha")
+      .join(grp.select(col("ahash").as("hb"), col("doc_id").as("db")), "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val same = grp.select(col("ahash"), col("doc_id").as("da"))
+      .join(grp.select(col("ahash"), col("doc_id").as("db")), "ahash")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** DuckDB twin of [[phashRepPairs]] + the expanded pair union —
@@ -2419,20 +2451,9 @@ object TextOps {
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
       FROM grp a JOIN grp b ON a.ahash = b.ahash AND a.doc_id < b.doc_id)"""
 
-  val multimodalPhashPairs: Q = Q("multimodal_phash_pairs", (s, dir) => {
-    val (rp, grp) = phashRepPairs(s, dir)
-    val cross = rp
-      .join(grp.select(col("ahash").as("ha"), col("doc_id").as("da")), "ha")
-      .join(grp.select(col("ahash").as("hb"), col("doc_id").as("db")), "hb")
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    val same = grp.select(col("ahash"), col("doc_id").as("da"))
-      .join(grp.select(col("ahash"), col("doc_id").as("db")), "ahash")
-      .filter(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        lit(0L).as("hamming"))
-    cross.unionByName(same).orderBy("doc_a", "doc_b")
-  }, Some(s"""WITH ${phashPairOracleCtes}
+  val multimodalPhashPairs: Q = Q("multimodal_phash_pairs", (s, dir) =>
+    phashExpandedPairs(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH ${phashPairOracleCtes}
     SELECT doc_a, doc_b, hamming FROM prx
     ORDER BY doc_a, doc_b"""))
 
@@ -2446,7 +2467,7 @@ object TextOps {
     */
   val multimodalPhashClusters: Q = Q("multimodal_phash_clusters", (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val pairs = multimodalPhashPairs.fn(s, dir).select("doc_a", "doc_b").persist()
+    val pairs = phashExpandedPairs(s, dir).select("doc_a", "doc_b").persist()
     val cl = graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("v").as("doc_id"), col("component").as("cluster_id"))
     cl.withColumn("n_members",
