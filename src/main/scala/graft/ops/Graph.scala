@@ -1136,6 +1136,12 @@ object Graph {
     */
   def linkScores(edges: DataFrame, scale: Long = 1000000000L): DataFrame = {
     require(scale >= 1, "scale >= 1")
+    // e and und are each referenced three times; persisting them here
+    // was A/B'd WORSE at sf0.1 (1.17 -> 2.05 s: the cache barriers
+    // serialize subtrees that otherwise run in parallel — the r7
+    // prefix-filter lesson). The expensive part is the CALLER's edge
+    // construction, so callers truncate it once (see linkPredict) and
+    // the post-checkpoint duplication here stays cheap and parallel.
     val e = edges.select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
@@ -1167,6 +1173,9 @@ object Graph {
     */
   def linkScoresWeighted(edges: DataFrame, scale: Long = 1000000000L): DataFrame = {
     require(scale >= 1, "scale >= 1")
+    // same three-reference shape as linkScores — and the same A/B
+    // verdict: persists here serialize; callers truncate their edge
+    // construction instead (see linkPredictWeighted)
     val e = edges.select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"), col("w").cast("long").as("w"))
       .filter(col("lo") =!= col("hi"))

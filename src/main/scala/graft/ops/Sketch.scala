@@ -284,7 +284,9 @@ object Sketch {
         .orderBy("h").limit(k)
     val sa = sketch(a).persist()
     val sb = sketch(b).persist()
-    val merged = sa.union(sb).distinct().orderBy("h").limit(k)
+    // three consumers (match semi-joins, k_used, est) — persist the
+    // k-row merged sketch like sa/sb (r13)
+    val merged = sa.union(sb).distinct().orderBy("h").limit(k).persist()
     def est(s: DataFrame): DataFrame = s.agg(
       count(lit(1)).as("n"), sort_array(collect_list(col("h"))).as("hs"))
       .select(when(col("n") < k, col("n"))

@@ -1368,11 +1368,15 @@ object Analytics {
     * never a point-to-point distance pair.
     */
   val qGeoDbscan: Q = Q("geo_dbscan_cells", (s, dir) => {
+    // pts feeds 4 consumers (histogram, core/border point joins, noise
+    // anti-join), occ 2, assigned 2 — persist the shared spines (r13;
+    // the unpersisted form re-ran the point scan per consumer)
     val pts = geoPoints(s, dir)
       .withColumn("cx", expr("(lon + 180000000) DIV 10000000"))
       .withColumn("cy", expr("(lat + 90000000) DIV 10000000"))
       .withColumn("cell", expr("cx * 100 + cy"))
-    val occ = pts.groupBy("cx", "cy", "cell").agg(count(lit(1)).as("np"))
+      .persist()
+    val occ = pts.groupBy("cx", "cy", "cell").agg(count(lit(1)).as("np")).persist()
     val core = occ.filter(col("np") >= 2)
     val nbr = core.select(col("cell").as("src"), col("cx"), col("cy"))
       .withColumn("dx", explode(expr("sequence(-1, 1)")))
@@ -1394,7 +1398,7 @@ object Analytics {
       .groupBy("cell").agg(min("cluster_id").as("cluster_id"))
     val borderPts = pts.join(bAdj, "cell")
       .select(col("cluster_id"), col("user_id"), lit(0L).as("is_core"))
-    val assigned = corePts.unionAll(borderPts)
+    val assigned = corePts.unionAll(borderPts).persist()
     val clusters = assigned.groupBy("cluster_id")
       .agg(sum("is_core").as("n_core_points"),
         sum(expr("1 - is_core")).as("n_border_points"),
@@ -2740,9 +2744,18 @@ object Analytics {
     val t3 = e.filter(col("event_type") === "purchase")
       .join(t2, "user_id").filter(col("ts_us") > col("t2"))
       .groupBy("user_id").agg(min("ts_us").as("t3"))
+    // truncate the cascade spine ONCE: without it every downstream
+    // reference (both union branches, the stats pass, the rank pass)
+    // re-executed the whole t1->t2->t3 event cascade — 102 Exchanges in
+    // the r13 plan dump, ~10 redundant event scans at scale. Checkpoint,
+    // not persist: a persist on each of lats/u/stats was A/B'd WORSE
+    // (1.18 -> 1.63 s — barriers serialize subtrees that run in
+    // parallel on an idle box); one truncation of the converter-sized
+    // spine keeps the cheap downstream duplication parallel.
     val lats = t1.join(t2, "user_id").join(t3, Seq("user_id"), "left_outer")
       .select(col("user_id"), (col("t2") - col("t1")).as("lat1"),
         (col("t3") - col("t2")).as("lat2"))
+      .localCheckpoint(true)
     val s1 = lats.select(lit("signup_to_click").as("stage"), col("lat1").as("lat"))
     val s2 = lats.filter(col("lat2").isNotNull)
       .select(lit("click_to_purchase").as("stage"), col("lat2").as("lat"))

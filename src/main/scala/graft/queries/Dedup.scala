@@ -1276,9 +1276,16 @@ object Dedup {
       .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .filter(col("shared") / (col("n1") + col("n2") - col("shared")) >= 0.3)
       .select("d1", "d2")
+      // NOTE (r13): persisting this 3-reference miner spine (and the
+      // 2-reference ug/bg gram counts) was A/B'd WORSE (2.85 -> 3.3-3.5
+      // s): the re-executions are parallel stages on an idle box and
+      // the cache barrier serializes them. Left duplicated on purpose.
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), graft.ops.Text.words(col("text")).as("ws"))
     val pos = d.select(col("doc_id"), posexplode(col("ws"))).toDF("doc_id", "pos", "w")
+    // ug/bg feed two references each, but persisting them was A/B'd
+    // WORSE (their re-executions are parallel stages on an idle box and
+    // the cache write serializes — the r7 prefix-filter lesson)
     val ug = pos.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
     val ww = Window.partitionBy("doc_id").orderBy("pos")
     val bg = pos.withColumn("w2", lead("w", 1).over(ww))

@@ -310,6 +310,13 @@ object Graphs {
     * (cn, ra) with full deterministic tie-break.
     */
   val linkPredict: Q = Q("graph_link_predict", (s, dir) => {
+    // NOTE (r13): the ~6x re-execution of the Jaccard miner inside
+    // linkScores (162 Exchanges) was attacked twice — persists inside
+    // the op (1.17 -> 2.05 s) and a simEdges localCheckpoint here
+    // (1.17 -> 1.33 s): BOTH lose at sf0.1 because the duplicated
+    // subtrees run as parallel stages on an idle box while any
+    // materialization serializes. Left duplicated on purpose; at
+    // cluster scale the caller can checkpoint its edge input.
     graft.ops.Graph.linkScores(simEdges(s, dir))
       .orderBy(desc("cn"), desc("ra"), asc("src"), asc("dst"))
       .limit(25)

@@ -2264,6 +2264,9 @@ object Series {
       .withColumn("v3", lead("c", 3).over(ord))
       .filter(col("v3").isNotNull)
       .select("event_type", "i", "v0", "v1", "v2", "v3")
+      // sub feeds both band-join sides, pairs both union arms, prof both
+      // rank passes: unpersisted, the hourly window re-ran up to 8x (r13)
+      .persist()
     val left = sub.withColumn("blk",
         explode(expr("array(i DIV 48 - 1, i DIV 48, i DIV 48 + 1)")))
     val right = sub.withColumn("blk", expr("i DIV 48"))
@@ -2277,12 +2280,14 @@ object Series {
       .withColumn("sad", expr(
         "abs(v0 - w0) + abs(v1 - w1) + abs(v2 - w2) + abs(v3 - w3)"))
       .select(col("event_type"), col("i"), col("j"), col("sad"))
+      .persist()
     val both = pairs.union(
       pairs.select(col("event_type"), col("j").as("i"), col("i").as("j"), col("sad")))
     val prof = both.groupBy("event_type", "i")
       .agg(min(struct(col("sad"), col("j"))).as("mn"))
       .select(col("event_type"), col("i").as("pos"),
         col("mn.sad").as("sad"), col("mn.j").as("nn"))
+      .persist()
     val wMot = Window.partitionBy("event_type")
       .orderBy(col("sad").asc, col("pos").asc, col("nn").asc)
     val wDis = Window.partitionBy("event_type")

@@ -708,6 +708,11 @@ object Similarity {
         .agg(max(struct(round(col("csim"), 6).as("sk"),
           (-col("cl")).as("nl"))).as("m"))
         .select((-col("m.nl")).as("cell"))
+      // ld is referenced twice (total + cumulative chain) so the
+      // broadcast routing runs twice per epoch — but the two runs are
+      // PARALLEL stages locally (persisting ld was A/B'd worse), and ld
+      // cannot be checkpointed: the global cum window's smallness proof
+      // needs the Aggregate visible to GlobalWindowGuard (r13)
       val ld = asg.groupBy("cell").agg(count(lit(1)).as("pop"))
         .withColumn("cell_load", expr("pop * pop"))
       val tot = ld.agg(sum("cell_load").as("tload"))
@@ -720,6 +725,11 @@ object Similarity {
         .select(col("cell"), col("pop"),
           expr(s"((cum - cell_load) * $S) DIV tload").as("shard"))
     }
+    // each epoch manifest is read twice (spine union + the join back);
+    // both persist AND localCheckpoint here were A/B'd WORSE at sf0.1
+    // (1.35 -> 1.86 / 1.77 s) — the duplicated routing runs as parallel
+    // stages on an idle box, any materialization serializes. Left
+    // duplicated on purpose (r13).
     val a = shards(halfCent(0)).select(col("cell"),
       col("pop").as("pop_old"), col("shard").as("old_shard"))
     val b = shards(halfCent(1)).select(col("cell"),
@@ -1571,7 +1581,11 @@ object Similarity {
     */
   val annIvfPqResidual: Q = Q("ann_ivfpq_residual", (s, dir) => {
     val n = normed(s, dir)
-    val cent = centroids(n)
+    // cent feeds res + both sides of the query-probe path; rsub feeds
+    // the codebook init AND both encode() passes — unpersisted, each
+    // reference re-ran the residual explode (74 Exchanges in the r13
+    // plan dump); persist the shared spines once (guide §2.4)
+    val cent = centroids(n).persist()
     val res = n.join(cent.select(col("label"), col("cvec")), "label")
       .select(col("vec_id"), col("label"),
         zip_with(col("emb"), col("cvec"), (a, b) => a - b).as("rv"))
@@ -1579,6 +1593,7 @@ object Similarity {
         explode(sequence(lit(0), lit(3))).as("s"))
       .withColumn("rsv", expr("slice(rv, 16*s+1, 16)"))
       .select("vec_id", "label", "s", "rsv")
+      .persist()
     // shared codebook init: the 8 smallest vec_ids' residual subvectors
     val cb0 = rsub.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cb_label"), col("s"),
@@ -1598,6 +1613,7 @@ object Similarity {
       .select(col("code").as("cb_label"), col("s"), posexplode(col("rsv")))
       .groupBy("cb_label", "s", "pos").agg(avg("col").as("cv"))
       .groupBy("cb_label", "s").agg(meanCvec)
+      .persist() // trained codebook: read by encode(cb1) AND the csub join
     val enc1 = encode(cb1)
     val csub = enc1.join(cb1, enc1("s") === cb1("s") && col("code") === col("cb_label"))
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),

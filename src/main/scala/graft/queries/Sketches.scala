@@ -231,6 +231,7 @@ object Sketches {
       .select(concat_ws(":", col("user_id"),
           expr("(ts_us DIV 3600000000) % 24")).as("key"),
         (col("ts_us") * 2 <= col("mn") + col("mx")).as("fh"))
+      .persist() // both half filters read this — one event scan, not two
     Sketch.kmvSetOps(cells.filter(col("fh")).select("key"),
       cells.filter(!col("fh")).select("key"), "key", kmvSetK)
   }, Some {
