@@ -14,9 +14,16 @@ object DevExplain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // same session posture as Verify/Bench so captured plans match the
-      // plans the driver actually measures (TopKRewrite etc. active)
+      // plans the driver actually measures (TopKRewrite etc. active,
+      // including the AQE SMJ->SHJ threshold — without it these dumps
+      // would show SMJ where Bench runs SHJ). Caveat: explainString on
+      // an unexecuted query prints the INITIAL AQE plan
+      // (isFinalPlan=false); runtime rewrites like the SHJ swap only
+      // appear after a .collect(), so SMJ here may still execute as SHJ.
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.graft.guard.globalWindow", "error")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

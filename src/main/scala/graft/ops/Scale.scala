@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Run two INDEPENDENT eager plan-construction thunks concurrently
+    * (optimization-guide §2.6 — overlap independent jobs): builders
+    * whose chains call eager localCheckpoint(true) execute real Spark
+    * jobs at construction time, and two such chains built sequentially
+    * leave the cluster idle during each other's stage tails. Job
+    * submission is thread-safe and job groups/descriptions are
+    * thread-local, so the chains schedule independently; FIFO
+    * scheduling back-fills one chain's straggler tail with the other's
+    * tasks. Use ONLY for chains with no data dependency — the thunks
+    * must not read each other's results.
+    */
+  def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    // kill-switch for same-window A/B measurement (and as an escape
+    // hatch on schedulers where concurrent driver jobs misbehave)
+    if (sys.env.get("GRAFT_SEQUENTIAL").contains("1")) (a, b)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(a)
+      val fb = Future(b)
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    }
+  }
+
   /** Two-phase skew-resistant aggregation: sum/count-style (associative)
     * aggregates per `key`, pre-aggregated over `salts` random sub-buckets
     * so no single reducer owns a hot key's entire traffic.

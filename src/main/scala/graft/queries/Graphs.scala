@@ -1059,16 +1059,22 @@ object Graphs {
     // materialization beat the shuffle it saved), fused dir-tagged
     // single chain 9.2 (doubled edge relation + wider distinct state),
     // shuffle_hash-hinted edge side 8.5 (AQE's own pick was better)
-    val fwd = (1 to 4).foldLeft(s0) { (r, _) =>
-      r.unionByName(r.join(ec, r("v") === ec("src"))
-          .select(r("seed"), ec("dst").as("v")))
-        .distinct().localCheckpoint(true)
-    }
-    val bwd = (1 to 4).foldLeft(s0) { (r, _) =>
-      r.unionByName(r.join(ec, r("v") === ec("dst"))
-          .select(r("seed"), ec("src").as("v")))
-        .distinct().localCheckpoint(true)
-    }
+    // the forward and backward chains are data-independent (both read
+    // only the persisted ec + s0) but each round's eager checkpoint is a
+    // BLOCKING driver action — built sequentially they serialize 8
+    // small-stage rounds. Overlap them (guide §2.6): two driver threads,
+    // 4 rounds of wall-clock depth instead of 8.
+    val (fwd, bwd) = graft.ops.Scale.concurrently(
+      (1 to 4).foldLeft(s0) { (r, _) =>
+        r.unionByName(r.join(ec, r("v") === ec("src"))
+            .select(r("seed"), ec("dst").as("v")))
+          .distinct().localCheckpoint(true)
+      },
+      (1 to 4).foldLeft(s0) { (r, _) =>
+        r.unionByName(r.join(ec, r("v") === ec("dst"))
+            .select(r("seed"), ec("src").as("v")))
+          .distinct().localCheckpoint(true)
+      })
     val fs = fwd.groupBy("seed").agg(count(lit(1)).as("n_fwd"))
     val bs = bwd.groupBy("seed").agg(count(lit(1)).as("n_bwd"))
     fwd.join(bwd, Seq("seed", "v"))

@@ -1201,12 +1201,18 @@ object Similarity {
       .withColumn("rn", row_number().over(wQ0)).filter(col("rn") <= 8)
       .select(col("q_id"), col("c_id"), col("rn"))
       .localCheckpoint(true)
-    val b4 = top3(nswBeam(edges, q, c,
-      hop1.filter(col("rn") <= 4).select("q_id", "c_id"),
-      hops = 2, simName = "s", width = 4), "l4")
-    val b8 = top3(nswBeam(edges, q, c,
-      hop1.select("q_id", "c_id"),
-      hops = 2, simName = "s", width = 8), "l8")
+    // from hop 2 on, the width-4 and width-8 searches are data-
+    // independent (both read only the checkpointed hop1 + edges), but
+    // each hop's eager checkpoint inside nswBeam is a BLOCKING driver
+    // action — built sequentially the two searches serialize 4 rounds.
+    // Overlap them (guide §2.6): 2 rounds of wall-clock depth.
+    val (b4, b8) = graft.ops.Scale.concurrently(
+      top3(nswBeam(edges, q, c,
+        hop1.filter(col("rn") <= 4).select("q_id", "c_id"),
+        hops = 2, simName = "s", width = 4), "l4"),
+      top3(nswBeam(edges, q, c,
+        hop1.select("q_id", "c_id"),
+        hops = 2, simName = "s", width = 8), "l8"))
     val wQ = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 6).desc, col("c_id").asc)
     val exact = top3(q.join(c, col("q_id") =!= col("c_id"))

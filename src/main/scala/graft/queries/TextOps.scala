@@ -2383,6 +2383,15 @@ object TextOps {
   /** The shared representative-pair + expansion-group construction of
     * the phash miner: (rep pairs (ha, hb, hamming), capped per-hash
     * doc groups (ahash, doc_id)).
+    *
+    * KNOWN COST of the eager localCheckpoint below: merely CONSTRUCTING
+    * the pairs/clusters Q.fn executes Spark jobs (the md5 scan + grp
+    * aggregate run at truncation time), so plan-only consumers
+    * (DevExplain's registry sweep, SelfJoinAudit.audit, ScaleSpec
+    * analyzed-plan pins) pay real execution and fn needs readable
+    * testdata. Accepted deliberately: the checkpoint is load-bearing for
+    * the 4-consumer re-walk (r13 A/B), and every plan-only consumer
+    * already runs against a real sf dir.
     */
   private def phashRepPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import graft.ops.Scale
@@ -3330,7 +3339,11 @@ object TextOps {
     val gramTot = gram.agg(coalesce(sum("u"), lit(0L)).as("gram_total"))
     // types-scaled seed inventory (r13): wc is persisted, the count is
     // one counted-small action — keeps the selection TakeOrdered (a
-    // literal-k limit), never a global rank window over the gram table
+    // literal-k limit), never a global rank window over the gram table.
+    // (r14 A/B: overlapping this action with the wordpiece trainer via
+    // Scale.concurrently LOST 4.00→4.25 s reps-4 — both branches are
+    // corpus-wide scans that each saturate the box; §2.6 overlap only
+    // pays for small-stage chains.)
     val seedk = Unigram.seedK(wc.count())
     val gramSeen = gram.orderBy(col("u").desc, col("g").asc).limit(seedk.toInt)
       .agg(coalesce(sum("u"), lit(0L)).as("gram_seen"))
