@@ -40,6 +40,23 @@ object Bench {
       // (graph_ktruss 0.70x, graph_scc_seeds 0.84x), two within noise.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+      // AQE partition coalescing floor (guide §2.2 "fewer, larger reduce
+      // partitions"): with parallelismFirst (kept true — the r14 A/B of
+      // parallelismFirst=false DOUBLED graph_triangles/squares, whose
+      // compute-dense shuffles must keep core-count parallelism), AQE's
+      // coalescing target is max(totalShuffleBytes/parallelism,
+      // minPartitionSize). Raising the floor 1m -> 2m only touches
+      // shuffles under 2m x parallelism TOTAL — the scheduling-bound
+      // tail — and is a structural no-op at production volumes (any
+      // real shuffle's bytes/core far exceeds 2m). r14 A/B, 20-query
+      // subset reps-4 same-window: 59.4 -> 52.8 s (-11%), no query
+      // slower than 1.02x, ts_seasonal_esd 0.81x, q21 0.78x; the 4m and
+      // 8m floors regressed the graph heavies (evidence in
+      // OPTIMIZATION_r14.md). Env-parameterized like the core count.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "2m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -7,8 +7,13 @@ import org.apache.spark.sql.SparkSession
   */
 object DevExplain {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    // --exec: EXECUTE each query first (collect), then print the FINAL
+    // AQE plan — the only way to see runtime rewrites (SMJ->SHJ swaps,
+    // AQEShuffleRead coalesced partition counts). Without it the dump
+    // is the initial plan (isFinalPlan=false).
+    val (exec, rest) = args.partition(_ == "--exec")
+    val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.01"
+    val names = if (rest.length > 1) rest.drop(1).toSet else Set.empty[String]
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
@@ -24,14 +29,21 @@ object DevExplain {
       .config("spark.graft.guard.globalWindow", "error")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "2m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (names.isEmpty || names.contains(name)) {
         println(s"\n========== $name ==========")
-        try println(fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+        try {
+          val df = fn(spark, sfDir)
+          if (exec.nonEmpty) df.collect()
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        } catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
       }
     }
     spark.stop()
